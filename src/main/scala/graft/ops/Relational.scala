@@ -1,0 +1,345 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{QueryDef, Tables}
+
+/** The classic relational query surface (SURVEY.md §2b): scans, joins
+  * (inner/outer/semi/anti/broadcast), aggregations (incl. rollup / cube /
+  * grouping sets / distinct), window functions (ranking, frames, lag/lead),
+  * sorts, top-k, and set operations. All built from `org.apache.spark.sql`
+  * primitives so Catalyst owns pushdown, pruning, join selection and AQE.
+  *
+  * Scale notes (100 TB posture):
+  *   - dimension tables (`region`, `nation`, `supplier`) are always
+  *     broadcast — no shuffle for the dim side of a star join;
+  *   - fact⋈fact joins (`orders`⋈`lineitem`) are plain equi-joins on the
+  *     natural key so they sort-merge/shuffle-hash on the join key and AQE
+  *     can re-plan or skew-split at runtime;
+  *   - every aggregation is a `groupBy` with map-side partial aggregation;
+  *   - top-k goes through `orderBy(...).limit(k)` which Spark executes as
+  *     TakeOrderedAndProject (no global sort materialization).
+  */
+object Relational {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- aggregation over a pruned, filtered scan (TPC-H Q1 shape) ----
+    "q01_pricing_summary" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("2000-12-01"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+              .as("sum_disc_price"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               count(*) AS count_order
+             FROM lineitem
+             WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+             GROUP BY l_returnflag, l_linestatus
+             ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- star join: two shuffled fact joins + two broadcast dims ----
+    "q02_revenue_by_nation" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem"); val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+                  col("o_orderdate") <  lit("1999-01-01"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS n_items
+             FROM customer
+             JOIN orders   ON c_custkey = o_custkey
+             JOIN lineitem ON o_orderkey = l_orderkey
+             JOIN nation   ON c_nationkey = n_nationkey
+             JOIN region   ON n_regionkey = r_regionkey
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate <  TIMESTAMP '1999-01-01'
+             GROUP BY r_name, n_name
+             ORDER BY r_name, n_name""")),
+
+    // ---- join + group + deterministic top-k on the rounded measure ----
+    "q03_top_open_orders" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+        val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+             FROM customer
+             JOIN orders   ON c_custkey = o_custkey
+             JOIN lineitem ON o_orderkey = l_orderkey
+             WHERE c_mktsegment = 'BUILDING'
+               AND o_orderdate < TIMESTAMP '1998-01-01'
+               AND l_shipdate  > TIMESTAMP '1998-01-01'
+             GROUP BY l_orderkey, o_orderdate
+             ORDER BY revenue DESC, l_orderkey
+             LIMIT 10""")),
+
+    // ---- left-semi join (EXISTS) ----
+    "q04_priority_with_big_lines" -> QueryDef(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+        o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders
+             FROM orders
+             WHERE EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+             GROUP BY o_orderpriority
+             ORDER BY o_orderpriority""")),
+
+    // ---- left-anti join (NOT EXISTS) ----
+    "q05_customers_without_urgent" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS acctbal_sum
+             FROM customer
+             WHERE NOT EXISTS (SELECT 1 FROM orders
+                               WHERE o_custkey = c_custkey
+                                 AND o_orderpriority = '1-URGENT')
+             GROUP BY c_mktsegment
+             ORDER BY c_mktsegment""")),
+
+    // ---- left outer join with null-compensated aggregates ----
+    "q06_customer_order_profile" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spend"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey
+             ORDER BY c_custkey""")),
+
+    // ---- ranking window: per-group top-k ----
+    "q07_top3_orders_per_customer" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+            round(col("o_totalprice"), 2).as("o_totalprice"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, rn, round(o_totalprice, 2) AS o_totalprice
+             FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                   FROM orders)
+             WHERE rn <= 3
+             ORDER BY o_custkey, rn""")),
+
+    // ---- frame window: running total (same fold order in both engines) ----
+    "q08_running_customer_spend" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                 AS running_spend
+             FROM orders
+             ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- lag/lead offsets over an event stream ----
+    "q09_event_deltas" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            round(col("value") - lag(col("value"), 1).over(w), 2).as("delta_prev"),
+            lead(col("event_type"), 1).over(w).as("next_type"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+               round(value - lag(value, 1) OVER
+                 (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id), 2) AS delta_prev,
+               lead(event_type, 1) OVER
+                 (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+             FROM events
+             ORDER BY user_id, event_id""")),
+
+    // ---- rollup (subtotal hierarchy); NULLS FIRST pinned on both sides ----
+    "q10_acctbal_rollup" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
+          .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS acctbal_sum
+             FROM customer
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             GROUP BY ROLLUP (r_name, n_name)
+             ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")),
+
+    // ---- cube (all subtotal combinations) ----
+    "q11_lineitem_cube" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n_lines
+             FROM lineitem
+             GROUP BY CUBE (l_returnflag, l_linestatus)
+             ORDER BY l_returnflag ASC NULLS FIRST,
+                      l_linestatus ASC NULLS FIRST""")),
+
+    // ---- grouping sets (explicit subtotal shapes) ----
+    "q12_event_grouping_sets" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupingSets(
+            Seq(Seq(col("event_type")), Seq(col("user_id")), Seq.empty),
+            col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+          .orderBy(col("event_type").asc_nulls_first,
+            col("user_id").asc_nulls_first),
+      Some("""SELECT event_type, user_id, count(*) AS n,
+               round(sum(value), 2) AS value_sum
+             FROM events
+             GROUP BY GROUPING SETS ((event_type), (user_id), ())
+             ORDER BY event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""")),
+
+    // ---- set operations: UNION / INTERSECT / EXCEPT (distinct forms) ----
+    "q13_customer_setops" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val a = c.filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey"))
+        val b = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+        val d = c.filter(col("c_nationkey") < 5).select(col("c_custkey"))
+        a.unionByName(b).distinct()
+          .except(a.intersect(d))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""(SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+              UNION
+              SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+             EXCEPT
+             (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+              INTERSECT
+              SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+             ORDER BY c_custkey""")),
+
+    // ---- multi-column distinct aggregation ----
+    "q14_distinct_parts_per_flag" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            countDistinct(col("l_partkey") * lit(100000L) + col("l_suppkey"))
+              .as("n_part_supp_pairs"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(DISTINCT l_partkey * 100000 + l_suppkey) AS n_part_supp_pairs
+             FROM lineitem
+             GROUP BY l_returnflag
+             ORDER BY l_returnflag""")),
+
+    // ---- approximate distinct (HLL sketch) — not DuckDB-comparable,
+    //      driver records the weaker rows-only check ----
+    "q15_approx_distinct" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+            approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+          .orderBy(col("l_returnflag")),
+      None),
+
+    // ---- global top-k: TakeOrderedAndProject, no full sort ----
+    "q16_top_orders_global" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10),
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+             FROM orders
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 10""")),
+  )
+}
