@@ -12,6 +12,9 @@ object SparkEntry {
 
   private def groups: Seq[Map[String, QueryDef]] = Seq(
     ops.Relational.defs,
+    ops.Functions.defs,
+    ops.Temporal.defs,
+    ops.PorterQueries.defs,
   )
 
   private lazy val all: Map[String, QueryDef] = {

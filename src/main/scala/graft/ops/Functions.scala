@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Scalar / string / date / JSON / array function surface (SURVEY.md §2b).
+  * Everything is `org.apache.spark.sql.functions` — codegen'd expressions
+  * inside WholeStageCodegen, no UDFs — so the per-row cost at 100 TB is a
+  * compiled loop over the column batch.
+  */
+object Functions {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- string functions: regex extract, case, length, split, concat ----
+    "q17_part_string_funcs" -> QueryDef(
+      (s, dir) =>
+        Tables.load(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).cast("int")
+              .as("brand_num"),
+            upper(col("p_type")).as("type_up"),
+            length(col("p_name")).as("name_len"),
+            element_at(split(col("p_name"), " "), 1).as("name_first"),
+            concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+               CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INT) AS brand_num,
+               upper(p_type) AS type_up,
+               length(p_name) AS name_len,
+               string_split(p_name, ' ')[1] AS name_first,
+               concat_ws('|', p_brand, p_type) AS brand_type
+             FROM part
+             ORDER BY p_partkey""")),
+
+    // ---- date functions: truncation + field extraction ----
+    "q18_orders_by_month" -> QueryDef(
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .groupBy(
+            date_trunc("month", col("o_orderdate")).as("month"),
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mon"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy(col("month")),
+      Some("""SELECT date_trunc('month', o_orderdate) AS month,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(month(o_orderdate) AS INT) AS mon,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+             FROM orders
+             GROUP BY 1, 2, 3
+             ORDER BY month""")),
+
+    // ---- JSON extraction from the events.props string column; the oracle
+    //      deliberately uses a regex instead of DuckDB's JSON functions so
+    //      the two engines take independent parsing paths ----
+    "q19_event_props_json" -> QueryDef(
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+            col("value"))
+          .groupBy((col("k") % 10).as("k_bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("value_sum"),
+            min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+          .orderBy(col("k_bucket")),
+      Some("""SELECT k % 10 AS k_bucket, count(*) AS n,
+               round(sum(value), 2) AS value_sum,
+               min(k) AS k_min, max(k) AS k_max
+             FROM (SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
+                          value
+                   FROM events)
+             GROUP BY k_bucket
+             ORDER BY k_bucket""")),
+
+    // ---- array functions: size + element access + an exact sequential
+    //      fold (functions.aggregate ≡ DuckDB list_reduce, same IEEE op
+    //      order, so the doubles match bitwise with no rounding) ----
+    "q20_embedding_norms" -> QueryDef(
+      (s, dir) =>
+        Tables.load(s, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            size(col("embedding")).as("dim"),
+            element_at(col("embedding"), 1).cast("double").as("first_val"),
+            sqrt(aggregate(col("embedding"), lit(0.0),
+              (acc, x) => acc + x.cast("double") * x.cast("double")))
+              .as("l2_norm"))
+          .orderBy(col("vec_id")),
+      Some("""SELECT vec_id,
+               CAST(len(embedding) AS INT) AS dim,
+               CAST(embedding[1] AS DOUBLE) AS first_val,
+               sqrt(list_reduce(
+                 list_prepend(0.0, list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (x, y) -> x + y)) AS l2_norm
+             FROM embeddings
+             ORDER BY vec_id""")),
+
+    // ---- posexplode in the porter child-table shape (_parentid, _index) ----
+    "q21_embedding_explode" -> QueryDef(
+      (s, dir) =>
+        Tables.load(s, dir, "embeddings")
+          .filter(col("vec_id") < 50)
+          .select(col("vec_id").as("_parentid"),
+            posexplode(col("embedding")).as(Seq("_index", "val")))
+          .withColumn("val", col("val").cast("double"))
+          .orderBy(col("_parentid"), col("_index")),
+      Some("""SELECT vec_id AS _parentid,
+               generate_subscripts(embedding, 1) - 1 AS _index,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+             FROM embeddings
+             WHERE vec_id < 50
+             ORDER BY _parentid, _index""")),
+
+    // ---- pivot: event types to columns (explicit value list so the
+    //      output schema is static — mandatory at scale, where an implicit
+    //      pivot would need an extra distinct-scan job) ----
+    "q22_event_pivot" -> QueryDef(
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .agg(round(sum(col("value")), 2))
+          .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+               round(sum(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+               round(sum(CASE WHEN event_type = 'view'     THEN value END), 2) AS view,
+               round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+               round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+               round(sum(CASE WHEN event_type = 'error'    THEN value END), 2) AS error
+             FROM events
+             GROUP BY user_id
+             ORDER BY user_id""")),
+  )
+}

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{QueryDef, Tables}
+
+/** Batch analogs of the streaming window family (SURVEY.md §2b row
+  * "Streaming"), plus the time-shaped joins (range join, as-of join).
+  *
+  * The as-of join is deliberately the composition form (union + running
+  * `last(...ignoreNulls)` window) rather than a per-key loop: one shuffle
+  * on the partition key, then a single ordered pass per partition — the
+  * scalable distributed as-of. The same plan shape serves 100 TB: shuffle
+  * by user, sort by time within partition, no broadcast or N² anywhere.
+  */
+object Temporal {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- tumbling window over event time (window() → 1h buckets) ----
+    "q23_hourly_tumbling" -> QueryDef(
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 2).as("value_sum"),
+            countDistinct(col("user_id")).as("n_users"))
+          .select(col("window.start").as("hour_start"),
+            col("n_events"), col("value_sum"), col("n_users"))
+          .orderBy(col("hour_start")),
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+               count(*) AS n_events,
+               round(sum(value), 2) AS value_sum,
+               count(DISTINCT user_id) AS n_users
+             FROM events
+             GROUP BY hour_start
+             ORDER BY hour_start""")),
+
+    // ---- sliding window (1h window, 30min slide → 2 windows/event) ----
+    "q24_sliding_windows" -> QueryDef(
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 2).as("value_sum"))
+          .select(col("window.start").as("win_start"),
+            col("n_events"), col("value_sum"))
+          .orderBy(col("win_start")),
+      Some("""SELECT win_start, count(*) AS n_events,
+               round(sum(value), 2) AS value_sum
+             FROM (SELECT make_timestamp(
+                     (CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 1800000000)
+                       AS BIGINT) - k) * 1800000000) AS win_start,
+                   value
+                   FROM events, unnest([0, 1]) AS u(k))
+             GROUP BY win_start
+             ORDER BY win_start""")),
+
+    // ---- session windows: 30-min inactivity gap, lag + running sum ----
+    "q25_session_windows" -> QueryDef(
+      (s, dir) => {
+        val byTime = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gapUs = 30L * 60 * 1000 * 1000
+        Tables.load(s, dir, "events")
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTime))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+          .withColumn("session_id", sum(col("new_sess"))
+            .over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"),
+            round(sum(col("value")), 2).as("value_sum"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""WITH marked AS (
+               SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+                 CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w IS NULL
+                        OR epoch_us(CAST(ts AS TIMESTAMP))
+                           - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w
+                           > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+               FROM events
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             ),
+             sessioned AS (
+               SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               FROM marked
+             )
+             SELECT user_id, session_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, round(sum(value), 2) AS value_sum
+             FROM sessioned
+             GROUP BY user_id, session_id
+             ORDER BY user_id, session_start""")),
+
+    // ---- range join: equi key + date-interval predicate ----
+    "q26_shipped_within_30d" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val l = Tables.load(s, dir, "lineitem")
+        o.join(l, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_quantity")).as("qty_sum"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_lines,
+               sum(l_quantity) AS qty_sum
+             FROM orders JOIN lineitem
+               ON o_orderkey = l_orderkey
+              AND l_shipdate >= o_orderdate
+              AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+             GROUP BY o_orderpriority
+             ORDER BY o_orderpriority""")),
+
+    // ---- as-of join: each purchase matched to the user's latest prior
+    //      signup. Oracle uses DuckDB's native ASOF JOIN; the Spark plan is
+    //      the distributed merge form (one shuffle by user, running
+    //      last-non-null over time order). Tie note: a signup sharing the
+    //      exact same microsecond as a purchase is ordered by event_id on
+    //      the Spark side but always included by ASOF's >= — unobservable
+    //      at µs resolution in this data. ----
+    "q27_purchase_after_signup" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "events")
+          .filter(col("event_type").isin("signup", "purchase"))
+          .withColumn("last_signup_ts",
+            last(when(col("event_type") === "signup", col("ts")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("last_signup_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id,
+               s.ts AS last_signup_ts
+             FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events WHERE event_type = 'purchase') p
+             ASOF LEFT JOIN
+                  (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events WHERE event_type = 'signup') s
+               ON p.user_id = s.user_id AND p.ts >= s.ts
+             ORDER BY p.event_id""")),
+  )
+}
