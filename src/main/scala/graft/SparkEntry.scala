@@ -15,6 +15,10 @@ object SparkEntry {
     ops.Functions.defs,
     ops.Temporal.defs,
     ops.PorterQueries.defs,
+    ops.TextOps.defs,
+    ops.Dedup.defs,
+    ops.Similarity.defs,
+    ops.Multimodal.defs,
   )
 
   private lazy val all: Map[String, QueryDef] = {

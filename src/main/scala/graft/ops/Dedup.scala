@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Sketch-based near-duplicate detection: MinHash+LSH banding and SimHash.
+  *
+  * Both sketches are built from a deterministic 56-bit shingle/word hash
+  * derived from md5 (available identically in Spark and DuckDB, so the
+  * oracle recomputes the exact same signatures). All modular arithmetic is
+  * kept inside int64 ranges on purpose: DuckDB errors on overflow while
+  * the JVM wraps, so any formula that can exceed 2^63 would silently
+  * diverge — hashes are reduced mod p BEFORE the affine step.
+  *
+  * Scale shape: one explode over shingles, one groupBy per document (min /
+  * signed-bit sums — all map-side combinable), then an equi-join on band
+  * values. Candidate generation never does an all-pairs comparison; the
+  * band join is the only shuffle and its fan-out is governed by band
+  * collision rates, the standard LSH trade-off.
+  */
+object Dedup {
+
+  private val P = 1000000007L
+  /** 4 bands × 2 rows: 8 affine hash functions over the base hash. */
+  private val A = Seq(37L, 101L, 193L, 271L, 359L, 433L, 509L, 601L)
+  private val B = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+  private val SimBits = 16
+
+  /** 56-bit md5-derived hash reduced mod p — same text → same value in
+    * Spark (conv/md5) and DuckDB (hex cast/md5). */
+  private def hashExprSpark(e: String) =
+    s"cast(conv(substring(md5($e), 1, 14), 16, 10) as long)"
+  private def hashExprDuck(e: String) =
+    s"CAST(('0x' || substr(md5($e), 1, 14)) AS BIGINT)"
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("words", split(lower(col("text")), " +"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(
+             sequence(0, size(words) - 3),
+             i -> concat_ws(' ', slice(words, i + 1, 3))))""")).as("s"))
+      .withColumn("g", expr(hashExprSpark("s") + s" % ${P}L"))
+
+  private val duckShingles =
+    s"""WITH w AS (
+         SELECT doc_id,
+           unnest(string_split_regex(lower(text), ' +')) AS word,
+           generate_subscripts(string_split_regex(lower(text), ' +'), 1) AS i
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id,
+             concat_ws(' ', word,
+               lead(word, 1) OVER (PARTITION BY doc_id ORDER BY i),
+               lead(word, 2) OVER (PARTITION BY doc_id ORDER BY i)) AS s,
+             lead(word, 2) OVER (PARTITION BY doc_id ORDER BY i) AS tail
+           FROM w)
+         WHERE tail IS NOT NULL),
+       hashed AS (SELECT doc_id, ${hashExprDuck("s")} AS h,
+                         ${hashExprDuck("s")} % $P AS g FROM sh)"""
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- MinHash signatures + LSH banding → candidate near-dup pairs ----
+    "q33_minhash_lsh_pairs" -> QueryDef(
+      (s, dir) => {
+        val sigAggs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
+          min(expr(s"(g * $a + $b) % ${P}L")).as(s"m$j")
+        }
+        val sigs = shingled(s, dir).groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+        val bands = sigs.selectExpr("doc_id",
+          """stack(4, 0, concat_ws(':', m0, m1), 1, concat_ws(':', m2, m3),
+                      2, concat_ws(':', m4, m5), 3, concat_ws(':', m6, m7))
+             AS (band_idx, band_val)""")
+        bands.as("x")
+          .join(bands.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band_val") === col("y.band_val") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .distinct()
+          .orderBy(col("da"), col("db"))
+      },
+      Some {
+        val sigCols = A.zip(B).zipWithIndex
+          .map { case ((a, b), j) => s"min((g * $a + $b) % $P) AS m$j" }
+          .mkString(", ")
+        val bandSelects = (0 until 4)
+          .map(k => s"SELECT doc_id, $k AS band_idx, concat_ws(':', m${2 * k}, m${2 * k + 1}) AS band_val FROM sigs")
+          .mkString(" UNION ALL ")
+        s"""$duckShingles,
+           sigs AS (SELECT doc_id, $sigCols FROM hashed GROUP BY doc_id),
+           bands AS ($bandSelects)
+           SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+           FROM bands x JOIN bands y
+             ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+            AND x.doc_id < y.doc_id
+           ORDER BY da, db"""
+      }),
+
+    // ---- SimHash signatures (16-bit): signed bit sums over shingle
+    //      hashes; bits are taken from the raw 56-bit hash (no arithmetic
+    //      that could overflow) ----
+    "q34_simhash_signatures" -> QueryDef(
+      (s, dir) => {
+        val withH = shingled(s, dir)
+          .withColumn("h", expr(hashExprSpark("s")))
+        val bitAggs = (0 until SimBits).map { k =>
+          sum(expr(s"CASE WHEN (h DIV ${1L << k}) % 2 = 1 THEN 1 ELSE -1 END"))
+            .as(s"b$k")
+        }
+        val sums = withH.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+        val simhash = (0 until SimBits)
+          .map(k => when(col(s"b$k") >= 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce[Column](_ + _)
+        sums.select(col("doc_id"), simhash.as("simhash"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val bitSums = (0 until SimBits)
+          .map(k => s"sum(CASE WHEN (h // ${1L << k}) % 2 = 1 THEN 1 ELSE -1 END) AS b$k")
+          .mkString(", ")
+        val hashVal = (0 until SimBits)
+          .map(k => s"CASE WHEN b$k >= 0 THEN ${1L << k} ELSE 0 END")
+          .mkString(" + ")
+        s"""$duckShingles,
+           sums AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id)
+           SELECT doc_id, $hashVal AS simhash
+           FROM sums
+           ORDER BY doc_id"""
+      }),
+  )
+}

@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{QueryDef, Tables}
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, dim 64).
+  *
+  * The dot product / norm is an exact sequential fold (`functions.zip_with`
+  * + `functions.aggregate` in Spark ≡ `list_zip` + 0-prepended
+  * `list_reduce` in DuckDB): both engines execute the identical IEEE
+  * operation sequence, so cosines agree BITWISE and ranking/thresholding
+  * cannot diverge — no tolerance games.
+  *
+  * Scale shape:
+  *   - brute-force top-k broadcasts the (small) query set and scans the
+  *     corpus once — the right baseline when k·|Q| is small;
+  *   - the LSH variant buckets both sides by sign-comparison bits
+  *     (deterministic hyperplane surrogates) and joins on the bucket, so
+  *     the comparison count drops from |Q|·N to the bucket collision rate;
+  *     at 100 TB the bucket join is the only shuffle;
+  *   - the near-dup query is the all-pairs verification baseline at test
+  *     scale; production-scale near-dup goes through the LSH candidate
+  *     path first (same expressions, bucket equi-join instead of cross).
+  */
+object Similarity {
+
+  /** Exact-fold dot product of two float-array columns, in double. */
+  private def dotExpr(a: String, b: String) =
+    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
+                  cast(0.0 as double), (acc, v) -> acc + v)"""
+
+  private def normExpr(a: String) =
+    s"sqrt(${dotExpr(a, a)})"
+
+  private def duckDot(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_zip($a, $b),
+            s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))),
+          (acc, v) -> acc + v)"""
+
+  private def duckNorm(a: String) = s"sqrt(${duckDot(a, a)})"
+
+  /** Sign-comparison LSH: 4 bits, bit i = (e[p] > e[q]) for fixed index
+    * pairs — a deterministic, data-independent hyperplane surrogate that
+    * both engines evaluate identically on floats. */
+  private val lshPairs = Seq((1, 2), (5, 9), (11, 17), (23, 31))
+
+  private def bucketExprSpark(c: String) =
+    lshPairs.zipWithIndex.map { case ((p, q), i) =>
+      s"(CASE WHEN element_at($c, $p) > element_at($c, $q) THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def bucketExprDuck(c: String) =
+    lshPairs.zipWithIndex.map { case ((p, q), i) =>
+      s"(CASE WHEN $c[$p] > $c[$q] THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def normed(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .withColumn("nrm", expr(normExpr("embedding")))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- brute-force cosine top-3 for queries vec_id < 10 ----
+    "q35_cosine_topk" -> QueryDef(
+      (s, dir) => {
+        val corpus = normed(s, dir)
+        val queries = corpus.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+          .withColumn("cos", expr(dotExpr("qe", "embedding")) / (col("qn") * col("nrm")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("rank"), round(col("cos"), 4).as("cos_sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
+                        FROM embeddings),
+             q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+                   FROM n WHERE vec_id < 10),
+             scored AS (
+               SELECT q.query_id, n.vec_id,
+                 ${duckDot("q.qe", "n.embedding")} / (q.qn * n.nrm) AS cos
+               FROM n JOIN q ON n.vec_id <> q.query_id),
+             ranked AS (
+               SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id) AS rank
+               FROM scored)
+             SELECT query_id, vec_id AS neighbor_id, rank,
+               round(cos, 4) AS cos_sim
+             FROM ranked WHERE rank <= 3
+             ORDER BY query_id, rank""")),
+
+    // ---- LSH-bucketed approximate NN: candidates share the 4-bit sign
+    //      bucket; top-3 by exact cosine within candidates ----
+    "q36_ann_lsh_topk" -> QueryDef(
+      (s, dir) => {
+        val bucketed = normed(s, dir)
+          .withColumn("bucket", expr(bucketExprSpark("embedding")))
+        val queries = bucketed.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"), col("bucket"))
+        val cands = bucketed.join(broadcast(queries), Seq("bucket"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos", expr(dotExpr("qe", "embedding")) / (col("qn") * col("nrm")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        cands.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("rank"), round(col("cos"), 4).as("cos_sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding,
+                        ${duckNorm("embedding")} AS nrm,
+                        ${bucketExprDuck("embedding")} AS bucket
+                      FROM embeddings),
+             q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket
+                   FROM n WHERE vec_id < 10),
+             cands AS (
+               SELECT q.query_id, n.vec_id,
+                 ${duckDot("q.qe", "n.embedding")} / (q.qn * n.nrm) AS cos
+               FROM n JOIN q ON n.bucket = q.bucket AND n.vec_id <> q.query_id),
+             ranked AS (
+               SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id) AS rank
+               FROM cands)
+             SELECT query_id, vec_id AS neighbor_id, rank,
+               round(cos, 4) AS cos_sim
+             FROM ranked WHERE rank <= 3
+             ORDER BY query_id, rank""")),
+
+    // ---- embedding-cosine near-dup pairs (verification baseline) ----
+    "q41_embedding_neardup" -> QueryDef(
+      (s, dir) => {
+        val n = normed(s, dir)
+        val a = n.select(col("vec_id").as("va"), col("embedding").as("ea"),
+          col("nrm").as("na"))
+        val b = n.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+          col("nrm").as("nb"))
+        a.join(b, col("va") < col("vb"))
+          .withColumn("cos", expr(dotExpr("ea", "eb")) / (col("na") * col("nb")))
+          .filter(col("cos") >= 0.45)
+          .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
+          .orderBy(col("va"), col("vb"))
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
+                        FROM embeddings)
+             SELECT a.vec_id AS va, b.vec_id AS vb,
+               round(${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4)
+                 AS cos_sim
+             FROM n a JOIN n b ON a.vec_id < b.vec_id
+             WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.45
+             ORDER BY va, vb""")),
+  )
+}

@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * exact dedup, n-gram Jaccard near-dup, language ID, quality scoring,
+  * token counting, and content fingerprinting.
+  *
+  * Scale design: everything is expression-level (codegen'd) except the
+  * near-dup join, which is the standard inverted-index shape — explode
+  * distinct shingles, self-join on the shingle (the only shuffle key),
+  * count intersections, filter by Jaccard. No all-pairs cross join: the
+  * candidate set is bounded by shared-shingle frequency, and a hot-shingle
+  * cap (stopword-like shingles) can be added as a pre-filter when corpus
+  * statistics demand it.
+  */
+object TextOps {
+
+  /** 3-word shingle set of the lowercased text, distinct, as a Column
+    * expression over a `words` array column. */
+  private val shingleExpr =
+    expr("""array_distinct(transform(
+              sequence(0, size(words) - 3),
+              i -> concat_ws(' ', slice(words, i + 1, 3))))""")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- exact dedup: keeper = min doc_id per identical text ----
+    "q31_dedup_exact" -> QueryDef(
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .groupBy(col("text"))
+          .agg(min(col("doc_id")).as("keeper_id"),
+            count(lit(1)).as("n_copies"))
+          .select(col("keeper_id"), col("n_copies"), length(col("text")).as("text_len"))
+          .orderBy(col("keeper_id")),
+      Some("""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
+               length(text) AS text_len
+             FROM documents
+             GROUP BY text
+             ORDER BY keeper_id""")),
+
+    // ---- near-dup pairs by 3-gram Jaccard ≥ 0.8 (inverted-index join;
+    //      the oracle recomputes shingles with a window-lead formulation —
+    //      an independent shingling path) ----
+    "q32_dedup_ngram_jaccard" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("words", split(lower(col("text")), " +"))
+          .filter(size(col("words")) >= 3)
+          .select(col("doc_id"), explode(shingleExpr).as("s"))
+        val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = docs.as("a")
+          .join(docs.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("c"))
+        inter
+          .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+          .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+          .withColumn("jac",
+            col("c") * lit(1.0) / (col("sa.n") + col("sb.n") - col("c")))
+          .filter(col("jac") >= 0.8)
+          .select(col("da"), col("db"), col("c").as("n_shared"),
+            round(col("jac"), 3).as("jaccard"))
+          .orderBy(col("da"), col("db"))
+      },
+      Some("""WITH w AS (
+               SELECT doc_id,
+                 unnest(string_split_regex(lower(text), ' +')) AS word,
+                 generate_subscripts(string_split_regex(lower(text), ' +'), 1) AS i
+               FROM documents),
+             sh AS (
+               SELECT DISTINCT doc_id, s FROM (
+                 SELECT doc_id,
+                   concat_ws(' ', word,
+                     lead(word, 1) OVER (PARTITION BY doc_id ORDER BY i),
+                     lead(word, 2) OVER (PARTITION BY doc_id ORDER BY i)) AS s,
+                   lead(word, 2) OVER (PARTITION BY doc_id ORDER BY i) AS tail
+                 FROM w)
+               WHERE tail IS NOT NULL),
+             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             inter AS (
+               SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY da, db)
+             SELECT da, db, c AS n_shared,
+               round(c * 1.0 / (sa.n + sb.n - c), 3) AS jaccard
+             FROM inter
+             JOIN sizes sa ON sa.doc_id = da
+             JOIN sizes sb ON sb.doc_id = db
+             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+             ORDER BY da, db""")),
+
+    // ---- language ID: stopword-hit scoring, deterministic argmax ----
+    "q37_language_id" -> QueryDef(
+      (s, dir) => {
+        val t = lower(col("text"))
+        def hits(re: String) = size(regexp_extract_all(t, lit(re), lit(0)))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang").as("tagged_lang"),
+            hits("\\b(the|and|of|to|in|is|a)\\b").as("en_hits"),
+            hits("\\b(el|la|los|de|que|y)\\b").as("es_hits"),
+            hits("\\b(le|les|et|des|un|une)\\b").as("fr_hits"),
+            hits("\\b(der|die|das|und|ein|zu)\\b").as("de_hits"))
+          .withColumn("pred_lang",
+            when(col("en_hits") >= col("es_hits") &&
+                 col("en_hits") >= col("fr_hits") &&
+                 col("en_hits") >= col("de_hits"), "en")
+              .when(col("es_hits") >= col("fr_hits") &&
+                    col("es_hits") >= col("de_hits"), "es")
+              .when(col("fr_hits") >= col("de_hits"), "fr")
+              .otherwise("de"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang AS tagged_lang,
+               len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS en_hits,
+               len(regexp_extract_all(lower(text), '\b(el|la|los|de|que|y)\b')) AS es_hits,
+               len(regexp_extract_all(lower(text), '\b(le|les|et|des|un|une)\b')) AS fr_hits,
+               len(regexp_extract_all(lower(text), '\b(der|die|das|und|ein|zu)\b')) AS de_hits,
+               CASE WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) >= len(regexp_extract_all(lower(text), '\b(el|la|los|de|que|y)\b'))
+                     AND len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) >= len(regexp_extract_all(lower(text), '\b(le|les|et|des|un|une)\b'))
+                     AND len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) >= len(regexp_extract_all(lower(text), '\b(der|die|das|und|ein|zu)\b'))
+                    THEN 'en'
+                    WHEN len(regexp_extract_all(lower(text), '\b(el|la|los|de|que|y)\b')) >= len(regexp_extract_all(lower(text), '\b(le|les|et|des|un|une)\b'))
+                     AND len(regexp_extract_all(lower(text), '\b(el|la|los|de|que|y)\b')) >= len(regexp_extract_all(lower(text), '\b(der|die|das|und|ein|zu)\b'))
+                    THEN 'es'
+                    WHEN len(regexp_extract_all(lower(text), '\b(le|les|et|des|un|une)\b')) >= len(regexp_extract_all(lower(text), '\b(der|die|das|und|ein|zu)\b'))
+                    THEN 'fr'
+                    ELSE 'de' END AS pred_lang
+             FROM documents
+             ORDER BY doc_id""")),
+
+    // ---- quality scoring: length/punct/stopword ratios ----
+    "q38_quality_score" -> QueryDef(
+      (s, dir) => {
+        val t = col("text")
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            length(t).as("n_chars"),
+            size(split(t, " +")).as("n_words"),
+            size(regexp_extract_all(t, lit("[.,;:!?]"), lit(0))).as("n_punct"),
+            size(regexp_extract_all(lower(t),
+              lit("\\b(the|and|of|to|in|is|a)\\b"), lit(0))).as("n_stop"))
+          .withColumn("avg_word_len",
+            round((col("n_chars") - col("n_words") + 1) * lit(1.0) / col("n_words"), 4))
+          .withColumn("stop_ratio", round(col("n_stop") * lit(1.0) / col("n_words"), 4))
+          .withColumn("quality_score",
+            round(least(col("n_words") * lit(1.0), lit(100.0)) / 100.0 * 0.5 +
+              col("n_stop") * lit(1.0) / col("n_words") * 0.5, 4))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split_regex(text, ' +')) AS n_words,
+               len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+               len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS n_stop,
+               round((length(text) - len(string_split_regex(text, ' +')) + 1) * 1.0
+                 / len(string_split_regex(text, ' +')), 4) AS avg_word_len,
+               round(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) * 1.0
+                 / len(string_split_regex(text, ' +')), 4) AS stop_ratio,
+               round(least(len(string_split_regex(text, ' +')) * 1.0, 100.0) / 100.0 * 0.5
+                 + len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) * 1.0
+                   / len(string_split_regex(text, ' +')) * 0.5, 4) AS quality_score
+             FROM documents
+             ORDER BY doc_id""")),
+
+    // ---- token counting + polynomial content fingerprint. The fold is
+    //      sequential in both engines (functions.aggregate ≡ list_reduce
+    //      over a 0-prepended list) and stays in [0, 1e9+7) so int64
+    //      arithmetic cannot overflow in either. ----
+    "q39_token_fingerprint" -> QueryDef(
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("words", split(lower(col("text")), " +"))
+          .select(col("doc_id"),
+            size(col("words")).as("ws_tokens"),
+            size(regexp_extract_all(lower(col("text")),
+              lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("bpe_ish_tokens"),
+            expr("""aggregate(words, 0L,
+                (acc, w) -> (acc * 31 +
+                  cast(conv(substring(md5(w), 1, 14), 16, 10) as long)
+                    % 1000000007) % 1000000007)""").as("fingerprint"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+               len(string_split_regex(lower(text), ' +')) AS ws_tokens,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split_regex(lower(text), ' +'),
+                     w -> CAST(('0x' || substr(md5(w), 1, 14)) AS BIGINT) % 1000000007)),
+                 (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+             FROM documents
+             ORDER BY doc_id""")),
+  )
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.porter.FlattenDF
+import graft.ops.Multimodal
+
+/** Shared local session for Spark-backed specs (one JVM-wide session;
+  * suites grab it lazily). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class FlattenDFSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("nested structs flatten to underscore paths; arrays divert to children (Porter.php:277-298)") {
+    val df = spark.range(3).selectExpr(
+      "id AS _id",
+      "named_struct('city', concat('c', id), 'geo', named_struct('lat', id * 1.0, 'lon', id * 2.0)) AS profile",
+      "array(id, id + 1) AS tags")
+    val (flat, children) = FlattenDF.flatten(df)
+    assert(flat.columns.toSeq ==
+      Seq("_id", "profile_city", "profile_geo_lat", "profile_geo_lon"))
+    assert(children.map(_.path) == Seq("tags"))
+    val first = flat.orderBy(col("_id")).head()
+    assert(first.getString(1) == "c0")
+  }
+
+  test("wide structs (>25 keys) divert to the child channel (Porter.php:281)") {
+    val wide = (1 to 26).map(i => s"'k$i', $i").mkString(", ")
+    val df = spark.range(2).selectExpr("id AS _id", s"named_struct($wide) AS big")
+    val (flat, children) = FlattenDF.flatten(df)
+    assert(flat.columns.toSeq == Seq("_id"))
+    assert(children.map(_.path) == Seq("big"))
+  }
+
+  test("extractChild emits (_parentid, _index) rows; struct elements flatten; nested arrays dropped (Porter.php:245-268)") {
+    val df = spark.range(2).selectExpr(
+      "id AS _id",
+      """array(named_struct('uid', id, 'deep', array(9L)),
+               named_struct('uid', id + 10, 'deep', array(8L))) AS comments""")
+    val (_, children) = FlattenDF.flatten(df)
+    val child = FlattenDF.extractChild(df, col("_id"), children.head)
+      .orderBy(col("_parentid"), col("_index"))
+    assert(child.columns.toSeq == Seq("_parentid", "_index", "uid"))
+    val rows = child.collect()
+    assert(rows.length == 4)
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((0L, 0, 0L), (0L, 1, 10L), (1L, 0, 1L), (1L, 1, 11L)))
+    assert(FlattenDF.childName("posts", children.head) == "posts__comments")
+  }
+
+  test("scalar array elements become one column named after the path (Porter.php:256-258)") {
+    val df = spark.range(2).selectExpr("id AS _id", "array('x', 'y') AS tags")
+    val (_, children) = FlattenDF.flatten(df)
+    val child = FlattenDF.extractChild(df, col("_id"), children.head)
+    assert(child.columns.toSeq == Seq("_parentid", "_index", "tags"))
+    assert(child.count() == 4)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("binary payload + mapPartitions feature extraction (stubbed decode)") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world"), (2L, "abc"), (3L, ""))
+      .toDF("doc_id", "text")
+    val media = Multimodal.withBinaryPayload(docs)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(spark, media)
+      .orderBy(col("doc_id")).collect()
+    assert(feats.length == 3)
+    val h = feats(0)
+    assert(h.getAs[Long]("n_bytes") == 11L)
+    // "hell" → 68 65 6C 6C
+    assert(h.getAs[String]("head_hex") == "68656C6C")
+    val mean = h.getAs[Double]("byte_mean")
+    assert(mean > 0 && mean < 255)
+    // empty payload: no NaNs from the stub
+    assert(!feats(2).getAs[Double]("byte_mean").isNaN)
+  }
+
+  test("feature extraction is deterministic across partitionings") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"doc number $i " * i.toInt))
+      .toDF("doc_id", "text")
+    val a = Multimodal.extractFeatures(spark, Multimodal.withBinaryPayload(docs))
+      .orderBy("doc_id").collect().toSeq
+    val b = Multimodal.extractFeatures(spark,
+        Multimodal.withBinaryPayload(docs.repartition(7)))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}
