@@ -79,7 +79,12 @@ object FlattenDF {
     * stage — the shuffle-free Spark form of the reference's side-channel
     * insert loop. */
   def extractChild(df: DataFrame, idCol: Column, spec: ChildSpec): DataFrame = {
+    // rows without the child-bearing field export nothing (the reference
+    // only loops over arrays present in the row, Porter.php:182-188);
+    // posexplode already drops null arrays, but a wide struct wrapped in
+    // array() below would otherwise fabricate all-null child rows
     val exploded = df
+      .filter(spec.column.isNotNull)
       .select(idCol.as("_parentid"),
         posexplode(spec.dataType match {
           case _: ArrayType => spec.column

@@ -1,0 +1,82 @@
+package graft.porter
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point mirroring the reference's `bin/mongo2mysql` +
+  * `src/cli.php` surface: export every collection in a source directory
+  * (one JSONL or parquet file per collection, the offline stand-in for a
+  * Mongo database) into a destination (parquet directory, or JDBC when a
+  * `--jdbc` URL is given).
+  *
+  * Usage:
+  *   graft.PorterMain <srcDir> <destDir> [--skip t1,t2] [--limit N]
+  *                    [--dataonly] [--jdbc url]
+  *
+  * Options map 1:1 to the reference CLI (`/root/reference/src/cli.php:
+  * 15-26`): `--skip` (csv of destination tables), `--limit` (rows per
+  * collection), `--dataonly` (no DDL; truncate-once; skip missing).
+  */
+object PorterMain {
+  def main(args: Array[String]): Unit = {
+    val valueOpts = Set("--skip", "--limit", "--jdbc")
+    val positional = {
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < args.length) {
+        if (valueOpts.contains(args(i))) i += 2      // option + its value
+        else if (args(i).startsWith("--")) i += 1    // bare flag
+        else { out += args(i); i += 1 }
+      }
+      out.result()
+    }
+    require(positional.length == 2,
+      "usage: PorterMain <srcDir> <destDir> [--skip t1,t2] [--limit N] [--dataonly] [--jdbc url]")
+    val Seq(srcDir, destDir) = positional
+    def opt(name: String): Option[String] = {
+      val i = args.indexOf(s"--$name")
+      if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+    }
+    val config = PorterConfig(
+      skip = opt("skip").map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty),
+      limit = opt("limit").map(_.toInt),
+      dataOnly = args.contains("--dataonly"))
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sink: Sink = opt("jdbc") match {
+      case Some(url) => new JdbcReplaceSink(url, new java.util.Properties)
+      case None      => new ParquetSink(destDir)
+    }
+
+    val collections = Files.list(Paths.get(srcDir)).iterator().asScala
+      .map(_.toFile)
+      .filter(f => f.getName.endsWith(".jsonl") || f.getName.endsWith(".json")
+        || f.getName.endsWith(".parquet"))
+      .toSeq.sortBy(_.getName)
+      .map { f =>
+        val name = f.getName.replaceAll("\\.(jsonl|json|parquet)$", "")
+        val df =
+          if (f.getName.endsWith(".parquet")) spark.read.parquet(f.getPath)
+          else spark.read.json(f.getPath)
+        name -> df
+      }
+
+    val porter = new Porter(spark, sink, config)
+    val counts = porter.exportCollections(collections)
+    counts.toSeq.sortBy(_._1).foreach { case (t, n) =>
+      println(s"[porter] $t: $n rows")
+    }
+    println(s"[porter] Done. ${counts.size} tables, ${counts.values.sum} rows.")
+    spark.stop()
+  }
+}

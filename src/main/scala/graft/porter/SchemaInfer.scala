@@ -61,8 +61,24 @@ object SchemaInfer {
       .otherwise(lit(DVarchar(512).render))
   }
 
-  /** Infer the destination DType of every column in one aggregation pass. */
-  def inferTypes(df: DataFrame): Seq[(String, DType)] = {
+  /** Infer the destination DType of every column in one aggregation pass.
+    *
+    * @param strict reproduce the reference's fail-fast contract
+    *               (Porter.php:388-395): schema types it cannot map —
+    *               booleans, maps, binaries — throw with the column name
+    *               instead of being coerced. Non-strict callers (the query
+    *               surface) get the lenient boolean→int mapping. */
+  def inferTypes(df: DataFrame, strict: Boolean = false): Seq[(String, DType)] = {
+    if (strict) {
+      df.schema.fields.foreach { f =>
+        f.dataType match {
+          case BooleanType | _: MapType | BinaryType =>
+            throw new graft.kernel.DocValue.UnknownTypeException(
+              s"Unknown type for: ${f.name} (${f.dataType.simpleString})")
+          case _ => ()
+        }
+      }
+    }
     val stringCols = df.schema.fields.collect {
       case f if f.dataType == StringType => f.name
     }
