@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming mirrors of the batch event-window family
+  * (SURVEY.md §2b "Streaming"): the same logical shapes as
+  * q23/q25, expressed over an unbounded source with watermarks and typed
+  * state. The batch queries stay the oracle-checked source of truth; these
+  * operators prove the engine's streaming execution path with identical
+  * semantics.
+  *
+  * Scale notes: event-time aggregation state is partitioned by group key
+  * (window start / user), so a 1000-executor cluster shards state
+  * horizontally; the watermark bounds state size by evicting windows older
+  * than the allowed lateness.
+  */
+object EventStreams {
+
+  /** Hourly tumbling counts with a 10-minute watermark — the streaming
+    * form of q23_hourly_tumbling. Append mode: a window emits once the
+    * watermark passes its end. */
+  def hourlyTumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .select(col("window.start").as("hour_start"),
+        col("n_events"), col("value_sum"))
+
+  /** Session windows with a 30-minute inactivity gap — the streaming form
+    * of q25_session_windows, using the built-in session_window (state
+    * merges adjacent events; watermark closes sessions). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("value_sum"))
+
+  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, value_sum: Double)
+
+  /** Custom keyed state: running per-user totals via mapGroupsWithState —
+    * the escape hatch for stateful logic the windowed aggregates can't
+    * express (the reference's `$allKeys` tally, Porter.php:328-332, is
+    * morally this shape). Update mode: each batch emits the refreshed
+    * totals for the users it touched. */
+  def runningUserTotals(spark: SparkSession, events: Dataset[UserEvent])
+      : Dataset[UserRunning] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserRunning(userId, acc.n_events + 1,
+              math.rint((acc.value_sum + e.value) * 100) / 100)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Output-mode pairing used by the specs and any production writer. */
+  val appendMode: OutputMode = OutputMode.Append()
+  val updateMode: OutputMode = OutputMode.Update()
+}

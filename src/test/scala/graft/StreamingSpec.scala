@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.UserEvent
+
+/** Streaming specs: drive each operator with a MemoryStream, process all
+  * available batches synchronously, and compare against the equivalent
+  * batch computation over the same rows. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int) =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("hourly tumbling window aggregates arrive via append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val events = input.toDF().toDF("ts", "value")
+    val q = EventStreams.hourlyTumbling(events)
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    try {
+      // two full hours of data, then a late batch far beyond the watermark
+      input.addData((0 until 120).map(m => (ts(m), 1.0)): _*)
+      q.processAllAvailable()
+      input.addData((ts(60 * 27), 1.0)) // advances watermark past hours 0-1
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .orderBy("hour_start").collect()
+      assert(rows.length >= 2)
+      assert(rows(0).getAs[Long]("n_events") == 60L)
+      assert(rows(0).getAs[Double]("value_sum") == 60.0)
+      assert(rows(1).getAs[Long]("n_events") == 60L)
+    } finally q.stop()
+  }
+
+  test("session windows close after the 30-minute gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val q = EventStreams.sessionWindows(events)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two bursts 90 minutes apart → two sessions
+      input.addData((1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(100), 3.0))
+      q.processAllAvailable()
+      input.addData((1L, ts(60 * 10), 0.0)) // watermark push
+      q.processAllAvailable()
+      val rows = spark.table("sessions").orderBy("session_start").collect()
+      assert(rows.length >= 2)
+      assert(rows(0).getAs[Long]("n_events") == 2L)
+      assert(rows(0).getAs[Double]("value_sum") == 3.0)
+      assert(rows(1).getAs[Long]("n_events") == 1L)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.runningUserTotals(spark, input.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    try {
+      input.addData(UserEvent(1, "click", 1.5), UserEvent(2, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(1, "purchase", 3.5))
+      q.processAllAvailable()
+      // update mode: latest row per user wins
+      val latest = spark.table("running")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("value_sum").as("v"))
+        .orderBy("user_id").collect()
+      assert(latest(0).getAs[Long]("n") == 2L)   // user 1: two events
+      assert(latest(0).getAs[Double]("v") == 5.0)
+      assert(latest(1).getAs[Long]("n") == 1L)
+    } finally q.stop()
+  }
+}
