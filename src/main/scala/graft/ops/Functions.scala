@@ -117,6 +117,39 @@ object Functions {
              WHERE vec_id < 50
              ORDER BY _parentid, _index""")),
 
+    // ---- math functions. Only cross-engine-exact operations appear in
+    //      the oracle-checked set: abs/sqrt are IEEE correctly-rounded,
+    //      x*x and % are exact, ceil/floor land on integers (cast to
+    //      BIGINT on the DuckDB side, whose ceil returns DOUBLE while
+    //      Spark's returns BIGINT). exp/ln/pow are deliberately excluded —
+    //      libm implementations differ in the last ulp across engines. ----
+    "q42_math_funcs" -> QueryDef(
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 1000)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            abs(col("l_discount") - col("l_tax")).as("abs_diff"),
+            sqrt(col("l_quantity")).as("qty_sqrt"),
+            ceil(col("l_extendedprice")).as("price_ceil"),
+            floor(col("l_extendedprice")).as("price_floor"),
+            (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+            (col("l_partkey") % 7).as("pk_mod"),
+            greatest(col("l_discount"), col("l_tax")).as("rate_max"),
+            least(col("l_discount"), col("l_tax")).as("rate_min"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+               abs(l_discount - l_tax) AS abs_diff,
+               sqrt(l_quantity) AS qty_sqrt,
+               CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+               CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+               l_quantity * l_quantity AS qty_sq,
+               l_partkey % 7 AS pk_mod,
+               greatest(l_discount, l_tax) AS rate_max,
+               least(l_discount, l_tax) AS rate_min
+             FROM lineitem
+             WHERE l_orderkey <= 1000
+             ORDER BY l_orderkey, l_linenumber""")),
+
     // ---- pivot: event types to columns (explicit value list so the
     //      output schema is static — mandatory at scale, where an implicit
     //      pivot would need an extra distinct-scan job) ----

@@ -27,15 +27,13 @@ import graft.{QueryDef, Tables}
   */
 object Similarity {
 
-  /** Exact-fold dot product of two double-array columns. The float→double
-    * cast happens ONCE per vector in [[normed]] (`de` column), not once
-    * per candidate pair — at 2M pairs × 64 dims that cast was a quarter
-    * of the query's runtime. The op sequence per element is unchanged
-    * (cast, multiply, sequential add), so results stay bitwise identical
-    * to the DuckDB oracle. */
-  private def dotExpr(a: String, b: String) =
-    s"""aggregate(zip_with($a, $b, (x, y) -> x * y),
-                  cast(0.0 as double), (acc, v) -> acc + v)"""
+  /** Sequential dot product of two double-array columns via the native
+    * codegen'd [[graft.expr.DotProduct]] expression (registered per
+    * session in [[normed]]). The float→double cast happens ONCE per
+    * vector (`de` column), not once per candidate pair. Fold order is the
+    * same left-to-right sum as DuckDB's 0-prepended list_reduce, so
+    * results stay bitwise identical to the oracle. */
+  private def dotExpr(a: String, b: String) = s"graft_dot($a, $b)"
 
   private val toDouble = "transform(embedding, x -> cast(x as double))"
 
@@ -66,11 +64,13 @@ object Similarity {
     * spread across all cores: the testdata parquet is a single row group,
     * so without the repartition every brute-force or nested-loop join
     * below would run on ONE task regardless of cluster size. */
-  private def normed(s: SparkSession, dir: String): DataFrame =
+  private def normed(s: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExpressions.register(s)
     Tables.load(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("de", expr(toDouble))
       .withColumn("nrm", expr(s"sqrt(${dotExpr("de", "de")})"))
+  }
 
   val defs: Map[String, QueryDef] = Map(
 

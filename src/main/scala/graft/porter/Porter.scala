@@ -78,11 +78,21 @@ final class Porter(
     // would rescan and re-route the whole collection)
     kept.persist()
     try {
+      // upfront count feeds the ETA, like the reference's cursor count
+      // (Porter.php:138-140); cheap here because `kept` is cached
+      val total = kept.count()
+      val progress = new Progress(total)
       val tables = kept.select(col("_table")).distinct()
         .collect().map(_.getString(0)).sorted
-      tables.flatMap { t =>
-        exportTable(t, kept.filter(col("_table") === t).drop("_table"))
+      var written = 0L
+      val counts = tables.flatMap { t =>
+        val res = exportTable(t, kept.filter(col("_table") === t).drop("_table"))
+        written += res.getOrElse(t, 0L)
+        progress.report(written)
+        res
       }.toMap
+      System.err.println(s"[porter] $collection:${progress.doneLine(written)}")
+      counts
     } finally kept.unpersist()
   }
 

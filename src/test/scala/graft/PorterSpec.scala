@@ -118,6 +118,20 @@ class PorterSpec extends AnyFunSuite {
     assert(e.getMessage.contains("flag"))
   }
 
+  test("progress cadence: >=10s AND >=1% between reports (Porter.php:210-225)") {
+    var now = 0L
+    val p = new graft.porter.Progress(1000, () => now)
+    assert(p.report(10).isEmpty)          // 1% but no 10s elapsed
+    now = 11000
+    assert(p.report(10).exists(_.contains("1%")))
+    now = 12000
+    assert(p.report(500).isEmpty)         // 50% but <10s since last print
+    now = 22000
+    val line = p.report(500)
+    assert(line.exists(_.contains("50%")))
+    assert(line.exists(_.contains("22s left"))) // linear ETA: 22s for 50%
+  }
+
   test("JDBC sink DDL and REPLACE shapes (Porter.php:207, :116-120)") {
     val sink = new JdbcReplaceSink("jdbc:mysql://example/db", new java.util.Properties)
     val ddl = TableDef(

@@ -71,6 +71,30 @@ class FlattenDFSpec extends AnyFunSuite {
   }
 }
 
+class VectorExprSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("graft_dot matches the zip_with/aggregate fold bitwise (codegen + eval)") {
+    graft.expr.VectorExpressions.register(spark)
+    val df = spark.range(200).selectExpr(
+      "transform(sequence(0, 63), i -> cast(sin(id * 64 + i) as double)) AS a",
+      "transform(sequence(0, 63), i -> cast(cos(id * 64 + i) as double)) AS b")
+    val both = df.selectExpr(
+      "graft_dot(a, b) AS fast",
+      """aggregate(zip_with(a, b, (x, y) -> x * y),
+                   cast(0.0 as double), (acc, v) -> acc + v) AS slow""")
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("graft_dot rejects non-double-array inputs") {
+    graft.expr.VectorExpressions.register(spark)
+    val e = intercept[Exception] {
+      spark.range(1).selectExpr("graft_dot(id, id)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array"))
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
