@@ -16,6 +16,9 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // custom expressions via the extensions path — VectorExprSpec's use
+      // of graft_dot without an explicit register call proves the wiring
+      .withExtensions(new graft.expr.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -71,8 +74,33 @@ class FlattenDFSpec extends AnyFunSuite {
   }
 }
 
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("salted join returns exactly the plain join result under heavy skew") {
+    import spark.implicits._
+    // 10k rows, 80% on one hot key
+    val big = spark.range(10000)
+      .selectExpr("CASE WHEN id % 5 < 4 THEN 7L ELSE id % 100 END AS k",
+        "id AS payload")
+    val small = (0L until 100L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = big.join(small, Seq("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+    val salted = graft.ops.Skew.saltedJoin(big, small, Seq("k"), salt = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+}
+
 class VectorExprSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+
+  test("graft_dot resolves via SparkSessionExtensions (no explicit registration)") {
+    val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(r == 11.0)
+  }
 
   test("graft_dot matches the zip_with/aggregate fold bitwise (codegen + eval)") {
     graft.expr.VectorExpressions.register(spark)
