@@ -1,7 +1,6 @@
 package graft.kernel
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
 
 /** Destination-table routing from a row's `_key` value
   * (`getImportTablename`, `/root/reference/src/Porter.php:300-339`).
@@ -18,7 +17,7 @@ object Route {
 
   /** The six hard-coded kludge rules, applied first-match
     * (Porter.php:304-316). */
-  private val kludges: Seq[(String, String)] = Seq(
+  private val kludgeSpecs: Seq[(String, String)] = Seq(
     "^tag:(.+):topics$"                      -> "tag_topics",
     "^group:cid:\\d+:privileges.*:members$"  -> "group_privileges_members",
     "^group:cid:\\d+:privileges"             -> "group_privileges",
@@ -26,24 +25,32 @@ object Route {
     "^group:[^:]*$"                          -> "group",
     "^ip:.*:uid$"                            -> "ip_uid",
   )
+  // compiled once — the per-row hot path must not recompile patterns
+  private val kludges: Seq[(scala.util.matching.Regex, String)] =
+    kludgeSpecs.map { case (re, out) => re.r -> out }
+  private val digitsRe = "\\d+".r
+  private val sepRe = "[:# ]+".r
+  private val trimRe = "^_+|_+$".r
+  private val numericRe = "^[0-9]+(\\.[0-9]+)?$".r
 
   /** Normalize a `_key` into a destination-table name (Porter.php:304-326).
     * Order matters and is preserved exactly: kludges, family collapse,
     * digits→`#`, `:NaN:`/`:undefined:`→`:#:`, `[:# ]+`→`_`, trim `_`. */
   def normalizeKey(key: String): String = {
     val afterKludge = kludges
-      .collectFirst { case (re, out) if re.r.findFirstIn(key).isDefined => out }
+      .collectFirst { case (re, out) if re.findFirstIn(key).isDefined => out }
       .getOrElse(key)
     val afterFamily = afterKludge.split(":", 2).head match {
       case f @ ("settings" | "widgets") => f
       case _                            => afterKludge
     }
-    afterFamily
-      .replaceAll("\\d+", "#")
-      .replace(":NaN:", ":#:")
-      .replace(":undefined:", ":#:")
-      .replaceAll("[:# ]+", "_")
-      .replaceAll("^_+|_+$", "")
+    trimRe.replaceAllIn(
+      sepRe.replaceAllIn(
+        digitsRe.replaceAllIn(afterFamily, "#")
+          .replace(":NaN:", ":#:")
+          .replace(":undefined:", ":#:"),
+        "_"),
+      "")
   }
 
   /** Route a row to its destination table. Rows without a `_key`, or whose
@@ -60,36 +67,19 @@ object Route {
       case None => collection
       case Some(k) =>
         val n = normalizeKey(k)
-        if (n.isEmpty || n.matches("[0-9]+(\\.[0-9]+)?")) collection else n
+        if (n.isEmpty || numericRe.findFirstIn(n).isDefined) collection else n
     }
 
-  /** The same routing as a Catalyst expression over a `_key` column.
-    * Stays inside whole-stage codegen (pure `when`/`regexp_replace`
-    * chain — no UDF), so at 100 TB routing is free within the scan. */
-  def routeTableCol(key: Column, collection: String): Column = {
-    val kludged = kludges.foldRight(key) { case ((re, out), acc) =>
-      when(key.rlike(re), lit(out)).otherwise(acc)
-    }
-    val family = when(
-      split(kludged, ":").getItem(0).isin("settings", "widgets"),
-      split(kludged, ":").getItem(0)
-    ).otherwise(kludged)
-    // Two sequential passes for :NaN:/:undefined:, like PHP str_replace
-    // with an array needle (":NaN:undefined:" → ":#:#:", not ":#:undefined:").
-    val normalized = regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(family, "\\d+", "#"),
-            ":NaN:", ":#:"),
-          ":undefined:", ":#:"),
-        "[:# ]+", "_"),
-      "^_+|_+$", "")
-    val routed = when(
-      normalized.isNull || normalized === "" ||
-        normalized.rlike("^[0-9]+(\\.[0-9]+)?$"),
-      lit(collection)
-    ).otherwise(normalized)
-    when(key.isNull, lit(collection)).otherwise(routed)
-  }
+  /** The same routing as a Catalyst expression over a `_key` column,
+    * backed by [[graft.expr.RouteKey]] — the native expression evaluates
+    * [[routeTable]] directly with precompiled patterns, so the query
+    * surface, the Porter pipeline and the pure unit-tested function share
+    * ONE semantics source. (The earlier when/regexp_replace chain was
+    * semantically equal but its generated code exceeded the whole-stage
+    * codegen method limit and re-ran ~10 regex evaluations per row.) */
+  def routeTableCol(key: Column, collection: String): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.RouteKey(
+        org.apache.spark.sql.graft.Bridge.expression(key),
+        collection))
 }
