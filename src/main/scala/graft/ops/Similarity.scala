@@ -149,6 +149,73 @@ object Similarity {
              FROM ranked WHERE rank <= 3
              ORDER BY query_id, rank""")),
 
+    // ---- IVF-style ANN: deterministic "centroids" (the first 16
+    //      vectors), corpus assigned to its nearest centroid, queries
+    //      probe their 2 nearest centroid cells, exact top-3 among the
+    //      probed cells' members. The inverted-file scale path: the
+    //      centroid pass is a broadcast nested loop over 16 rows, the
+    //      candidate join is an equi-join on the cell id — comparisons
+    //      drop from |Q|·N to |Q|·(2/16)·N on average. Deterministic
+    //      end-to-end, so DuckDB replicates it exactly. ----
+    "q43_ivf_ann_topk" -> QueryDef(
+      (s, dir) => {
+        val n = normed(s, dir)
+        val cents = n.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("de").as("cde"),
+            col("nrm").as("cnrm"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cid"))
+        val assigned = n.join(broadcast(cents))
+          .withColumn("ccos",
+            expr(dotExpr("de", "cde")) / (col("nrm") * col("cnrm")))
+          .withColumn("crank", row_number().over(wAssign))
+        val corpusCells = assigned.filter(col("crank") === 1)
+          .select(col("vec_id"), col("de"), col("nrm"), col("cid").as("cell"))
+        val queryProbes = assigned.filter(col("vec_id") < 10 && col("crank") <= 2)
+          .select(col("vec_id").as("query_id"), col("de").as("qe"),
+            col("nrm").as("qn"), col("cid").as("cell"))
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        corpusCells.join(broadcast(queryProbes), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos", expr(dotExpr("qe", "de")) / (col("qn") * col("nrm")))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("rank"), round(col("cos"), 4).as("cos_sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
+                        FROM embeddings),
+             cents AS (SELECT vec_id AS cid, embedding AS cde, nrm AS cnrm
+                       FROM n WHERE vec_id < 16),
+             assigned AS (
+               SELECT n.vec_id, n.embedding, n.nrm, cents.cid,
+                 row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   ${duckDot("n.embedding", "cents.cde")} / (n.nrm * cents.cnrm) DESC,
+                   cents.cid) AS crank
+               FROM n CROSS JOIN cents),
+             corpus_cells AS (
+               SELECT vec_id, embedding, nrm, cid AS cell
+               FROM assigned WHERE crank = 1),
+             query_probes AS (
+               SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cid AS cell
+               FROM assigned WHERE vec_id < 10 AND crank <= 2),
+             cands AS (
+               SELECT q.query_id, c.vec_id,
+                 ${duckDot("q.qe", "c.embedding")} / (q.qn * c.nrm) AS cos
+               FROM corpus_cells c JOIN query_probes q ON c.cell = q.cell
+               WHERE c.vec_id <> q.query_id),
+             ranked AS (
+               SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id) AS rank
+               FROM cands)
+             SELECT query_id, vec_id AS neighbor_id, rank,
+               round(cos, 4) AS cos_sim
+             FROM ranked WHERE rank <= 3
+             ORDER BY query_id, rank""")),
+
     // ---- embedding-cosine near-dup pairs (verification baseline) ----
     "q41_embedding_neardup" -> QueryDef(
       (s, dir) => {

@@ -112,9 +112,12 @@ final class Porter(
     val guarded =
       if (flat.columns.length <= Flatten.WideRowColumnLimit) flat
       else {
-        val present = flat.columns
-          .map(c => when(col(c).isNotNull, 1).otherwise(0))
-          .reduce[org.apache.spark.sql.Column](_ + _)
+        // one flat array node, not a 500-deep Add chain (which overflows
+        // the Column-tree conversion stack at exactly the schema widths
+        // this guard exists for)
+        val present = size(filter(
+          array(flat.columns.map(c => col(c).isNotNull): _*),
+          x => x))
         flat.filter(present <= Flatten.WideRowColumnLimit)
       }
     val orderCols =

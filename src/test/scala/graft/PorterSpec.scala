@@ -118,6 +118,28 @@ class PorterSpec extends AnyFunSuite {
     assert(e.getMessage.contains("flag"))
   }
 
+  test("wide-row guard: >500-column rows drop but their children still export (Porter.php:182-194)") {
+    import scala.jdk.CollectionConverters._
+    // two docs: one flattening to 502 columns (+_id+tags), one narrow;
+    // both carry an array child. Children export BEFORE the guard fires.
+    val wideFields = (1 to 501).map(i => s""""k$i": $i""").mkString(", ")
+    val rows = Seq(
+      s"""{"_id":"a07f1f77bcf86cd799439051", $wideFields, "tags":["w1","w2"]}""",
+      s"""{"_id":"a07f1f77bcf86cd799439052", "k1": 1, "tags":["n1"]}""")
+    val tmp = Files.createTempDirectory("widejson")
+    Files.write(tmp.resolve("wide.jsonl"), rows.asJava)
+    val df = spark.read.json(tmp.resolve("wide.jsonl").toString)
+    val out = Files.createTempDirectory("porter").toString
+    val porter = new Porter(spark, new ParquetSink(out))
+    val counts = porter.exportCollection("wide", df)
+    // parent keeps only the narrow row; both rows' children exported
+    assert(counts("wide") == 1L)
+    assert(counts("wide__tags") == 3L)
+    val parent = readTable(out, "wide")
+    assert(parent.count() == 1L)
+    assert(parent.head().getAs[String]("_id").endsWith("52"))
+  }
+
   test("progress cadence: >=10s AND >=1% between reports (Porter.php:210-225)") {
     var now = 0L
     val p = new graft.porter.Progress(1000, () => now)

@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.porter.FlattenDF
 import graft.ops.Multimodal
+import graft.Tables
 
 /** Shared local session for Spark-backed specs (one JVM-wide session;
   * suites grab it lazily). */
@@ -120,6 +121,38 @@ class VectorExprSpec extends AnyFunSuite {
       spark.range(1).selectExpr("graft_dot(id, id)").collect()
     }
     assert(e.getMessage.toLowerCase.contains("array"))
+  }
+}
+
+class BucketingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("bucketed tables co-locate the join: sort-merge with no shuffle exchange") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("buckets").toString
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val lineitem = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").option("path", s"$dir/orders").saveAsTable("b_orders")
+    lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").option("path", s"$dir/lineitem").saveAsTable("b_lineitem")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      // bucketing makes both sides pre-partitioned on the join key:
+      // no shuffle exchange anywhere in the plan
+      assert(!plan.contains("Exchange"), plan.take(500))
+      assert(joined.count() == lineitem.count()) // every line has its order
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
   }
 }
 
