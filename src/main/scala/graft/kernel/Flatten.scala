@@ -103,6 +103,12 @@ object Flatten {
       val payload: VectorMap[String, DocValue] = el match {
         case obj: DocObj =>
           flatten(obj).columns // nested arrays dropped: flatten() set them aside and we do not recurse
+        case _: DocArr =>
+          // an array element that is itself an array: the reference's
+          // flatten puts all of its content under _arr, which the child
+          // exporter then discards (:254-255) — the row keeps only its
+          // (_parentid,_index) key
+          VectorMap.empty
         case DocDate(sec) => VectorMap(colPath -> DocString(isoUtc(sec)))
         case scalar       => VectorMap(colPath -> scalar)
       }

@@ -117,6 +117,42 @@ object Functions {
              WHERE vec_id < 50
              ORDER BY _parentid, _index""")),
 
+    // ---- map functions: parse the JSON props into map<string,int> and
+    //      work with keys/values (the oracle re-derives the same facts
+    //      with regexes — independent parsing path) ----
+    "q45_event_props_map" -> QueryDef(
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .withColumn("m", from_json(col("props"), lit("map<string,int>")))
+          .select(col("event_id"),
+            size(map_keys(col("m"))).as("n_keys"),
+            element_at(sort_array(map_keys(col("m"))), 1).as("first_key"),
+            element_at(col("m"), "k").as("k_val"))
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+               len(regexp_extract_all(props, '"([a-z_]+)":')) AS n_keys,
+               regexp_extract(props, '"([a-z_]+)":', 1) AS first_key,
+               CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k_val
+             FROM events
+             ORDER BY event_id""")),
+
+    // ---- collection aggregation: distinct set → sorted → joined string ----
+    "q46_user_event_types" -> QueryDef(
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(
+            array_join(sort_array(collect_set(col("event_type"))), ",")
+              .as("types"),
+            countDistinct(col("event_type")).as("n_types"))
+          .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+               string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+               count(DISTINCT event_type) AS n_types
+             FROM events
+             GROUP BY user_id
+             ORDER BY user_id""")),
+
     // ---- math functions. Only cross-engine-exact operations appear in
     //      the oracle-checked set: abs/sqrt are IEEE correctly-rounded,
     //      x*x and % are exact, ceil/floor land on integers (cast to

@@ -299,6 +299,37 @@ object Relational {
               SELECT c_custkey FROM customer WHERE c_nationkey < 5)
              ORDER BY c_custkey""")),
 
+    // ---- bag-semantics set operations (ALL variants), aggregated to
+    //      per-value multiplicities so the output stays small ----
+    "q44_setops_all" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val a = li.filter(col("l_quantity") >= 48).select(col("l_returnflag"))
+        val b = li.filter(col("l_discount") >= 0.09).select(col("l_returnflag"))
+        def grouped(df: DataFrame, tag: String) =
+          df.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+            .withColumn("op", lit(tag))
+        grouped(a.intersectAll(b), "intersect_all")
+          .unionByName(grouped(a.exceptAll(b), "except_all"))
+          .unionByName(grouped(a.union(b), "union_all"))
+          .select(col("op"), col("l_returnflag"), col("n"))
+          .orderBy(col("op"), col("l_returnflag"))
+      },
+      Some("""WITH a AS (SELECT l_returnflag FROM lineitem WHERE l_quantity >= 48),
+                  b AS (SELECT l_returnflag FROM lineitem WHERE l_discount >= 0.09)
+             SELECT 'intersect_all' AS op, l_returnflag, count(*) AS n
+             FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+             GROUP BY l_returnflag
+             UNION ALL
+             SELECT 'except_all', l_returnflag, count(*)
+             FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+             GROUP BY l_returnflag
+             UNION ALL
+             SELECT 'union_all', l_returnflag, count(*)
+             FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+             GROUP BY l_returnflag
+             ORDER BY op, l_returnflag""")),
+
     // ---- multi-column distinct aggregation ----
     "q14_distinct_parts_per_flag" -> QueryDef(
       (s, dir) =>

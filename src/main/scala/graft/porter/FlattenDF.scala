@@ -99,6 +99,10 @@ object FlattenDF {
       case s: StructType =>
         val (flatCols, _) = walk(col("_el"), s, "") // nested arrays dropped
         exploded.select(col("_parentid") +: col("_index") +: flatCols: _*)
+      case _: ArrayType =>
+        // array-of-arrays: nested array content is discarded entirely
+        // (Porter.php:254-255) — only the (_parentid,_index) key survives
+        exploded.select(col("_parentid"), col("_index"))
       case _ =>
         // scalar elements: one column named after the full path (:256-258)
         exploded.select(col("_parentid"), col("_index"),

@@ -158,6 +158,57 @@ class FlattenSpec extends AnyFunSuite {
   }
 }
 
+class FlattenPropertySpec extends AnyFunSuite {
+  import Flatten._
+
+  /** Seeded random document generator: objects/arrays/scalars, depth ≤ 4,
+    * ≤ 6 keys per object (so inline merging, not the wide-object path,
+    * dominates) plus occasional wide objects and arrays. */
+  private def randVal(rnd: scala.util.Random, depth: Int): DocValue =
+    rnd.nextInt(10) match {
+      case 0 | 1 if depth < 4 =>
+        DocObj(Vector.tabulate(1 + rnd.nextInt(5))(i =>
+          s"f$i" -> randVal(rnd, depth + 1)))
+      case 2 if depth < 4 =>
+        DocArr(Vector.fill(1 + rnd.nextInt(3))(randVal(rnd, depth + 1)))
+      case 3 => DocObj(Vector.tabulate(26 + rnd.nextInt(3))(i =>
+        s"w$i" -> (DocInt(i): DocValue))) // wide object → child channel
+      case 4 => DocDate(rnd.nextLong() % 4000000000L)
+      case 5 => DocDouble(rnd.nextDouble())
+      case 6 => DocString(rnd.alphanumeric.take(rnd.nextInt(30)).mkString)
+      case 7 => DocNull
+      case _ => DocInt(rnd.nextInt(1000))
+    }
+
+  test("flatten invariants hold over 300 random documents (Porter.php:277-298)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 300) {
+      val doc = DocObj(Vector.tabulate(1 + rnd.nextInt(6))(i =>
+        s"top$i" -> randVal(rnd, 1)))
+      val f = flatten(doc)
+      // 1. columns hold only scalars (dates already rendered to strings)
+      assert(f.columns.values.forall {
+        case _: DocObj | _: DocArr | _: DocDate => false
+        case _                                  => true
+      })
+      // 2. everything set aside is genuinely child-bearing
+      assert(f.arrays.values.forall(isChildBearing))
+      // 3. paths are underscore-joined from a top-level field
+      assert((f.columns.keys ++ f.arrays.keys).forall(_.startsWith("top")))
+      // 4. child extraction of each set-aside value keeps element order
+      f.arrays.foreach { case (path, v) =>
+        val rows = extractChildren(DocString("p"), path, v)
+        assert(rows.map(_.index) == rows.indices.map(_.toLong))
+        // one explode level: no nested child-bearing payloads survive
+        assert(rows.forall(_.columns.values.forall {
+          case _: DocObj | _: DocArr => false
+          case _                     => true
+        }))
+      }
+    }
+  }
+}
+
 class RouteSpec extends AnyFunSuite {
   test("NodeBB kludge rules, first match wins (Porter.php:304-316)") {
     assert(Route.normalizeKey("tag:scala:topics") == "tag_topics")
