@@ -349,6 +349,30 @@ object Relational {
              GROUP BY l_returnflag
              ORDER BY l_returnflag""")),
 
+    // ---- ordered-set / dispersion aggregates: exact interpolated
+    //      percentiles, sample stddev, correlation. True values are not
+    //      on a decimal grid, so rounding is at 4 digits where the
+    //      cross-engine float noise (~1e-9 relative) cannot reach the
+    //      midpoints ----
+    "q47_stats_per_priority" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+            round(stddev_samp(col("o_totalprice")), 4).as("price_stddev"),
+            round(corr(col("o_totalprice"), col("o_custkey")), 4).as("price_cust_corr"))
+          .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+               round(stddev_samp(o_totalprice), 4) AS price_stddev,
+               round(corr(o_totalprice, o_custkey), 4) AS price_cust_corr
+             FROM orders
+             GROUP BY o_orderpriority
+             ORDER BY o_orderpriority""")),
+
     // ---- approximate distinct (HLL sketch) — not DuckDB-comparable,
     //      driver records the weaker rows-only check ----
     "q15_approx_distinct" -> QueryDef(
