@@ -71,7 +71,11 @@ object Dedup {
         val sigAggs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
           min(expr(s"(g * $a + $b) % ${P}L")).as(s"m$j")
         }
-        val sigs = shingled(s, dir).groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+        // signatures are tiny (one row per doc); cache so the band
+        // self-join doesn't recompute the shingle explode + md5 twice
+        val sigs = shingled(s, dir).groupBy(col("doc_id"))
+          .agg(sigAggs.head, sigAggs.tail: _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bands = sigs.selectExpr("doc_id",
           """stack(4, 0, concat_ws(':', m0, m1), 1, concat_ws(':', m2, m3),
                       2, concat_ws(':', m4, m5), 3, concat_ws(':', m6, m7))

@@ -47,10 +47,15 @@ object TextOps {
     //      an independent shingling path) ----
     "q32_dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => {
+        // the shingle explode feeds three consumers (sizes + both join
+        // sides); cache it once instead of recomputing the explode per
+        // subtree — MEMORY_AND_DISK so a corpus-scale shingle set spills
+        // rather than evicting the executors
         val docs = Tables.load(s, dir, "documents")
           .withColumn("words", split(lower(col("text")), " +"))
           .filter(size(col("words")) >= 3)
           .select(col("doc_id"), explode(shingleExpr).as("s"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val inter = docs.as("a")
           .join(docs.as("b"),
