@@ -227,6 +227,32 @@ object Relational {
              FROM events
              ORDER BY user_id, event_id""")),
 
+    // ---- distribution windows: ntile / percent_rank / cume_dist over a
+    //      total order (tie-broken by key so both engines rank identically;
+    //      percent_rank and cume_dist are exact rationals of row counts,
+    //      identical divisions in both engines) ----
+    "q48_order_distribution_windows" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+             FROM orders
+             WHERE o_orderkey <= 2000
+             WINDOW w AS (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey)
+             ORDER BY o_orderpriority, o_orderkey""")),
+
     // ---- rollup (subtotal hierarchy); NULLS FIRST pinned on both sides ----
     "q10_acctbal_rollup" -> QueryDef(
       (s, dir) => {
