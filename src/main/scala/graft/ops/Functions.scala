@@ -186,6 +186,24 @@ object Functions {
              WHERE l_orderkey <= 1000
              ORDER BY l_orderkey, l_linenumber""")),
 
+    // ---- explode_outer: empty arrays keep their parent row with a null
+    //      element (the oracle mirrors Spark's outer semantics by
+    //      substituting [NULL] for the empty list before unnesting) ----
+    "q49_explode_outer" -> QueryDef(
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .filter(col("event_id") < 1000)
+          .withColumn("arr",
+            slice(array(lit(10), lit(20)), lit(1), (col("event_id") % 3).cast("int")))
+          .select(col("event_id"), explode_outer(col("arr")).as("v"))
+          .orderBy(col("event_id"), col("v").asc_nulls_first),
+      Some("""SELECT event_id,
+               unnest(CASE WHEN event_id % 3 = 0 THEN [NULL]
+                           ELSE ([10, 20])[1:CAST(event_id % 3 AS INT)] END) AS v
+             FROM events
+             WHERE event_id < 1000
+             ORDER BY event_id, v ASC NULLS FIRST""")),
+
     // ---- pivot: event types to columns (explicit value list so the
     //      output schema is static — mandatory at scale, where an implicit
     //      pivot would need an extra distinct-scan job) ----
