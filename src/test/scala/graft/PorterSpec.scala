@@ -118,6 +118,23 @@ class PorterSpec extends AnyFunSuite {
     assert(e.getMessage.contains("flag"))
   }
 
+  test("dataonly: missing destinations skipped and remembered, existing ones written (Porter.php:158-179)") {
+    val out = Files.createTempDirectory("porter").toString
+    // first pass creates only the `user` table (skip everything else)
+    val allTables = Set("tag_topics", "group_privileges_members", "ip_uid",
+      "settings", "objects")
+    new Porter(spark, new ParquetSink(out), PorterConfig(skip = allTables))
+      .exportCollection("objects", fixture("objects"))
+    // dataonly pass: only destinations that already exist receive rows
+    val counts = new Porter(spark, new ParquetSink(out),
+      PorterConfig(dataOnly = true))
+      .exportCollection("objects", fixture("objects"))
+    assert(counts("user") == 2L)                  // existing table written
+    assert(counts("tag_topics") == 0L)            // missing → skipped
+    assert(counts("settings") == 0L)
+    assert(readTable(out, "user").count() == 2L)
+  }
+
   test("wide-row guard: >500-column rows drop but their children still export (Porter.php:182-194)") {
     import scala.jdk.CollectionConverters._
     // two docs: one flattening to 502 columns (+_id+tags), one narrow;
