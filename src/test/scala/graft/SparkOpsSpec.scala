@@ -190,3 +190,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a == b)
   }
 }
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q41 LSH near-dup pairs are a subset of the q50 exact baseline with identical cosines") {
+    val lsh = SparkEntry.queries("q41_embedding_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = SparkEntry.queries("q50_neardup_exact")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every LSH candidate pair is a true pair, with the same exact cosine
+    lsh.foreach { case (pair, cos) =>
+      assert(exact.get(pair).contains(cos), s"pair $pair: lsh=$cos exact=${exact.get(pair)}")
+    }
+    assert(exact.size >= lsh.size)
+  }
+
+  test("q41 plan has no cartesian/nested-loop join (scale gate)") {
+    val plan = SparkEntry.queries("q41_embedding_neardup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("q50 exact all-pairs distributes via block-pair equi-joins, not a nested loop over the corpus") {
+    val plan = SparkEntry.queries("q50_neardup_exact")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // the only broadcast is the tiny K*(K+1)/2 block-pair relation; the
+    // corpus×corpus pairing itself must ride hash joins
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan.take(800))
+  }
+}

@@ -9,8 +9,23 @@ tiny epsilon report for floats so rounding hazards surface early.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
-import sys, json, glob, os, math
+import sys, json, glob, os, math, hashlib
 import duckdb
+
+def frame_hash(df):
+    """md5 over the sorted frame, serialized so that integer-vs-float
+    representation differences change the hash (like the driver's)."""
+    h = hashlib.md5()
+    for _, row in df.iterrows():
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                s = "<null>"
+            else:
+                s = str(v)
+            h.update(s.encode())
+            h.update(b"\x1f")
+        h.update(b"\x1e")
+    return h.hexdigest()
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -68,6 +83,16 @@ def main():
                 break
         if diffs:
             results[name] = f"VALUE-MISMATCH {diffs[:3]}"
+            continue
+        # Hash stage: mirror the driver's md5-over-sorted-values compare.
+        # Numeric value-compare above forgives representation differences
+        # (int64 1 vs float64 1.0 from a DuckDB HUGEINT) that the driver's
+        # hash does NOT forgive — so serialize dtype-sensitively.
+        ha, hb = frame_hash(a), frame_hash(b)
+        if ha != hb:
+            dt = [(c, str(a[c].dtype), str(b[c].dtype)) for c in s_cols
+                  if str(a[c].dtype) != str(b[c].dtype)]
+            results[name] = f"HASH-MISMATCH dtype-diffs={dt}"
         else:
             results[name] = f"OK rows={len(spark_df)}"
     ok = sum(1 for v in results.values() if v.startswith("OK"))
