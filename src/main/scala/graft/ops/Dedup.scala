@@ -35,8 +35,8 @@ object Dedup {
   private def hashExprDuck(e: String) =
     s"CAST(('0x' || substr(md5($e), 1, 14)) AS BIGINT)"
 
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+  private def shingled(docsText: DataFrame): DataFrame =
+    docsText
       .withColumn("words", split(lower(col("text")), " +"))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -44,6 +44,49 @@ object Dedup {
              sequence(0, size(words) - 3),
              i -> concat_ws(' ', slice(words, i + 1, 3))))""")).as("s"))
       .withColumn("g", expr(hashExprSpark("s") + s" % ${P}L"))
+
+  /** Band groups larger than this are dropped from the LSH self-join: a
+    * band value shared by k documents contributes k·(k-1)/2 candidate
+    * pairs, so one giant duplicate cluster (or a degenerate band) turns
+    * the equi-join quadratic at corpus scale. Clusters that large are
+    * exact-duplicate territory — q31's groupBy catches them in one
+    * shuffle — so the LSH path deliberately skips them. */
+  val HotBandCap = 200
+
+  /** Removes rows whose (band_idx, band_val) group exceeds `cap` members.
+    * The hot list is tiny by construction → broadcast anti-join. */
+  def coldBands(bands: DataFrame, cap: Int = HotBandCap): DataFrame = {
+    val hot = bands.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("bf"))
+      .filter(col("bf") > cap)
+      .select(col("band_idx"), col("band_val"))
+    bands.join(broadcast(hot), Seq("band_idx", "band_val"), "left_anti")
+  }
+
+  /** MinHash → 4-band LSH candidate pairs over a (doc_id, text) frame
+    * (the full q33 pipeline, exposed for spec-level stress tests). */
+  def lshCandidatePairs(docsText: DataFrame): DataFrame = {
+    val sigAggs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
+      min(expr(s"(g * $a + $b) % ${P}L")).as(s"m$j")
+    }
+    // signatures are tiny (one row per doc); cache so the band
+    // self-join doesn't recompute the shingle explode + md5 twice
+    val sigs = shingled(docsText).groupBy(col("doc_id"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = coldBands(sigs.selectExpr("doc_id",
+      """stack(4, 0, concat_ws(':', m0, m1), 1, concat_ws(':', m2, m3),
+                  2, concat_ws(':', m4, m5), 3, concat_ws(':', m6, m7))
+         AS (band_idx, band_val)"""))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+      .orderBy(col("da"), col("db"))
+  }
 
   private val duckShingles =
     s"""WITH w AS (
@@ -65,30 +108,10 @@ object Dedup {
 
   val defs: Map[String, QueryDef] = Map(
 
-    // ---- MinHash signatures + LSH banding → candidate near-dup pairs ----
+    // ---- MinHash signatures + LSH banding → candidate near-dup pairs
+    //      (hot band groups excluded, mirrored in the oracle) ----
     "q33_minhash_lsh_pairs" -> QueryDef(
-      (s, dir) => {
-        val sigAggs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
-          min(expr(s"(g * $a + $b) % ${P}L")).as(s"m$j")
-        }
-        // signatures are tiny (one row per doc); cache so the band
-        // self-join doesn't recompute the shingle explode + md5 twice
-        val sigs = shingled(s, dir).groupBy(col("doc_id"))
-          .agg(sigAggs.head, sigAggs.tail: _*)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val bands = sigs.selectExpr("doc_id",
-          """stack(4, 0, concat_ws(':', m0, m1), 1, concat_ws(':', m2, m3),
-                      2, concat_ws(':', m4, m5), 3, concat_ws(':', m6, m7))
-             AS (band_idx, band_val)""")
-        bands.as("x")
-          .join(bands.as("y"),
-            col("x.band_idx") === col("y.band_idx") &&
-              col("x.band_val") === col("y.band_val") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-          .distinct()
-          .orderBy(col("da"), col("db"))
-      },
+      (s, dir) => lshCandidatePairs(Tables.load(s, dir, "documents")),
       Some {
         val sigCols = A.zip(B).zipWithIndex
           .map { case ((a, b), j) => s"min((g * $a + $b) % $P) AS m$j" }
@@ -98,7 +121,13 @@ object Dedup {
           .mkString(" UNION ALL ")
         s"""$duckShingles,
            sigs AS (SELECT doc_id, $sigCols FROM hashed GROUP BY doc_id),
-           bands AS ($bandSelects)
+           bands0 AS ($bandSelects),
+           hot AS (
+             SELECT band_idx, band_val FROM bands0
+             GROUP BY band_idx, band_val HAVING count(*) > $HotBandCap),
+           bands AS (
+             SELECT b.* FROM bands0 b
+             ANTI JOIN hot h USING (band_idx, band_val))
            SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
            FROM bands x JOIN bands y
              ON x.band_idx = y.band_idx AND x.band_val = y.band_val
@@ -111,7 +140,7 @@ object Dedup {
     //      that could overflow) ----
     "q34_simhash_signatures" -> QueryDef(
       (s, dir) => {
-        val withH = shingled(s, dir)
+        val withH = shingled(Tables.load(s, dir, "documents"))
           .withColumn("h", expr(hashExprSpark("s")))
         val bitAggs = (0 until SimBits).map { k =>
           sum(expr(s"CASE WHEN (h DIV ${1L << k}) % 2 = 1 THEN 1 ELSE -1 END"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -12,9 +13,10 @@ import graft.{QueryDef, Tables}
   * near-dup join, which is the standard inverted-index shape — explode
   * distinct shingles, self-join on the shingle (the only shuffle key),
   * count intersections, filter by Jaccard. No all-pairs cross join: the
-  * candidate set is bounded by shared-shingle frequency, and a hot-shingle
-  * cap (stopword-like shingles) can be added as a pre-filter when corpus
-  * statistics demand it.
+  * candidate set is bounded by shared-shingle frequency, and stopword-like
+  * shingles that would make a self-join group quadratic are removed by a
+  * document-frequency cutoff (see [[hotShingles]]) before the join —
+  * standard MinHash/inverted-index practice.
   */
 object TextOps {
 
@@ -24,6 +26,56 @@ object TextOps {
     expr("""array_distinct(transform(
               sequence(0, size(words) - 3),
               i -> concat_ws(' ', slice(words, i + 1, 3))))""")
+
+  /** Exploded distinct (doc_id, s) shingle pairs of a (doc_id, text)
+    * frame. */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.withColumn("words", split(lower(col("text")), " +"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(shingleExpr).as("s"))
+
+  /** Shingles appearing in more than half of all documents. Joining on
+    * such a key makes the inverted-index self-join group quadratic (a
+    * stopword-like 3-gram shared by millions of docs at corpus scale), and
+    * a shingle carried by >50 % of documents has no discriminative value
+    * for Jaccard ≥ 0.8 anyway. The list is tiny by construction, so the
+    * exclusion below is a broadcast anti-join. */
+  def hotShingles(sh: DataFrame): DataFrame = {
+    val total = sh.agg(countDistinct(col("doc_id")).as("total"))
+    sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .crossJoin(total)
+      .filter(col("df") * 2 > col("total"))
+      .select(col("s"))
+  }
+
+  /** Near-duplicate pairs by shingle-set Jaccard ≥ `minJ` over a
+    * (doc_id, text) frame: inverted-index equi self-join on the shingle,
+    * hot shingles removed first. Sizes are computed AFTER the cutoff so
+    * numerator and denominator describe the same (capped) sets. */
+  def jaccardPairs(docsText: DataFrame, minJ: Double): DataFrame = {
+    // the shingle explode feeds four consumers (hot list, sizes, both join
+    // sides); cache it once instead of recomputing the explode per
+    // subtree — MEMORY_AND_DISK so a corpus-scale shingle set spills
+    // rather than evicting the executors
+    val raw = shingles(docsText)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = raw.join(broadcast(hotShingles(raw)), Seq("s"), "left_anti")
+    val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = docs.as("a")
+      .join(docs.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .withColumn("jac",
+        col("c") * lit(1.0) / (col("sa.n") + col("sb.n") - col("c")))
+      .filter(col("jac") >= minJ)
+      .select(col("da"), col("db"), col("c").as("n_shared"),
+        round(col("jac"), 3).as("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -42,42 +94,18 @@ object TextOps {
              GROUP BY text
              ORDER BY keeper_id""")),
 
-    // ---- near-dup pairs by 3-gram Jaccard ≥ 0.8 (inverted-index join;
-    //      the oracle recomputes shingles with a window-lead formulation —
-    //      an independent shingling path) ----
+    // ---- near-dup pairs by 3-gram Jaccard ≥ 0.8 (inverted-index join
+    //      with the hot-shingle cutoff; the oracle recomputes shingles
+    //      with a window-lead formulation — an independent shingling
+    //      path — and mirrors the cutoff exactly) ----
     "q32_dedup_ngram_jaccard" -> QueryDef(
-      (s, dir) => {
-        // the shingle explode feeds three consumers (sizes + both join
-        // sides); cache it once instead of recomputing the explode per
-        // subtree — MEMORY_AND_DISK so a corpus-scale shingle set spills
-        // rather than evicting the executors
-        val docs = Tables.load(s, dir, "documents")
-          .withColumn("words", split(lower(col("text")), " +"))
-          .filter(size(col("words")) >= 3)
-          .select(col("doc_id"), explode(shingleExpr).as("s"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = docs.as("a")
-          .join(docs.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .agg(count(lit(1)).as("c"))
-        inter
-          .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-          .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
-          .withColumn("jac",
-            col("c") * lit(1.0) / (col("sa.n") + col("sb.n") - col("c")))
-          .filter(col("jac") >= 0.8)
-          .select(col("da"), col("db"), col("c").as("n_shared"),
-            round(col("jac"), 3).as("jaccard"))
-          .orderBy(col("da"), col("db"))
-      },
+      (s, dir) => jaccardPairs(Tables.load(s, dir, "documents"), 0.8),
       Some("""WITH w AS (
                SELECT doc_id,
                  unnest(string_split_regex(lower(text), ' +')) AS word,
                  generate_subscripts(string_split_regex(lower(text), ' +'), 1) AS i
                FROM documents),
-             sh AS (
+             sh0 AS (
                SELECT DISTINCT doc_id, s FROM (
                  SELECT doc_id,
                    concat_ws(' ', word,
@@ -86,6 +114,12 @@ object TextOps {
                    lead(word, 2) OVER (PARTITION BY doc_id ORDER BY i) AS tail
                  FROM w)
                WHERE tail IS NOT NULL),
+             hot AS (
+               SELECT s FROM sh0 GROUP BY s
+               HAVING count(*) * 2 > (SELECT count(DISTINCT doc_id) FROM sh0)),
+             sh AS (
+               SELECT sh0.doc_id, sh0.s FROM sh0
+               WHERE sh0.s NOT IN (SELECT s FROM hot)),
              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
              inter AS (
                SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c

@@ -191,6 +191,44 @@ class MultimodalSpec extends AnyFunSuite {
   }
 }
 
+class DedupCapSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("hot shingle (df > 50%) is excluded and no longer quadratics the inverted-index join") {
+    import spark.implicits._
+    // 60 docs all sharing the 3-gram "common anchor phrase" but otherwise
+    // unique, plus one true duplicate pair (98, 99)
+    val uniques = (0 until 60).map(i =>
+      (i.toLong, s"common anchor phrase word${i}a word${i}b word${i}c"))
+    val dups = Seq((98L, "common anchor phrase alpha beta gamma delta"),
+                   (99L, "common anchor phrase alpha beta gamma delta"))
+    val docs = (uniques ++ dups).toDF("doc_id", "text")
+    val hot = graft.ops.TextOps.hotShingles(graft.ops.TextOps.shingles(docs))
+      .as[String].collect().toSet
+    assert(hot == Set("common anchor phrase"))
+    // without the cap, the shared shingle alone feeds C(62,2) = 1891
+    // candidate pairs into the join; with it, only the real duplicates
+    val pairs = graft.ops.TextOps.jaccardPairs(docs, 0.8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((98L, 99L)))
+    assert(pairs.head.getDouble(3) == 1.0)
+  }
+
+  test("band groups over HotBandCap are dropped: a 300-doc duplicate cluster no longer quadratics the LSH join") {
+    import spark.implicits._
+    val cluster = (0 until 300).map(i =>
+      (i.toLong, "the same cluster text repeated here"))
+    val pair = Seq((1000L, "a totally different duplicate pair content"),
+                   (1001L, "a totally different duplicate pair content"))
+    val docs = (cluster ++ pair).toDF("doc_id", "text")
+    // identical cluster docs → identical signatures → every band group is
+    // 300 > HotBandCap and is excluded; without the cap the join would
+    // emit C(300,2) = 44850 cluster pairs
+    val out = graft.ops.Dedup.lshCandidatePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1000L, 1001L)))
+  }
+}
+
 class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
