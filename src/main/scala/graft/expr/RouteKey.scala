@@ -37,3 +37,19 @@ case class RouteKey(child: Expression, collection: String)
   override protected def withNewChildInternal(newChild: Expression): RouteKey =
     copy(child = newChild)
 }
+
+/** Native expression for the normalized `_key` FAMILY — the value the
+  * reference tallies into `$allKeys` (Porter.php:328-332) *before* the
+  * numeric/empty fallback to the collection name. Null keys produce null
+  * (a row without `_key` contributes no tally observation). */
+case class NormalizeKey(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(Route.normalizeKey(v.asInstanceOf[UTF8String].toString))
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeKey =
+    copy(child = newChild)
+}

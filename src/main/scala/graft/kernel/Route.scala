@@ -82,4 +82,12 @@ object Route {
       graft.expr.RouteKey(
         org.apache.spark.sql.graft.Bridge.expression(key),
         collection))
+
+  /** [[normalizeKey]] as a Catalyst expression — the `$allKeys` tally
+    * family (Porter.php:328-332), i.e. the normalized key BEFORE the
+    * numeric/empty fallback. Null for null keys (no observation). */
+  def normalizeKeyCol(key: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.NormalizeKey(
+        org.apache.spark.sql.graft.Bridge.expression(key)))
 }

@@ -77,15 +77,24 @@ object FlattenDF {
     * one level with nested arrays dropped; scalar elements become a single
     * column named after the path. Runs as posexplode inside the scan
     * stage — the shuffle-free Spark form of the reference's side-channel
-    * insert loop. */
-  def extractChild(df: DataFrame, idCol: Column, spec: ChildSpec): DataFrame = {
+    * insert loop.
+    *
+    * `passthrough` names columns of `df` carried verbatim into the output
+    * (the single-pass export keeps `_table` alongside each child row so
+    * every routed destination is written in one job). */
+  def extractChild(
+      df: DataFrame,
+      idCol: Column,
+      spec: ChildSpec,
+      passthrough: Seq[String] = Nil): DataFrame = {
+    val extra = passthrough.map(col)
     // rows without the child-bearing field export nothing (the reference
     // only loops over arrays present in the row, Porter.php:182-188);
     // posexplode already drops null arrays, but a wide struct wrapped in
     // array() below would otherwise fabricate all-null child rows
     val exploded = df
       .filter(spec.column.isNotNull)
-      .select(idCol.as("_parentid"),
+      .select(idCol.as("_parentid") +: extra :+
         posexplode(spec.dataType match {
           case _: ArrayType => spec.column
           // wide struct: treat its values as an array, keep keys as _field
@@ -94,19 +103,19 @@ object FlattenDF {
               struct(lit(f.name).as("_field"),
                 spec.column.getField(f.name).as("_value"))).toSeq: _*)
           case _ => array(spec.column)
-        }).as(Seq("_index", "_el")))
+        }).as(Seq("_index", "_el")): _*)
     exploded.schema("_el").dataType match {
       case s: StructType =>
         val (flatCols, _) = walk(col("_el"), s, "") // nested arrays dropped
-        exploded.select(col("_parentid") +: col("_index") +: flatCols: _*)
+        exploded.select(col("_parentid") +: col("_index") +: flatCols ++: extra: _*)
       case _: ArrayType =>
         // array-of-arrays: nested array content is discarded entirely
         // (Porter.php:254-255) — only the (_parentid,_index) key survives
-        exploded.select(col("_parentid"), col("_index"))
+        exploded.select(col("_parentid") +: col("_index") +: extra: _*)
       case _ =>
         // scalar elements: one column named after the full path (:256-258)
-        exploded.select(col("_parentid"), col("_index"),
-          col("_el").as(spec.path))
+        exploded.select(col("_parentid") +: col("_index") +:
+          col("_el").as(spec.path) +: extra: _*)
     }
   }
 

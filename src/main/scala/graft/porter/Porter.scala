@@ -57,118 +57,173 @@ final class Porter(
 
   private val truncated = mutable.Set.empty[String]
   private val missing = mutable.Set.empty[String]
+  private val keyTallyAcc = mutable.Map.empty[String, Long]
+
+  /** The `$allKeys` tally (Porter.php:328-332): occurrences per normalized
+    * `_key` family across every exported collection, counted BEFORE the
+    * skip-list and before the numeric/empty fallback — including the
+    * empty-string family an all-digit key normalizes to. True occurrence
+    * counts: the reference initializes a family to 0 on first sight and
+    * increments afterwards (so its numbers are occurrences−1); we record
+    * the intent, like the other documented warts. */
+  def keyTally: Map[String, Long] = keyTallyAcc.toMap
 
   /** Export every collection; returns rows written per destination table. */
   def exportCollections(collections: Seq[(String, DataFrame)]): Map[String, Long] =
     collections.flatMap { case (name, df) => exportCollection(name, df) }.toMap
 
-  /** Export one collection (`exportCollection`, Porter.php:131-235). */
+  /** Export one collection (`exportCollection`, Porter.php:131-235) in the
+    * reference's single-cursor-pass shape: the source is scanned and
+    * routed ONCE (cached), children and parents are each numbered and
+    * written across ALL destination tables in one job via
+    * [[Sink.writeMany]] — no per-table rescan of the collection. */
   def exportCollection(collection: String, df: DataFrame): Map[String, Long] = {
     val limited = config.limit.fold(df)(df.limit)
+    val hasKey = limited.columns.contains("_key")
     val routed =
-      if (limited.columns.contains("_key"))
+      if (hasKey)
         limited.withColumn("_table", Route.routeTableCol(col("_key"), collection))
       else limited.withColumn("_table", lit(collection))
-    // skip-list check precedes child export (Porter.php:156-157)
-    val kept =
-      if (config.skip.isEmpty) routed
-      else routed.filter(!col("_table").isin(config.skip.toSeq: _*))
-    // one source scan + route, shared by every destination table (the
-    // reference reads the cursor once too; without this each routed table
-    // would rescan and re-route the whole collection)
-    kept.persist()
+    // one source scan + route, shared by every destination table and by
+    // the tally (the reference reads the cursor once too)
+    routed.persist()
     try {
+      // $allKeys is tallied for every routed row, before the skip check
+      // (Porter.php:150-157): one tiny distributed aggregation
+      if (hasKey)
+        routed.filter(col("_key").isNotNull)
+          .groupBy(Route.normalizeKeyCol(col("_key")).as("family")).count()
+          .collect()
+          .foreach { r =>
+            val fam = r.getString(0)
+            keyTallyAcc(fam) = keyTallyAcc.getOrElse(fam, 0L) + r.getLong(1)
+          }
+      // skip-list check precedes child export (Porter.php:156-157)
+      val kept =
+        if (config.skip.isEmpty) routed
+        else routed.filter(!col("_table").isin(config.skip.toSeq: _*))
       // upfront count feeds the ETA, like the reference's cursor count
-      // (Porter.php:138-140); cheap here because `kept` is cached
+      // (Porter.php:138-140); cheap here because the scan is cached
       val total = kept.count()
       val progress = new Progress(total)
       val tables = kept.select(col("_table")).distinct()
-        .collect().map(_.getString(0)).sorted
-      var written = 0L
-      val counts = tables.flatMap { t =>
-        val res = exportTable(t, kept.filter(col("_table") === t).drop("_table"))
-        written += res.getOrElse(t, 0L)
-        progress.report(written)
-        res
-      }.toMap
-      System.err.println(s"[porter] $collection:${progress.doneLine(written)}")
-      counts
-    } finally kept.unpersist()
-  }
+        .collect().map(_.getString(0)).sorted.toSeq
+      val (flatAll, childSpecs) = FlattenDF.flatten(kept)
+      val counts = mutable.Map.empty[String, Long]
 
-  private def exportTable(table: String, df: DataFrame): Map[String, Long] = {
-    val (flat, childSpecs) = FlattenDF.flatten(df)
-    // Children export first — before the wide-row guard (Porter.php:182-194)
-    val parentId =
-      if (df.columns.contains("_id")) col("_id")
-      else lit(null).cast("string")
-    val childCounts = childSpecs.map { spec =>
-      val childName = FlattenDF.childName(table, spec)
-      val child = FlattenDF.extractChild(df, parentId, spec)
-      childName -> writeTable(childName,
-        withNum(child, Seq("_parentid", "_index")))
-    }
-    // Wide-row guard: >500 present (non-null) columns → drop (Porter.php:190-194)
-    val guarded =
-      if (flat.columns.length <= Flatten.WideRowColumnLimit) flat
-      else {
-        // one flat array node, not a 500-deep Add chain (which overflows
-        // the Column-tree conversion stack at exactly the schema widths
-        // this guard exists for)
-        val present = size(filter(
-          array(flat.columns.map(c => col(c).isNotNull): _*),
-          x => x))
-        flat.filter(present <= Flatten.WideRowColumnLimit)
+      // Children export first — before the wide-row guard (Porter.php:
+      // 182-194). One pass per child spec (specs are schema-derived and
+      // few), each writing EVERY parent table's child in a single job.
+      val parentId =
+        if (kept.columns.contains("_id")) col("_id")
+        else lit(null).cast("string")
+      childSpecs.foreach { spec =>
+        val nameOf = tables.map(t => t -> FlattenDF.childName(t, spec)).toMap
+        val child = FlattenDF
+          .extractChild(kept, parentId, spec, passthrough = Seq("_table"))
+          .withColumn("_table", element_at(typedLit(nameOf), col("_table")))
+        val (numbered, rawCounts) =
+          withNumByTable(child, Seq("_parentid", "_index"))
+        val childCounts = tables
+          .map(t => nameOf(t) -> rawCounts.getOrElse(nameOf(t), 0L)).toMap
+        counts ++= writeTables(numbered, childCounts)
       }
-    val orderCols =
-      if (guarded.columns.contains("_id")) Seq("_id")
-      else guarded.columns.sorted.toSeq
-    val parentCount = table -> writeTable(table, withNum(guarded, orderCols))
-    (childCounts :+ parentCount).toMap
+
+      // Wide-row guard: >500 present (non-null) columns → drop
+      // (Porter.php:190-194). `_table` is bookkeeping, not a document
+      // column — it never counts toward the width.
+      val dataCols = flatAll.columns.filterNot(_ == "_table").toSeq
+      val guarded =
+        if (dataCols.length <= Flatten.WideRowColumnLimit) flatAll
+        else {
+          // one flat array node, not a 500-deep Add chain (which overflows
+          // the Column-tree conversion stack at exactly the schema widths
+          // this guard exists for)
+          val present = size(filter(
+            array(dataCols.map(c => col(c).isNotNull): _*),
+            x => x))
+          flatAll.filter(present <= Flatten.WideRowColumnLimit)
+        }
+      val orderCols =
+        if (dataCols.contains("_id")) Seq("_id")
+        else dataCols.sorted
+      val (numberedParents, rawParentCounts) = withNumByTable(guarded, orderCols)
+      val parentCounts = tables.map(t => t -> rawParentCounts.getOrElse(t, 0L)).toMap
+      val w = writeTables(numberedParents, parentCounts)
+      counts ++= w
+      // progress (like the reference's row loop) tracks source documents:
+      // parent rows written, not child fan-out
+      val written = w.values.sum
+      progress.report(written)
+      System.err.println(s"[porter] $collection:${progress.doneLine(written)}")
+      counts.toMap
+    } finally routed.unpersist()
   }
 
   /** Per-table 1-based insertion counter `_num` (Porter.php:196-201,
-    * README.md:45-46) in a deterministic order: range-sort + zipWithIndex,
-    * the scalable global-sequence form (each partition learns its offset;
-    * no data funnels through one node). */
-  private def withNum(df: DataFrame, orderCols: Seq[String]): DataFrame = {
-    val sorted = df.orderBy(orderCols.map(col): _*)
-    val withIdx = sorted.rdd.zipWithIndex.map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ (i + 1))
+    * README.md:45-46) for ALL destination tables in one pass: a single
+    * range sort on (`_table`, order columns) + `zipWithIndex`, then each
+    * row's global index minus its table's offset (cumulative counts,
+    * broadcast). The scalable global-sequence form — no data funnels
+    * through one node, and no per-table job fan-out. Also returns the
+    * per-table row counts (free by-product of the offsets). */
+  private def withNumByTable(
+      df: DataFrame, orderCols: Seq[String]): (DataFrame, Map[String, Long]) = {
+    val sorted = df.orderBy((col("_table") +: orderCols.map(col)): _*)
+    val tableCounts = df.groupBy(col("_table")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets = tableCounts.toSeq.sortBy(_._1).map { case (t, n) =>
+      val o = acc; acc += n; t -> o
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    val tIdx = sorted.columns.indexOf("_table")
+    val withIdx = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1 - bc.value(row.getString(tIdx))))
     }
-    spark.createDataFrame(withIdx, sorted.schema.add("_num", LongType, nullable = false))
+    (spark.createDataFrame(withIdx,
+      sorted.schema.add("_num", LongType, nullable = false)), tableCounts)
   }
 
-  private def writeTable(table: String, df: DataFrame): Long = {
+  /** DDL + data write for a batch of destination tables whose rows travel
+    * together in `df` under `_table`; returns rows written per table.
+    * dataonly semantics preserved (Porter.php:158-179): missing tables are
+    * skipped (and remembered), existing ones truncated exactly once. */
+  private def writeTables(
+      df: DataFrame, tableCounts: Map[String, Long]): Map[String, Long] = {
+    val tables = tableCounts.keys.toSeq.sorted
     if (config.dataOnly) {
-      // dataonly: skip (and remember) missing tables; truncate existing
-      // ones exactly once before the first insert (Porter.php:158-179)
-      if (missing.contains(table)) return 0L
-      if (!sink.tableExists(table)) {
-        missing += table
-        System.err.println(s"[porter] Skipping table $table, not in the database.")
-        return 0L
+      val present = tables.filter { t =>
+        if (missing.contains(t)) false
+        else if (sink.tableExists(t)) true
+        else {
+          missing += t
+          System.err.println(s"[porter] Skipping table $t, not in the database.")
+          false
+        }
       }
-      if (!truncated.contains(table)) { sink.truncate(table); truncated += table }
-      df.persist()
-      val n = df.count()
-      sink.write(table, df, TableDef(Seq.empty, Seq.empty))
-      df.unpersist()
-      n
+      present.foreach { t =>
+        if (!truncated.contains(t)) { sink.truncate(t); truncated += t }
+      }
+      if (present.nonEmpty)
+        sink.writeMany(df.filter(col("_table").isin(present: _*)), "_table",
+          present.map(t => t -> TableDef(Seq.empty, Seq.empty)).toMap)
+      tables.map(t => t -> (if (present.contains(t)) tableCounts(t) else 0L)).toMap
     } else {
-      val types = SchemaInfer.inferTypes(df, strict = config.strictTypes)
-      val pk =
-        if (types.exists(_._1 == "_id")) Seq("_id")
-        else if (types.exists(_._1 == "_parentid") && types.exists(_._1 == "_index"))
-          Seq("_parentid", "_index")
-        else Seq.empty
-      val ddl = TableDef(types, pk)
-      sink.ensureTable(table, ddl)
-      df.persist()
-      val n = df.count()
-      sink.write(table, df, ddl)
-      df.unpersist()
-      n
+      val inferred = SchemaInfer.inferTypesByTable(
+        df, "_table", tables, strict = config.strictTypes)
+      val ddls = tables.map { t =>
+        val types = inferred(t)
+        val pk =
+          if (types.exists(_._1 == "_id")) Seq("_id")
+          else if (types.exists(_._1 == "_parentid") && types.exists(_._1 == "_index"))
+            Seq("_parentid", "_index")
+          else Seq.empty
+        t -> TableDef(types, pk)
+      }.toMap
+      ddls.toSeq.sortBy(_._1).foreach { case (t, ddl) => sink.ensureTable(t, ddl) }
+      sink.writeMany(df, "_table", ddls)
+      tableCounts
     }
   }
 }

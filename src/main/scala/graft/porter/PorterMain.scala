@@ -1,27 +1,43 @@
 package graft.porter
 
-import java.nio.file.{Files, Paths}
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.SparkSession
 
 /** CLI entry point mirroring the reference's `bin/mongo2mysql` +
-  * `src/cli.php` surface: export every collection in a source directory
-  * (one JSONL or parquet file per collection, the offline stand-in for a
-  * Mongo database) into a destination (parquet directory, or JDBC when a
+  * `src/cli.php` surface: export every collection from a [[Source]] (a
+  * directory of JSONL/parquet stand-ins, or live MongoDB via
+  * `--mongo-uri`) into a destination (parquet directory, or JDBC when a
   * `--jdbc` URL is given).
   *
   * Usage:
   *   graft.PorterMain <srcDir> <destDir> [--skip t1,t2] [--limit N]
   *                    [--dataonly] [--jdbc url]
+  *                    [--mongo-uri uri] [--mongo-db db] [--collections c1,c2]
   *
   * Options map 1:1 to the reference CLI (`/root/reference/src/cli.php:
   * 15-26`): `--skip` (csv of destination tables), `--limit` (rows per
   * collection), `--dataonly` (no DDL; truncate-once; skip missing).
+  * `--mongo-uri` switches the source to the MongoDB Spark connector
+  * (the reference's MongoClient, Porter.php:490-496); `<srcDir>` is then
+  * ignored, `--mongo-db` names the database and `--collections` the
+  * collections to export.
   */
 object PorterMain {
+
+  private val valueOpts =
+    Set("--skip", "--limit", "--jdbc", "--mongo-uri", "--mongo-db", "--collections")
+
+  /** Source selection from CLI options (exposed for the dispatch test):
+    * `--mongo-uri` wins over the file-directory stand-in. */
+  def selectSource(srcDir: String, opt: String => Option[String]): Source =
+    opt("mongo-uri") match {
+      case Some(uri) =>
+        new MongoSource(uri,
+          opt("mongo-db").getOrElse("test"),
+          opt("collections").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty))
+      case None => new FileSource(srcDir)
+    }
+
   def main(args: Array[String]): Unit = {
-    val valueOpts = Set("--skip", "--limit", "--jdbc")
     val positional = {
       val out = Seq.newBuilder[String]
       var i = 0
@@ -33,7 +49,8 @@ object PorterMain {
       out.result()
     }
     require(positional.length == 2,
-      "usage: PorterMain <srcDir> <destDir> [--skip t1,t2] [--limit N] [--dataonly] [--jdbc url]")
+      "usage: PorterMain <srcDir> <destDir> [--skip t1,t2] [--limit N] [--dataonly] " +
+        "[--jdbc url] [--mongo-uri uri] [--mongo-db db] [--collections c1,c2]")
     val Seq(srcDir, destDir) = positional
     def opt(name: String): Option[String] = {
       val i = args.indexOf(s"--$name")
@@ -58,21 +75,9 @@ object PorterMain {
       case None      => new ParquetSink(destDir)
     }
 
-    val collections = Files.list(Paths.get(srcDir)).iterator().asScala
-      .map(_.toFile)
-      .filter(f => f.getName.endsWith(".jsonl") || f.getName.endsWith(".json")
-        || f.getName.endsWith(".parquet"))
-      .toSeq.sortBy(_.getName)
-      .map { f =>
-        val name = f.getName.replaceAll("\\.(jsonl|json|parquet)$", "")
-        val df =
-          if (f.getName.endsWith(".parquet")) spark.read.parquet(f.getPath)
-          else spark.read.json(f.getPath)
-        name -> df
-      }
-
     val porter = new Porter(spark, sink, config)
-    val counts = porter.exportCollections(collections)
+    val counts = porter.exportCollections(
+      selectSource(srcDir, opt).collections(spark))
     counts.toSeq.sortBy(_._1).foreach { case (t, n) =>
       println(s"[porter] $t: $n rows")
     }

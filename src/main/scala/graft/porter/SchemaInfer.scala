@@ -61,6 +61,23 @@ object SchemaInfer {
       .otherwise(lit(DVarchar(512).render))
   }
 
+  private def strictCheck(fields: Seq[StructField]): Unit =
+    fields.foreach { f =>
+      f.dataType match {
+        case BooleanType | _: MapType | BinaryType =>
+          throw new graft.kernel.DocValue.UnknownTypeException(
+            s"Unknown type for: ${f.name} (${f.dataType.simpleString})")
+        case _ => ()
+      }
+    }
+
+  private def resolve(f: StructField, obs: Seq[String]): DType =
+    staticDType(f.dataType).getOrElse {
+      if (obs.isEmpty) DInt // all-null column: first real observation
+                            // would be null→int
+      else widenAll(obs.map(DType.parse))
+    }
+
   /** Infer the destination DType of every column in one aggregation pass.
     *
     * @param strict reproduce the reference's fail-fast contract
@@ -69,16 +86,7 @@ object SchemaInfer {
     *               instead of being coerced. Non-strict callers (the query
     *               surface) get the lenient boolean→int mapping. */
   def inferTypes(df: DataFrame, strict: Boolean = false): Seq[(String, DType)] = {
-    if (strict) {
-      df.schema.fields.foreach { f =>
-        f.dataType match {
-          case BooleanType | _: MapType | BinaryType =>
-            throw new graft.kernel.DocValue.UnknownTypeException(
-              s"Unknown type for: ${f.name} (${f.dataType.simpleString})")
-          case _ => ()
-        }
-      }
-    }
+    if (strict) strictCheck(df.schema.fields.toSeq)
     val stringCols = df.schema.fields.collect {
       case f if f.dataType == StringType => f.name
     }
@@ -91,14 +99,43 @@ object SchemaInfer {
           c -> row.getAs[scala.collection.Seq[String]](c).toSeq).toMap
       }
     df.schema.fields.map { f =>
-      val t = staticDType(f.dataType).getOrElse {
-        observed.getOrElse(f.name, Seq.empty) match {
-          case obs if obs.isEmpty => DInt // all-null column: first real
-                                          // observation would be null→int
-          case obs                => widenAll(obs.map(DType.parse))
-        }
-      }
-      f.name -> t
+      f.name -> resolve(f, observed.getOrElse(f.name, Seq.empty))
     }.toSeq
+  }
+
+  /** Per-destination-table inference in ONE grouped aggregation: the rows
+    * of every routed table travel together (`tableCol` names each row's
+    * destination), so instead of one aggregation job per table this is a
+    * single `groupBy(tableCol)` pass with map-side partial `collect_set`s.
+    * `tables` enumerates the destinations to cover — a table with no rows
+    * (or none surviving the wide-row guard) still gets a definition, with
+    * every string column on the all-null `int` fallback, exactly as the
+    * per-table path inferred from an empty frame. */
+  def inferTypesByTable(
+      df: DataFrame,
+      tableCol: String,
+      tables: Seq[String],
+      strict: Boolean = false): Map[String, Seq[(String, DType)]] = {
+    val fields = df.schema.fields.filterNot(_.name == tableCol).toSeq
+    if (strict) strictCheck(fields)
+    val stringCols = fields.collect {
+      case f if f.dataType == StringType => f.name
+    }
+    val observed: Map[String, Map[String, Seq[String]]] =
+      if (stringCols.isEmpty) Map.empty
+      else {
+        val aggs = stringCols.map(c => collect_set(obsExpr(c)).as(c))
+        df.groupBy(col(tableCol)).agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { row =>
+            row.getString(0) -> stringCols.map(c =>
+              c -> row.getAs[scala.collection.Seq[String]](c).toSeq).toMap
+          }.toMap
+      }
+    tables.map { t =>
+      val obsForTable = observed.getOrElse(t, Map.empty)
+      t -> fields.map(f =>
+        f.name -> resolve(f, obsForTable.getOrElse(f.name, Seq.empty)))
+    }.toMap
   }
 }

@@ -22,6 +22,17 @@ trait Sink {
   def ensureTable(name: String, ddl: TableDef): Unit
   def truncate(name: String): Unit
   def write(name: String, df: DataFrame, ddl: TableDef): Unit
+
+  /** Write every destination in ONE pass over `df`: `tableCol` names each
+    * row's table (the reference writes all routed tables from a single
+    * cursor pass, Porter.php:150-207). Implementations override with a
+    * genuinely single-job form; this default falls back to one filtered
+    * write per table. */
+  def writeMany(df: DataFrame, tableCol: String, ddls: Map[String, TableDef]): Unit =
+    ddls.foreach { case (t, ddl) =>
+      write(t, df.filter(org.apache.spark.sql.functions.col(tableCol) === t)
+        .drop(tableCol), ddl)
+    }
 }
 
 /** Test / lakehouse sink: one parquet dir per table plus a schema sidecar
@@ -46,6 +57,36 @@ final class ParquetSink(baseDir: String) extends Sink {
 
   override def write(name: String, df: DataFrame, ddl: TableDef): Unit =
     df.write.mode("overwrite").parquet(s"${dir(name)}/data")
+
+  /** Single-job multi-table write: `partitionBy(tableCol)` splits every
+    * destination in one scan, then each partition directory is renamed
+    * into its table's `data/` location (a driver-side metadata move, no
+    * second data pass). Tables with no surviving rows still get an empty
+    * data directory so the layout matches the per-table path. */
+  override def writeMany(
+      df: DataFrame, tableCol: String, ddls: Map[String, TableDef]): Unit = {
+    val tmp = Files.createTempDirectory("graft_writemany").toString
+    df.write.partitionBy(tableCol).mode("overwrite").parquet(tmp)
+    ddls.keys.foreach { t =>
+      val src = Paths.get(tmp, s"$tableCol=$t")
+      val dst = Paths.get(dir(t), "data")
+      deleteRecursively(dst)
+      Files.createDirectories(dst.getParent)
+      if (Files.exists(src)) Files.move(src, dst)
+      else // zero-row table: write its (empty) frame so readers still
+           // find a parquet directory with the right schema
+        df.filter(org.apache.spark.sql.functions.col(tableCol) === t)
+          .drop(tableCol).write.mode("overwrite").parquet(dst.toString)
+    }
+    deleteRecursively(Paths.get(tmp))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
 }
 
 /** Production sink: batched `REPLACE INTO` over JDBC — the set-oriented
@@ -120,6 +161,43 @@ final class JdbcReplaceSink(
           if (n % bs == 0) { ps.executeBatch(); conn.commit() }
         }
         ps.executeBatch(); conn.commit()
+      } finally conn.close()
+    }
+  }
+
+  /** Single-pass multi-table write — the set-oriented form of the
+    * reference's one-cursor-pass routing (Porter.php:150-207): each
+    * partition opens one connection and keeps one PreparedStatement per
+    * destination it encounters, batching per table and committing every
+    * `batchSize` rows per statement. */
+  override def writeMany(
+      df: DataFrame, tableCol: String, ddls: Map[String, TableDef]): Unit = {
+    val allCols = df.columns.toSeq
+    val tIdx = allCols.indexOf(tableCol)
+    require(tIdx >= 0, s"missing $tableCol column")
+    val dataIdx = allCols.indices.filterNot(_ == tIdx)
+    val dataCols = dataIdx.map(allCols)
+    val sqls = ddls.keys.map(t => t -> replaceSql(t, dataCols)).toMap
+    val (u, p, bs) = (url, connProps, batchSize)
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val conn = java.sql.DriverManager.getConnection(u, p)
+      try {
+        conn.setAutoCommit(false)
+        val stmts = scala.collection.mutable.Map
+          .empty[String, (java.sql.PreparedStatement, Array[Int])]
+        rows.foreach { row =>
+          val t = row.getString(tIdx)
+          val (ps, counter) = stmts.getOrElseUpdate(t,
+            (conn.prepareStatement(sqls(t)), Array(0)))
+          var i = 0
+          while (i < dataIdx.length) {
+            ps.setObject(i + 1, row.get(dataIdx(i))); i += 1
+          }
+          ps.addBatch(); counter(0) += 1
+          if (counter(0) % bs == 0) { ps.executeBatch(); conn.commit() }
+        }
+        stmts.values.foreach { case (ps, _) => ps.executeBatch() }
+        conn.commit()
       } finally conn.close()
     }
   }

@@ -97,6 +97,21 @@ class PorterSpec extends AnyFunSuite {
     val counts = porter.exportCollection("objects", fixture("objects"))
     assert(!counts.contains("user") && !counts.contains("settings"))
     assert(counts.contains("tag_topics"))
+    // the $allKeys tally runs before the skip check (Porter.php:150-157):
+    // skipped families are still counted
+    assert(porter.keyTally("user") == 2L)
+    assert(porter.keyTally("settings") == 1L)
+  }
+
+  test("$allKeys tally: occurrences per normalized key family (Porter.php:328-332)") {
+    val out = Files.createTempDirectory("porter").toString
+    val porter = new Porter(spark, new ParquetSink(out))
+    porter.exportCollection("objects", fixture("objects"))
+    // an all-digit key normalizes to the empty-string family — tallied
+    // even though the row itself falls back to the collection table
+    assert(porter.keyTally == Map(
+      "tag_topics" -> 1L, "group_privileges_members" -> 1L, "ip_uid" -> 1L,
+      "settings" -> 1L, "user" -> 2L, "" -> 1L))
   }
 
   test("limit caps rows per collection (Porter.php:141-144)") {
