@@ -11,6 +11,11 @@ object Bench {
       .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // One untimed warm-up on the tiny sf0.001 flagship so the first timed
+    // query measures the query, not JVM/codegen first-use costs (round-1
+    // numbers had the first query absorbing ~10 s of warm-up).
+    try SparkEntry.entry(spark).queryExecution.toRdd.foreach(_ => ())
+    catch { case _: Throwable => () }
     // Deterministic run order (hash-map order let whichever similarity
     // query came first absorb all the codegen warm-up), and consume the
     // materialized rows rather than count(): under count() Catalyst prunes
