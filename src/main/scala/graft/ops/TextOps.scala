@@ -206,6 +206,115 @@ object TextOps {
              FROM documents
              ORDER BY doc_id""")),
 
+    // ---- TF-IDF top terms per document, rational idf. idf is the exact
+    //      ratio N/df rather than ln(N/df): ranking is identical (ln is
+    //      monotone) and tf·N/df is a single IEEE division both engines
+    //      compute bit-identically, where ln() could differ by an ulp
+    //      between libm and the JVM and flip a rounded value. ----
+    "q51_tfidf_top_terms" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val words = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " +")).as("term"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = Tables.load(s, dir, "documents")
+          .agg(count(lit(1)).as("n_docs"))
+        val tf = words.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = words.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))
+        tf.join(dfreq, "term").crossJoin(n)
+          .withColumn("tfidf",
+            col("tf") * col("n_docs") * lit(1.0) / col("df"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+            col("df"), round(col("tfidf"), 4).as("tfidf"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""WITH words AS (
+               SELECT doc_id,
+                 unnest(string_split_regex(lower(text), ' +')) AS term
+               FROM documents),
+             n AS (SELECT count(*) AS n_docs FROM documents),
+             tf AS (SELECT doc_id, term, count(*) AS tf
+                    FROM words GROUP BY doc_id, term),
+             dfreq AS (SELECT term, count(*) AS df FROM
+                       (SELECT DISTINCT doc_id, term FROM words)
+                       GROUP BY term),
+             scored AS (
+               SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                 tf.tf * n.n_docs * 1.0 / dfreq.df AS tfidf
+               FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+             ranked AS (
+               SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term) AS rank
+               FROM scored)
+             SELECT doc_id, rank, term, tf, df, round(tfidf, 4) AS tfidf
+             FROM ranked WHERE rank <= 3
+             ORDER BY doc_id, rank""")),
+
+    // ---- deterministic stratified sampling: an md5-derived hash of the
+    //      doc id decides membership, so the sample is reproducible across
+    //      runs, engines and cluster layouts (no rand()), and the rate
+    //      holds per language stratum. The standard trick for carving
+    //      train/eval splits out of a 100 TB corpus. ----
+    "q53_stratified_sample" -> QueryDef(
+      (s, dir) => {
+        val inSample =
+          expr("""cast(conv(substring(md5(concat('sample:',
+                    cast(doc_id as string))), 1, 14), 16, 10) as long)""")
+            .%(10) < 2
+        Tables.load(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(inSample, 1L).otherwise(0L)).as("n_sampled"))
+          .withColumn("rate",
+            round(col("n_sampled") * lit(1.0) / col("n_total"), 4))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_total,
+               sum(CASE WHEN CAST(('0x' || substr(md5('sample:' ||
+                     CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 10 < 2
+                   THEN 1 ELSE 0 END) AS n_sampled,
+               round(sum(CASE WHEN CAST(('0x' || substr(md5('sample:' ||
+                     CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 10 < 2
+                   THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS rate
+             FROM documents
+             GROUP BY lang
+             ORDER BY lang""")),
+
+    // ---- global bigram top-20 (corpus n-gram statistics) ----
+    "q57_bigram_topk" -> QueryDef(
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("words", split(lower(col("text")), " +"))
+          .filter(size(col("words")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(0, size(words) - 2),
+                 i -> concat_ws(' ', slice(words, i + 1, 2)))""")).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20),
+      Some("""WITH w AS (
+               SELECT doc_id,
+                 unnest(string_split_regex(lower(text), ' +')) AS word,
+                 generate_subscripts(string_split_regex(lower(text), ' +'), 1) AS i
+               FROM documents),
+             bg AS (
+               SELECT concat_ws(' ', word,
+                 lead(word, 1) OVER (PARTITION BY doc_id ORDER BY i)) AS bigram,
+                 lead(word, 1) OVER (PARTITION BY doc_id ORDER BY i) AS tail
+               FROM w)
+             SELECT bigram, count(*) AS n
+             FROM bg WHERE tail IS NOT NULL
+             GROUP BY bigram
+             ORDER BY n DESC, bigram
+             LIMIT 20""")),
+
     // ---- token counting + polynomial content fingerprint. The fold is
     //      sequential in both engines (functions.aggregate ≡ list_reduce
     //      over a 0-prepended list) and stays in [0, 1e9+7) so int64
