@@ -9,6 +9,13 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Live MongoDB support (graft.porter.MongoSource) is config-only: the
+// source talks to `format("mongodb")` and reflects into
+// com.mongodb.client.MongoClients, so a real deployment just adds the
+// public connector to the classpath — no code change:
+//   libraryDependencies += "org.mongodb.spark" %% "mongo-spark-connector" % "10.5.0"
+// (brings mongodb-driver-sync transitively). Not resolvable in this
+// zero-egress sandbox, hence commented; the seam is unit-tested instead.
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Runs one query and returns (seconds, error marker). A query that
+    * crashes must NOT bench as ~0 s and look fast: its marker carries the
+    * exception class so the emitted JSON line shows the failure. */
+  def timeOne(spark: SparkSession, sfDir: String,
+              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : (Double, Option[String]) = {
+    val t0 = System.nanoTime()
+    val err =
+      try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); None }
+      catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+    ((System.nanoTime() - t0) / 1e9, err)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,15 +36,15 @@ object Bench {
     // every projection column and can drop sorts, so projection-heavy
     // queries were partly benchmarked away.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val (sec, err) = timeOne(spark, sfDir, fn)
+      (name, sec, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

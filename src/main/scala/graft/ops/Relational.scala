@@ -379,17 +379,29 @@ object Relational {
     //      percentiles, sample stddev, correlation. True values are not
     //      on a decimal grid, so rounding is at 4 digits where the
     //      cross-engine float noise (~1e-9 relative) cannot reach the
-    //      midpoints ----
+    //      midpoints. Percentiles go through [[Percentiles]] — Spark's
+    //      built-in exact `percentile` funnels each group's full value
+    //      set into one final-merge task (≤5 tasks holding the whole
+    //      table at this grouping), where the rank-based two-pass form
+    //      stays distributed ----
     "q47_stats_per_priority" -> QueryDef(
-      (s, dir) =>
-        t(s, dir, "orders")
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val pct = Percentiles.exactPercentiles(s, orders,
+          "o_orderpriority", "o_totalprice",
+          Seq("median_price" -> 0.5, "p90_price" -> 0.9))
+        orders
           .groupBy(col("o_orderpriority"))
           .agg(
-            round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
-            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
             round(stddev_samp(col("o_totalprice")), 4).as("price_stddev"),
             round(corr(col("o_totalprice"), col("o_custkey")), 4).as("price_cust_corr"))
-          .orderBy(col("o_orderpriority")),
+          .join(broadcast(pct), "o_orderpriority")
+          .select(col("o_orderpriority"),
+            round(col("median_price"), 4).as("median_price"),
+            round(col("p90_price"), 4).as("p90_price"),
+            col("price_stddev"), col("price_cust_corr"))
+          .orderBy(col("o_orderpriority"))
+      },
       Some("""SELECT o_orderpriority,
                round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
                round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,

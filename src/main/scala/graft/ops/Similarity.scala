@@ -59,10 +59,24 @@ object Similarity {
     * coprime to 2016), so every bit is a distinct deterministic
     * hyperplane surrogate. Candidates = pairs agreeing on ALL 8 bits of
     * at least one band; measured at sf0.01 this visits ~9 % of all pairs
-    * (an 11× comparison reduction that grows with selectivity at scale
-    * because band values spread over 256 buckets per band). */
+    * (an 11× comparison reduction). NOTE: 8-bit bands have only 256
+    * possible values, so each band group holds ~N/256 vectors and the
+    * candidate count stays a FIXED fraction of N² as the corpus grows —
+    * banding alone does not get more selective at scale. Bounded fan-out
+    * comes from [[NeardupBandCap]] below: band groups larger than the cap
+    * are dropped before the self-join (mirrored in the oracle), exactly
+    * like [[Dedup.HotBandCap]] on the MinHash path. Giant sign-LSH groups
+    * are near-identical-direction clusters, exact-dup territory that q31
+    * catches in one shuffle. */
   private val NeardupBands = 16
   private val NeardupRowsPerBand = 8
+
+  /** Absolute cap on a (band_idx, band_val) group in the q41 self-join —
+    * a group of k vectors contributes k·(k-1)/2 candidate pairs, so join
+    * cost is bounded by group size, not corpus size. Chosen to exclude
+    * nothing at the test scales (≈2000/256 ≈ 8 vectors per group at
+    * sf0.1) while bounding every group at corpus scale. */
+  val NeardupBandCap = 200
   private val neardupBits: IndexedSeq[(Int, Int)] = {
     val all = for { p <- 0 until 64; q <- p + 1 until 64 } yield (p, q)
     (0 until NeardupBands * NeardupRowsPerBand).map(i => all((i * 997) % all.size))
@@ -246,20 +260,25 @@ object Similarity {
 
     // ---- embedding-cosine near-dup pairs, LSH candidate path ----
     //      Candidates from 16 sign-LSH bands (equi self-join on
-    //      (band_idx, band_val) — never all pairs), then exact cosine
-    //      verification with graft_dot. The oracle mirrors the banding
+    //      (band_idx, band_val) — never all pairs, hot band groups dropped
+    //      by NeardupBandCap first), then exact cosine verification with
+    //      graft_dot. The oracle mirrors the banding and the cap
     //      bit-for-bit, so both engines enumerate the identical candidate
     //      set; recall vs the exact baseline (q50) is measured in
-    //      SimilaritySpec. At 100 TB the band join is the only shuffle
-    //      whose size is governed by the r=8/B=16 collision trade-off.
+    //      SparkOpsSpec. The 128 band bits are materialized ONCE into the
+    //      persisted frame (an 8-element array column), so neither join
+    //      side re-evaluates the 128 CASE expressions.
     "q41_embedding_neardup" -> QueryDef(
       (s, dir) => {
-        val n = normed(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bandCols = (0 until NeardupBands)
           .map(b => expr(neardupBandSpark("embedding", b)))
-        val bands = n.select(col("vec_id"),
-          posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+        val n = normed(s, dir)
+          .withColumn("band_vals", array(bandCols: _*))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bands = Dedup.coldBands(
+          n.select(col("vec_id"),
+            posexplode(col("band_vals")).as(Seq("band_idx", "band_val"))),
+          NeardupBandCap)
         val cands = bands.as("x")
           .join(bands.as("y"),
             col("x.band_idx") === col("y.band_idx") &&
@@ -283,7 +302,13 @@ object Similarity {
           .mkString(" UNION ALL ")
         s"""WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
                     FROM embeddings),
-           bands AS ($bandSelects),
+           bands0 AS ($bandSelects),
+           hot AS (
+             SELECT band_idx, band_val FROM bands0
+             GROUP BY band_idx, band_val HAVING count(*) > $NeardupBandCap),
+           bands AS (
+             SELECT b.* FROM bands0 b
+             ANTI JOIN hot h USING (band_idx, band_val)),
            cands AS (
              SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
              FROM bands x JOIN bands y

@@ -34,17 +34,25 @@ object TextOps {
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), explode(shingleExpr).as("s"))
 
-  /** Shingles appearing in more than half of all documents. Joining on
-    * such a key makes the inverted-index self-join group quadratic (a
-    * stopword-like 3-gram shared by millions of docs at corpus scale), and
-    * a shingle carried by >50 % of documents has no discriminative value
-    * for Jaccard ≥ 0.8 anyway. The list is tiny by construction, so the
-    * exclusion below is a broadcast anti-join. */
-  def hotShingles(sh: DataFrame): DataFrame = {
+  /** A shingle shared by k documents contributes a k-member join group —
+    * k·(k-1)/2 candidate pairs — to the inverted-index self-join, so the
+    * cap must be on the ABSOLUTE group size, not the document fraction: a
+    * shingle carried by just 1 % of a 10-billion-doc corpus still forms a
+    * ~10¹⁶-pair group. Mirrors [[Dedup.HotBandCap]]; chosen so nothing is
+    * excluded at the test scales (max observed df is 25 at sf0.1) while
+    * bounding every join group at corpus scale. */
+  val HotShingleCap = 200
+
+  /** Shingles whose document frequency makes the self-join quadratic:
+    * df above the absolute [[HotShingleCap]], or df in more than half of
+    * all documents (stopword-like 3-grams with no discriminative value for
+    * Jaccard ≥ 0.8). The list is tiny by construction, so the exclusion
+    * below is a broadcast anti-join. */
+  def hotShingles(sh: DataFrame, cap: Int = HotShingleCap): DataFrame = {
     val total = sh.agg(countDistinct(col("doc_id")).as("total"))
     sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .crossJoin(total)
-      .filter(col("df") * 2 > col("total"))
+      .filter(col("df") * 2 > col("total") || col("df") > cap)
       .select(col("s"))
   }
 
@@ -100,7 +108,7 @@ object TextOps {
     //      path — and mirrors the cutoff exactly) ----
     "q32_dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => jaccardPairs(Tables.load(s, dir, "documents"), 0.8),
-      Some("""WITH w AS (
+      Some(s"""WITH w AS (
                SELECT doc_id,
                  unnest(string_split_regex(lower(text), ' +')) AS word,
                  generate_subscripts(string_split_regex(lower(text), ' +'), 1) AS i
@@ -116,7 +124,8 @@ object TextOps {
                WHERE tail IS NOT NULL),
              hot AS (
                SELECT s FROM sh0 GROUP BY s
-               HAVING count(*) * 2 > (SELECT count(DISTINCT doc_id) FROM sh0)),
+               HAVING count(*) * 2 > (SELECT count(DISTINCT doc_id) FROM sh0)
+                   OR count(*) > $HotShingleCap),
              sh AS (
                SELECT sh0.doc_id, sh0.s FROM sh0
                WHERE sh0.s NOT IN (SELECT s FROM hot)),
@@ -206,11 +215,14 @@ object TextOps {
              FROM documents
              ORDER BY doc_id""")),
 
-    // ---- TF-IDF top terms per document, rational idf. idf is the exact
-    //      ratio N/df rather than ln(N/df): ranking is identical (ln is
-    //      monotone) and tf·N/df is a single IEEE division both engines
-    //      compute bit-identically, where ln() could differ by an ulp
-    //      between libm and the JVM and flip a rounded value. ----
+    // ---- TF-IDF top terms per document, rational idf. This operator's
+    //      DEFINED semantics are tf·(N/df) — not the classical tf·ln(N/df).
+    //      The two scores can rank terms differently (monotonicity of ln
+    //      does not survive multiplication by tf), so this is a deliberate
+    //      semantic choice, made because the rational score is a single
+    //      IEEE division both engines compute bit-identically, where ln()
+    //      could differ by an ulp between libm and the JVM and flip a
+    //      rounded value (DESIGN.md parity rules). ----
     "q51_tfidf_top_terms" -> QueryDef(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -277,9 +289,9 @@ object TextOps {
           .orderBy(col("lang"))
       },
       Some("""SELECT lang, count(*) AS n_total,
-               sum(CASE WHEN CAST(('0x' || substr(md5('sample:' ||
+               CAST(sum(CASE WHEN CAST(('0x' || substr(md5('sample:' ||
                      CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 10 < 2
-                   THEN 1 ELSE 0 END) AS n_sampled,
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
                round(sum(CASE WHEN CAST(('0x' || substr(md5('sample:' ||
                      CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 10 < 2
                    THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS rate

@@ -173,9 +173,15 @@ final class Porter(
     val tableCounts = df.groupBy(col("_table")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     var acc = 0L
-    val offsets = tableCounts.toSeq.sortBy(_._1).map { case (t, n) =>
-      val o = acc; acc += n; t -> o
-    }.toMap
+    // offsets must follow the SAME table order Spark's sort produced:
+    // Spark compares strings by UTF-8 bytes, while Scala's default String
+    // ordering compares UTF-16 code units — they disagree for names mixing
+    // supplementary-plane chars with U+E000–U+FFFF, which would skew every
+    // offset after the disagreement (negative `_num`s downstream).
+    val offsets = tableCounts.toSeq
+      .sortWith((p, q) => utf8Compare(p._1, q._1) < 0)
+      .map { case (t, n) => val o = acc; acc += n; t -> o }
+      .toMap
     val bc = spark.sparkContext.broadcast(offsets)
     val tIdx = sorted.columns.indexOf("_table")
     val withIdx = sorted.rdd.zipWithIndex().map { case (row, i) =>
@@ -183,6 +189,20 @@ final class Porter(
     }
     (spark.createDataFrame(withIdx,
       sorted.schema.add("_num", LongType, nullable = false)), tableCounts)
+  }
+
+  /** Lexicographic comparison of the UTF-8 byte sequences — the ordering
+    * Spark's `orderBy` uses for string columns (UTF8String binary order). */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** DDL + data write for a batch of destination tables whose rows travel

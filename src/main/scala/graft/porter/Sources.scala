@@ -34,18 +34,24 @@ final class FileSource(srcDir: String) extends Source {
 }
 
 /** Live MongoDB source through the public MongoDB Spark connector
-  * (`spark.read.format("mongodb")`). Collection names are passed in
-  * explicitly: the connector reads one collection per load and does not
-  * enumerate a database, so listing (the reference's `listCollections`,
-  * Porter.php:498-503) belongs to the deployment — a tiny driver-side
-  * client call or a static config. The connector jar is not present in
-  * this sandbox, so `load()` cannot execute here; the seam, its option
-  * wiring and CLI dispatch are what the tests pin.
+  * (`spark.read.format("mongodb")`). Explicit collection names win; when
+  * none are given the source enumerates the database itself — the
+  * reference's `listCollections` loop (Porter.php:344-349, 498-503) — via
+  * a driver-side `listCollectionNames` call. The connector reads one
+  * collection per load, so enumeration is a plain Mongo Java-driver call,
+  * injectable for tests. Neither the connector nor the Java driver jar is
+  * present in this sandbox (zero egress), so `load()` and the default
+  * enumerator cannot execute here; the seam, option wiring, enumeration
+  * fallback and CLI dispatch are what the tests pin. Deployment is
+  * config-only: put `mongo-spark-connector` (which brings
+  * `mongodb-driver-sync`) on the Spark classpath — see build.sbt.
   */
 final class MongoSource(
     uri: String,
     database: String,
-    collectionNames: Seq[String]) extends Source {
+    collectionNames: Seq[String],
+    enumerate: MongoSource.Enumerator = MongoSource.driverEnumerator)
+  extends Source {
 
   /** Exposed for tests: the reader options one collection maps to. */
   def readOptions(collection: String): Map[String, String] = Map(
@@ -53,8 +59,35 @@ final class MongoSource(
     "database"       -> database,
     "collection"     -> collection)
 
+  /** Explicit names, or the enumerated database when none were passed. */
+  def names: Seq[String] =
+    (if (collectionNames.nonEmpty) collectionNames
+     else enumerate(uri, database)).sorted
+
   override def collections(spark: SparkSession): Seq[(String, DataFrame)] =
-    collectionNames.sorted.map { c =>
+    names.map { c =>
       c -> spark.read.format("mongodb").options(readOptions(c)).load()
     }
+}
+
+object MongoSource {
+  /** (uri, database) → collection names. */
+  type Enumerator = (String, String) => Seq[String]
+
+  /** Driver-side `listCollectionNames` through the public MongoDB Java
+    * driver (`com.mongodb.client.MongoClients`), resolved reflectively so
+    * this module compiles and tests without the jar; production gets it
+    * transitively from the connector dependency. */
+  val driverEnumerator: Enumerator = (uri, database) => {
+    val clientIface = Class.forName("com.mongodb.client.MongoClient")
+    val client = Class.forName("com.mongodb.client.MongoClients")
+      .getMethod("create", classOf[String]).invoke(null, uri)
+    try {
+      val db = clientIface.getMethod("getDatabase", classOf[String])
+        .invoke(client, database)
+      val names = Class.forName("com.mongodb.client.MongoDatabase")
+        .getMethod("listCollectionNames").invoke(db)
+      names.asInstanceOf[java.lang.Iterable[String]].asScala.toSeq
+    } finally clientIface.getMethod("close").invoke(client)
+  }
 }

@@ -96,6 +96,12 @@ object FakeJdbc {
         val name = String.valueOf(a(2))
         log(s"getTables:$name")
         oneShotResultSet(existing.contains(name))
+      // the recording fake knows table NAMES but not column structure:
+      // empty column metadata makes the sink's tableDef return None, so
+      // ensureTable takes the CREATE path (the SQL-executing MiniMySql
+      // fake covers the evolve path)
+      case ("getColumns", _)     => oneShotResultSet(false)
+      case ("getPrimaryKeys", _) => oneShotResultSet(false)
     }
 
   private def connection(): java.sql.Connection =

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates that turn past round-losing bug CLASSES into failing tests:
+  * DuckDB HUGEINT leaking into the driver's hash compare (q25 round 1,
+  * q53 round 2) and crashed queries benching as ~0 s. */
+class OracleHygieneSpec extends AnyFunSuite {
+
+  /** (start, end) spans of every `sum(`'s balanced argument in `sql`. */
+  private def sumArgs(sql: String): Seq[(Int, Int)] = {
+    val lower = sql.toLowerCase
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = lower.indexOf("sum(")
+    while (i >= 0) {
+      var j = i + 3 // at the opening paren
+      var depth = 0
+      var end = -1
+      while (j < sql.length && end < 0) {
+        sql.charAt(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) end = j
+          case _   =>
+        }
+        j += 1
+      }
+      if (end > 0) out += ((i + 4, end))
+      i = lower.indexOf("sum(", j)
+    }
+    out.toSeq
+  }
+
+  /** Integer-valued: a CASE whose THEN/ELSE branches are all integer
+    * literals (DuckDB types such a sum HUGEINT). A CASE over a double
+    * column (`THEN value`) is fine. */
+  private def isIntegerCase(arg: String): Boolean = {
+    val branches = """(?is)(?:THEN|ELSE)\s+(\S+)""".r
+      .findAllMatchIn(arg).map(_.group(1)).toSeq
+    branches.nonEmpty && branches.forall(_.matches("-?\\d+"))
+  }
+
+  // q34's signed bit sums are consumed ONLY by `b >= 0` comparisons inside
+  // the oracle — HUGEINT never reaches an output column, and the query has
+  // hash-matched since round 2.
+  private val consumedInternally = Set("q34_simhash_signatures")
+
+  test("integer sum(CASE...) in every oracle is CAST to BIGINT or folded into a double") {
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) =>
+        if (consumedInternally(name)) Nil
+        else sumArgs(sql).flatMap { case (start, end) =>
+          val arg = sql.substring(start, end)
+          if (!isIntegerCase(arg)) None
+          else {
+            val prefix = sql.substring(0, start - 4) // text before "sum("
+            val suffix = sql.substring(end + 1)      // text after ")"
+            val castWrapped = "(?is).*CAST\\(\\s*$".r.matches(prefix)
+            val foldedToDouble = "(?is)^\\s*\\*\\s*1\\.0.*".r.matches(suffix)
+            if (castWrapped || foldedToDouble) None
+            else Some(s"$name: sum(${arg.trim.take(60)}...)")
+          }
+        }
+    }
+    assert(offenders.isEmpty,
+      s"HUGEINT-hazard sums (wrap in CAST(... AS BIGINT)): $offenders")
+  }
+
+  test("the gate itself recognizes the round-2 q53 bug shape") {
+    val bad = "SELECT sum(CASE WHEN x < 2 THEN 1 ELSE 0 END) AS n FROM t"
+    val args = sumArgs(bad)
+    assert(args.size == 1)
+    val arg = bad.substring(args.head._1, args.head._2)
+    assert(isIntegerCase(arg))
+    assert(!isIntegerCase("CASE WHEN event_type = 'click' THEN value END"))
+  }
+}
+
+class BenchErrorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("a crashing query reports an error marker instead of benching as ~0 s") {
+    val (_, err) = Bench.timeOne(spark, "/nonexistent",
+      (s, dir) => s.read.parquet(s"$dir/nope.parquet"))
+    assert(err.isDefined)
+    val (_, ok) = Bench.timeOne(spark, "/root/testdata/sf0.001",
+      (s, dir) => SparkEntry.queries("q16_top_orders_global")(s, dir))
+    assert(ok.isEmpty)
+  }
+}

@@ -76,6 +76,82 @@ class JdbcSinkSpec extends AnyFunSuite {
   }
 }
 
+/** Executes the sink's generated SQL text against [[MiniMySql]], the
+  * SQL-parsing in-memory MySQL-subset engine: CREATE/REPLACE round-trip,
+  * REPLACE-on-PK-collision upsert semantics, and destination DDL evolution
+  * on re-export (`ensureRowStructure`, Porter.php:86-123). FakeJdbc only
+  * records strings; these tests validate the statements themselves. */
+class MiniMySqlSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def sink(bs: Int = 1000) =
+    new JdbcReplaceSink("jdbc:mini:db", new java.util.Properties, batchSize = bs)
+  private def fresh(): Unit = { MiniMySql.register; MiniMySql.reset() }
+
+  test("CREATE + REPLACE round-trip: rows land typed; PK collisions upsert") {
+    fresh()
+    import spark.implicits._
+    val s = sink()
+    s.ensureTable("users",
+      TableDef(Seq("_id" -> DVarchar(50), "n" -> DInt), Seq("_id")))
+    assert(MiniMySql.colTypes("users") ==
+      Map("_id" -> "VARCHAR(50)", "n" -> "INT"))
+    s.write("users", Seq(("a", 1), ("b", 2)).toDF("_id", "n").coalesce(1),
+      TableDef(Seq.empty, Seq.empty))
+    // second export REPLACEs _id=a (PK collision → overwrite) and adds c
+    s.write("users", Seq(("a", 10), ("c", 3)).toDF("_id", "n").coalesce(1),
+      TableDef(Seq.empty, Seq.empty))
+    val rows = MiniMySql.rowsOf("users").map(r => r("_id") -> r("n")).toMap
+    assert(rows == Map("a" -> 10, "b" -> 2, "c" -> 3))
+  }
+
+  test("re-export evolves the destination DDL: widen conflicting types, add unseen columns (Porter.php:86-123)") {
+    fresh()
+    import spark.implicits._
+    val s = sink()
+    // run 1: narrow types; a row lands
+    s.ensureTable("t", TableDef(Seq("_id" -> DVarchar(50), "n" -> DInt), Seq("_id")))
+    s.write("t", Seq(("a", 1)).toDF("_id", "n").coalesce(1),
+      TableDef(Seq.empty, Seq.empty))
+    // run 2 infers wider strings, doubles, and a brand-new column
+    s.ensureTable("t", TableDef(
+      Seq("_id" -> DVarchar(100), "n" -> DDouble, "extra" -> DText), Seq("_id")))
+    assert(MiniMySql.colTypes("t") ==
+      Map("_id" -> "VARCHAR(100)", "n" -> "DOUBLE", "extra" -> "TEXT"))
+    // run 1's row survived the ALTERs, with NULL for the added column
+    assert(MiniMySql.rowsOf("t") == Seq(Map("_id" -> "a", "n" -> 1, "extra" -> null)))
+    // run 3: int observations against the now-double column stay double
+    // (widen is the lattice, not last-writer-wins), nothing re-narrows
+    s.ensureTable("t", TableDef(Seq("n" -> DInt), Seq.empty))
+    assert(MiniMySql.colTypes("t")("n") == "DOUBLE")
+  }
+
+  test("tableDef reads the evolved definition back through JDBC metadata") {
+    fresh()
+    val s = sink()
+    s.ensureTable("t", TableDef(Seq("_id" -> DVarchar(50), "n" -> DInt), Seq("_id")))
+    s.ensureTable("t", TableDef(Seq("n" -> DDouble, "s" -> DVarchar(255)), Seq.empty))
+    assert(s.tableDef("t") == Some(TableDef(
+      Seq("_id" -> DVarchar(50), "n" -> DDouble, "s" -> DVarchar(255)), Seq("_id"))))
+    assert(s.tableDef("missing") == None)
+  }
+}
+
+/** [[TableDef.evolve]] is the pure merge the evolution path rides. */
+class TableDefEvolveSpec extends AnyFunSuite {
+  test("evolve widens conflicts, appends unseen columns, keeps destination order and pk") {
+    val existing = TableDef(
+      Seq("_id" -> DVarchar(50), "a" -> DInt, "b" -> DVarchar(100)), Seq("_id"))
+    val inferred = TableDef(
+      Seq("b" -> DVarchar(255), "a" -> DDouble, "c" -> DDatetime), Seq.empty)
+    val merged = TableDef.evolve(existing, inferred)
+    assert(merged == TableDef(
+      Seq("_id" -> DVarchar(50), "a" -> DDouble, "b" -> DVarchar(255),
+        "c" -> DDatetime), Seq("_id")))
+    // columns only the destination knows are untouched; same def → no-op
+    assert(TableDef.evolve(merged, inferred) == merged)
+  }
+}
+
 /** Source-seam dispatch (`Porter.php:490-496`): `--mongo-uri` selects the
   * connector-backed source; otherwise the file-directory stand-in. */
 class SourceSpec extends AnyFunSuite {
@@ -93,6 +169,18 @@ class SourceSpec extends AnyFunSuite {
       "connection.uri" -> "mongodb://h:27017",
       "database" -> "nodebb",
       "collection" -> "objects"))
+  }
+
+  test("MongoSource with no explicit collections enumerates the database (Porter.php:344-349)") {
+    val enumerated = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val src = new MongoSource("mongodb://h:27017", "nodebb", Seq.empty,
+      enumerate = (uri, db) => { enumerated += uri -> db; Seq("sessions", "objects") })
+    assert(src.names == Seq("objects", "sessions")) // sorted
+    assert(enumerated.toSeq == Seq("mongodb://h:27017" -> "nodebb"))
+    // explicit names suppress enumeration
+    val explicit = new MongoSource("mongodb://h:27017", "nodebb", Seq("only"),
+      enumerate = (_, _) => fail("must not enumerate"))
+    assert(explicit.names == Seq("only"))
   }
 
   test("CLI dispatch: no --mongo-uri falls back to the file stand-in, which reads collections") {

@@ -213,6 +213,26 @@ class DedupCapSpec extends AnyFunSuite {
     assert(pairs.head.getDouble(3) == 1.0)
   }
 
+  test("a shingle under 50% df but over the ABSOLUTE cap is excluded (join-group size, not fraction, drives cost)") {
+    import spark.implicits._
+    // 250 of 602 docs share one shingle: only ~42% document frequency —
+    // the relative rule keeps it — but a 250-member join group means
+    // C(250,2) = 31125 candidate pairs from that shingle alone. The
+    // absolute HotShingleCap (200) must drop it.
+    val sharers = (0 until 250).map(i =>
+      (i.toLong, s"hot anchor phrase word${i}a word${i}b word${i}c"))
+    val fillers = (300 until 650).map(i =>
+      (i.toLong, s"filler${i}x filler${i}y filler${i}z filler${i}w"))
+    val dups = Seq((998L, "some unrelated duplicate text pair here"),
+                   (999L, "some unrelated duplicate text pair here"))
+    val docs = (sharers ++ fillers ++ dups).toDF("doc_id", "text")
+    val hot = graft.ops.TextOps.hotShingles(graft.ops.TextOps.shingles(docs))
+      .as[String].collect().toSet
+    assert(hot == Set("hot anchor phrase"))
+    val pairs = graft.ops.TextOps.jaccardPairs(docs, 0.8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((998L, 999L)))
+  }
+
   test("band groups over HotBandCap are dropped: a 300-doc duplicate cluster no longer quadratics the LSH join") {
     import spark.implicits._
     val cluster = (0 until 300).map(i =>
@@ -226,6 +246,44 @@ class DedupCapSpec extends AnyFunSuite {
     val out = graft.ops.Dedup.lshCandidatePairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((1000L, 1001L)))
+  }
+}
+
+class PercentilesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("rank-based exact percentiles match Spark's exact percentile aggregate (all groups, incl. q=0/1)") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val fast = graft.ops.Percentiles.exactPercentiles(spark, orders,
+      "o_orderpriority", "o_totalprice",
+      Seq("p0" -> 0.0, "p50" -> 0.5, "p90" -> 0.9, "p100" -> 1.0))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val ref = orders.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.0)").as("p0"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        expr("percentile(o_totalprice, 1.0)").as("p100"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(fast.keySet == ref.keySet)
+    fast.foreach { case (g, (a0, a50, a90, a100)) =>
+      val (b0, b50, b90, b100) = ref(g)
+      // interpolation formulas may differ by an ulp; the q47 oracle rounds
+      // at 4 digits where 1e-9 relative noise cannot reach a midpoint
+      def close(x: Double, y: Double) = math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y))
+      assert(close(a0, b0) && close(a50, b50) && close(a90, b90) && close(a100, b100),
+        s"$g: $fast vs $ref")
+    }
+  }
+
+  test("single-value and tiny groups interpolate without error") {
+    import spark.implicits._
+    val df = Seq(("a", 10.0), ("b", 1.0), ("b", 2.0), ("b", 4.0))
+      .toDF("g", "v")
+    val out = graft.ops.Percentiles.exactPercentiles(spark, df, "g", "v",
+      Seq("p50" -> 0.5)).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("a" -> 10.0, "b" -> 2.0))
   }
 }
 
