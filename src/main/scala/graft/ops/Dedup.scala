@@ -88,8 +88,10 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
-  private val duckShingles =
-    s"""WITH w AS (
+  /** Shared shingle/signature CTE chain (no WITH prefix, so callers can
+    * choose `WITH` or `WITH RECURSIVE`). */
+  private val duckShinglesBody =
+    s"""w AS (
          SELECT doc_id,
            unnest(string_split_regex(lower(text), ' +')) AS word,
            generate_subscripts(string_split_regex(lower(text), ' +'), 1) AS i
@@ -106,34 +108,147 @@ object Dedup {
        hashed AS (SELECT doc_id, ${hashExprDuck("s")} AS h,
                          ${hashExprDuck("s")} % $P AS g FROM sh)"""
 
+  private val duckShingles = s"WITH $duckShinglesBody"
+
+  /** CTE chain ending in `cand_pairs(da, db)` — the oracle mirror of
+    * [[lshCandidatePairs]], reused by q33/q54/q56. */
+  private def duckCandPairsBody: String = {
+    val sigCols = A.zip(B).zipWithIndex
+      .map { case ((a, b), j) => s"min((g * $a + $b) % $P) AS m$j" }
+      .mkString(", ")
+    val bandSelects = (0 until 4)
+      .map(k => s"SELECT doc_id, $k AS band_idx, concat_ws(':', m${2 * k}, m${2 * k + 1}) AS band_val FROM sigs")
+      .mkString(" UNION ALL ")
+    s"""$duckShinglesBody,
+       sigs AS (SELECT doc_id, $sigCols FROM hashed GROUP BY doc_id),
+       bands0 AS ($bandSelects),
+       hot AS (
+         SELECT band_idx, band_val FROM bands0
+         GROUP BY band_idx, band_val HAVING count(*) > $HotBandCap),
+       bands AS (
+         SELECT b.* FROM bands0 b
+         ANTI JOIN hot h USING (band_idx, band_val)),
+       cand_pairs AS (
+         SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         FROM bands x JOIN bands y
+           ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+          AND x.doc_id < y.doc_id)"""
+  }
+
+  /** Connected components of the near-dup candidate graph: every doc
+    * starts labeled with its own id; each round every node takes the min
+    * label among itself, its neighbors (label propagation) and its
+    * label's label (pointer jumping), until a fixpoint. Cluster id = min
+    * doc_id in the component — the dedup "keeper" assignment over the
+    * PAIR graph (pairs alone don't give keepers when dups chain a-b, b-c).
+    *
+    * Scale shape: one round = two equi-joins + one map-side-combinable
+    * min aggregation. Pointer jumping halves the label-tree depth each
+    * round, so rounds are O(log diameter), not O(diameter) — a 1000-link
+    * dup chain converges in ~10 rounds. Two non-negotiables for ANY
+    * iterative DataFrame loop at scale, both learned the hard way:
+    * `localCheckpoint` each round (the logical plan otherwise EMBEDS the
+    * previous round's tree at every reference and doubles per iteration —
+    * OOMs the driver long before the data is big), and a LIMIT-1
+    * convergence probe rather than a data collect. On a real cluster
+    * prefer reliable `checkpoint` over `localCheckpoint` (executor loss
+    * kills local checkpoints). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val viaEdges = labels.join(edges, col("doc_id") === col("src"))
+        .select(col("dst").as("doc_id"), col("lbl"))
+      val viaJump = labels.as("a")
+        .join(labels.as("b"), col("a.lbl") === col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.lbl"))
+      val prop = labels.union(viaEdges).union(viaJump)
+        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val changed = prop.as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .limit(1).count()
+      labels = prop
+      converged = changed == 0L
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- MinHash signatures + LSH banding → candidate near-dup pairs
     //      (hot band groups excluded, mirrored in the oracle) ----
     "q33_minhash_lsh_pairs" -> QueryDef(
       (s, dir) => lshCandidatePairs(Tables.load(s, dir, "documents")),
-      Some {
-        val sigCols = A.zip(B).zipWithIndex
-          .map { case ((a, b), j) => s"min((g * $a + $b) % $P) AS m$j" }
-          .mkString(", ")
-        val bandSelects = (0 until 4)
-          .map(k => s"SELECT doc_id, $k AS band_idx, concat_ws(':', m${2 * k}, m${2 * k + 1}) AS band_val FROM sigs")
-          .mkString(" UNION ALL ")
-        s"""$duckShingles,
-           sigs AS (SELECT doc_id, $sigCols FROM hashed GROUP BY doc_id),
-           bands0 AS ($bandSelects),
-           hot AS (
-             SELECT band_idx, band_val FROM bands0
-             GROUP BY band_idx, band_val HAVING count(*) > $HotBandCap),
-           bands AS (
-             SELECT b.* FROM bands0 b
-             ANTI JOIN hot h USING (band_idx, band_val))
-           SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-           FROM bands x JOIN bands y
-             ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-            AND x.doc_id < y.doc_id
-           ORDER BY da, db"""
-      }),
+      Some(s"""WITH $duckCandPairsBody
+             SELECT da, db FROM cand_pairs
+             ORDER BY da, db""")),
+
+    // ---- dedup cluster assignment: connected components over the LSH
+    //      candidate pair graph (keeper = min doc_id per component). The
+    //      oracle computes the same components via a recursive
+    //      reachability CTE — an independent algorithm, so the iterative
+    //      min-propagation and the transitive closure must agree. ----
+    "q54_dedup_clusters" -> QueryDef(
+      (s, dir) =>
+        connectedComponents(lshCandidatePairs(Tables.load(s, dir, "documents")))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE $duckCandPairsBody,
+             edges AS (SELECT da AS src, db AS dst FROM cand_pairs
+                       UNION ALL
+                       SELECT db AS src, da AS dst FROM cand_pairs),
+             reach(doc_id, r) AS (
+               SELECT DISTINCT src AS doc_id, src AS r FROM edges
+               UNION
+               SELECT e.dst AS doc_id, reach.r
+               FROM reach JOIN edges e ON e.src = reach.doc_id),
+             labels AS (
+               SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+             sizes AS (
+               SELECT cluster_id, count(*) AS cluster_size
+               FROM labels GROUP BY cluster_id)
+             SELECT l.doc_id, l.cluster_id, s.cluster_size
+             FROM labels l JOIN sizes s USING (cluster_id)
+             ORDER BY doc_id""")),
+
+    // ---- cross-source contamination: how many near-dup candidate pairs
+    //      span two sources (train/eval leakage auditing). Pair endpoints
+    //      join back to `documents` for the source tag — at corpus scale
+    //      two hash joins on doc_id over the (small) pair list. ----
+    "q56_source_overlap" -> QueryDef(
+      (s, dir) => {
+        val pairs = lshCandidatePairs(Tables.load(s, dir, "documents"))
+        val src = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+        pairs
+          .join(src.as("sa"), col("da") === col("sa.doc_id"))
+          .join(src.as("sb"), col("db") === col("sb.doc_id"))
+          .select(least(col("sa.source"), col("sb.source")).as("source_a"),
+            greatest(col("sa.source"), col("sb.source")).as("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""WITH $duckCandPairsBody
+             SELECT least(sa.source, sb.source) AS source_a,
+               greatest(sa.source, sb.source) AS source_b,
+               count(*) AS n_pairs
+             FROM cand_pairs
+             JOIN documents sa ON da = sa.doc_id
+             JOIN documents sb ON db = sb.doc_id
+             GROUP BY 1, 2
+             ORDER BY source_a, source_b""")),
 
     // ---- SimHash signatures (16-bit): signed bit sums over shingle
     //      hashes; bits are taken from the raw 56-bit hash (no arithmetic

@@ -85,6 +85,14 @@ object TextOps {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Power-of-two bucket floor for a token count: [1,2)→1, [2,4)→2, …,
+    * [1024,2048)→1024, else 2048. Plain integer comparisons, evaluated
+    * from the SAME text by Spark and DuckDB. */
+  private val TokenBucketCase: String =
+    "CASE " + (0 to 10).map(1 << _)
+      .map(b => s"WHEN n_tokens < ${b * 2} THEN $b").mkString(" ") +
+      " ELSE 2048 END"
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- exact dedup: keeper = min doc_id per identical text ----
@@ -298,6 +306,29 @@ object TextOps {
              FROM documents
              GROUP BY lang
              ORDER BY lang""")),
+
+    // ---- token-count histogram in power-of-two buckets per language
+    //      (corpus length profiling for context-window planning). The
+    //      bucket is an integer CASE ladder whose TEXT is identical in
+    //      both engines — no float log2 that could flip at an exact power
+    //      of two. Map-side combinable: one groupBy, no joins. ----
+    "q55_token_histogram" -> QueryDef(
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("lang"),
+            size(split(lower(col("text")), " +")).as("n_tokens"))
+          .withColumn("bucket_lo", expr(TokenBucketCase))
+          .groupBy(col("lang"), col("bucket_lo"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("bucket_lo")),
+      Some(s"""WITH t AS (
+               SELECT lang,
+                 len(string_split_regex(lower(text), ' +')) AS n_tokens
+               FROM documents)
+             SELECT lang, $TokenBucketCase AS bucket_lo, count(*) AS n_docs
+             FROM t
+             GROUP BY lang, bucket_lo
+             ORDER BY lang, bucket_lo""")),
 
     // ---- global bigram top-20 (corpus n-gram statistics) ----
     "q57_bigram_topk" -> QueryDef(

@@ -249,6 +249,29 @@ class DedupCapSpec extends AnyFunSuite {
   }
 }
 
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("min-label propagation merges chained pairs; disjoint pairs stay separate") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val out = graft.ops.Dedup.connectedComponents(pairs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+
+  test("a path graph (worst-case diameter) still converges") {
+    import spark.implicits._
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("da", "db")
+    val out = graft.ops.Dedup.connectedComponents(chain).collect()
+    assert(out.length == 13)
+    assert(out.forall(_.getLong(1) == 0L))
+    assert(out.forall(_.getLong(2) == 13L))
+  }
+}
+
 class PercentilesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
