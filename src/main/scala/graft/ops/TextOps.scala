@@ -20,19 +20,22 @@ import graft.{QueryDef, Tables}
   */
 object TextOps {
 
-  /** 3-word shingle set of the lowercased text, distinct, as a Column
+  /** n-word shingle set of the lowercased text, distinct, as a Column
     * expression over a `words` array column. */
-  private val shingleExpr =
-    expr("""array_distinct(transform(
-              sequence(0, size(words) - 3),
-              i -> concat_ws(' ', slice(words, i + 1, 3))))""")
+  private def shingleExpr(n: Int) =
+    expr(s"""array_distinct(transform(
+              sequence(0, size(words) - $n),
+              i -> concat_ws(' ', slice(words, i + 1, $n))))""")
 
-  /** Exploded distinct (doc_id, s) shingle pairs of a (doc_id, text)
-    * frame. */
-  def shingles(docs: DataFrame): DataFrame =
+  /** Exploded distinct (doc_id, s) n-gram shingle pairs of a
+    * (doc_id, text) frame. */
+  def wordShingles(docs: DataFrame, n: Int): DataFrame =
     docs.withColumn("words", split(lower(col("text")), " +"))
-      .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), explode(shingleExpr).as("s"))
+      .filter(size(col("words")) >= n)
+      .select(col("doc_id"), explode(shingleExpr(n)).as("s"))
+
+  /** The near-dup pipeline's 3-gram shingling. */
+  def shingles(docs: DataFrame): DataFrame = wordShingles(docs, 3)
 
   /** A shingle shared by k documents contributes a k-member join group —
     * k·(k-1)/2 candidate pairs — to the inverted-index self-join, so the
@@ -329,6 +332,89 @@ object TextOps {
              FROM t
              GROUP BY lang, bucket_lo
              ORDER BY lang, bucket_lo""")),
+
+    // ---- benchmark decontamination: training docs sharing any 4-gram
+    //      with the eval set (source 'src0' stands in for a benchmark
+    //      suite). The eval side's DISTINCT shingle set is small by
+    //      construction (benchmarks are tiny next to a training corpus),
+    //      so the contamination check is a BROADCAST semi-join against it
+    //      — the training corpus streams through map-side, no shuffle of
+    //      the big side. n_shared counts distinct shared 4-grams per
+    //      training doc. ----
+    "q58_decontam" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val evalGrams = wordShingles(docs.filter(col("source") === "src0"), 4)
+          .select(col("s")).distinct()
+        wordShingles(docs.filter(col("source") =!= "src0"), 4)
+          .join(broadcast(evalGrams), "s")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+               SELECT doc_id,
+                 unnest(string_split_regex(lower(text), ' +')) AS word,
+                 generate_subscripts(string_split_regex(lower(text), ' +'), 1) AS i
+               FROM documents),
+             g AS (
+               SELECT DISTINCT doc_id, s FROM (
+                 SELECT doc_id,
+                   concat_ws(' ', word,
+                     lead(word, 1) OVER (PARTITION BY doc_id ORDER BY i),
+                     lead(word, 2) OVER (PARTITION BY doc_id ORDER BY i),
+                     lead(word, 3) OVER (PARTITION BY doc_id ORDER BY i)) AS s,
+                   lead(word, 3) OVER (PARTITION BY doc_id ORDER BY i) AS tail
+                 FROM w)
+               WHERE tail IS NOT NULL),
+             ev AS (
+               SELECT DISTINCT g.s FROM g
+               JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
+             tr AS (
+               SELECT g.* FROM g
+               JOIN documents d USING (doc_id) WHERE d.source <> 'src0')
+             SELECT doc_id, count(*) AS n_shared
+             FROM tr JOIN ev USING (s)
+             GROUP BY doc_id
+             ORDER BY doc_id""")),
+
+    // ---- context-window chunking: split each document into 32-word
+    //      chunks with stride 24 (8-word overlap) — the standard
+    //      sequence-prep step before tokenization. Chunk count is pure
+    //      integer arithmetic ((n+15) div 24, min 1) and the chunk
+    //      fingerprint is an md5 prefix, so both engines agree exactly.
+    //      One posexplode per doc, no shuffle until the final sort. ----
+    "q59_chunking" -> QueryDef(
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("words", split(lower(col("text")), " +"))
+          .withColumn("n_chunks", expr("greatest(1, (size(words) + 15) div 24)"))
+          .select(col("doc_id"), col("words"),
+            posexplode(expr("sequence(0, n_chunks - 1)")).as(Seq("chunk_idx", "start24")))
+          .withColumn("chunk", expr("slice(words, chunk_idx * 24 + 1, 32)"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("chunk")).as("chunk_tokens"),
+            expr("substring(md5(concat_ws(' ', chunk)), 1, 16)").as("chunk_hash"))
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH d AS (
+               SELECT doc_id, string_split_regex(lower(text), ' +') AS words,
+                 greatest(1, (len(string_split_regex(lower(text), ' +')) + 15) // 24)
+                   AS n_chunks
+               FROM documents),
+             c AS (
+               SELECT doc_id,
+                 unnest(generate_series(0, n_chunks - 1)) AS chunk_idx,
+                 words
+               FROM d),
+             sliced AS (
+               SELECT doc_id, chunk_idx,
+                 list_slice(words, chunk_idx * 24 + 1, chunk_idx * 24 + 32) AS chunk
+               FROM c)
+             SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               len(chunk) AS chunk_tokens,
+               substr(md5(array_to_string(chunk, ' ')), 1, 16) AS chunk_hash
+             FROM sliced
+             ORDER BY doc_id, chunk_idx""")),
 
     // ---- global bigram top-20 (corpus n-gram statistics) ----
     "q57_bigram_topk" -> QueryDef(
