@@ -416,6 +416,92 @@ object TextOps {
              FROM sliced
              ORDER BY doc_id, chunk_idx""")),
 
+    // ---- the full curation funnel, composed from the pipeline's own
+    //      stages: language filter → quality threshold → exact-dedup
+    //      keeper → benchmark decontamination. One row of cumulative
+    //      survivor counts — the report a 100 TB curation run ends with.
+    //      Each flag is computed with the exact formula of its standalone
+    //      query (q37/q38/q31/q58), so the funnel is the composition, not
+    //      a reimplementation. The keeper flag is a min-over-text window
+    //      (same shuffle key as q31's groupBy); the contamination probe is
+    //      the q58 broadcast semi-join. ----
+    "q60_curation_funnel" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val evalGrams = wordShingles(docs.filter(col("source") === "src0"), 4)
+          .select(col("s")).distinct()
+        val contaminated = wordShingles(docs.filter(col("source") =!= "src0"), 4)
+          .join(broadcast(evalGrams), "s")
+          .select(col("doc_id")).distinct()
+          .withColumn("contam", lit(1))
+        val flags = docs
+          .withColumn("n_words", size(split(col("text"), " +")))
+          .withColumn("n_stop", size(regexp_extract_all(lower(col("text")),
+            lit("\\b(the|and|of|to|in|is|a)\\b"), lit(0))))
+          .withColumn("quality_score",
+            least(col("n_words") * lit(1.0), lit(100.0)) / 100.0 * 0.5 +
+              col("n_stop") * lit(1.0) / col("n_words") * 0.5)
+          .withColumn("keeper",
+            col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("text"))))
+          .join(broadcast(contaminated), Seq("doc_id"), "left")
+        def cnt(c: org.apache.spark.sql.Column, name: String) =
+          sum(when(c, 1L).otherwise(0L)).as(name)
+        val en = col("lang") === "en"
+        val q = col("quality_score") >= 0.3
+        val k = col("keeper")
+        val clean = col("contam").isNull && col("source") =!= "src0"
+        flags.agg(
+          count(lit(1)).as("n_total"),
+          cnt(en, "n_en"),
+          cnt(en && q, "n_quality"),
+          cnt(en && q && k, "n_keeper"),
+          cnt(en && q && k && clean, "n_final"))
+      },
+      Some("""WITH w AS (
+               SELECT doc_id,
+                 unnest(string_split_regex(lower(text), ' +')) AS word,
+                 generate_subscripts(string_split_regex(lower(text), ' +'), 1) AS i
+               FROM documents),
+             g AS (
+               SELECT DISTINCT doc_id, s FROM (
+                 SELECT doc_id,
+                   concat_ws(' ', word,
+                     lead(word, 1) OVER (PARTITION BY doc_id ORDER BY i),
+                     lead(word, 2) OVER (PARTITION BY doc_id ORDER BY i),
+                     lead(word, 3) OVER (PARTITION BY doc_id ORDER BY i)) AS s,
+                   lead(word, 3) OVER (PARTITION BY doc_id ORDER BY i) AS tail
+                 FROM w)
+               WHERE tail IS NOT NULL),
+             ev AS (
+               SELECT DISTINCT g.s FROM g
+               JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
+             contam AS (
+               SELECT DISTINCT g.doc_id FROM g
+               JOIN documents d USING (doc_id)
+               JOIN ev USING (s)
+               WHERE d.source <> 'src0'),
+             flags AS (
+               SELECT doc_id, lang, source,
+                 len(string_split_regex(text, ' +')) AS n_words,
+                 len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS n_stop,
+                 least(len(string_split_regex(text, ' +')) * 1.0, 100.0) / 100.0 * 0.5
+                   + len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) * 1.0
+                     / len(string_split_regex(text, ' +')) * 0.5 AS quality_score,
+                 doc_id = min(doc_id) OVER (PARTITION BY text) AS keeper,
+                 doc_id IN (SELECT doc_id FROM contam) AS contaminated
+               FROM documents)
+             SELECT count(*) AS n_total,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+               CAST(sum(CASE WHEN lang = 'en' AND quality_score >= 0.3
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+               CAST(sum(CASE WHEN lang = 'en' AND quality_score >= 0.3 AND keeper
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keeper,
+               CAST(sum(CASE WHEN lang = 'en' AND quality_score >= 0.3 AND keeper
+                    AND NOT contaminated AND source <> 'src0'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+             FROM flags""")),
+
     // ---- global bigram top-20 (corpus n-gram statistics) ----
     "q57_bigram_topk" -> QueryDef(
       (s, dir) =>
