@@ -68,6 +68,41 @@ object EventStreams {
       }
   }
 
+  final case class Doc(doc_id: Long, text: String)
+
+  /** Streaming exact dedup — the unbounded form of q31: the FIRST
+    * occurrence of each content passes through, every later duplicate
+    * (same batch or any later batch) is dropped. Keyed state holds one
+    * boolean per content hash; keying by the md5 of the text (not the
+    * text itself) keeps the state store small and the shuffle key fixed-
+    * width — at corpus scale the state shards horizontally by hash
+    * across executors, exactly like the batch groupBy(text) shuffles.
+    * flatMapGroupsWithState rather than dropDuplicates so the
+    * keep-first-arrival semantics (and the doc that was kept) are
+    * explicit and testable. */
+  /** Hex md5 of the text — the fixed-width state/shuffle key. */
+  private def contentKey(text: String): String =
+    new java.math.BigInteger(1,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      .toString(16)
+
+  def streamingDedup(spark: SparkSession, docs: Dataset[Doc]): Dataset[Doc] = {
+    import spark.implicits._
+    docs
+      .groupByKey(d => contentKey(d.text))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: String, batch: Iterator[Doc], state: GroupState[Boolean]) =>
+          if (state.exists || !batch.hasNext) Iterator.empty
+          else {
+            state.update(true)
+            // min doc_id among same-batch duplicates: deterministic
+            // regardless of partitioning, and matches q31's keeper rule
+            Iterator.single(batch.minBy(_.doc_id))
+          }
+      }
+  }
+
   /** Output-mode pairing used by the specs and any production writer. */
   val appendMode: OutputMode = OutputMode.Append()
   val updateMode: OutputMode = OutputMode.Update()

@@ -63,6 +63,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps the first arrival across micro-batches (q31's keeper rule, unbounded)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.streamingDedup(spark, input.toDS())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct texts, one same-batch duplicate
+      input.addData(EventStreams.Doc(5L, "alpha"), EventStreams.Doc(2L, "alpha"),
+        EventStreams.Doc(3L, "beta"))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicates must be dropped; one new text
+      input.addData(EventStreams.Doc(9L, "alpha"), EventStreams.Doc(8L, "beta"),
+        EventStreams.Doc(7L, "gamma"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup").orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq
+      // min doc_id among same-batch dups (2, not 5); later batches add nothing
+      assert(rows == Seq((2L, "alpha"), (3L, "beta"), (7L, "gamma")))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
