@@ -157,8 +157,13 @@ object Dedup {
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .union(pairs.select(col("db").as("src"), col("da").as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id"))
+    // the first propagation round is fused into initialization: lbl starts
+    // at min(own id, min neighbor) — one aggregation instead of a full
+    // join+union+agg round
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nbr_min"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("nbr_min")).as("lbl"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
