@@ -223,5 +223,41 @@ object Functions {
              FROM events
              GROUP BY user_id
              ORDER BY user_id""")),
+
+    // ---- unpivot/melt: q22's wide per-type frame back to long form via
+    //      Dataset.unpivot (a pure projection+generate — zero extra
+    //      shuffle beyond the pivot's groupBy). Null cells (user never
+    //      produced that event type) are dropped, matching the long
+    //      form's absence semantics; the oracle spells the melt as
+    //      UNION ALL so its semantics are explicit rather than leaning on
+    //      UNPIVOT null-handling defaults. ----
+    "q61_event_unpivot" -> QueryDef(
+      (s, dir) => {
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", types)
+          .agg(round(sum(col("value")), 2))
+          .unpivot(Array(col("user_id")), types.map(col).toArray,
+            "event_type", "value_sum")
+          .filter(col("value_sum").isNotNull)
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some {
+        val melt = Seq("click", "view", "purchase", "signup", "error")
+          .map(t => s"SELECT user_id, '$t' AS event_type, $t AS value_sum FROM wide WHERE $t IS NOT NULL")
+          .mkString(" UNION ALL ")
+        s"""WITH wide AS (
+             SELECT user_id,
+               round(sum(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+               round(sum(CASE WHEN event_type = 'view'     THEN value END), 2) AS view,
+               round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+               round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+               round(sum(CASE WHEN event_type = 'error'    THEN value END), 2) AS error
+             FROM events
+             GROUP BY user_id)
+           $melt
+           ORDER BY user_id, event_type"""
+      }),
   )
 }

@@ -75,6 +75,38 @@ class OracleHygieneSpec extends AnyFunSuite {
   }
 }
 
+/** Scale-posture gate over EVERY query's physical plan: no cartesian
+  * product anywhere, and broadcast nested-loop joins only where the build
+  * side is O(1) rows by construction. A regression that drops a join to a
+  * cartesian (the round-1 q41 bug) fails here, not in a bench review. */
+class PlanGateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Deliberate tiny-build-side nested loops:
+    *   - q32/q51: crossJoin with a ONE-ROW aggregate (corpus size / doc
+    *     count) to make a scalar available to every row;
+    *   - q35: the broadcast query set joined under an inequality
+    *     (vec_id <> query_id) — |Q| is small by definition;
+    *   - q43: the 16-centroid relation replicated to assign cells.
+    * Everything else must ride hash/sort-merge equi-joins. */
+  private val bnljAllowed = Set("q32_dedup_ngram_jaccard", "q35_cosine_topk",
+    "q43_ivf_ann_topk", "q51_tfidf_top_terms")
+
+  test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val bad = Seq(
+          Option.when(plan.contains("CartesianProduct"))("CartesianProduct"),
+          Option.when(plan.contains("BroadcastNestedLoopJoin") &&
+            !bnljAllowed(name))("BroadcastNestedLoopJoin")).flatten
+        bad.map(b => s"$name: $b")
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+}
+
 class BenchErrorSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
