@@ -259,32 +259,93 @@ object Dedup {
     //      hashes; bits are taken from the raw 56-bit hash (no arithmetic
     //      that could overflow) ----
     "q34_simhash_signatures" -> QueryDef(
+      (s, dir) => simhashSignatures(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $duckSimhashBody
+             SELECT doc_id, simhash FROM sim
+             ORDER BY doc_id""")),
+
+    // ---- SimHash near-dup pairs: candidates share at least one BYTE of
+    //      the 16-bit signature (simhash block-banding). Recall is exact
+    //      for any pair whose bit flips all land in one byte — in
+    //      particular every hamming-distance ≤ 1 pair — and partial for
+    //      pairs splitting flips across both bytes: the standard banding
+    //      trade-off, tunable by block count (more/smaller blocks raise
+    //      recall but shrink the value space and grow band groups). Band
+    //      groups ride the same absolute cap as every other LSH path;
+    //      verification is bit_count(xor) — both engines' native popcount
+    //      over identical integers. ----
+    "q62_simhash_neardup" -> QueryDef(
       (s, dir) => {
-        val withH = shingled(Tables.load(s, dir, "documents"))
-          .withColumn("h", expr(hashExprSpark("s")))
-        val bitAggs = (0 until SimBits).map { k =>
-          sum(expr(s"CASE WHEN (h DIV ${1L << k}) % 2 = 1 THEN 1 ELSE -1 END"))
-            .as(s"b$k")
-        }
-        val sums = withH.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-        val simhash = (0 until SimBits)
-          .map(k => when(col(s"b$k") >= 0, lit(1L << k)).otherwise(lit(0L)))
-          .reduce[Column](_ + _)
-        sums.select(col("doc_id"), simhash.as("simhash"))
-          .orderBy(col("doc_id"))
+        val sigs = simhashSignatures(Tables.load(s, dir, "documents"))
+        val bands = coldBands(sigs.selectExpr("doc_id",
+          """stack(2, 0, simhash % 256, 1, simhash div 256)
+             AS (band_idx, band_val)"""))
+        val cands = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band_val") === col("y.band_val") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .distinct()
+        cands
+          .join(sigs.select(col("doc_id").as("da"), col("simhash").as("ha")), "da")
+          .join(sigs.select(col("doc_id").as("db"), col("simhash").as("hb")), "db")
+          .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+          .filter(col("hamming") <= 3)
+          .select(col("da"), col("db"), col("hamming"))
+          .orderBy(col("da"), col("db"))
       },
-      Some {
-        val bitSums = (0 until SimBits)
-          .map(k => s"sum(CASE WHEN (h // ${1L << k}) % 2 = 1 THEN 1 ELSE -1 END) AS b$k")
-          .mkString(", ")
-        val hashVal = (0 until SimBits)
-          .map(k => s"CASE WHEN b$k >= 0 THEN ${1L << k} ELSE 0 END")
-          .mkString(" + ")
-        s"""$duckShingles,
-           sums AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id)
-           SELECT doc_id, $hashVal AS simhash
-           FROM sums
-           ORDER BY doc_id"""
-      }),
+      Some(s"""WITH $duckSimhashBody,
+             bands0 AS (
+               SELECT doc_id, 0 AS band_idx, simhash % 256 AS band_val FROM sim
+               UNION ALL
+               SELECT doc_id, 1 AS band_idx, simhash // 256 AS band_val FROM sim),
+             hot AS (
+               SELECT band_idx, band_val FROM bands0
+               GROUP BY band_idx, band_val HAVING count(*) > $HotBandCap),
+             bands AS (
+               SELECT b.* FROM bands0 b
+               ANTI JOIN hot h USING (band_idx, band_val)),
+             cands AS (
+               SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+               FROM bands x JOIN bands y
+                 ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+                AND x.doc_id < y.doc_id)
+             SELECT da, db, bit_count(xor(a.simhash, b.simhash)) AS hamming
+             FROM cands
+             JOIN sim a ON da = a.doc_id
+             JOIN sim b ON db = b.doc_id
+             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+             ORDER BY da, db""")),
   )
+
+  /** (doc_id, simhash) — the q34 signature pipeline, shared with q62. */
+  def simhashSignatures(docsText: DataFrame): DataFrame = {
+    val withH = shingled(docsText)
+      .withColumn("h", expr(hashExprSpark("s")))
+    val bitAggs = (0 until SimBits).map { k =>
+      sum(expr(s"CASE WHEN (h DIV ${1L << k}) % 2 = 1 THEN 1 ELSE -1 END"))
+        .as(s"b$k")
+    }
+    val sums = withH.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val simhash = (0 until SimBits)
+      .map(k => when(col(s"b$k") >= 0, lit(1L << k)).otherwise(lit(0L)))
+      .reduce[Column](_ + _)
+    sums.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** CTE chain ending in `sim(doc_id, simhash)` — the oracle mirror of
+    * [[simhashSignatures]], shared by q34/q62. */
+  private def duckSimhashBody: String = {
+    val bitSums = (0 until SimBits)
+      .map(k => s"sum(CASE WHEN (h // ${1L << k}) % 2 = 1 THEN 1 ELSE -1 END) AS b$k")
+      .mkString(", ")
+    val hashVal = (0 until SimBits)
+      .map(k => s"CASE WHEN b$k >= 0 THEN ${1L << k} ELSE 0 END")
+      .mkString(" + ")
+    s"""$duckShinglesBody,
+       sums AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id),
+       sim AS (SELECT doc_id, $hashVal AS simhash FROM sums)"""
+  }
 }

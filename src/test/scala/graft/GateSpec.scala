@@ -39,10 +39,12 @@ class OracleHygieneSpec extends AnyFunSuite {
     branches.nonEmpty && branches.forall(_.matches("-?\\d+"))
   }
 
-  // q34's signed bit sums are consumed ONLY by `b >= 0` comparisons inside
-  // the oracle — HUGEINT never reaches an output column, and the query has
-  // hash-matched since round 2.
-  private val consumedInternally = Set("q34_simhash_signatures")
+  // The simhash signed bit sums (shared CTE of q34/q62) are consumed ONLY
+  // by `b >= 0` comparisons inside the oracle — HUGEINT never reaches an
+  // output column (the signature itself is a sum of integer LITERALS, and
+  // q62's hamming is bit_count). Both queries hash-match.
+  private val consumedInternally =
+    Set("q34_simhash_signatures", "q62_simhash_neardup")
 
   test("integer sum(CASE...) in every oracle is CAST to BIGINT or folded into a double") {
     val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
