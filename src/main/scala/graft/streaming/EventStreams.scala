@@ -80,12 +80,19 @@ object EventStreams {
     * flatMapGroupsWithState rather than dropDuplicates so the
     * keep-first-arrival semantics (and the doc that was kept) are
     * explicit and testable. */
-  /** Hex md5 of the text — the fixed-width state/shuffle key. */
-  private def contentKey(text: String): String =
+  /** Hex md5 of the text — the fixed-width state/shuffle key. The digest
+    * instance is per-thread (getInstance per row would allocate in the
+    * keying hot path). */
+  private val md5Digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  private def contentKey(text: String): String = {
+    val d = md5Digest.get()
+    d.reset()
     new java.math.BigInteger(1,
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      d.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       .toString(16)
+  }
 
   def streamingDedup(spark: SparkSession, docs: Dataset[Doc]): Dataset[Doc] = {
     import spark.implicits._

@@ -308,6 +308,16 @@ class PercentilesSpec extends AnyFunSuite {
       Seq("p50" -> 0.5)).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(out == Map("a" -> 10.0, "b" -> 2.0))
   }
+
+  test("null values are ignored (DuckDB quantile_cont semantics); null groups form a group") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      (null.asInstanceOf[String], Some(7.0)))
+      .toDF("g", "v")
+    val out = graft.ops.Percentiles.exactPercentiles(spark, df, "g", "v",
+      Seq("p50" -> 0.5)).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("a" -> 2.0, (null: String) -> 7.0))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
