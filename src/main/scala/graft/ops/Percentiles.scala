@@ -47,10 +47,14 @@ object Percentiles {
     val d = df.select(col(grpCol), col(valCol).cast(DoubleType).as(valCol))
       .filter(col(valCol).isNotNull)
 
-    // (1) per-group counts → target ranks. Bounded by group cardinality.
+    // (1) per-group counts → target ranks. Driver state is bounded by
+    //     groups × partitions (the step-3 collect), so the group-count
+    //     guard is deliberately tight: 10k groups × 1k partitions is
+    //     already 10M driver-side tuples. Past this, use
+    //     approx_percentile — its sketches merge map-side.
     val counts: Map[Any, Long] = d.groupBy(col(grpCol)).count()
       .collect().map(r => r.get(0) -> r.getLong(1)).toMap
-    require(counts.size <= 100000,
+    require(counts.size <= 10000,
       s"exactPercentiles is for low-cardinality groups, got ${counts.size}")
     val wantedRanks: Map[Any, Set[Long]] = counts.map { case (g, n) =>
       g -> targets.flatMap { case (_, q) =>

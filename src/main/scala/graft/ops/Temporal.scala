@@ -153,5 +153,40 @@ object Temporal {
                    FROM events WHERE event_type = 'signup') s
                ON p.user_id = s.user_id AND p.ts >= s.ts
              ORDER BY p.event_id""")),
+
+    // ---- event-sequence conversion: users whose first purchase follows
+    //      their first view (ORDER of events matters, not mere presence).
+    //      Two filtered min-aggregations on the same shuffle key + one
+    //      broadcast-size comparison row — at 100 TB the event scan is the
+    //      only heavy stage and both aggregates are map-side combinable.
+    //      Tie rule pinned: a purchase at the exact same µs as the first
+    //      view does NOT count (strict >). ----
+    "q63_conversion" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val firstView = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+        val converted = ev.filter(col("event_type") === "purchase")
+          .join(firstView, "user_id")
+          .filter(col("ts") > col("first_view"))
+          .select(col("user_id")).distinct()
+        firstView.agg(count(lit(1)).as("n_viewers"))
+          .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
+          .withColumn("conversion_rate",
+            round(col("n_converted") * lit(1.0) / col("n_viewers"), 4))
+      },
+      Some("""WITH fv AS (
+               SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_view
+               FROM events WHERE event_type = 'view'
+               GROUP BY user_id),
+             conv AS (
+               SELECT DISTINCT e.user_id
+               FROM events e JOIN fv USING (user_id)
+               WHERE e.event_type = 'purchase'
+                 AND CAST(e.ts AS TIMESTAMP) > fv.first_view)
+             SELECT (SELECT count(*) FROM fv) AS n_viewers,
+               (SELECT count(*) FROM conv) AS n_converted,
+               round((SELECT count(*) FROM conv) * 1.0
+                 / (SELECT count(*) FROM fv), 4) AS conversion_rate""")),
   )
 }

@@ -86,14 +86,14 @@ class PlanGateSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   /** Deliberate tiny-build-side nested loops:
-    *   - q32/q51: crossJoin with a ONE-ROW aggregate (corpus size / doc
-    *     count) to make a scalar available to every row;
+    *   - q32/q51/q63: crossJoin with a ONE-ROW aggregate (corpus size /
+    *     doc count / funnel totals) to make a scalar available;
     *   - q35: the broadcast query set joined under an inequality
     *     (vec_id <> query_id) — |Q| is small by definition;
     *   - q43: the 16-centroid relation replicated to assign cells.
     * Everything else must ride hash/sort-merge equi-joins. */
   private val bnljAllowed = Set("q32_dedup_ngram_jaccard", "q35_cosine_topk",
-    "q43_ivf_ann_topk", "q51_tfidf_top_terms")
+    "q43_ivf_ann_topk", "q51_tfidf_top_terms", "q63_conversion")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
