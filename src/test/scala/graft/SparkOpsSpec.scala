@@ -249,6 +249,54 @@ class DedupCapSpec extends AnyFunSuite {
   }
 }
 
+/** Property-style hardening: the distributed inverted-index Jaccard and
+  * the LSH candidate generator agree with brute-force Scala computation
+  * on randomized corpora — catches cap/plumbing regressions beyond the
+  * fixed fixtures. Deterministic seed, Spark-free reference math. */
+class JaccardPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def shingleSet(text: String): Set[String] = {
+    val w = text.toLowerCase.split(" +").toSeq
+    if (w.length < 3) Set.empty
+    else w.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  test("jaccardPairs equals brute-force Jaccard over random corpora (after the same hot-shingle cut)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 30).map(i => s"w$i")
+    (1 to 3).foreach { trial =>
+      // random docs + planted duplicate-ish pairs (high overlap)
+      val base = (0 until 40).map { i =>
+        (i.toLong, Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val planted = base.take(5).map { case (id, t) =>
+        (id + 1000L, if (rnd.nextBoolean()) t else t + " extra")
+      }
+      val docs = base ++ planted
+      // brute force, mirroring the operator's own cut: drop shingles with
+      // df > 50% of docs or df > HotShingleCap
+      val sh = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+      val total = sh.count(_._2.nonEmpty)
+      val df = sh.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+      val hot = df.collect { case (s, n) if n * 2 > total || n > graft.ops.TextOps.HotShingleCap => s }.toSet
+      val cut = sh.view.mapValues(_ -- hot).toMap
+      val expected = (for {
+        (a, sa) <- cut.toSeq; (b, sb) <- cut.toSeq
+        if a < b && sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size
+        if inter > 0
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= 0.8
+      } yield (a, b)).toSet
+      val got = graft.ops.TextOps.jaccardPairs(docs.toDF("doc_id", "text"), 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"trial $trial: got $got expected $expected")
+    }
+  }
+}
+
 class ConnectedComponentsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
