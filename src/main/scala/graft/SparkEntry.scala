@@ -16,6 +16,7 @@ object SparkEntry {
     ops.Temporal.defs,
     ops.PorterQueries.defs,
     ops.TextOps.defs,
+    ops.Sharding.defs,
     ops.Dedup.defs,
     ops.Similarity.defs,
     ops.Multimodal.defs,

@@ -557,5 +557,80 @@ object TextOps {
                  (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
              FROM documents
              ORDER BY doc_id""")),
+
+    // ---- Gopher-style repetition signals: the fraction of tokens taken
+    //      by the single most frequent term (high → boilerplate/spam) and
+    //      the distinct-token ratio (low → repetitive). Two chained
+    //      aggregations on doc_id — the second groupBy reuses the first's
+    //      partitioning, so one shuffle total. Ratios are IEEE divisions
+    //      of exact int64s (identical bit patterns in both engines) and
+    //      both engines round half-away-from-zero at 4 dp. ----
+    "q64_repetition_ratio" -> QueryDef(
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " +")).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf")).as("n_tokens"),
+            max(col("tf")).as("top_tf"),
+            count(lit(1)).as("n_distinct"))
+          .withColumn("rep_ratio",
+            round(col("top_tf") * lit(1.0) / col("n_tokens"), 4))
+          .withColumn("uniq_ratio",
+            round(col("n_distinct") * lit(1.0) / col("n_tokens"), 4))
+          .orderBy(col("doc_id")),
+      Some("""WITH tf AS (
+               SELECT doc_id, term, count(*) AS tf FROM (
+                 SELECT doc_id,
+                   unnest(string_split_regex(lower(text), ' +')) AS term
+                 FROM documents)
+               GROUP BY doc_id, term)
+             SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS n_tokens,
+               max(tf) AS top_tf,
+               count(*) AS n_distinct,
+               round(max(tf) * 1.0 / CAST(sum(tf) AS BIGINT), 4) AS rep_ratio,
+               round(count(*) * 1.0 / CAST(sum(tf) AS BIGINT), 4) AS uniq_ratio
+             FROM tf
+             GROUP BY doc_id
+             ORDER BY doc_id""")),
+
+    // ---- deterministic train/validation/test split: an md5-derived
+    //      bucket of the doc id (the q53 sampling hash with a different
+    //      salt) assigns 80/10/10, reported per source. Because the
+    //      bucket is a pure function of the id, the split is stable
+    //      across runs, engines and cluster layouts, and adding new docs
+    //      never reassigns existing ones — the property a 100 TB corpus
+    //      split must have (re-hashing the world per run is not an
+    //      option). One groupBy, map-side combinable. ----
+    "q65_train_split" -> QueryDef(
+      (s, dir) => {
+        val b = expr("""cast(conv(substring(md5(concat('split:',
+                   cast(doc_id as string))), 1, 14), 16, 10) as long) % 10""")
+        Tables.load(s, dir, "documents")
+          .withColumn("split",
+            when(b < 8, "train").when(b === 8, "validation").otherwise("test"))
+          .withColumn("n_tokens", size(split(lower(col("text")), " +")))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("tokens"))
+          .orderBy(col("source"), col("split"))
+      },
+      Some("""WITH t AS (
+               SELECT source,
+                 CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'validation'
+                      ELSE 'test' END AS split,
+                 len(string_split_regex(lower(text), ' +')) AS n_tokens
+               FROM (SELECT source, text,
+                 CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 14))
+                   AS BIGINT) % 10 AS b
+                 FROM documents))
+             SELECT source, split, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens
+             FROM t
+             GROUP BY source, split
+             ORDER BY source, split""")),
   )
 }

@@ -110,6 +110,30 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join — the unbounded form of q63's
+    * view→purchase conversion: each purchase matches the same user's
+    * views from the preceding hour. Both sides MUST carry watermarks and
+    * the join MUST have a time-range predicate: together they let Spark
+    * evict buffered rows once `view_ts + 1h + lateness` passes, so the
+    * join state is bounded by the interval, not the stream length. The
+    * equi key (`user_id`) carries the shuffle — the same
+    * "equi-keys-carry-the-join" rule as the batch range join (q26). */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+    v.join(p,
+        col("v_user") === col("p_user") &&
+          col("purchase_ts") > col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("v_user").as("user_id"), col("view_ts"),
+        col("purchase_ts"), col("value"))
+  }
+
   /** Output-mode pairing used by the specs and any production writer. */
   val appendMode: OutputMode = OutputMode.Append()
   val updateMode: OutputMode = OutputMode.Update()

@@ -86,6 +86,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases to the preceding hour's views") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStreams.viewPurchaseJoin(
+        views.toDF().toDF("user_id", "ts"),
+        purchases.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("conversions")
+      .outputMode("append").start()
+    try {
+      // user 1: view at :00, purchases at :30 (inside 1h) and at 2:30
+      // (outside); user 2: purchase with no prior view
+      views.addData((1L, ts(0)))
+      purchases.addData((1L, ts(30), 9.99), (1L, ts(150), 5.0), (2L, ts(30), 1.0))
+      q.processAllAvailable()
+      // advance both watermarks far past the interval so results finalize
+      views.addData((99L, ts(60 * 30)))
+      purchases.addData((99L, ts(60 * 30), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("conversions")
+        .orderBy("user_id", "purchase_ts").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("purchase_ts"),
+          r.getAs[Double]("value"))).toSeq
+      // exactly the in-window pair survives
+      assert(rows == Seq((1L, ts(30), 9.99)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
