@@ -17,6 +17,7 @@ object SparkEntry {
     ops.PorterQueries.defs,
     ops.TextOps.defs,
     ops.Sharding.defs,
+    ops.Skew.defs,
     ops.Dedup.defs,
     ops.Similarity.defs,
     ops.Multimodal.defs,

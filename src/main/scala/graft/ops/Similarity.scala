@@ -365,5 +365,50 @@ object Similarity {
              FROM n a JOIN n b ON a.vec_id < b.vec_id
              WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.45
              ORDER BY va, vb""")),
+
+    // ---- int8 embedding quantization: per-vector min/max affine scale
+    //      to [0,255] — the storage-compression step before shipping
+    //      embeddings to an ANN index. Pure per-row expression work (no
+    //      shuffle until the final sort). Every arithmetic step is the
+    //      same IEEE double op in the same order in both engines, so
+    //      floor() sees bit-identical inputs; min/max are
+    //      order-independent, and the byte checksum is an integer sum.
+    //      Constant vectors (mx = mn) quantize to 0. ----
+    "q68_embedding_quantize" -> QueryDef(
+      (s, dir) =>
+        Tables.load(s, dir, "embeddings")
+          .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+          .withColumn("mn", array_min(col("v")))
+          .withColumn("mx", array_max(col("v")))
+          .withColumn("q", expr(
+            """transform(v, x -> if(mx = mn, 0,
+                 least(255, cast(floor((x - mn) * 255.0D / (mx - mn)) as int))))"""))
+          .select(col("vec_id"), col("mn"), col("mx"),
+            expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+            expr("""substring(md5(concat_ws(',',
+                      transform(q, x -> cast(x as string)))), 1, 16)""")
+              .as("q_hash"))
+          .orderBy(col("vec_id")),
+      Some("""WITH t AS (
+               SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+             m AS (
+               SELECT vec_id, v,
+                 list_aggregate(v, 'min') AS mn,
+                 list_aggregate(v, 'max') AS mx
+               FROM t),
+             qz AS (
+               SELECT vec_id, mn, mx,
+                 list_transform(v, x -> CASE WHEN mx = mn THEN 0
+                   ELSE least(255, CAST(floor((x - mn) * 255.0 / (mx - mn)) AS INT))
+                   END) AS q
+               FROM m)
+             SELECT vec_id, mn, mx,
+               CAST(list_sum(q) AS BIGINT) AS q_sum,
+               substr(md5(array_to_string(
+                 list_transform(q, x -> CAST(x AS VARCHAR)), ',')), 1, 16) AS q_hash
+             FROM qz
+             ORDER BY vec_id""")),
   )
 }

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.{QueryDef, Tables}
+
 /** Skew mitigation for joins whose key distribution is too hot for AQE's
   * automatic skew-split (or where AQE is unavailable, e.g. inside
   * streaming batches): classic salting.
@@ -32,4 +34,31 @@ object Skew {
       explode(array((0 until salt).map(lit): _*)))
     bigS.join(smallS, keys :+ "_salt").drop("_salt")
   }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- the salting path under the oracle gate: per-nation event
+    //      rollup through saltedJoin, whose result is defined to equal
+    //      the plain inner equi-join — so the oracle IS the plain join.
+    //      The fact side spreads each user's rows over 16 reducers; the
+    //      150-row dim replicates 16×. (At this key distribution plain
+    //      broadcast wins — the query exists to keep the skew lever
+    //      correctness-checked, not to claim salting is optimal here.) ----
+    "q67_salted_join" -> QueryDef(
+      (s, dir) => {
+        val events = Tables.load(s, dir, "events")
+        val users = Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+        saltedJoin(events, users, Seq("user_id"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 2).as("value_sum"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""SELECT c_nationkey, count(*) AS n_events,
+               round(sum(value), 2) AS value_sum
+             FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             GROUP BY c_nationkey
+             ORDER BY c_nationkey""")),
+  )
 }
