@@ -560,11 +560,13 @@ object TextOps {
 
     // ---- Gopher-style repetition signals: the fraction of tokens taken
     //      by the single most frequent term (high → boilerplate/spam) and
-    //      the distinct-token ratio (low → repetitive). Two chained
-    //      aggregations on doc_id — the second groupBy reuses the first's
-    //      partitioning, so one shuffle total. Ratios are IEEE divisions
-    //      of exact int64s (identical bit patterns in both engines) and
-    //      both engines round half-away-from-zero at 4 dp. ----
+    //      the distinct-token ratio (low → repetitive). Plan (audited):
+    //      two aggregation shuffles, each with a map-side partial — the
+    //      first combines (doc,term) counts before the exchange, so the
+    //      second shuffle carries at most one row per distinct term per
+    //      doc, not one per token. Ratios are IEEE divisions of exact
+    //      int64s (identical bit patterns in both engines) and both
+    //      engines round half-away-from-zero at 4 dp. ----
     "q64_repetition_ratio" -> QueryDef(
       (s, dir) =>
         Tables.load(s, dir, "documents")
