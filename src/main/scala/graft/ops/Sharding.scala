@@ -45,8 +45,14 @@ object Sharding {
       .as[(String, Long, Long)]
       .repartitionByRange(parts, col("k"))
       .sortWithinPartitions(col("k"))
-      // both passes must see identical partitions; MEMORY_AND_DISK so a
-      // corpus-scale sort spills rather than evicting executors
+      // Both passes MUST see identical partitions: repartitionByRange
+      // samples its boundaries at execution time, so a partition lost
+      // between pass 1 and pass 2 could recompute under different cuts
+      // and shift rows against the collected offsets. MEMORY_AND_DISK
+      // spills instead of evicting, which closes that window locally; on
+      // a real cluster use replicated persist or a checkpoint so an
+      // executor loss cannot force a recompute (same caveat as q54's
+      // localCheckpoint, DESIGN.md).
       .persist(StorageLevel.MEMORY_AND_DISK)
     val perPartition = sorted.rdd
       .mapPartitionsWithIndex { case (pid, it) =>

@@ -46,13 +46,22 @@ class OracleHygieneSpec extends AnyFunSuite {
   private val consumedInternally =
     Set("q34_simhash_signatures", "q62_simhash_neardup")
 
+  /** Known-integer column/function shapes (token counts, term
+    * frequencies, list lengths, counts): DuckDB types their sum HUGEINT
+    * exactly like the integer CASE. Name-based because a static gate
+    * cannot see column types; the n_/tf/cnt prefixes are this repo's
+    * integer-column naming convention. */
+  private def isIntegerColumn(arg: String): Boolean =
+    "(?is)^\\s*(tf|n_\\w+|cnt\\w*|len\\s*\\(.*|count\\s*\\(.*)\\s*$".r
+      .matches(arg)
+
   test("integer sum(CASE...) in every oracle is CAST to BIGINT or folded into a double") {
     val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
       case (name, sql) =>
         if (consumedInternally(name)) Nil
         else sumArgs(sql).flatMap { case (start, end) =>
           val arg = sql.substring(start, end)
-          if (!isIntegerCase(arg)) None
+          if (!isIntegerCase(arg) && !isIntegerColumn(arg)) None
           else {
             val prefix = sql.substring(0, start - 4) // text before "sum("
             val suffix = sql.substring(end + 1)      // text after ")"
@@ -74,6 +83,13 @@ class OracleHygieneSpec extends AnyFunSuite {
     val arg = bad.substring(args.head._1, args.head._2)
     assert(isIntegerCase(arg))
     assert(!isIntegerCase("CASE WHEN event_type = 'click' THEN value END"))
+    // integer-column shapes (q65/q66 class) vs double columns
+    assert(isIntegerColumn("n_tokens"))
+    assert(isIntegerColumn("tf"))
+    assert(isIntegerColumn("len(string_split_regex(text, ' '))"))
+    assert(!isIntegerColumn("value"))
+    assert(!isIntegerColumn("l_quantity"))
+    assert(!isIntegerColumn("new_sess"))
   }
 }
 
