@@ -410,5 +410,26 @@ object Similarity {
                  list_transform(q, x -> CAST(x AS VARCHAR)), ',')), 1, 16) AS q_hash
              FROM qz
              ORDER BY vec_id""")),
+
+    // ---- the plain-SQL entry path: the same engine surface through
+    //      spark.sql() text, with the custom graft_dot Catalyst
+    //      expression invoked BY NAME in SQL — proving the
+    //      SparkSessionExtensions registration serves SQL users, not
+    //      just the DataFrame API. Self-dot is a sequential fold in
+    //      both engines → bitwise equality before the display rounding. ----
+    "q69_sql_surface" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+        s.sql("""SELECT vec_id,
+                   round(graft_dot(cast(embedding AS array<double>),
+                                   cast(embedding AS array<double>)), 4)
+                     AS self_dot
+                 FROM embeddings_v
+                 ORDER BY vec_id""")
+      },
+      Some(s"""SELECT vec_id,
+               round(${duckDot("embedding", "embedding")}, 4) AS self_dot
+             FROM embeddings
+             ORDER BY vec_id""")),
   )
 }
