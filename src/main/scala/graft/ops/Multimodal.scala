@@ -57,6 +57,34 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Int,
+      frame_hex: String)
+
+  /** Frame sampling: every `stride`-th fixed-width block of the payload
+    * — the video/audio prep step (sample 1 frame per second, 1 window per
+    * hop) expressed over the opaque binary column. Like [[extractFeatures]]
+    * the "decode" is positional (a real codec would parse container
+    * frames); the distribution shape is the production one: one streamed
+    * pass per partition, payloads never leave the executors, output rows
+    * explode ~payload/(frameSize·stride)-fold. Deterministic in content
+    * and order regardless of partitioning (keyed by doc_id, frame_idx). */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      frameSize: Int = 32, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val step = frameSize * stride
+        Iterator.range(0, math.max(r.payload.length, 1), step).zipWithIndex
+          .map { case (off, idx) =>
+            val end = math.min(off + frameSize, r.payload.length)
+            val frame = java.util.Arrays.copyOfRange(r.payload, off, math.max(end, off))
+            Frame(r.doc_id, idx, frame.length,
+              frame.take(8).map("%02X".format(_)).mkString)
+          }
+      }
+    }.toDF()
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- binary column + metadata + expression-level byte features.

@@ -189,6 +189,27 @@ class MultimodalSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("frame sampling emits every stride-th fixed-width block, partition-invariant") {
+    import spark.implicits._
+    // 300-byte payload, frameSize=32, stride=4 → frames at offsets 0, 128, 256
+    val docs = Seq((1L, "x" * 300), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.withBinaryPayload(docs)
+    val frames = Multimodal.sampleFrames(spark, media, frameSize = 32, stride = 4)
+      .orderBy("doc_id", "frame_idx").collect()
+    val d1 = frames.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2))
+    // first two frames are full-width; the one at offset 256 has 300-256=44
+    // bytes available so it is still full-width (44 > 32)
+    assert(d1.map(_.getAs[Int]("frame_bytes")).toSeq == Seq(32, 32, 32))
+    assert(d1.head.getAs[String]("frame_hex") == "78" * 8)
+    // empty payload still yields one (empty) frame row, not zero rows
+    assert(frames.count(_.getLong(0) == 2L) == 1)
+    val repart = Multimodal.sampleFrames(spark,
+        Multimodal.withBinaryPayload(docs.repartition(5)), 32, 4)
+      .orderBy("doc_id", "frame_idx").collect().toSeq
+    assert(repart == frames.toSeq)
+  }
 }
 
 class DedupCapSpec extends AnyFunSuite {
