@@ -318,6 +318,46 @@ class JaccardPropertySpec extends AnyFunSuite {
   }
 }
 
+/** q68's quantization against plain-Scala reference math on randomized
+  * vectors, including the constant-vector and near-boundary edges the
+  * fixed testdata may never hit. */
+class QuantizePropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("int8 quantization matches reference math on random + edge vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs: Seq[(Long, Seq[Float])] =
+      (0L until 30L).map(i => i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)) ++
+        Seq(100L -> Seq.fill(5)(0.25f),          // constant → all zeros
+          101L -> Seq(0f, 1f),                   // exact endpoints
+          102L -> Seq(-1f, -0.5f, 0f, 0.5f, 1f)) // symmetric grid
+    val dir = java.nio.file.Files.createTempDirectory("graft_quant").toString
+    vecs.toDF("vec_id", "embedding")
+      .withColumn("embedding", org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q68_embedding_quantize")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("mn"), r.getAs[Double]("mx"),
+          r.getAs[Long]("q_sum"), r.getAs[String]("q_hash")))).toMap
+    vecs.foreach { case (id, fs) =>
+      val v = fs.map(_.toDouble)
+      val (mn, mx) = (v.min, v.max)
+      val q = v.map { x =>
+        if (mx == mn) 0
+        else math.min(255, math.floor((x - mn) * 255.0 / (mx - mn)).toInt)
+      }
+      val hash = java.security.MessageDigest.getInstance("MD5")
+        .digest(q.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      assert(got(id) == ((mn, mx, q.map(_.toLong).sum, hash)), s"vec $id")
+    }
+    // the constant vector quantizes to zeros, endpoints land on 0/255
+    assert(got(100L)._3 == 0L)
+  }
+}
+
 class ConnectedComponentsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
