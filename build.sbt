@@ -11,11 +11,19 @@ libraryDependencies ++= Seq(
 )
 // Live MongoDB support (graft.porter.MongoSource) is config-only: the
 // source talks to `format("mongodb")` and reflects into
-// com.mongodb.client.MongoClients, so a real deployment just adds the
-// public connector to the classpath — no code change:
-//   libraryDependencies += "org.mongodb.spark" %% "mongo-spark-connector" % "10.5.0"
-// (brings mongodb-driver-sync transitively). Not resolvable in this
-// zero-egress sandbox, hence commented; the seam is unit-tested instead.
+// com.mongodb.client.MongoClients, so a real deployment adds the public
+// connector to the classpath — no code change. Opt in with
+//   sbt -DgraftMongo=true compile
+// which adds the connector dependency (brings mongodb-driver-sync
+// transitively). The flag defaults to OFF because this zero-egress
+// sandbox cannot resolve it (COURSIER_MODE=offline): CI without the jar
+// stays green, a networked deployment flips the flag and compiles the
+// live path. The dispatch seam itself is unit-tested either way.
+libraryDependencies ++= (
+  if (sys.props.get("graftMongo").exists(_.equalsIgnoreCase("true")))
+    Seq("org.mongodb.spark" %% "mongo-spark-connector" % "10.5.0")
+  else Seq.empty
+)
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

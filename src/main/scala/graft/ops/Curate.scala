@@ -29,7 +29,12 @@ object Curate {
   def curate(docs: DataFrame, lang: String = "en",
       minQuality: Double = 0.3, budget: Long = Sharding.ShardBudget)
       : DataFrame = {
-    val flagged = docs
+    // every text-derived flag is computed map-side, then the text is
+    // DROPPED before the keeper window: the dedup exchange partitions on
+    // the 32-byte md5(text) key and ships scalar flags only (q31's
+    // shuffle discipline — document bodies move exactly once, in the
+    // final survivors join below, which the shard write needs anyway)
+    val flags = docs
       .withColumn("n_words", size(split(col("text"), " +")))
       // q38's quality formula (length + stopword-ratio halves)
       .withColumn("n_stop", size(regexp_extract_all(lower(col("text")),
@@ -37,18 +42,19 @@ object Curate {
       .withColumn("quality_score",
         least(col("n_words") * lit(1.0), lit(100.0)) / 100.0 * 0.5 +
           col("n_stop") * lit(1.0) / col("n_words") * 0.5)
-      // q31's keeper rule: min doc_id per identical text (window on the
-      // same shuffle key as the groupBy form)
+      .withColumn("n_tokens", size(split(lower(col("text")), " +")))
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        col("n_tokens"), md5(col("text")).as("tkey"))
+    // q31's keeper rule: min doc_id per identical text, keyed by md5
+    val kept = flags
       .withColumn("keeper",
-        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("text"))))
-    val kept = flagged
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("tkey"))))
       .filter(col("lang") === lang && col("quality_score") >= minQuality &&
         col("keeper"))
       .withColumn("k",
         md5(concat(lit("shard:"), col("doc_id").cast("string"))))
-      .withColumn("n_tokens", size(split(lower(col("text")), " +")))
     Sharding.assignShards(kept, budget, 32)
-      .join(kept.select(col("doc_id"), col("text"), col("lang"),
+      .join(docs.select(col("doc_id"), col("text"), col("lang"),
         col("source")), "doc_id")
   }
 

@@ -26,7 +26,21 @@ object Dedup {
   /** 4 bands × 2 rows: 8 affine hash functions over the base hash. */
   private val A = Seq(37L, 101L, 193L, 271L, 359L, 433L, 509L, 601L)
   private val B = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
-  private val SimBits = 16
+
+  /** SimHash width: 64 bits, stored as [[SimWords]] non-negative 16-bit
+    * words (`sim0..sim3`) rather than one 64-bit integer. A single value
+    * would need bit 63, and a set sign bit means different div/mod
+    * semantics between engines plus HUGEINT promotion on the DuckDB side —
+    * four words keep every intermediate in [0, 2^16) where int64
+    * arithmetic is identical everywhere. Each word IS one LSH band, so the
+    * band domain has 65,536 possible values: band-group size is governed
+    * by similarity structure, not corpus size (a byte-banded signature has
+    * only 256 possible values per band, so groups grow as N/256 and an
+    * absolute hot-band cap eventually drops EVERY band — silent zero
+    * recall past ~cap·256 docs). */
+  private val SimWords = 4
+  private val BitsPerWord = 16
+  private val SimBits = SimWords * BitsPerWord
 
   /** 56-bit md5-derived hash reduced mod p — same text → same value in
     * Spark (conv/md5) and DuckDB (hex cast/md5). */
@@ -52,6 +66,14 @@ object Dedup {
     * exact-duplicate territory — q31's groupBy catches them in one
     * shuffle — so the LSH path deliberately skips them. */
   val HotBandCap = 200
+
+  /** Hamming cutoff for a verified q62 near-dup pair: ≤ 6 of 64 bits
+    * (~9 % — the planted near-dups in the test corpus land at 0-5 while
+    * unrelated pairs center around 32). Every pair with ≤ 3 flips is
+    * GUARANTEED a clean band (pigeonhole over 4 words); 4-6-flip pairs
+    * are found unless their flips touch all four words. (Declared before
+    * `defs`: vals initialize in declaration order and `defs` reads it.) */
+  val SimhashMaxHamming = 6
 
   /** Removes rows whose (band_idx, band_val) group exceeds `cap` members.
     * The hot list is tiny by construction → broadcast anti-join. */
@@ -106,6 +128,7 @@ object Dedup {
            FROM w)
          WHERE tail IS NOT NULL),
        hashed AS (SELECT doc_id, ${hashExprDuck("s")} AS h,
+                         ${hashExprDuck("'x:' || s")} AS h2,
                          ${hashExprDuck("s")} % $P AS g FROM sh)"""
 
   private val duckShingles = s"WITH $duckShinglesBody"
@@ -255,97 +278,151 @@ object Dedup {
              GROUP BY 1, 2
              ORDER BY source_a, source_b""")),
 
-    // ---- SimHash signatures (16-bit): signed bit sums over shingle
-    //      hashes; bits are taken from the raw 56-bit hash (no arithmetic
-    //      that could overflow) ----
+    // ---- SimHash signatures (64-bit as 4×16-bit words): signed bit sums
+    //      over two independent 56-bit shingle hashes (no arithmetic that
+    //      could overflow in either engine) ----
     "q34_simhash_signatures" -> QueryDef(
       (s, dir) => simhashSignatures(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id")),
       Some(s"""WITH $duckSimhashBody
-             SELECT doc_id, simhash FROM sim
+             SELECT doc_id, sim0, sim1, sim2, sim3 FROM sim
              ORDER BY doc_id""")),
 
-    // ---- SimHash near-dup pairs: candidates share at least one BYTE of
-    //      the 16-bit signature (simhash block-banding). Recall is exact
-    //      for any pair whose bit flips all land in one byte — in
-    //      particular every hamming-distance ≤ 1 pair — and partial for
-    //      pairs splitting flips across both bytes: the standard banding
-    //      trade-off, tunable by block count (more/smaller blocks raise
-    //      recall but shrink the value space and grow band groups). Band
-    //      groups ride the same absolute cap as every other LSH path;
-    //      verification is bit_count(xor) — both engines' native popcount
-    //      over identical integers. ----
+    // ---- SimHash near-dup pairs: candidates share at least one 16-bit
+    //      WORD of the 64-bit signature (simhash block-banding, 4 bands ×
+    //      16 bits). Recall is exact for any pair whose bit flips all land
+    //      in ≤ 3 words — in particular every hamming-distance ≤ 3 pair —
+    //      and partial for pairs spreading flips across all four words:
+    //      the standard banding trade-off. Each band has 65,536 possible
+    //      values, so band-group size tracks similarity structure rather
+    //      than corpus size, and the absolute cap prunes only degenerate
+    //      near-identical clusters (q31 territory) instead of silently
+    //      zeroing recall at scale the way a 256-value byte band would.
+    //      Verification is a bit_count(xor) sum — both engines' native
+    //      popcount over identical integers. ----
     "q62_simhash_neardup" -> QueryDef(
-      (s, dir) => {
-        val sigs = simhashSignatures(Tables.load(s, dir, "documents"))
-        val bands = coldBands(sigs.selectExpr("doc_id",
-          """stack(2, 0, simhash % 256, 1, simhash div 256)
-             AS (band_idx, band_val)"""))
-        val cands = bands.as("x")
-          .join(bands.as("y"),
-            col("x.band_idx") === col("y.band_idx") &&
-              col("x.band_val") === col("y.band_val") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-          .distinct()
-        cands
-          .join(sigs.select(col("doc_id").as("da"), col("simhash").as("ha")), "da")
-          .join(sigs.select(col("doc_id").as("db"), col("simhash").as("hb")), "db")
-          .withColumn("hamming", expr("bit_count(ha ^ hb)"))
-          .filter(col("hamming") <= 3)
-          .select(col("da"), col("db"), col("hamming"))
-          .orderBy(col("da"), col("db"))
-      },
-      Some(s"""WITH $duckSimhashBody,
-             bands0 AS (
-               SELECT doc_id, 0 AS band_idx, simhash % 256 AS band_val FROM sim
-               UNION ALL
-               SELECT doc_id, 1 AS band_idx, simhash // 256 AS band_val FROM sim),
-             hot AS (
-               SELECT band_idx, band_val FROM bands0
-               GROUP BY band_idx, band_val HAVING count(*) > $HotBandCap),
-             bands AS (
-               SELECT b.* FROM bands0 b
-               ANTI JOIN hot h USING (band_idx, band_val)),
-             cands AS (
-               SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-               FROM bands x JOIN bands y
-                 ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-                AND x.doc_id < y.doc_id)
-             SELECT da, db, bit_count(xor(a.simhash, b.simhash)) AS hamming
-             FROM cands
-             JOIN sim a ON da = a.doc_id
-             JOIN sim b ON db = b.doc_id
-             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-             ORDER BY da, db""")),
+      (s, dir) => simhashNeardupPairs(Tables.load(s, dir, "documents")),
+      Some(duckSimhashNeardupSql(SimhashMaxHamming, HotBandCap))),
   )
 
-  /** (doc_id, simhash) — the q34 signature pipeline, shared with q62. */
+  /** The full q62 pipeline over a (doc_id, text) frame, exposed with the
+    * band cap as a parameter for spec-level stress tests (planting
+    * near-dups in a corpus big enough that a byte-banded signature would
+    * drop every band group). Signatures feed three consumers — the band
+    * explode and both verify joins — so they are persisted once. */
+  def simhashNeardupPairs(docsText: DataFrame,
+      maxHamming: Int = SimhashMaxHamming,
+      cap: Int = HotBandCap): DataFrame = {
+    val sigs = simhashSignatures(docsText)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = coldBands(sigs.selectExpr("doc_id",
+      s"""stack($SimWords, ${(0 until SimWords)
+            .map(j => s"$j, sim$j").mkString(", ")})
+         AS (band_idx, band_val)"""), cap)
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    // bit_count is int-typed in Spark; the 4-word sum is cast to long to
+    // match the oracle's BIGINT (DuckDB's bit_count sum would otherwise
+    // surface as a narrower integer)
+    val hamming = (0 until SimWords)
+      .map(j => expr(s"bit_count(a$j ^ b$j)"))
+      .reduce[Column](_ + _)
+      .cast("long")
+    cands
+      .join(sigs.select(col("doc_id").as("da") +:
+        (0 until SimWords).map(j => col(s"sim$j").as(s"a$j")): _*), "da")
+      .join(sigs.select(col("doc_id").as("db") +:
+        (0 until SimWords).map(j => col(s"sim$j").as(s"b$j")): _*), "db")
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("da"), col("db"), col("hamming"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Oracle mirror of [[simhashNeardupPairs]]. */
+  private def duckSimhashNeardupSql(maxHamming: Int, cap: Int): String = {
+    val bandSelects = (0 until SimWords)
+      .map(j => s"SELECT doc_id, $j AS band_idx, sim$j AS band_val FROM sim")
+      .mkString(" UNION ALL ")
+    val ham = (0 until SimWords)
+      .map(j => s"bit_count(xor(a.sim$j, b.sim$j))")
+      .mkString(" + ")
+    s"""WITH $duckSimhashBody,
+       bands0 AS ($bandSelects),
+       hot AS (
+         SELECT band_idx, band_val FROM bands0
+         GROUP BY band_idx, band_val HAVING count(*) > $cap),
+       bands AS (
+         SELECT b.* FROM bands0 b
+         ANTI JOIN hot h USING (band_idx, band_val)),
+       cands AS (
+         SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         FROM bands x JOIN bands y
+           ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+          AND x.doc_id < y.doc_id)
+       SELECT da, db, CAST($ham AS BIGINT) AS hamming
+       FROM cands
+       JOIN sim a ON da = a.doc_id
+       JOIN sim b ON db = b.doc_id
+       WHERE $ham <= $maxHamming
+       ORDER BY da, db"""
+  }
+
+  /** Source column and shift amount for global bit `m` of the 64-bit
+    * signature: the base 56-bit md5 hash `h` supplies bits 0..47, the
+    * salted second hash `h2` (md5 of `'x:' || s`) supplies bits 48..63 —
+    * two independent digests because one md5 prefix only carries 56
+    * usable bits. */
+  private def bitSource(m: Int): (String, Int) =
+    if (m < 48) ("h", m) else ("h2", m - 48)
+
+  /** (doc_id, sim0..sim3) — the q34 signature pipeline, shared with q62:
+    * a 64-bit simhash as four 16-bit words (see [[SimWords]] for why four
+    * words, not one int64). The 64 signed bit sums are one map-side-
+    * combinable aggregation. */
   def simhashSignatures(docsText: DataFrame): DataFrame = {
     val withH = shingled(docsText)
       .withColumn("h", expr(hashExprSpark("s")))
-    val bitAggs = (0 until SimBits).map { k =>
-      sum(expr(s"CASE WHEN (h DIV ${1L << k}) % 2 = 1 THEN 1 ELSE -1 END"))
-        .as(s"b$k")
+      .withColumn("h2", expr(hashExprSpark("'x:' || s")))
+    val bitAggs = (0 until SimBits).map { m =>
+      val (src, sh) = bitSource(m)
+      sum(expr(s"CASE WHEN ($src DIV ${1L << sh}) % 2 = 1 THEN 1 ELSE -1 END"))
+        .as(s"b$m")
     }
     val sums = withH.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val simhash = (0 until SimBits)
-      .map(k => when(col(s"b$k") >= 0, lit(1L << k)).otherwise(lit(0L)))
-      .reduce[Column](_ + _)
-    sums.select(col("doc_id"), simhash.as("simhash"))
+    val words = (0 until SimWords).map { j =>
+      (0 until BitsPerWord)
+        .map(k => when(col(s"b${j * BitsPerWord + k}") >= 0,
+          lit(1L << k)).otherwise(lit(0L)))
+        .reduce[Column](_ + _)
+        .as(s"sim$j")
+    }
+    sums.select(col("doc_id") +: words: _*)
   }
 
-  /** CTE chain ending in `sim(doc_id, simhash)` — the oracle mirror of
+  /** CTE chain ending in `sim(doc_id, sim0..sim3)` — the oracle mirror of
     * [[simhashSignatures]], shared by q34/q62. */
   private def duckSimhashBody: String = {
     val bitSums = (0 until SimBits)
-      .map(k => s"sum(CASE WHEN (h // ${1L << k}) % 2 = 1 THEN 1 ELSE -1 END) AS b$k")
+      .map { m =>
+        val (src, sh) = bitSource(m)
+        s"sum(CASE WHEN ($src // ${1L << sh}) % 2 = 1 THEN 1 ELSE -1 END) AS b$m"
+      }
       .mkString(", ")
-    val hashVal = (0 until SimBits)
-      .map(k => s"CASE WHEN b$k >= 0 THEN ${1L << k} ELSE 0 END")
-      .mkString(" + ")
+    val words = (0 until SimWords)
+      .map { j =>
+        (0 until BitsPerWord)
+          .map(k => s"CASE WHEN b${j * BitsPerWord + k} >= 0 THEN ${1L << k} ELSE 0 END")
+          .mkString("CAST(", " + ", s" AS BIGINT) AS sim$j")
+      }
+      .mkString(", ")
     s"""$duckShinglesBody,
        sums AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id),
-       sim AS (SELECT doc_id, $hashVal AS simhash FROM sums)"""
+       sim AS (SELECT doc_id, $words FROM sums)"""
   }
 }

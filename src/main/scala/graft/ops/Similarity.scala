@@ -53,23 +53,30 @@ object Similarity {
     * both engines evaluate identically on floats. */
   private val lshPairs = Seq((1, 2), (5, 9), (11, 17), (23, 31))
 
-  /** Banded sign-LSH for the near-dup pair search: 16 bands × 8 bits.
+  /** Banded sign-LSH for the near-dup pair search: 32 bands × 16 bits.
     * Bit t compares coordinates (p, q) drawn without repetition from the
     * 2016 unordered coordinate pairs by a fixed stride walk (997 is
-    * coprime to 2016), so every bit is a distinct deterministic
-    * hyperplane surrogate. Candidates = pairs agreeing on ALL 8 bits of
-    * at least one band; measured at sf0.01 this visits ~9 % of all pairs
-    * (an 11× comparison reduction). NOTE: 8-bit bands have only 256
-    * possible values, so each band group holds ~N/256 vectors and the
-    * candidate count stays a FIXED fraction of N² as the corpus grows —
-    * banding alone does not get more selective at scale. Bounded fan-out
-    * comes from [[NeardupBandCap]] below: band groups larger than the cap
-    * are dropped before the self-join (mirrored in the oracle), exactly
-    * like [[Dedup.HotBandCap]] on the MinHash path. Giant sign-LSH groups
+    * coprime to 2016, so the first 512 draws are distinct), so every bit
+    * is a distinct deterministic hyperplane surrogate. Candidates = pairs
+    * agreeing on ALL 16 bits of at least one band.
+    *
+    * 16 bits per band means 65,536 possible band values, so band-group
+    * sizes are governed by how many vectors genuinely point the same way
+    * — NOT by corpus size. (8-bit bands have only 256 possible values;
+    * groups then grow as N/256 regardless of content, and past ~cap·256
+    * vectors an absolute cap drops EVERY group — silent zero recall. The
+    * wider domain is the scale fix; the cap below remains as a guard
+    * against degenerate same-direction clusters only.) Halving the
+    * per-band agreement probability per extra bit costs recall, so the
+    * band count doubles to 32 to compensate: for a cos ≈ 0.9 pair
+    * (per-bit agreement ≈ 0.86) recall is 1-(1-0.86^16)^32 ≈ 0.94.
+    * Groups larger than [[NeardupBandCap]] are dropped before the
+    * self-join (mirrored in the oracle), exactly like
+    * [[Dedup.HotBandCap]] on the MinHash path — giant sign-LSH groups
     * are near-identical-direction clusters, exact-dup territory that q31
     * catches in one shuffle. */
-  private val NeardupBands = 16
-  private val NeardupRowsPerBand = 8
+  private val NeardupBands = 32
+  private val NeardupRowsPerBand = 16
 
   /** Absolute cap on a (band_idx, band_val) group in the q41 self-join —
     * a group of k vectors contributes k·(k-1)/2 candidate pairs, so join
@@ -106,12 +113,50 @@ object Similarity {
     * spread across all cores: the testdata parquet is a single row group,
     * so without the repartition every brute-force or nested-loop join
     * below would run on ONE task regardless of cluster size. */
-  private def normed(s: SparkSession, dir: String): DataFrame = {
+  private def normedFrom(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
     graft.expr.VectorExpressions.register(s)
-    Tables.load(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
+    df.repartition(s.sparkContext.defaultParallelism)
       .withColumn("de", expr(toDouble))
       .withColumn("nrm", expr(s"sqrt(${dotExpr("de", "de")})"))
+  }
+
+  private def normed(s: SparkSession, dir: String): DataFrame =
+    normedFrom(Tables.load(s, dir, "embeddings"))
+
+  /** The q41 pipeline over a raw (vec_id, embedding) frame, exposed for
+    * spec-level recall tests (planting high-cosine near-dups and
+    * asserting the banding finds them). `minCos` is the exact-verify
+    * display threshold; recall at a given cosine is governed by the
+    * banding (see [[NeardupBands]]): ≈94 % at cos 0.9, a few percent for
+    * borderline cos ≈ 0.5 pairs — wide bands deliberately trade the
+    * borderline tail for bounded group sizes at corpus scale. */
+  def embeddingNeardupPairs(emb: DataFrame, minCos: Double): DataFrame = {
+    val bandCols = (0 until NeardupBands)
+      .map(b => expr(neardupBandSpark("embedding", b)))
+    val n = normedFrom(emb)
+      .withColumn("band_vals", array(bandCols: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = Dedup.coldBands(
+      n.select(col("vec_id"),
+        posexplode(col("band_vals")).as(Seq("band_idx", "band_val"))),
+      NeardupBandCap)
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+    val a = n.select(col("vec_id").as("va"), col("de").as("ea"),
+      col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("vb"), col("de").as("eb"),
+      col("nrm").as("nb"))
+    cands.join(a, "va").join(b, "vb")
+      .withColumn("cos", expr(dotExpr("ea", "eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("va"), col("vb"))
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -259,43 +304,17 @@ object Similarity {
              ORDER BY query_id, rank""")),
 
     // ---- embedding-cosine near-dup pairs, LSH candidate path ----
-    //      Candidates from 16 sign-LSH bands (equi self-join on
+    //      Candidates from 32 sign-LSH bands of 16 bits (equi self-join on
     //      (band_idx, band_val) — never all pairs, hot band groups dropped
     //      by NeardupBandCap first), then exact cosine verification with
     //      graft_dot. The oracle mirrors the banding and the cap
     //      bit-for-bit, so both engines enumerate the identical candidate
     //      set; recall vs the exact baseline (q50) is measured in
-    //      SparkOpsSpec. The 128 band bits are materialized ONCE into the
-    //      persisted frame (an 8-element array column), so neither join
-    //      side re-evaluates the 128 CASE expressions.
+    //      SparkOpsSpec. The 512 band bits are materialized ONCE into the
+    //      persisted frame (a 32-element array column), so neither join
+    //      side re-evaluates the 512 CASE expressions.
     "q41_embedding_neardup" -> QueryDef(
-      (s, dir) => {
-        val bandCols = (0 until NeardupBands)
-          .map(b => expr(neardupBandSpark("embedding", b)))
-        val n = normed(s, dir)
-          .withColumn("band_vals", array(bandCols: _*))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val bands = Dedup.coldBands(
-          n.select(col("vec_id"),
-            posexplode(col("band_vals")).as(Seq("band_idx", "band_val"))),
-          NeardupBandCap)
-        val cands = bands.as("x")
-          .join(bands.as("y"),
-            col("x.band_idx") === col("y.band_idx") &&
-              col("x.band_val") === col("y.band_val") &&
-              col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
-          .distinct()
-        val a = n.select(col("vec_id").as("va"), col("de").as("ea"),
-          col("nrm").as("na"))
-        val b = n.select(col("vec_id").as("vb"), col("de").as("eb"),
-          col("nrm").as("nb"))
-        cands.join(a, "va").join(b, "vb")
-          .withColumn("cos", expr(dotExpr("ea", "eb")) / (col("na") * col("nb")))
-          .filter(col("cos") >= 0.45)
-          .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
-          .orderBy(col("va"), col("vb"))
-      },
+      (s, dir) => embeddingNeardupPairs(Tables.load(s, dir, "embeddings"), 0.45),
       Some {
         val bandSelects = (0 until NeardupBands)
           .map(b => s"SELECT vec_id, $b AS band_idx, ${neardupBandDuck("embedding", b)} AS band_val FROM embeddings")

@@ -22,14 +22,25 @@ import graft.{QueryDef, Tables}
   */
 object Skew {
 
+  /** Deterministic per-row salt: a hash of the row's ENTIRE content, not
+    * of `monotonically_increasing_id()` — the monotonic id depends on
+    * which partition a row lands in, so a task retry (or a different
+    * input split) could re-salt rows and move them between reducers
+    * mid-job. A content hash gives every row the same salt on every run
+    * and every retry, making partition placement reproducible. Fully
+    * identical duplicate rows share a salt and so don't spread — a
+    * non-issue for fact rows carrying a unique id, and join SEMANTICS
+    * are unaffected either way (the small side carries all salts). */
+  def rowSalt(big: DataFrame, salt: Int) =
+    pmod(hash(big.columns.map(col): _*), lit(salt))
+
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
       keys: Seq[String],
       salt: Int = 16): DataFrame = {
     require(salt > 0, "salt must be positive")
-    val bigS = big.withColumn("_salt",
-      pmod(hash(monotonically_increasing_id()), lit(salt)))
+    val bigS = big.withColumn("_salt", rowSalt(big, salt))
     val smallS = small.withColumn("_salt",
       explode(array((0 until salt).map(lit): _*)))
     bigS.join(smallS, keys :+ "_salt").drop("_salt")

@@ -46,35 +46,51 @@ object TextOps {
     * bounding every join group at corpus scale. */
   val HotShingleCap = 200
 
-  /** Shingles whose document frequency makes the self-join quadratic:
-    * df above the absolute [[HotShingleCap]], or df in more than half of
-    * all documents (stopword-like 3-grams with no discriminative value for
-    * Jaccard ≥ 0.8). The list is tiny by construction, so the exclusion
-    * below is a broadcast anti-join. */
+  /** 56-bit md5-derived shingle key — the inverted-index join/group key,
+    * so the exchange carries one int64 per shingle instead of the 3-gram
+    * TEXT. Collisions between distinct shingles are ~|S|²/2⁵⁷ (≪ 1 for
+    * any realistic distinct-shingle count) and the oracle computes the
+    * identical hash, so both engines see the same keys either way. */
+  private val shingleKeySpark =
+    "cast(conv(substring(md5(s), 1, 14), 16, 10) as long)"
+  private val shingleKeyDuck =
+    "CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT)"
+
+  /** Exploded (doc_id, g) HASHED 3-gram shingles — the inverted-index
+    * rows the q32 join runs on. */
+  def hashedShingles(docs: DataFrame): DataFrame =
+    shingles(docs).select(col("doc_id"), expr(shingleKeySpark).as("g"))
+
+  /** Hashed shingle keys whose document frequency makes the self-join
+    * quadratic: df above the absolute [[HotShingleCap]], or df in more
+    * than half of all documents (stopword-like 3-grams with no
+    * discriminative value for Jaccard ≥ 0.8). The list is tiny by
+    * construction, so the exclusion below is a broadcast anti-join. */
   def hotShingles(sh: DataFrame, cap: Int = HotShingleCap): DataFrame = {
     val total = sh.agg(countDistinct(col("doc_id")).as("total"))
-    sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .crossJoin(total)
       .filter(col("df") * 2 > col("total") || col("df") > cap)
-      .select(col("s"))
+      .select(col("g"))
   }
 
   /** Near-duplicate pairs by shingle-set Jaccard ≥ `minJ` over a
-    * (doc_id, text) frame: inverted-index equi self-join on the shingle,
-    * hot shingles removed first. Sizes are computed AFTER the cutoff so
+    * (doc_id, text) frame: inverted-index equi self-join on the HASHED
+    * shingle (the string itself is dropped before any shuffle), hot
+    * shingles removed first. Sizes are computed AFTER the cutoff so
     * numerator and denominator describe the same (capped) sets. */
   def jaccardPairs(docsText: DataFrame, minJ: Double): DataFrame = {
     // the shingle explode feeds four consumers (hot list, sizes, both join
     // sides); cache it once instead of recomputing the explode per
     // subtree — MEMORY_AND_DISK so a corpus-scale shingle set spills
     // rather than evicting the executors
-    val raw = shingles(docsText)
+    val raw = hashedShingles(docsText)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docs = raw.join(broadcast(hotShingles(raw)), Seq("s"), "left_anti")
+    val docs = raw.join(broadcast(hotShingles(raw)), Seq("g"), "left_anti")
     val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = docs.as("a")
       .join(docs.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("c"))
     inter
@@ -98,25 +114,35 @@ object TextOps {
 
   val defs: Map[String, QueryDef] = Map(
 
-    // ---- exact dedup: keeper = min doc_id per identical text ----
+    // ---- exact dedup: keeper = min doc_id per identical text. The
+    //      group key is md5(text), not the text: the exchange then
+    //      carries a fixed 32-byte key instead of full document bodies
+    //      (at 128 bits a collision needs ~2⁶⁴ distinct docs — not a real
+    //      risk below; the streaming dedup state uses the same key).
+    //      Per-doc columns (text_len) are computed BEFORE the shuffle and
+    //      carried through the aggregate. ----
     "q31_dedup_exact" -> QueryDef(
       (s, dir) =>
         Tables.load(s, dir, "documents")
-          .groupBy(col("text"))
+          .select(col("doc_id"), md5(col("text")).as("tkey"),
+            length(col("text")).as("text_len"))
+          .groupBy(col("tkey"))
           .agg(min(col("doc_id")).as("keeper_id"),
-            count(lit(1)).as("n_copies"))
-          .select(col("keeper_id"), col("n_copies"), length(col("text")).as("text_len"))
+            count(lit(1)).as("n_copies"),
+            max(col("text_len")).as("text_len"))
+          .select(col("keeper_id"), col("n_copies"), col("text_len"))
           .orderBy(col("keeper_id")),
       Some("""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
-               length(text) AS text_len
+               max(length(text)) AS text_len
              FROM documents
-             GROUP BY text
+             GROUP BY md5(text)
              ORDER BY keeper_id""")),
 
-    // ---- near-dup pairs by 3-gram Jaccard ≥ 0.8 (inverted-index join
-    //      with the hot-shingle cutoff; the oracle recomputes shingles
-    //      with a window-lead formulation — an independent shingling
-    //      path — and mirrors the cutoff exactly) ----
+    // ---- near-dup pairs by 3-gram Jaccard ≥ 0.8 (inverted-index join on
+    //      the HASHED shingle with the hot-shingle cutoff; the oracle
+    //      recomputes shingles with a window-lead formulation — an
+    //      independent shingling path — and mirrors the hash and the
+    //      cutoff exactly) ----
     "q32_dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => jaccardPairs(Tables.load(s, dir, "documents"), 0.8),
       Some(s"""WITH w AS (
@@ -133,17 +159,18 @@ object TextOps {
                    lead(word, 2) OVER (PARTITION BY doc_id ORDER BY i) AS tail
                  FROM w)
                WHERE tail IS NOT NULL),
+             shg AS (SELECT doc_id, $shingleKeyDuck AS g FROM sh0),
              hot AS (
-               SELECT s FROM sh0 GROUP BY s
-               HAVING count(*) * 2 > (SELECT count(DISTINCT doc_id) FROM sh0)
+               SELECT g FROM shg GROUP BY g
+               HAVING count(*) * 2 > (SELECT count(DISTINCT doc_id) FROM shg)
                    OR count(*) > $HotShingleCap),
              sh AS (
-               SELECT sh0.doc_id, sh0.s FROM sh0
-               WHERE sh0.s NOT IN (SELECT s FROM hot)),
+               SELECT shg.doc_id, shg.g FROM shg
+               WHERE shg.g NOT IN (SELECT g FROM hot)),
              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
              inter AS (
                SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
                GROUP BY da, db)
              SELECT da, db, c AS n_shared,
                round(c * 1.0 / (sa.n + sb.n - c), 3) AS jaccard
@@ -435,6 +462,10 @@ object TextOps {
           .join(broadcast(evalGrams), "s")
           .select(col("doc_id")).distinct()
           .withColumn("contam", lit(1))
+        // every text-derived column is computed BEFORE the keeper window
+        // and the text itself is dropped, so the window's exchange
+        // partitions on the 32-byte md5 key and ships only scalar flags —
+        // never document bodies (q31's shuffle discipline)
         val flags = docs
           .withColumn("n_words", size(split(col("text"), " +")))
           .withColumn("n_stop", size(regexp_extract_all(lower(col("text")),
@@ -442,8 +473,10 @@ object TextOps {
           .withColumn("quality_score",
             least(col("n_words") * lit(1.0), lit(100.0)) / 100.0 * 0.5 +
               col("n_stop") * lit(1.0) / col("n_words") * 0.5)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("quality_score"), md5(col("text")).as("tkey"))
           .withColumn("keeper",
-            col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("text"))))
+            col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("tkey"))))
           .join(broadcast(contaminated), Seq("doc_id"), "left")
         def cnt(c: org.apache.spark.sql.Column, name: String) =
           sum(when(c, 1L).otherwise(0L)).as(name)

@@ -134,6 +134,34 @@ object EventStreams {
         col("purchase_ts"), col("value"))
   }
 
+  /** State-store configuration for running [[streamingDedup]] against a
+    * corpus-scale stream. The state is deliberately tiny per key (one
+    * boolean per content md5) but the KEY COUNT is the corpus
+    * cardinality — billions of entries at 100 TB — and Spark's default
+    * HDFS-backed provider keeps every key of every partition's store
+    * ON-HEAP in the executor, so heap, not disk, becomes the ceiling.
+    * The RocksDB provider (shipped with Spark) keeps the working set in
+    * native memory + local SST files and checkpoints incrementally via
+    * changelog files, which is what an unbounded keep-first dedup needs:
+    *
+    *   - `providerClass` → RocksDB: state lives off-heap/on-disk per
+    *     executor, sharded by the same groupByKey hash as today;
+    *   - changelog checkpointing → each commit uploads only the delta,
+    *     not a full SST snapshot (a full snapshot per batch at billions
+    *     of keys would dominate batch time);
+    *   - `compactOnCommit` stays default (false): the dedup workload is
+    *     write-once-read-rarely per key, background compaction suffices.
+    *
+    * Apply on the SparkSession (or spark-submit --conf) BEFORE the query
+    * starts; the provider is per-query-run and cannot change across a
+    * checkpoint's lifetime. StreamingSpec runs the dedup under this exact
+    * map to pin that the wiring works. */
+  val rocksDbStateStoreConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
   /** Output-mode pairing used by the specs and any production writer. */
   val appendMode: OutputMode = OutputMode.Append()
   val updateMode: OutputMode = OutputMode.Update()

@@ -134,6 +134,68 @@ class MiniMySqlSinkSpec extends AnyFunSuite {
       Seq("_id" -> DVarchar(50), "n" -> DDouble, "s" -> DVarchar(255)), Seq("_id"))))
     assert(s.tableDef("missing") == None)
   }
+
+  test("MiniMySql rejects DDL with types the sink never emits (unmodeled semantics)") {
+    fresh()
+    val e = intercept[IllegalArgumentException] {
+      MiniMySql.executeUpdate("CREATE TABLE IF NOT EXISTS `x` (`a` JSON NULL)")
+    }
+    assert(e.getMessage.contains("does not model"))
+  }
+}
+
+/** Property test for the destination DDL-evolution path: ANY random
+  * sequence of inferred definitions, replayed through the real sink →
+  * MiniMySql round-trip (CREATE, metadata read-back, ALTER diff), must
+  * leave the destination exactly at the pure lattice fold
+  * `inferred₁ evolve inferred₂ evolve …` — i.e. the stateful SQL path and
+  * the pure model can never drift apart, whatever the widening order. */
+class DdlEvolvePropertySpec extends AnyFunSuite {
+  import graft.kernel.DType
+
+  private def sink() =
+    new JdbcReplaceSink("jdbc:mini:prop", new java.util.Properties)
+
+  private def renderSql(t: DType): String = t match {
+    case DInt        => "INT"
+    case DDouble     => "DOUBLE"
+    case DDatetime   => "DATETIME"
+    case DText       => "TEXT"
+    case DVarchar(n) => s"VARCHAR($n)"
+  }
+
+  test("random widen sequences: destination DDL always equals the lattice fold") {
+    val types = Vector[DType](DInt, DDouble, DDatetime, DText,
+      DVarchar(50), DVarchar(100), DVarchar(255), DVarchar(512))
+    val cols = Vector("a", "b", "c", "d")
+    val rnd = new scala.util.Random(17)
+    (1 to 25).foreach { trial =>
+      MiniMySql.register
+      MiniMySql.reset()
+      val s = sink()
+      val name = s"t$trial"
+      var expected: Option[TableDef] = None
+      (1 to 5).foreach { _ =>
+        val chosen = {
+          val cs = cols.filter(_ => rnd.nextBoolean())
+          if (cs.isEmpty) Vector(cols(rnd.nextInt(cols.size))) else cs
+        }
+        val inferred = TableDef(
+          chosen.map(c => c -> types(rnd.nextInt(types.size))),
+          Seq(chosen.head))
+        s.ensureTable(name, inferred)
+        expected = Some(expected.map(TableDef.evolve(_, inferred)).getOrElse(inferred))
+      }
+      val want = expected.get
+      // destination column types equal the fold, rendered to MySQL
+      assert(MiniMySql.colTypes(name) ==
+        want.columns.map { case (c, t) => c -> renderSql(t) }.toMap,
+        s"trial $trial drifted from the lattice fold")
+      // and the JDBC metadata read-back reproduces the fold exactly
+      // (types, column order, primary key)
+      assert(s.tableDef(name) == Some(want), s"trial $trial read-back")
+    }
+  }
 }
 
 /** [[TableDef.evolve]] is the pure merge the evolution path rides. */

@@ -53,8 +53,16 @@ object MiniMySql {
   private val replaceRe =
     """(?s)REPLACE INTO `([^`]+)` \(([^)]*)\) VALUES \(([^)]*)\)""".r
 
-  private def parseCol(name: String, typ: String, size: String): ColDef =
+  /** The only types [[graft.porter.JdbcReplaceSink]] ever emits (the
+    * DType lattice rendered to MySQL). Anything else in a parsed DDL is
+    * a bug in the generator, so the fake REJECTS it rather than storing
+    * a type whose semantics it does not model. */
+  private val ModeledTypes = Set("INT", "DOUBLE", "DATETIME", "TEXT", "VARCHAR")
+
+  private def parseCol(name: String, typ: String, size: String): ColDef = {
+    require(ModeledTypes(typ), s"MiniMySql does not model column type $typ")
     ColDef(name, typ, Option(size).map(_.toInt).getOrElse(0))
+  }
 
   def executeUpdate(sql: String): Unit = sql.trim match {
     case createRe(name, body) =>

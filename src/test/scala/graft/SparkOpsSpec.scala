@@ -92,6 +92,26 @@ class SkewSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() == 0)
     assert(salted.exceptAll(plain).count() == 0)
   }
+
+  test("row salt is deterministic: identical content lands on the same reducer across runs") {
+    import spark.implicits._
+    // the salt must be a pure function of row CONTENT (not
+    // monotonically_increasing_id, which shifts with partition layout),
+    // so a task retry or re-run cannot migrate rows between reducers
+    def mk() = spark.range(5000)
+      .selectExpr("id % 13 AS k", "id AS payload")
+    def salts() = {
+      val df = mk()
+      df.withColumn("_salt", graft.ops.Skew.rowSalt(df, 16))
+        .select(col("payload"), col("_salt"))
+        .as[(Long, Int)].collect().toMap
+    }
+    val a = salts()
+    val b = salts()
+    assert(a == b)
+    // and it actually spreads the hot key over many reducers
+    assert(a.values.toSet.size > 8)
+  }
 }
 
 class VectorExprSpec extends AnyFunSuite {
@@ -215,6 +235,14 @@ class MultimodalSpec extends AnyFunSuite {
 class DedupCapSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  /** Plain-Scala mirror of TextOps' 56-bit md5 shingle key. */
+  private def key56(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 14), 16)
+  }
+
   test("hot shingle (df > 50%) is excluded and no longer quadratics the inverted-index join") {
     import spark.implicits._
     // 60 docs all sharing the 3-gram "common anchor phrase" but otherwise
@@ -224,9 +252,9 @@ class DedupCapSpec extends AnyFunSuite {
     val dups = Seq((98L, "common anchor phrase alpha beta gamma delta"),
                    (99L, "common anchor phrase alpha beta gamma delta"))
     val docs = (uniques ++ dups).toDF("doc_id", "text")
-    val hot = graft.ops.TextOps.hotShingles(graft.ops.TextOps.shingles(docs))
-      .as[String].collect().toSet
-    assert(hot == Set("common anchor phrase"))
+    val hot = graft.ops.TextOps.hotShingles(graft.ops.TextOps.hashedShingles(docs))
+      .as[Long].collect().toSet
+    assert(hot == Set(key56("common anchor phrase")))
     // without the cap, the shared shingle alone feeds C(62,2) = 1891
     // candidate pairs into the join; with it, only the real duplicates
     val pairs = graft.ops.TextOps.jaccardPairs(docs, 0.8).collect()
@@ -247,11 +275,32 @@ class DedupCapSpec extends AnyFunSuite {
     val dups = Seq((998L, "some unrelated duplicate text pair here"),
                    (999L, "some unrelated duplicate text pair here"))
     val docs = (sharers ++ fillers ++ dups).toDF("doc_id", "text")
-    val hot = graft.ops.TextOps.hotShingles(graft.ops.TextOps.shingles(docs))
-      .as[String].collect().toSet
-    assert(hot == Set("hot anchor phrase"))
+    val hot = graft.ops.TextOps.hotShingles(graft.ops.TextOps.hashedShingles(docs))
+      .as[Long].collect().toSet
+    assert(hot == Set(key56("hot anchor phrase")))
     val pairs = graft.ops.TextOps.jaccardPairs(docs, 0.8).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((998L, 999L)))
+  }
+
+  test("16-bit simhash bands keep recall where byte bands would cap out (N ≫ cap·256)") {
+    import spark.implicits._
+    // 4003 docs with cap=8: a BYTE-banded signature has 256 possible
+    // values per band, so every group holds ~4003/256 ≈ 16 > 8 members
+    // and the hot-band anti-join would drop ALL bands — silent zero
+    // recall. The shipped 16-bit bands (65,536 values) leave random docs
+    // in singleton groups, so the planted duplicates must surface even
+    // under this tiny cap.
+    val rnd = new scala.util.Random(13)
+    val vocab = (0 until 5000).map(i => s"tok$i")
+    def doc() = Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 4000).map(i => (i.toLong, doc()))
+    val planted = base.take(3).map { case (id, t) => (id + 10000L, t) }
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.simhashNeardupPairs(docs, cap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedPlanted = (0 until 3).map(i => (i.toLong, i + 10000L)).toSet
+    assert(expectedPlanted.subsetOf(out),
+      s"planted pairs missing: ${expectedPlanted -- out}")
   }
 
   test("band groups over HotBandCap are dropped: a 300-doc duplicate cluster no longer quadratics the LSH join") {
@@ -443,6 +492,26 @@ class SimilaritySpec extends AnyFunSuite {
       assert(exact.get(pair).contains(cos), s"pair $pair: lsh=$cos exact=${exact.get(pair)}")
     }
     assert(exact.size >= lsh.size)
+  }
+
+  test("wide-band sign-LSH finds planted high-cosine near-dups (the operator's design point)") {
+    import spark.implicits._
+    // 500 random gaussian vectors plus 10 small-perturbation copies
+    // (cos ≈ 0.999). 16-bit bands keep group sizes content-governed at
+    // corpus scale; this pins that the recall cost of the wider domain
+    // lands on BORDERLINE pairs only — genuine near-dups must all
+    // surface (per-pair miss probability ≈ (1-0.98^16)^32 ≈ 1e-18).
+    val rnd = new scala.util.Random(23)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0L until 500L).map(i => (i, vec()))
+    val planted = base.take(10).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + (rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.embeddingNeardupPairs(emb, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 10L).map(i => (i, i + 1000L)).toSet
+    assert(expected.subsetOf(out), s"planted pairs missing: ${expected -- out}")
   }
 
   test("q41 plan has no cartesian/nested-loop join (scale gate)") {

@@ -86,6 +86,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup runs under the RocksDB state store (the corpus-scale provider config)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // rocksDbStateStoreConf is the documented production sizing for the
+    // dedup state (billions of md5 keys can't live on-heap); this pins
+    // that the provider class + changelog flag actually boot and that
+    // keep-first semantics are provider-independent.
+    val saved = EventStreams.rocksDbStateStoreConf.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    EventStreams.rocksDbStateStoreConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    val input = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.streamingDedup(spark, input.toDS())
+      .writeStream.format("memory").queryName("dedup_rocks")
+      .outputMode("append").start()
+    try {
+      input.addData(EventStreams.Doc(5L, "alpha"), EventStreams.Doc(2L, "alpha"))
+      q.processAllAvailable()
+      input.addData(EventStreams.Doc(9L, "alpha"), EventStreams.Doc(7L, "gamma"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_rocks").orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq
+      assert(rows == Seq((2L, "alpha"), (7L, "gamma")))
+    } finally {
+      q.stop()
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("stream-stream interval join matches purchases to the preceding hour's views") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
