@@ -21,6 +21,8 @@ object SparkEntry {
     ops.Dedup.defs,
     ops.Similarity.defs,
     ops.Multimodal.defs,
+    ops.Clustering.defs,
+    ops.CorpusStats.defs,
   )
 
   private lazy val all: Map[String, QueryDef] = {

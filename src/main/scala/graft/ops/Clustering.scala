@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Embedding clustering for corpus bucketing: k-medians (Lloyd iterations
+  * with per-dimension LOWER medians and L1 distance), the clustering step
+  * a training-data pipeline uses for diversity sampling / data-mixing
+  * buckets over document embeddings.
+  *
+  * Why k-MEDIANS and not k-means here: the centroid update is a
+  * per-dimension median instead of a mean. A mean is a float SUM whose
+  * order differs between engines and partitionings (the classic parity
+  * hazard, DESIGN.md), while the LOWER median — the element at rank
+  * `(n+1) div 2` of the sorted dimension values — is an ACTUAL ELEMENT
+  * VALUE, bitwise identical everywhere, no interpolation, no rounding
+  * grid. Distances are sequential folds (zip_with + aggregate ≡ DuckDB's
+  * 0-prepended list_reduce), so assignments agree exactly and the whole
+  * iterative pipeline hash-matches the oracle with no tolerance games.
+  *
+  * Scale shape per iteration: centroids are K tiny rows — always a
+  * BROADCAST join against the corpus (never a shuffle of the vectors);
+  * the median update shuffles (cluster, dim) keyed rows into K·dim
+  * groups, each computed by a partitioned window (no per-group arrays
+  * collected, so a billion-vector cluster streams through its sort
+  * rather than materializing). Iteration count is fixed and small — the
+  * standard practice for corpus bucketing, where convergence-to-epsilon
+  * buys nothing.
+  */
+object Clustering {
+
+  /** Cluster count: the first K vectors seed the centroids
+    * (deterministic init, mirrored in the oracle — same pattern as the
+    * IVF centroids in q43). */
+  val K = 8
+
+  private val toDouble = "transform(embedding, x -> cast(x as double))"
+
+  /** L1 distance as a sequential left fold — bitwise identical in both
+    * engines for identical inputs. */
+  private def l1Spark(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> abs(x - y)), 0D, (acc, v) -> acc + v)"
+
+  private def l1Duck(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_zip($a, $b), s -> abs(s[1] - s[2]))),
+        (acc, v) -> acc + v)"""
+
+  /** Nearest-centroid assignment: broadcast the K centroids, argmin L1
+    * with the centroid id as the deterministic tie-break. */
+  private def assign(n: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    n.join(broadcast(cents))
+      .withColumn("dist", expr(l1Spark("de", "cde")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("de"), col("cid").as("cluster_id"), col("dist"))
+  }
+
+  /** Per-dimension LOWER median of each cluster's members, reassembled
+    * into centroid arrays. The median element is found by a partitioned
+    * window (rank (n+1) div 2 of the sorted dimension values) — K·dim
+    * groups of parallelism, no collected per-group state; only the
+    * 64-element centroid assembly collects, bounded by the DIMENSION
+    * count, not the cluster size. */
+  private def updateCentroids(assigned: DataFrame): DataFrame = {
+    val wSort = Window.partitionBy(col("cluster_id"), col("dim")).orderBy(col("v"))
+    val wCnt = Window.partitionBy(col("cluster_id"), col("dim"))
+    assigned
+      .select(col("cluster_id"), posexplode(col("de")).as(Seq("dim", "v")))
+      .withColumn("rn", row_number().over(wSort))
+      .withColumn("cnt", count(lit(1)).over(wCnt))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .groupBy(col("cluster_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, v))), s -> s.v)")
+        .as("cde"))
+      .select(col("cluster_id").as("cid"), col("cde"))
+  }
+
+  /** The full pipeline over a raw (vec_id, embedding) frame: seed →
+    * assign → median update → assign, reporting per-cluster size and the
+    * lower-median member distance (a dispersion read-out that is itself
+    * an exact element value). */
+  def kmediansProfile(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val n = emb
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("de", expr(toDouble))
+      .select(col("vec_id"), col("de"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents0 = n.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("de").as("cde"))
+    val a1 = assign(n, cents0)
+    val cents1 = updateCentroids(a1)
+    val a2 = assign(n, cents1)
+    val wSort = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    val wCnt = Window.partitionBy(col("cluster_id"))
+    a2.withColumn("rn", row_number().over(wSort))
+      .withColumn("cnt", count(lit(1)).over(wCnt))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("cluster_id"), col("cnt").as("n_members"),
+        round(col("dist"), 4).as("med_l1"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- k-medians corpus bucketing: 2 Lloyd rounds, deterministic
+    //      seed = first K vectors, lower-median centroid update. The
+    //      oracle unrolls the same two rounds with quantile_disc(0.5)
+    //      (provably the same (n+1) div 2 sorted element as the window
+    //      formulation — an independent spelling of the same median). ----
+    "q70_kmedians_clusters" -> QueryDef(
+      (s, dir) => kmediansProfile(Tables.load(s, dir, "embeddings")),
+      Some(s"""WITH n AS (
+               SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+               FROM embeddings),
+             c0 AS (SELECT vec_id AS cid, de AS cde FROM n WHERE vec_id < $K),
+             a1p AS (
+               SELECT n.vec_id, n.de, c0.cid, ${l1Duck("n.de", "c0.cde")} AS dist
+               FROM n CROSS JOIN c0),
+             a1 AS (
+               SELECT vec_id, de, cid AS cluster_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cid) AS crank
+                 FROM a1p) WHERE crank = 1),
+             dims1 AS (
+               SELECT cluster_id, generate_subscripts(de, 1) AS dim,
+                 unnest(de) AS v
+               FROM a1),
+             med1 AS (
+               SELECT cluster_id, dim, quantile_disc(v, 0.5) AS med
+               FROM dims1 GROUP BY cluster_id, dim),
+             c1 AS (
+               SELECT cluster_id AS cid, list(med ORDER BY dim) AS cde
+               FROM med1 GROUP BY cluster_id),
+             a2p AS (
+               SELECT n.vec_id, c1.cid, ${l1Duck("n.de", "c1.cde")} AS dist
+               FROM n CROSS JOIN c1),
+             a2 AS (
+               SELECT vec_id, cid AS cluster_id, dist FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cid) AS crank
+                 FROM a2p) WHERE crank = 1)
+             SELECT cluster_id, count(*) AS n_members,
+               round(quantile_disc(dist, 0.5), 4) AS med_l1
+             FROM a2
+             GROUP BY cluster_id
+             ORDER BY cluster_id""")),
+  )
+}

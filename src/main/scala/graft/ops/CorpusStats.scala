@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Corpus-statistics operators for a training-data pipeline: vocabulary
+  * coverage (OOV rates against a frequency-derived vocabulary) and
+  * count-min-sketch heavy hitters (fixed-memory frequency estimation).
+  *
+  * Scale shape: the vocabulary is a top-k — small by construction — so
+  * coverage is a BROADCAST join the corpus streams through map-side
+  * (the q58 decontamination pattern); the count-min sketch is a
+  * fixed-size (depth × width) table built by one map-side-combinable
+  * groupBy, the standard sublinear substitute for a full term-frequency
+  * table when the distinct-term count is corpus-sized.
+  */
+object CorpusStats {
+
+  /** Vocabulary size for q71 — top terms by corpus frequency with a
+    * deterministic tie-break (count DESC, term ASC), mirrored verbatim
+    * in the oracle. */
+  val VocabSize = 1000
+
+  /** Count-min sketch geometry: 4 independent hash rows × 1024 buckets.
+    * Depth drives the error probability (min over 4 estimates), width
+    * the overestimate magnitude (~corpus_tokens/width). 4×1024 int64
+    * cells = 32 KiB — broadcastable, mergeable, fixed whatever the
+    * corpus size. */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** 56-bit md5-derived hash of `term` salted per sketch row, reduced to
+    * a bucket — identical text → identical bucket in both engines. */
+  private def bucketSpark(r: Int) =
+    s"cast(conv(substring(md5(concat('cms$r:', term)), 1, 14), 16, 10) as long) % $CmsWidth"
+  private def bucketDuck(r: Int) =
+    s"CAST(('0x' || substr(md5('cms$r:' || term), 1, 14)) AS BIGINT) % $CmsWidth"
+
+  private def words(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      explode(split(lower(col("text")), " +")).as("term"))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- vocabulary coverage: OOV tokens per language against the
+    //      corpus top-1000 vocabulary. The vocab is tiny → broadcast
+    //      left join; per-language rates divide two exact int64 sums
+    //      (one IEEE division, no float aggregation order anywhere).
+    //      high-OOV docs are counted from per-doc exact ratios. ----
+    "q71_vocab_coverage" -> QueryDef(
+      (s, dir) => {
+        val w = words(Tables.load(s, dir, "documents"))
+        val vocab = w.groupBy(col("term")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term")).limit(VocabSize)
+          .select(col("term"), lit(1).as("in_vocab"))
+        val perDoc = w.join(broadcast(vocab), Seq("term"), "left")
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        perDoc.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(col("n_oov")).as("oov_tokens"),
+            sum(when(col("n_oov") * 2 > col("n_tokens"), 1L).otherwise(0L))
+              .as("n_high_oov_docs"))
+          .withColumn("oov_rate",
+            round(col("oov_tokens") * lit(1.0) / col("total_tokens"), 4))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH w AS (
+               SELECT doc_id, lang,
+                 unnest(string_split_regex(lower(text), ' +')) AS term
+               FROM documents),
+             vocab AS (
+               SELECT term FROM w GROUP BY term
+               ORDER BY count(*) DESC, term LIMIT $VocabSize),
+             per_doc AS (
+               SELECT doc_id, lang, count(*) AS n_tokens,
+                 CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov
+               FROM w LEFT JOIN vocab v USING (term)
+               GROUP BY doc_id, lang)
+             SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(n_oov) AS BIGINT) AS oov_tokens,
+               CAST(sum(CASE WHEN n_oov * 2 > n_tokens THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_high_oov_docs,
+               round(CAST(sum(n_oov) AS BIGINT) * 1.0
+                 / CAST(sum(n_tokens) AS BIGINT), 4) AS oov_rate
+             FROM per_doc
+             GROUP BY lang
+             ORDER BY lang""")),
+
+    // ---- count-min heavy hitters: build the 4×1024 sketch in one
+    //      map-side-combinable groupBy, then read back estimates for the
+    //      true top-20 terms (est = min over the 4 row estimates;
+    //      est >= true always — the overestimate column shows the
+    //      sketch's collision cost). Joining the 20 query terms to the
+    //      sketch is a broadcast of 80 (row, bucket) probes. ----
+    "q73_cms_heavy_hitters" -> QueryDef(
+      (s, dir) => {
+        val w = words(Tables.load(s, dir, "documents")).select(col("term"))
+        val buckets = (0 until CmsDepth)
+          .map(r => s"$r, ${bucketSpark(r)}").mkString(", ")
+        val cms = w
+          .selectExpr(s"stack($CmsDepth, $buckets) AS (r, bucket)")
+          .groupBy(col("r"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val top = w.groupBy(col("term")).agg(count(lit(1)).as("true_n"))
+          .orderBy(col("true_n").desc, col("term")).limit(20)
+        val probes = top
+          .selectExpr("term", "true_n",
+            s"stack($CmsDepth, $buckets) AS (r, bucket)")
+        cms.join(broadcast(probes), Seq("r", "bucket"))
+          .groupBy(col("term"), col("true_n"))
+          .agg(min(col("cnt")).as("est_n"))
+          .withColumn("overestimate", col("est_n") - col("true_n"))
+          .select(col("term"), col("true_n"), col("est_n"), col("overestimate"))
+          .orderBy(col("true_n").desc, col("term"))
+      },
+      Some {
+        val bucketSelects = (0 until CmsDepth)
+          .map(r => s"SELECT term, $r AS r, ${bucketDuck(r)} AS bucket FROM w")
+          .mkString(" UNION ALL ")
+        val probeSelects = (0 until CmsDepth)
+          .map(r => s"SELECT term, true_n, $r AS r, ${bucketDuck(r)} AS bucket FROM top")
+          .mkString(" UNION ALL ")
+        s"""WITH w AS (
+             SELECT unnest(string_split_regex(lower(text), ' +')) AS term
+             FROM documents),
+           cells AS ($bucketSelects),
+           cms AS (
+             SELECT r, bucket, count(*) AS cnt
+             FROM cells GROUP BY r, bucket),
+           top AS (
+             SELECT term, count(*) AS true_n FROM w
+             GROUP BY term ORDER BY true_n DESC, term LIMIT 20),
+           probes AS ($probeSelects)
+           SELECT p.term, p.true_n, min(c.cnt) AS est_n,
+             min(c.cnt) - p.true_n AS overestimate
+           FROM probes p JOIN cms c ON p.r = c.r AND p.bucket = c.bucket
+           GROUP BY p.term, p.true_n
+           ORDER BY true_n DESC, term"""
+      }),
+  )
+}

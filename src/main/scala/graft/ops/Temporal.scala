@@ -188,5 +188,57 @@ object Temporal {
                (SELECT count(*) FROM conv) AS n_converted,
                round((SELECT count(*) FROM conv) * 1.0
                  / (SELECT count(*) FROM fv), 4) AS conversion_rate""")),
+
+    // ---- weekly retention cohorts: users bucketed by first-seen week,
+    //      retention = the fraction of each cohort active k weeks later.
+    //      The classic warehouse read-out of an event stream. Plan: two
+    //      user_id-keyed shuffles (first-seen min + distinct active
+    //      weeks), then a map-side-combinable (cohort, offset) rollup;
+    //      the per-cohort sizes are a tiny frame joined back (broadcast
+    //      at any scale — there are only as many cohorts as weeks).
+    //      Retention divides two exact int64 counts — one IEEE division,
+    //      no float aggregation anywhere; both engines truncate weeks to
+    //      the same Monday. ----
+    "q72_retention_cohorts" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+        val active = ev.distinct()
+        val sizes = cohort.groupBy(col("cohort_wk"))
+          .agg(count(lit(1)).as("cohort_users"))
+        active.join(cohort, "user_id")
+          .withColumn("week_offset", expr("datediff(wk, cohort_wk) div 7"))
+          .groupBy(col("cohort_wk"), col("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sizes), "cohort_wk")
+          .withColumn("retention",
+            round(col("n_active") * lit(1.0) / col("cohort_users"), 4))
+          .select(col("cohort_wk").cast("date").as("cohort_week"),
+            col("week_offset"), col("cohort_users"), col("n_active"),
+            col("retention"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH ev AS (
+               SELECT user_id,
+                 date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+               FROM events),
+             cohort AS (
+               SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id),
+             active AS (SELECT DISTINCT user_id, wk FROM ev),
+             sizes AS (
+               SELECT cohort_wk, count(*) AS cohort_users
+               FROM cohort GROUP BY cohort_wk),
+             ret AS (
+               SELECT c.cohort_wk,
+                 date_diff('day', c.cohort_wk, a.wk) // 7 AS week_offset,
+                 count(*) AS n_active
+               FROM active a JOIN cohort c USING (user_id)
+               GROUP BY 1, 2)
+             SELECT CAST(r.cohort_wk AS DATE) AS cohort_week, r.week_offset,
+               s.cohort_users, r.n_active,
+               round(r.n_active * 1.0 / s.cohort_users, 4) AS retention
+             FROM ret r JOIN sizes s USING (cohort_wk)
+             ORDER BY cohort_week, week_offset""")),
   )
 }

@@ -106,10 +106,14 @@ class PlanGateSpec extends AnyFunSuite {
     *     doc count / funnel totals) to make a scalar available;
     *   - q35: the broadcast query set joined under an inequality
     *     (vec_id <> query_id) — |Q| is small by definition;
-    *   - q43: the 16-centroid relation replicated to assign cells.
+    *   - q43: the 16-centroid relation replicated to assign cells;
+    *   - q70: the K=8 centroid relation broadcast for k-medians
+    *     assignment (same shape as q43 — the build side is the cluster
+    *     count, a constant, never the corpus).
     * Everything else must ride hash/sort-merge equi-joins. */
   private val bnljAllowed = Set("q32_dedup_ngram_jaccard", "q35_cosine_topk",
-    "q43_ivf_ann_topk", "q51_tfidf_top_terms", "q63_conversion")
+    "q43_ivf_ann_topk", "q51_tfidf_top_terms", "q63_conversion",
+    "q70_kmedians_clusters")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -430,6 +430,30 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   }
 }
 
+/** Invariants of the round-4 corpus operators that the hash compare
+  * alone would not pin: the clustering must PARTITION the corpus, and a
+  * count-min sketch must never undercount. */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q70 k-medians: cluster sizes partition the corpus; at most K clusters") {
+    val rows = SparkEntry.queries("q70_kmedians_clusters")(spark, sf).collect()
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == n)
+    assert(rows.nonEmpty && rows.length <= graft.ops.Clustering.K)
+  }
+
+  test("q73 count-min estimates never undercount (the sketch's defining guarantee)") {
+    val rows = SparkEntry.queries("q73_cms_heavy_hitters")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_n") >= r.getAs[Long]("true_n"),
+        s"${r.getAs[String]("term")}: est ${r.getAs[Long]("est_n")} < true ${r.getAs[Long]("true_n")}")
+    }
+  }
+}
+
 class PercentilesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
