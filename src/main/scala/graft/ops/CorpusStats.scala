@@ -32,8 +32,11 @@ object CorpusStats {
   val CmsWidth = 1024
 
   /** 56-bit md5-derived hash of `term` salted per sketch row, reduced to
-    * a bucket — identical text → identical bucket in both engines. */
-  private def bucketSpark(r: Int) =
+    * a bucket — identical text → identical bucket in both engines.
+    * Public because the streaming sketch
+    * ([[graft.streaming.EventStreams.streamingCountMin]]) must hash
+    * identically to the batch one. */
+  def bucketSpark(r: Int): String =
     s"cast(conv(substring(md5(concat('cms$r:', term)), 1, 14), 16, 10) as long) % $CmsWidth"
   private def bucketDuck(r: Int) =
     s"CAST(('0x' || substr(md5('cms$r:' || term), 1, 14)) AS BIGINT) % $CmsWidth"

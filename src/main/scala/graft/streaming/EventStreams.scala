@@ -134,6 +134,26 @@ object EventStreams {
         col("purchase_ts"), col("value"))
   }
 
+  /** Streaming count-min sketch over a (doc_id, text) document stream —
+    * the unbounded form of q73's frequency sketch, and the canonical
+    * case where Complete output mode is CORRECT at corpus scale: the
+    * aggregation state is the sketch itself, bounded at depth × width
+    * cells (4×1024 int64s = 32 KiB) no matter how many terms stream
+    * through. Exactly the same salted md5 bucketing as the batch sketch
+    * ([[graft.ops.CorpusStats]]), so a batch-built and a stream-built
+    * sketch over the same documents are cell-for-cell identical
+    * (StreamingSpec pins this). */
+  def streamingCountMin(docs: DataFrame): DataFrame = {
+    import graft.ops.CorpusStats
+    val buckets = (0 until CorpusStats.CmsDepth)
+      .map(r => s"$r, ${CorpusStats.bucketSpark(r)}").mkString(", ")
+    docs
+      .select(explode(split(lower(col("text")), " +")).as("term"))
+      .selectExpr(s"stack(${CorpusStats.CmsDepth}, $buckets) AS (r, bucket)")
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** State-store configuration for running [[streamingDedup]] against a
     * corpus-scale stream. The state is deliberately tiny per key (one
     * boolean per content md5) but the KEY COUNT is the corpus

@@ -146,6 +146,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming count-min sketch equals the batch sketch cell-for-cell (bounded Complete-mode state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.streamingCountMin(input.toDF())
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      val b1 = Seq(EventStreams.Doc(1, "alpha beta alpha"),
+        EventStreams.Doc(2, "gamma beta"))
+      val b2 = Seq(EventStreams.Doc(3, "alpha delta delta epsilon"))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream").collect()
+        .map(r => (r.getAs[Int]("r"), r.getAs[Long]("bucket")) -> r.getAs[Long]("cnt"))
+        .toMap
+      val batch = EventStreams.streamingCountMin((b1 ++ b2).toDF()).collect()
+        .map(r => (r.getAs[Int]("r"), r.getAs[Long]("bucket")) -> r.getAs[Long]("cnt"))
+        .toMap
+      assert(streamed == batch)
+      // every token lands in exactly one bucket per sketch row
+      assert(streamed.values.sum == 4L * 9)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
