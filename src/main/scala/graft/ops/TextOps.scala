@@ -104,6 +104,42 @@ object TextOps {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Bloom-filter benchmark decontamination — the fixed-memory form of
+    * q58's broadcast semi-join. q58 broadcasts the eval set's DISTINCT
+    * n-grams verbatim; that is exact but the broadcast grows with the
+    * eval corpus. The bloom variant compresses the eval grams into a
+    * ~1.2-bytes-per-element filter (at 1 % fpp), which is what a 100 TB
+    * decontamination run actually ships to every executor when the
+    * benchmark suite is itself large.
+    *
+    * Guarantee: NO FALSE NEGATIVES — every truly contaminated doc is
+    * flagged (BloomSpec pins flagged ⊇ q58's exact doc set, and
+    * per-doc counts ≥ exact counts); false positives inflate counts by
+    * at most the configured fpp. The probe UDF is the one deliberate
+    * non-codegen call in the repo's text path: Spark's BloomFilter is a
+    * driver-built sketch broadcast once, and its `mightContain` has no
+    * expression form in the public function registry. Deterministic for
+    * a fixed Spark version (the filter's hash seeds are fixed), but not
+    * engine-portable — hence a spec-pinned operator, not an
+    * oracle-checked query. */
+  def bloomDecontam(docs: DataFrame, evalSource: String = "src0",
+      fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    val evalGrams = wordShingles(docs.filter(col("source") === evalSource), 4)
+      .select(col("s")).distinct()
+    // sizing count: one long back to the driver, same bounded-metadata
+    // pattern as the percentile/sharding collects
+    val n = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("s", n, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => bc.value.mightContain(s))
+    wordShingles(docs.filter(col("source") =!= evalSource), 4)
+      .filter(mightContain(col("s")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_flagged"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Power-of-two bucket floor for a token count: [1,2)→1, [2,4)→2, …,
     * [1024,2048)→1024, else 2048. Plain integer comparisons, evaluated
     * from the SAME text by Spark and DuckDB. */
@@ -179,6 +215,59 @@ object TextOps {
              JOIN sizes sb ON sb.doc_id = db
              WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
              ORDER BY da, db""")),
+
+    // ---- incremental-ingestion dedup: a "new batch" (every 5th doc)
+    //      dedups WITHIN itself (q31's keeper rule) and then against the
+    //      existing corpus via an anti-join on the md5 content key — the
+    //      shape every recurring crawl-ingest run has. Per source:
+    //      batch size, within-batch uniques, and genuinely novel docs.
+    //      Scale: the anti-join and the keeper groupBy both ride the
+    //      32-byte hash; the three per-source rollups are tiny frames
+    //      joined at the end. ----
+    "q74_incremental_dedup" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val newB = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+          .select(col("doc_id"), col("source"), md5(col("text")).as("tkey"))
+        val baseKeys = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+          .select(md5(col("text")).as("tkey")).distinct()
+        val keepers = newB.groupBy(col("tkey"))
+          .agg(min(col("doc_id")).as("keeper_id"),
+            expr("min_by(source, doc_id)").as("source"))
+        val novel = keepers.join(baseKeys, Seq("tkey"), "left_anti")
+        val nBatch = newB.groupBy(col("source")).agg(count(lit(1)).as("n_batch"))
+        val nUnique = keepers.groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+        val nNovel = novel.groupBy(col("source")).agg(count(lit(1)).as("n_novel"))
+        nBatch
+          .join(nUnique, Seq("source"), "left")
+          .join(nNovel, Seq("source"), "left")
+          .select(col("source"), col("n_batch"),
+            coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH newb AS (
+               SELECT doc_id, source, md5(text) AS tkey
+               FROM documents WHERE doc_id % 5 = 4),
+             base AS (
+               SELECT DISTINCT md5(text) AS tkey
+               FROM documents WHERE doc_id % 5 <> 4),
+             keepers AS (
+               SELECT tkey, min(doc_id) AS keeper_id,
+                 min_by(source, doc_id) AS source
+               FROM newb GROUP BY tkey),
+             novel AS (
+               SELECT k.* FROM keepers k ANTI JOIN base b USING (tkey)),
+             nb AS (SELECT source, count(*) AS n_batch FROM newb GROUP BY source),
+             nu AS (SELECT source, count(*) AS n_unique FROM keepers GROUP BY source),
+             nn AS (SELECT source, count(*) AS n_novel FROM novel GROUP BY source)
+             SELECT nb.source, nb.n_batch,
+               CAST(coalesce(nu.n_unique, 0) AS BIGINT) AS n_unique,
+               CAST(coalesce(nn.n_novel, 0) AS BIGINT) AS n_novel
+             FROM nb
+             LEFT JOIN nu USING (source)
+             LEFT JOIN nn USING (source)
+             ORDER BY source""")),
 
     // ---- language ID: stopword-hit scoring, deterministic argmax ----
     "q37_language_id" -> QueryDef(

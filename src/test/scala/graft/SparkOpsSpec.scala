@@ -444,6 +444,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.length <= graft.ops.Clustering.K)
   }
 
+  test("bloom decontamination has no false negatives vs the exact q58 semi-join") {
+    val docs = Tables.load(spark, sf, "documents")
+    val bloom = graft.ops.TextOps.bloomDecontam(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("q58_decontam")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (doc, n) =>
+      assert(bloom.contains(doc), s"doc $doc contaminated but not flagged")
+      assert(bloom(doc) >= n, s"doc $doc: bloom ${bloom(doc)} < exact $n")
+    }
+  }
+
   test("q73 count-min estimates never undercount (the sketch's defining guarantee)") {
     val rows = SparkEntry.queries("q73_cms_heavy_hitters")(spark, sf).collect()
     assert(rows.length == 20)
