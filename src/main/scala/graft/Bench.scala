@@ -49,8 +49,12 @@ object Bench {
         spark.catalog.clearCache()
         timeOne(spark, sfDir, fn)
       }
-      val sec = runs.map(_._1).min
-      val err = runs.flatMap(_._2).headOption
+      // a failed run's elapsed time is NOT a measurement: take the min
+      // over successful runs, and report an error only when every run
+      // failed (a transient failure must not bench as a fast time)
+      val ok = runs.collect { case (sec, None) => sec }
+      val sec = if (ok.nonEmpty) ok.min else runs.map(_._1).min
+      val err = if (ok.nonEmpty) None else runs.flatMap(_._2).headOption
       (name, sec, err)
     }
     spark.catalog.clearCache()

@@ -54,7 +54,10 @@ object CorpusStats {
     //      high-OOV docs are counted from per-doc exact ratios. ----
     "q71_vocab_coverage" -> QueryDef(
       (s, dir) => {
+        // the token explode feeds two consumers (vocab top-k + per-doc
+        // flags); persist once, same convention as jaccardPairs
         val w = words(Tables.load(s, dir, "documents"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val vocab = w.groupBy(col("term")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("term")).limit(VocabSize)
           .select(col("term"), lit(1).as("in_vocab"))
@@ -104,7 +107,9 @@ object CorpusStats {
     //      sketch is a broadcast of 80 (row, bucket) probes. ----
     "q73_cms_heavy_hitters" -> QueryDef(
       (s, dir) => {
+        // fed by both the sketch build and the true top-20 — persist once
         val w = words(Tables.load(s, dir, "documents")).select(col("term"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val buckets = (0 until CmsDepth)
           .map(r => s"$r, ${bucketSpark(r)}").mkString(", ")
         val cms = w

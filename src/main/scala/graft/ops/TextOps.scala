@@ -125,12 +125,17 @@ object TextOps {
   def bloomDecontam(docs: DataFrame, evalSource: String = "src0",
       fpp: Double = 0.01): DataFrame = {
     val spark = docs.sparkSession
+    // the eval-gram pipeline feeds two jobs (sizing count + filter
+    // build); persist so the shingle explode over the eval corpus runs
+    // once, then release — the filter itself is the only survivor
     val evalGrams = wordShingles(docs.filter(col("source") === evalSource), 4)
       .select(col("s")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sizing count: one long back to the driver, same bounded-metadata
     // pattern as the percentile/sharding collects
     val n = math.max(evalGrams.count(), 1L)
     val bloom = evalGrams.stat.bloomFilter("s", n, fpp)
+    evalGrams.unpersist()
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => bc.value.mightContain(s))
     wordShingles(docs.filter(col("source") =!= evalSource), 4)
@@ -268,6 +273,15 @@ object TextOps {
              LEFT JOIN nu USING (source)
              LEFT JOIN nn USING (source)
              ORDER BY source""")),
+
+    // ---- bloom decontamination under the driver gate. Rows-only like
+    //      q15's HLL: the BloomFilter's hash functions are
+    //      Spark-specific, so DuckDB cannot replay them; the
+    //      no-false-negatives guarantee vs the exact q58 semi-join is
+    //      pinned by BloomSpec instead. ----
+    "q75_bloom_decontam" -> QueryDef(
+      (s, dir) => bloomDecontam(Tables.load(s, dir, "documents")),
+      None),
 
     // ---- language ID: stopword-hit scoring, deterministic argmax ----
     "q37_language_id" -> QueryDef(
