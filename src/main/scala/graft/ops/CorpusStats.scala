@@ -99,6 +99,76 @@ object CorpusStats {
              GROUP BY lang
              ORDER BY lang""")),
 
+    // ---- the corpus "data card": the per-source summary a curation
+    //      run publishes — volume, token-length distribution, exact-dup
+    //      rate, language mix. Percentiles are LOWER/discrete order
+    //      statistics picked by pure-integer ranks ((n+1) div 2 and
+    //      ceil(9n/10) = (9n+9) div 10) from a partitioned window, so
+    //      both engines select the identical ELEMENT — no interpolation,
+    //      no float rank arithmetic (ceil(0.9·n) in floats can straddle
+    //      an integer boundary between engines). Rates divide exact
+    //      int64 counts. One pass for the stats, one window for the
+    //      order statistics — per-source parallelism. ----
+    "q76_corpus_datacard" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.load(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("lang"),
+            md5(col("text")).as("tkey"),
+            size(split(lower(col("text")), " +")).as("n_tokens"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val stats = base.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens_total"),
+          countDistinct(col("tkey")).as("n_distinct"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_tokens"), col("doc_id"))
+        val wc = Window.partitionBy(col("source"))
+        val ranked = base
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(wc))
+        val p50 = ranked.filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("source"), col("n_tokens").as("tokens_p50"))
+        val p90 = ranked.filter(col("rn") === expr("(9 * cnt + 9) div 10"))
+          .select(col("source"), col("n_tokens").as("tokens_p90"))
+        stats.join(p50, "source").join(p90, "source")
+          .select(col("source"), col("n_docs"), col("tokens_total"),
+            col("tokens_p50"), col("tokens_p90"),
+            round((col("n_docs") - col("n_distinct")) * lit(1.0) / col("n_docs"), 4)
+              .as("dup_rate"),
+            round(col("n_en") * lit(1.0) / col("n_docs"), 4).as("pct_en"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH base AS (
+               SELECT source, doc_id, lang, md5(text) AS tkey,
+                 len(string_split_regex(lower(text), ' +')) AS n_tokens
+               FROM documents),
+             stats AS (
+               SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+                 count(DISTINCT tkey) AS n_distinct,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_en
+               FROM base GROUP BY source),
+             ranked AS (
+               SELECT source, n_tokens,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n_tokens, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS cnt
+               FROM base),
+             p50 AS (SELECT source, n_tokens AS tokens_p50
+                     FROM ranked WHERE rn = (cnt + 1) // 2),
+             p90 AS (SELECT source, n_tokens AS tokens_p90
+                     FROM ranked WHERE rn = (9 * cnt + 9) // 10)
+             SELECT s.source, n_docs, tokens_total, tokens_p50, tokens_p90,
+               round((n_docs - n_distinct) * 1.0 / n_docs, 4) AS dup_rate,
+               round(n_en * 1.0 / n_docs, 4) AS pct_en
+             FROM stats s
+             JOIN p50 USING (source)
+             JOIN p90 USING (source)
+             ORDER BY source""")),
+
     // ---- count-min heavy hitters: build the 4×1024 sketch in one
     //      map-side-combinable groupBy, then read back estimates for the
     //      true top-20 terms (est = min over the 4 row estimates;
