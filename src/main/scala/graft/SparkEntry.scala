@@ -23,6 +23,7 @@ object SparkEntry {
     ops.Multimodal.defs,
     ops.Clustering.defs,
     ops.CorpusStats.defs,
+    ops.Scrub.defs,
   )
 
   private lazy val all: Map[String, QueryDef] = {

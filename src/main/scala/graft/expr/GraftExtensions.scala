@@ -2,24 +2,56 @@ package graft.expr
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions at session build time, so any session created with
   * `.withExtensions(new GraftExtensions)` — or with
-  * `spark.sql.extensions=graft.expr.GraftExtensions` — gets `graft_dot`
-  * without per-session registry calls. (The query surface also registers
-  * defensively via [[VectorExpressions.register]] because the driver
-  * harness builds plain sessions.)
+  * `spark.sql.extensions=graft.expr.GraftExtensions` — gets the full SQL
+  * function surface without per-session registry calls. (The query surface
+  * also registers defensively via [[VectorExpressions.register]] because
+  * the driver harness builds plain sessions.)
+  *
+  * Registered functions:
+  *  - `graft_dot(a, b)` — float-array dot product ([[DotProduct]])
+  *  - `graft_route(key, 'collection')` — `_key` destination-table routing
+  *    ([[RouteKey]]; the collection must be a string literal because the
+  *    reference routes per collection scan, Porter.php:300-339)
+  *  - `graft_norm_key(key)` — normalized `_key` family ([[NormalizeKey]],
+  *    the value the reference tallies, Porter.php:328-332)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
+
+  private def inject(
+      e: SparkSessionExtensions,
+      name: String,
+      clazz: Class[_],
+      build: Seq[Expression] => Expression): Unit =
     e.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, "graft_dot takes exactly 2 arguments")
-        DotProduct(exprs.head, exprs(1))
-      }))
+      FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      build))
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    inject(e, "graft_dot", classOf[DotProduct], exprs => {
+      require(exprs.length == 2, "graft_dot takes exactly 2 arguments")
+      DotProduct(exprs.head, exprs(1))
+    })
+    inject(e, "graft_route", classOf[RouteKey], exprs => {
+      require(exprs.length == 2,
+        "graft_route takes exactly 2 arguments: key, collection")
+      val collection = exprs(1) match {
+        case Literal(s: UTF8String, StringType) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_route collection must be a string literal, got $other")
+      }
+      RouteKey(exprs.head, collection)
+    })
+    inject(e, "graft_norm_key", classOf[NormalizeKey], exprs => {
+      require(exprs.length == 1, "graft_norm_key takes exactly 1 argument")
+      NormalizeKey(exprs.head)
+    })
   }
 }

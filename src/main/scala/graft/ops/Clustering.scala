@@ -152,5 +152,66 @@ object Clustering {
              FROM a2
              GROUP BY cluster_id
              ORDER BY cluster_id""")),
+
+    // ---- label-affinity matrix: per-label per-dimension LOWER-median
+    //      "centroid" (an actual element value — no float-sum parity
+    //      hazard), then pairwise cosine between the K(K-1)/2 label
+    //      pairs, the matrix a data-mixing run consults to see which
+    //      buckets are near-duplicates of each other. Cosine is a
+    //      sequential fold over the 64-dim centroids (zip_with +
+    //      aggregate ≡ DuckDB's 0-prepended list_reduce) with dot and
+    //      the two norms folded in the SAME order in both engines.
+    //      Scale shape: the median shuffle is K·dim groups each
+    //      streaming through a partitioned-window sort; the pairwise
+    //      join is K tiny rows — broadcast, never a corpus shuffle. ----
+    "q79_label_affinity" -> QueryDef(
+      (s, dir) => {
+        val wSort = Window.partitionBy(col("label"), col("dim")).orderBy(col("v"))
+        val wCnt = Window.partitionBy(col("label"), col("dim"))
+        val cents = Tables.load(s, dir, "embeddings")
+          .select(col("label"), posexplode(expr(toDouble)).as(Seq("dim", "v")))
+          .withColumn("rn", row_number().over(wSort))
+          .withColumn("cnt", count(lit(1)).over(wCnt))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .groupBy(col("label"))
+          .agg(expr("transform(array_sort(collect_list(struct(dim, v))), s -> s.v)")
+            .as("cde"))
+        val a = cents.select(col("label").as("label_a"), col("cde").as("ca"))
+        val b = cents.select(col("label").as("label_b"), col("cde").as("cb"))
+        a.join(broadcast(b), col("label_a") < col("label_b"))
+          .withColumn("cos", expr(
+            """round(
+                 aggregate(zip_with(ca, cb, (x, y) -> x * y), 0D,
+                   (acc, v) -> acc + v)
+                 / (sqrt(aggregate(ca, 0D, (acc, x) -> acc + x * x))
+                    * sqrt(aggregate(cb, 0D, (acc, x) -> acc + x * x))), 4)"""))
+          .select(col("label_a"), col("label_b"), col("cos"))
+          .orderBy(col("label_a"), col("label_b"))
+      },
+      Some(s"""WITH n AS (
+               SELECT label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+               FROM embeddings),
+             dims AS (
+               SELECT label, generate_subscripts(de, 1) AS dim, unnest(de) AS v
+               FROM n),
+             med AS (
+               SELECT label, dim, quantile_disc(v, 0.5) AS med
+               FROM dims GROUP BY label, dim),
+             c AS (
+               SELECT label, list(med ORDER BY dim) AS cde
+               FROM med GROUP BY label)
+             SELECT a.label AS label_a, b.label AS label_b,
+               round(
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(list_zip(a.cde, b.cde), s -> s[1] * s[2])),
+                   (acc, v) -> acc + v)
+                 / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(a.cde, x -> x * x)), (acc, x) -> acc + x))
+                    * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(b.cde, x -> x * x)), (acc, x) -> acc + x))),
+                 4) AS cos
+             FROM c a JOIN c b ON a.label < b.label
+             ORDER BY label_a, label_b""")),
   )
 }

@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Content-scrubbing and filter-calibration operators for a training-data
+  * pipeline: PII-style regex redaction (emails / digit runs / a term
+  * blocklist) with exact per-source hit accounting, and a quality-filter
+  * threshold sweep — the retention curve a curation run consults before
+  * choosing a cutoff.
+  *
+  * Scale shape: redaction is a pure per-row projection (regexp codegen'd,
+  * no shuffle until the final per-source rollup on a 20-value key); the
+  * sweep aggregates the corpus once into a ≤11-bucket histogram and runs
+  * its cumulative window on that histogram, never on the raw rows — the
+  * unpartitioned window is over the bucket count, not the corpus.
+  *
+  * Parity: hit counts are `regexp_extract_all` lengths (exact ints) in
+  * both engines; redacted-text agreement is checked via
+  * `count(DISTINCT md5(redacted))` + total redacted length, exact int64;
+  * the only float math is one rounded IEEE division per output row.
+  * DuckDB's `regexp_replace` needs the `'g'` flag to match Spark's
+  * replace-all default.
+  */
+object Scrub {
+
+  /** PII patterns: email and digit-run are the real-world shapes (the
+    * synthetic corpus contains neither — they exercise the plumbing and
+    * must report exact zeros); the term blocklist stands in for a
+    * sensitive-term list and does real work here. All three are
+    * RE2-and-Java-regex-compatible (no backrefs, no lookaround). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val DigitRe = "\\d+"
+  val TermRe = "\\b(customer|spark)\\b"
+
+  /** Chained redaction; replacement tokens are uppercase and digit-free
+    * so later patterns in the chain cannot re-match earlier output. */
+  def redact(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        DigitRe, "<NUM>"),
+      TermRe, "<TERM>")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- PII-style scrub report: per source, how many documents and
+    //      occurrences each pattern hit, plus two exact checksums of the
+    //      redacted text itself (distinct-hash count and total length)
+    //      so the oracle verifies the REDACTION, not just the counts. ----
+    "q77_pii_scrub" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+              .as("h_email"),
+            size(regexp_extract_all(col("text"), lit(DigitRe), lit(0)))
+              .as("h_num"),
+            size(regexp_extract_all(col("text"), lit(TermRe), lit(0)))
+              .as("h_term"),
+            redact(col("text")).as("redacted"))
+        d.groupBy(col("source")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("h_email") + col("h_num") + col("h_term") > 0, 1L)
+              .otherwise(0L)).as("docs_hit"),
+            sum(col("h_email").cast("long")).as("hits_email"),
+            sum(col("h_num").cast("long")).as("hits_num"),
+            sum(col("h_term").cast("long")).as("hits_term"),
+            countDistinct(md5(col("redacted"))).as("n_distinct_redacted"),
+            sum(length(col("redacted")).cast("long")).as("chars_redacted"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (
+               SELECT source,
+                 len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS h_email,
+                 len(regexp_extract_all(text, '\d+')) AS h_num,
+                 len(regexp_extract_all(text, '\b(customer|spark)\b')) AS h_term,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\d+', '<NUM>', 'g'),
+                   '\b(customer|spark)\b', '<TERM>', 'g') AS redacted
+               FROM documents)
+             SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN h_email + h_num + h_term > 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+               CAST(sum(h_email) AS BIGINT) AS hits_email,
+               CAST(sum(h_num) AS BIGINT) AS hits_num,
+               CAST(sum(h_term) AS BIGINT) AS hits_term,
+               count(DISTINCT md5(redacted)) AS n_distinct_redacted,
+               CAST(sum(length(redacted)) AS BIGINT) AS chars_redacted
+             FROM d GROUP BY source ORDER BY source""")),
+
+    // ---- quality-filter threshold sweep: the q38 quality score binned
+    //      into tenths, then a descending cumulative histogram — row
+    //      `min_bucket = b` reads "docs/tokens retained if the cutoff
+    //      were b/10". The bucket boundary is floor(score*10) on the
+    //      ALREADY-ROUNDED score: identical double in, identical scalar
+    //      ops, identical bucket out in both engines (the parity hazard
+    //      is float aggregation ORDER, never deterministic per-row
+    //      scalar math — DESIGN.md). ----
+    "q78_filter_sweep" -> QueryDef(
+      (s, dir) => {
+        val t = col("text")
+        val scored = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(t, " +")).as("n_words"),
+            size(regexp_extract_all(lower(t),
+              lit("\\b(the|and|of|to|in|is|a)\\b"), lit(0))).as("n_stop"))
+          .withColumn("quality_score",
+            round(least(col("n_words") * lit(1.0), lit(100.0)) / 100.0 * 0.5 +
+              col("n_stop") * lit(1.0) / col("n_words") * 0.5, 4))
+          .withColumn("bucket", floor(col("quality_score") * 10).cast("int"))
+        val hist = scored.groupBy(col("bucket")).agg(
+          count(lit(1)).as("docs_in_bucket"),
+          sum(col("n_words").cast("long")).as("tokens_in_bucket"))
+        // cumulative windows run on the ≤11-row histogram, not the corpus
+        val wCum = Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy()
+        hist
+          .withColumn("docs_retained", sum(col("docs_in_bucket")).over(wCum))
+          .withColumn("tokens_retained", sum(col("tokens_in_bucket")).over(wCum))
+          .withColumn("total_docs", sum(col("docs_in_bucket")).over(wTot))
+          .select(col("bucket").as("min_bucket"),
+            col("docs_retained"), col("tokens_retained"),
+            round(col("docs_retained") * lit(1.0) / col("total_docs"), 4)
+              .as("pct_docs"))
+          .orderBy(col("min_bucket"))
+      },
+      Some("""WITH perdoc AS (
+               SELECT doc_id,
+                 len(string_split_regex(text, ' +')) AS n_words,
+                 len(regexp_extract_all(lower(text),
+                   '\b(the|and|of|to|in|is|a)\b')) AS n_stop
+               FROM documents),
+             scored AS (
+               SELECT *,
+                 round(least(n_words * 1.0, 100.0) / 100.0 * 0.5
+                   + n_stop * 1.0 / n_words * 0.5, 4) AS quality_score
+               FROM perdoc),
+             hist AS (
+               SELECT CAST(floor(quality_score * 10) AS INT) AS bucket,
+                 count(*) AS docs_in_bucket,
+                 CAST(sum(n_words) AS BIGINT) AS tokens_in_bucket
+               FROM scored GROUP BY 1)
+             SELECT bucket AS min_bucket,
+               CAST(sum(docs_in_bucket) OVER w AS BIGINT) AS docs_retained,
+               CAST(sum(tokens_in_bucket) OVER w AS BIGINT) AS tokens_retained,
+               round(CAST(sum(docs_in_bucket) OVER w AS BIGINT) * 1.0
+                 / CAST(sum(docs_in_bucket) OVER () AS BIGINT), 4) AS pct_docs
+             FROM hist
+             WINDOW w AS (ORDER BY bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             ORDER BY min_bucket""")),
+  )
+}

@@ -109,11 +109,14 @@ class PlanGateSpec extends AnyFunSuite {
     *   - q43: the 16-centroid relation replicated to assign cells;
     *   - q70: the K=8 centroid relation broadcast for k-medians
     *     assignment (same shape as q43 — the build side is the cluster
-    *     count, a constant, never the corpus).
+    *     count, a constant, never the corpus);
+    *   - q79: the K-label centroid relation self-joined under
+    *     `label_a < label_b` for the pairwise affinity matrix — both
+    *     sides are label-count-sized, a constant, never the corpus.
     * Everything else must ride hash/sort-merge equi-joins. */
   private val bnljAllowed = Set("q32_dedup_ngram_jaccard", "q35_cosine_topk",
     "q43_ivf_ann_topk", "q51_tfidf_top_terms", "q63_conversion",
-    "q70_kmedians_clusters")
+    "q70_kmedians_clusters", "q79_label_affinity")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

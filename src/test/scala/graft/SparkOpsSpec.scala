@@ -135,6 +135,23 @@ class VectorExprSpec extends AnyFunSuite {
     assert(both.filter(col("fast") =!= col("slow")).count() == 0)
   }
 
+  test("graft_route / graft_norm_key resolve via SparkSessionExtensions") {
+    val r = spark.sql(
+      """SELECT graft_route('user:42:settings', 'objects') AS t,
+                graft_route(NULL, 'objects') AS fallback,
+                graft_norm_key('tag:scala:topics') AS fam""").head()
+    assert(r.getString(0) == graft.kernel.Route.routeTable(Some("user:42:settings"), "objects"))
+    assert(r.getString(1) == "objects") // null key routes to the collection
+    assert(r.getString(2) == "tag_topics")
+  }
+
+  test("graft_route rejects a non-literal collection") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_route('a:b', concat('x', 'y' || rand())) AS t").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
+
   test("graft_dot rejects non-double-array inputs") {
     graft.expr.VectorExpressions.register(spark)
     val e = intercept[Exception] {
