@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -303,6 +304,72 @@ object Dedup {
     "q62_simhash_neardup" -> QueryDef(
       (s, dir) => simhashNeardupPairs(Tables.load(s, dir, "documents")),
       Some(duckSimhashNeardupSql(SimhashMaxHamming, HotBandCap))),
+
+    // ---- canonical-document selection: the step AFTER clustering — per
+    //      dup cluster keep the best document by quality score (the q38
+    //      formula, rounded grid), tie-broken by doc_id, so the "keeper"
+    //      is driven by content quality rather than the arbitrary min-id
+    //      label the components algorithm happens to use. Composes the
+    //      oracle-checked pieces: LSH candidate pairs → connected
+    //      components → broadcast-sized join back to per-doc scores →
+    //      one per-cluster window. The oracle recomputes the components
+    //      via the independent recursive-CTE closure, so the keeper
+    //      choice is cross-validated end to end. ----
+    "q81_canonical_keeper" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val clusters = connectedComponents(lshCandidatePairs(docs))
+        val scored = docs.select(col("doc_id"),
+            size(split(col("text"), " +")).as("n_words"),
+            size(regexp_extract_all(lower(col("text")),
+              lit("\\b(the|and|of|to|in|is|a)\\b"), lit(0))).as("n_stop"))
+          .select(col("doc_id"),
+            round(least(col("n_words") * lit(1.0), lit(100.0)) / 100.0 * 0.5 +
+              col("n_stop") * lit(1.0) / col("n_words") * 0.5, 4)
+              .as("quality_score"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality_score").desc, col("doc_id"))
+        clusters.join(scored, "doc_id")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("cluster_id"), col("doc_id").as("keeper_doc_id"),
+            col("cluster_size"), col("quality_score").as("keeper_quality"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE $duckCandPairsBody,
+             edges AS (SELECT da AS src, db AS dst FROM cand_pairs
+                       UNION ALL
+                       SELECT db AS src, da AS dst FROM cand_pairs),
+             reach(doc_id, r) AS (
+               SELECT DISTINCT src AS doc_id, src AS r FROM edges
+               UNION
+               SELECT e.dst AS doc_id, reach.r
+               FROM reach JOIN edges e ON e.src = reach.doc_id),
+             labels AS (
+               SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+             sizes AS (
+               SELECT cluster_id, count(*) AS cluster_size
+               FROM labels GROUP BY cluster_id),
+             scored AS (
+               SELECT doc_id,
+                 round(least(len(string_split_regex(text, ' +')) * 1.0, 100.0)
+                     / 100.0 * 0.5
+                   + len(regexp_extract_all(lower(text),
+                       '\\b(the|and|of|to|in|is|a)\\b')) * 1.0
+                     / len(string_split_regex(text, ' +')) * 0.5, 4)
+                   AS quality_score
+               FROM documents)
+             SELECT cluster_id, doc_id AS keeper_doc_id, cluster_size,
+               quality_score AS keeper_quality
+             FROM (
+               SELECT l.cluster_id, l.doc_id, z.cluster_size, s.quality_score,
+                 row_number() OVER (PARTITION BY l.cluster_id
+                   ORDER BY s.quality_score DESC, l.doc_id) AS rk
+               FROM labels l
+               JOIN sizes z USING (cluster_id)
+               JOIN scored s USING (doc_id))
+             WHERE rk = 1
+             ORDER BY cluster_id""")),
   )
 
   /** The full q62 pipeline over a (doc_id, text) frame, exposed with the

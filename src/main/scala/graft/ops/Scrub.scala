@@ -36,6 +36,9 @@ object Scrub {
   val DigitRe = "\\d+"
   val TermRe = "\\b(customer|spark)\\b"
 
+  /** q80: documents kept per source — the per-source contribution cap. */
+  val QuotaPerSource = 10
+
   /** Chained redaction; replacement tokens are uppercase and digit-free
     * so later patterns in the chain cannot re-match earlier output. */
   def redact(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -156,5 +159,32 @@ object Scrub {
              WINDOW w AS (ORDER BY bucket DESC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              ORDER BY min_bucket""")),
+
+    // ---- per-source quota sampling: cap every source's contribution at
+    //      a fixed document budget, chosen deterministically by a salted
+    //      hash rank (not rand() — adding new docs never reshuffles which
+    //      of the old ones were picked below the last rank, and both
+    //      engines pick the identical set). One window shuffle keyed on
+    //      `source`; per-source groups stream through their sort, so a
+    //      billion-doc source never materializes in one task's memory. ----
+    "q80_source_quota_sample" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(md5(concat(lit("quota:"), col("doc_id").cast("string"))),
+            col("doc_id"))
+        Tables.load(s, dir, "documents")
+          .select(col("source"), col("doc_id"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= QuotaPerSource)
+          .orderBy(col("source"), col("rk"))
+      },
+      Some(s"""SELECT source, doc_id, rk FROM (
+               SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rk
+               FROM documents)
+             WHERE rk <= $QuotaPerSource
+             ORDER BY source, rk""")),
   )
 }
