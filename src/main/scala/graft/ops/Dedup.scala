@@ -71,13 +71,16 @@ object Dedup {
   /** Hamming cutoff for a verified q62 near-dup pair: ≤ 6 of 64 bits
     * (~9 % — the planted near-dups in the test corpus land at 0-5 while
     * unrelated pairs center around 32). Every pair with ≤ 3 flips is
-    * GUARANTEED a clean band (pigeonhole over 4 words); 4-6-flip pairs
-    * are found unless their flips touch all four words. (Declared before
-    * `defs`: vals initialize in declaration order and `defs` reads it.) */
+    * guaranteed a SHARED band (pigeonhole over 4 words) — subject to the
+    * hot-band cap, which only drops near-identical clusters; 4-6-flip
+    * pairs are found unless their flips touch all four words. (Declared
+    * before `defs`: vals initialize in declaration order and `defs`
+    * reads it.) */
   val SimhashMaxHamming = 6
 
   /** Removes rows whose (band_idx, band_val) group exceeds `cap` members.
-    * The hot list is tiny by construction → broadcast anti-join. */
+    * The hot list is tiny by construction → broadcast anti-join. What the
+    * cap silently drops is observable through q82 (see [[capRow]]). */
   def coldBands(bands: DataFrame, cap: Int = HotBandCap): DataFrame = {
     val hot = bands.groupBy(col("band_idx"), col("band_val"))
       .agg(count(lit(1)).as("bf"))
@@ -86,21 +89,57 @@ object Dedup {
     bands.join(broadcast(hot), Seq("band_idx", "band_val"), "left_anti")
   }
 
-  /** MinHash → 4-band LSH candidate pairs over a (doc_id, text) frame
-    * (the full q33 pipeline, exposed for spec-level stress tests). */
-  def lshCandidatePairs(docsText: DataFrame): DataFrame = {
+  /** One summary row over a group-size frame (`cnt` long, `hot` boolean):
+    * how many groups the hot-group cap drops and how many member rows
+    * they carry. The observability companion to [[coldBands]] /
+    * [[TextOps.hotShingles]] — at corpus scale "0 candidate pairs" from
+    * q33/q41/q62/q32 is otherwise indistinguishable from "the cap
+    * dropped the whole candidate set". */
+  def capRow(counts: DataFrame, path: String): DataFrame =
+    counts.agg(
+      count(lit(1)).as("n_groups"),
+      sum(when(col("hot"), lit(1L)).otherwise(lit(0L))).as("hot_groups"),
+      sum(when(col("hot"), col("cnt")).otherwise(lit(0L))).as("dropped_rows"),
+      max(col("cnt")).as("max_group_size"))
+      .select(lit(path).as("path"), col("n_groups"),
+        coalesce(col("hot_groups"), lit(0L)).as("hot_groups"),
+        coalesce(col("dropped_rows"), lit(0L)).as("dropped_rows"),
+        coalesce(col("max_group_size"), lit(0L)).as("max_group_size"))
+
+  /** (cnt, hot) per (band_idx, band_val) group under an absolute cap. */
+  private[graft] def bandGroupCounts(bands: DataFrame, cap: Int): DataFrame =
+    bands.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), (col("cnt") > cap).as("hot"))
+
+  /** (doc_id, m0..m7) MinHash signatures — one distributed aggregation
+    * over the exploded shingles. */
+  private def minhashSigs(docsText: DataFrame): DataFrame = {
     val sigAggs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
       min(expr(s"(g * $a + $b) % ${P}L")).as(s"m$j")
     }
+    shingled(docsText).groupBy(col("doc_id"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  private val minhashStack =
+    """stack(4, 0, concat_ws(':', m0, m1), 1, concat_ws(':', m2, m3),
+                2, concat_ws(':', m4, m5), 3, concat_ws(':', m6, m7))
+       AS (band_idx, band_val)"""
+
+  /** Pre-cap (doc_id, band_idx, band_val) MinHash band rows — the frame
+    * [[coldBands]] filters in q33; exposed for the q82 cap report. */
+  private[graft] def minhashBands(docsText: DataFrame): DataFrame =
+    minhashSigs(docsText).selectExpr("doc_id", minhashStack)
+
+  /** MinHash → 4-band LSH candidate pairs over a (doc_id, text) frame
+    * (the full q33 pipeline, exposed for spec-level stress tests). */
+  def lshCandidatePairs(docsText: DataFrame): DataFrame = {
     // signatures are tiny (one row per doc); cache so the band
     // self-join doesn't recompute the shingle explode + md5 twice
-    val sigs = shingled(docsText).groupBy(col("doc_id"))
-      .agg(sigAggs.head, sigAggs.tail: _*)
+    val sigs = minhashSigs(docsText)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = coldBands(sigs.selectExpr("doc_id",
-      """stack(4, 0, concat_ws(':', m0, m1), 1, concat_ws(':', m2, m3),
-                  2, concat_ws(':', m4, m5), 3, concat_ws(':', m6, m7))
-         AS (band_idx, band_val)"""))
+    val bands = coldBands(sigs.selectExpr("doc_id", minhashStack))
     bands.as("x")
       .join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -134,12 +173,14 @@ object Dedup {
 
   private val duckShingles = s"WITH $duckShinglesBody"
 
+  private def duckSigCols: String = A.zip(B).zipWithIndex
+    .map { case ((a, b), j) => s"min((g * $a + $b) % $P) AS m$j" }
+    .mkString(", ")
+
   /** CTE chain ending in `cand_pairs(da, db)` — the oracle mirror of
     * [[lshCandidatePairs]], reused by q33/q54/q56. */
   private def duckCandPairsBody: String = {
-    val sigCols = A.zip(B).zipWithIndex
-      .map { case ((a, b), j) => s"min((g * $a + $b) % $P) AS m$j" }
-      .mkString(", ")
+    val sigCols = duckSigCols
     val bandSelects = (0 until 4)
       .map(k => s"SELECT doc_id, $k AS band_idx, concat_ws(':', m${2 * k}, m${2 * k + 1}) AS band_val FROM sigs")
       .mkString(" UNION ALL ")
@@ -167,17 +208,25 @@ object Dedup {
     * PAIR graph (pairs alone don't give keepers when dups chain a-b, b-c).
     *
     * Scale shape: one round = two equi-joins + one map-side-combinable
-    * min aggregation. Pointer jumping halves the label-tree depth each
-    * round, so rounds are O(log diameter), not O(diameter) — a 1000-link
-    * dup chain converges in ~10 rounds. Two non-negotiables for ANY
-    * iterative DataFrame loop at scale, both learned the hard way:
-    * `localCheckpoint` each round (the logical plan otherwise EMBEDS the
-    * previous round's tree at every reference and doubles per iteration —
-    * OOMs the driver long before the data is big), and a LIMIT-1
-    * convergence probe rather than a data collect. On a real cluster
-    * prefer reliable `checkpoint` over `localCheckpoint` (executor loss
-    * kills local checkpoints). */
+    * min aggregation — and exactly ONE Spark job: each node's previous
+    * label rides the union (the `old` column, non-null only on the self
+    * row, so `min(old)` recovers it through the same aggregation), and a
+    * `LongAccumulator` counts `lbl ≠ old` rows WHILE the round's
+    * `localCheckpoint` materializes, so convergence detection costs no
+    * separate probe job. (Accumulator semantics are safe here: a task
+    * retry can only re-add for rows that genuinely changed, so
+    * `value == 0` ⇔ fixpoint, exactly.) Pointer jumping halves the
+    * label-tree depth each round, so rounds are O(log diameter), not
+    * O(diameter) — a 1000-link dup chain converges in ~10 rounds. Two
+    * non-negotiables for ANY iterative DataFrame loop at scale, both
+    * learned the hard way: `localCheckpoint` each round (the logical plan
+    * otherwise EMBEDS the previous round's tree at every reference and
+    * doubles per iteration — OOMs the driver long before the data is
+    * big), and never collecting label data to the driver. On a real
+    * cluster prefer reliable `checkpoint` over `localCheckpoint`
+    * (executor loss kills local checkpoints). */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .union(pairs.select(col("db").as("src"), col("da").as("dst")))
       .localCheckpoint(true)
@@ -189,23 +238,35 @@ object Dedup {
       .select(col("src").as("doc_id"),
         least(col("src"), col("nbr_min")).as("lbl"))
       .localCheckpoint(true)
+    val lblType = labels.schema("lbl").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(labels.schema.fields)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
+      val self = labels
+        .select(col("doc_id"), col("lbl"), col("lbl").as("old"))
       val viaEdges = labels.join(edges, col("doc_id") === col("src"))
-        .select(col("dst").as("doc_id"), col("lbl"))
+        .select(col("dst").as("doc_id"), col("lbl"),
+          lit(null).cast(lblType).as("old"))
       val viaJump = labels.as("a")
         .join(labels.as("b"), col("a.lbl") === col("b.doc_id"))
-        .select(col("a.doc_id"), col("b.lbl"))
-      val prop = labels.union(viaEdges).union(viaJump)
-        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      val changed = prop.as("n")
-        .join(labels.as("o"), "doc_id")
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .limit(1).count()
-      labels = prop
-      converged = changed == 0L
+        .select(col("a.doc_id"), col("b.lbl"), lit(null).cast(lblType).as("old"))
+      // every doc_id has exactly one self row (edges carry both
+      // directions, so every node is a src), hence min(old) = previous lbl
+      val prop = self.union(viaEdges).union(viaJump)
+        .groupBy(col("doc_id"))
+        .agg(min(col("lbl")).as("lbl"), min(col("old")).as("old"))
+      val changedAcc = spark.sparkContext.longAccumulator(s"cc-changed-$iter")
+      val counted = prop.rdd.mapPartitions { it =>
+        it.map { r =>
+          if (r.isNullAt(2) || r.get(1) != r.get(2)) changedAcc.add(1L)
+          org.apache.spark.sql.Row(r.get(0), r.get(1))
+        }
+      }
+      // the eager localCheckpoint IS the round's one job; the accumulator
+      // is final once it returns
+      labels = spark.createDataFrame(counted, outSchema).localCheckpoint(true)
+      converged = changedAcc.value == 0L
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
@@ -370,6 +431,63 @@ object Dedup {
                JOIN scored s USING (doc_id))
              WHERE rk = 1
              ORDER BY cluster_id""")),
+
+    // ---- cap observability: one row per candidate-generation path
+    //      reporting what its hot-group cap drops (group count + member
+    //      rows) and the largest group seen. At corpus scale this is how
+    //      an operator tells "q33/q41/q62/q32 found 0 pairs" apart from
+    //      "the cap silently ate the candidate set" — the caps themselves
+    //      stay absolute (join cost must bound by group size), but the
+    //      drops become measurable. The oracle recomputes every path's
+    //      pre-cap group sizes independently. ----
+    "q82_lsh_cap_report" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val emb = Tables.load(s, dir, "embeddings")
+        capRow(bandGroupCounts(Similarity.neardupBandRows(emb),
+            Similarity.NeardupBandCap), "embedding_sign_lsh")
+          .union(capRow(bandGroupCounts(minhashBands(docs), HotBandCap),
+            "minhash_lsh"))
+          .union(capRow(TextOps.shingleGroupCounts(docs), "shingle_join"))
+          .union(capRow(bandGroupCounts(simhashBands(docs), HotBandCap),
+            "simhash_lsh"))
+          .orderBy(col("path"))
+      },
+      Some {
+        val mhBandSelects = (0 until 4)
+          .map(k => s"SELECT doc_id, $k AS band_idx, concat_ws(':', m${2 * k}, m${2 * k + 1}) AS band_val FROM sigs")
+          .mkString(" UNION ALL ")
+        val simBandSelects = (0 until SimWords)
+          .map(j => s"SELECT doc_id, $j AS band_idx, sim$j AS band_val FROM sim")
+          .mkString(" UNION ALL ")
+        def rep(src: String, hotCond: String, path: String) =
+          s"""SELECT '$path' AS path,
+               count(*) AS n_groups,
+               CAST(coalesce(sum(CASE WHEN $hotCond THEN 1 ELSE 0 END), 0) AS BIGINT) AS hot_groups,
+               CAST(coalesce(sum(CASE WHEN $hotCond THEN cnt ELSE 0 END), 0) AS BIGINT) AS dropped_rows,
+               CAST(coalesce(max(cnt), 0) AS BIGINT) AS max_group_size
+             FROM $src"""
+        val gramHot =
+          s"cnt * 2 > (SELECT total FROM tot) OR cnt > ${TextOps.HotShingleCap}"
+        s"""WITH $duckSimhashBody,
+           sigs AS (SELECT doc_id, $duckSigCols FROM hashed GROUP BY doc_id),
+           mh_bands0 AS ($mhBandSelects),
+           sim_bands0 AS ($simBandSelects),
+           emb_bands0 AS (${Similarity.neardupBandDuckUnion}),
+           mh_counts AS (SELECT count(*) AS cnt FROM mh_bands0
+                         GROUP BY band_idx, band_val),
+           sim_counts AS (SELECT count(*) AS cnt FROM sim_bands0
+                          GROUP BY band_idx, band_val),
+           emb_counts AS (SELECT count(*) AS cnt FROM emb_bands0
+                          GROUP BY band_idx, band_val),
+           gram_counts AS (SELECT count(*) AS cnt FROM hashed GROUP BY h),
+           tot AS (SELECT count(DISTINCT doc_id) AS total FROM hashed)
+           ${rep("emb_counts", s"cnt > ${Similarity.NeardupBandCap}", "embedding_sign_lsh")}
+           UNION ALL ${rep("mh_counts", s"cnt > $HotBandCap", "minhash_lsh")}
+           UNION ALL ${rep("gram_counts", gramHot, "shingle_join")}
+           UNION ALL ${rep("sim_counts", s"cnt > $HotBandCap", "simhash_lsh")}
+           ORDER BY path"""
+      }),
   )
 
   /** The full q62 pipeline over a (doc_id, text) frame, exposed with the
@@ -382,10 +500,7 @@ object Dedup {
       cap: Int = HotBandCap): DataFrame = {
     val sigs = simhashSignatures(docsText)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = coldBands(sigs.selectExpr("doc_id",
-      s"""stack($SimWords, ${(0 until SimWords)
-            .map(j => s"$j, sim$j").mkString(", ")})
-         AS (band_idx, band_val)"""), cap)
+    val bands = coldBands(sigs.selectExpr("doc_id", simhashStack), cap)
     val cands = bands.as("x")
       .join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -447,6 +562,16 @@ object Dedup {
     * usable bits. */
   private def bitSource(m: Int): (String, Int) =
     if (m < 48) ("h", m) else ("h2", m - 48)
+
+  private val simhashStack =
+    s"""stack($SimWords, ${(0 until SimWords)
+          .map(j => s"$j, sim$j").mkString(", ")})
+       AS (band_idx, band_val)"""
+
+  /** Pre-cap (doc_id, band_idx, band_val) SimHash word-band rows — the
+    * frame [[coldBands]] filters in q62; exposed for the q82 cap report. */
+  private[graft] def simhashBands(docsText: DataFrame): DataFrame =
+    simhashSignatures(docsText).selectExpr("doc_id", simhashStack)
 
   /** (doc_id, sim0..sim3) — the q34 signature pipeline, shared with q62:
     * a 64-bit simhash as four 16-bit words (see [[SimWords]] for why four

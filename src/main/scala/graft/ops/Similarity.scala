@@ -80,24 +80,54 @@ object Similarity {
 
   /** Absolute cap on a (band_idx, band_val) group in the q41 self-join —
     * a group of k vectors contributes k·(k-1)/2 candidate pairs, so join
-    * cost is bounded by group size, not corpus size. Chosen to exclude
-    * nothing at the test scales (≈2000/256 ≈ 8 vectors per group at
-    * sf0.1) while bounding every group at corpus scale. */
+    * cost is bounded by group size, not corpus size. With 16-bit bands a
+    * random group holds ≈ N/65,536 vectors, so the cap never fires on
+    * hash-collision noise; only genuine same-direction clusters (exact-dup
+    * territory) can exceed it, and those are the groups it exists to
+    * bound. Excludes nothing at the test scales. */
   val NeardupBandCap = 200
   private val neardupBits: IndexedSeq[(Int, Int)] = {
     val all = for { p <- 0 until 64; q <- p + 1 until 64 } yield (p, q)
     (0 until NeardupBands * NeardupRowsPerBand).map(i => all((i * 997) % all.size))
   }
-  private def neardupBandSpark(c: String, b: Int): String =
-    (0 until NeardupRowsPerBand).map { j =>
-      val (p, q) = neardupBits(b * NeardupRowsPerBand + j)
-      s"(CASE WHEN element_at($c, ${p + 1}) > element_at($c, ${q + 1}) THEN ${1 << j} ELSE 0 END)"
-    }.mkString(" + ")
+
+  /** Register the q41 band projection as `graft_sign_bands` with the
+    * 32×16 geometry baked in (see [[graft.expr.SignBands]] — the unrolled
+    * 512-CASE SQL form blew Janino's 64 KB method limit and fell back to
+    * interpreted evaluation; the expression codegens a compact loop). */
+  private def registerNeardupBands(s: SparkSession): Unit =
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sign_bands",
+      { exprs =>
+        require(exprs.length == 1, "graft_sign_bands takes exactly 1 argument")
+        graft.expr.SignBands(exprs.head, NeardupBands, NeardupRowsPerBand,
+          neardupBits.flatMap { case (p, q) => Seq(p, q) })
+      },
+      "built-in")
   private def neardupBandDuck(c: String, b: Int): String =
     (0 until NeardupRowsPerBand).map { j =>
       val (p, q) = neardupBits(b * NeardupRowsPerBand + j)
       s"(CASE WHEN $c[${p + 1}] > $c[${q + 1}] THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Oracle mirror of the full pre-cap band explode — one SELECT per
+    * band, UNION ALL'd; shared by the q41 oracle and q82's cap report. */
+  private[ops] def neardupBandDuckUnion: String =
+    (0 until NeardupBands)
+      .map(b => s"SELECT vec_id, $b AS band_idx, ${neardupBandDuck("embedding", b)} AS band_val FROM embeddings")
+      .mkString(" UNION ALL ")
+
+  /** Pre-cap (vec_id, band_idx, band_val) sign-LSH band rows — the frame
+    * [[Dedup.coldBands]] filters inside [[embeddingNeardupPairs]];
+    * exposed for the q82 cap report. */
+  private[ops] def neardupBandRows(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    registerNeardupBands(s)
+    emb.repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"),
+        posexplode(expr("graft_sign_bands(embedding)"))
+          .as(Seq("band_idx", "band_val")))
+  }
 
   private def bucketExprSpark(c: String) =
     lshPairs.zipWithIndex.map { case ((p, q), i) =>
@@ -132,10 +162,9 @@ object Similarity {
     * borderline cos ≈ 0.5 pairs — wide bands deliberately trade the
     * borderline tail for bounded group sizes at corpus scale. */
   def embeddingNeardupPairs(emb: DataFrame, minCos: Double): DataFrame = {
-    val bandCols = (0 until NeardupBands)
-      .map(b => expr(neardupBandSpark("embedding", b)))
+    registerNeardupBands(emb.sparkSession)
     val n = normedFrom(emb)
-      .withColumn("band_vals", array(bandCols: _*))
+      .withColumn("band_vals", expr("graft_sign_bands(embedding)"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = Dedup.coldBands(
       n.select(col("vec_id"),
@@ -310,18 +339,17 @@ object Similarity {
     //      graft_dot. The oracle mirrors the banding and the cap
     //      bit-for-bit, so both engines enumerate the identical candidate
     //      set; recall vs the exact baseline (q50) is measured in
-    //      SparkOpsSpec. The 512 band bits are materialized ONCE into the
-    //      persisted frame (a 32-element array column), so neither join
-    //      side re-evaluates the 512 CASE expressions.
+    //      SparkOpsSpec. The 512 band bits come from the codegen'd
+    //      graft_sign_bands expression (a compact loop — the unrolled CASE
+    //      form broke whole-stage codegen) and are materialized ONCE into
+    //      the persisted frame (a 32-element array column), so neither
+    //      join side re-evaluates them.
     "q41_embedding_neardup" -> QueryDef(
       (s, dir) => embeddingNeardupPairs(Tables.load(s, dir, "embeddings"), 0.45),
       Some {
-        val bandSelects = (0 until NeardupBands)
-          .map(b => s"SELECT vec_id, $b AS band_idx, ${neardupBandDuck("embedding", b)} AS band_val FROM embeddings")
-          .mkString(" UNION ALL ")
         s"""WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
                     FROM embeddings),
-           bands0 AS ($bandSelects),
+           bands0 AS ($neardupBandDuckUnion),
            hot AS (
              SELECT band_idx, band_val FROM bands0
              GROUP BY band_idx, band_val HAVING count(*) > $NeardupBandCap),

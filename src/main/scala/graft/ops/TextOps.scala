@@ -74,6 +74,19 @@ object TextOps {
       .select(col("g"))
   }
 
+  /** (cnt, hot) per hashed 3-gram shingle — the pre-cutoff group sizes
+    * the q32 inverted-index join would see, with `hot` mirroring the
+    * [[hotShingles]] condition. Feeds q82's cap report (see
+    * [[Dedup.capRow]]). */
+  def shingleGroupCounts(docs: DataFrame): DataFrame = {
+    val sh = hashedShingles(docs)
+    val total = sh.agg(countDistinct(col("doc_id")).as("total"))
+    sh.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(total)
+      .select(col("cnt"),
+        (col("cnt") * 2 > col("total") || col("cnt") > HotShingleCap).as("hot"))
+  }
+
   /** Near-duplicate pairs by shingle-set Jaccard ≥ `minJ` over a
     * (doc_id, text) frame: inverted-index equi self-join on the HASHED
     * shingle (the string itself is dropped before any shuffle), hot

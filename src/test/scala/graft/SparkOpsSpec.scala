@@ -17,6 +17,12 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // codegen GATE: a whole-stage compile failure (e.g. a projection
+      // blowing Janino's 64 KB method limit) normally logs an ERROR and
+      // silently falls back to interpreted execution — at scale that's a
+      // hidden per-row cliff. With fallback disabled the failure throws,
+      // so any suite that executes the offending plan goes red instead.
+      .config("spark.sql.codegen.fallback", "false")
       // custom expressions via the extensions path — VectorExprSpec's use
       // of graft_dot without an explicit register call proves the wiring
       .withExtensions(new graft.expr.GraftExtensions)
@@ -447,6 +453,53 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   }
 }
 
+/** Pins q82's cap observability on a corpus with a PLANTED hot band: 250
+  * identical documents exceed every 200-member cap, so the LSH paths
+  * return zero candidate pairs — and the report must say exactly what was
+  * dropped, making "no near-dups" distinguishable from "cap ate the
+  * corpus". */
+class CapReportSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import graft.ops.{Dedup, TextOps}
+
+  private lazy val planted = {
+    import spark.implicits._
+    (0L until 250L).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+  }
+
+  test("minhash path: 4 band groups of 250 all dropped; q33 returns 0 pairs") {
+    val row = Dedup.capRow(
+      Dedup.bandGroupCounts(Dedup.minhashBands(planted), Dedup.HotBandCap),
+      "minhash_lsh").collect()(0)
+    assert((row.getString(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) == (("minhash_lsh", 4L, 4L, 1000L, 250L)))
+    assert(Dedup.lshCandidatePairs(planted).count() == 0L,
+      "cap must have dropped every candidate")
+  }
+
+  test("shingle path: every 3-gram is majority-hot and reported") {
+    // "alpha beta gamma delta epsilon" has three 3-gram shingles, each in
+    // all 250 docs — hot by both the absolute cap and the majority rule
+    val row = Dedup.capRow(TextOps.shingleGroupCounts(planted), "shingle_join")
+      .collect()(0)
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)) ==
+      ((3L, 3L, 750L, 250L)))
+  }
+
+  test("a clean corpus reports zero dropped groups") {
+    import spark.implicits._
+    val distinctDocs = (0L until 50L)
+      .map(i => (i, s"doc $i has unique words w${i}a w${i}b w${i}c"))
+      .toDF("doc_id", "text")
+    val row = Dedup.capRow(
+      Dedup.bandGroupCounts(Dedup.simhashBands(distinctDocs), Dedup.HotBandCap),
+      "simhash_lsh").collect()(0)
+    assert(row.getLong(2) == 0L && row.getLong(3) == 0L)
+    assert(row.getLong(1) > 0L)
+  }
+}
+
 /** Invariants of the round-4 corpus operators that the hash compare
   * alone would not pin: the clustering must PARTITION the corpus, and a
   * count-min sketch must never undercount. */
@@ -582,5 +635,72 @@ class SimilaritySpec extends AnyFunSuite {
     // corpus×corpus pairing itself must ride hash joins
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
       plan.contains("ShuffledHashJoin"), plan.take(800))
+  }
+}
+
+/** Pins the codegen'd [[graft.expr.SignBands]] band projection against an
+  * independently-derived Scala reference, in BOTH evaluation modes. The
+  * shared test session runs with `spark.sql.codegen.fallback=false`, so
+  * executing the 32×16 projection here also proves the generated method
+  * compiles under Janino's 64 KB limit — the failure mode the expression
+  * exists to fix (its unrolled 512-CASE predecessor blew the limit and
+  * silently ran interpreted). */
+class SignBandsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // q41's geometry, re-derived here (not imported) so a drift in the
+  // stride-walk constant would fail the spec rather than hide in both
+  private val bands = 32
+  private val bits = 16
+  private val pairs: IndexedSeq[(Int, Int)] = {
+    val all = for { p <- 0 until 64; q <- p + 1 until 64 } yield (p, q)
+    (0 until bands * bits).map(i => all((i * 997) % all.size))
+  }
+  private val flat = pairs.flatMap { case (p, q) => Seq(p, q) }
+
+  private def ref(v: Array[Float]): Seq[Int] =
+    (0 until bands).map { b =>
+      (0 until bits).map { j =>
+        val (p, q) = pairs(b * bits + j)
+        if (v(p) > v(q)) 1 << j else 0
+      }.sum
+    }
+
+  private val rnd = new scala.util.Random(7)
+  private val vecs: Seq[(Long, Array[Float])] =
+    (0L until 64L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+
+  test("codegen path matches the reference and compiles (fallback disabled)") {
+    import spark.implicits._
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "test_sign_bands",
+      exprs => graft.expr.SignBands(exprs.head, bands, bits, flat),
+      "built-in")
+    // repartition keeps the projection out of ConvertToLocalRelation —
+    // otherwise the optimizer folds it into a pre-evaluated LocalTableScan
+    // and nothing would exercise the generated code
+    val df = vecs.toDF("vec_id", "embedding").repartition(2)
+      .selectExpr("vec_id", "test_sign_bands(embedding) AS bv")
+    val got = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // inspect AFTER execution: under AQE the codegen stages only
+    // materialize in the final plan, where they render as a `*(n)` prefix
+    // on each node inside a WholeStageCodegen span
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(500))
+    vecs.foreach { case (id, v) => assert(got(id) == ref(v), s"vec $id") }
+  }
+
+  test("interpreted eval path matches the reference") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    vecs.take(8).foreach { case (id, v) =>
+      val e = graft.expr.SignBands(
+        Literal.create(v, ArrayType(FloatType)), bands, bits, flat)
+      val got = e.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq
+      assert(got == ref(v), s"vec $id")
+    }
   }
 }
