@@ -381,13 +381,7 @@ object Dedup {
         val docs = Tables.load(s, dir, "documents")
         val clusters = connectedComponents(lshCandidatePairs(docs))
         val scored = docs.select(col("doc_id"),
-            size(split(col("text"), " +")).as("n_words"),
-            size(regexp_extract_all(lower(col("text")),
-              lit("\\b(the|and|of|to|in|is|a)\\b"), lit(0))).as("n_stop"))
-          .select(col("doc_id"),
-            round(least(col("n_words") * lit(1.0), lit(100.0)) / 100.0 * 0.5 +
-              col("n_stop") * lit(1.0) / col("n_words") * 0.5, 4)
-              .as("quality_score"))
+          round(Quality.score(col("text")), 4).as("quality_score"))
         val w = Window.partitionBy(col("cluster_id"))
           .orderBy(col("quality_score").desc, col("doc_id"))
         clusters.join(scored, "doc_id")
@@ -413,12 +407,7 @@ object Dedup {
                FROM labels GROUP BY cluster_id),
              scored AS (
                SELECT doc_id,
-                 round(least(len(string_split_regex(text, ' +')) * 1.0, 100.0)
-                     / 100.0 * 0.5
-                   + len(regexp_extract_all(lower(text),
-                       '\\b(the|and|of|to|in|is|a)\\b')) * 1.0
-                     / len(string_split_regex(text, ' +')) * 0.5, 4)
-                   AS quality_score
+                 round(${Quality.duckScore("text")}, 4) AS quality_score
                FROM documents)
              SELECT cluster_id, doc_id AS keeper_doc_id, cluster_size,
                quality_score AS keeper_quality

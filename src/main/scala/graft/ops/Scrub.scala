@@ -110,12 +110,10 @@ object Scrub {
         val t = col("text")
         val scored = Tables.load(s, dir, "documents")
           .select(col("doc_id"),
-            size(split(t, " +")).as("n_words"),
-            size(regexp_extract_all(lower(t),
-              lit("\\b(the|and|of|to|in|is|a)\\b"), lit(0))).as("n_stop"))
+            Quality.nWords(t).as("n_words"),
+            Quality.nStop(t).as("n_stop"))
           .withColumn("quality_score",
-            round(least(col("n_words") * lit(1.0), lit(100.0)) / 100.0 * 0.5 +
-              col("n_stop") * lit(1.0) / col("n_words") * 0.5, 4))
+            round(Quality.scoreFrom(col("n_words"), col("n_stop")), 4))
           .withColumn("bucket", floor(col("quality_score") * 10).cast("int"))
         val hist = scored.groupBy(col("bucket")).agg(
           count(lit(1)).as("docs_in_bucket"),
@@ -134,16 +132,15 @@ object Scrub {
               .as("pct_docs"))
           .orderBy(col("min_bucket"))
       },
-      Some("""WITH perdoc AS (
+      Some(s"""WITH perdoc AS (
                SELECT doc_id,
-                 len(string_split_regex(text, ' +')) AS n_words,
-                 len(regexp_extract_all(lower(text),
-                   '\b(the|and|of|to|in|is|a)\b')) AS n_stop
+                 ${Quality.duckNWords("text")} AS n_words,
+                 ${Quality.duckNStop("text")} AS n_stop
                FROM documents),
              scored AS (
                SELECT *,
-                 round(least(n_words * 1.0, 100.0) / 100.0 * 0.5
-                   + n_stop * 1.0 / n_words * 0.5, 4) AS quality_score
+                 round(${Quality.duckScoreFrom("n_words", "n_stop")}, 4)
+                   AS quality_score
                FROM perdoc),
              hist AS (
                SELECT CAST(floor(quality_score * 10) AS INT) AS bucket,

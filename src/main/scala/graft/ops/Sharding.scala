@@ -34,8 +34,10 @@ object Sharding {
     * a production corpus would use ~100M-token shards. */
   val ShardBudget = 4096L
 
-  /** (doc_id, n_tokens, shard_id) for a frame with columns
-    * `k` (unique sort key), `doc_id`, `n_tokens`. */
+  /** (doc_id, n_tokens, shard_id, k) for a frame with columns
+    * `k` (unique sort key), `doc_id`, `n_tokens` — `k` rides along so
+    * downstream in-shard ordering ([[packWindows]]) uses the SAME total
+    * order that cut the shards. */
   def assignShards(docs: DataFrame, budget: Long, parts: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -69,11 +71,54 @@ object Sharding {
     sorted.rdd
       .mapPartitionsWithIndex { case (pid, it) =>
         var cum = bOff.value(pid)
-        it.map { case (_, id, t) =>
-          val before = cum; cum += t; (id, t, before / budget)
+        it.map { case (kk, id, t) =>
+          val before = cum; cum += t; (id, t, before / budget, kk)
         }
       }
-      .toDF("doc_id", "n_tokens", "shard_id")
+      .toDF("doc_id", "n_tokens", "shard_id", "k")
+  }
+
+  /** Context-window capacity (tokens) for q84's sequence packing. */
+  val PackCapacity = 512L
+
+  /** Greedy FIRST-FIT sequence packing within each token shard — the step
+    * between chunking (q59) and sharding (q66) in a training-data run:
+    * chunks are walked in the shard's deterministic md5 order and each is
+    * placed into the LOWEST-indexed open window with room, else opens a
+    * new window. A chunk larger than `capacity` opens (and overflows) its
+    * own window rather than being dropped.
+    *
+    * Scale shape: packing state is inherently sequential, so the
+    * parallelism unit is the SHARD — `flatMapGroups` per shard_id, and
+    * the per-group buffer is bounded by construction (a shard holds
+    * ≤ ShardBudget tokens, so ≤ ShardBudget chunk rows and
+    * ≤ ShardBudget/capacity + 1 open windows). Shards come from the
+    * two-pass range-partitioned running total ([[assignShards]]), so the
+    * result is deterministic across partitionings — pinned by
+    * ShardingSpec's invariance test. First-fit beats next-fit on fill
+    * and its open-window list stays bounded, which is what makes the
+    * exact oracle mirror (a recursive CTE carrying the fills list)
+    * possible. */
+  def packWindows(assigned: DataFrame, capacity: Long): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned
+      .select(col("shard_id").cast("long"), col("k").cast("string"),
+        col("doc_id").cast("long"), col("n_tokens").cast("long"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val sorted = it.toArray.sortBy(_._2)
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        sorted.iterator.map { case (_, _, docId, n) =>
+          val j = fills.indexWhere(_ + n <= capacity)
+          val w =
+            if (j >= 0) { fills(j) += n; j }
+            else { fills += n; fills.size - 1 }
+          (sid, w.toLong, docId, n)
+        }
+      }
+      .toDF("shard_id", "window_id", "doc_id", "n_tokens")
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -107,5 +152,70 @@ object Sharding {
              FROM c
              GROUP BY shard_id
              ORDER BY shard_id""")),
+
+    // ---- per-window fill manifest of the first-fit packing: how many
+    //      chunks and tokens each fixed 512-token context window holds.
+    //      The oracle replays the identical first-fit walk with a
+    //      recursive CTE whose state is the open-window fills LIST —
+    //      recursion depth = max chunks per shard, advancing every shard
+    //      in lockstep. ----
+    "q84_sequence_packing" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("k",
+            md5(concat(lit("shard:"), col("doc_id").cast("string"))))
+          .withColumn("n_tokens", size(split(lower(col("text")), " +")))
+        packWindows(assignShards(docs, ShardBudget, 32), PackCapacity)
+          .groupBy(col("shard_id"), col("window_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("n_tokens")).as("window_tokens"))
+          .withColumn("fill_pct",
+            round(col("window_tokens") * lit(1.0) / PackCapacity, 4))
+          .orderBy(col("shard_id"), col("window_id"))
+      },
+      Some(s"""WITH RECURSIVE t AS (
+               SELECT doc_id, md5('shard:' || CAST(doc_id AS VARCHAR)) AS k,
+                 CAST(len(string_split_regex(lower(text), ' +')) AS BIGINT)
+                   AS n_tokens
+               FROM documents),
+             c AS (
+               SELECT doc_id, k, n_tokens,
+                 COALESCE(CAST(sum(n_tokens) OVER (ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS cum_before
+               FROM t),
+             ordered AS (
+               SELECT CAST(cum_before // $ShardBudget AS BIGINT) AS shard_id,
+                 doc_id, n_tokens,
+                 row_number() OVER (PARTITION BY cum_before // $ShardBudget
+                   ORDER BY k) AS rn
+               FROM c),
+             pack AS (
+               SELECT shard_id, rn, doc_id, n_tokens,
+                 CAST(0 AS BIGINT) AS window_id,
+                 [n_tokens] AS fills
+               FROM ordered WHERE rn = 1
+               UNION ALL
+               SELECT o.shard_id, o.rn, o.doc_id, o.n_tokens,
+                 CAST(CASE WHEN l.ff IS NULL THEN len(p.fills)
+                           ELSE l.ff - 1 END AS BIGINT),
+                 CASE WHEN l.ff IS NULL THEN list_append(p.fills, o.n_tokens)
+                      ELSE list_transform(range(1, len(p.fills) + 1),
+                             i -> CASE WHEN i = l.ff
+                                       THEN p.fills[i] + o.n_tokens
+                                       ELSE p.fills[i] END)
+                 END
+               FROM pack p
+               JOIN ordered o ON o.shard_id = p.shard_id AND o.rn = p.rn + 1,
+               LATERAL (SELECT list_filter(range(1, len(p.fills) + 1),
+                          i -> p.fills[i] + o.n_tokens <= $PackCapacity)[1]
+                          AS ff) l)
+             SELECT shard_id, window_id, count(*) AS n_chunks,
+               CAST(sum(n_tokens) AS BIGINT) AS window_tokens,
+               round(CAST(sum(n_tokens) AS BIGINT) * 1.0 / $PackCapacity, 4)
+                 AS fill_pct
+             FROM pack
+             GROUP BY shard_id, window_id
+             ORDER BY shard_id, window_id""")),
   )
 }

@@ -158,6 +158,41 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Words per "paragraph" for q83. The synthetic corpus has no newline
+    * structure (one space-separated stream per doc), so a paragraph is a
+    * fixed 20-word block — the unit itself is a parameter; a real corpus
+    * would split on `\n\n` and everything downstream is unchanged. */
+  val ParaWords = 20
+
+  /** Per-document paragraph-level exact-dedup report — the C4/RefinedWeb
+    * curation step BETWEEN document dedup and chunking: paragraphs are
+    * deduped ACROSS documents (keeper = globally first occurrence by
+    * (doc_id, para_idx)), and each document reports how many of its
+    * paragraphs a rewrite would drop.
+    *
+    * Scale shape: the md5 paragraph key is computed INSIDE the transform
+    * (before the explode), so the keeper window's exchange partitions on
+    * the 32-byte hash and ships (doc_id, para_idx, pkey) only — never
+    * paragraph text (q31's shuffle discipline). One window + one groupBy,
+    * both on bounded rows-per-doc. */
+  def paragraphDedupReport(docs: DataFrame, paraWords: Int = ParaWords): DataFrame = {
+    val keyed = docs
+      .withColumn("words", split(lower(col("text")), " +"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+              sequence(0, cast(ceil(size(words) / $paraWords.0) as int) - 1),
+              i -> md5(concat_ws(' ', slice(words, i * $paraWords + 1, $paraWords))))"""))
+        .as(Seq("para_idx", "pkey")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pkey")).orderBy(col("doc_id"), col("para_idx"))
+    keyed.withColumn("rk", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dropped"))
+      .withColumn("rewritten", col("n_dropped") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Power-of-two bucket floor for a token count: [1,2)→1, [2,4)→2, …,
     * [1024,2048)→1024, else 2048. Plain integer comparisons, evaluated
     * from the SAME text by Spark and DuckDB. */
@@ -191,6 +226,43 @@ object TextOps {
              FROM documents
              GROUP BY md5(text)
              ORDER BY keeper_id""")),
+
+    // ---- paragraph-level exact dedup across documents: fixed 20-word
+    //      blocks, md5-keyed, keeper = first (doc_id, para_idx)
+    //      occurrence; per-doc report of paragraphs a rewrite drops.
+    //      The oracle rebuilds the blocks with list slicing — an
+    //      independent segmentation path — and mirrors hash + keeper
+    //      rule exactly. ----
+    "q83_paragraph_dedup" -> QueryDef(
+      (s, dir) => paragraphDedupReport(Tables.load(s, dir, "documents")),
+      Some(s"""WITH wds AS (
+               SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
+               FROM documents),
+             paras AS (
+               SELECT doc_id,
+                 unnest(generate_series(0,
+                   CAST(ceil(len(ws) / $ParaWords.0) AS INT) - 1)) AS para_idx,
+                 ws
+               FROM wds),
+             keyed AS (
+               SELECT doc_id, para_idx,
+                 md5(array_to_string(
+                   ws[para_idx * $ParaWords + 1 : para_idx * $ParaWords + $ParaWords],
+                   ' ')) AS pkey
+               FROM paras),
+             flagged AS (
+               SELECT doc_id, para_idx,
+                 row_number() OVER (PARTITION BY pkey
+                   ORDER BY doc_id, para_idx) AS rk
+               FROM keyed)
+             SELECT doc_id, count(*) AS n_paras,
+               CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped,
+               CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) > 0
+                 AS rewritten
+             FROM flagged
+             GROUP BY doc_id
+             ORDER BY doc_id""")),
 
     // ---- near-dup pairs by 3-gram Jaccard ≥ 0.8 (inverted-index join on
     //      the HASHED shingle with the hot-shingle cutoff; the oracle
@@ -342,30 +414,26 @@ object TextOps {
         Tables.load(s, dir, "documents")
           .select(col("doc_id"),
             length(t).as("n_chars"),
-            size(split(t, " +")).as("n_words"),
+            Quality.nWords(t).as("n_words"),
             size(regexp_extract_all(t, lit("[.,;:!?]"), lit(0))).as("n_punct"),
-            size(regexp_extract_all(lower(t),
-              lit("\\b(the|and|of|to|in|is|a)\\b"), lit(0))).as("n_stop"))
+            Quality.nStop(t).as("n_stop"))
           .withColumn("avg_word_len",
             round((col("n_chars") - col("n_words") + 1) * lit(1.0) / col("n_words"), 4))
           .withColumn("stop_ratio", round(col("n_stop") * lit(1.0) / col("n_words"), 4))
           .withColumn("quality_score",
-            round(least(col("n_words") * lit(1.0), lit(100.0)) / 100.0 * 0.5 +
-              col("n_stop") * lit(1.0) / col("n_words") * 0.5, 4))
+            round(Quality.scoreFrom(col("n_words"), col("n_stop")), 4))
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id,
+      Some(s"""SELECT doc_id,
                length(text) AS n_chars,
-               len(string_split_regex(text, ' +')) AS n_words,
+               ${Quality.duckNWords("text")} AS n_words,
                len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-               len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS n_stop,
-               round((length(text) - len(string_split_regex(text, ' +')) + 1) * 1.0
-                 / len(string_split_regex(text, ' +')), 4) AS avg_word_len,
-               round(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) * 1.0
-                 / len(string_split_regex(text, ' +')), 4) AS stop_ratio,
-               round(least(len(string_split_regex(text, ' +')) * 1.0, 100.0) / 100.0 * 0.5
-                 + len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) * 1.0
-                   / len(string_split_regex(text, ' +')) * 0.5, 4) AS quality_score
+               ${Quality.duckNStop("text")} AS n_stop,
+               round((length(text) - ${Quality.duckNWords("text")} + 1) * 1.0
+                 / ${Quality.duckNWords("text")}, 4) AS avg_word_len,
+               round(${Quality.duckNStop("text")} * 1.0
+                 / ${Quality.duckNWords("text")}, 4) AS stop_ratio,
+               round(${Quality.duckScore("text")}, 4) AS quality_score
              FROM documents
              ORDER BY doc_id""")),
 
@@ -583,12 +651,7 @@ object TextOps {
         // partitions on the 32-byte md5 key and ships only scalar flags —
         // never document bodies (q31's shuffle discipline)
         val flags = docs
-          .withColumn("n_words", size(split(col("text"), " +")))
-          .withColumn("n_stop", size(regexp_extract_all(lower(col("text")),
-            lit("\\b(the|and|of|to|in|is|a)\\b"), lit(0))))
-          .withColumn("quality_score",
-            least(col("n_words") * lit(1.0), lit(100.0)) / 100.0 * 0.5 +
-              col("n_stop") * lit(1.0) / col("n_words") * 0.5)
+          .withColumn("quality_score", Quality.score(col("text")))
           .select(col("doc_id"), col("lang"), col("source"),
             col("quality_score"), md5(col("text")).as("tkey"))
           .withColumn("keeper",
@@ -607,7 +670,7 @@ object TextOps {
           cnt(en && q && k, "n_keeper"),
           cnt(en && q && k && clean, "n_final"))
       },
-      Some("""WITH w AS (
+      Some(s"""WITH w AS (
                SELECT doc_id,
                  unnest(string_split_regex(lower(text), ' +')) AS word,
                  generate_subscripts(string_split_regex(lower(text), ' +'), 1) AS i
@@ -632,11 +695,7 @@ object TextOps {
                WHERE d.source <> 'src0'),
              flags AS (
                SELECT doc_id, lang, source,
-                 len(string_split_regex(text, ' +')) AS n_words,
-                 len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS n_stop,
-                 least(len(string_split_regex(text, ' +')) * 1.0, 100.0) / 100.0 * 0.5
-                   + len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) * 1.0
-                     / len(string_split_regex(text, ' +')) * 0.5 AS quality_score,
+                 ${Quality.duckScore("text")} AS quality_score,
                  doc_id = min(doc_id) OVER (PARTITION BY text) AS keeper,
                  doc_id IN (SELECT doc_id FROM contam) AS contaminated
                FROM documents)

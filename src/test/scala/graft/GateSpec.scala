@@ -39,12 +39,14 @@ class OracleHygieneSpec extends AnyFunSuite {
     branches.nonEmpty && branches.forall(_.matches("-?\\d+"))
   }
 
-  // The simhash signed bit sums (shared CTE of q34/q62) are consumed ONLY
-  // by `b >= 0` comparisons inside the oracle — HUGEINT never reaches an
-  // output column (the signature itself is a sum of integer LITERALS, and
-  // q62's hamming is bit_count). Both queries hash-match.
+  // The simhash signed bit sums (shared CTE of q34/q62, also embedded in
+  // q82's pre-cap band recount) are consumed ONLY by `b >= 0` comparisons
+  // inside the oracle — HUGEINT never reaches an output column (the
+  // signature itself is a sum of integer LITERALS, q62's hamming is
+  // bit_count, and q82's report sums are all CAST to BIGINT). All three
+  // queries hash-match.
   private val consumedInternally =
-    Set("q34_simhash_signatures", "q62_simhash_neardup")
+    Set("q34_simhash_signatures", "q62_simhash_neardup", "q82_lsh_cap_report")
 
   /** Known-integer column/function shapes (token counts, term
     * frequencies, list lengths, counts): DuckDB types their sum HUGEINT
@@ -112,11 +114,13 @@ class PlanGateSpec extends AnyFunSuite {
     *     count, a constant, never the corpus);
     *   - q79: the K-label centroid relation self-joined under
     *     `label_a < label_b` for the pairwise affinity matrix — both
-    *     sides are label-count-sized, a constant, never the corpus.
+    *     sides are label-count-sized, a constant, never the corpus;
+    *   - q82: shingleGroupCounts crossJoins the ONE-ROW doc-count
+    *     aggregate (same scalar-availability shape as q32).
     * Everything else must ride hash/sort-merge equi-joins. */
   private val bnljAllowed = Set("q32_dedup_ngram_jaccard", "q35_cosine_topk",
     "q43_ivf_ann_topk", "q51_tfidf_top_terms", "q63_conversion",
-    "q70_kmedians_clusters", "q79_label_affinity")
+    "q70_kmedians_clusters", "q79_label_affinity", "q82_lsh_cap_report")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

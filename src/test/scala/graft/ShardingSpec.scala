@@ -32,8 +32,9 @@ class ShardingSpec extends AnyFunSuite {
 
   test("shards are contiguous in key order and full to the budget") {
     val budget = 100L
+    // assignShards now carries the order key through, so the shard walk
+    // can be checked straight off its output
     val rows = Sharding.assignShards(corpus, budget, 8)
-      .join(corpus.select(col("doc_id"), col("k")), "doc_id")
       .orderBy(col("k"))
       .collect()
       .map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("shard_id")))
@@ -47,5 +48,42 @@ class ShardingSpec extends AnyFunSuite {
       assert(cum / budget == shard, s"doc at cum=$cum expected shard ${cum / budget}, got $shard")
       cum += t
     }
+  }
+
+  test("first-fit packing is identical across partition counts and packs every chunk") {
+    def pack(parts: Int): Map[Long, (Long, Long)] =
+      Sharding.packWindows(Sharding.assignShards(corpus, 100L, parts), 50L)
+        .collect()
+        .map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1)))).toMap
+    val one = pack(1)
+    assert(pack(3) == one)
+    assert(pack(32) == one)
+    assert(one.size == 200)
+  }
+
+  test("no window exceeds capacity unless one oversized chunk owns it; tokens are conserved") {
+    val cap = 50L
+    val rows = Sharding.packWindows(Sharding.assignShards(corpus, 100L, 8), cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((s, w), cs) =>
+      val tot = cs.map(_._4).sum
+      assert(tot <= cap || cs.length == 1,
+        s"window ($s,$w) overfilled: $tot tokens across ${cs.length} chunks")
+    }
+    val expected = corpus.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(rows.map(_._4).sum == expected)
+  }
+
+  test("an oversized chunk overflows its own window; later chunks first-fit around it") {
+    import spark.implicits._
+    val assigned = Seq(
+      (0L, "a", 1L, 600L), // > capacity: owns (and overflows) window 0
+      (0L, "b", 2L, 10L),  // doesn't fit window 0 → opens window 1
+      (0L, "c", 3L, 500L)) // fits window 1 (10+500 <= 512)
+      .toDF("shard_id", "k", "doc_id", "n_tokens")
+    val out = Sharding.packWindows(assigned, 512L).collect()
+      .map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
   }
 }

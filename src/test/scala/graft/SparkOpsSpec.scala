@@ -453,6 +453,33 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   }
 }
 
+/** Paragraph-level dedup (q83): the keeper is the globally FIRST
+  * occurrence of a paragraph across (doc_id, para_idx) order, so a
+  * paragraph repeated by a later document counts as dropped there even
+  * when the later document contributes other first-occurrence
+  * paragraphs. */
+class ParagraphDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("repeated paragraphs across documents are dropped at their later occurrences") {
+    import spark.implicits._
+    val p1 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val p2 = (21 to 40).map(i => s"w$i").mkString(" ")
+    val p3 = (41 to 60).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$p1 $p2"), // both paragraphs first occurrences
+      (2L, s"$p1 $p3"), // repeats p1 → 1 dropped; p3 is new here
+      (3L, s"$p3 $p2")) // repeats p3 (kept in doc 2) and p2 → 2 dropped
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextOps.paragraphDedupReport(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out(1L) == ((2L, 0L, false)))
+    assert(out(2L) == ((2L, 1L, true)))
+    assert(out(3L) == ((2L, 2L, true)))
+  }
+}
+
 /** Pins q82's cap observability on a corpus with a PLANTED hot band: 250
   * identical documents exceed every 200-member cap, so the LSH paths
   * return zero candidate pairs — and the report must say exactly what was
