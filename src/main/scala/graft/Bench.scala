@@ -51,19 +51,27 @@ object Bench {
       }
       // a failed run's elapsed time is NOT a measurement: take the min
       // over successful runs, and report an error only when every run
-      // failed (a transient failure must not bench as a fast time)
+      // failed (a transient failure must not bench as a fast time).
+      // A some-but-not-all failure is still a signal (e.g. intermittent
+      // OOM) — it must not bench silently green, so it surfaces as a
+      // flaky marker alongside the successful-run time.
       val ok = runs.collect { case (sec, None) => sec }
       val sec = if (ok.nonEmpty) ok.min else runs.map(_._1).min
       val err = if (ok.nonEmpty) None else runs.flatMap(_._2).headOption
-      (name, sec, err)
+      val flaky =
+        if (ok.nonEmpty && ok.size < runs.size) runs.flatMap(_._2).headOption
+        else None
+      (name, sec, err, flaky)
     }
     spark.catalog.clearCache()
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+    val errs = results.collect { case (k, _, Some(e), _) => s"\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val flakies = results.collect { case (k, _, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flakies,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -34,13 +34,32 @@ object Skew {
   def rowSalt(big: DataFrame, salt: Int) =
     pmod(hash(big.columns.map(col): _*), lit(salt))
 
+  /** Skew-spreading inner equi-join: the big side is salted by content
+    * hash, the small side replicated across all salt values.
+    *
+    * LIMITATION (by design of the content hash): fully IDENTICAL
+    * duplicate rows all hash to ONE salt and still land on a single
+    * reducer — and exact-duplicate records are a common real-world cause
+    * of the very skew this lever exists to spread. Fact tables carrying
+    * a unique id are immune (the id differentiates the hash). For inputs
+    * WITHOUT a unique key, pass `uniquifier` — any deterministic,
+    * retry-stable expression that separates physical duplicates (an
+    * ingest offset, a file path + row position — NOT
+    * `monotonically_increasing_id()`, which moves on retry and would
+    * re-introduce the placement instability `rowSalt` exists to avoid).
+    * It joins the hash input only; semantics are unchanged. */
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
       keys: Seq[String],
-      salt: Int = 16): DataFrame = {
+      salt: Int = 16,
+      uniquifier: Option[Column] = None): DataFrame = {
     require(salt > 0, "salt must be positive")
-    val bigS = big.withColumn("_salt", rowSalt(big, salt))
+    val saltCol = uniquifier match {
+      case Some(u) => pmod(hash(big.columns.map(col) :+ u: _*), lit(salt))
+      case None    => rowSalt(big, salt)
+    }
+    val bigS = big.withColumn("_salt", saltCol)
     val smallS = small.withColumn("_salt",
       explode(array((0 until salt).map(lit): _*)))
     bigS.join(smallS, keys :+ "_salt").drop("_salt")

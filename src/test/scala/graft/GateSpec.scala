@@ -95,6 +95,23 @@ class OracleHygieneSpec extends AnyFunSuite {
   }
 }
 
+/** COVERAGE.md's headline counts went stale in round 4 (said 68/67 while
+  * the engine served 80/78); this pins the doc to the code so it cannot
+  * drift again. */
+class CoverageDocSpec extends AnyFunSuite {
+  test("COVERAGE.md headline counts match SparkEntry") {
+    val txt = scala.io.Source.fromFile("COVERAGE.md", "UTF-8")
+    val head = try txt.mkString finally txt.close()
+    val m = """(\d+) queries total: (\d+) oracle-checked""".r
+      .findFirstMatchIn(head)
+      .getOrElse(fail("COVERAGE.md headline count sentence not found"))
+    assert(m.group(1).toInt == SparkEntry.queries.size,
+      s"COVERAGE.md says ${m.group(1)} queries; engine serves ${SparkEntry.queries.size}")
+    assert(m.group(2).toInt == SparkEntry.oracleSql.size,
+      s"COVERAGE.md says ${m.group(2)} oracle-checked; engine has ${SparkEntry.oracleSql.size}")
+  }
+}
+
 /** Scale-posture gate over EVERY query's physical plan: no cartesian
   * product anywhere, and broadcast nested-loop joins only where the build
   * side is O(1) rows by construction. A regression that drops a join to a
