@@ -49,6 +49,12 @@ object Clustering {
           list_transform(list_zip($a, $b), s -> abs(s[1] - s[2]))),
         (acc, v) -> acc + v)"""
 
+  private def dotDuck(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_zip($a, $b),
+            s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))),
+          (acc, v) -> acc + v)"""
+
   /** Nearest-centroid assignment: broadcast the K centroids, argmin L1
     * with the centroid id as the deterministic tie-break. */
   private def assign(n: DataFrame, cents: DataFrame): DataFrame = {
@@ -105,6 +111,69 @@ object Clustering {
       .select(col("cluster_id"), col("cnt").as("n_members"),
         round(col("dist"), 4).as("med_l1"))
       .orderBy(col("cluster_id"))
+  }
+
+  /** Exact-verify cosine threshold for a q85 semantic near-dup: same
+    * display threshold as q41's sign-LSH path, so the two
+    * candidate-generation strategies (banding vs cluster scoping) are
+    * directly comparable on the same corpus. */
+  val SemDedupMinCos = 0.45
+
+  /** SemDeDup-style semantic deduplication: cluster-scoped cosine
+    * near-dup with greedy keep-first selection — the embedding-space
+    * curation pass (Abbas et al. 2023, "SemDeDup") that removes the
+    * semantically redundant documents exact text dedup (q31) and
+    * token-level near-dup (q33/q62) both miss.
+    *
+    * Candidate generation is the CLUSTER, not an LSH band: vectors are
+    * assigned to their nearest seed centroid by cosine (broadcast over K
+    * tiny rows, the q43/q70 shape), and only within-cluster pairs are
+    * compared — an equi-join on `cluster_id`, never an all-pairs join.
+    * K is the scale knob: at corpus scale K grows with N to hold the
+    * per-cluster pair count (size²/2) bounded, exactly how SemDeDup runs
+    * its production sweeps; the within-cluster join group is the
+    * quadratic cost center, the same role [[Dedup.HotBandCap]] bounds on
+    * the LSH paths.
+    *
+    * Keeper rule: a vector is DROPPED iff some SMALLER vec_id in its
+    * cluster sits within `minCos`; its keeper is the smallest such id
+    * (greedy keep-first by id — deterministic, no connected components
+    * needed, chains collapse toward the lowest id exactly like q31's
+    * first-occurrence keeper). Cosines are [[graft.expr.DotProduct]]
+    * folds — identical IEEE sequences in both engines, so the threshold
+    * compare and the report agree bitwise. */
+  def semanticDedup(emb: DataFrame, minCos: Double = SemDedupMinCos): DataFrame = {
+    val s = emb.sparkSession
+    graft.expr.VectorExpressions.register(s)
+    val n = emb.repartition(s.sparkContext.defaultParallelism)
+      .withColumn("de", expr(toDouble))
+      .withColumn("nrm", expr("sqrt(graft_dot(de, de))"))
+      .select(col("vec_id"), col("de"), col("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = n.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("de").as("cde"),
+        col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = n.join(broadcast(cents))
+      .withColumn("ccos", expr("graft_dot(de, cde)") / (col("nrm") * col("cnrm")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("de"), col("nrm"), col("cid").as("cluster_id"))
+    val a = assigned.select(col("cluster_id"), col("vec_id").as("va"),
+      col("de").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cluster_id"), col("vec_id").as("vb"),
+      col("de").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, "cluster_id")
+      .filter(col("va") < col("vb"))
+      .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
+      .filter(col("cos") >= minCos)
+    val wKeep = Window.partitionBy(col("vb")).orderBy(col("va"))
+    pairs.withColumn("krank", row_number().over(wKeep))
+      .filter(col("krank") === 1)
+      .select(col("cluster_id"), col("vb").as("dropped_id"),
+        col("va").as("keeper_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("cluster_id"), col("dropped_id"))
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -213,5 +282,40 @@ object Clustering {
                  4) AS cos
              FROM c a JOIN c b ON a.label < b.label
              ORDER BY label_a, label_b""")),
+
+    // ---- SemDeDup: cluster-scoped cosine near-dup, greedy keep-first.
+    //      The oracle replays the identical pipeline: cosine assignment
+    //      to the first-K seed centroids, within-cluster pairs, keeper =
+    //      smallest near-dup id (see [[semanticDedup]]). ----
+    "q85_semantic_dedup" -> QueryDef(
+      (s, dir) => semanticDedup(Tables.load(s, dir, "embeddings")),
+      Some(s"""WITH n AS (
+               SELECT vec_id, embedding,
+                 sqrt(${dotDuck("embedding", "embedding")}) AS nrm
+               FROM embeddings),
+             c AS (SELECT vec_id AS cid, embedding AS cde, nrm AS cnrm
+                   FROM n WHERE vec_id < $K),
+             ap AS (
+               SELECT n.vec_id, n.embedding, n.nrm, c.cid,
+                 ${dotDuck("n.embedding", "c.cde")} / (n.nrm * c.cnrm) AS ccos
+               FROM n CROSS JOIN c),
+             asg AS (
+               SELECT vec_id, embedding, nrm, cid AS cluster_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cid) AS crank
+                 FROM ap) WHERE crank = 1),
+             pairs AS (
+               SELECT x.cluster_id, x.vec_id AS va, y.vec_id AS vb,
+                 ${dotDuck("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+               FROM asg x JOIN asg y
+                 ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id),
+             hits AS (SELECT * FROM pairs WHERE cos >= $SemDedupMinCos)
+             SELECT cluster_id, vb AS dropped_id, va AS keeper_id,
+               round(cos, 4) AS cos_sim
+             FROM (SELECT *, row_number() OVER (PARTITION BY vb
+                     ORDER BY va) AS krank
+                   FROM hits)
+             WHERE krank = 1
+             ORDER BY cluster_id, dropped_id""")),
   )
 }

@@ -222,5 +222,56 @@ object CorpusStats {
            GROUP BY p.term, p.true_n
            ORDER BY true_n DESC, term"""
       }),
+
+    // ---- data-mixing weights: per-source sampling weight ∝ √tokens
+    //      (α = 0.5 temperature scaling, the Pile/multilingual-mixing
+    //      convention that upweights small sources), plus the effective
+    //      epochs each source runs when the mixture serves one corpus
+    //      pass. √ of an exact int64 is correctly rounded by IEEE (unlike
+    //      pow(x, α) generally — why α is spelled sqrt here), and the
+    //      5-term normalizer is a SEQUENTIAL fold over the source-sorted
+    //      weight list, not a float SUM whose order could differ between
+    //      engines (DESIGN.md). The per-source rollup is one int64
+    //      groupBy; the totals row is a broadcast crossJoin of ONE row
+    //      back onto the |sources| rows. ----
+    "q87_mixture_weights" -> QueryDef(
+      (s, dir) => {
+        val ps = Tables.load(s, dir, "documents")
+          .select(col("source"), Quality.nWords(col("text")).as("nw"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nw").cast("long")).as("n_tokens"))
+          .withColumn("w_raw", sqrt(col("n_tokens")))
+        val tot = ps.agg(
+          expr("""aggregate(array_sort(collect_list(struct(source, w_raw))),
+                    0D, (acc, s) -> acc + s.w_raw)""").as("tot_w"),
+          sum(col("n_tokens")).as("tot_tokens"))
+        ps.crossJoin(broadcast(tot))
+          .withColumn("weight", round(col("w_raw") / col("tot_w"), 4))
+          .withColumn("epochs",
+            round(col("weight") * col("tot_tokens") / col("n_tokens"), 4))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("weight"), col("epochs"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH perdoc AS (
+               SELECT source, ${graft.ops.Quality.duckNWords("text")} AS nw
+               FROM documents),
+             ps AS (
+               SELECT source, count(*) AS n_docs,
+                 CAST(sum(nw) AS BIGINT) AS n_tokens
+               FROM perdoc GROUP BY source),
+             w AS (SELECT *, sqrt(n_tokens) AS w_raw FROM ps),
+             t AS (
+               SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(w_raw ORDER BY source)), (acc, v) -> acc + v) AS tot_w,
+                 CAST(sum(n_tokens) AS BIGINT) AS tot_tokens
+               FROM w)
+             SELECT source, n_docs, n_tokens,
+               round(w_raw / tot_w, 4) AS weight,
+               round(round(w_raw / tot_w, 4) * tot_tokens / n_tokens, 4)
+                 AS epochs
+             FROM w CROSS JOIN t
+             ORDER BY source""")),
   )
 }

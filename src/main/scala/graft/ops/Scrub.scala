@@ -183,5 +183,100 @@ object Scrub {
                FROM documents)
              WHERE rk <= $QuotaPerSource
              ORDER BY source, rk""")),
+
+    // ---- Gopher-style rule-based quality filter report: the named
+    //      boolean heuristics a Gopher/C4-class curation run applies
+    //      BEFORE any learned scoring, with per-rule pass/fail counts and
+    //      the conjunction ('all_rules' = docs surviving the whole
+    //      filter). One projection computes every per-doc flag (all
+    //      codegen'd string/array ops, no shuffle), one aggregate
+    //      collapses the corpus to a single row of int64 counts, and
+    //      stack() unpivots that ROW — the unpivot runs on 1 row, never
+    //      the corpus. Thresholds are tuned to this corpus's synthetic
+    //      stats (words 10-99, mean word length 3.7-5.3) so every rule
+    //      does real discriminating work rather than vacuously passing;
+    //      the rule SET is the operator, the constants are config.
+    //      Parity: each flag compares exact ints or one IEEE division of
+    //      exact ints — deterministic per-row scalar math, then int64
+    //      sums (DESIGN.md). ----
+    "q86_gopher_rules" -> QueryDef(
+      (s, dir) => {
+        val t = col("text")
+        // DSL columns, not selectExpr: the stopword regex rides a lit()
+        // so no SQL-literal escape layer ever touches its backslashes
+        val perdoc = Tables.load(s, dir, "documents").select(
+          Quality.nWords(t).as("nw"),
+          Quality.nStop(t).as("ns"),
+          length(regexp_replace(t, " +", "")).as("nchars"),
+          size(array_distinct(split(lower(t), " +"))).as("nd"),
+          expr("array_max(transform(split(text, ' +'), w -> length(w)))")
+            .as("maxw"))
+        val mwl = col("nchars") * lit(1.0) / col("nw")
+        val flags = perdoc.select(
+          (col("nw") >= 20 && col("nw") <= 90).cast("long").as("p_wc"),
+          (mwl >= 4.0 && mwl <= 5.0).cast("long").as("p_mwl"),
+          (col("ns") >= 2).cast("long").as("p_stop"),
+          (col("nd") * lit(1.0) / col("nw") >= 0.4).cast("long").as("p_dr"),
+          (col("maxw") <= 7).cast("long").as("p_maxw"))
+          .withColumn("p_all",
+            col("p_wc") * col("p_mwl") * col("p_stop") * col("p_dr") * col("p_maxw"))
+        flags.agg(
+            count(lit(1)).as("n"),
+            sum(col("p_wc")).as("s_wc"), sum(col("p_mwl")).as("s_mwl"),
+            sum(col("p_stop")).as("s_stop"), sum(col("p_dr")).as("s_dr"),
+            sum(col("p_maxw")).as("s_maxw"), sum(col("p_all")).as("s_all"))
+          .selectExpr("""stack(6,
+              'all_rules',      s_all,  n - s_all,
+              'distinct_ratio', s_dr,   n - s_dr,
+              'max_word_len',   s_maxw, n - s_maxw,
+              'mean_word_len',  s_mwl,  n - s_mwl,
+              'stopword_count', s_stop, n - s_stop,
+              'word_count',     s_wc,   n - s_wc) AS (rule, n_pass, n_fail)""")
+          .withColumn("pass_rate",
+            round(col("n_pass") * lit(1.0) / (col("n_pass") + col("n_fail")), 4))
+          .orderBy(col("rule"))
+      },
+      Some(s"""WITH perdoc AS (
+               SELECT len(string_split_regex(lower(text), ' +')) AS nw,
+                 ${Quality.duckNStop("text")} AS ns,
+                 length(regexp_replace(text, ' +', '', 'g')) AS nchars,
+                 len(list_distinct(string_split_regex(lower(text), ' +'))) AS nd,
+                 list_max(list_transform(string_split_regex(text, ' +'),
+                   w -> length(w))) AS maxw
+               FROM documents),
+             flags AS (
+               SELECT
+                 CASE WHEN nw BETWEEN 20 AND 90 THEN 1 ELSE 0 END AS p_wc,
+                 CASE WHEN nchars * 1.0 / nw >= 4.0
+                       AND nchars * 1.0 / nw <= 5.0 THEN 1 ELSE 0 END AS p_mwl,
+                 CASE WHEN ns >= 2 THEN 1 ELSE 0 END AS p_stop,
+                 CASE WHEN nd * 1.0 / nw >= 0.4 THEN 1 ELSE 0 END AS p_dr,
+                 CASE WHEN maxw <= 7 THEN 1 ELSE 0 END AS p_maxw
+               FROM perdoc),
+             agg AS (
+               SELECT count(*) AS n,
+                 CAST(sum(p_wc) AS BIGINT) AS s_wc,
+                 CAST(sum(p_mwl) AS BIGINT) AS s_mwl,
+                 CAST(sum(p_stop) AS BIGINT) AS s_stop,
+                 CAST(sum(p_dr) AS BIGINT) AS s_dr,
+                 CAST(sum(p_maxw) AS BIGINT) AS s_maxw,
+                 CAST(sum(p_wc * p_mwl * p_stop * p_dr * p_maxw) AS BIGINT)
+                   AS s_all
+               FROM flags),
+             rows AS (
+               SELECT 'all_rules' AS rule, s_all AS n_pass, n - s_all AS n_fail FROM agg
+               UNION ALL
+               SELECT 'distinct_ratio', s_dr, n - s_dr FROM agg
+               UNION ALL
+               SELECT 'max_word_len', s_maxw, n - s_maxw FROM agg
+               UNION ALL
+               SELECT 'mean_word_len', s_mwl, n - s_mwl FROM agg
+               UNION ALL
+               SELECT 'stopword_count', s_stop, n - s_stop FROM agg
+               UNION ALL
+               SELECT 'word_count', s_wc, n - s_wc FROM agg)
+             SELECT rule, n_pass, n_fail,
+               round(n_pass * 1.0 / (n_pass + n_fail), 4) AS pass_rate
+             FROM rows ORDER BY rule""")),
   )
 }

@@ -842,5 +842,42 @@ object TextOps {
              FROM t
              GROUP BY source, split
              ORDER BY source, split""")),
+
+    // ---- BPE merge-candidate statistics: corpus frequency of every
+    //      adjacent character pair inside words — the count a BPE
+    //      tokenizer trainer computes to pick its first merge (the
+    //      argmax pair), here the top-20 with a deterministic tie-break.
+    //      Shape: two generator explodes (word, then its length-1
+    //      in-word bigrams via a loop-shaped transform over sequence —
+    //      never an unrolled projection) into a map-side-combinable
+    //      groupBy on the 2-char key; top-20 is TakeOrderedAndProject,
+    //      not a global sort. Words shorter than 2 chars are filtered
+    //      BEFORE the pair transform on both sides — Spark's
+    //      sequence(1, 0) would yield a DESCENDING [1, 0] where DuckDB's
+    //      generate_series(1, 0) yields [], a cross-engine trap the
+    //      filter removes outright. ----
+    "q88_bpe_pairs" -> QueryDef(
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(explode(split(lower(col("text")), " +")).as("word"))
+          .filter(length(col("word")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+            .as("pair"))
+          .groupBy(col("pair"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(20),
+      Some("""WITH w AS (
+               SELECT unnest(string_split_regex(lower(text), ' +')) AS word
+               FROM documents),
+             p AS (
+               SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                 i -> substr(word, i, 2))) AS pair
+               FROM w WHERE length(word) >= 2)
+             SELECT pair, count(*) AS cnt
+             FROM p GROUP BY pair
+             ORDER BY cnt DESC, pair
+             LIMIT 20""")),
   )
 }

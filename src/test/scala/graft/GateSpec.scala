@@ -133,11 +133,18 @@ class PlanGateSpec extends AnyFunSuite {
     *     `label_a < label_b` for the pairwise affinity matrix — both
     *     sides are label-count-sized, a constant, never the corpus;
     *   - q82: shingleGroupCounts crossJoins the ONE-ROW doc-count
-    *     aggregate (same scalar-availability shape as q32).
+    *     aggregate (same scalar-availability shape as q32);
+    *   - q85: the K=8 seed-centroid relation broadcast for the SemDeDup
+    *     cluster assignment (the q43/q70 shape — build side is the
+    *     cluster count, a constant; the pair join itself is an equi-join
+    *     on cluster_id);
+    *   - q87: the ONE-ROW normalizer/total-tokens aggregate crossJoined
+    *     back onto the |sources| rows (the q32/q63 scalar shape).
     * Everything else must ride hash/sort-merge equi-joins. */
   private val bnljAllowed = Set("q32_dedup_ngram_jaccard", "q35_cosine_topk",
     "q43_ivf_ann_topk", "q51_tfidf_top_terms", "q63_conversion",
-    "q70_kmedians_clusters", "q79_label_affinity", "q82_lsh_cap_report")
+    "q70_kmedians_clusters", "q79_label_affinity", "q82_lsh_cap_report",
+    "q85_semantic_dedup", "q87_mixture_weights")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -731,3 +731,98 @@ class SignBandsSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Round-5 curation operators. The DuckDB oracle already pins
+  * engine-parity for q85-q88; these specs pin the SEMANTICS against a
+  * second, non-SQL implementation (planted fixtures or a pure-Scala
+  * recount over the real corpus). */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q85 semantic dedup: planted duplicates drop toward the lowest id") {
+    import spark.implicits._
+    // 8 orthogonal one-hot seeds (vec 0-7 are the centroids) + 2 planted
+    // near-dups; orthogonal pairs sit at cos 0 — far below the threshold
+    def oneHot(i: Int): Seq[Float] = Seq.tabulate(8)(j => if (i == j) 1f else 0f)
+    val base = (0 until 8).map(i => (i.toLong, oneHot(i)))
+    val planted = Seq(
+      (8L, oneHot(2)),                     // exact duplicate of vec 2
+      (9L, oneHot(5).updated(0, 0.01f)))   // near-duplicate of vec 5
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val out = graft.ops.Clustering.semanticDedup(emb).collect()
+    val dropped = out.map(r =>
+      r.getAs[Long]("dropped_id") -> r.getAs[Long]("keeper_id")).toMap
+    assert(dropped.get(8L).contains(2L))
+    assert(dropped.get(9L).contains(5L))
+    assert(dropped.size == 2, s"unexpected drops: $dropped")
+    out.foreach(r =>
+      assert(r.getAs[Long]("keeper_id") < r.getAs[Long]("dropped_id")))
+  }
+
+  test("q86 gopher rules: counts equal a pure-Scala recomputation of every rule") {
+    val texts = Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val stopRe = graft.ops.Quality.StopwordRegex.r
+    // flags in rule-name sort order: all, distinct_ratio, max_word_len,
+    // mean_word_len, stopword_count, word_count
+    def flags(t: String): Seq[Boolean] = {
+      val words = t.toLowerCase.split(" +").toSeq
+      val nw = words.size
+      val ns = stopRe.findAllIn(t.toLowerCase).size
+      val nchars = t.replaceAll(" +", "").length
+      val wc = nw >= 20 && nw <= 90
+      val mwl = { val m = nchars * 1.0 / nw; m >= 4.0 && m <= 5.0 }
+      val st = ns >= 2
+      val dr = words.distinct.size * 1.0 / nw >= 0.4
+      val mx = words.map(_.length).max <= 7
+      Seq(wc && mwl && st && dr && mx, dr, mx, mwl, st, wc)
+    }
+    val expected = texts.toSeq.map(flags).transpose.map(_.count(identity).toLong)
+    val got = SparkEntry.queries("q86_gopher_rules")(spark, sf).collect()
+    val rules = Seq("all_rules", "distinct_ratio", "max_word_len",
+      "mean_word_len", "stopword_count", "word_count")
+    assert(got.map(_.getAs[String]("rule")).toSeq == rules)
+    got.toSeq.zip(expected).foreach { case (r, e) =>
+      assert(r.getAs[Long]("n_pass") == e, r.getAs[String]("rule"))
+      assert(r.getAs[Long]("n_pass") + r.getAs[Long]("n_fail") == texts.length)
+    }
+  }
+
+  test("q87 mixture weights: weights normalize to 1; epochs satisfy the mixing identity") {
+    val rows = SparkEntry.queries("q87_mixture_weights")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val wSum = rows.map(_.getAs[Double]("weight")).sum
+    // each weight is rounded to 4 decimals, so the sum drifts at most
+    // half a grid step per source
+    assert(math.abs(wSum - 1.0) <= rows.length * 5e-5 + 1e-9, s"sum=$wSum")
+    rows.foreach { r =>
+      val unrounded = r.getAs[Double]("weight") * totTokens /
+        r.getAs[Long]("n_tokens")
+      assert(math.abs(r.getAs[Double]("epochs") - unrounded) <= 5.1e-5)
+    }
+    // α = 0.5 temperature scaling upweights small sources
+    val byTokens = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(byTokens.head.getAs[Double]("epochs") >=
+      byTokens.last.getAs[Double]("epochs"))
+  }
+
+  test("q88 bpe pairs: equals a pure-Scala recount with the same tie-break") {
+    val texts = Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      t.toLowerCase.split(" +").filter(_.length >= 2).foreach { w =>
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          counts(p) = counts.getOrElse(p, 0L) + 1L
+        }
+      }
+    }
+    val expected = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    val got = SparkEntry.queries("q88_bpe_pairs")(spark, sf).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt"))).toSeq
+    assert(got == expected)
+  }
+}
