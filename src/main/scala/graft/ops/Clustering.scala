@@ -155,11 +155,15 @@ object Clustering {
         col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
+    // both sides of the pair self-join read `assigned`; without the
+    // persist the centroid BNLJ + assignment window run twice (visible
+    // as two BroadcastNestedLoopJoin subtrees in the physical plan)
     val assigned = n.join(broadcast(cents))
       .withColumn("ccos", expr("graft_dot(de, cde)") / (col("nrm") * col("cnrm")))
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("de"), col("nrm"), col("cid").as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cluster_id"), col("vec_id").as("va"),
       col("de").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("cluster_id"), col("vec_id").as("vb"),
@@ -175,6 +179,33 @@ object Clustering {
         col("va").as("keeper_id"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("cluster_id"), col("dropped_id"))
   }
+
+  /** DuckDB CTE chain mirroring [[semanticDedup]] up to the thresholded
+    * within-cluster near-dup pairs (`hits`: cluster_id, va, vb, cos) —
+    * shared by the q85 oracle and the q90 curation-ledger oracle so the
+    * semantic-dedup definition exists once per engine. */
+  private[ops] def semanticDedupDuckCtes: String =
+    s"""n AS (
+               SELECT vec_id, embedding,
+                 sqrt(${dotDuck("embedding", "embedding")}) AS nrm
+               FROM embeddings),
+             c AS (SELECT vec_id AS cid, embedding AS cde, nrm AS cnrm
+                   FROM n WHERE vec_id < $K),
+             ap AS (
+               SELECT n.vec_id, n.embedding, n.nrm, c.cid,
+                 ${dotDuck("n.embedding", "c.cde")} / (n.nrm * c.cnrm) AS ccos
+               FROM n CROSS JOIN c),
+             asg AS (
+               SELECT vec_id, embedding, nrm, cid AS cluster_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cid) AS crank
+                 FROM ap) WHERE crank = 1),
+             pairs AS (
+               SELECT x.cluster_id, x.vec_id AS va, y.vec_id AS vb,
+                 ${dotDuck("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+               FROM asg x JOIN asg y
+                 ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id),
+             hits AS (SELECT * FROM pairs WHERE cos >= $SemDedupMinCos)"""
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -289,27 +320,7 @@ object Clustering {
     //      smallest near-dup id (see [[semanticDedup]]). ----
     "q85_semantic_dedup" -> QueryDef(
       (s, dir) => semanticDedup(Tables.load(s, dir, "embeddings")),
-      Some(s"""WITH n AS (
-               SELECT vec_id, embedding,
-                 sqrt(${dotDuck("embedding", "embedding")}) AS nrm
-               FROM embeddings),
-             c AS (SELECT vec_id AS cid, embedding AS cde, nrm AS cnrm
-                   FROM n WHERE vec_id < $K),
-             ap AS (
-               SELECT n.vec_id, n.embedding, n.nrm, c.cid,
-                 ${dotDuck("n.embedding", "c.cde")} / (n.nrm * c.cnrm) AS ccos
-               FROM n CROSS JOIN c),
-             asg AS (
-               SELECT vec_id, embedding, nrm, cid AS cluster_id FROM (
-                 SELECT *, row_number() OVER (PARTITION BY vec_id
-                   ORDER BY ccos DESC, cid) AS crank
-                 FROM ap) WHERE crank = 1),
-             pairs AS (
-               SELECT x.cluster_id, x.vec_id AS va, y.vec_id AS vb,
-                 ${dotDuck("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
-               FROM asg x JOIN asg y
-                 ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id),
-             hits AS (SELECT * FROM pairs WHERE cos >= $SemDedupMinCos)
+      Some(s"""WITH $semanticDedupDuckCtes
              SELECT cluster_id, vb AS dropped_id, va AS keeper_id,
                round(cos, 4) AS cos_sim
              FROM (SELECT *, row_number() OVER (PARTITION BY vb

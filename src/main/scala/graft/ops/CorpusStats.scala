@@ -236,12 +236,15 @@ object CorpusStats {
     //      back onto the |sources| rows. ----
     "q87_mixture_weights" -> QueryDef(
       (s, dir) => {
+        // feeds both the per-source rows and the one-row totals — persist
+        // the |sources|-row aggregate so the corpus is scanned ONCE
         val ps = Tables.load(s, dir, "documents")
           .select(col("source"), Quality.nWords(col("text")).as("nw"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("nw").cast("long")).as("n_tokens"))
           .withColumn("w_raw", sqrt(col("n_tokens")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tot = ps.agg(
           expr("""aggregate(array_sort(collect_list(struct(source, w_raw))),
                     0D, (acc, s) -> acc + s.w_raw)""").as("tot_w"),
@@ -273,5 +276,56 @@ object CorpusStats {
                  AS epochs
              FROM w CROSS JOIN t
              ORDER BY source""")),
+
+    // ---- integer-quantized unigram surprisal: the deterministic stand-in
+    //      for a perplexity filter (CCNet-style pipelines score docs with
+    //      a KenLM model; the sandbox's honest equivalent is the corpus's
+    //      own unigram LM). Per word, surprisal is quantized to WHOLE BITS
+    //      as floor(log2(total/cnt)) = length(bin(total div cnt)) - 1 —
+    //      pure int64 arithmetic, bitwise identical in both engines, where
+    //      a float log would sit outside the cross-engine-exact function
+    //      set (the q42/q51 discipline: ln() last-ulp behavior differs
+    //      between libm and the JVM). Per-doc mean bits is then one exact
+    //      int64 sum (associative — no ordering hazard) and one IEEE
+    //      division. Scale shape: vocab counts are a map-side-combinable
+    //      groupBy; the doc⋈vocab join is a word-keyed equi-join (the
+    //      vocab can be corpus-sized, so no broadcast); the one-row total
+    //      rides a broadcast crossJoin onto the vocab. High mean_bits =
+    //      rare-word-heavy documents — the filter's outlier signal at
+    //      both ends, exactly how perplexity buckets are consumed. ----
+    "q89_unigram_surprisal" -> QueryDef(
+      (s, dir) => {
+        // feeds the vocab build AND the per-doc join — one explode, two jobs
+        val w = words(Tables.load(s, dir, "documents"))
+          .select(col("doc_id"), col("term"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val vocab = w.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        val tot = vocab.agg(sum(col("cnt")).as("t"))
+        val scored = vocab.crossJoin(broadcast(tot))
+          .select(col("term"),
+            (length(bin(expr("t div cnt"))) - 1).cast("long").as("ibits"))
+        w.join(scored, "term")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("ibits")).as("bits_total"))
+          .withColumn("mean_bits",
+            round(col("bits_total") * lit(1.0) / col("n_tokens"), 4))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+               SELECT doc_id,
+                 unnest(string_split_regex(lower(text), ' +')) AS term
+               FROM documents),
+             v AS (SELECT term, count(*) AS cnt FROM w GROUP BY term),
+             t AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM v),
+             sc AS (
+               SELECT term, CAST(length(bin(t // cnt)) - 1 AS BIGINT) AS ibits
+               FROM v CROSS JOIN t)
+             SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(ibits) AS BIGINT) AS bits_total,
+               round(CAST(sum(ibits) AS BIGINT) * 1.0 / count(*), 4)
+                 AS mean_bits
+             FROM w JOIN sc USING (term)
+             GROUP BY doc_id
+             ORDER BY doc_id""")),
   )
 }

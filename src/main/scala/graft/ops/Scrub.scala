@@ -278,5 +278,86 @@ object Scrub {
              SELECT rule, n_pass, n_fail,
                round(n_pass * 1.0 / (n_pass + n_fail), 4) AS pass_rate
              FROM rows ORDER BY rule""")),
+
+    // ---- per-document curation ledger: the materialized decision table
+    //      a real curation run ships alongside the corpus — for every
+    //      document, each independent verdict (quality score, exact-dup,
+    //      semantic near-dup, benchmark contamination) and the final
+    //      keep/drop conjunction, each verdict THE canonical definition
+    //      reused from its owning operator (Quality.score = q38,
+    //      md5-window keeper = q31, Clustering.semanticDedup = q85,
+    //      4-gram overlap vs src0 = q58 — the oracle reuses the same
+    //      shared CTE text, so no definition exists twice). vec_id
+    //      indexes the same corpus as doc_id (one embedding per document
+    //      in TESTDATA). Scale shape: the dup window shuffles the 32-byte
+    //      md5 key; the semantic-drop and contamination sides produce
+    //      bounded doc-id lists joined back by equi-key (planner/AQE
+    //      picks broadcast when they are small — their size is
+    //      data-dependent, so no hard-coded hint); everything else is
+    //      per-row projection. ----
+    "q90_curation_ledger" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val wDup = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+        val base = docs
+          .withColumn("h", md5(col("text")))
+          .withColumn("quality_score", round(Quality.score(col("text")), 4))
+          .withColumn("dup_rank", row_number().over(wDup))
+          .select(col("doc_id"), col("source"), col("quality_score"),
+            when(col("dup_rank") > 1, 1).otherwise(0).as("is_exact_dup"))
+        val semDropped = Clustering
+          .semanticDedup(Tables.load(s, dir, "embeddings"))
+          .select(col("dropped_id").as("doc_id"), lit(1).as("sem_hit"))
+        val evalGrams = TextOps
+          .wordShingles(docs.filter(col("source") === "src0"), 4)
+          .select(col("s")).distinct()
+        val contaminated = TextOps
+          .wordShingles(docs.filter(col("source") =!= "src0"), 4)
+          .join(broadcast(evalGrams), "s")
+          .select(col("doc_id")).distinct()
+          .withColumn("cont_hit", lit(1))
+        base
+          .join(semDropped, Seq("doc_id"), "left")
+          .join(contaminated, Seq("doc_id"), "left")
+          .withColumn("is_sem_dropped", coalesce(col("sem_hit"), lit(0)))
+          .withColumn("is_contaminated", coalesce(col("cont_hit"), lit(0)))
+          .withColumn("keep",
+            when(col("is_exact_dup") === 0 && col("is_sem_dropped") === 0 &&
+              col("is_contaminated") === 0 && col("quality_score") >= 0.5, 1)
+              .otherwise(0))
+          .select(col("doc_id"), col("source"), col("quality_score"),
+            col("is_exact_dup"), col("is_sem_dropped"),
+            col("is_contaminated"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${Clustering.semanticDedupDuckCtes},
+             sem AS (SELECT DISTINCT vb AS doc_id FROM hits),
+             ${TextOps.fourGramDuckCtes},
+             ev AS (
+               SELECT DISTINCT g.s FROM g
+               JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
+             cont AS (
+               SELECT DISTINCT g.doc_id FROM g
+               JOIN documents d USING (doc_id)
+               JOIN ev USING (s)
+               WHERE d.source <> 'src0'),
+             base AS (
+               SELECT doc_id, source,
+                 round(${Quality.duckScore("text")}, 4) AS quality_score,
+                 CASE WHEN row_number() OVER (PARTITION BY md5(text)
+                     ORDER BY doc_id) > 1 THEN 1 ELSE 0 END AS is_exact_dup
+               FROM documents)
+             SELECT b.doc_id, b.source, b.quality_score, b.is_exact_dup,
+               CASE WHEN sem.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                 AS is_sem_dropped,
+               CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                 AS is_contaminated,
+               CASE WHEN b.is_exact_dup = 0 AND sem.doc_id IS NULL
+                     AND cont.doc_id IS NULL AND b.quality_score >= 0.5
+                 THEN 1 ELSE 0 END AS keep
+             FROM base b
+             LEFT JOIN sem ON b.doc_id = sem.doc_id
+             LEFT JOIN cont ON b.doc_id = cont.doc_id
+             ORDER BY b.doc_id""")),
   )
 }

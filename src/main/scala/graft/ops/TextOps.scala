@@ -158,6 +158,27 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** DuckDB CTEs building the distinct (doc_id, s) 4-gram set `g` over
+    * `documents` — the oracle mirror of [[wordShingles]] at n = 4, shared
+    * by the q58 decontamination oracle and the q90 curation-ledger oracle
+    * so the gram definition exists once per engine. */
+  private[ops] val fourGramDuckCtes: String =
+    """w AS (
+               SELECT doc_id,
+                 unnest(string_split_regex(lower(text), ' +')) AS word,
+                 generate_subscripts(string_split_regex(lower(text), ' +'), 1) AS i
+               FROM documents),
+             g AS (
+               SELECT DISTINCT doc_id, s FROM (
+                 SELECT doc_id,
+                   concat_ws(' ', word,
+                     lead(word, 1) OVER (PARTITION BY doc_id ORDER BY i),
+                     lead(word, 2) OVER (PARTITION BY doc_id ORDER BY i),
+                     lead(word, 3) OVER (PARTITION BY doc_id ORDER BY i)) AS s,
+                   lead(word, 3) OVER (PARTITION BY doc_id ORDER BY i) AS tail
+                 FROM w)
+               WHERE tail IS NOT NULL)"""
+
   /** Words per "paragraph" for q83. The synthetic corpus has no newline
     * structure (one space-separated stream per doc), so a paragraph is a
     * fixed 20-word block — the unit itself is a parameter; a real corpus
@@ -563,21 +584,7 @@ object TextOps {
           .agg(count(lit(1)).as("n_shared"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH w AS (
-               SELECT doc_id,
-                 unnest(string_split_regex(lower(text), ' +')) AS word,
-                 generate_subscripts(string_split_regex(lower(text), ' +'), 1) AS i
-               FROM documents),
-             g AS (
-               SELECT DISTINCT doc_id, s FROM (
-                 SELECT doc_id,
-                   concat_ws(' ', word,
-                     lead(word, 1) OVER (PARTITION BY doc_id ORDER BY i),
-                     lead(word, 2) OVER (PARTITION BY doc_id ORDER BY i),
-                     lead(word, 3) OVER (PARTITION BY doc_id ORDER BY i)) AS s,
-                   lead(word, 3) OVER (PARTITION BY doc_id ORDER BY i) AS tail
-                 FROM w)
-               WHERE tail IS NOT NULL),
+      Some(s"""WITH $fourGramDuckCtes,
              ev AS (
                SELECT DISTINCT g.s FROM g
                JOIN documents d USING (doc_id) WHERE d.source = 'src0'),

@@ -826,3 +826,67 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 }
+
+/** q89/q90 semantics pinned against pure-Scala recomputations and the
+  * sibling queries whose canonical definitions the ledger reuses. */
+class LedgerOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q89 unigram surprisal: equals a pure-Scala whole-bit recount") {
+    val texts = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val words = texts.map { case (id, t) => id -> t.toLowerCase.split(" +").toSeq }
+    val vocab = words.flatMap(_._2).groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val total = vocab.values.sum
+    def ibits(w: String): Long = 63L - java.lang.Long.numberOfLeadingZeros(total / vocab(w))
+    val expected = words.map { case (id, ws) =>
+      id -> (ws.size.toLong, ws.map(ibits).sum)
+    }.toMap
+    val got = SparkEntry.queries("q89_unigram_surprisal")(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, bits) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tokens") == n)
+      assert(r.getAs[Long]("bits_total") == bits, s"doc ${r.getAs[Long]("doc_id")}")
+      assert(math.abs(r.getAs[Double]("mean_bits") - bits * 1.0 / n) <= 5.1e-5)
+    }
+  }
+
+  test("q90 curation ledger: every verdict column matches its owning operator") {
+    val ledger = SparkEntry.queries("q90_curation_ledger")(spark, sf).collect()
+    // semantic column == q85's dropped set
+    val semExpected = SparkEntry.queries("q85_semantic_dedup")(spark, sf)
+      .collect().map(_.getAs[Long]("dropped_id")).toSet
+    val semGot = ledger.filter(_.getAs[Int]("is_sem_dropped") == 1)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(semGot == semExpected)
+    // contamination column == q58's flagged doc set
+    val contExpected = SparkEntry.queries("q58_decontam")(spark, sf)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val contGot = ledger.filter(_.getAs[Int]("is_contaminated") == 1)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(contGot == contExpected)
+    // exact-dup column == an independent text-groupBy keeper recount
+    val texts = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val firstByText = texts.groupBy(_._2).map { case (t, g) => t -> g.map(_._1).min }
+    val dupExpected = texts.collect {
+      case (id, t) if firstByText(t) != id => id
+    }.toSet
+    val dupGot = ledger.filter(_.getAs[Int]("is_exact_dup") == 1)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(dupGot == dupExpected)
+    // keep is exactly the conjunction of the row's own columns
+    ledger.foreach { r =>
+      val expectedKeep = r.getAs[Int]("is_exact_dup") == 0 &&
+        r.getAs[Int]("is_sem_dropped") == 0 &&
+        r.getAs[Int]("is_contaminated") == 0 &&
+        r.getAs[Double]("quality_score") >= 0.5
+      assert(r.getAs[Int]("keep") == (if (expectedKeep) 1 else 0),
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+}
