@@ -854,6 +854,14 @@ class LedgerOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q85 semantic dedup is invariant under input repartitioning") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val a = graft.ops.Clustering.semanticDedup(emb).collect().toSeq
+    val b = graft.ops.Clustering.semanticDedup(emb.repartition(7)).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty || b.isEmpty) // both sides agree even when empty
+  }
+
   test("q90 curation ledger: every verdict column matches its owning operator") {
     val ledger = SparkEntry.queries("q90_curation_ledger")(spark, sf).collect()
     // semantic column == q85's dropped set
