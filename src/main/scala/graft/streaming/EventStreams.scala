@@ -110,6 +110,24 @@ object EventStreams {
       }
   }
 
+  /** Watermark-bounded streaming dedup — `dropDuplicatesWithinWatermark`
+    * on the md5 content key over a frame carrying an event-time `ts`.
+    * [[streamingDedup]] is EXACT but its keep-first state grows with the
+    * distinct-content count forever (hence the RocksDB provider config);
+    * this variant holds each key's state only for the watermark horizon,
+    * trading completeness (duplicates farther apart than `delay` may BOTH
+    * survive) for state bounded by the horizon's arrival rate. That is
+    * the right configuration when duplicates cluster in time — publisher
+    * retries, replayed partitions — the common production duplicate
+    * shape. Same 32-byte-key discipline as q31: the shuffle carries
+    * md5(text), never the text. */
+  def streamingDedupBounded(docs: DataFrame,
+      delay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_key", md5(col("text")))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("content_key")
+
   /** Stream-stream interval join — the unbounded form of q63's
     * view→purchase conversion: each purchase matches the same user's
     * views from the preceding hour. Both sides MUST carry watermarks and

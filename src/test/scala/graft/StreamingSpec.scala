@@ -86,6 +86,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark-bounded dedup drops in-horizon duplicates; state stays bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams
+      .streamingDedupBounded(input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("dedup_bounded")
+      .outputMode("append").start()
+    try {
+      // distinct texts per batch (same-batch dup survival order would be
+      // partitioning-dependent under dropDuplicates semantics)
+      input.addData((5L, ts(10), "alpha"), (3L, ts(11), "beta"))
+      q.processAllAvailable()
+      // in-horizon duplicate (1 min later) dropped; new text emitted
+      input.addData((9L, ts(12), "alpha"), (7L, ts(13), "gamma"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_bounded").orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq
+      assert(rows == Seq((3L, "beta"), (5L, "alpha"), (7L, "gamma")))
+    } finally q.stop()
+  }
+
   test("streaming dedup runs under the RocksDB state store (the corpus-scale provider config)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
