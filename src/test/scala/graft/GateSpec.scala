@@ -110,6 +110,19 @@ class CoverageDocSpec extends AnyFunSuite {
     assert(m.group(2).toInt == SparkEntry.oracleSql.size,
       s"COVERAGE.md says ${m.group(2)} oracle-checked; engine has ${SparkEntry.oracleSql.size}")
   }
+
+  test("README.md query counts match SparkEntry (went stale at 68 in round 5)") {
+    val txt = scala.io.Source.fromFile("README.md", "UTF-8")
+    val head = try txt.mkString finally txt.close()
+    val m = """(\d+) named queries""".r.findFirstMatchIn(head)
+      .getOrElse(fail("README.md query count sentence not found"))
+    assert(m.group(1).toInt == SparkEntry.queries.size,
+      s"README.md says ${m.group(1)} queries; engine serves ${SparkEntry.queries.size}")
+    val o = """\((\d+) oracle-checked""".r.findFirstMatchIn(head)
+      .getOrElse(fail("README.md oracle count not found"))
+    assert(o.group(1).toInt == SparkEntry.oracleSql.size,
+      s"README.md says ${o.group(1)} oracle-checked; engine has ${SparkEntry.oracleSql.size}")
+  }
 }
 
 /** Scale-posture gate over EVERY query's physical plan: no cartesian
