@@ -217,5 +217,49 @@ object Sharding {
              FROM pack
              GROUP BY shard_id, window_id
              ORDER BY shard_id, window_id""")),
+
+    // ---- per-shard integrity manifest: the reproducibility artifact a
+    //      real training-data run writes alongside each shard — doc and
+    //      token counts plus an md5 over the shard's doc-id list IN SHARD
+    //      ORDER, so a re-run (or a consumer) can verify both membership
+    //      AND order without re-reading the data. The per-shard list is
+    //      bounded by the token budget by construction (≈ budget /
+    //      mean-doc-tokens docs), so the collect_list is shard-sized,
+    //      never corpus-sized — the same bounded-group rule as the
+    //      centroid assembly (q70) and packing buffers (q84). ----
+    "q91_shard_manifest" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("k",
+            md5(concat(lit("shard:"), col("doc_id").cast("string"))))
+          .withColumn("n_tokens", size(split(lower(col("text")), " +")))
+        assignShards(docs, ShardBudget, 32)
+          .groupBy(col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("tokens"),
+            expr("""md5(array_join(transform(
+                      array_sort(collect_list(struct(k, doc_id))),
+                      s -> cast(s.doc_id as string)), ','))""")
+              .as("manifest_md5"))
+          .orderBy(col("shard_id"))
+      },
+      Some(s"""WITH t AS (
+               SELECT doc_id,
+                 md5('shard:' || CAST(doc_id AS VARCHAR)) AS k,
+                 len(string_split_regex(lower(text), ' +')) AS n_tokens
+               FROM documents),
+             c AS (
+               SELECT doc_id, k, n_tokens,
+                 COALESCE(CAST(sum(n_tokens) OVER (ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS cum_before
+               FROM t)
+             SELECT CAST(cum_before // $ShardBudget AS BIGINT) AS shard_id,
+               count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY k))
+                 AS manifest_md5
+             FROM c
+             GROUP BY shard_id
+             ORDER BY shard_id""")),
   )
 }

@@ -158,6 +158,46 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** DuckDB CTE chain mirroring [[jaccardPairs]] at threshold `minJ`,
+    * ending at `jp` (da, db, n_shared, jac) — shared by the q32 oracle
+    * and the q92 split-leakage oracle so the near-dup definition exists
+    * once per engine. */
+  private[ops] def jaccardPairsDuckCtes(minJ: Double): String =
+    s"""w AS (
+               SELECT doc_id,
+                 unnest(string_split_regex(lower(text), ' +')) AS word,
+                 generate_subscripts(string_split_regex(lower(text), ' +'), 1) AS i
+               FROM documents),
+             sh0 AS (
+               SELECT DISTINCT doc_id, s FROM (
+                 SELECT doc_id,
+                   concat_ws(' ', word,
+                     lead(word, 1) OVER (PARTITION BY doc_id ORDER BY i),
+                     lead(word, 2) OVER (PARTITION BY doc_id ORDER BY i)) AS s,
+                   lead(word, 2) OVER (PARTITION BY doc_id ORDER BY i) AS tail
+                 FROM w)
+               WHERE tail IS NOT NULL),
+             shg AS (SELECT doc_id, $shingleKeyDuck AS g FROM sh0),
+             hot AS (
+               SELECT g FROM shg GROUP BY g
+               HAVING count(*) * 2 > (SELECT count(DISTINCT doc_id) FROM shg)
+                   OR count(*) > $HotShingleCap),
+             sh AS (
+               SELECT shg.doc_id, shg.g FROM shg
+               WHERE shg.g NOT IN (SELECT g FROM hot)),
+             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             inter AS (
+               SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+               FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY da, db),
+             jp AS (
+               SELECT da, db, c AS n_shared,
+                 c * 1.0 / (sa.n + sb.n - c) AS jac
+               FROM inter
+               JOIN sizes sa ON sa.doc_id = da
+               JOIN sizes sb ON sb.doc_id = db
+               WHERE c * 1.0 / (sa.n + sb.n - c) >= $minJ)"""
+
   /** DuckDB CTEs building the distinct (doc_id, s) 4-gram set `g` over
     * `documents` — the oracle mirror of [[wordShingles]] at n = 4, shared
     * by the q58 decontamination oracle and the q90 curation-ledger oracle
@@ -292,39 +332,9 @@ object TextOps {
     //      cutoff exactly) ----
     "q32_dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => jaccardPairs(Tables.load(s, dir, "documents"), 0.8),
-      Some(s"""WITH w AS (
-               SELECT doc_id,
-                 unnest(string_split_regex(lower(text), ' +')) AS word,
-                 generate_subscripts(string_split_regex(lower(text), ' +'), 1) AS i
-               FROM documents),
-             sh0 AS (
-               SELECT DISTINCT doc_id, s FROM (
-                 SELECT doc_id,
-                   concat_ws(' ', word,
-                     lead(word, 1) OVER (PARTITION BY doc_id ORDER BY i),
-                     lead(word, 2) OVER (PARTITION BY doc_id ORDER BY i)) AS s,
-                   lead(word, 2) OVER (PARTITION BY doc_id ORDER BY i) AS tail
-                 FROM w)
-               WHERE tail IS NOT NULL),
-             shg AS (SELECT doc_id, $shingleKeyDuck AS g FROM sh0),
-             hot AS (
-               SELECT g FROM shg GROUP BY g
-               HAVING count(*) * 2 > (SELECT count(DISTINCT doc_id) FROM shg)
-                   OR count(*) > $HotShingleCap),
-             sh AS (
-               SELECT shg.doc_id, shg.g FROM shg
-               WHERE shg.g NOT IN (SELECT g FROM hot)),
-             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-             inter AS (
-               SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-               FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-               GROUP BY da, db)
-             SELECT da, db, c AS n_shared,
-               round(c * 1.0 / (sa.n + sb.n - c), 3) AS jaccard
-             FROM inter
-             JOIN sizes sa ON sa.doc_id = da
-             JOIN sizes sb ON sb.doc_id = db
-             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+      Some(s"""WITH ${jaccardPairsDuckCtes(0.8)}
+             SELECT da, db, n_shared, round(jac, 3) AS jaccard
+             FROM jp
              ORDER BY da, db""")),
 
     // ---- incremental-ingestion dedup: a "new batch" (every 5th doc)
@@ -886,5 +896,56 @@ object TextOps {
              FROM p GROUP BY pair
              ORDER BY cnt DESC, pair
              LIMIT 20""")),
+
+    // ---- train/test split-leakage audit: near-duplicate pairs (q32's
+    //      Jaccard ≥ 0.8 definition, via the SAME jaccardPairs code and
+    //      shared oracle CTEs) bucketed by which q65 splits their two
+    //      docs landed in. A cross-split near-dup pair is evaluation
+    //      leakage — the audit real pipelines run after splitting,
+    //      because document-level hash splits do NOT prevent near-dup
+    //      leakage (only dedup-then-split or cluster-aware splitting
+    //      does). Split names are ordered (least/greatest) so each
+    //      unordered split pair is one row; `leaky` flags cross-split
+    //      rows. Scale: the pair set is the (already capped) q32 join;
+    //      the split tags ride two equi-joins on doc_id. ----
+    "q92_split_leakage" -> QueryDef(
+      (s, dir) => {
+        val b = expr("""cast(conv(substring(md5(concat('split:',
+                   cast(doc_id as string))), 1, 14), 16, 10) as long) % 10""")
+        val splits = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            when(b < 8, "train").when(b === 8, "validation")
+              .otherwise("test").as("split"))
+        jaccardPairs(Tables.load(s, dir, "documents"), 0.8)
+          .join(splits.select(col("doc_id").as("da"), col("split").as("spa")), "da")
+          .join(splits.select(col("doc_id").as("db"), col("split").as("spb")), "db")
+          .select(least(col("spa"), col("spb")).as("split_a"),
+            greatest(col("spa"), col("spb")).as("split_b"))
+          .groupBy(col("split_a"), col("split_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("leaky", (col("split_a") =!= col("split_b")).cast("int"))
+          .orderBy(col("split_a"), col("split_b"))
+      },
+      Some(s"""WITH ${jaccardPairsDuckCtes(0.8)},
+             sp AS (
+               SELECT doc_id,
+                 CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'validation'
+                      ELSE 'test' END AS split
+               FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 14))
+                   AS BIGINT) % 10 AS b
+                 FROM documents)),
+             g2 AS (
+               SELECT least(a.split, b.split) AS split_a,
+                 greatest(a.split, b.split) AS split_b
+               FROM jp
+               JOIN sp a ON jp.da = a.doc_id
+               JOIN sp b ON jp.db = b.doc_id)
+             SELECT split_a, split_b, count(*) AS n_pairs,
+               CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS INT)
+                 AS leaky
+             FROM g2
+             GROUP BY split_a, split_b
+             ORDER BY split_a, split_b""")),
   )
 }

@@ -898,3 +898,45 @@ class LedgerOpsSpec extends AnyFunSuite {
     }
   }
 }
+
+/** q91/q92 pinned against independent recomputations. */
+class ManifestLeakageSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    new java.math.BigInteger(1, d.digest(s.getBytes("UTF-8")))
+      .toString(16).reverse.padTo(32, '0').reverse
+  }
+
+  test("q91 manifest md5 equals a driver-side recomputation of the shard-ordered id list") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // replay the shard cut: md5 sort key, running token total, budget cut
+    val keyed = docs.map { case (id, t) =>
+      (md5hex(s"shard:$id"), id, t.toLowerCase.split(" +").length.toLong)
+    }.sortBy(_._1)
+    var cum = 0L
+    val expected = keyed.map { case (_, id, n) =>
+      val shard = cum / graft.ops.Sharding.ShardBudget; cum += n; (shard, id)
+    }.groupBy(_._1).map { case (shard, g) =>
+      shard -> md5hex(g.map(_._2).mkString(","))  // g keeps sorted order
+    }
+    val got = SparkEntry.queries("q91_shard_manifest")(spark, sf).collect()
+      .map(r => r.getAs[Long]("shard_id") -> r.getAs[String]("manifest_md5"))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("q92 totals equal q32's pair count; leaky flags exactly the cross-split rows") {
+    val rows = SparkEntry.queries("q92_split_leakage")(spark, sf).collect()
+    val pairTotal = SparkEntry.queries("q32_dedup_ngram_jaccard")(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == pairTotal)
+    rows.foreach { r =>
+      val cross = r.getAs[String]("split_a") != r.getAs[String]("split_b")
+      assert(r.getAs[Int]("leaky") == (if (cross) 1 else 0))
+    }
+  }
+}
