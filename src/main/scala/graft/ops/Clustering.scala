@@ -119,6 +119,10 @@ object Clustering {
     * directly comparable on the same corpus. */
   val SemDedupMinCos = 0.45
 
+  /** q94: vectors kept per cluster — the per-cluster contribution cap
+    * (the embedding-space analog of [[Scrub.QuotaPerSource]]). */
+  val ClusterQuota = 20
+
   /** SemDeDup-style semantic deduplication: cluster-scoped cosine
     * near-dup with greedy keep-first selection — the embedding-space
     * curation pass (Abbas et al. 2023, "SemDeDup") that removes the
@@ -142,7 +146,14 @@ object Clustering {
     * first-occurrence keeper). Cosines are [[graft.expr.DotProduct]]
     * folds — identical IEEE sequences in both engines, so the threshold
     * compare and the report agree bitwise. */
-  def semanticDedup(emb: DataFrame, minCos: Double = SemDedupMinCos): DataFrame = {
+  /** Cosine assignment of every vector to its nearest first-K seed
+    * centroid — the cluster-scoping step shared by q85 (semantic dedup)
+    * and q94 (cluster-balanced sampling). Returns
+    * (vec_id, de, nrm, cluster_id), persisted: callers feed it to
+    * multiple consumers, and without the persist the centroid BNLJ +
+    * assignment window run once per consumer (visible as duplicated
+    * BroadcastNestedLoopJoin subtrees in the physical plan). */
+  def assignClusters(emb: DataFrame): DataFrame = {
     val s = emb.sparkSession
     graft.expr.VectorExpressions.register(s)
     val n = emb.repartition(s.sparkContext.defaultParallelism)
@@ -155,15 +166,16 @@ object Clustering {
         col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
-    // both sides of the pair self-join read `assigned`; without the
-    // persist the centroid BNLJ + assignment window run twice (visible
-    // as two BroadcastNestedLoopJoin subtrees in the physical plan)
-    val assigned = n.join(broadcast(cents))
+    n.join(broadcast(cents))
       .withColumn("ccos", expr("graft_dot(de, cde)") / (col("nrm") * col("cnrm")))
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("de"), col("nrm"), col("cid").as("cluster_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def semanticDedup(emb: DataFrame, minCos: Double = SemDedupMinCos): DataFrame = {
+    val assigned = assignClusters(emb)
     val a = assigned.select(col("cluster_id"), col("vec_id").as("va"),
       col("de").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("cluster_id"), col("vec_id").as("vb"),
@@ -328,5 +340,37 @@ object Clustering {
                    FROM hits)
              WHERE krank = 1
              ORDER BY cluster_id, dropped_id""")),
+
+    // ---- cluster-balanced diversity sampling: equal per-cluster quotas
+    //      over the q85 cluster assignment — the SemDeDup-companion
+    //      pruning move that flattens the cluster-size distribution so
+    //      over-represented semantic neighborhoods can't dominate the
+    //      sample. Membership is the q80 salted-hash rank (not rand():
+    //      adding vectors never reassigns existing picks, and both
+    //      engines pick the identical set); the window shuffles only
+    //      (cluster_id, vec_id) pairs. The oracle rides the SAME shared
+    //      assignment CTEs as q85 (unused downstream CTEs cost nothing —
+    //      DuckDB only evaluates referenced ones). ----
+    "q94_cluster_balanced_sample" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(md5(concat(lit("cquota:"), col("vec_id").cast("string"))),
+            col("vec_id"))
+        assignClusters(Tables.load(s, dir, "embeddings"))
+          .select(col("cluster_id"), col("vec_id"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= ClusterQuota)
+          .orderBy(col("cluster_id"), col("rk"))
+      },
+      Some(s"""WITH $semanticDedupDuckCtes,
+             ranked AS (
+               SELECT cluster_id, vec_id,
+                 row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY md5('cquota:' || CAST(vec_id AS VARCHAR)),
+                     vec_id) AS rk
+               FROM asg)
+             SELECT cluster_id, vec_id, rk
+             FROM ranked WHERE rk <= $ClusterQuota
+             ORDER BY cluster_id, rk""")),
   )
 }

@@ -477,6 +477,85 @@ object Dedup {
            UNION ALL ${rep("sim_counts", s"cnt > $HotBandCap", "simhash_lsh")}
            ORDER BY path"""
       }),
+
+    // ---- MinHash calibration: for every q33 candidate pair, the
+    //      8-hash Jaccard ESTIMATE (agreeing signature positions / 8,
+    //      granularity 1/8 — the price of an 8-hash sketch, which is the
+    //      point of the report) next to the TRUE shingle-set Jaccard and
+    //      the absolute error. The sketch-quality readout a pipeline
+    //      consults before trusting MinHash thresholds at corpus scale —
+    //      the observability companion to q82 on the estimate side
+    //      rather than the cap side. Scale shape: signatures and sizes
+    //      are per-doc aggregates; the true-Jaccard intersection join is
+    //      driven BY the (capped, bounded) candidate-pair set, never
+    //      all-pairs. ----
+    "q93_minhash_calibration" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        // feeds sizes + both sides of the per-pair intersection join
+        val sh = shingled(docs).select(col("doc_id"), col("g")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sigs = minhashSigs(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairs = lshCandidatePairs(docs)
+        val a = sigs.select(col("doc_id").as("da") +:
+          (0 until 8).map(j => col(s"m$j").as(s"a$j")): _*)
+        val b = sigs.select(col("doc_id").as("db") +:
+          (0 until 8).map(j => col(s"m$j").as(s"b$j")): _*)
+        val agree = (0 until 8)
+          .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+          .reduce(_ + _)
+        val inter = pairs
+          .join(sh.select(col("doc_id").as("da"), col("g")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("g")), Seq("db", "g"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val estCol = col("n_agree") * lit(1.0) / 8.0
+        val trueCol = col("c") * lit(1.0) / (col("na") + col("nb") - col("c"))
+        pairs
+          .join(a, "da").join(b, "db")
+          .withColumn("n_agree", agree)
+          .join(inter, Seq("da", "db"), "left")
+          .na.fill(0L, Seq("c"))
+          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+          .select(col("da"), col("db"), col("n_agree"),
+            round(estCol, 3).as("est_j"),
+            round(trueCol, 3).as("true_j"),
+            round(abs(estCol - trueCol), 3).as("abs_err"))
+          .orderBy(col("da"), col("db"))
+      },
+      Some {
+        val agreeDuck = (0 until 8)
+          .map(j => s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH $duckCandPairsBody,
+           dg AS (SELECT DISTINCT doc_id, g FROM hashed),
+           szs AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
+           pg AS (
+             SELECT p.da, p.db, count(*) AS c
+             FROM cand_pairs p
+             JOIN dg xa ON xa.doc_id = p.da
+             JOIN dg xb ON xb.doc_id = p.db AND xb.g = xa.g
+             GROUP BY p.da, p.db),
+           ag AS (
+             SELECT p.da, p.db, $agreeDuck AS n_agree
+             FROM cand_pairs p
+             JOIN sigs a ON a.doc_id = p.da
+             JOIN sigs b ON b.doc_id = p.db)
+           SELECT ag.da, ag.db, ag.n_agree,
+             round(ag.n_agree * 1.0 / 8.0, 3) AS est_j,
+             round(COALESCE(pg.c, 0) * 1.0
+               / (sa.n + sb.n - COALESCE(pg.c, 0)), 3) AS true_j,
+             round(abs(ag.n_agree * 1.0 / 8.0
+               - COALESCE(pg.c, 0) * 1.0
+                 / (sa.n + sb.n - COALESCE(pg.c, 0))), 3) AS abs_err
+           FROM ag
+           LEFT JOIN pg ON pg.da = ag.da AND pg.db = ag.db
+           JOIN szs sa ON sa.doc_id = ag.da
+           JOIN szs sb ON sb.doc_id = ag.db
+           ORDER BY ag.da, ag.db"""
+      }),
   )
 
   /** The full q62 pipeline over a (doc_id, text) frame, exposed with the

@@ -940,3 +940,50 @@ class ManifestLeakageSpec extends AnyFunSuite {
     }
   }
 }
+
+/** q93/q94 pinned against pure-Scala recomputations and invariants. */
+class CalibrationSamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q93 true Jaccard equals a pure-Scala 3-gram-set recomputation; estimates land on the 1/8 grid") {
+    val texts = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] = {
+      val ws = t.toLowerCase.split(" +")
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val rows = SparkEntry.queries("q93_minhash_calibration")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (da, db) = (r.getAs[Long]("da"), r.getAs[Long]("db"))
+      val (ga, gb) = (grams(texts(da)), grams(texts(db)))
+      val expected = ga.intersect(gb).size.toDouble / ga.union(gb).size
+      assert(math.abs(r.getAs[Double]("true_j") - expected) <= 5.1e-4,
+        s"pair ($da,$db)")
+      val est = r.getAs[Double]("est_j")
+      // n_agree/8 rounded to 3 decimals
+      assert((0 to 8).map(n => math.round(n / 8.0 * 1000) / 1000.0).contains(est))
+      assert(math.abs(r.getAs[Double]("abs_err") -
+        math.abs(r.getAs[Int]("n_agree") / 8.0 - expected)) <= 1.1e-3)
+    }
+  }
+
+  test("q94 respects the per-cluster quota and is invariant under input repartitioning") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val rows = SparkEntry.queries("q94_cluster_balanced_sample")(spark, sf).collect()
+    val perCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    perCluster.foreach { case (c, g) =>
+      assert(g.length <= graft.ops.Clustering.ClusterQuota, s"cluster $c")
+      assert(g.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to g.length))
+    }
+    // picks come from the actual assignment
+    val assigned = graft.ops.Clustering.assignClusters(emb)
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r =>
+      assert(assigned(r.getAs[Long]("vec_id")) == r.getAs[Long]("cluster_id")))
+  }
+}
