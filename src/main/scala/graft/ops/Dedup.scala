@@ -492,12 +492,26 @@ object Dedup {
     "q93_minhash_calibration" -> QueryDef(
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        // feeds sizes + both sides of the per-pair intersection join
+        // ONE shingle explode feeds everything: sizes, both sides of the
+        // per-pair intersection join, AND the signatures (min() over g is
+        // insensitive to the distinct() — shingled is per-doc distinct on
+        // the TEXT already, so the dedup only removes the rare %P
+        // collision duplicate, which cannot change a min)
         val sh = shingled(docs).select(col("doc_id"), col("g")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sigs = minhashSigs(docs)
+        val sigAggs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
+          min(expr(s"(g * $a + $b) % ${P}L")).as(s"m$j")
+        }
+        val sigs = sh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val pairs = lshCandidatePairs(docs)
+        val bands = coldBands(sigs.selectExpr("doc_id", minhashStack))
+        val pairs = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band_val") === col("y.band_val") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .distinct()
         val a = sigs.select(col("doc_id").as("da") +:
           (0 until 8).map(j => col(s"m$j").as(s"a$j")): _*)
         val b = sigs.select(col("doc_id").as("db") +:
