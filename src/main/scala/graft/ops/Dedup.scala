@@ -433,10 +433,17 @@ object Dedup {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val emb = Tables.load(s, dir, "embeddings")
+        // the semantic-cluster path has NO cap — q85's quadratic cost is
+        // bounded by choosing K, so its row reports hot/dropped = 0 and
+        // max_group_size = largest cluster (the number that says "grow K")
+        val clusterCounts = Clustering.assignClusters(emb)
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("cnt"))
+          .select(col("cnt"), lit(false).as("hot"))
         capRow(bandGroupCounts(Similarity.neardupBandRows(emb),
             Similarity.NeardupBandCap), "embedding_sign_lsh")
           .union(capRow(bandGroupCounts(minhashBands(docs), HotBandCap),
             "minhash_lsh"))
+          .union(capRow(clusterCounts, "semantic_cluster"))
           .union(capRow(TextOps.shingleGroupCounts(docs), "shingle_join"))
           .union(capRow(bandGroupCounts(simhashBands(docs), HotBandCap),
             "simhash_lsh"))
@@ -463,6 +470,9 @@ object Dedup {
            mh_bands0 AS ($mhBandSelects),
            sim_bands0 AS ($simBandSelects),
            emb_bands0 AS (${Similarity.neardupBandDuckUnion}),
+           ${Clustering.semanticDedupDuckCtes},
+           cl_counts AS (SELECT count(*) AS cnt FROM asg
+                         GROUP BY cluster_id),
            mh_counts AS (SELECT count(*) AS cnt FROM mh_bands0
                          GROUP BY band_idx, band_val),
            sim_counts AS (SELECT count(*) AS cnt FROM sim_bands0
@@ -473,6 +483,7 @@ object Dedup {
            tot AS (SELECT count(DISTINCT doc_id) AS total FROM hashed)
            ${rep("emb_counts", s"cnt > ${Similarity.NeardupBandCap}", "embedding_sign_lsh")}
            UNION ALL ${rep("mh_counts", s"cnt > $HotBandCap", "minhash_lsh")}
+           UNION ALL ${rep("cl_counts", "FALSE", "semantic_cluster")}
            UNION ALL ${rep("gram_counts", gramHot, "shingle_join")}
            UNION ALL ${rep("sim_counts", s"cnt > $HotBandCap", "simhash_lsh")}
            ORDER BY path"""
