@@ -987,3 +987,59 @@ class CalibrationSamplingSpec extends AnyFunSuite {
       assert(assigned(r.getAs[Long]("vec_id")) == r.getAs[Long]("cluster_id")))
   }
 }
+
+/** semanticDedup vs a plain-Scala brute force over random corpora: the
+  * reimplementation replays the IDENTICAL IEEE fold (index-order
+  * multiply-accumulate), assignment tie-break (ccos DESC, cid ASC) and
+  * greedy keep-first rule, so the drop maps must match EXACTLY. */
+class SemanticDedupPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def dot(a: Seq[Float], b: Seq[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  test("dropped/keeper map equals brute force over random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val K = graft.ops.Clustering.K
+    val tau = graft.ops.Clustering.SemDedupMinCos
+    (1 to 3).foreach { trial =>
+      val n = 40 + rnd.nextInt(20)
+      val base = (0 until n).map { i =>
+        (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2f - 1f))
+      }
+      // planted near-dups: jittered copies of early vectors
+      val planted = base.take(4).map { case (id, v) =>
+        (id + 1000L, v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f))
+      }
+      val docs = base ++ planted
+      val byId = docs.toMap
+      val nrm = docs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+      val cents = docs.filter(_._1 < K)
+      def cluster(id: Long): Long =
+        cents.map { case (cid, cv) =>
+          (dot(byId(id), cv) / (nrm(id) * nrm(cid)), cid)
+        }.maxBy { case (c, cid) => (c, -cid) }._2
+      val cl = docs.map(_._1).map(id => id -> cluster(id)).toMap
+      val expected = scala.collection.mutable.Map.empty[Long, Long]
+      for {
+        (a, _) <- docs; (b, _) <- docs
+        if a < b && cl(a) == cl(b)
+        if dot(byId(a), byId(b)) / (nrm(a) * nrm(b)) >= tau
+      } expected.get(b) match {
+        case Some(k) if k <= a => ()
+        case _ => expected(b) = a
+      }
+      val got = graft.ops.Clustering
+        .semanticDedup(docs.toDF("vec_id", "embedding"))
+        .collect()
+        .map(r => r.getAs[Long]("dropped_id") -> r.getAs[Long]("keeper_id"))
+        .toMap
+      assert(got == expected.toMap, s"trial $trial")
+      assert(got.keySet.exists(_ >= 1000L), s"trial $trial: no planted dup found")
+    }
+  }
+}
