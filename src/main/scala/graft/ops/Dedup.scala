@@ -211,35 +211,36 @@ object Dedup {
     * min aggregation — and exactly ONE Spark job: each node's previous
     * label rides the union (the `old` column, non-null only on the self
     * row, so `min(old)` recovers it through the same aggregation), and a
-    * `LongAccumulator` counts `lbl ≠ old` rows WHILE the round's
-    * `localCheckpoint` materializes, so convergence detection costs no
-    * separate probe job. (Accumulator semantics are safe here: a task
-    * retry can only re-add for rows that genuinely changed, so
-    * `value == 0` ⇔ fixpoint, exactly.) Pointer jumping halves the
+    * `Dataset.observe` metric sums `lbl ≠ old` rows WHILE the round's
+    * checkpoint materializes, so convergence detection costs no separate
+    * probe job — and the whole round stays inside Tungsten (no
+    * InternalRow→Row round-trip; the earlier accumulator formulation paid
+    * that conversion on every label row every round). `Dataset.checkpoint`
+    * runs under `withAction`, so the observed metric is final the moment
+    * [[Checkpoints.stabilize]] returns. Pointer jumping halves the
     * label-tree depth each round, so rounds are O(log diameter), not
     * O(diameter) — a 1000-link dup chain converges in ~10 rounds. Two
     * non-negotiables for ANY iterative DataFrame loop at scale, both
-    * learned the hard way: `localCheckpoint` each round (the logical plan
+    * learned the hard way: checkpoint each round (the logical plan
     * otherwise EMBEDS the previous round's tree at every reference and
     * doubles per iteration — OOMs the driver long before the data is
     * big), and never collecting label data to the driver. On a real
-    * cluster prefer reliable `checkpoint` over `localCheckpoint`
-    * (executor loss kills local checkpoints). */
+    * cluster set `spark.graft.checkpointDir` so rounds use reliable
+    * `checkpoint` (executor loss kills local checkpoints) — see
+    * [[Checkpoints]]. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val spark = pairs.sparkSession
-    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
-      .localCheckpoint(true)
+    val edges = Checkpoints.stabilize(
+      pairs.select(col("da").as("src"), col("db").as("dst"))
+        .union(pairs.select(col("db").as("src"), col("da").as("dst"))))
     // the first propagation round is fused into initialization: lbl starts
     // at min(own id, min neighbor) — one aggregation instead of a full
     // join+union+agg round
-    var labels = edges.groupBy(col("src"))
-      .agg(min(col("dst")).as("nbr_min"))
-      .select(col("src").as("doc_id"),
-        least(col("src"), col("nbr_min")).as("lbl"))
-      .localCheckpoint(true)
+    var labels = Checkpoints.stabilize(
+      edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("nbr_min"))
+        .select(col("src").as("doc_id"),
+          least(col("src"), col("nbr_min")).as("lbl")))
     val lblType = labels.schema("lbl").dataType
-    val outSchema = org.apache.spark.sql.types.StructType(labels.schema.fields)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -256,17 +257,15 @@ object Dedup {
       val prop = self.union(viaEdges).union(viaJump)
         .groupBy(col("doc_id"))
         .agg(min(col("lbl")).as("lbl"), min(col("old")).as("old"))
-      val changedAcc = spark.sparkContext.longAccumulator(s"cc-changed-$iter")
-      val counted = prop.rdd.mapPartitions { it =>
-        it.map { r =>
-          if (r.isNullAt(2) || r.get(1) != r.get(2)) changedAcc.add(1L)
-          org.apache.spark.sql.Row(r.get(0), r.get(1))
-        }
-      }
-      // the eager localCheckpoint IS the round's one job; the accumulator
-      // is final once it returns
-      labels = spark.createDataFrame(counted, outSchema).localCheckpoint(true)
-      converged = changedAcc.value == 0L
+      val obs = org.apache.spark.sql.Observation(s"cc-changed-$iter")
+      // the eager checkpoint IS the round's one job; the observed metric
+      // is final once it returns (checkpoint runs under withAction)
+      labels = Checkpoints.stabilize(
+        prop.observe(obs,
+          coalesce(sum(when(col("old").isNull || col("lbl") =!= col("old"),
+            1L).otherwise(0L)), lit(0L)).as("changed"))
+          .select(col("doc_id"), col("lbl")))
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")

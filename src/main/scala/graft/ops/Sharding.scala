@@ -41,21 +41,21 @@ object Sharding {
   def assignShards(docs: DataFrame, budget: Long, parts: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sorted = docs
+    val sortedBase = docs
       .select(col("k").cast("string"), col("doc_id").cast("long"),
         col("n_tokens").cast("long"))
       .as[(String, Long, Long)]
       .repartitionByRange(parts, col("k"))
       .sortWithinPartitions(col("k"))
-      // Both passes MUST see identical partitions: repartitionByRange
-      // samples its boundaries at execution time, so a partition lost
-      // between pass 1 and pass 2 could recompute under different cuts
-      // and shift rows against the collected offsets. MEMORY_AND_DISK
-      // spills instead of evicting, which closes that window locally; on
-      // a real cluster use replicated persist or a checkpoint so an
-      // executor loss cannot force a recompute (same caveat as q54's
-      // localCheckpoint, DESIGN.md).
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Both passes MUST see identical partitions: repartitionByRange
+    // samples its boundaries at execution time, so a partition lost
+    // between pass 1 and pass 2 could recompute under different cuts
+    // and shift rows against the collected offsets. Checkpoints.pin:
+    // MEMORY_AND_DISK persist locally (spills instead of evicting, which
+    // closes that window short of executor loss); with
+    // spark.graft.checkpointDir set, a reliable checkpoint closes the
+    // executor-loss window too (see [[Checkpoints]]).
+    val sorted = Checkpoints.pin(sortedBase)
     val perPartition = sorted.rdd
       .mapPartitionsWithIndex { case (pid, it) =>
         var s = 0L; it.foreach(s += _._3); Iterator((pid, s))

@@ -451,6 +451,43 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(1) == 0L))
     assert(out.forall(_.getLong(2) == 13L))
   }
+
+  test("13-node chain round count is pinned: 5 rounds exactly (label-prop + pointer-jump doubling)") {
+    // label depth after round r is ~i - 2^(r+1) + 1 on a path (one
+    // propagation step fused into init), so a 13-node chain reaches its
+    // fixpoint during round 4 and round 5 observes zero changes — the
+    // observe-based convergence check must detect it in exactly 5 rounds,
+    // the same count the accumulator formulation produced.
+    import spark.implicits._
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("da", "db")
+    assert(graft.ops.Dedup.connectedComponents(chain, maxIters = 5)
+      .collect().length == 13)
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.connectedComponents(chain, maxIters = 4)
+    }
+  }
+
+  test("spark.graft.checkpointDir switches CC + assignShards to reliable checkpoints, results identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val docs = (0L until 40L)
+      .map(i => (f"k$i%03d", i, 7L)).toDF("k", "doc_id", "n_tokens")
+    def ccRun() = graft.ops.Dedup.connectedComponents(pairs)
+      .orderBy("doc_id").collect().toSeq
+    def shardRun() = graft.ops.Sharding.assignShards(docs, 50L, 4)
+      .orderBy("doc_id").collect().toSeq
+    val (ccLocal, shardLocal) = (ccRun(), shardRun())
+    spark.conf.set(graft.ops.Checkpoints.DirKey, dir)
+    try {
+      assert(ccRun() == ccLocal)
+      assert(shardRun() == shardLocal)
+      // reliable checkpoints actually landed in the knob's directory
+      def countFiles(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles.map(countFiles).sum else 1
+      assert(countFiles(new java.io.File(dir)) > 0, s"no checkpoint files in $dir")
+    } finally spark.conf.unset(graft.ops.Checkpoints.DirKey)
+  }
 }
 
 /** Paragraph-level dedup (q83): the keeper is the globally FIRST
