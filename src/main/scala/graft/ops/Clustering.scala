@@ -32,10 +32,46 @@ import graft.{QueryDef, Tables}
   */
 object Clustering {
 
-  /** Cluster count: the first K vectors seed the centroids
-    * (deterministic init, mirrored in the oracle — same pattern as the
-    * IVF centroids in q43). */
+  /** Cluster count for the fixed-K profiles (q70 k-medians, where the
+    * bucket count is the user's choice): the first K vectors seed the
+    * centroids (deterministic init, mirrored in the oracle — same
+    * pattern as the IVF centroids in q43). The SCALE-DRIVEN paths
+    * (q85/q94 via [[assignClusters]]) do NOT use this constant — their K
+    * grows with the corpus, see [[clusterCount]]. */
   val K = 8
+
+  /** Intended members per cluster for the scale-driven assignment:
+    * [[clusterCount]] grows K as N/TargetClusterSize so per-cluster work
+    * stays bounded as the corpus grows. */
+  val TargetClusterSize = 64
+
+  /** Ceiling on the derived K: centroids are BROADCAST to every
+    * executor (4096 × 64-dim doubles ≈ 2 MB — always broadcastable).
+    * Past MaxCentroids·TargetClusterSize vectors (~256 k) clusters grow
+    * beyond target size again; that overflow is what
+    * [[MaxClusterMembers]] bounds (and q82's `semantic_cluster` row
+    * measures). At true corpus scale the next step is hierarchical
+    * (coarse-then-fine) assignment — same math, two broadcast levels. */
+  val MaxCentroids = 4096
+
+  /** Hard per-cluster participation cap for the q85 within-cluster pair
+    * join: only the MaxClusterMembers smallest vec_ids of each cluster
+    * enter the self-join, so one degenerate cluster of size m costs
+    * min(m, cap)²/2 pairs instead of m²/2 — the semantic-path analog of
+    * [[Dedup.HotBandCap]], ENFORCED here and REPORTED via q82's
+    * `semantic_cluster` row (dropped_rows = excess members, which are
+    * conservatively KEPT in the corpus — they just can't be flagged as
+    * duplicates). 4× the target cluster size, so the cap only engages
+    * on genuinely skewed clusters. */
+  val MaxClusterMembers = 256
+
+  /** K for a corpus of `n` vectors: n/TargetClusterSize rounded up,
+    * clamped to [[[K]], [[MaxCentroids]]] — pure int64 arithmetic so the
+    * oracle's `least(greatest((count(*) + 63) // 64, 8), 4096)` computes
+    * the identical value. */
+  def clusterCount(n: Long): Int =
+    math.min(MaxCentroids.toLong,
+      math.max(K.toLong, (n + TargetClusterSize - 1) / TargetClusterSize)).toInt
 
   private val toDouble = "transform(embedding, x -> cast(x as double))"
 
@@ -133,11 +169,13 @@ object Clustering {
     * assigned to their nearest seed centroid by cosine (broadcast over K
     * tiny rows, the q43/q70 shape), and only within-cluster pairs are
     * compared — an equi-join on `cluster_id`, never an all-pairs join.
-    * K is the scale knob: at corpus scale K grows with N to hold the
-    * per-cluster pair count (size²/2) bounded, exactly how SemDeDup runs
-    * its production sweeps; the within-cluster join group is the
-    * quadratic cost center, the same role [[Dedup.HotBandCap]] bounds on
-    * the LSH paths.
+    * Two scale bounds, both enforced: K GROWS with the corpus
+    * ([[clusterCount]] ≈ N / [[TargetClusterSize]], exactly how SemDeDup
+    * runs its production sweeps) so expected cluster size stays
+    * constant, and [[MaxClusterMembers]] truncates the join membership
+    * of any cluster skew still produces — the same role
+    * [[Dedup.HotBandCap]] plays on the LSH paths, with the excess
+    * surfaced through q82's `semantic_cluster` row.
     *
     * Keeper rule: a vector is DROPPED iff some SMALLER vec_id in its
     * cluster sits within `minCos`; its keeper is the smallest such id
@@ -146,13 +184,19 @@ object Clustering {
     * first-occurrence keeper). Cosines are [[graft.expr.DotProduct]]
     * folds — identical IEEE sequences in both engines, so the threshold
     * compare and the report agree bitwise. */
-  /** Cosine assignment of every vector to its nearest first-K seed
-    * centroid — the cluster-scoping step shared by q85 (semantic dedup)
-    * and q94 (cluster-balanced sampling). Returns
-    * (vec_id, de, nrm, cluster_id), persisted: callers feed it to
-    * multiple consumers, and without the persist the centroid BNLJ +
-    * assignment window run once per consumer (visible as duplicated
-    * BroadcastNestedLoopJoin subtrees in the physical plan). */
+  /** Cosine assignment of every vector to its nearest seed centroid —
+    * the cluster-scoping step shared by q85 (semantic dedup) and q94
+    * (cluster-balanced sampling). K is DERIVED from the corpus size
+    * ([[clusterCount]] — one count() over the already-persisted frame,
+    * the same bounded-metadata job class as the sharding offsets), and
+    * the seeds are the K SMALLEST vec_ids (TakeOrderedAndProject — a
+    * distributed top-k, no global sort; also means an id-offset corpus
+    * gets real centroids instead of an empty seed set, which `vec_id <
+    * K` silently produced). Returns (vec_id, de, nrm, cluster_id),
+    * persisted: callers feed it to multiple consumers, and without the
+    * persist the centroid BNLJ + assignment window run once per
+    * consumer (visible as duplicated BroadcastNestedLoopJoin subtrees
+    * in the physical plan). */
   def assignClusters(emb: DataFrame): DataFrame = {
     val s = emb.sparkSession
     graft.expr.VectorExpressions.register(s)
@@ -161,7 +205,8 @@ object Clustering {
       .withColumn("nrm", expr("sqrt(graft_dot(de, de))"))
       .select(col("vec_id"), col("de"), col("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = n.filter(col("vec_id") < K)
+    val k = clusterCount(n.count())
+    val cents = n.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("de").as("cde"),
         col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -174,8 +219,28 @@ object Clustering {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Per-cluster (cnt, hot, drop_cnt) under the [[MaxClusterMembers]]
+    * participation cap — the `semantic_cluster` feed for q82's cap
+    * report. Unlike the band paths (whole hot group excluded),
+    * the semantic cap TRUNCATES: the cap keeps the first
+    * MaxClusterMembers members, so drop_cnt is the excess, not the
+    * whole group. */
+  private[graft] def clusterGroupCounts(emb: DataFrame): DataFrame =
+    assignClusters(emb)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), (col("cnt") > MaxClusterMembers).as("hot"),
+        when(col("cnt") > MaxClusterMembers, col("cnt") - MaxClusterMembers)
+          .otherwise(lit(0L)).as("drop_cnt"))
+
   def semanticDedup(emb: DataFrame, minCos: Double = SemDedupMinCos): DataFrame = {
+    // only the MaxClusterMembers smallest vec_ids of each cluster enter
+    // the self-join: a skewed cluster of size m costs min(m, cap)²/2
+    // pairs, never m²/2 — what the cap excludes is measurable through
+    // q82's semantic_cluster row (see [[clusterGroupCounts]])
+    val wMem = Window.partitionBy(col("cluster_id")).orderBy(col("vec_id"))
     val assigned = assignClusters(emb)
+      .withColumn("mrank", row_number().over(wMem))
+      .filter(col("mrank") <= MaxClusterMembers)
     val a = assigned.select(col("cluster_id"), col("vec_id").as("va"),
       col("de").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("cluster_id"), col("vec_id").as("vb"),
@@ -201,8 +266,14 @@ object Clustering {
                SELECT vec_id, embedding,
                  sqrt(${dotDuck("embedding", "embedding")}) AS nrm
                FROM embeddings),
+             kv AS (
+               SELECT least(greatest((count(*) + ${TargetClusterSize - 1})
+                 // $TargetClusterSize, $K), $MaxCentroids) AS k
+               FROM n),
              c AS (SELECT vec_id AS cid, embedding AS cde, nrm AS cnrm
-                   FROM n WHERE vec_id < $K),
+                   FROM (SELECT *, row_number() OVER (ORDER BY vec_id)
+                           AS srank FROM n)
+                   WHERE srank <= (SELECT k FROM kv)),
              ap AS (
                SELECT n.vec_id, n.embedding, n.nrm, c.cid,
                  ${dotDuck("n.embedding", "c.cde")} / (n.nrm * c.cnrm) AS ccos
@@ -212,10 +283,15 @@ object Clustering {
                  SELECT *, row_number() OVER (PARTITION BY vec_id
                    ORDER BY ccos DESC, cid) AS crank
                  FROM ap) WHERE crank = 1),
+             capped AS (
+               SELECT * FROM (
+                 SELECT *, row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY vec_id) AS mrank
+                 FROM asg) WHERE mrank <= $MaxClusterMembers),
              pairs AS (
                SELECT x.cluster_id, x.vec_id AS va, y.vec_id AS vb,
                  ${dotDuck("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
-               FROM asg x JOIN asg y
+               FROM capped x JOIN capped y
                  ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id),
              hits AS (SELECT * FROM pairs WHERE cos >= $SemDedupMinCos)"""
 

@@ -94,17 +94,24 @@ object Dedup {
     * they carry. The observability companion to [[coldBands]] /
     * [[TextOps.hotShingles]] — at corpus scale "0 candidate pairs" from
     * q33/q41/q62/q32 is otherwise indistinguishable from "the cap
-    * dropped the whole candidate set". */
-  def capRow(counts: DataFrame, path: String): DataFrame =
+    * dropped the whole candidate set". A path whose cap TRUNCATES
+    * groups instead of excluding them (q85's [[Clustering
+    * .clusterGroupCounts]]) supplies its own `drop_cnt` column — the
+    * excess members — which overrides the default whole-group count. */
+  def capRow(counts: DataFrame, path: String): DataFrame = {
+    val dropped =
+      if (counts.columns.contains("drop_cnt")) col("drop_cnt")
+      else when(col("hot"), col("cnt")).otherwise(lit(0L))
     counts.agg(
       count(lit(1)).as("n_groups"),
       sum(when(col("hot"), lit(1L)).otherwise(lit(0L))).as("hot_groups"),
-      sum(when(col("hot"), col("cnt")).otherwise(lit(0L))).as("dropped_rows"),
+      sum(dropped).as("dropped_rows"),
       max(col("cnt")).as("max_group_size"))
       .select(lit(path).as("path"), col("n_groups"),
         coalesce(col("hot_groups"), lit(0L)).as("hot_groups"),
         coalesce(col("dropped_rows"), lit(0L)).as("dropped_rows"),
         coalesce(col("max_group_size"), lit(0L)).as("max_group_size"))
+  }
 
   /** (cnt, hot) per (band_idx, band_val) group under an absolute cap. */
   private[graft] def bandGroupCounts(bands: DataFrame, cap: Int): DataFrame =
@@ -432,12 +439,11 @@ object Dedup {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val emb = Tables.load(s, dir, "embeddings")
-        // the semantic-cluster path has NO cap — q85's quadratic cost is
-        // bounded by choosing K, so its row reports hot/dropped = 0 and
-        // max_group_size = largest cluster (the number that says "grow K")
-        val clusterCounts = Clustering.assignClusters(emb)
-          .groupBy(col("cluster_id")).agg(count(lit(1)).as("cnt"))
-          .select(col("cnt"), lit(false).as("hot"))
+        // the semantic-cluster row reports what the MaxClusterMembers
+        // participation cap TRUNCATES from skewed clusters (excess
+        // members, conservatively kept in the corpus but invisible to
+        // the q85 pair join) — K itself already scales with N
+        val clusterCounts = Clustering.clusterGroupCounts(emb)
         capRow(bandGroupCounts(Similarity.neardupBandRows(emb),
             Similarity.NeardupBandCap), "embedding_sign_lsh")
           .union(capRow(bandGroupCounts(minhashBands(docs), HotBandCap),
@@ -455,11 +461,12 @@ object Dedup {
         val simBandSelects = (0 until SimWords)
           .map(j => s"SELECT doc_id, $j AS band_idx, sim$j AS band_val FROM sim")
           .mkString(" UNION ALL ")
-        def rep(src: String, hotCond: String, path: String) =
+        def rep(src: String, hotCond: String, path: String,
+            dropExpr: String = "cnt") =
           s"""SELECT '$path' AS path,
                count(*) AS n_groups,
                CAST(coalesce(sum(CASE WHEN $hotCond THEN 1 ELSE 0 END), 0) AS BIGINT) AS hot_groups,
-               CAST(coalesce(sum(CASE WHEN $hotCond THEN cnt ELSE 0 END), 0) AS BIGINT) AS dropped_rows,
+               CAST(coalesce(sum(CASE WHEN $hotCond THEN $dropExpr ELSE 0 END), 0) AS BIGINT) AS dropped_rows,
                CAST(coalesce(max(cnt), 0) AS BIGINT) AS max_group_size
              FROM $src"""
         val gramHot =
@@ -482,7 +489,8 @@ object Dedup {
            tot AS (SELECT count(DISTINCT doc_id) AS total FROM hashed)
            ${rep("emb_counts", s"cnt > ${Similarity.NeardupBandCap}", "embedding_sign_lsh")}
            UNION ALL ${rep("mh_counts", s"cnt > $HotBandCap", "minhash_lsh")}
-           UNION ALL ${rep("cl_counts", "FALSE", "semantic_cluster")}
+           UNION ALL ${rep("cl_counts", s"cnt > ${Clustering.MaxClusterMembers}",
+             "semantic_cluster", s"cnt - ${Clustering.MaxClusterMembers}")}
            UNION ALL ${rep("gram_counts", gramHot, "shingle_join")}
            UNION ALL ${rep("sim_counts", s"cnt > $HotBandCap", "simhash_lsh")}
            ORDER BY path"""

@@ -1041,12 +1041,15 @@ class SemanticDedupPropertySpec extends AnyFunSuite {
   test("dropped/keeper map equals brute force over random corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
-    val K = graft.ops.Clustering.K
     val tau = graft.ops.Clustering.SemDedupMinCos
-    (1 to 3).foreach { trial =>
+    // trial 4 offsets every id by 5000: rank-based seeding must still
+    // produce real centroids (the old `vec_id < K` seed rule returned an
+    // EMPTY centroid set and a silent empty dedup on id-offset corpora)
+    (1 to 4).foreach { trial =>
+      val off = if (trial == 4) 5000L else 0L
       val n = 40 + rnd.nextInt(20)
       val base = (0 until n).map { i =>
-        (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2f - 1f))
+        (off + i.toLong, Seq.fill(16)(rnd.nextFloat() * 2f - 1f))
       }
       // planted near-dups: jittered copies of early vectors
       val planted = base.take(4).map { case (id, v) =>
@@ -1055,19 +1058,28 @@ class SemanticDedupPropertySpec extends AnyFunSuite {
       val docs = base ++ planted
       val byId = docs.toMap
       val nrm = docs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
-      val cents = docs.filter(_._1 < K)
+      // the faithful seed rule: K smallest vec_ids, K derived from N
+      val k = graft.ops.Clustering.clusterCount(docs.size.toLong)
+      val seedIds = docs.map(_._1).sorted.take(k).toSet
+      val cents = docs.filter(d => seedIds(d._1))
       def cluster(id: Long): Long =
         cents.map { case (cid, cv) =>
           (dot(byId(id), cv) / (nrm(id) * nrm(cid)), cid)
         }.maxBy { case (c, cid) => (c, -cid) }._2
       val cl = docs.map(_._1).map(id => id -> cluster(id)).toMap
+      // the faithful participation cap: first MaxClusterMembers ids per
+      // cluster (never binding at this corpus size, but replayed anyway)
+      val inJoin = docs.map(_._1).groupBy(cl)
+        .flatMap { case (_, ids) =>
+          ids.sorted.take(graft.ops.Clustering.MaxClusterMembers)
+        }.toSet
       val expected = scala.collection.mutable.Map.empty[Long, Long]
       for {
         (a, _) <- docs; (b, _) <- docs
-        if a < b && cl(a) == cl(b)
+        if a < b && cl(a) == cl(b) && inJoin(a) && inJoin(b)
         if dot(byId(a), byId(b)) / (nrm(a) * nrm(b)) >= tau
       } expected.get(b) match {
-        case Some(k) if k <= a => ()
+        case Some(kk) if kk <= a => ()
         case _ => expected(b) = a
       }
       val got = graft.ops.Clustering
@@ -1076,7 +1088,56 @@ class SemanticDedupPropertySpec extends AnyFunSuite {
         .map(r => r.getAs[Long]("dropped_id") -> r.getAs[Long]("keeper_id"))
         .toMap
       assert(got == expected.toMap, s"trial $trial")
-      assert(got.keySet.exists(_ >= 1000L), s"trial $trial: no planted dup found")
+      assert(got.keySet.exists(_ >= off + 1000L), s"trial $trial: no planted dup found")
     }
+  }
+
+  test("K scales with the corpus and an oversized cluster's join work is capped with a visible drop count") {
+    import graft.ops.Clustering
+    import spark.implicits._
+    // clusterCount: the int64 formula the oracle replays
+    assert(Clustering.clusterCount(0L) == Clustering.K)
+    assert(Clustering.clusterCount(500L) == 8)    // sf0.01 unchanged
+    assert(Clustering.clusterCount(513L) == 9)
+    assert(Clustering.clusterCount(100000L) == 1563)
+    assert(Clustering.clusterCount(Long.MaxValue / 2) == Clustering.MaxCentroids)
+    // plant one degenerate cluster: 300 near-identical vectors (all land
+    // on the same seed) in a 320-vector corpus → K = 5→8 (min), cluster
+    // size 300 > MaxClusterMembers = 256
+    val rnd = new scala.util.Random(7)
+    val spread = (0 until 20).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2f - 1f))
+    }
+    val dup = (0 until 300).map { i =>
+      (100L + i, Seq.tabulate(16)(d => 1f + d * 0.01f + rnd.nextFloat() * 0.001f))
+    }
+    val emb = (spread ++ dup).toDF("vec_id", "embedding")
+    val counts = Clustering.clusterGroupCounts(emb).collect()
+    val hot = counts.filter(_.getAs[Boolean]("hot"))
+    assert(hot.length == 1, "exactly the planted cluster is over the cap")
+    assert(hot.head.getAs[Long]("cnt") >= 300L)
+    assert(hot.head.getAs[Long]("drop_cnt") ==
+      hot.head.getAs[Long]("cnt") - Clustering.MaxClusterMembers,
+      "drop count is the excess over the participation cap")
+    // enforcement, not just reporting: no vec_id beyond each cluster's
+    // first MaxClusterMembers ever appears in the dedup output
+    val assigned = Clustering.assignClusters(emb)
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val inJoin = assigned.groupBy(_._2).flatMap { case (_, m) =>
+      m.map(_._1).sorted.take(Clustering.MaxClusterMembers).toSeq
+    }.toSet
+    val out = Clustering.semanticDedup(emb).collect()
+    assert(out.nonEmpty, "the planted near-identical cluster must dedup")
+    out.foreach { r =>
+      assert(inJoin(r.getAs[Long]("dropped_id")) &&
+        inJoin(r.getAs[Long]("keeper_id")),
+        "a capped-out member leaked into the pair join")
+    }
+    // beyond-cap members are conservatively KEPT (never flagged dropped)
+    val beyondCap = assigned.map(_._1).filterNot(inJoin).toSet
+    assert(beyondCap.nonEmpty)
+    val flagged = out.map(_.getAs[Long]("dropped_id")).toSet
+    assert(beyondCap.intersect(flagged).isEmpty)
   }
 }
