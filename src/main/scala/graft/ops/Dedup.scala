@@ -158,51 +158,56 @@ object Dedup {
   }
 
   /** Shared shingle/signature CTE chain (no WITH prefix, so callers can
-    * choose `WITH` or `WITH RECURSIVE`). */
-  private val duckShinglesBody =
-    s"""w AS (
+    * choose `WITH` or `WITH RECURSIVE`). `src` is the (doc_id, text)
+    * relation being shingled and `p` prefixes every CTE name, so one
+    * query can instantiate the chain twice (q82 runs it over documents
+    * AND over q96's paragraph units). Defaults keep the original names,
+    * so pre-existing oracles are byte-identical. */
+  private def duckShinglesBody(src: String = "documents", p: String = "") =
+    s"""${p}w AS (
          SELECT doc_id,
            unnest(string_split_regex(lower(text), ' +')) AS word,
            generate_subscripts(string_split_regex(lower(text), ' +'), 1) AS i
-         FROM documents),
-       sh AS (
+         FROM $src),
+       ${p}sh AS (
          SELECT DISTINCT doc_id, s FROM (
            SELECT doc_id,
              concat_ws(' ', word,
                lead(word, 1) OVER (PARTITION BY doc_id ORDER BY i),
                lead(word, 2) OVER (PARTITION BY doc_id ORDER BY i)) AS s,
              lead(word, 2) OVER (PARTITION BY doc_id ORDER BY i) AS tail
-           FROM w)
+           FROM ${p}w)
          WHERE tail IS NOT NULL),
-       hashed AS (SELECT doc_id, ${hashExprDuck("s")} AS h,
+       ${p}hashed AS (SELECT doc_id, ${hashExprDuck("s")} AS h,
                          ${hashExprDuck("'x:' || s")} AS h2,
-                         ${hashExprDuck("s")} % $P AS g FROM sh)"""
+                         ${hashExprDuck("s")} % $P AS g FROM ${p}sh)"""
 
-  private val duckShingles = s"WITH $duckShinglesBody"
+  private val duckShingles = s"WITH ${duckShinglesBody()}"
 
   private def duckSigCols: String = A.zip(B).zipWithIndex
     .map { case ((a, b), j) => s"min((g * $a + $b) % $P) AS m$j" }
     .mkString(", ")
 
-  /** CTE chain ending in `cand_pairs(da, db)` — the oracle mirror of
-    * [[lshCandidatePairs]], reused by q33/q54/q56. */
-  private def duckCandPairsBody: String = {
+  /** CTE chain ending in `${p}cand_pairs(da, db)` — the oracle mirror of
+    * [[lshCandidatePairs]], reused by q33/q54/q56/q81/q93 (default
+    * names) and q96/q82 (paragraph units under a prefix). */
+  private def duckCandPairsBody(src: String = "documents", p: String = ""): String = {
     val sigCols = duckSigCols
     val bandSelects = (0 until 4)
-      .map(k => s"SELECT doc_id, $k AS band_idx, concat_ws(':', m${2 * k}, m${2 * k + 1}) AS band_val FROM sigs")
+      .map(k => s"SELECT doc_id, $k AS band_idx, concat_ws(':', m${2 * k}, m${2 * k + 1}) AS band_val FROM ${p}sigs")
       .mkString(" UNION ALL ")
-    s"""$duckShinglesBody,
-       sigs AS (SELECT doc_id, $sigCols FROM hashed GROUP BY doc_id),
-       bands0 AS ($bandSelects),
-       hot AS (
-         SELECT band_idx, band_val FROM bands0
+    s"""${duckShinglesBody(src, p)},
+       ${p}sigs AS (SELECT doc_id, $sigCols FROM ${p}hashed GROUP BY doc_id),
+       ${p}bands0 AS ($bandSelects),
+       ${p}hot AS (
+         SELECT band_idx, band_val FROM ${p}bands0
          GROUP BY band_idx, band_val HAVING count(*) > $HotBandCap),
-       bands AS (
-         SELECT b.* FROM bands0 b
-         ANTI JOIN hot h USING (band_idx, band_val)),
-       cand_pairs AS (
+       ${p}bands AS (
+         SELECT b.* FROM ${p}bands0 b
+         ANTI JOIN ${p}hot h USING (band_idx, band_val)),
+       ${p}cand_pairs AS (
          SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-         FROM bands x JOIN bands y
+         FROM ${p}bands x JOIN ${p}bands y
            ON x.band_idx = y.band_idx AND x.band_val = y.band_val
           AND x.doc_id < y.doc_id)"""
   }
@@ -287,9 +292,39 @@ object Dedup {
     //      (hot band groups excluded, mirrored in the oracle) ----
     "q33_minhash_lsh_pairs" -> QueryDef(
       (s, dir) => lshCandidatePairs(Tables.load(s, dir, "documents")),
-      Some(s"""WITH $duckCandPairsBody
+      Some(s"""WITH ${duckCandPairsBody()}
              SELECT da, db FROM cand_pairs
              ORDER BY da, db""")),
+
+    // ---- paragraph-level MinHash near-dup: q83's segmentation composed
+    //      with q33's sketch. Each 20-word paragraph becomes its own
+    //      corpus unit under a composite int64 pid ([[TextOps.ParaCap]]),
+    //      and the UNCHANGED document pipeline — shingle → 8-hash MinHash
+    //      → 4-band LSH join with the hot-band cap — runs over the
+    //      smaller units, catching the cross-document paragraph
+    //      NEAR-copies that q83's exact md5 key misses (RefinedWeb-style
+    //      curation dedups at both granularities). Scale: the explode
+    //      multiplies rows by paras/doc but shrinks shingles/row by the
+    //      same factor — total shingle volume is unchanged, and the band
+    //      join still shuffles fixed-width band keys. The q82 cap report
+    //      carries a `paragraph_minhash` row for this path. ----
+    "q96_paragraph_neardup" -> QueryDef(
+      (s, dir) => {
+        val pc = TextOps.ParaCap
+        lshCandidatePairs(TextOps.paragraphDocs(Tables.load(s, dir, "documents")))
+          .select(expr(s"da div $pc").as("doc_a"), expr(s"da % $pc").as("para_a"),
+            expr(s"db div $pc").as("doc_b"), expr(s"db % $pc").as("para_b"))
+          .orderBy(col("doc_a"), col("para_a"), col("doc_b"), col("para_b"))
+      },
+      Some {
+        val pc = TextOps.ParaCap
+        s"""WITH ${TextOps.paragraphDocsDuckCte("pdocs")},
+           ${duckCandPairsBody("pdocs", "p")}
+           SELECT da // $pc AS doc_a, da % $pc AS para_a,
+             db // $pc AS doc_b, db % $pc AS para_b
+           FROM pcand_pairs
+           ORDER BY doc_a, para_a, doc_b, para_b"""
+      }),
 
     // ---- dedup cluster assignment: connected components over the LSH
     //      candidate pair graph (keeper = min doc_id per component). The
@@ -300,7 +335,7 @@ object Dedup {
       (s, dir) =>
         connectedComponents(lshCandidatePairs(Tables.load(s, dir, "documents")))
           .orderBy(col("doc_id")),
-      Some(s"""WITH RECURSIVE $duckCandPairsBody,
+      Some(s"""WITH RECURSIVE ${duckCandPairsBody()},
              edges AS (SELECT da AS src, db AS dst FROM cand_pairs
                        UNION ALL
                        SELECT db AS src, da AS dst FROM cand_pairs),
@@ -336,7 +371,7 @@ object Dedup {
           .agg(count(lit(1)).as("n_pairs"))
           .orderBy(col("source_a"), col("source_b"))
       },
-      Some(s"""WITH $duckCandPairsBody
+      Some(s"""WITH ${duckCandPairsBody()}
              SELECT least(sa.source, sb.source) AS source_a,
                greatest(sa.source, sb.source) AS source_b,
                count(*) AS n_pairs
@@ -397,7 +432,7 @@ object Dedup {
             col("cluster_size"), col("quality_score").as("keeper_quality"))
           .orderBy(col("cluster_id"))
       },
-      Some(s"""WITH RECURSIVE $duckCandPairsBody,
+      Some(s"""WITH RECURSIVE ${duckCandPairsBody()},
              edges AS (SELECT da AS src, db AS dst FROM cand_pairs
                        UNION ALL
                        SELECT db AS src, da AS dst FROM cand_pairs),
@@ -448,6 +483,9 @@ object Dedup {
             Similarity.NeardupBandCap), "embedding_sign_lsh")
           .union(capRow(bandGroupCounts(minhashBands(docs), HotBandCap),
             "minhash_lsh"))
+          .union(capRow(bandGroupCounts(
+            minhashBands(TextOps.paragraphDocs(docs)), HotBandCap),
+            "paragraph_minhash"))
           .union(capRow(clusterCounts, "semantic_cluster"))
           .union(capRow(TextOps.shingleGroupCounts(docs), "shingle_join"))
           .union(capRow(bandGroupCounts(simhashBands(docs), HotBandCap),
@@ -476,11 +514,15 @@ object Dedup {
            mh_bands0 AS ($mhBandSelects),
            sim_bands0 AS ($simBandSelects),
            emb_bands0 AS (${Similarity.neardupBandDuckUnion}),
+           ${TextOps.paragraphDocsDuckCte("pdocs")},
+           ${duckCandPairsBody("pdocs", "p")},
            ${Clustering.semanticDedupDuckCtes},
            cl_counts AS (SELECT count(*) AS cnt FROM asg
                          GROUP BY cluster_id),
            mh_counts AS (SELECT count(*) AS cnt FROM mh_bands0
                          GROUP BY band_idx, band_val),
+           pmh_counts AS (SELECT count(*) AS cnt FROM pbands0
+                          GROUP BY band_idx, band_val),
            sim_counts AS (SELECT count(*) AS cnt FROM sim_bands0
                           GROUP BY band_idx, band_val),
            emb_counts AS (SELECT count(*) AS cnt FROM emb_bands0
@@ -489,6 +531,7 @@ object Dedup {
            tot AS (SELECT count(DISTINCT doc_id) AS total FROM hashed)
            ${rep("emb_counts", s"cnt > ${Similarity.NeardupBandCap}", "embedding_sign_lsh")}
            UNION ALL ${rep("mh_counts", s"cnt > $HotBandCap", "minhash_lsh")}
+           UNION ALL ${rep("pmh_counts", s"cnt > $HotBandCap", "paragraph_minhash")}
            UNION ALL ${rep("cl_counts", s"cnt > ${Clustering.MaxClusterMembers}",
              "semantic_cluster", s"cnt - ${Clustering.MaxClusterMembers}")}
            UNION ALL ${rep("gram_counts", gramHot, "shingle_join")}
@@ -561,7 +604,7 @@ object Dedup {
         val agreeDuck = (0 until 8)
           .map(j => s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)")
           .mkString(" + ")
-        s"""WITH $duckCandPairsBody,
+        s"""WITH ${duckCandPairsBody()},
            dg AS (SELECT DISTINCT doc_id, g FROM hashed),
            szs AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
            pg AS (
@@ -713,7 +756,7 @@ object Dedup {
           .mkString("CAST(", " + ", s" AS BIGINT) AS sim$j")
       }
       .mkString(", ")
-    s"""$duckShinglesBody,
+    s"""${duckShinglesBody()},
        sums AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id),
        sim AS (SELECT doc_id, $words FROM sums)"""
   }

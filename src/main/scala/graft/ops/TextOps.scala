@@ -46,6 +46,12 @@ object TextOps {
     * bounding every join group at corpus scale. */
   val HotShingleCap = 200
 
+  /** Merge-table size for q95's BPE application: the top-BpeMerges q88
+    * pairs (ranked cnt DESC, pair ASC) become the merge rules, applied
+    * in rank order. Small and fixed — the merge table is a bounded
+    * tokenizer artifact, and each rule costs one fold pass per word. */
+  val BpeMerges = 8
+
   /** 56-bit md5-derived shingle key — the inverted-index join/group key,
     * so the exchange carries one int64 per shingle instead of the 3-gram
     * TEXT. Collisions between distinct shingles are ~|S|²/2⁵⁷ (≪ 1 for
@@ -253,6 +259,46 @@ object TextOps {
       .withColumn("rewritten", col("n_dropped") > 0)
       .orderBy(col("doc_id"))
   }
+
+  /** Max paragraphs per document for q96's composite paragraph id
+    * (pid = doc_id · ParaCap + para_idx): one int64 key the MinHash band
+    * join can shuffle and order on. 4096 paragraphs × 20 words bounds a
+    * document at ~82k words — beyond that a real corpus splits the doc
+    * first. doc_id · 4096 stays inside int64 up to ~2.2e15 documents. */
+  val ParaCap = 4096L
+
+  /** q83's segmentation re-exposed as a (doc_id, text) corpus whose unit
+    * is the PARAGRAPH: doc_id = composite pid (see [[ParaCap]]), text =
+    * the 20-word block. Feeds the whole q33 MinHash pipeline unchanged —
+    * near-dup detection at paragraph granularity is document-granularity
+    * machinery over smaller units. */
+  def paragraphDocs(docs: DataFrame, paraWords: Int = ParaWords): DataFrame =
+    docs
+      .withColumn("words", split(lower(col("text")), " +"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+              sequence(0, cast(ceil(size(words) / $paraWords.0) as int) - 1),
+              i -> concat_ws(' ', slice(words, i * $paraWords + 1, $paraWords)))"""))
+        .as(Seq("para_idx", "ptext")))
+      .select((col("doc_id") * ParaCap + col("para_idx")).as("doc_id"),
+        col("ptext").as("text"))
+
+  /** Oracle mirror of [[paragraphDocs]]: a CTE named `name` yielding the
+    * composite-pid paragraph relation, shared by the q96 and q82
+    * oracles. */
+  private[ops] def paragraphDocsDuckCte(name: String): String =
+    s"""$name AS (
+         SELECT doc_id * $ParaCap + para_idx AS doc_id,
+           array_to_string(
+             ws[para_idx * $ParaWords + 1 : para_idx * $ParaWords + $ParaWords],
+             ' ') AS text
+         FROM (
+           SELECT doc_id,
+             unnest(generate_series(0,
+               CAST(ceil(len(ws) / $ParaWords.0) AS INT) - 1)) AS para_idx,
+             ws
+           FROM (SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
+                 FROM documents)))"""
 
   /** Power-of-two bucket floor for a token count: [1,2)→1, [2,4)→2, …,
     * [1024,2048)→1024, else 2048. Plain integer comparisons, evaluated
@@ -896,6 +942,103 @@ object TextOps {
              FROM p GROUP BY pair
              ORDER BY cnt DESC, pair
              LIMIT 20""")),
+
+    // ---- BPE merge APPLICATION: re-tokenize the corpus under the
+    //      top-[[BpeMerges]] q88 merge rules — the pipeline step after
+    //      pair counting, reported as per-document token counts before
+    //      (characters) and after (BPE tokens). Each word starts as its
+    //      character sequence; each rule (a,b)→ab is one left-to-right
+    //      greedy fold (the same sequential-fold trick as the float
+    //      normalizers: Spark `aggregate` ≡ DuckDB 0-prepended
+    //      `list_reduce`), applied in rank order — later rules see
+    //      earlier rules' merged tokens, exactly like a real BPE
+    //      encoder. Non-overlap falls out of the fold: once "aa" is
+    //      merged its token no longer equals "a". The merge table is a
+    //      bounded tokenizer artifact (≤ 8 rows): Spark collects it and
+    //      folds it into the expression tree (the same bounded-metadata
+    //      collect class as the percentile cuts); the oracle pivots the
+    //      ranked pairs into one broadcast row and nests the identical
+    //      8 folds, with missing ranks (tiny corpora) degrading to
+    //      identity passes via NULL comparisons. CASE arms (not AND)
+    //      guard the empty-accumulator probe so ANSI element_at can
+    //      never see index -1 on an empty array. ----
+    "q95_bpe_encode" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+        val merges = docs
+          .select(explode(split(lower(col("text")), " +")).as("word"))
+          .filter(length(col("word")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+            .as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(BpeMerges)
+          .collect().map(_.getString(0))
+        val chars =
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        val folded = merges.foldLeft(chars) { (toks, p) =>
+          val (a, b) = (esc(p.substring(0, 1)), esc(p.substring(1, 2)))
+          s"""aggregate($toks, cast(array() as array<string>),
+                (acc, t) -> case
+                  when size(acc) = 0 then array(t)
+                  when element_at(acc, -1) = '$a' and t = '$b'
+                    then concat(slice(acc, 1, size(acc) - 1), array('${esc(p)}'))
+                  else concat(acc, array(t)) end)"""
+        }
+        docs
+          .select(col("doc_id"), explode(split(lower(col("text")), " +")).as("word"))
+          .filter(length(col("word")) >= 1)
+          .withColumn("toks", expr(folded))
+          .groupBy(col("doc_id"))
+          .agg(sum(length(col("word"))).as("n_chars"),
+            sum(size(col("toks"))).as("n_bpe_tokens"))
+          .withColumn("compression",
+            round(col("n_chars") / col("n_bpe_tokens"), 4))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val msel = (1 to BpeMerges)
+          .map(r => s"max(CASE WHEN rk = $r THEN pair END) AS p$r")
+          .mkString(", ")
+        val charsDuck =
+          "list_transform(generate_series(1, length(word)), i -> substr(word, i, 1))"
+        val foldedDuck = (1 to BpeMerges).foldLeft(charsDuck) { (toks, r) =>
+          s"""list_reduce(
+                list_prepend(CAST([] AS VARCHAR[]),
+                  list_transform($toks, t -> [t])),
+                (acc, x) -> CASE
+                  WHEN len(acc) = 0 THEN x
+                  WHEN acc[-1] = substr(p$r, 1, 1) AND x[1] = substr(p$r, 2, 1)
+                    THEN list_append(acc[1:len(acc) - 1], p$r)
+                  ELSE list_append(acc, x[1]) END)"""
+        }
+        s"""WITH w AS (
+             SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS word
+             FROM documents),
+           mp AS (
+             SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+               i -> substr(word, i, 2))) AS pair
+             FROM w WHERE length(word) >= 2),
+           merges AS (
+             SELECT pair, row_number() OVER (ORDER BY count(*) DESC, pair) AS rk
+             FROM mp GROUP BY pair),
+           msel AS (SELECT $msel FROM merges WHERE rk <= $BpeMerges),
+           toks AS (
+             SELECT doc_id, word, $foldedDuck AS toks
+             FROM w CROSS JOIN msel
+             WHERE length(word) >= 1)
+           SELECT doc_id,
+             CAST(sum(length(word)) AS BIGINT) AS n_chars,
+             CAST(sum(len(toks)) AS BIGINT) AS n_bpe_tokens,
+             round(CAST(sum(length(word)) AS DOUBLE)
+                 / CAST(sum(len(toks)) AS BIGINT), 4)
+               AS compression
+           FROM toks
+           GROUP BY doc_id
+           ORDER BY doc_id"""
+      }),
 
     // ---- train/test split-leakage audit: near-duplicate pairs (q32's
     //      Jaccard ≥ 0.8 definition, via the SAME jaccardPairs code and

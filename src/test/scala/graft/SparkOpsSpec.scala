@@ -515,6 +515,36 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 1L, true)))
     assert(out(3L) == ((2L, 2L, true)))
   }
+
+  test("q96: cross-document paragraph copies and near-copies pair up with correct (doc, para) coordinates") {
+    import spark.implicits._
+    val pc = graft.ops.TextOps.ParaCap
+    val paraX = (0 until 20).map(i => s"w$i").mkString(" ")
+    // one word changed → 17/18 shared shingles, the near-dup q83's exact
+    // md5 key cannot see
+    val paraNear = ((0 until 19).map(i => s"w$i") :+ "zz").mkString(" ")
+    def filler(s: Int) = (0 until 20).map(i => s"f${s}x$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${filler(1)} $paraX"),   // paraX at (1, 1)
+      (2L, s"$paraX ${filler(2)}"),   // exact copy at (2, 0)
+      (3L, s"${filler(3)} $paraNear") // near copy at (3, 1)
+    ).toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup
+      .lshCandidatePairs(graft.ops.TextOps.paragraphDocs(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // an exact paragraph copy shares every band — always a candidate
+    assert(pairs.contains((1L * pc + 1, 2L * pc + 0)),
+      "exact cross-document paragraph copy must pair")
+    // the near-copy collides on at least one of the 4 bands here
+    assert(pairs.contains((1L * pc + 1, 3L * pc + 1)) &&
+      pairs.contains((2L * pc + 0, 3L * pc + 1)),
+      "near-copy paragraph must pair with both exact variants")
+    // filler paragraphs never pair
+    assert(pairs.forall { case (a, b) =>
+      Set(1L * pc + 1, 2L * pc + 0, 3L * pc + 1)(a) &&
+        Set(1L * pc + 1, 2L * pc + 0, 3L * pc + 1)(b)
+    })
+  }
 }
 
 /** Pins q82's cap observability on a corpus with a PLANTED hot band: 250
@@ -861,6 +891,47 @@ class CurationOpsSpec extends AnyFunSuite {
     val got = SparkEntry.queries("q88_bpe_pairs")(spark, sf).collect()
       .map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt"))).toSeq
     assert(got == expected)
+  }
+
+  test("q95 bpe encode: equals a pure-Scala greedy merge application; merges strictly compress") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, t) =>
+      t.toLowerCase.split(" +").filter(_.length >= 2).foreach { w =>
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          counts(p) = counts.getOrElse(p, 0L) + 1L
+        }
+      }
+    }
+    val merges = counts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(graft.ops.TextOps.BpeMerges).map(_._1)
+    def applyRule(toks: List[String], p: String): List[String] = {
+      val (a, b) = (p.substring(0, 1), p.substring(1, 2))
+      toks.foldLeft(List.empty[String]) { (acc, t) =>
+        if (acc.nonEmpty && acc.last == a && t == b) acc.init :+ p
+        else acc :+ t
+      }
+    }
+    val expected = docs.map { case (id, t) =>
+      val ws = t.toLowerCase.split(" +").filter(_.nonEmpty)
+      val before = ws.map(_.length.toLong).sum
+      val after = ws.map { w =>
+        merges.foldLeft(w.split("").toList)(applyRule).length.toLong
+      }.sum
+      id -> ((before, after))
+    }.toMap
+    val rows = SparkEntry.queries("q95_bpe_encode")(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert((r.getAs[Long]("n_chars"), r.getAs[Long]("n_bpe_tokens")) ==
+        expected(id), s"doc $id")
+      assert(r.getAs[Long]("n_bpe_tokens") < r.getAs[Long]("n_chars"),
+        s"doc $id: top merges must compress a natural-text corpus")
+    }
   }
 }
 
