@@ -9,14 +9,18 @@ import graft.{QueryDef, Tables}
   * with a typed metadata struct, and a partition-wise feature-extraction
   * operator.
   *
-  * The real decode step (image/audio codecs) is STUBBED — the container
-  * has no media libraries — with a deterministic byte-level surrogate
-  * (moment statistics over the payload bytes). Everything around the stub
-  * is production-shaped: payloads stay off the driver, extraction runs as
-  * `mapPartitions` over the typed Dataset (one JVM-side pass per
-  * partition, the same batch shape a JNI/codec bridge would use), and the
-  * output is a fixed-width feature schema that downstream similarity
-  * operators can consume.
+  * The IMAGE decode is REAL: [[decodeImageFeatures]] runs `javax.imageio`
+  * (JDK built-in, no external dependency) inside the mapPartitions
+  * bridge — payloads never leave the executors — and emits dimensions,
+  * exact mean luminance, and a deterministic 8×8 block-averaged
+  * grayscale thumbnail (the perceptual-hash prep). Audio/video codecs
+  * remain stubbed with a deterministic byte-level surrogate (moment
+  * statistics over the payload bytes) since the container has no media
+  * libraries. Everything is production-shaped either way: payloads stay
+  * off the driver, extraction runs as `mapPartitions` over the typed
+  * Dataset (one JVM-side pass per partition, the same batch shape a
+  * JNI/codec bridge would use), and the output is a fixed-width feature
+  * schema that downstream similarity operators can consume.
   */
 object Multimodal {
 
@@ -53,6 +57,59 @@ object Multimodal {
         val mean = sum / n
         val headHex = r.payload.take(4).map("%02X".format(_)).mkString
         MediaFeatures(r.doc_id, r.n_bytes, mean, sumSq / n - mean * mean, headHex)
+      }
+    }.toDF()
+  }
+
+  final case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+      lum_mean: Double, thumb_hex: String)
+
+  /** REAL image decode inside the partition bridge: `javax.imageio`
+    * parses the payload bytes on the executor, and each decodable image
+    * yields exact dimensions, mean luminance (average of the RGB channel
+    * means per pixel), and an 8×8 block-averaged grayscale thumbnail as
+    * 64 hex bytes — the standard perceptual-hash prep, computed by
+    * explicit block averaging (not `Graphics2D` scaling) so the result
+    * is bit-deterministic across JVMs. Rows whose payload is not a
+    * decodable image are dropped (flatMap), which is the curation
+    * semantic: a corrupt image contributes no features. PNG is lossless,
+    * so MultimodalSpec pins decoded values exactly against the fixture
+    * it encodes. */
+  def decodeImageFeatures(spark: SparkSession, media: DataFrame,
+      thumb: Int = 8): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload)))
+          catch { case _: Exception => None }
+        img.filter(im => im.getWidth > 0 && im.getHeight > 0).map { im =>
+          val (w, h) = (im.getWidth, im.getHeight)
+          var sum = 0.0
+          val acc = new Array[Double](thumb * thumb)
+          val cnt = new Array[Long](thumb * thumb)
+          var y = 0
+          while (y < h) {
+            val ty = math.min(thumb - 1, y * thumb / h)
+            var x = 0
+            while (x < w) {
+              val rgb = im.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff)
+                + (rgb & 0xff)) / 3.0
+              sum += lum
+              val ti = ty * thumb + math.min(thumb - 1, x * thumb / w)
+              acc(ti) += lum; cnt(ti) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val hexes = acc.zip(cnt).map { case (s, c) =>
+            if (c == 0) 0 else math.min(255, math.round(s / c).toInt)
+          }
+          ImageFeatures(r.doc_id, w, h, sum / (w.toDouble * h),
+            hexes.map("%02X".format(_)).mkString)
+        }
       }
     }.toDF()
   }

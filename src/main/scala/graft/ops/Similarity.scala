@@ -188,7 +188,126 @@ object Similarity {
       .orderBy(col("va"), col("vb"))
   }
 
+  /** Number of IVF cells for q43/q97 (deterministic centroids = the 16
+    * smallest-id vectors, the q43 convention). */
+  private val IvfCells = 16
+
+  /** Build and persist the q43 IVF structure: `centroids.parquet` (16
+    * rows: cid, cde, cnrm) and `cells.parquet` — the inverted file
+    * (vec_id, de, nrm) PARTITIONED BY cell, so a probe of 2 cells reads
+    * 2/16ths of the corpus from disk (partition pruning / dynamic
+    * partition pruning does the skipping at scale). A real ANN service
+    * builds once and serves many queries; q43 rebuilt this per run.
+    * Doubles round-trip parquet bitwise, so the persisted path returns
+    * BYTE-IDENTICAL results to the inline computation (spec-pinned). */
+  private[graft] def writeIvfIndex(emb: DataFrame, outDir: String): Unit = {
+    val n = normedFrom(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = n.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cid"), col("de").as("cde"),
+        col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val corpusCells = n.join(broadcast(cents))
+      .withColumn("ccos", expr(dotExpr("de", "cde")) / (col("nrm") * col("cnrm")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("de"), col("nrm"), col("cid").as("cell"))
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/centroids.parquet")
+    corpusCells.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$outDir/cells.parquet")
+    n.unpersist()
+  }
+
+  /** Where q97 finds (or builds) the persisted index for a given data
+    * dir: the `spark.graft.ivfIndexDir` session conf when set, else a
+    * deterministic temp-dir cache keyed by the data dir's md5 (an
+    * explicit `graft.BuildIndex` run is the production path; the
+    * on-demand build keeps the query self-contained). */
+  private def ivfIndexDirFor(s: SparkSession, dir: String): String =
+    s.conf.getOption("spark.graft.ivfIndexDir").filter(_.nonEmpty).getOrElse {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$h"
+    }
+
+  /** Shared q43/q97 oracle: DuckDB replays the IVF math inline — for
+    * q97 this doubles as the proof that the PERSISTED index serves the
+    * same answers as the inline computation. */
+  private def ivfDuckSql: String =
+    s"""WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
+                        FROM embeddings),
+             cents AS (SELECT vec_id AS cid, embedding AS cde, nrm AS cnrm
+                       FROM n WHERE vec_id < $IvfCells),
+             assigned AS (
+               SELECT n.vec_id, n.embedding, n.nrm, cents.cid,
+                 row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   ${duckDot("n.embedding", "cents.cde")} / (n.nrm * cents.cnrm) DESC,
+                   cents.cid) AS crank
+               FROM n CROSS JOIN cents),
+             corpus_cells AS (
+               SELECT vec_id, embedding, nrm, cid AS cell
+               FROM assigned WHERE crank = 1),
+             query_probes AS (
+               SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cid AS cell
+               FROM assigned WHERE vec_id < 10 AND crank <= 2),
+             cands AS (
+               SELECT q.query_id, c.vec_id,
+                 ${duckDot("q.qe", "c.embedding")} / (q.qn * c.nrm) AS cos
+               FROM corpus_cells c JOIN query_probes q ON c.cell = q.cell
+               WHERE c.vec_id <> q.query_id),
+             ranked AS (
+               SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id) AS rank
+               FROM cands)
+             SELECT query_id, vec_id AS neighbor_id, rank,
+               round(cos, 4) AS cos_sim
+             FROM ranked WHERE rank <= 3
+             ORDER BY query_id, rank"""
+
   val defs: Map[String, QueryDef] = Map(
+
+    // ---- ANN over the PERSISTED IVF index: centroids + cell-partitioned
+    //      inverted file from parquet (built by `graft.BuildIndex`, or
+    //      on demand if absent), query vectors probe their 2 nearest
+    //      persisted centroids, exact top-3 within the probed cells.
+    //      Identical math to q43 over parquet-round-tripped doubles →
+    //      byte-identical answers (SimilaritySpec pins it); the oracle
+    //      is literally q43's, recomputed inline. At scale the win is
+    //      the build-once/query-many split plus partition pruning: a
+    //      2-cell probe reads 1/8th of the corpus from disk. ----
+    "q97_ivf_index_topk" -> QueryDef(
+      (s, dir) => {
+        val idx = ivfIndexDirFor(s, dir)
+        if (!new java.io.File(s"$idx/centroids.parquet").exists())
+          writeIvfIndex(Tables.load(s, dir, "embeddings"), idx)
+        graft.expr.VectorExpressions.register(s)
+        val cents = s.read.parquet(s"$idx/centroids.parquet")
+        val cells = s.read.parquet(s"$idx/cells.parquet")
+        val queries = normed(s, dir).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("de").as("qe"),
+            col("nrm").as("qn"))
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("ccos").desc, col("cid"))
+        val probes = queries.join(broadcast(cents))
+          .withColumn("ccos", expr(dotExpr("qe", "cde")) / (col("qn") * col("cnrm")))
+          .withColumn("crank", row_number().over(wProbe))
+          .filter(col("crank") <= 2)
+          .select(col("query_id"), col("qe"), col("qn"), col("cid").as("cell"))
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        cells.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos", expr(dotExpr("qe", "de")) / (col("qn") * col("nrm")))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("rank"), round(col("cos"), 4).as("cos_sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfDuckSql)),
 
     // ---- brute-force cosine top-3 for queries vec_id < 10 ----
     "q35_cosine_topk" -> QueryDef(
@@ -276,7 +395,7 @@ object Similarity {
     "q43_ivf_ann_topk" -> QueryDef(
       (s, dir) => {
         val n = normed(s, dir)
-        val cents = n.filter(col("vec_id") < 16)
+        val cents = n.filter(col("vec_id") < IvfCells)
           .select(col("vec_id").as("cid"), col("de").as("cde"),
             col("nrm").as("cnrm"))
         val wAssign = Window.partitionBy(col("vec_id"))
@@ -301,36 +420,8 @@ object Similarity {
             col("rank"), round(col("cos"), 4).as("cos_sim"))
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(s"""WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
-                        FROM embeddings),
-             cents AS (SELECT vec_id AS cid, embedding AS cde, nrm AS cnrm
-                       FROM n WHERE vec_id < 16),
-             assigned AS (
-               SELECT n.vec_id, n.embedding, n.nrm, cents.cid,
-                 row_number() OVER (PARTITION BY n.vec_id ORDER BY
-                   ${duckDot("n.embedding", "cents.cde")} / (n.nrm * cents.cnrm) DESC,
-                   cents.cid) AS crank
-               FROM n CROSS JOIN cents),
-             corpus_cells AS (
-               SELECT vec_id, embedding, nrm, cid AS cell
-               FROM assigned WHERE crank = 1),
-             query_probes AS (
-               SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cid AS cell
-               FROM assigned WHERE vec_id < 10 AND crank <= 2),
-             cands AS (
-               SELECT q.query_id, c.vec_id,
-                 ${duckDot("q.qe", "c.embedding")} / (q.qn * c.nrm) AS cos
-               FROM corpus_cells c JOIN query_probes q ON c.cell = q.cell
-               WHERE c.vec_id <> q.query_id),
-             ranked AS (
-               SELECT query_id, vec_id, cos,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY cos DESC, vec_id) AS rank
-               FROM cands)
-             SELECT query_id, vec_id AS neighbor_id, rank,
-               round(cos, 4) AS cos_sim
-             FROM ranked WHERE rank <= 3
-             ORDER BY query_id, rank""")),
+      // one IVF definition per engine: q43 and q97 share [[ivfDuckSql]]
+      Some(ivfDuckSql)),
 
     // ---- embedding-cosine near-dup pairs, LSH candidate path ----
     //      Candidates from 32 sign-LSH bands of 16 bits (equi self-join on

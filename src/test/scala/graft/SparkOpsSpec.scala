@@ -221,6 +221,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!feats(2).getAs[Double]("byte_mean").isNaN)
   }
 
+  test("real image decode: javax.imageio parses a PNG fixture inside the partition bridge") {
+    import spark.implicits._
+    // fixture: 4×2 PNG, left half pure red, right half pure blue —
+    // lossless, so decoded channel values are exact
+    def png(w: Int, h: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        im.setRGB(x, y, if (x < w / 2) 0xFF0000 else 0x0000FF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, png(4, 2), "image/png", 0L),
+      (2L, "not an image at all".getBytes("UTF-8"), "text/plain", 19L))
+      .toDF("doc_id", "payload", "kind", "n_bytes")
+    val out = Multimodal.decodeImageFeatures(spark, media).collect()
+    // the non-image row is dropped, not poisoned
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    val r = out.head
+    assert(r.getAs[Int]("width") == 4 && r.getAs[Int]("height") == 2)
+    // every pixel is one saturated channel → per-pixel luminance 255/3
+    assert(r.getAs[Double]("lum_mean") == 255.0 / 3.0)
+    // 8×8 thumbnail: a 4×2 image lands its pixels on cells (ty ∈ {0,4},
+    // tx ∈ {0,2,4,6}), each averaging to 85 ("55"); unhit cells are 00
+    val hex = r.getAs[String]("thumb_hex")
+    assert(hex.length == 128)
+    val expected = (for (ty <- 0 until 8; tx <- 0 until 8) yield
+      if (Set(0, 4)(ty) && Set(0, 2, 4, 6)(tx)) "55" else "00").mkString
+    assert(hex == expected, hex)
+  }
+
+  test("image decode is partition-invariant and keeps payloads executor-side") {
+    import spark.implicits._
+    def png(seed: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val im = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        im.setRGB(x, y, rnd.nextInt(0x1000000))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val media = (1L to 20L).map(i => (i, png(i.toInt), "image/png", 0L))
+      .toDF("doc_id", "payload", "kind", "n_bytes")
+    val a = Multimodal.decodeImageFeatures(spark, media)
+      .orderBy("doc_id").collect().toSeq
+    val b = Multimodal.decodeImageFeatures(spark, media.repartition(7))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(a.length == 20)
+  }
+
   test("feature extraction is deterministic across partitionings") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, s"doc number $i " * i.toInt))
@@ -692,6 +747,27 @@ class SimilaritySpec extends AnyFunSuite {
       assert(exact.get(pair).contains(cos), s"pair $pair: lsh=$cos exact=${exact.get(pair)}")
     }
     assert(exact.size >= lsh.size)
+  }
+
+  test("q97 persisted-index ANN returns byte-identical rows to the inline q43 path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    spark.conf.set("spark.graft.ivfIndexDir", dir)
+    try {
+      val persisted = SparkEntry.queries("q97_ivf_index_topk")(spark, sf)
+        .collect().toSeq
+      val inline = SparkEntry.queries("q43_ivf_ann_topk")(spark, sf)
+        .collect().toSeq
+      assert(persisted == inline,
+        "parquet round-trip must not perturb a single bit of the ANN answer")
+      // the build actually landed: centroids + cell-partitioned lists
+      assert(new java.io.File(s"$dir/centroids.parquet").exists())
+      val cellDirs = new java.io.File(s"$dir/cells.parquet").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      assert(cellDirs.nonEmpty, "inverted file must be partitioned by cell")
+      // a second run reuses the index (no rebuild): same answer again
+      assert(SparkEntry.queries("q97_ivf_index_topk")(spark, sf)
+        .collect().toSeq == inline)
+    } finally spark.conf.unset("spark.graft.ivfIndexDir")
   }
 
   test("wide-band sign-LSH finds planted high-cosine near-dups (the operator's design point)") {
