@@ -309,6 +309,88 @@ object Similarity {
       },
       Some(ivfDuckSql)),
 
+    // ---- INCREMENTAL index ingest: the base corpus (vec_id % 5 ≠ 4) is
+    //      indexed once on disk; the delta batch (vec_id % 5 = 4) is
+    //      APPENDED by assigning it to the EXISTING persisted centroids —
+    //      base inverted lists are never touched, the recurring-crawl
+    //      ANN shape (a rebuild would reshuffle every list; an append
+    //      only shuffles the delta). Fixed centroids make append ≡
+    //      one-shot assignment of the union, which is exactly what the
+    //      oracle computes inline — the equivalence IS the correctness
+    //      statement. Queries probe 2 cells over the merged lists. ----
+    "q98_ivf_incremental_topk" -> QueryDef(
+      (s, dir) => {
+        graft.expr.VectorExpressions.register(s)
+        val emb = Tables.load(s, dir, "embeddings")
+        val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 4)
+        val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 4)
+        val idx = ivfIndexDirFor(s, dir) + "_base"
+        if (!new java.io.File(s"$idx/centroids.parquet").exists())
+          writeIvfIndex(base, idx)
+        val cents = s.read.parquet(s"$idx/centroids.parquet")
+        val baseCells = s.read.parquet(s"$idx/cells.parquet")
+          .select(col("vec_id"), col("de"), col("nrm"),
+            col("cell").cast("long").as("cell"))
+        val wA = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cid"))
+        val deltaCells = normedFrom(delta).join(broadcast(cents))
+          .withColumn("ccos", expr(dotExpr("de", "cde")) / (col("nrm") * col("cnrm")))
+          .withColumn("crank", row_number().over(wA))
+          .filter(col("crank") === 1)
+          .select(col("vec_id"), col("de"), col("nrm"), col("cid").as("cell"))
+        val cells = baseCells.unionByName(deltaCells)
+        val queries = normed(s, dir).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("de").as("qe"),
+            col("nrm").as("qn"))
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("ccos").desc, col("cid"))
+        val probes = queries.join(broadcast(cents))
+          .withColumn("ccos", expr(dotExpr("qe", "cde")) / (col("qn") * col("cnrm")))
+          .withColumn("crank", row_number().over(wProbe))
+          .filter(col("crank") <= 2)
+          .select(col("query_id"), col("qe"), col("qn"), col("cid").as("cell"))
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        cells.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos", expr(dotExpr("qe", "de")) / (col("qn") * col("nrm")))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("rank"), round(col("cos"), 4).as("cos_sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
+                        FROM embeddings),
+             cents AS (SELECT vec_id AS cid, embedding AS cde, nrm AS cnrm
+                       FROM n WHERE vec_id < $IvfCells AND vec_id % 5 <> 4),
+             assigned AS (
+               SELECT n.vec_id, n.embedding, n.nrm, cents.cid,
+                 row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   ${duckDot("n.embedding", "cents.cde")} / (n.nrm * cents.cnrm) DESC,
+                   cents.cid) AS crank
+               FROM n CROSS JOIN cents),
+             corpus_cells AS (
+               SELECT vec_id, embedding, nrm, cid AS cell
+               FROM assigned WHERE crank = 1),
+             query_probes AS (
+               SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cid AS cell
+               FROM assigned WHERE vec_id < 10 AND crank <= 2),
+             cands AS (
+               SELECT q.query_id, c.vec_id,
+                 ${duckDot("q.qe", "c.embedding")} / (q.qn * c.nrm) AS cos
+               FROM corpus_cells c JOIN query_probes q ON c.cell = q.cell
+               WHERE c.vec_id <> q.query_id),
+             ranked AS (
+               SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id) AS rank
+               FROM cands)
+             SELECT query_id, vec_id AS neighbor_id, rank,
+               round(cos, 4) AS cos_sim
+             FROM ranked WHERE rank <= 3
+             ORDER BY query_id, rank""")),
+
     // ---- brute-force cosine top-3 for queries vec_id < 10 ----
     "q35_cosine_topk" -> QueryDef(
       (s, dir) => {

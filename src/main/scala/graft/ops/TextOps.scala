@@ -46,6 +46,35 @@ object TextOps {
     * bounding every join group at corpus scale. */
   val HotShingleCap = 200
 
+  /** Window width (words) for q99's repeated-span report — the fixed
+    * granularity at which exact substring repetition is detected. 16
+    * words ≈ the shortest span worth rewriting; the Lee et al. 2022
+    * production setting is 50 BPE tokens, the same order of text. */
+  val SpanWords = 16
+
+  /** q99's pipeline over a (doc_id, text) frame, exposed for planted
+    * span specs: sliding `w`-word windows (stride 1) md5-keyed, a window
+    * repeated iff its key occurs in any other (doc, pos) slot — same-doc
+    * repeats count too, matching the substring-dedup semantic. */
+  def repeatedSpansReport(docs: DataFrame, w: Int = SpanWords): DataFrame = {
+    val wnd = org.apache.spark.sql.expressions.Window
+    val keyed = docs
+      .withColumn("words", split(lower(col("text")), " +"))
+      .filter(size(col("words")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+              sequence(0, size(words) - $w),
+              i -> md5(concat_ws(' ', slice(words, i + 1, $w))))"""))
+        .as(Seq("pos", "wkey")))
+    keyed.withColumn("occ", count(lit(1)).over(wnd.partitionBy(col("wkey"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_repeated"))
+      .withColumn("repeat_frac",
+        round(col("n_repeated") / col("n_windows"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** Merge-table size for q95's BPE application: the top-BpeMerges q88
     * pairs (ranked cnt DESC, pair ASC) become the merge rules, applied
     * in rank order. Small and fixed — the merge table is a bounded
@@ -368,6 +397,47 @@ object TextOps {
                CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) > 0
                  AS rewritten
              FROM flagged
+             GROUP BY doc_id
+             ORDER BY doc_id""")),
+
+    // ---- repeated-span report: the exact-substring dedup signal
+    //      (Lee et al. 2022 "Deduplicating Training Data Makes Language
+    //      Models Better") at fixed 16-word granularity — every sliding
+    //      16-word window is md5-keyed, and a window whose key occurs in
+    //      ANY other (doc, pos) slot is a repeated span. Per document:
+    //      window count, repeated-window count, repeated fraction — the
+    //      read-out that decides which documents a substring-level
+    //      rewrite would touch. Scale shape: one explode (stride 1 —
+    //      rows ≈ corpus tokens), the shuffle carries (doc_id, pos,
+    //      32-byte key) only, occurrence counting is one count window
+    //      over the key, per-doc rollup is map-side combinable. Unlike
+    //      q32/q33 there is NO self-join — a span shared by a million
+    //      docs costs a million-row count group, never a quadratic pair
+    //      set. ----
+    "q99_repeated_spans" -> QueryDef(
+      (s, dir) => repeatedSpansReport(Tables.load(s, dir, "documents")),
+      Some(s"""WITH wds AS (
+               SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
+               FROM documents),
+             sp AS (
+               SELECT doc_id,
+                 unnest(generate_series(0, len(ws) - $SpanWords)) AS pos, ws
+               FROM wds WHERE len(ws) >= $SpanWords),
+             keyed AS (
+               SELECT doc_id, pos,
+                 md5(array_to_string(
+                   ws[pos + 1 : pos + $SpanWords], ' ')) AS wkey
+               FROM sp),
+             occs AS (
+               SELECT doc_id, count(*) OVER (PARTITION BY wkey) AS occ
+               FROM keyed)
+             SELECT doc_id,
+               count(*) AS n_windows,
+               CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_repeated,
+               round(CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 * 1.0 / count(*), 4) AS repeat_frac
+             FROM occs
              GROUP BY doc_id
              ORDER BY doc_id""")),
 

@@ -159,14 +159,16 @@ class PlanGateSpec extends AnyFunSuite {
     *   - q92: embeds q32's jaccardPairs (the one-row doc-count scalar);
     *   - q94: embeds q85's centroid assignment (the K-row build side);
     *   - q97: the 16 PERSISTED centroids replicated to probe the query
-    *     set (q43's shape read back from parquet).
+    *     set (q43's shape read back from parquet);
+    *   - q98: the same persisted-centroid relation replicated twice —
+    *     once to assign the delta batch, once to probe the queries.
     * Everything else must ride hash/sort-merge equi-joins. */
   private val bnljAllowed = Set("q32_dedup_ngram_jaccard", "q35_cosine_topk",
     "q43_ivf_ann_topk", "q51_tfidf_top_terms", "q63_conversion",
     "q70_kmedians_clusters", "q79_label_affinity", "q82_lsh_cap_report",
     "q85_semantic_dedup", "q87_mixture_weights", "q89_unigram_surprisal",
     "q90_curation_ledger", "q92_split_leakage", "q94_cluster_balanced_sample",
-    "q97_ivf_index_topk")
+    "q97_ivf_index_topk", "q98_ivf_incremental_topk")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -571,6 +571,30 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(out(3L) == ((2L, 2L, true)))
   }
 
+  test("q99: planted repeated spans are counted per document, including same-doc repeats") {
+    import spark.implicits._
+    val shared = (0 until 16).map(i => s"s$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      // A and B share the 16-word block once each: windows overlapping
+      // the block boundary differ, so exactly ONE window repeats
+      (1L, s"${uniq("a", 15)} $shared"),
+      (2L, s"$shared ${uniq("b", 15)}"),
+      // C is fully unique → zero repeated windows
+      (3L, uniq("c", 31)),
+      // D contains the block TWICE (same doc): windows at pos 0 and 16
+      // are identical → both count as repeated
+      (4L, s"$shared $shared")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.repeatedSpansReport(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_repeated")))).toMap
+    assert(out(1L) == ((16L, 1L)))
+    assert(out(2L) == ((16L, 1L)))
+    assert(out(3L) == ((16L, 0L)))
+    assert(out(4L) == ((17L, 2L)))
+  }
+
   test("q96: cross-document paragraph copies and near-copies pair up with correct (doc, para) coordinates") {
     import spark.implicits._
     val pc = graft.ops.TextOps.ParaCap
@@ -767,6 +791,25 @@ class SimilaritySpec extends AnyFunSuite {
       // a second run reuses the index (no rebuild): same answer again
       assert(SparkEntry.queries("q97_ivf_index_topk")(spark, sf)
         .collect().toSeq == inline)
+    } finally spark.conf.unset("spark.graft.ivfIndexDir")
+  }
+
+  test("q98 incremental ingest: the delta is appended without touching persisted base lists") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString
+    spark.conf.set("spark.graft.ivfIndexDir", dir)
+    try {
+      val rows = SparkEntry.queries("q98_ivf_incremental_topk")(spark, sf)
+        .collect().toSeq
+      assert(rows.length == 30) // 10 queries × top-3
+      // the on-disk base index holds ONLY base vectors (vec_id % 5 ≠ 4):
+      // the append assigned the delta in memory and never rewrote the
+      // persisted inverted lists
+      val idxIds = spark.read.parquet(s"${dir}_base/cells.parquet")
+        .select("vec_id").collect().map(_.getLong(0))
+      assert(idxIds.nonEmpty && idxIds.forall(_ % 5 != 4))
+      // a second run reuses the persisted base index and agrees exactly
+      assert(SparkEntry.queries("q98_ivf_incremental_topk")(spark, sf)
+        .collect().toSeq == rows)
     } finally spark.conf.unset("spark.graft.ivfIndexDir")
   }
 
