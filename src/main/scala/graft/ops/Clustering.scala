@@ -50,9 +50,22 @@ object Clustering {
     * Past MaxCentroids·TargetClusterSize vectors (~256 k) clusters grow
     * beyond target size again; that overflow is what
     * [[MaxClusterMembers]] bounds (and q82's `semantic_cluster` row
-    * measures). At true corpus scale the next step is hierarchical
-    * (coarse-then-fine) assignment — same math, two broadcast levels. */
+    * measures). */
   val MaxCentroids = 4096
+
+  /** Above this K the assignment goes HIERARCHICAL (coarse-then-fine):
+    * a flat scan against K centroids is O(N·K) dot products — at
+    * K = 4096 that is 4096 broadcast comparisons per vector, the
+    * single-level wall. Two levels cost O(N·K/64) coarse + O(N·64)
+    * fine comparisons instead; 64 also keeps the per-vector fine
+    * candidate set one window wide. Below the threshold (every test
+    * SF: K = 8 at sf0.01, 32 at sf0.1) the flat path runs and the
+    * DuckDB oracles replay it verbatim; the hierarchical path is
+    * pinned by a brute-force spec on a synthetic 6k-vector corpus. */
+  val TwoLevelThreshold = 64
+
+  /** Fine seeds per coarse cluster on the hierarchical path. */
+  val FinePerCoarse = 64
 
   /** Hard per-cluster participation cap for the q85 within-cluster pair
     * join: only the MaxClusterMembers smallest vec_ids of each cluster
@@ -192,7 +205,9 @@ object Clustering {
     * the seeds are the K SMALLEST vec_ids (TakeOrderedAndProject — a
     * distributed top-k, no global sort; also means an id-offset corpus
     * gets real centroids instead of an empty seed set, which `vec_id <
-    * K` silently produced). Returns (vec_id, de, nrm, cluster_id),
+    * K` silently produced). Above [[TwoLevelThreshold]] the assignment
+    * goes hierarchical ([[twoLevelAssign]]): per-vector work drops from
+    * k to k/64 + 64 comparisons. Returns (vec_id, de, nrm, cluster_id),
     * persisted: callers feed it to multiple consumers, and without the
     * persist the centroid BNLJ + assignment window run once per
     * consumer (visible as duplicated BroadcastNestedLoopJoin subtrees
@@ -206,6 +221,16 @@ object Clustering {
       .select(col("vec_id"), col("de"), col("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = clusterCount(n.count())
+    val assigned =
+      if (k <= TwoLevelThreshold) flatAssign(n, k)
+      else twoLevelAssign(n, k)
+    assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Flat assignment: every vector scored against all `k` broadcast
+    * seed centroids (the K smallest vec_ids) — O(N·k), fine while k is
+    * small; the oracle path. */
+  private def flatAssign(n: DataFrame, k: Int): DataFrame = {
     val cents = n.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("de").as("cde"),
         col("nrm").as("cnrm"))
@@ -216,7 +241,42 @@ object Clustering {
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("de"), col("nrm"), col("cid").as("cluster_id"))
+  }
+
+  /** Hierarchical assignment for large K: (1) assign every vector to
+    * one of ceil(k/[[FinePerCoarse]]) COARSE seeds (broadcast, O(N·k/64));
+    * (2) within each coarse cluster the [[FinePerCoarse]] smallest
+    * member ids become FINE seeds, and members re-assign among their
+    * OWN coarse cluster's fine seeds — an equi-join on `coarse_id`
+    * (hash join, ≤64-row fan-out per vector, O(N·64)), never a second
+    * full broadcast scan. cluster_id = fine seed vec_id; every rank and
+    * argmax tie-breaks by id, so the whole path is deterministic and
+    * the brute-force spec replays it bitwise. */
+  private def twoLevelAssign(n: DataFrame, k: Int): DataFrame = {
+    val k1 = (k + FinePerCoarse - 1) / FinePerCoarse
+    val coarse = n.orderBy(col("vec_id")).limit(k1)
+      .select(col("vec_id").as("ccid"), col("de").as("cde"),
+        col("nrm").as("cnrm"))
+    val wCoarse = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("ccid"))
+    val atCoarse = n.join(broadcast(coarse))
+      .withColumn("ccos", expr("graft_dot(de, cde)") / (col("nrm") * col("cnrm")))
+      .withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("de"), col("nrm"), col("ccid").as("coarse_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wSeed = Window.partitionBy(col("coarse_id")).orderBy(col("vec_id"))
+    val fine = atCoarse.withColumn("srank", row_number().over(wSeed))
+      .filter(col("srank") <= FinePerCoarse)
+      .select(col("coarse_id"), col("vec_id").as("cid"),
+        col("de").as("fde"), col("nrm").as("fnrm"))
+    val wFine = Window.partitionBy(col("vec_id"))
+      .orderBy(col("fcos").desc, col("cid"))
+    atCoarse.join(broadcast(fine), "coarse_id")
+      .withColumn("fcos", expr("graft_dot(de, fde)") / (col("nrm") * col("fnrm")))
+      .withColumn("frank", row_number().over(wFine))
+      .filter(col("frank") === 1)
+      .select(col("vec_id"), col("de"), col("nrm"), col("cid").as("cluster_id"))
   }
 
   /** Per-cluster (cnt, hot, drop_cnt) under the [[MaxClusterMembers]]

@@ -1282,6 +1282,45 @@ class SemanticDedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hierarchical assignment (K > 64) equals a bitwise brute-force two-level mirror") {
+    import graft.ops.Clustering
+    import spark.implicits._
+    // 6000 vectors → K = ceil(6000/64) = 94 > TwoLevelThreshold → the
+    // coarse-then-fine path runs (k1 = 2 coarse seeds, ≤64 fine seeds
+    // per coarse cluster); the mirror replays the identical IEEE folds
+    // and id tie-breaks, so assignments must match EXACTLY
+    val rnd = new scala.util.Random(41)
+    val docs = (0 until 6000).map { i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f))
+    }
+    val k = Clustering.clusterCount(docs.size.toLong)
+    assert(k > Clustering.TwoLevelThreshold)
+    val k1 = (k + Clustering.FinePerCoarse - 1) / Clustering.FinePerCoarse
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val byId = docs.toMap
+    val nrm = docs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    def argmax(id: Long, seeds: Seq[Long]): Long =
+      seeds.map(c => (dot(byId(id), byId(c)) / (nrm(id) * nrm(c)), c))
+        .maxBy { case (cos, c) => (cos, -c) }._2
+    val coarseSeeds = docs.map(_._1).sorted.take(k1)
+    val atCoarse = docs.map(_._1).map(id => id -> argmax(id, coarseSeeds)).toMap
+    val fineSeeds = atCoarse.toSeq.groupBy(_._2).map { case (cc, m) =>
+      cc -> m.map(_._1).sorted.take(Clustering.FinePerCoarse)
+    }
+    val expected = docs.map(_._1)
+      .map(id => id -> argmax(id, fineSeeds(atCoarse(id)))).toMap
+    val got = Clustering.assignClusters(docs.toDF("vec_id", "embedding"))
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.values.toSet.size > Clustering.TwoLevelThreshold,
+      "a 6000-vector corpus must actually spread over many fine clusters")
+  }
+
   test("K scales with the corpus and an oversized cluster's join work is capped with a visible drop count") {
     import graft.ops.Clustering
     import spark.implicits._
