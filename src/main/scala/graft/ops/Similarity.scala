@@ -222,13 +222,17 @@ object Similarity {
 
   /** Where q97 finds (or builds) the persisted index for a given data
     * dir: the `spark.graft.ivfIndexDir` session conf when set, else a
-    * deterministic temp-dir cache keyed by the data dir's md5 (an
-    * explicit `graft.BuildIndex` run is the production path; the
-    * on-demand build keeps the query self-contained). */
+    * deterministic temp-dir cache keyed by the data dir PLUS the
+    * embeddings file's length and mtime — so a rewritten corpus gets a
+    * fresh index instead of silently serving a stale one (an explicit
+    * `graft.BuildIndex` run is the production path; the on-demand build
+    * keeps the query self-contained). */
   private def ivfIndexDirFor(s: SparkSession, dir: String): String =
     s.conf.getOption("spark.graft.ivfIndexDir").filter(_.nonEmpty).getOrElse {
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val key = s"$dir#${src.length}#${src.lastModified}"
       val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
       s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$h"
     }
 
