@@ -139,6 +139,31 @@ object Dedup {
   private[graft] def minhashBands(docsText: DataFrame): DataFrame =
     minhashSigs(docsText).selectExpr("doc_id", minhashStack)
 
+  /** Per-ROW MinHash band rows — the SAME (doc_id, band_idx, band_val)
+    * values as [[minhashBands]], but computed entirely with expressions
+    * (`array_min` over the in-row shingle transform) instead of
+    * explode + groupBy. min over a set is insensitive to how the set is
+    * traversed, so the two formulations agree exactly (spec-pinned).
+    * The point of the per-row form: a STREAMING frame can band its
+    * documents without a stateful aggregation — each arriving doc is
+    * one row in, four band rows out ([[graft.streaming.EventStreams
+    * .streamingMinhashCandidates]]). */
+  def rowMinhashBands(docsText: DataFrame): DataFrame = {
+    val sigCols = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
+      expr(s"array_min(transform(g, x -> (x * $a + $b) % ${P}L))").as(s"m$j")
+    }
+    docsText
+      .withColumn("words", split(lower(col("text")), " +"))
+      .filter(size(col("words")) >= 3)
+      .withColumn("g", expr(
+        s"""transform(array_distinct(transform(
+              sequence(0, size(words) - 3),
+              i -> concat_ws(' ', slice(words, i + 1, 3)))),
+            s -> ${hashExprSpark("s")} % ${P}L)"""))
+      .select(col("doc_id") +: sigCols: _*)
+      .selectExpr("doc_id", minhashStack)
+  }
+
   /** MinHash → 4-band LSH candidate pairs over a (doc_id, text) frame
     * (the full q33 pipeline, exposed for spec-level stress tests). */
   def lshCandidatePairs(docsText: DataFrame): DataFrame = {

@@ -172,6 +172,51 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  final case class CandPair(da: Long, db: Long)
+
+  /** Streaming MinHash near-dup candidates — the unbounded companion of
+    * q33. Each arriving document is banded PER ROW (expression-only
+    * signatures, [[graft.ops.Dedup.rowMinhashBands]] — bitwise identical
+    * to the batch bands, no stateful aggregation needed), and state per
+    * (band_idx, band_val) key holds the band's ANCHOR: the first doc_id
+    * that produced the band, plus a seen-count. A newcomer colliding
+    * with an existing anchor emits the candidate pair (anchor, newcomer)
+    * — at most 4 pairs per arriving doc, every one of them a batch
+    * band-collision pair (subset semantics, spec-pinned).
+    *
+    * Two deliberate deviations from the batch operator, both the
+    * keep-first streaming semantic: (1) pairs are anchor-to-newcomer
+    * stars, not all-pairs within a band — sufficient for dedup, where a
+    * newcomer only needs ONE earlier witness to be flagged; (2) the
+    * [[graft.ops.Dedup.HotBandCap]] analog cannot retract already-
+    * emitted pairs, so a band that crosses the cap simply STOPS
+    * emitting (the batch path drops the band wholesale). State is one
+    * (long, long) per distinct band value — the RocksDB provider config
+    * below applies at corpus scale exactly as for [[streamingDedup]]. */
+  def streamingMinhashCandidates(spark: SparkSession, docs: DataFrame,
+      cap: Int = graft.ops.Dedup.HotBandCap): Dataset[CandPair] = {
+    import spark.implicits._
+    graft.ops.Dedup.rowMinhashBands(docs)
+      .as[(Long, Int, String)]
+      .groupByKey { case (_, bi, bv) => (bi, bv) }
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), batch: Iterator[(Long, Int, String)],
+            state: GroupState[(Long, Long)]) =>
+          // sorted so the within-batch anchor choice (min doc_id) is
+          // deterministic regardless of partitioning
+          val arrivals = batch.map(_._1).toArray.sorted
+          if (arrivals.isEmpty) Iterator.empty
+          else {
+            val (anchor, seen) = state.getOption.getOrElse((arrivals.head, 0L))
+            state.update((anchor, seen + arrivals.length))
+            if (seen > cap) Iterator.empty
+            else arrivals.iterator.filter(_ != anchor)
+              .take(math.max((cap - seen).toInt, 0))
+              .map(d => CandPair(math.min(anchor, d), math.max(anchor, d)))
+          }
+      }
+  }
+
   /** State-store configuration for running [[streamingDedup]] against a
     * corpus-scale stream. The state is deliberately tiny per key (one
     * boolean per content md5) but the KEY COUNT is the corpus

@@ -18,6 +18,51 @@ class StreamingSpec extends AnyFunSuite {
   private def ts(minute: Int) =
     Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
 
+  test("streaming minhash candidates: newcomers pair with their band's first arrival across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val textA = (0 until 30).map(i => s"w$i").mkString(" ")
+    val textX = (0 until 30).map(i => s"x$i").mkString(" ")
+    val input = MemoryStream[EventStreams.Doc]
+    val q = EventStreams
+      .streamingMinhashCandidates(spark, input.toDF())
+      .writeStream.format("memory").queryName("mh_cands")
+      .outputMode("append").start()
+    try {
+      // batch 1: doc 3 and doc 7 identical → all 4 bands collide; doc 5
+      // is unrelated → no pair
+      input.addData(EventStreams.Doc(3L, textA), EventStreams.Doc(7L, textA),
+        EventStreams.Doc(5L, textX))
+      q.processAllAvailable()
+      val b1 = spark.table("mh_cands").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(b1 == Set((3L, 7L)))
+      // batch 2: doc 9 repeats the content → pairs with the ANCHOR (3),
+      // not with 7 (keep-first witness semantics)
+      input.addData(EventStreams.Doc(9L, textA))
+      q.processAllAvailable()
+      val b2 = spark.table("mh_cands").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(b2 == Set((3L, 7L), (3L, 9L)))
+      // every streaming pair is a batch band-collision candidate
+      val batchPairs = graft.ops.Dedup.lshCandidatePairs(
+        Seq((3L, textA), (7L, textA), (5L, textX), (9L, textA))
+          .toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(b2.subsetOf(batchPairs))
+    } finally q.stop()
+  }
+
+  test("per-row minhash bands equal the explode+groupBy batch bands") {
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val a = graft.ops.Dedup.rowMinhashBands(docs)
+      .orderBy("doc_id", "band_idx").collect().toSeq
+    val b = graft.ops.Dedup.minhashBands(docs)
+      .orderBy("doc_id", "band_idx").collect().toSeq
+    assert(a == b)
+  }
+
   test("hourly tumbling window aggregates arrive via append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
