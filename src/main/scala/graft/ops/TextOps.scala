@@ -75,6 +75,12 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Merge rounds for q100's BPE TRAINER — true iterative training
+    * (argmax pair → apply merge → RECOUNT), unlike q95 which applies a
+    * static table. Small and fixed so both engines replay the identical
+    * deterministic iterations. */
+  val TrainMerges = 4
+
   /** Merge-table size for q95's BPE application: the top-BpeMerges q88
     * pairs (ranked cnt DESC, pair ASC) become the merge rules, applied
     * in rank order. Small and fixed — the merge table is a bounded
@@ -440,6 +446,119 @@ object TextOps {
              FROM occs
              GROUP BY doc_id
              ORDER BY doc_id""")),
+
+    // ---- BPE TRAINER: [[TrainMerges]] true training iterations — count
+    //      weighted ADJACENT-TOKEN pairs over the current tokenization,
+    //      take the argmax (cnt DESC, then token pair — deterministic),
+    //      apply it as a greedy fold, RECOUNT. Each round sees the
+    //      previous round's merged tokens, so (unlike q95's static
+    //      table) later merges can contain earlier ones — real BPE.
+    //      Scale shape: all counting runs over the VOCABULARY weighted
+    //      by word frequency (pair counts over instances ≡ wcnt-weighted
+    //      counts over distinct words), each round is one vocab-sized
+    //      aggregation plus a 1-row argmax collect — bounded driver
+    //      state, the tokenizer artifact itself. The oracle replays the
+    //      identical rounds as a CTE chain, each round's 1-row argmax
+    //      CROSS JOINed into the next round's fold. ----
+    "q100_bpe_train" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+        val vocab = Tables.load(s, dir, "documents")
+          .select(explode(split(lower(col("text")), " +")).as("word"))
+          .filter(length(col("word")) >= 1)
+          .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val chars =
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        var tokExpr = chars
+        val merges = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, String, String, String, Long)]
+        var r = 1
+        var exhausted = false
+        while (r <= TrainMerges && !exhausted) {
+          val top = vocab.withColumn("toks", expr(tokExpr))
+            .filter(size(col("toks")) >= 2)
+            .select(col("wcnt"), explode(expr(
+              """transform(sequence(1, size(toks) - 1),
+                   i -> struct(element_at(toks, i) AS ta,
+                               element_at(toks, i + 1) AS tb))"""))
+              .as("p"))
+            .groupBy(col("p.ta"), col("p.tb"))
+            .agg(sum(col("wcnt")).as("cnt"))
+            .orderBy(col("cnt").desc, col("ta"), col("tb"))
+            .limit(1).collect()
+          if (top.isEmpty) exhausted = true
+          else {
+            val (ta, tb, cnt) =
+              (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+            val m = ta + tb
+            merges += ((r, ta, tb, m, cnt))
+            tokExpr =
+              s"""aggregate($tokExpr, cast(array() as array<string>),
+                    (acc, t) -> case
+                      when size(acc) = 0 then array(t)
+                      when element_at(acc, -1) = '${esc(ta)}' and t = '${esc(tb)}'
+                        then concat(slice(acc, 1, size(acc) - 1),
+                                    array('${esc(m)}'))
+                      else concat(acc, array(t)) end)"""
+            r += 1
+          }
+        }
+        vocab.unpersist()
+        merges.toSeq
+          .toDF("rank", "token_a", "token_b", "merged", "pair_count")
+          .orderBy(col("rank"))
+      },
+      Some {
+        val fold = (toks: String, src: String) =>
+          s"""list_reduce(
+                list_prepend(CAST([] AS VARCHAR[]),
+                  list_transform($toks, t -> [t])),
+                (acc, x) -> CASE
+                  WHEN len(acc) = 0 THEN x
+                  WHEN acc[-1] = $src.ta AND x[1] = $src.tb
+                    THEN list_append(acc[1:len(acc) - 1], $src.m)
+                  ELSE list_append(acc, x[1]) END)"""
+        def pairsCte(tSrc: String, p: String) =
+          s"""$p AS (
+               SELECT z[1] AS ta, z[2] AS tb,
+                 CAST(sum(wcnt) AS BIGINT) AS cnt
+               FROM (
+                 SELECT wcnt,
+                   unnest(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)])) AS z
+                 FROM $tSrc WHERE len(toks) >= 2)
+               GROUP BY 1, 2)"""
+        def argmaxCte(p: String, m: String) =
+          s"""$m AS (SELECT ta, tb, ta || tb AS m, cnt FROM $p
+                     ORDER BY cnt DESC, ta, tb LIMIT 1)"""
+        def applyCte(tPrev: String, m: String, tNext: String) =
+          s"""$tNext AS (
+               SELECT word, wcnt, ${fold("toks", m)} AS toks
+               FROM $tPrev CROSS JOIN $m)"""
+        val rounds = (1 to TrainMerges).map { i =>
+          val apply =
+            if (i < TrainMerges) "," + applyCte(s"t${i - 1}", s"m$i", s"t$i")
+            else ""
+          s"${pairsCte(s"t${i - 1}", s"p$i")},\n${argmaxCte(s"p$i", s"m$i")}$apply"
+        }.mkString(",\n")
+        val sel = (1 to TrainMerges)
+          .map(i => s"SELECT $i AS rank, ta AS token_a, tb AS token_b, m AS merged, cnt AS pair_count FROM m$i")
+          .mkString(" UNION ALL ")
+        s"""WITH w AS (
+             SELECT unnest(string_split_regex(lower(text), ' +')) AS word
+             FROM documents),
+           v AS (SELECT word, count(*) AS wcnt FROM w
+                 WHERE length(word) >= 1 GROUP BY word),
+           t0 AS (
+             SELECT word, wcnt,
+               list_transform(generate_series(1, length(word)),
+                 i -> substr(word, i, 1)) AS toks
+             FROM v),
+           $rounds
+           $sel
+           ORDER BY rank"""
+      }),
 
     // ---- near-dup pairs by 3-gram Jaccard ≥ 0.8 (inverted-index join on
     //      the HASHED shingle with the hot-shingle cutoff; the oracle

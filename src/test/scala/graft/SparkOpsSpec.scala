@@ -1012,6 +1012,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q100 bpe train: iterative merges contain earlier merges; training stops when no pairs remain") {
+    // a corpus the STATIC q88/q95 table cannot produce: after merge 1
+    // ("a","a")→"aa" the only adjacent pair is ("aa","aa") — a pair of
+    // MERGED tokens, provable only by recounting between rounds. Two
+    // rounds exhaust every pair, so the trainer stops early at 2 rows.
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    import spark.implicits._
+    (1L to 10L).map(i => (i, "aaaa")).toDF("doc_id", "text")
+      .withColumn("source", lit("s")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$docsDir/documents.parquet")
+    val rows = SparkEntry.queries("q100_bpe_train")(spark, docsDir).collect()
+    assert(rows.length == 2)
+    assert((rows(0).getAs[String]("token_a"), rows(0).getAs[String]("token_b"),
+      rows(0).getAs[String]("merged"), rows(0).getAs[Long]("pair_count")) ==
+      (("a", "a", "aa", 30L)))
+    assert((rows(1).getAs[String]("token_a"), rows(1).getAs[String]("token_b"),
+      rows(1).getAs[String]("merged"), rows(1).getAs[Long]("pair_count")) ==
+      (("aa", "aa", "aaaa", 10L)))
+  }
+
   test("q95 bpe encode: equals a pure-Scala greedy merge application; merges strictly compress") {
     val docs = Tables.load(spark, sf, "documents")
       .select("doc_id", "text").collect()
