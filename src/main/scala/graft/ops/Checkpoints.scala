@@ -36,10 +36,8 @@ object Checkpoints {
     * observed on the plan ([[org.apache.spark.sql.Observation]]) are final
     * when this returns. */
   def stabilize[T](ds: Dataset[T]): Dataset[T] = reliableDir(ds) match {
-    case Some(dir) =>
-      ensureDir(ds, dir)
-      ds.checkpoint(eager = true)
-    case None => ds.localCheckpoint(eager = true)
+    case Some(dir) => reliably(ds, dir)
+    case None      => ds.localCheckpoint(eager = true)
   }
 
   /** Pin `ds`'s computed partitions for reuse by later passes: reliable
@@ -49,15 +47,37 @@ object Checkpoints {
     * opens if an executor dies — the hazard the knob closes). Checkpoint
     * preserves partitioning, which is the property both callers need. */
   def pin[T](ds: Dataset[T]): Dataset[T] = reliableDir(ds) match {
-    case Some(dir) =>
-      ensureDir(ds, dir)
-      ds.checkpoint(eager = true)
+    case Some(dir) => reliably(ds, dir)
     case None =>
       ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Reliable checkpoint without double execution: an unpersisted plan
+    * would run twice (once for the eager materialization, once for the
+    * checkpoint write — the classic RDD-checkpoint recompute), so the
+    * frame is persisted for the duration of the write and released after.
+    * Spark retains reliable checkpoint files for the session; enable
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` to reap ones
+    * whose datasets are garbage-collected. */
+  private def reliably[T](ds: Dataset[T], dir: String): Dataset[T] = {
+    ensureDir(ds, dir)
+    val p = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = p.checkpoint(eager = true)
+    p.unpersist()
+    out
+  }
+
+  /** `SparkContext.setCheckpointDir` stores an fs-QUALIFIED path (e.g.
+    * `file:/dir/<uuid>`) and mints a fresh UUID subdirectory on every
+    * call, so comparing it against the raw knob value would re-set the
+    * dir (and create a new UUID dir) on every round. The applied knob
+    * value is tracked here instead — one setCheckpointDir per knob value
+    * per JVM. */
+  private val applied = new java.util.concurrent.atomic.AtomicReference[String]()
+
   private def ensureDir(ds: Dataset[_], dir: String): Unit = {
     val sc = ds.sparkSession.sparkContext
-    if (!sc.getCheckpointDir.exists(_.startsWith(dir))) sc.setCheckpointDir(dir)
+    if (applied.getAndSet(dir) != dir || sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(dir)
   }
 }

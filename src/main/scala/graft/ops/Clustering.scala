@@ -320,16 +320,23 @@ object Clustering {
   /** DuckDB CTE chain mirroring [[semanticDedup]] up to the thresholded
     * within-cluster near-dup pairs (`hits`: cluster_id, va, vb, cos) —
     * shared by the q85 oracle and the q90 curation-ledger oracle so the
-    * semantic-dedup definition exists once per engine. */
+    * semantic-dedup definition exists once per engine. BOTH assignment
+    * regimes are replayed — `fasg` (flat) and `hasg` (hierarchical,
+    * mirroring [[twoLevelAssign]]) — and `asg` selects by the same
+    * derived-K threshold the Spark side switches on, so the oracle
+    * stays exact at ANY corpus size, not just below the threshold
+    * (validated against a bitwise brute-force mirror at 6k vectors;
+    * the unselected branch's constant-false predicate costs nothing at
+    * oracle scales). */
   private[ops] def semanticDedupDuckCtes: String =
     s"""n AS (
                SELECT vec_id, embedding,
                  sqrt(${dotDuck("embedding", "embedding")}) AS nrm
                FROM embeddings),
              kv AS (
-               SELECT least(greatest((count(*) + ${TargetClusterSize - 1})
-                 // $TargetClusterSize, $K), $MaxCentroids) AS k
-               FROM n),
+               SELECT k, (k + ${FinePerCoarse - 1}) // $FinePerCoarse AS k1
+               FROM (SELECT least(greatest((count(*) + ${TargetClusterSize - 1})
+                 // $TargetClusterSize, $K), $MaxCentroids) AS k FROM n)),
              c AS (SELECT vec_id AS cid, embedding AS cde, nrm AS cnrm
                    FROM (SELECT *, row_number() OVER (ORDER BY vec_id)
                            AS srank FROM n)
@@ -338,11 +345,41 @@ object Clustering {
                SELECT n.vec_id, n.embedding, n.nrm, c.cid,
                  ${dotDuck("n.embedding", "c.cde")} / (n.nrm * c.cnrm) AS ccos
                FROM n CROSS JOIN c),
-             asg AS (
+             fasg AS (
                SELECT vec_id, embedding, nrm, cid AS cluster_id FROM (
                  SELECT *, row_number() OVER (PARTITION BY vec_id
                    ORDER BY ccos DESC, cid) AS crank
                  FROM ap) WHERE crank = 1),
+             cc AS (SELECT vec_id AS ccid, embedding AS cde, nrm AS cnrm
+                    FROM (SELECT *, row_number() OVER (ORDER BY vec_id)
+                            AS srank FROM n)
+                    WHERE srank <= (SELECT k1 FROM kv)),
+             cga AS (
+               SELECT vec_id, embedding, nrm, ccid AS coarse_id FROM (
+                 SELECT n.vec_id, n.embedding, n.nrm, cc.ccid,
+                   row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                     ${dotDuck("n.embedding", "cc.cde")} / (n.nrm * cc.cnrm)
+                       DESC, cc.ccid) AS crank
+                 FROM n CROSS JOIN cc) WHERE crank = 1),
+             fs AS (
+               SELECT coarse_id, vec_id AS cid, embedding AS fde,
+                 nrm AS fnrm
+               FROM (SELECT *, row_number() OVER (PARTITION BY coarse_id
+                       ORDER BY vec_id) AS srank
+                     FROM cga) WHERE srank <= $FinePerCoarse),
+             hasg AS (
+               SELECT vec_id, embedding, nrm, cid AS cluster_id FROM (
+                 SELECT g.vec_id, g.embedding, g.nrm, f.cid,
+                   row_number() OVER (PARTITION BY g.vec_id ORDER BY
+                     ${dotDuck("g.embedding", "f.fde")} / (g.nrm * f.fnrm)
+                       DESC, f.cid) AS frank
+                 FROM cga g JOIN fs f USING (coarse_id)) WHERE frank = 1),
+             asg AS (
+               SELECT vec_id, embedding, nrm, cluster_id FROM fasg
+               WHERE (SELECT k FROM kv) <= $TwoLevelThreshold
+               UNION ALL
+               SELECT vec_id, embedding, nrm, cluster_id FROM hasg
+               WHERE (SELECT k FROM kv) > $TwoLevelThreshold),
              capped AS (
                SELECT * FROM (
                  SELECT *, row_number() OVER (PARTITION BY cluster_id

@@ -213,10 +213,14 @@ object Similarity {
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("de"), col("nrm"), col("cid").as("cell"))
-    cents.coalesce(1).write.mode("overwrite")
-      .parquet(s"$outDir/centroids.parquet")
+    // cells FIRST, centroids LAST: q97/q98 gate the "index exists" check
+    // on centroids.parquet, so a build killed mid-way leaves no
+    // completion marker and the next run rebuilds instead of trusting a
+    // half-written inverted file
     corpusCells.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$outDir/cells.parquet")
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/centroids.parquet")
     n.unpersist()
   }
 
@@ -229,21 +233,57 @@ object Similarity {
     * keeps the query self-contained). */
   private def ivfIndexDirFor(s: SparkSession, dir: String): String =
     s.conf.getOption("spark.graft.ivfIndexDir").filter(_.nonEmpty).getOrElse {
+      // embeddings.parquet may be a single file OR a Spark-written
+      // DIRECTORY whose own length/mtime are content-independent — the
+      // key folds in every entry's (name, length, mtime) so a rewritten
+      // part file changes the key
       val src = new java.io.File(s"$dir/embeddings.parquet")
-      val key = s"$dir#${src.length}#${src.lastModified}"
+      val entries =
+        if (src.isDirectory)
+          src.listFiles().filter(_.isFile).sortBy(_.getName)
+        else Array(src)
+      val key = dir + entries
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("#")
       val h = java.security.MessageDigest.getInstance("MD5")
         .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
       s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$h"
     }
 
-  /** Shared q43/q97 oracle: DuckDB replays the IVF math inline — for
-    * q97 this doubles as the proof that the PERSISTED index serves the
-    * same answers as the inline computation. */
-  private def ivfDuckSql: String =
+  /** Probe-and-serve tail shared by q97/q98: queries score against the
+    * (persisted) centroids, probe their 2 nearest cells, exact top-3
+    * within the probed cells' members. One definition per engine —
+    * the oracle counterpart is [[ivfDuckSql]]. */
+  private def ivfServe(cents: DataFrame, cells: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val probes = queries.join(broadcast(cents))
+      .withColumn("ccos", expr(dotExpr("qe", "cde")) / (col("qn") * col("cnrm")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= 2)
+      .select(col("query_id"), col("qe"), col("qn"), col("cid").as("cell"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(dotExpr("qe", "de")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Shared q43/q97/q98 oracle: DuckDB replays the IVF math inline —
+    * for q97/q98 this doubles as the proof that the PERSISTED (and
+    * incrementally appended) index serves the same answers as the
+    * inline computation. `centsWhere` selects the seed set (q98
+    * restricts it to the base corpus). */
+  private def ivfDuckSql(centsWhere: String = s"vec_id < $IvfCells"): String =
     s"""WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
                         FROM embeddings),
              cents AS (SELECT vec_id AS cid, embedding AS cde, nrm AS cnrm
-                       FROM n WHERE vec_id < $IvfCells),
+                       FROM n WHERE $centsWhere),
              assigned AS (
                SELECT n.vec_id, n.embedding, n.nrm, cents.cid,
                  row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -288,30 +328,13 @@ object Similarity {
         if (!new java.io.File(s"$idx/centroids.parquet").exists())
           writeIvfIndex(Tables.load(s, dir, "embeddings"), idx)
         graft.expr.VectorExpressions.register(s)
-        val cents = s.read.parquet(s"$idx/centroids.parquet")
-        val cells = s.read.parquet(s"$idx/cells.parquet")
         val queries = normed(s, dir).filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("de").as("qe"),
             col("nrm").as("qn"))
-        val wProbe = Window.partitionBy(col("query_id"))
-          .orderBy(col("ccos").desc, col("cid"))
-        val probes = queries.join(broadcast(cents))
-          .withColumn("ccos", expr(dotExpr("qe", "cde")) / (col("qn") * col("cnrm")))
-          .withColumn("crank", row_number().over(wProbe))
-          .filter(col("crank") <= 2)
-          .select(col("query_id"), col("qe"), col("qn"), col("cid").as("cell"))
-        val wTop = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        cells.join(broadcast(probes), Seq("cell"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("cos", expr(dotExpr("qe", "de")) / (col("qn") * col("nrm")))
-          .withColumn("rank", row_number().over(wTop))
-          .filter(col("rank") <= 3)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            col("rank"), round(col("cos"), 4).as("cos_sim"))
-          .orderBy(col("query_id"), col("rank"))
+        ivfServe(s.read.parquet(s"$idx/centroids.parquet"),
+          s.read.parquet(s"$idx/cells.parquet"), queries)
       },
-      Some(ivfDuckSql)),
+      Some(ivfDuckSql())),
 
     // ---- INCREMENTAL index ingest: the base corpus (vec_id % 5 ≠ 4) is
     //      indexed once on disk; the delta batch (vec_id % 5 = 4) is
@@ -346,54 +369,11 @@ object Similarity {
         val queries = normed(s, dir).filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("de").as("qe"),
             col("nrm").as("qn"))
-        val wProbe = Window.partitionBy(col("query_id"))
-          .orderBy(col("ccos").desc, col("cid"))
-        val probes = queries.join(broadcast(cents))
-          .withColumn("ccos", expr(dotExpr("qe", "cde")) / (col("qn") * col("cnrm")))
-          .withColumn("crank", row_number().over(wProbe))
-          .filter(col("crank") <= 2)
-          .select(col("query_id"), col("qe"), col("qn"), col("cid").as("cell"))
-        val wTop = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        cells.join(broadcast(probes), Seq("cell"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("cos", expr(dotExpr("qe", "de")) / (col("qn") * col("nrm")))
-          .withColumn("rank", row_number().over(wTop))
-          .filter(col("rank") <= 3)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            col("rank"), round(col("cos"), 4).as("cos_sim"))
-          .orderBy(col("query_id"), col("rank"))
+        ivfServe(cents, cells, queries)
       },
-      Some(s"""WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
-                        FROM embeddings),
-             cents AS (SELECT vec_id AS cid, embedding AS cde, nrm AS cnrm
-                       FROM n WHERE vec_id < $IvfCells AND vec_id % 5 <> 4),
-             assigned AS (
-               SELECT n.vec_id, n.embedding, n.nrm, cents.cid,
-                 row_number() OVER (PARTITION BY n.vec_id ORDER BY
-                   ${duckDot("n.embedding", "cents.cde")} / (n.nrm * cents.cnrm) DESC,
-                   cents.cid) AS crank
-               FROM n CROSS JOIN cents),
-             corpus_cells AS (
-               SELECT vec_id, embedding, nrm, cid AS cell
-               FROM assigned WHERE crank = 1),
-             query_probes AS (
-               SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cid AS cell
-               FROM assigned WHERE vec_id < 10 AND crank <= 2),
-             cands AS (
-               SELECT q.query_id, c.vec_id,
-                 ${duckDot("q.qe", "c.embedding")} / (q.qn * c.nrm) AS cos
-               FROM corpus_cells c JOIN query_probes q ON c.cell = q.cell
-               WHERE c.vec_id <> q.query_id),
-             ranked AS (
-               SELECT query_id, vec_id, cos,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY cos DESC, vec_id) AS rank
-               FROM cands)
-             SELECT query_id, vec_id AS neighbor_id, rank,
-               round(cos, 4) AS cos_sim
-             FROM ranked WHERE rank <= 3
-             ORDER BY query_id, rank""")),
+      // one IVF oracle per engine: q98 is ivfDuckSql with the seed set
+      // restricted to the base corpus
+      Some(ivfDuckSql(s"vec_id < $IvfCells AND vec_id % 5 <> 4"))),
 
     // ---- brute-force cosine top-3 for queries vec_id < 10 ----
     "q35_cosine_topk" -> QueryDef(
@@ -507,7 +487,7 @@ object Similarity {
           .orderBy(col("query_id"), col("rank"))
       },
       // one IVF definition per engine: q43 and q97 share [[ivfDuckSql]]
-      Some(ivfDuckSql)),
+      Some(ivfDuckSql())),
 
     // ---- embedding-cosine near-dup pairs, LSH candidate path ----
     //      Candidates from 32 sign-LSH bands of 16 bits (equi self-join on

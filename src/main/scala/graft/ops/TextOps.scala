@@ -315,7 +315,16 @@ object TextOps {
               sequence(0, cast(ceil(size(words) / $paraWords.0) as int) - 1),
               i -> concat_ws(' ', slice(words, i * $paraWords + 1, $paraWords)))"""))
         .as(Seq("para_idx", "ptext")))
-      .select((col("doc_id") * ParaCap + col("para_idx")).as("doc_id"),
+      // a document beyond ParaCap paragraphs would silently collide into
+      // the next doc_id's pid space — fail LOUDLY instead (raise_error is
+      // codegen'd and free on the valid path)
+      .select(expr(
+        s"""CASE WHEN para_idx < $ParaCap
+              THEN doc_id * ${ParaCap}L + para_idx
+              ELSE raise_error(concat('paragraphDocs: doc ',
+                cast(doc_id as string),
+                ' exceeds $ParaCap paragraphs — split the document first'))
+            END""").as("doc_id"),
         col("ptext").as("text"))
 
   /** Oracle mirror of [[paragraphDocs]]: a CTE named `name` yielding the

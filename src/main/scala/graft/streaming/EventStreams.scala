@@ -189,8 +189,11 @@ object EventStreams {
     * stars, not all-pairs within a band — sufficient for dedup, where a
     * newcomer only needs ONE earlier witness to be flagged; (2) the
     * [[graft.ops.Dedup.HotBandCap]] analog cannot retract already-
-    * emitted pairs, so a band that crosses the cap simply STOPS
-    * emitting (the batch path drops the band wholesale). State is one
+    * emitted pairs, so a band whose post-batch count crosses the cap
+    * emits NOTHING from that batch onward — a first-batch overflow
+    * therefore emits zero pairs, exactly like the batch path (which
+    * drops the band wholesale); only pairs emitted in earlier,
+    * under-cap batches survive. State is one
     * (long, long) per distinct band value — the RocksDB provider config
     * below applies at corpus scale exactly as for [[streamingDedup]]. */
   def streamingMinhashCandidates(spark: SparkSession, docs: DataFrame,
@@ -208,10 +211,15 @@ object EventStreams {
           if (arrivals.isEmpty) Iterator.empty
           else {
             val (anchor, seen) = state.getOption.getOrElse((arrivals.head, 0L))
-            state.update((anchor, seen + arrivals.length))
-            if (seen > cap) Iterator.empty
+            val newSeen = seen + arrivals.length
+            state.update((anchor, newSeen))
+            // hot the moment the POST-batch count crosses the cap: a
+            // band that overflows within its first batch emits nothing,
+            // matching the batch path (which drops it wholesale); pairs
+            // already emitted in EARLIER batches cannot be retracted —
+            // the documented streaming deviation
+            if (newSeen > cap) Iterator.empty
             else arrivals.iterator.filter(_ != anchor)
-              .take(math.max((cap - seen).toInt, 0))
               .map(d => CandPair(math.min(anchor, d), math.max(anchor, d)))
           }
       }

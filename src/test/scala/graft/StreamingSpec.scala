@@ -53,6 +53,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash: a band overflowing the cap in its FIRST batch emits nothing (batch-path parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val textA = (0 until 30).map(i => s"h$i").mkString(" ")
+    val input = MemoryStream[EventStreams.Doc]
+    val q = EventStreams
+      .streamingMinhashCandidates(spark, input.toDF(), cap = 10)
+      .writeStream.format("memory").queryName("mh_hot")
+      .outputMode("append").start()
+    try {
+      // 12 identical docs in one batch: post-batch count 12 > cap 10 →
+      // hot immediately, zero pairs — the batch path drops this band
+      // wholesale and the subset invariant must hold on this input too
+      input.addData((1L to 12L).map(i => EventStreams.Doc(i, textA)): _*)
+      q.processAllAvailable()
+      assert(spark.table("mh_hot").count() == 0L)
+      // and it stays silent in later batches
+      input.addData(EventStreams.Doc(99L, textA))
+      q.processAllAvailable()
+      assert(spark.table("mh_hot").count() == 0L)
+    } finally q.stop()
+  }
+
   test("per-row minhash bands equal the explode+groupBy batch bands") {
     import spark.implicits._
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
