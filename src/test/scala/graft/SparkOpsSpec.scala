@@ -571,6 +571,17 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(out(3L) == ((2L, 2L, true)))
   }
 
+  test("paragraphDocs fails loudly past ParaCap paragraphs instead of colliding pid spaces") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val nWords = TextOps.ParaWords * (TextOps.ParaCap.toInt + 1)
+    val docs = Seq((1L, Seq.fill(nWords)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] { TextOps.paragraphDocs(docs).collect() }
+    // the raise_error message survives Spark's exception wrapping
+    assert(e.getMessage != null)
+  }
+
   test("q99: planted repeated spans are counted per document, including same-doc repeats") {
     import spark.implicits._
     val shared = (0 until 16).map(i => s"s$i").mkString(" ")
