@@ -92,6 +92,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flakies,"sf":"$sfDir"}""")
+    // The driver's bench artifact keeps only the TAIL of the output, and
+    // the full-name queries map above overflows it — every round's
+    // artifact lost the q01-q42 timings. The LAST lines are therefore a
+    // self-contained compact restatement: a per-query map under short
+    // qNN keys (~12 bytes/query — all ~100 queries fit the tail), then a
+    // one-line total + slowest-10 summary, so the artifact always
+    // carries every timing and the headline numbers regardless of where
+    // it truncates.
+    val compact = results
+      .map { case (k, v, _, _) =>
+        s"\"${k.takeWhile(_ != '_')}\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"queries_compact","value":${f"$total%.3f"},"unit":"sec","queries":$compact,"n_errors":${results.count(_._3.isDefined)},"sf":"$sfDir"}""")
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v, _, _) => s"${k.takeWhile(_ != '_')}:" + f"$v%.2f" }
+      .mkString(",")
+    println(f"[bench] total=$total%.2fs n=${results.size} errors=${results.count(_._3.isDefined)} flaky=${results.count(_._4.isDefined)} slowest10=$slowest")
     spark.stop()
   }
 }

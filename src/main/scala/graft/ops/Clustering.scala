@@ -67,6 +67,18 @@ object Clustering {
   /** Fine seeds per coarse cluster on the hierarchical path. */
   val FinePerCoarse = 64
 
+  /** Threshold/fan-out overrides for q101, the DRIVER-GATED probe of the
+    * hierarchical path: with the production [[TwoLevelThreshold]] every
+    * shipped SF derives K ≤ 64 and the DuckDB gate only ever replays the
+    * flat branch — the hierarchical branch stayed spec-only trust. q101
+    * runs the SAME [[twoLevelAssign]] code with the switch lowered to 4
+    * and the fine fan-out lowered to 4, so at sf0.01 (K = 8) BOTH levels
+    * make non-trivial choices (2 coarse seeds, 4 fine seeds each) and
+    * the oracle's `hasg` branch — not `fasg` — is what the hash compare
+    * certifies. Production queries (q85/q90/q94) are untouched. */
+  val HierProbeThreshold = 4
+  val HierProbeFinePerCoarse = 4
+
   /** Hard per-cluster participation cap for the q85 within-cluster pair
     * join: only the MaxClusterMembers smallest vec_ids of each cluster
     * enter the self-join, so one degenerate cluster of size m costs
@@ -212,7 +224,9 @@ object Clustering {
     * persist the centroid BNLJ + assignment window run once per
     * consumer (visible as duplicated BroadcastNestedLoopJoin subtrees
     * in the physical plan). */
-  def assignClusters(emb: DataFrame): DataFrame = {
+  def assignClusters(emb: DataFrame,
+      twoLevelThreshold: Int = TwoLevelThreshold,
+      finePerCoarse: Int = FinePerCoarse): DataFrame = {
     val s = emb.sparkSession
     graft.expr.VectorExpressions.register(s)
     val n = emb.repartition(s.sparkContext.defaultParallelism)
@@ -222,8 +236,8 @@ object Clustering {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = clusterCount(n.count())
     val assigned =
-      if (k <= TwoLevelThreshold) flatAssign(n, k)
-      else twoLevelAssign(n, k)
+      if (k <= twoLevelThreshold) flatAssign(n, k)
+      else twoLevelAssign(n, k, finePerCoarse)
     assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -252,8 +266,9 @@ object Clustering {
     * full broadcast scan. cluster_id = fine seed vec_id; every rank and
     * argmax tie-breaks by id, so the whole path is deterministic and
     * the brute-force spec replays it bitwise. */
-  private def twoLevelAssign(n: DataFrame, k: Int): DataFrame = {
-    val k1 = (k + FinePerCoarse - 1) / FinePerCoarse
+  private def twoLevelAssign(n: DataFrame, k: Int,
+      finePerCoarse: Int = FinePerCoarse): DataFrame = {
+    val k1 = (k + finePerCoarse - 1) / finePerCoarse
     val coarse = n.orderBy(col("vec_id")).limit(k1)
       .select(col("vec_id").as("ccid"), col("de").as("cde"),
         col("nrm").as("cnrm"))
@@ -267,7 +282,7 @@ object Clustering {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wSeed = Window.partitionBy(col("coarse_id")).orderBy(col("vec_id"))
     val fine = atCoarse.withColumn("srank", row_number().over(wSeed))
-      .filter(col("srank") <= FinePerCoarse)
+      .filter(col("srank") <= finePerCoarse)
       .select(col("coarse_id"), col("vec_id").as("cid"),
         col("de").as("fde"), col("nrm").as("fnrm"))
     val wFine = Window.partitionBy(col("vec_id"))
@@ -292,13 +307,15 @@ object Clustering {
         when(col("cnt") > MaxClusterMembers, col("cnt") - MaxClusterMembers)
           .otherwise(lit(0L)).as("drop_cnt"))
 
-  def semanticDedup(emb: DataFrame, minCos: Double = SemDedupMinCos): DataFrame = {
+  def semanticDedup(emb: DataFrame, minCos: Double = SemDedupMinCos,
+      twoLevelThreshold: Int = TwoLevelThreshold,
+      finePerCoarse: Int = FinePerCoarse): DataFrame = {
     // only the MaxClusterMembers smallest vec_ids of each cluster enter
     // the self-join: a skewed cluster of size m costs min(m, cap)²/2
     // pairs, never m²/2 — what the cap excludes is measurable through
     // q82's semantic_cluster row (see [[clusterGroupCounts]])
     val wMem = Window.partitionBy(col("cluster_id")).orderBy(col("vec_id"))
-    val assigned = assignClusters(emb)
+    val assigned = assignClusters(emb, twoLevelThreshold, finePerCoarse)
       .withColumn("mrank", row_number().over(wMem))
       .filter(col("mrank") <= MaxClusterMembers)
     val a = assigned.select(col("cluster_id"), col("vec_id").as("va"),
@@ -328,13 +345,15 @@ object Clustering {
     * (validated against a bitwise brute-force mirror at 6k vectors;
     * the unselected branch's constant-false predicate costs nothing at
     * oracle scales). */
-  private[ops] def semanticDedupDuckCtes: String =
+  private[ops] def semanticDedupDuckCtes(
+      threshold: Int = TwoLevelThreshold,
+      fpc: Int = FinePerCoarse): String =
     s"""n AS (
                SELECT vec_id, embedding,
                  sqrt(${dotDuck("embedding", "embedding")}) AS nrm
                FROM embeddings),
              kv AS (
-               SELECT k, (k + ${FinePerCoarse - 1}) // $FinePerCoarse AS k1
+               SELECT k, (k + ${fpc - 1}) // $fpc AS k1
                FROM (SELECT least(greatest((count(*) + ${TargetClusterSize - 1})
                  // $TargetClusterSize, $K), $MaxCentroids) AS k FROM n)),
              c AS (SELECT vec_id AS cid, embedding AS cde, nrm AS cnrm
@@ -366,7 +385,7 @@ object Clustering {
                  nrm AS fnrm
                FROM (SELECT *, row_number() OVER (PARTITION BY coarse_id
                        ORDER BY vec_id) AS srank
-                     FROM cga) WHERE srank <= $FinePerCoarse),
+                     FROM cga) WHERE srank <= $fpc),
              hasg AS (
                SELECT vec_id, embedding, nrm, cid AS cluster_id FROM (
                  SELECT g.vec_id, g.embedding, g.nrm, f.cid,
@@ -376,10 +395,10 @@ object Clustering {
                  FROM cga g JOIN fs f USING (coarse_id)) WHERE frank = 1),
              asg AS (
                SELECT vec_id, embedding, nrm, cluster_id FROM fasg
-               WHERE (SELECT k FROM kv) <= $TwoLevelThreshold
+               WHERE (SELECT k FROM kv) <= $threshold
                UNION ALL
                SELECT vec_id, embedding, nrm, cluster_id FROM hasg
-               WHERE (SELECT k FROM kv) > $TwoLevelThreshold),
+               WHERE (SELECT k FROM kv) > $threshold),
              capped AS (
                SELECT * FROM (
                  SELECT *, row_number() OVER (PARTITION BY cluster_id
@@ -505,7 +524,29 @@ object Clustering {
     //      smallest near-dup id (see [[semanticDedup]]). ----
     "q85_semantic_dedup" -> QueryDef(
       (s, dir) => semanticDedup(Tables.load(s, dir, "embeddings")),
-      Some(s"""WITH $semanticDedupDuckCtes
+      Some(s"""WITH ${semanticDedupDuckCtes()}
+             SELECT cluster_id, vb AS dropped_id, va AS keeper_id,
+               round(cos, 4) AS cos_sim
+             FROM (SELECT *, row_number() OVER (PARTITION BY vb
+                     ORDER BY va) AS krank
+                   FROM hits)
+             WHERE krank = 1
+             ORDER BY cluster_id, dropped_id""")),
+
+    // ---- q101: the HIERARCHICAL assignment under the driver's gate.
+    //      Identical operator and oracle text to q85 — the only change
+    //      is the regime switch ([[HierProbeThreshold]] = 4, fine
+    //      fan-out 4), so the derived K = 8 at every SF crosses the
+    //      threshold and [[twoLevelAssign]] (Spark) / `hasg` (DuckDB)
+    //      are the branches the hash compare actually certifies: 2
+    //      coarse seeds, 4 fine seeds per coarse cluster, both levels
+    //      making real choices. ClusteringSpec additionally pins that
+    //      this query's plan contains the coarse assignment stage and
+    //      q85's does not. ----
+    "q101_semantic_dedup_hier" -> QueryDef(
+      (s, dir) => semanticDedup(Tables.load(s, dir, "embeddings"),
+        SemDedupMinCos, HierProbeThreshold, HierProbeFinePerCoarse),
+      Some(s"""WITH ${semanticDedupDuckCtes(HierProbeThreshold, HierProbeFinePerCoarse)}
              SELECT cluster_id, vb AS dropped_id, va AS keeper_id,
                round(cos, 4) AS cos_sim
              FROM (SELECT *, row_number() OVER (PARTITION BY vb
@@ -535,7 +576,7 @@ object Clustering {
           .filter(col("rk") <= ClusterQuota)
           .orderBy(col("cluster_id"), col("rk"))
       },
-      Some(s"""WITH $semanticDedupDuckCtes,
+      Some(s"""WITH ${semanticDedupDuckCtes()},
              ranked AS (
                SELECT cluster_id, vec_id,
                  row_number() OVER (PARTITION BY cluster_id

@@ -541,7 +541,7 @@ object Dedup {
            emb_bands0 AS (${Similarity.neardupBandDuckUnion}),
            ${TextOps.paragraphDocsDuckCte("pdocs")},
            ${duckCandPairsBody("pdocs", "p")},
-           ${Clustering.semanticDedupDuckCtes},
+           ${Clustering.semanticDedupDuckCtes()},
            cl_counts AS (SELECT count(*) AS cnt FROM asg
                          GROUP BY cluster_id),
            mh_counts AS (SELECT count(*) AS cnt FROM mh_bands0

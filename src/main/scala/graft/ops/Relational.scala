@@ -25,6 +25,17 @@ import graft.{QueryDef, Tables}
 object Relational {
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** Accuracy knob for q52's `percentile_approx`: the Greenwald-Khanna
+    * summary guarantees rank error ≤ n/accuracy, so any group with fewer
+    * than this many rows gets the EXACT inverted-CDF element (rank error
+    * < 1) — which is what lets the approximate operator sit under the
+    * DuckDB hash gate at every test SF (largest sf0.1 group ≈ 306k rows).
+    * Memory is O(accuracy·log(n)) per group sketch, map-side mergeable —
+    * at 100 TB group sizes exceed the window and answers carry the
+    * ε = 1e-6 rank guarantee instead; that graceful degradation is the
+    * operator's contract, not a bug. */
+  val ApproxQuantileAccuracy = 1000000
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- aggregation over a pruned, filtered scan (TPC-H Q1 shape) ----
@@ -410,6 +421,47 @@ object Relational {
              FROM orders
              GROUP BY o_orderpriority
              ORDER BY o_orderpriority""")),
+
+    // ---- APPROXIMATE quantiles: `percentile_approx` (Greenwald-Khanna
+    //      summaries, the sketch that MERGES MAP-SIDE — the
+    //      high-cardinality-group complement of q47's rank-based exact
+    //      path, and the one to reach for when groups no longer fit
+    //      [[Percentiles]]' bounded-metadata guard). Oracle-comparable
+    //      because the convention is pinned: with rank error ε·n < 1
+    //      (group size below [[ApproxQuantileAccuracy]]) the summary
+    //      retains every value exactly and Spark's query rank equals
+    //      DuckDB `quantile_disc`'s inverted-CDF element at rank
+    //      ceil(p·n) — verified on both engines across odd/even/tied
+    //      group sizes. On a BIGINT column both engines return the
+    //      ELEMENT, so no float grid is involved at all. Past the
+    //      accuracy bound (the 100 TB regime) the operator degrades
+    //      gracefully to its ε-rank guarantee — that is its job; the
+    //      exactness window is what makes it gateable here. ----
+    "q52_approx_quantiles" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            expr(s"""percentile_approx(cast(l_quantity as bigint),
+                       array(0.1D, 0.25D, 0.5D, 0.75D, 0.9D),
+                       $ApproxQuantileAccuracy)""").as("qs"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+            expr("element_at(qs, 1)").as("p10_qty"),
+            expr("element_at(qs, 2)").as("p25_qty"),
+            expr("element_at(qs, 3)").as("p50_qty"),
+            expr("element_at(qs, 4)").as("p75_qty"),
+            expr("element_at(qs, 5)").as("p90_qty"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               quantile_disc(CAST(l_quantity AS BIGINT), 0.1) AS p10_qty,
+               quantile_disc(CAST(l_quantity AS BIGINT), 0.25) AS p25_qty,
+               quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS p50_qty,
+               quantile_disc(CAST(l_quantity AS BIGINT), 0.75) AS p75_qty,
+               quantile_disc(CAST(l_quantity AS BIGINT), 0.9) AS p90_qty
+             FROM lineitem
+             GROUP BY l_returnflag, l_linestatus
+             ORDER BY l_returnflag, l_linestatus""")),
 
     // ---- approximate distinct (HLL sketch) — not DuckDB-comparable,
     //      driver records the weaker rows-only check ----

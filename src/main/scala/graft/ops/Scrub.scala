@@ -330,7 +330,7 @@ object Scrub {
             col("is_contaminated"), col("keep"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH ${Clustering.semanticDedupDuckCtes},
+      Some(s"""WITH ${Clustering.semanticDedupDuckCtes()},
              sem AS (SELECT DISTINCT vb AS doc_id FROM hits),
              ${TextOps.fourGramDuckCtes},
              ev AS (

@@ -78,8 +78,89 @@ object TextOps {
   /** Merge rounds for q100's BPE TRAINER — true iterative training
     * (argmax pair → apply merge → RECOUNT), unlike q95 which applies a
     * static table. Small and fixed so both engines replay the identical
-    * deterministic iterations. */
+    * deterministic iterations (the ORACLE unrolls one CTE pair per
+    * round, so the gated round count stays small; the Spark-side
+    * trainer itself is bounded by jobs, not expression depth — see
+    * [[trainBpe]] — and BpeTrainSpec runs it to 64 merges). */
   val TrainMerges = 4
+
+  private def escSq(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** ONE greedy left-to-right merge pass over a token-array column:
+    * every (ta, tb) adjacency collapses to `m`, left association (the
+    * fold consumes its own output, so "aaa" under a+a → [aa, a]). */
+  private def bpeMergeFoldExpr(src: String, ta: String, tb: String,
+      m: String): String =
+    s"""aggregate($src, cast(array() as array<string>),
+          (acc, t) -> case
+            when size(acc) = 0 then array(t)
+            when element_at(acc, -1) = '${escSq(ta)}' and t = '${escSq(tb)}'
+              then concat(slice(acc, 1, size(acc) - 1),
+                          array('${escSq(m)}'))
+            else concat(acc, array(t)) end)"""
+
+  /** True BPE training over a (word, wcnt) vocabulary: each round counts
+    * wcnt-weighted adjacent-token pairs over the CURRENT tokenization,
+    * takes the deterministic argmax (cnt DESC, then pair), applies the
+    * merge, and recounts — later merges can contain earlier ones.
+    *
+    * The tokenization is MATERIALIZED per round (eager `localCheckpoint`
+    * on the vocab-sized frame) instead of re-nesting the greedy fold
+    * expression once per round: the expression tree each round presents
+    * to analysis/codegen is ONE fold deep regardless of the merge
+    * budget, so a realistic 1k-32k-merge vocabulary is bounded by Spark
+    * JOBS (one vocab-sized aggregation + a 1-row argmax collect per
+    * round — inherent to BPE's sequential argmax), never by
+    * analyzer/Janino depth walls. Driver state stays ≤ one (rank, pair,
+    * count) tuple per round — the tokenizer artifact itself.
+    * BpeTrainSpec pins a 64-merge run bitwise against an in-memory
+    * reference trainer (the 4-round oracle CTE chain pins the gated
+    * configuration). */
+  private[graft] def trainBpe(vocab0: DataFrame, rounds: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    val chars =
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    var cur = vocab0.withColumn("toks", expr(chars))
+      .select(col("word"), col("wcnt"), col("toks"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = cur
+        .filter(size(col("toks")) >= 2)
+        .select(col("wcnt"), explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+               i -> struct(element_at(toks, i) AS ta,
+                           element_at(toks, i + 1) AS tb))"""))
+          .as("p"))
+        .groupBy(col("p.ta"), col("p.tb"))
+        .agg(sum(col("wcnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("ta"), col("tb"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (ta, tb, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val m = ta + tb
+        merges += ((r, ta, tb, m, cnt))
+        if (r < rounds) {
+          // eager checkpoint: `next` is fully materialized before the
+          // previous round's blocks are dropped, so nothing downstream
+          // can try to recompute through an unpersisted checkpoint
+          val next = cur
+            .withColumn("toks", expr(bpeMergeFoldExpr("toks", ta, tb, m)))
+            .localCheckpoint()
+          cur.unpersist()
+          cur = next
+        }
+        r += 1
+      }
+    }
+    cur.unpersist()
+    merges.toSeq
+  }
 
   /** Merge-table size for q95's BPE application: the top-BpeMerges q88
     * pairs (ranked cnt DESC, pair ASC) become the merge rules, applied
@@ -472,50 +553,11 @@ object TextOps {
     "q100_bpe_train" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
         val vocab = Tables.load(s, dir, "documents")
           .select(explode(split(lower(col("text")), " +")).as("word"))
           .filter(length(col("word")) >= 1)
           .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val chars =
-          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
-        var tokExpr = chars
-        val merges = scala.collection.mutable.ArrayBuffer
-          .empty[(Int, String, String, String, Long)]
-        var r = 1
-        var exhausted = false
-        while (r <= TrainMerges && !exhausted) {
-          val top = vocab.withColumn("toks", expr(tokExpr))
-            .filter(size(col("toks")) >= 2)
-            .select(col("wcnt"), explode(expr(
-              """transform(sequence(1, size(toks) - 1),
-                   i -> struct(element_at(toks, i) AS ta,
-                               element_at(toks, i + 1) AS tb))"""))
-              .as("p"))
-            .groupBy(col("p.ta"), col("p.tb"))
-            .agg(sum(col("wcnt")).as("cnt"))
-            .orderBy(col("cnt").desc, col("ta"), col("tb"))
-            .limit(1).collect()
-          if (top.isEmpty) exhausted = true
-          else {
-            val (ta, tb, cnt) =
-              (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-            val m = ta + tb
-            merges += ((r, ta, tb, m, cnt))
-            tokExpr =
-              s"""aggregate($tokExpr, cast(array() as array<string>),
-                    (acc, t) -> case
-                      when size(acc) = 0 then array(t)
-                      when element_at(acc, -1) = '${esc(ta)}' and t = '${esc(tb)}'
-                        then concat(slice(acc, 1, size(acc) - 1),
-                                    array('${esc(m)}'))
-                      else concat(acc, array(t)) end)"""
-            r += 1
-          }
-        }
-        vocab.unpersist()
-        merges.toSeq
+        trainBpe(vocab, TrainMerges)
           .toDF("rank", "token_a", "token_b", "merged", "pair_count")
           .orderBy(col("rank"))
       },

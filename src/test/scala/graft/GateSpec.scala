@@ -168,7 +168,10 @@ class PlanGateSpec extends AnyFunSuite {
     "q70_kmedians_clusters", "q79_label_affinity", "q82_lsh_cap_report",
     "q85_semantic_dedup", "q87_mixture_weights", "q89_unigram_surprisal",
     "q90_curation_ledger", "q92_split_leakage", "q94_cluster_balanced_sample",
-    "q97_ivf_index_topk", "q98_ivf_incremental_topk")
+    "q97_ivf_index_topk", "q98_ivf_incremental_topk",
+    // q101: q85's regime probe — the coarse-centroid broadcast (k1 tiny
+    // rows) is the same K-row build side as q85's flat path
+    "q101_semantic_dedup_hier")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -1352,6 +1352,58 @@ class SemanticDedupPropertySpec extends AnyFunSuite {
       "a 6000-vector corpus must actually spread over many fine clusters")
   }
 
+  test("q101 probe regime takes the twoLevelAssign branch (q85's default stays flat) and matches a brute-force mirror") {
+    import graft.ops.Clustering
+    import spark.implicits._
+    // sf0.01-shaped corpus: 500 vectors → derived K = 8, which crosses
+    // the q101 probe threshold (4) but not the production one (64)
+    val rnd = new scala.util.Random(43)
+    val docs = (0 until 500).map { i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f))
+    }
+    val emb = docs.toDF("vec_id", "embedding")
+    val hier = Clustering.assignClusters(emb,
+      Clustering.HierProbeThreshold, Clustering.HierProbeFinePerCoarse)
+    val flat = Clustering.assignClusters(emb)
+    // the branch is visible in the plan: only twoLevelAssign builds the
+    // coarse assignment stage — this is the "Spark side actually took
+    // the hierarchical branch" half of the q101 gate story
+    assert(hier.queryExecution.analyzed.toString.contains("coarse_id"),
+      "q101 regime must run the hierarchical (coarse-then-fine) path")
+    assert(!flat.queryExecution.analyzed.toString.contains("coarse_id"),
+      "default regime at K=8 must stay on the flat path")
+    // bitwise two-level mirror at the probe parameters: k=8 → k1=2
+    // coarse seeds, 4 fine seeds per coarse cluster
+    val k = Clustering.clusterCount(docs.size.toLong)
+    assert(k > Clustering.HierProbeThreshold && k == 8)
+    val k1 = (k + Clustering.HierProbeFinePerCoarse - 1) /
+      Clustering.HierProbeFinePerCoarse
+    assert(k1 == 2)
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val byId = docs.toMap
+    val nrm = docs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    def argmax(id: Long, seeds: Seq[Long]): Long =
+      seeds.map(c => (dot(byId(id), byId(c)) / (nrm(id) * nrm(c)), c))
+        .maxBy { case (cos, c) => (cos, -c) }._2
+    val coarseSeeds = docs.map(_._1).sorted.take(k1)
+    val atCoarse = docs.map(_._1).map(id => id -> argmax(id, coarseSeeds)).toMap
+    val fineSeeds = atCoarse.toSeq.groupBy(_._2).map { case (cc, m) =>
+      cc -> m.map(_._1).sorted.take(Clustering.HierProbeFinePerCoarse)
+    }
+    val expected = docs.map(_._1)
+      .map(id => id -> argmax(id, fineSeeds(atCoarse(id)))).toMap
+    val got = hier.select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // both levels made non-trivial choices: >1 coarse cluster, >k1 fine
+    assert(atCoarse.values.toSet.size == 2)
+    assert(got.values.toSet.size > k1)
+  }
+
   test("K scales with the corpus and an oversized cluster's join work is capped with a visible drop count") {
     import graft.ops.Clustering
     import spark.implicits._
