@@ -23,7 +23,8 @@ object BuildIndex {
       .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    ops.Similarity.writeIvfIndex(Tables.load(spark, sfDir, "embeddings"), outDir)
+    ops.Similarity.writeIvfIndex(Tables.load(spark, sfDir, "embeddings"),
+      outDir, Some(ops.Similarity.corpusFingerprint(spark, sfDir)))
     println(s"[build-index] wrote IVF index to $outDir")
     spark.stop()
   }

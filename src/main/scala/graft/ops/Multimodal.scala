@@ -13,10 +13,14 @@ import graft.{QueryDef, Tables}
   * (JDK built-in, no external dependency) inside the mapPartitions
   * bridge — payloads never leave the executors — and emits dimensions,
   * exact mean luminance, and a deterministic 8×8 block-averaged
-  * grayscale thumbnail (the perceptual-hash prep). Audio/video codecs
-  * remain stubbed with a deterministic byte-level surrogate (moment
-  * statistics over the payload bytes) since the container has no media
-  * libraries. Everything is production-shaped either way: payloads stay
+  * grayscale thumbnail (the perceptual-hash prep). The AUDIO decode is
+  * REAL too: [[decodeAudioFeatures]] parses WAV/PCM via
+  * `javax.sound.sampled` (also JDK built-in) and emits format metadata +
+  * exact RMS/peak amplitude. Only compressed video/audio codecs
+  * (mp4/mp3/aac) remain stubbed with a deterministic byte-level
+  * surrogate (moment statistics over the payload bytes) since no codec
+  * ships in the JDK or this container. Everything is production-shaped
+  * either way: payloads stay
   * off the driver, extraction runs as `mapPartitions` over the typed
   * Dataset (one JVM-side pass per partition, the same batch shape a
   * JNI/codec bridge would use), and the output is a fixed-width feature
@@ -110,6 +114,78 @@ object Multimodal {
           ImageFeatures(r.doc_id, w, h, sum / (w.toDouble * h),
             hexes.map("%02X".format(_)).mkString)
         }
+      }
+    }.toDF()
+  }
+
+  final case class AudioFeatures(doc_id: Long, sample_rate: Int,
+      channels: Int, bits: Int, n_frames: Long, duration_sec: Double,
+      rms: Double, peak: Double)
+
+  /** REAL audio decode inside the partition bridge: `javax.sound.sampled`
+    * (JDK built-in — the same zero-dependency move as the round-6
+    * `javax.imageio` image path) parses WAV/PCM payload bytes on the
+    * executor and emits format metadata (sample rate, channels, bit
+    * depth, frame count, duration) plus exact RMS and peak amplitude
+    * over the normalized samples — the features an audio curation pass
+    * filters on (silence, clipping, duration outliers). Supported
+    * encodings are PCM_SIGNED 16-bit and PCM_UNSIGNED 8-bit (the WAV
+    * core); rows whose payload is not decodable audio are dropped
+    * (flatMap — a corrupt clip contributes no features, the
+    * [[decodeImageFeatures]] curation semantic). Samples are folded in
+    * stream order with plain double accumulation, so the result is
+    * bit-deterministic for a given payload regardless of partitioning;
+    * payloads never leave the executors. Compressed codecs (mp3/aac)
+    * stay out of scope — no codec ships in the JDK or this container. */
+  def decodeAudioFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val parsed =
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            try {
+              val f = in.getFormat
+              val pcm16 = f.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                f.getSampleSizeInBits == 16
+              val pcm8 = f.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+                f.getSampleSizeInBits == 8
+              if (!pcm16 && !pcm8) None
+              else {
+                val bytes = in.readAllBytes()
+                val n = if (pcm16) bytes.length / 2 else bytes.length
+                var sumSq = 0.0
+                var peak = 0.0
+                var i = 0
+                while (i < n) {
+                  val s =
+                    if (pcm16) {
+                      val v =
+                        if (f.isBigEndian)
+                          ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+                        else
+                          ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+                      v / 32768.0
+                    } else ((bytes(i) & 0xff) - 128) / 128.0
+                  sumSq += s * s
+                  val a = math.abs(s)
+                  if (a > peak) peak = a
+                  i += 1
+                }
+                val frames =
+                  if (f.getChannels > 0) n.toLong / f.getChannels else 0L
+                Some(AudioFeatures(r.doc_id, f.getSampleRate.toInt,
+                  f.getChannels, f.getSampleSizeInBits, frames,
+                  if (f.getSampleRate > 0) frames / f.getSampleRate.toDouble
+                  else 0.0,
+                  if (n > 0) math.sqrt(sumSq / n) else 0.0, peak))
+              }
+            } finally in.close()
+          } catch { case _: Exception => None }
+        parsed
       }
     }.toDF()
   }

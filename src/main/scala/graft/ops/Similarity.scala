@@ -200,7 +200,8 @@ object Similarity {
     * builds once and serves many queries; q43 rebuilt this per run.
     * Doubles round-trip parquet bitwise, so the persisted path returns
     * BYTE-IDENTICAL results to the inline computation (spec-pinned). */
-  private[graft] def writeIvfIndex(emb: DataFrame, outDir: String): Unit = {
+  private[graft] def writeIvfIndex(emb: DataFrame, outDir: String,
+      fingerprint: Option[String] = None): Unit = {
     val n = normedFrom(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = n.filter(col("vec_id") < IvfCells)
@@ -213,41 +214,118 @@ object Similarity {
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("de"), col("nrm"), col("cid").as("cell"))
-    // cells FIRST, centroids LAST: q97/q98 gate the "index exists" check
-    // on centroids.parquet, so a build killed mid-way leaves no
-    // completion marker and the next run rebuilds instead of trusting a
-    // half-written inverted file
+    // cells FIRST, then the manifest, centroids LAST: q97/q98 gate the
+    // "index exists" check on centroids.parquet, so a build killed
+    // mid-way leaves no completion marker and the next run rebuilds
+    // instead of trusting a half-written inverted file
     corpusCells.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$outDir/cells.parquet")
+    fingerprint.foreach { fp =>
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/manifest.json")
+      val fs = p.getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(s"""{"corpus":"$fp"}""".getBytes("UTF-8"))
+      finally out.close()
+    }
     cents.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/centroids.parquet")
     n.unpersist()
   }
 
+  /** Content fingerprint of a data dir's embeddings table, resolved
+    * through the HADOOP FileSystem (so it works identically for local
+    * paths and cluster-visible HDFS/S3 URIs). embeddings.parquet may be
+    * a single file OR a Spark-written DIRECTORY whose own length/mtime
+    * are content-independent — the key folds in every entry's (name,
+    * length, mtime) so a rewritten part file changes the fingerprint.
+    * This string is both the temp-dir cache key AND the manifest value
+    * a persisted index is validated against before serving. */
+  private[graft] def corpusFingerprint(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val entries =
+      if (st.isDirectory)
+        fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+      else Array(st)
+    val key = dir + entries
+      .map(e => s"${e.getPath.getName}:${e.getLen}:${e.getModificationTime}")
+      .mkString("#")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** Where q97 finds (or builds) the persisted index for a given data
     * dir: the `spark.graft.ivfIndexDir` session conf when set, else a
-    * deterministic temp-dir cache keyed by the data dir PLUS the
-    * embeddings file's length and mtime — so a rewritten corpus gets a
-    * fresh index instead of silently serving a stale one (an explicit
-    * `graft.BuildIndex` run is the production path; the on-demand build
-    * keeps the query self-contained). */
+    * deterministic temp-dir cache keyed by [[corpusFingerprint]] — so a
+    * rewritten corpus gets a fresh index instead of silently serving a
+    * stale one (an explicit `graft.BuildIndex` run is the production
+    * path; the on-demand build keeps the query self-contained). */
   private def ivfIndexDirFor(s: SparkSession, dir: String): String =
-    s.conf.getOption("spark.graft.ivfIndexDir").filter(_.nonEmpty).getOrElse {
-      // embeddings.parquet may be a single file OR a Spark-written
-      // DIRECTORY whose own length/mtime are content-independent — the
-      // key folds in every entry's (name, length, mtime) so a rewritten
-      // part file changes the key
-      val src = new java.io.File(s"$dir/embeddings.parquet")
-      val entries =
-        if (src.isDirectory)
-          src.listFiles().filter(_.isFile).sortBy(_.getName)
-        else Array(src)
-      val key = dir + entries
-        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("#")
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$h"
+    s.conf.getOption("spark.graft.ivfIndexDir").filter(_.nonEmpty).getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${corpusFingerprint(s, dir)}")
+
+  /** Ensure a valid persisted index at `idx`, building (or rebuilding)
+    * if needed. Three production hazards are closed here:
+    *
+    *   - existence is resolved via the HADOOP FileSystem of the index
+    *     path, so a cluster-visible `spark.graft.ivfIndexDir` (HDFS/S3)
+    *     gets real build-once behavior — `java.io.File.exists` was
+    *     always false there and silently rebuilt every run;
+    *   - an existing index must carry a `manifest.json` whose corpus
+    *     fingerprint matches the CURRENT corpus — a stale or mismatched
+    *     index dir is rebuilt, never silently served as wrong neighbors
+    *     (a pre-manifest index with no manifest file is accepted for
+    *     backward compatibility, with a stderr note);
+    *   - the build lands in a process-unique temp dir and is RENAMED
+    *     into place: two drivers racing the same cache dir (parallel
+    *     Verify/Bench against one data dir) cannot interleave part
+    *     files into one torn index — rename is atomic per FS, and the
+    *     loser adopts the winner's completed index. */
+  private def ensureIvfIndex(s: SparkSession, idx: String,
+      fingerprint: String)(build: String => Unit): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val idxPath = new org.apache.hadoop.fs.Path(idx)
+    val fs = idxPath.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(s"$idx/centroids.parquet")
+    val manifest = new org.apache.hadoop.fs.Path(s"$idx/manifest.json")
+    def manifestOk: Boolean =
+      if (!fs.exists(manifest)) {
+        System.err.println(s"[ivf] $idx has no manifest.json (pre-manifest " +
+          "or hand-built index) — serving it unvalidated")
+        true
+      } else
+        try {
+          val in = fs.open(manifest)
+          val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          txt.contains(fingerprint)
+        } catch {
+          // an unreadable/corrupt manifest (e.g. checksum mismatch after
+          // an out-of-band edit) is indistinguishable from stale: rebuild
+          case _: java.io.IOException => false
+        }
+    val present = fs.exists(marker)
+    val stale = present && !manifestOk
+    if (!present || stale) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        idx + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+      build(tmp.toString)
+      // rename ONLY into a non-existent destination (renaming onto an
+      // existing directory has move-INTO semantics on some filesystems):
+      // clear an empty/partial/stale target first; if a completed fresh
+      // index appeared meanwhile, another builder won — adopt theirs
+      if (fs.exists(idxPath)) {
+        if (!stale && fs.exists(marker)) { fs.delete(tmp, true); return }
+        fs.delete(idxPath, true)
+      }
+      Option(idxPath.getParent).foreach(fs.mkdirs)
+      if (!fs.rename(tmp, idxPath)) {
+        if (fs.exists(marker)) fs.delete(tmp, true)
+        else throw new IllegalStateException(
+          s"could not install IVF index at $idx (tmp build at $tmp)")
+      }
     }
+  }
 
   /** Probe-and-serve tail shared by q97/q98: queries score against the
     * (persisted) centroids, probe their 2 nearest cells, exact top-3
@@ -325,8 +403,9 @@ object Similarity {
     "q97_ivf_index_topk" -> QueryDef(
       (s, dir) => {
         val idx = ivfIndexDirFor(s, dir)
-        if (!new java.io.File(s"$idx/centroids.parquet").exists())
-          writeIvfIndex(Tables.load(s, dir, "embeddings"), idx)
+        val fp = corpusFingerprint(s, dir)
+        ensureIvfIndex(s, idx, fp)(tmp =>
+          writeIvfIndex(Tables.load(s, dir, "embeddings"), tmp, Some(fp)))
         graft.expr.VectorExpressions.register(s)
         val queries = normed(s, dir).filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("de").as("qe"),
@@ -352,8 +431,8 @@ object Similarity {
         val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 4)
         val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 4)
         val idx = ivfIndexDirFor(s, dir) + "_base"
-        if (!new java.io.File(s"$idx/centroids.parquet").exists())
-          writeIvfIndex(base, idx)
+        val fp = corpusFingerprint(s, dir)
+        ensureIvfIndex(s, idx, fp)(tmp => writeIvfIndex(base, tmp, Some(fp)))
         val cents = s.read.parquet(s"$idx/centroids.parquet")
         val baseCells = s.read.parquet(s"$idx/cells.parquet")
           .select(col("vec_id"), col("de"), col("nrm"),

@@ -174,28 +174,41 @@ object EventStreams {
 
   final case class CandPair(da: Long, db: Long)
 
+  /** Per-band streaming state: every member id seen so far (bounded by
+    * the hot-band cap — the band stops emitting and drops its member
+    * list the moment it crosses) plus the running arrival count. */
+  final case class BandState(members: Seq[Long], seen: Long)
+
   /** Streaming MinHash near-dup candidates — the unbounded companion of
     * q33. Each arriving document is banded PER ROW (expression-only
     * signatures, [[graft.ops.Dedup.rowMinhashBands]] — bitwise identical
     * to the batch bands, no stateful aggregation needed), and state per
-    * (band_idx, band_val) key holds the band's ANCHOR: the first doc_id
-    * that produced the band, plus a seen-count. A newcomer colliding
-    * with an existing anchor emits the candidate pair (anchor, newcomer)
-    * — at most 4 pairs per arriving doc, every one of them a batch
-    * band-collision pair (subset semantics, spec-pinned).
+    * (band_idx, band_val) key holds the band's member ids seen so far.
+    * A newcomer emits a candidate pair against EVERY stored member (and
+    * earlier arrivals of its own batch), so below the cap the streamed
+    * pair SET equals the batch operator's all-within-band collisions —
+    * full batch recall, spec-pinned — where the round-6 single-anchor
+    * state missed pairs between two docs that both arrived after the
+    * anchor and shared only that band. As on the batch path before its
+    * distinct(), a pair surfaces once per colliding band (≤ the band
+    * count, 4); the exact-verify consumer dedups either way.
     *
-    * Two deliberate deviations from the batch operator, both the
-    * keep-first streaming semantic: (1) pairs are anchor-to-newcomer
-    * stars, not all-pairs within a band — sufficient for dedup, where a
-    * newcomer only needs ONE earlier witness to be flagged; (2) the
-    * [[graft.ops.Dedup.HotBandCap]] analog cannot retract already-
-    * emitted pairs, so a band whose post-batch count crosses the cap
-    * emits NOTHING from that batch onward — a first-batch overflow
-    * therefore emits zero pairs, exactly like the batch path (which
-    * drops the band wholesale); only pairs emitted in earlier,
-    * under-cap batches survive. State is one
-    * (long, long) per distinct band value — the RocksDB provider config
-    * below applies at corpus scale exactly as for [[streamingDedup]]. */
+    * The one remaining deviation is NON-RETRACTION at the cap: the
+    * [[graft.ops.Dedup.HotBandCap]] analog fires the moment the
+    * POST-batch count crosses the cap — the band then emits nothing from
+    * that batch onward and its member list is dropped (a first-batch
+    * overflow emits zero pairs, exactly like the batch path, which drops
+    * the band wholesale) — but pairs already emitted in earlier,
+    * under-cap batches cannot be retracted. A pair emitted while its
+    * band was under the cap is a batch band-collision pair AT EMISSION
+    * TIME; if that band later crosses the cap, the batch path re-run
+    * over the full corpus would drop the band (and the pair, unless some
+    * other cold band covers it) while the stream retains it. That is
+    * the streaming-side cost of append-mode output, documented rather
+    * than hidden. State per distinct band value is ≤ cap member ids
+    * (then a bare counter once hot) — the same bound class as the batch
+    * path's group cap, and the RocksDB provider config below applies at
+    * corpus scale exactly as for [[streamingDedup]]. */
   def streamingMinhashCandidates(spark: SparkSession, docs: DataFrame,
       cap: Int = graft.ops.Dedup.HotBandCap): Dataset[CandPair] = {
     import spark.implicits._
@@ -204,23 +217,33 @@ object EventStreams {
       .groupByKey { case (_, bi, bv) => (bi, bv) }
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (_: (Int, String), batch: Iterator[(Long, Int, String)],
-            state: GroupState[(Long, Long)]) =>
-          // sorted so the within-batch anchor choice (min doc_id) is
-          // deterministic regardless of partitioning
+            state: GroupState[BandState]) =>
+          // sorted so within-batch emission order (and the stored member
+          // order) is deterministic regardless of partitioning
           val arrivals = batch.map(_._1).toArray.sorted
           if (arrivals.isEmpty) Iterator.empty
           else {
-            val (anchor, seen) = state.getOption.getOrElse((arrivals.head, 0L))
-            val newSeen = seen + arrivals.length
-            state.update((anchor, newSeen))
-            // hot the moment the POST-batch count crosses the cap: a
-            // band that overflows within its first batch emits nothing,
-            // matching the batch path (which drops it wholesale); pairs
-            // already emitted in EARLIER batches cannot be retracted —
-            // the documented streaming deviation
-            if (newSeen > cap) Iterator.empty
-            else arrivals.iterator.filter(_ != anchor)
-              .map(d => CandPair(math.min(anchor, d), math.max(anchor, d)))
+            val st = state.getOption.getOrElse(BandState(Nil, 0L))
+            val newSeen = st.seen + arrivals.length
+            if (newSeen > cap) {
+              // hot: stop emitting and free the member list — the count
+              // alone keeps the band hot forever (it never shrinks)
+              state.update(BandState(Nil, newSeen))
+              Iterator.empty
+            } else {
+              val stored = scala.collection.mutable.ArrayBuffer
+                .empty[Long] ++= st.members
+              val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+              arrivals.foreach { d =>
+                stored.foreach { m =>
+                  if (m != d)
+                    out += CandPair(math.min(m, d), math.max(m, d))
+                }
+                stored += d
+              }
+              state.update(BandState(stored.toSeq, newSeen))
+              out.iterator
+            }
           }
       }
   }

@@ -276,6 +276,87 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.length == 20)
   }
 
+  test("real audio decode: javax.sound.sampled parses a WAV fixture inside the partition bridge") {
+    import spark.implicits._
+    // fixture: 8 kHz mono 16-bit PCM sine, amplitude 16384 (half scale),
+    // 800 frames = 0.1 s — written by the JDK's own WAV encoder so the
+    // operator exercises the real container parse, not a hand-rolled one
+    val rate = 8000f
+    val nFrames = 800
+    val samples = Array.tabulate(nFrames)(i =>
+      math.round(16384.0 * math.sin(2 * math.Pi * 440 * i / rate)).toShort)
+    def wav(data: Array[Short], bigEndian: Boolean): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        rate, 16, 1, 2, rate, bigEndian)
+      val bytes = new Array[Byte](data.length * 2)
+      data.zipWithIndex.foreach { case (s, i) =>
+        if (bigEndian) {
+          bytes(2 * i) = (s >> 8).toByte; bytes(2 * i + 1) = s.toByte
+        } else {
+          bytes(2 * i) = s.toByte; bytes(2 * i + 1) = (s >> 8).toByte
+        }
+      }
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, data.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, wav(samples, bigEndian = false), "audio/wav", 0L),
+      (2L, "definitely not audio".getBytes("UTF-8"), "text/plain", 20L))
+      .toDF("doc_id", "payload", "kind", "n_bytes")
+    val out = Multimodal.decodeAudioFeatures(spark, media).collect()
+    // the non-audio row is dropped, not poisoned
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    val r = out.head
+    assert(r.getAs[Int]("sample_rate") == 8000)
+    assert(r.getAs[Int]("channels") == 1)
+    assert(r.getAs[Int]("bits") == 16)
+    assert(r.getAs[Long]("n_frames") == nFrames.toLong)
+    assert(r.getAs[Double]("duration_sec") == nFrames / 8000.0)
+    // exact expectation: the identical stream-order fold over the fixture
+    var sumSq = 0.0; var peak = 0.0
+    samples.foreach { s =>
+      val v = s / 32768.0; sumSq += v * v
+      if (math.abs(v) > peak) peak = math.abs(v)
+    }
+    assert(r.getAs[Double]("rms") == math.sqrt(sumSq / nFrames))
+    assert(r.getAs[Double]("peak") == peak)
+    // a half-scale sine's RMS sits near A/√2 — sanity that the samples
+    // decoded as audio, not as reinterpreted garbage
+    assert(math.abs(r.getAs[Double]("rms") - 0.5 / math.sqrt(2)) < 0.01)
+  }
+
+  test("audio decode is partition-invariant (deterministic folds executor-side)") {
+    import spark.implicits._
+    def wavOf(seed: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val data = Array.fill(500)((rnd.nextInt(65536) - 32768).toShort)
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bytes = new Array[Byte](data.length * 2)
+      data.zipWithIndex.foreach { case (s, i) =>
+        bytes(2 * i) = s.toByte; bytes(2 * i + 1) = (s >> 8).toByte
+      }
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, data.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = (1L to 12L).map(i => (i, wavOf(i.toInt), "audio/wav", 0L))
+      .toDF("doc_id", "payload", "kind", "n_bytes")
+    val a = Multimodal.decodeAudioFeatures(spark, media)
+      .orderBy("doc_id").collect().toSeq
+    val b = Multimodal.decodeAudioFeatures(spark, media.repartition(7))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(a.length == 12)
+  }
+
   test("feature extraction is deterministic across partitionings") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, s"doc number $i " * i.toInt))
@@ -821,6 +902,33 @@ class SimilaritySpec extends AnyFunSuite {
       // a second run reuses the persisted base index and agrees exactly
       assert(SparkEntry.queries("q98_ivf_incremental_topk")(spark, sf)
         .collect().toSeq == rows)
+    } finally spark.conf.unset("spark.graft.ivfIndexDir")
+  }
+
+  test("q97 rebuilds a stale index (manifest fingerprint mismatch) instead of serving it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stale").toString
+    spark.conf.set("spark.graft.ivfIndexDir", dir)
+    try {
+      val rows = SparkEntry.queries("q97_ivf_index_topk")(spark, sf)
+        .collect().toSeq
+      // the build wrote a validating manifest next to the centroids
+      val manifest = java.nio.file.Paths.get(s"$dir/manifest.json")
+      assert(java.nio.file.Files.exists(manifest))
+      // simulate an index left over from a DIFFERENT corpus: wrong
+      // fingerprint, inverted file gone — silently serving it would
+      // crash (or worse, answer from the wrong corpus); the manifest
+      // check must trigger a rebuild instead
+      java.nio.file.Files.writeString(manifest, """{"corpus":"deadbeef"}""")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(s"$dir/cells.parquet"))
+      val again = SparkEntry.queries("q97_ivf_index_topk")(spark, sf)
+        .collect().toSeq
+      assert(again == rows)
+      assert(!java.nio.file.Files.readString(manifest).contains("deadbeef"),
+        "rebuild must reinstall the real corpus fingerprint")
     } finally spark.conf.unset("spark.graft.ivfIndexDir")
   }
 

@@ -18,7 +18,7 @@ class StreamingSpec extends AnyFunSuite {
   private def ts(minute: Int) =
     Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
 
-  test("streaming minhash candidates: newcomers pair with their band's first arrival across batches") {
+  test("streaming minhash candidates equal the batch candidate set below the cap (full recall)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val textA = (0 until 30).map(i => s"w$i").mkString(" ")
@@ -37,19 +37,22 @@ class StreamingSpec extends AnyFunSuite {
       val b1 = spark.table("mh_cands").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(b1 == Set((3L, 7L)))
-      // batch 2: doc 9 repeats the content → pairs with the ANCHOR (3),
-      // not with 7 (keep-first witness semantics)
-      input.addData(EventStreams.Doc(9L, textA))
+      // batch 2: docs 9 and 11 repeat the content → each pairs with ALL
+      // earlier members (3, 7) and with each other — the round-6
+      // single-anchor state would have missed (7,9), (7,11) and (9,11)
+      input.addData(EventStreams.Doc(9L, textA), EventStreams.Doc(11L, textA))
       q.processAllAvailable()
       val b2 = spark.table("mh_cands").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(b2 == Set((3L, 7L), (3L, 9L)))
-      // every streaming pair is a batch band-collision candidate
+      assert(b2 == Set((3L, 7L), (3L, 9L), (3L, 11L), (7L, 9L), (7L, 11L),
+        (9L, 11L)))
+      // below the cap the streamed set EQUALS the batch operator's
+      // candidate set over the same rows — full batch recall
       val batchPairs = graft.ops.Dedup.lshCandidatePairs(
-        Seq((3L, textA), (7L, textA), (5L, textX), (9L, textA))
-          .toDF("doc_id", "text"))
+        Seq((3L, textA), (7L, textA), (5L, textX), (9L, textA),
+          (11L, textA)).toDF("doc_id", "text"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(b2.subsetOf(batchPairs))
+      assert(b2 == batchPairs)
     } finally q.stop()
   }
 
@@ -73,6 +76,36 @@ class StreamingSpec extends AnyFunSuite {
       input.addData(EventStreams.Doc(99L, textA))
       q.processAllAvailable()
       assert(spark.table("mh_hot").count() == 0L)
+    } finally q.stop()
+  }
+
+  test("streaming minhash: a band crossing the cap in a LATER batch stops emitting; earlier pairs are retained (non-retraction)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val textB = (0 until 30).map(i => s"g$i").mkString(" ")
+    val input = MemoryStream[EventStreams.Doc]
+    val q = EventStreams
+      .streamingMinhashCandidates(spark, input.toDF(), cap = 10)
+      .writeStream.format("memory").queryName("mh_late_hot")
+      .outputMode("append").start()
+    try {
+      // batch 1: 4 identical docs, under the cap → all C(4,2)=6 distinct
+      // pairs (each emitted once per colliding band, like the batch
+      // path's pre-distinct multiplicity)
+      input.addData((1L to 4L).map(i => EventStreams.Doc(i, textB)): _*)
+      q.processAllAvailable()
+      assert(spark.table("mh_late_hot").distinct().count() == 6L)
+      // batch 2: 8 more → post-batch count 12 > 10 → nothing new emits,
+      // but the 6 already-emitted pairs stand (append mode cannot
+      // retract) — the documented deviation from a batch re-run, which
+      // would drop this band wholesale
+      input.addData((5L to 12L).map(i => EventStreams.Doc(i, textB)): _*)
+      q.processAllAvailable()
+      assert(spark.table("mh_late_hot").distinct().count() == 6L)
+      // and the band stays silent from then on
+      input.addData(EventStreams.Doc(50L, textB))
+      q.processAllAvailable()
+      assert(spark.table("mh_late_hot").distinct().count() == 6L)
     } finally q.stop()
   }
 
