@@ -50,7 +50,8 @@ final class MongoSource(
     uri: String,
     database: String,
     collectionNames: Seq[String],
-    enumerate: MongoSource.Enumerator = MongoSource.driverEnumerator)
+    enumerate: MongoSource.Enumerator = MongoSource.driverEnumerator,
+    reader: MongoSource.Reader = MongoSource.connectorReader)
   extends Source {
 
   /** Exposed for tests: the reader options one collection maps to. */
@@ -65,14 +66,23 @@ final class MongoSource(
      else enumerate(uri, database)).sorted
 
   override def collections(spark: SparkSession): Seq[(String, DataFrame)] =
-    names.map { c =>
-      c -> spark.read.format("mongodb").options(readOptions(c)).load()
-    }
+    names.map { c => c -> reader(spark, readOptions(c)) }
 }
 
 object MongoSource {
   /** (uri, database) → collection names. */
   type Enumerator = (String, String) => Seq[String]
+
+  /** The per-collection wire read: (session, connector options) → one
+    * collection's DataFrame. The default goes through the public MongoDB
+    * Spark connector; tests inject a recorded-document double here, so
+    * the WHOLE [[MongoSource]] path — enumeration, option wiring, the
+    * per-collection loop — runs end-to-end with only the wire call
+    * swapped (RecordedMongoE2ESpec drives it into Porter → MiniMySql). */
+  type Reader = (SparkSession, Map[String, String]) => DataFrame
+
+  val connectorReader: Reader = (spark, opts) =>
+    spark.read.format("mongodb").options(opts).load()
 
   /** Driver-side `listCollectionNames` through the public MongoDB Java
     * driver (`com.mongodb.client.MongoClients`), resolved reflectively so
