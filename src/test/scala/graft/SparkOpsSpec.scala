@@ -357,6 +357,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.length == 12)
   }
 
+  test("real MP4 container parse: box tree, brand, mvhd duration, tkhd resolution") {
+    import spark.implicits._
+    // hand-built minimal ISO-BMFF file, the same box layout any muxer
+    // writes: ftyp(isom) + moov{ mvhd(v0, timescale 1000, duration
+    // 2500), trak{tkhd audio 0x0}, trak{tkhd video 640x360} }
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("ISO-8859-1")).put(payload)
+      b.array()
+    }
+    def mvhd(timescale: Int, duration: Int): Array[Byte] = {
+      val p = java.nio.ByteBuffer.allocate(100) // v0 mvhd payload size
+      p.position(12); p.putInt(timescale).putInt(duration)
+      box("mvhd", p.array())
+    }
+    def tkhd(w: Int, h: Int): Array[Byte] = {
+      val p = java.nio.ByteBuffer.allocate(84) // v0 tkhd payload size
+      p.position(76); p.putInt(w << 16).putInt(h << 16)
+      box("tkhd", p.array())
+    }
+    val mp4 = box("ftyp", "isomiso2".getBytes("ISO-8859-1")) ++
+      box("moov", mvhd(1000, 2500) ++
+        box("trak", tkhd(0, 0)) ++ box("trak", tkhd(640, 360)))
+    val media = Seq(
+      (1L, mp4, "video/mp4", mp4.length.toLong),
+      (2L, "certainly not an mp4".getBytes("UTF-8"), "text/plain", 20L))
+      .toDF("doc_id", "payload", "kind", "n_bytes")
+    val out = Multimodal.parseVideoMeta(spark, media).collect()
+    // the non-container row is dropped, not poisoned
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    val r = out.head
+    assert(r.getAs[String]("brand") == "isom")
+    assert(r.getAs[Double]("duration_sec") == 2.5)
+    assert(r.getAs[Int]("n_tracks") == 2)
+    // resolution comes from the VIDEO track; the 0x0 audio tkhd is skipped
+    assert(r.getAs[Int]("width") == 640 && r.getAs[Int]("height") == 360)
+    // the pure parser also handles v1 (64-bit) mvhd layouts
+    def mvhd1(timescale: Int, duration: Long): Array[Byte] = {
+      val p = java.nio.ByteBuffer.allocate(112)
+      p.put(0, 1.toByte) // version 1
+      p.position(20); p.putInt(timescale).putLong(duration)
+      box("mvhd", p.array())
+    }
+    val mp4v1 = box("ftyp", "mp42mp42".getBytes("ISO-8859-1")) ++
+      box("moov", mvhd1(90000, 450000L) ++ box("trak", tkhd(1920, 1080)))
+    assert(Multimodal.parseMp4(mp4v1) == Some(("mp42", 5.0, 1, 1920, 1080)))
+    // truncated/garbage bytes never throw
+    assert(Multimodal.parseMp4(mp4.take(10)) == None)
+    assert(Multimodal.parseMp4(Array[Byte](0, 0, 0)) == None)
+  }
+
   test("feature extraction is deterministic across partitionings") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, s"doc number $i " * i.toInt))
