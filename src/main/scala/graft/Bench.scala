@@ -64,8 +64,19 @@ object Bench {
     // reported time is the MIN of two runs, which suppresses ambient
     // sandbox noise the single-shot numbers couldn't distinguish from a
     // regression.
+    // Steady-state protocol (opt-in): SPARK_GRAFT_BENCH_RUNS=N (N ≥ 3)
+    // runs each query N times and reports the min of runs 2..N — run 1
+    // absorbs residual first-use cost (storage warm-up, sandbox noise)
+    // the sf0.001 warm pass can't fully remove for the heavy queries, so
+    // the artifact carries steady states directly instead of judges
+    // re-deriving them per round (BASELINE.md protocol). Default stays
+    // min-of-2 over both runs; the emitted JSON marks the mode either
+    // way so artifacts from the two protocols are never conflated.
+    val benchRuns = math.max(2,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    val steady = benchRuns >= 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to benchRuns).map { _ =>
         spark.catalog.clearCache()
         timeOne(spark, sfDir, fn)
       }
@@ -75,11 +86,13 @@ object Bench {
       // A some-but-not-all failure is still a signal (e.g. intermittent
       // OOM) — it must not bench silently green, so it surfaces as a
       // flaky marker alongside the successful-run time.
-      val ok = runs.collect { case (sec, None) => sec }
-      val sec = if (ok.nonEmpty) ok.min else runs.map(_._1).min
-      val err = if (ok.nonEmpty) None else runs.flatMap(_._2).headOption
+      val timed = if (steady) runs.drop(1) else runs
+      val ok = timed.collect { case (sec, None) => sec }
+      val sec = if (ok.nonEmpty) ok.min else timed.map(_._1).min
+      val err = if (ok.nonEmpty) None else timed.flatMap(_._2).headOption
       val flaky =
-        if (ok.nonEmpty && ok.size < runs.size) runs.flatMap(_._2).headOption
+        if (ok.nonEmpty && runs.exists(_._2.isDefined))
+          runs.flatMap(_._2).headOption
         else None
       (name, sec, err, flaky)
     }
@@ -91,7 +104,8 @@ object Bench {
     val flakies = results.collect { case (k, _, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flakies,"sf":"$sfDir"}""")
+    val proto = if (steady) s"min-of-runs-2..$benchRuns" else "min-of-2"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flakies,"bench_runs":$benchRuns,"protocol":"$proto","sf":"$sfDir"}""")
     // The driver's bench artifact keeps only the TAIL of the output, and
     // the full-name queries map above overflows it — every round's
     // artifact lost the q01-q42 timings. The LAST lines are therefore a
@@ -100,15 +114,20 @@ object Bench {
     // one-line total + slowest-10 summary, so the artifact always
     // carries every timing and the headline numbers regardless of where
     // it truncates.
+    // explicit Locale.ROOT: the f"" interpolator uses the JVM default
+    // locale, and a comma-decimal locale (de_DE, fr_FR, …) would turn
+    // these lines into invalid JSON and break the artifact parse
+    def fmt(v: Double, prec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
     val compact = results
       .map { case (k, v, _, _) =>
-        s"\"${k.takeWhile(_ != '_')}\":" + f"$v%.3f" }
+        s"\"${k.takeWhile(_ != '_')}\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"queries_compact","value":${f"$total%.3f"},"unit":"sec","queries":$compact,"n_errors":${results.count(_._3.isDefined)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries_compact","value":${fmt(total, 3)},"unit":"sec","queries":$compact,"n_errors":${results.count(_._3.isDefined)},"bench_runs":$benchRuns,"protocol":"$proto","sf":"$sfDir"}""")
     val slowest = results.sortBy(-_._2).take(10)
-      .map { case (k, v, _, _) => s"${k.takeWhile(_ != '_')}:" + f"$v%.2f" }
+      .map { case (k, v, _, _) => s"${k.takeWhile(_ != '_')}:" + fmt(v, 2) }
       .mkString(",")
-    println(f"[bench] total=$total%.2fs n=${results.size} errors=${results.count(_._3.isDefined)} flaky=${results.count(_._4.isDefined)} slowest10=$slowest")
+    println(s"[bench] total=${fmt(total, 2)}s n=${results.size} runs=$benchRuns errors=${results.count(_._3.isDefined)} flaky=${results.count(_._4.isDefined)} slowest10=$slowest")
     spark.stop()
   }
 }

@@ -276,6 +276,124 @@ object Multimodal {
     } catch { case _: IndexOutOfBoundsException => None }
   }
 
+  final case class PxRow(doc_id: Long, px: Array[Long])
+
+  /** Hamming cutoff for a verified q104 near-dup image pair: same-pattern
+    * variants differ in ≤ 6 perturbed blocks (and a slightly shifted
+    * mean), cross-pattern hashes sit near 32 bits apart. */
+  val ImagePhashMaxHamming = 6
+
+  /** ENCODE side of the q104 decode gate: each row's 64 block values
+    * become a 32×32 TYPE_INT_RGB PNG (gray: r=g=b=v, constant 4×4
+    * blocks), written with `javax.imageio` inside the partition bridge.
+    * PNG/RGB is lossless and the block average of a constant block is
+    * the block value itself, so running [[decodeImageFeatures]] on the
+    * emitted payloads must reproduce `px` bit-exactly — which is what
+    * lets an arithmetic DuckDB oracle certify the REAL decode path
+    * end-to-end. (TYPE_INT_RGB, not TYPE_BYTE_GRAY: `getRGB` on a gray
+    * raster applies a color-space transfer curve, while RGB round-trips
+    * the stored channel bytes untouched.) */
+  def encodeBlockPng(spark: SparkSession, pxRows: DataFrame,
+      side: Int = 32, thumb: Int = 8): DataFrame = {
+    import spark.implicits._
+    val block = side / thumb
+    pxRows.as[PxRow].mapPartitions { rows =>
+      rows.map { r =>
+        val im = new java.awt.image.BufferedImage(side, side,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side) {
+            val v = r.px((y / block) * thumb + (x / block)).toInt
+            im.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", bos)
+        val payload = bos.toByteArray
+        MediaRow(r.doc_id, payload, "image/png", payload.length.toLong)
+      }
+    }.toDF()
+  }
+
+  /** (doc_id, px) from [[decodeImageFeatures]] output: the 64-hex-byte
+    * thumbnail parsed back to its 64 integer pixels. */
+  def thumbPixels(decoded: DataFrame): DataFrame =
+    decoded.select(col("doc_id"), expr(
+      """transform(sequence(0, 63),
+           i -> cast(conv(substring(thumb_hex, 2 * i + 1, 2), 16, 10)
+                     as bigint))""").as("px"))
+
+  /** 64-bit average-hash near-dup pairs over a (doc_id, px[64]) frame —
+    * the perceptual-hash finish of the image-dedup story: threshold each
+    * thumbnail pixel against the thumbnail mean (the mean is an exact
+    * IEEE double — an int sum divided by the power of two 64), pack the
+    * 64 bits as four 16-bit words, band one word per LSH band (the q34
+    * SimHash geometry: 65,536-value band domains keep group sizes
+    * governed by image similarity, not corpus size), drop hot bands past
+    * `cap`, equi-join candidates on (band_idx, band_val), and verify
+    * with the exact popcount Hamming distance. Never all-pairs: the
+    * only joins are the capped band self-join and two hash-keyed
+    * signature lookups. */
+  def phashPairs(thumbs: DataFrame,
+      maxHamming: Int = ImagePhashMaxHamming,
+      cap: Int = Dedup.HotBandCap): DataFrame = {
+    val mean = "aggregate(px, 0L, (a, x) -> a + x) / 64.0"
+    val words = (0 until 4).map { j =>
+      (0 until 16)
+        .map(k => s"(CASE WHEN element_at(px, ${16 * j + k + 1}) > ph_mean " +
+          s"THEN ${1L << k}L ELSE 0L END)")
+        .mkString(" + ")
+    }
+    val sigs = thumbs
+      .withColumn("ph_mean", expr(mean))
+      .select(col("doc_id") +:
+        words.zipWithIndex.map { case (w, j) => expr(w).as(s"p$j") }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = Dedup.coldBands(
+      sigs.selectExpr("doc_id",
+        s"stack(4, ${(0 until 4).map(j => s"$j, p$j").mkString(", ")}) " +
+          "AS (band_idx, band_val)"),
+      cap)
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val hamming = (0 until 4)
+      .map(j => expr(s"bit_count(a$j ^ b$j)"))
+      .reduce[org.apache.spark.sql.Column](_ + _)
+      .cast("long")
+    cands
+      .join(sigs.select(col("doc_id").as("da") +:
+        (0 until 4).map(j => col(s"p$j").as(s"a$j")): _*), "da")
+      .join(sigs.select(col("doc_id").as("db") +:
+        (0 until 4).map(j => col(s"p$j").as(s"b$j")): _*), "db")
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("da"), col("db"), col("hamming"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Deterministic 64-block test pattern for the q104 gate: documents in
+    * the same group `g = doc_id div 7` share a base pattern (md5-derived
+    * block values in [0, 240)), and variant `r = doc_id % 7` raises the
+    * first r blocks by +16 — planted near-dup images with a known
+    * cross-variant Hamming profile, computable arithmetically by the
+    * oracle. The +16 stays under 256, so no wrap-around ever diverges
+    * from the decoded luminance. */
+  private[ops] val blockPxSpark =
+    """transform(sequence(0, 63), b ->
+         cast(conv(substring(md5(concat('img:', cast(doc_id div 7 as string),
+                                        ':', cast(b as string))), 1, 14),
+                   16, 10) as bigint) % 240
+         + (CASE WHEN b < doc_id % 7 THEN 16L ELSE 0L END))"""
+
   final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Int,
       frame_hex: String)
 
@@ -323,5 +441,70 @@ object Multimodal {
                md5(text) AS content_md5
              FROM documents
              ORDER BY doc_id""")),
+
+    // ---- IMAGE NEAR-DUP DEDUP, decode path REALLY gated: each doc_id
+    //      yields a deterministic 32×32 block-pattern PNG (same-group
+    //      docs = near-identical images), the payloads go through the
+    //      REAL `javax.imageio` decode + 8×8 block-average thumbnail
+    //      ([[decodeImageFeatures]] — the exact code path a real image
+    //      corpus runs), and the thumbnails feed the perceptual-hash
+    //      banding pipeline ([[phashPairs]]). The oracle computes the
+    //      same 64 block values ARITHMETICALLY (PNG is lossless and a
+    //      constant block's average is the block value, so decode must
+    //      reproduce them bit-exactly) and replays the hash/band/verify
+    //      math — a wrong decode, block average, threshold, packing, or
+    //      band join all flip the hash compare. This closes the loop
+    //      between the multimodal and dedup pillars: the pHash prep
+    //      (round 6) now ends in gated near-dup image pairs. ----
+    "q104_image_phash_neardup" -> QueryDef(
+      (s, dir) => {
+        val px = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), expr(blockPxSpark).as("px"))
+        val media = encodeBlockPng(s, px)
+        phashPairs(thumbPixels(decodeImageFeatures(s, media)))
+      },
+      Some {
+        val words = (0 until 4).map { j =>
+          (0 until 16)
+            .map(k => s"CASE WHEN px[${16 * j + k + 1}] > mean " +
+              s"THEN ${1L << k} ELSE 0 END")
+            .mkString("CAST(", " + ", s" AS BIGINT) AS p$j")
+        }.mkString(", ")
+        val bandSelects = (0 until 4)
+          .map(j => s"SELECT doc_id, $j AS band_idx, p$j AS band_val FROM words")
+          .mkString(" UNION ALL ")
+        val ham = (0 until 4)
+          .map(j => s"bit_count(xor(a.p$j, b.p$j))")
+          .mkString(" + ")
+        s"""WITH d AS (
+             SELECT doc_id, doc_id // 7 AS g, doc_id % 7 AS r FROM documents),
+           px AS (
+             SELECT doc_id,
+               list_transform(generate_series(0, 63),
+                 b -> CAST(('0x' || substr(md5('img:' || g || ':' || b), 1, 14))
+                           AS BIGINT) % 240
+                      + CASE WHEN b < r THEN 16 ELSE 0 END) AS px
+             FROM d),
+           ph AS (SELECT doc_id, px, list_sum(px) / 64.0 AS mean FROM px),
+           words AS (SELECT doc_id, $words FROM ph),
+           bands0 AS ($bandSelects),
+           hot AS (
+             SELECT band_idx, band_val FROM bands0
+             GROUP BY band_idx, band_val HAVING count(*) > ${Dedup.HotBandCap}),
+           bands AS (
+             SELECT b.* FROM bands0 b
+             ANTI JOIN hot h USING (band_idx, band_val)),
+           cands AS (
+             SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+             FROM bands x JOIN bands y
+               ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+              AND x.doc_id < y.doc_id)
+           SELECT da, db, CAST($ham AS BIGINT) AS hamming
+           FROM cands
+           JOIN words a ON da = a.doc_id
+           JOIN words b ON db = b.doc_id
+           WHERE $ham <= $ImagePhashMaxHamming
+           ORDER BY da, db"""
+      }),
   )
 }

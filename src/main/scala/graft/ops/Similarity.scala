@@ -255,6 +255,10 @@ object Similarity {
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  /** The explicit `spark.graft.ivfIndexDir` session conf, if set. */
+  private def ivfIndexConf(s: SparkSession): Option[String] =
+    s.conf.getOption("spark.graft.ivfIndexDir").filter(_.nonEmpty)
+
   /** Where q97 finds (or builds) the persisted index for a given data
     * dir: the `spark.graft.ivfIndexDir` session conf when set, else a
     * deterministic temp-dir cache keyed by [[corpusFingerprint]] — so a
@@ -262,7 +266,7 @@ object Similarity {
     * stale one (an explicit `graft.BuildIndex` run is the production
     * path; the on-demand build keeps the query self-contained). */
   private def ivfIndexDirFor(s: SparkSession, dir: String): String =
-    s.conf.getOption("spark.graft.ivfIndexDir").filter(_.nonEmpty).getOrElse(
+    ivfIndexConf(s).getOrElse(
       s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${corpusFingerprint(s, dir)}")
 
   /** Ensure a valid persisted index at `idx`, building (or rebuilding)
@@ -274,16 +278,24 @@ object Similarity {
     *     always false there and silently rebuilt every run;
     *   - an existing index must carry a `manifest.json` whose corpus
     *     fingerprint matches the CURRENT corpus — a stale or mismatched
-    *     index dir is rebuilt, never silently served as wrong neighbors
-    *     (a pre-manifest index with no manifest file is accepted for
-    *     backward compatibility, with a stderr note);
+    *     index dir is rebuilt, never silently served as wrong neighbors.
+    *     A MANIFEST-LESS dir is trusted only when the path came from the
+    *     fingerprint-keyed temp cache (`fromConf = false` — the path
+    *     itself encodes the corpus content, so a pre-manifest cache
+    *     entry is provably for this corpus); an explicit
+    *     `spark.graft.ivfIndexDir` pointing at a manifest-less dir could
+    *     be a hand-built index over a DIFFERENT corpus and is rebuilt
+    *     rather than silently served as wrong neighbors;
     *   - the build lands in a process-unique temp dir and is RENAMED
     *     into place: two drivers racing the same cache dir (parallel
     *     Verify/Bench against one data dir) cannot interleave part
     *     files into one torn index — rename is atomic per FS, and the
-    *     loser adopts the winner's completed index. */
+    *     loser adopts the winner's completed index (the manifest is
+    *     re-checked against the CURRENT dir contents immediately before
+    *     the delete, so a fresh index installed by a racing builder
+    *     while ours was building is adopted, not torn down). */
   private def ensureIvfIndex(s: SparkSession, idx: String,
-      fingerprint: String)(build: String => Unit): Unit = {
+      fingerprint: String, fromConf: Boolean)(build: String => Unit): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val idxPath = new org.apache.hadoop.fs.Path(idx)
     val fs = idxPath.getFileSystem(conf)
@@ -291,9 +303,16 @@ object Similarity {
     val manifest = new org.apache.hadoop.fs.Path(s"$idx/manifest.json")
     def manifestOk: Boolean =
       if (!fs.exists(manifest)) {
-        System.err.println(s"[ivf] $idx has no manifest.json (pre-manifest " +
-          "or hand-built index) — serving it unvalidated")
-        true
+        if (fromConf) {
+          System.err.println(s"[ivf] $idx (explicit spark.graft.ivfIndexDir) " +
+            "has no manifest.json — could be an index over a different " +
+            "corpus; rebuilding instead of serving it unvalidated")
+          false
+        } else {
+          System.err.println(s"[ivf] $idx has no manifest.json (pre-manifest " +
+            "cache entry) — the fingerprint-keyed path vouches for it")
+          true
+        }
       } else
         try {
           val in = fs.open(manifest)
@@ -312,10 +331,14 @@ object Similarity {
       build(tmp.toString)
       // rename ONLY into a non-existent destination (renaming onto an
       // existing directory has move-INTO semantics on some filesystems):
-      // clear an empty/partial/stale target first; if a completed fresh
-      // index appeared meanwhile, another builder won — adopt theirs
+      // clear an empty/partial/stale target first. The manifest is
+      // RE-EVALUATED here, not reused from the pre-build check: a racing
+      // builder may have installed a completed fresh index while ours
+      // was building (including over a dir we judged stale), and that
+      // winner must be adopted — deleting it would open a no-index
+      // window for cross-driver readers and waste the winning build.
       if (fs.exists(idxPath)) {
-        if (!stale && fs.exists(marker)) { fs.delete(tmp, true); return }
+        if (fs.exists(marker) && manifestOk) { fs.delete(tmp, true); return }
         fs.delete(idxPath, true)
       }
       Option(idxPath.getParent).foreach(fs.mkdirs)
@@ -389,6 +412,77 @@ object Similarity {
              FROM ranked WHERE rank <= 3
              ORDER BY query_id, rank"""
 
+  /** Exact brute-force cosine top-3 for queries vec_id < 10 — the q35
+    * operator, factored out so q102's recall report can reuse it as the
+    * ground-truth side. The query side is the broadcast (small) side;
+    * the corpus is scanned exactly once. */
+  private[ops] def bruteTopk(s: SparkSession, dir: String): DataFrame = {
+    val corpus = normed(s, dir)
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("de").as("qe"),
+        col("nrm").as("qn"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(dotExpr("qe", "de")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Sign-bucket LSH approximate top-3 — the q36 operator, factored out
+    * for q102. Candidates share the 4-bit sign bucket; exact cosine
+    * within candidates. */
+  private[ops] def lshTopk(s: SparkSession, dir: String): DataFrame = {
+    val bucketed = normed(s, dir)
+      .withColumn("bucket", expr(bucketExprSpark("embedding")))
+    val queries = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("de").as("qe"),
+        col("nrm").as("qn"), col("bucket"))
+    val cands = bucketed.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(dotExpr("qe", "de")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF (2-of-16-cell probe) approximate top-3 — the q43 operator,
+    * factored out for q102. Same math the persisted q97 index serves. */
+  private[ops] def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+    val n = normed(s, dir)
+    val cents = n.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cid"), col("de").as("cde"),
+        col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = n.join(broadcast(cents))
+      .withColumn("ccos",
+        expr(dotExpr("de", "cde")) / (col("nrm") * col("cnrm")))
+      .withColumn("crank", row_number().over(wAssign))
+    val corpusCells = assigned.filter(col("crank") === 1)
+      .select(col("vec_id"), col("de"), col("nrm"), col("cid").as("cell"))
+    val queryProbes = assigned.filter(col("vec_id") < 10 && col("crank") <= 2)
+      .select(col("vec_id").as("query_id"), col("de").as("qe"),
+        col("nrm").as("qn"), col("cid").as("cell"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    corpusCells.join(broadcast(queryProbes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(dotExpr("qe", "de")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- ANN over the PERSISTED IVF index: centroids + cell-partitioned
@@ -404,7 +498,7 @@ object Similarity {
       (s, dir) => {
         val idx = ivfIndexDirFor(s, dir)
         val fp = corpusFingerprint(s, dir)
-        ensureIvfIndex(s, idx, fp)(tmp =>
+        ensureIvfIndex(s, idx, fp, ivfIndexConf(s).isDefined)(tmp =>
           writeIvfIndex(Tables.load(s, dir, "embeddings"), tmp, Some(fp)))
         graft.expr.VectorExpressions.register(s)
         val queries = normed(s, dir).filter(col("vec_id") < 10)
@@ -432,7 +526,8 @@ object Similarity {
         val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 4)
         val idx = ivfIndexDirFor(s, dir) + "_base"
         val fp = corpusFingerprint(s, dir)
-        ensureIvfIndex(s, idx, fp)(tmp => writeIvfIndex(base, tmp, Some(fp)))
+        ensureIvfIndex(s, idx, fp, ivfIndexConf(s).isDefined)(tmp =>
+          writeIvfIndex(base, tmp, Some(fp)))
         val cents = s.read.parquet(s"$idx/centroids.parquet")
         val baseCells = s.read.parquet(s"$idx/cells.parquet")
           .select(col("vec_id"), col("de"), col("nrm"),
@@ -456,21 +551,7 @@ object Similarity {
 
     // ---- brute-force cosine top-3 for queries vec_id < 10 ----
     "q35_cosine_topk" -> QueryDef(
-      (s, dir) => {
-        val corpus = normed(s, dir)
-        val queries = corpus.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("de").as("qe"),
-            col("nrm").as("qn"))
-        val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-          .withColumn("cos", expr(dotExpr("qe", "de")) / (col("qn") * col("nrm")))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            col("rank"), round(col("cos"), 4).as("cos_sim"))
-          .orderBy(col("query_id"), col("rank"))
-      },
+      (s, dir) => bruteTopk(s, dir),
       Some(s"""WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
                         FROM embeddings),
              q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
@@ -492,23 +573,7 @@ object Similarity {
     // ---- LSH-bucketed approximate NN: candidates share the 4-bit sign
     //      bucket; top-3 by exact cosine within candidates ----
     "q36_ann_lsh_topk" -> QueryDef(
-      (s, dir) => {
-        val bucketed = normed(s, dir)
-          .withColumn("bucket", expr(bucketExprSpark("embedding")))
-        val queries = bucketed.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("de").as("qe"),
-            col("nrm").as("qn"), col("bucket"))
-        val cands = bucketed.join(broadcast(queries), Seq("bucket"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("cos", expr(dotExpr("qe", "de")) / (col("qn") * col("nrm")))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        cands.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            col("rank"), round(col("cos"), 4).as("cos_sim"))
-          .orderBy(col("query_id"), col("rank"))
-      },
+      (s, dir) => lshTopk(s, dir),
       Some(s"""WITH n AS (SELECT vec_id, embedding,
                         ${duckNorm("embedding")} AS nrm,
                         ${bucketExprDuck("embedding")} AS bucket
@@ -538,33 +603,7 @@ object Similarity {
     //      drop from |Q|·N to |Q|·(2/16)·N on average. Deterministic
     //      end-to-end, so DuckDB replicates it exactly. ----
     "q43_ivf_ann_topk" -> QueryDef(
-      (s, dir) => {
-        val n = normed(s, dir)
-        val cents = n.filter(col("vec_id") < IvfCells)
-          .select(col("vec_id").as("cid"), col("de").as("cde"),
-            col("nrm").as("cnrm"))
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("ccos").desc, col("cid"))
-        val assigned = n.join(broadcast(cents))
-          .withColumn("ccos",
-            expr(dotExpr("de", "cde")) / (col("nrm") * col("cnrm")))
-          .withColumn("crank", row_number().over(wAssign))
-        val corpusCells = assigned.filter(col("crank") === 1)
-          .select(col("vec_id"), col("de"), col("nrm"), col("cid").as("cell"))
-        val queryProbes = assigned.filter(col("vec_id") < 10 && col("crank") <= 2)
-          .select(col("vec_id").as("query_id"), col("de").as("qe"),
-            col("nrm").as("qn"), col("cid").as("cell"))
-        val wTop = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        corpusCells.join(broadcast(queryProbes), Seq("cell"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("cos", expr(dotExpr("qe", "de")) / (col("qn") * col("nrm")))
-          .withColumn("rank", row_number().over(wTop))
-          .filter(col("rank") <= 3)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            col("rank"), round(col("cos"), 4).as("cos_sim"))
-          .orderBy(col("query_id"), col("rank"))
-      },
+      (s, dir) => ivfTopk(s, dir),
       // one IVF definition per engine: q43 and q97 share [[ivfDuckSql]]
       Some(ivfDuckSql())),
 
@@ -714,5 +753,91 @@ object Similarity {
                round(${duckDot("embedding", "embedding")}, 4) AS self_dot
              FROM embeddings
              ORDER BY vec_id""")),
+
+    // ---- ANN RECALL OBSERVABILITY: how much of the exact answer do the
+    //      approximate indexes actually return? Per query vector the
+    //      IVF (2-of-16-cell probe, the q43/q97 math) and sign-bucket
+    //      LSH (q36) top-3 sets are intersected with the brute-force
+    //      exact top-3 (q35), then aggregated to recall@3 per method —
+    //      the number a curation pipeline checks BEFORE trusting
+    //      approximate dedup at 100 TB ("the index is built right" vs
+    //      "the index is good enough to serve"). All three sides are
+    //      deterministic (exact cosine + total tie-breaks), so the
+    //      report itself sits under the DuckDB hash gate. recall_bp is
+    //      basis points via int64 floor division — no float division
+    //      crosses the gate. Scale shape: three reuses of the existing
+    //      top-k operators (each already broadcast/cell-pruned), two
+    //      30-row joins, and a 1-row totals cross join. ----
+    "q102_ann_recall" -> QueryDef(
+      (s, dir) => {
+        val exact = bruteTopk(s, dir)
+          .select(col("query_id"), col("neighbor_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nq = exact.agg(countDistinct(col("query_id")).as("n_queries"))
+        def methodRow(method: String, approx: DataFrame): DataFrame =
+          approx.select(col("query_id"), col("neighbor_id"))
+            .join(exact, Seq("query_id", "neighbor_id"))
+            .agg(count(lit(1)).as("hits_at_3"))
+            .crossJoin(nq)
+            .select(lit(method).as("method"), col("n_queries"),
+              col("hits_at_3"),
+              expr("hits_at_3 * 10000L div (3 * n_queries)").as("recall_bp"))
+        methodRow("ivf", ivfTopk(s, dir))
+          .unionByName(methodRow("lsh", lshTopk(s, dir)))
+          .orderBy(col("method"))
+      },
+      Some {
+        def rankTop(src: String) =
+          s"""SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+                FROM $src) WHERE rank <= 3"""
+        s"""WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm,
+                    ${bucketExprDuck("embedding")} AS bucket
+                  FROM embeddings),
+           q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket
+                 FROM n WHERE vec_id < 10),
+           ex_scored AS (
+             SELECT q.query_id, n.vec_id,
+               ${duckDot("q.qe", "n.embedding")} / (q.qn * n.nrm) AS cos
+             FROM n JOIN q ON n.vec_id <> q.query_id),
+           ex_top AS (${rankTop("ex_scored")}),
+           lsh_scored AS (
+             SELECT q.query_id, n.vec_id,
+               ${duckDot("q.qe", "n.embedding")} / (q.qn * n.nrm) AS cos
+             FROM n JOIN q ON n.bucket = q.bucket AND n.vec_id <> q.query_id),
+           lsh_top AS (${rankTop("lsh_scored")}),
+           cents AS (SELECT vec_id AS cid, embedding AS cde, nrm AS cnrm
+                     FROM n WHERE vec_id < $IvfCells),
+           assigned AS (
+             SELECT n.vec_id, n.embedding, n.nrm, cents.cid,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 ${duckDot("n.embedding", "cents.cde")} / (n.nrm * cents.cnrm) DESC,
+                 cents.cid) AS crank
+             FROM n CROSS JOIN cents),
+           corpus_cells AS (
+             SELECT vec_id, embedding, nrm, cid AS cell
+             FROM assigned WHERE crank = 1),
+           query_probes AS (
+             SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cid AS cell
+             FROM assigned WHERE vec_id < 10 AND crank <= 2),
+           ivf_scored AS (
+             SELECT p.query_id, c.vec_id,
+               ${duckDot("p.qe", "c.embedding")} / (p.qn * c.nrm) AS cos
+             FROM corpus_cells c JOIN query_probes p ON c.cell = p.cell
+             WHERE c.vec_id <> p.query_id),
+           ivf_top AS (${rankTop("ivf_scored")}),
+           nq AS (SELECT count(DISTINCT query_id) AS n_queries FROM ex_top),
+           hits AS (
+             SELECT 'ivf' AS method, count(*) AS hits_at_3
+             FROM ivf_top JOIN ex_top USING (query_id, vec_id)
+             UNION ALL
+             SELECT 'lsh' AS method, count(*) AS hits_at_3
+             FROM lsh_top JOIN ex_top USING (query_id, vec_id))
+           SELECT method, n_queries, hits_at_3,
+             (hits_at_3 * 10000) // (3 * n_queries) AS recall_bp
+           FROM hits CROSS JOIN nq
+           ORDER BY method"""
+      }),
   )
 }

@@ -84,6 +84,25 @@ object TextOps {
     * [[trainBpe]] — and BpeTrainSpec runs it to 64 merges). */
   val TrainMerges = 4
 
+  /** Merge rounds for q103's DEEP trainer gate — 4× the q100 depth. The
+    * q100 oracle unrolls one CTE pair per round (its budget must stay
+    * small); q103's oracle instead iterates a `WITH RECURSIVE` whose
+    * whole round state (the tokenized vocabulary) lives in ONE row as a
+    * list-of-structs, so its depth costs iterations, not SQL text. 16
+    * rounds puts the realistic later-merges-contain-earlier behavior
+    * (see the BpeTrainSpec 64-merge mirror) under the DuckDB hash gate
+    * instead of spec-only trust. */
+  val TrainMergesDeep = 16
+
+  /** Vocabulary cap for q103: the recursive oracle recounts pairs with
+    * O(|pairs|·|distinct pairs|) scalar list work per round on its
+    * single state row, so the gated vocabulary is the top-[[DeepVocab]]
+    * words — plenty to exercise 16 real merge rounds, small enough that
+    * the oracle replays them in well under a second. The Spark trainer
+    * itself has no such cap (its per-round cost is one vocab-sized
+    * distributed aggregation regardless of vocabulary size). */
+  val DeepVocab = 64
+
   private def escSq(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
 
   /** ONE greedy left-to-right merge pass over a token-array column:
@@ -610,6 +629,96 @@ object TextOps {
            $sel
            ORDER BY rank"""
       }),
+
+    // ---- DEEP BPE TRAINER GATE: the same [[trainBpe]] loop as q100 but
+    //      run to [[TrainMergesDeep]] = 16 rounds over a bounded
+    //      deterministic vocabulary (top-[[DeepVocab]] pure-[a-z] words
+    //      of the first 50 docs). The oracle is a DuckDB WITH RECURSIVE
+    //      whose recursive term carries the ENTIRE tokenized vocabulary
+    //      in one list-of-structs row: each iteration flattens adjacent
+    //      token pairs from that state with list lambdas, counts them
+    //      per distinct pair key, takes the (cnt DESC, ta, tb) argmax
+    //      via list_reduce, applies the greedy left-associative merge
+    //      fold to every word, and emits one (rank, merge) row —
+    //      bit-for-bit the q100 semantics, but depth costs recursion
+    //      steps instead of unrolled SQL, which is what lets 16 rounds
+    //      (4× q100's gated depth) sit under the hash compare. Early
+    //      exhaustion (no pairs left) terminates both engines
+    //      identically. ----
+    "q103_bpe_train_deep" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val vocab = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .select(explode(split(lower(col("text")), " +")).as("word"))
+          .filter(col("word").rlike("^[a-z]+$"))
+          .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+          .orderBy(col("wcnt").desc, col("word")).limit(DeepVocab)
+        trainBpe(vocab, TrainMergesDeep)
+          .toDF("rank", "token_a", "token_b", "merged", "pair_count")
+          .orderBy(col("rank"))
+      },
+      Some(s"""WITH RECURSIVE
+           w0 AS (
+             SELECT unnest(string_split_regex(lower(text), ' +')) AS word
+             FROM documents WHERE doc_id < 50),
+           v AS (
+             SELECT word, count(*) AS wcnt FROM w0
+             WHERE regexp_matches(word, '^[a-z]+$$')
+             GROUP BY word
+             ORDER BY wcnt DESC, word LIMIT $DeepVocab),
+           t0 AS (
+             SELECT word, wcnt,
+               list_transform(generate_series(1, length(word)),
+                 i -> substr(word, i, 1)) AS toks
+             FROM v),
+           steps AS (
+             SELECT 0 AS r, CAST(NULL AS VARCHAR) AS ta,
+                    CAST(NULL AS VARCHAR) AS tb, CAST(NULL AS VARCHAR) AS m,
+                    CAST(NULL AS BIGINT) AS cnt,
+                    (SELECT list({'word': word, 'wcnt': wcnt, 'toks': toks}
+                                 ORDER BY word) FROM t0) AS state
+             UNION ALL
+             SELECT r + 1, best.ta, best.tb, best.ta || best.tb, best.cnt,
+               list_transform(state, w -> {'word': w.word, 'wcnt': w.wcnt,
+                 'toks': list_reduce(
+                   list_prepend(CAST([] AS VARCHAR[]),
+                     list_transform(w.toks, t -> [t])),
+                   (acc, x) -> CASE
+                     WHEN len(acc) = 0 THEN x
+                     WHEN acc[-1] = best.ta AND x[1] = best.tb
+                       THEN list_append(acc[1:len(acc) - 1], best.ta || best.tb)
+                     ELSE list_append(acc, x[1]) END)})
+             FROM (
+               SELECT r, state,
+                 CASE WHEN len(counted) = 0 THEN NULL ELSE
+                   list_reduce(counted, (a, b) -> CASE
+                     WHEN b.cnt > a.cnt OR (b.cnt = a.cnt AND
+                       (b.ta < a.ta OR (b.ta = a.ta AND b.tb < a.tb)))
+                     THEN b ELSE a END)
+                 END AS best
+               FROM (
+                 SELECT r, state,
+                   list_transform(
+                     list_distinct(list_transform(pairs, p -> p.k)),
+                     d -> {'ta': split_part(d, chr(31), 1),
+                           'tb': split_part(d, chr(31), 2),
+                           'cnt': CAST(list_sum(list_transform(pairs,
+                                    p -> CASE WHEN p.k = d THEN p.wcnt
+                                         ELSE 0 END)) AS BIGINT)}) AS counted
+                 FROM (
+                   SELECT r, state,
+                     flatten(list_transform(state, w ->
+                       list_transform(
+                         list_zip(w.toks[1:len(w.toks) - 1],
+                                  w.toks[2:len(w.toks)]),
+                         z -> {'k': z[1] || chr(31) || z[2],
+                               'wcnt': w.wcnt}))) AS pairs
+                   FROM steps WHERE r < $TrainMergesDeep))
+             ) WHERE best IS NOT NULL)
+           SELECT r AS rank, ta AS token_a, tb AS token_b, m AS merged,
+             cnt AS pair_count
+           FROM steps WHERE r >= 1 ORDER BY rank""")),
 
     // ---- near-dup pairs by 3-gram Jaccard ≥ 0.8 (inverted-index join on
     //      the HASHED shingle with the hot-shingle cutoff; the oracle

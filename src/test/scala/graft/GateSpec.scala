@@ -171,7 +171,11 @@ class PlanGateSpec extends AnyFunSuite {
     "q97_ivf_index_topk", "q98_ivf_incremental_topk",
     // q101: q85's regime probe — the coarse-centroid broadcast (k1 tiny
     // rows) is the same K-row build side as q85's flat path
-    "q101_semantic_dedup_hier")
+    "q101_semantic_dedup_hier",
+    // q102: the recall report embeds q35's inequality-broadcast exact
+    // side and q43's 16-centroid assignment wholesale — both build
+    // sides are O(1) by the same arguments as above
+    "q102_ann_recall")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

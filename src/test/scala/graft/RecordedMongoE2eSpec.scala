@@ -80,4 +80,55 @@ class RecordedMongoE2ESpec extends AnyFunSuite {
     assert(MiniMySql.rowsOf("category").head("name").toString == "general")
     assert(MiniMySql.rowsOf("user").head("joindate").toString == "1700000000")
   }
+
+  test("re-export over an evolved schema emits ALTER TABLE through the full Porter → sink chain") {
+    MiniMySql.register
+    MiniMySql.reset()
+    def exportDocs(docs: Seq[String]): Map[String, Long] = {
+      val src = new MongoSource(
+        uri = "mongodb://recorded-host:27017",
+        database = "appdb",
+        collectionNames = Seq("users"),
+        enumerate = (_, _) => fail("explicit collection list must skip enumeration"),
+        reader = (s, opts) => {
+          import s.implicits._
+          s.read.json(s.createDataset(docs))
+        })
+      val sink = new JdbcReplaceSink("jdbc:mini:db",
+        new java.util.Properties, batchSize = 100)
+      new Porter(spark, sink).exportCollections(src.collections(spark))
+    }
+
+    // export #1: age is an INT everywhere
+    exportDocs(Seq(
+      """{"_id":"u1","name":"ada","age":36}""",
+      """{"_id":"u2","name":"lin","age":29}"""))
+    assert(MiniMySql.colTypes("users")("age") == "INT")
+    assert(!MiniMySql.tables("users").cols.contains("email"))
+
+    // export #2 into the EXISTING table: a NEW column (email) and a
+    // WIDENED column (age now arrives as a string → the reference's
+    // mixed-pair collapse, int ⊔ varchar = varchar(255), Porter.php:405-429)
+    // must surface as executed ALTER TABLE ADD/MODIFY statements — the
+    // TableDef.evolve logic driven through Porter.exportCollections and
+    // the sink's metadata read-back, not called directly
+    val counts2 = exportDocs(Seq(
+      """{"_id":"u1","name":"ada lovelace","age":36,"email":"ada@calc.io"}""",
+      """{"_id":"u3","name":"eve","age":"unknown","email":"eve@x.io"}"""))
+    assert(counts2 == Map("users" -> 2L))
+    val types = MiniMySql.colTypes("users")
+    assert(types("age") == "VARCHAR(255)", types)
+    assert(types("email").startsWith("VARCHAR"), types)
+
+    // REPLACE semantics on the PK: u1 was upserted with the new name and
+    // email; u2 (absent from export #2) survived with a null-backfilled
+    // email column from the ALTER ADD
+    val byId = MiniMySql.rowsOf("users")
+      .map(r => r("_id").toString -> r).toMap
+    assert(byId.keySet == Set("u1", "u2", "u3"))
+    assert(byId("u1")("name").toString == "ada lovelace")
+    assert(byId("u1")("email").toString == "ada@calc.io")
+    assert(byId("u2")("email") == null)
+    assert(byId("u3")("age").toString == "unknown")
+  }
 }

@@ -276,6 +276,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.length == 20)
   }
 
+  test("q104 encode→decode→thumbnail round-trips block values bit-exactly") {
+    import spark.implicits._
+    // the property the q104 oracle rests on: for a block-constant RGB
+    // PNG, the REAL imageio decode + 8×8 block average reproduces the
+    // input block values exactly, so an arithmetic oracle can gate the
+    // decode path
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 12L).map(i =>
+      (i, Array.fill(64)(rnd.nextInt(256).toLong)))
+    val px = rows.toDF("doc_id", "px")
+    val media = Multimodal.encodeBlockPng(spark, px)
+    val back = Multimodal.thumbPixels(
+        Multimodal.decodeImageFeatures(spark, media))
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSeq).toMap
+    assert(back.keySet == rows.map(_._1).toSet)
+    rows.foreach { case (id, expected) =>
+      assert(back(id) == expected.toSeq, s"doc $id") }
+  }
+
+  test("q104 perceptual-hash banding pairs a perturbed REAL image with its original, not with a distinct one") {
+    import spark.implicits._
+    // full-content (not block-constant) 32×32 PNGs: A, A with ONE 4×4
+    // block brightened (+40 per channel — one thumbnail pixel moves),
+    // and an independent B. The pHash pipeline over the real decode
+    // must pair (A, A') and keep B unpaired.
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(32, 32)(rnd.nextInt(0x1000000))
+    val other = Array.fill(32, 32)(rnd.nextInt(0x1000000))
+    def png(pix: Array[Array[Int]], brighten: Boolean): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val p = pix(y)(x)
+        val v =
+          if (brighten && x < 4 && y < 4)
+            (math.min(255, ((p >> 16) & 0xff) + 40) << 16) |
+              (math.min(255, ((p >> 8) & 0xff) + 40) << 8) |
+              math.min(255, (p & 0xff) + 40)
+          else p
+        im.setRGB(x, y, v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, png(base, false), "image/png", 0L),
+      (2L, png(base, true), "image/png", 0L),
+      (3L, png(other, false), "image/png", 0L))
+      .toDF("doc_id", "payload", "kind", "n_bytes")
+    val pairs = Multimodal.phashPairs(Multimodal.thumbPixels(
+        Multimodal.decodeImageFeatures(spark, media)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)), pairs.toSeq)
+    assert(pairs.head._3 <= Multimodal.ImagePhashMaxHamming)
+  }
+
   test("real audio decode: javax.sound.sampled parses a WAV fixture inside the partition bridge") {
     import spark.implicits._
     // fixture: 8 kHz mono 16-bit PCM sine, amplitude 16384 (half scale),
