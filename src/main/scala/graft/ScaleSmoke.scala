@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up smoke (VERDICT r7 item 5): expands the sf0.1 documents +
+  * embeddings tables by an integer factor into a bench-only corpus (no
+  * oracle — the driver's correctness gate stays at sf0.01) and times a
+  * chosen query list on BOTH the source and the expanded dir, so the
+  * printed ratios show whether runtime grows ≲ linearly with corpus
+  * size — the first empirical scale datapoint beyond plan-shape
+  * reasoning.
+  *
+  * Expansion is deterministic and similarity-preserving WITHIN a copy
+  * but decorrelating ACROSS copies:
+  *   - documents: copy i ≥ 1 suffixes every word with `_i`, so each
+  *     copy keeps the source's near-dup pair structure (both members
+  *     of a pair mutate identically) while sharing no shingles with
+  *     other copies — near-dup work scales ~linearly instead of
+  *     quadratically in the copy count;
+  *   - embeddings: copy i ≥ 1 adds a small index-dependent perturbation
+  *     per coordinate; vectors stay near their originals in direction,
+  *     which deliberately stresses the hot-band caps (a 10× same-
+  *     direction cluster is exactly the degenerate case the caps exist
+  *     to bound).
+  *
+  * Usage: runMain graft.ScaleSmoke <srcSfDir> <outDir> <factor> <q1> [q2 ...]
+  * The expanded corpus is built once and reused if already present.
+  */
+object ScaleSmoke {
+
+  private def expand(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    val outDocs = new java.io.File(s"$out/documents.parquet")
+    val outEmb = new java.io.File(s"$out/embeddings.parquet")
+    if (outDocs.exists && outEmb.exists) {
+      println(s"[scale] reusing expanded corpus at $out")
+      return
+    }
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nDocs = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val docCopies = (0 until factor).map { i =>
+      if (i == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(i * nDocs))
+        .withColumn("text", expr(
+          s"array_join(transform(split(text, ' '), w -> concat(w, '_$i')), ' ')"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    docCopies.reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nVecs = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val embCopies = (0 until factor).map { i =>
+      if (i == 0) emb
+      else emb
+        .withColumn("vec_id", col("vec_id") + lit(i * nVecs))
+        .withColumn("embedding", expr(
+          s"transform(embedding, (x, j) -> cast(x + ${i}e-4 * (j % 7 + 1) as float))"))
+    }
+    embCopies.reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[scale] built ${factor}x corpus at $out " +
+      s"(${nDocs * factor} docs, ${nVecs * factor} vectors)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: ScaleSmoke <srcSfDir> <outDir> <factor> <query> [query ...]")
+    val (src, out, factor) = (args(0), args(1), args(2).toInt)
+    val queries = args.drop(3).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    expand(spark, src, out, factor)
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // min of runs 2..3 per dir (run 1 absorbs first-use cost), source
+    // first so codegen warm-up is charged to the small corpus
+    val rows = queries.map { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      def best(dir: String): (Double, Option[String]) = {
+        val runs = (1 to 3).map { _ =>
+          spark.catalog.clearCache()
+          Bench.timeOne(spark, dir, fn)
+        }.drop(1)
+        val ok = runs.collect { case (s, None) => s }
+        (if (ok.nonEmpty) ok.min else runs.map(_._1).min,
+          if (ok.nonEmpty) None else runs.flatMap(_._2).headOption)
+      }
+      val (small, errS) = best(src)
+      val (big, errB) = best(out)
+      val err = errS.orElse(errB)
+      println(s"""[scale] $name: sf0.1=${fmt(small)}s ${factor}x=${fmt(big)}s ratio=${fmt(big / small)}${err.map(e => s" ERROR=$e").getOrElse("")}""")
+      (name, small, big, err)
+    }
+    val qjson = rows.map { case (n, s, b, _) =>
+      s""""$n":{"small":${fmt(s)},"big":${fmt(b)},"ratio":${fmt(b / s)}}"""
+    }.mkString("{", ",", "}")
+    val errs = rows.collect { case (n, _, _, Some(e)) => s""""$n":"$e"""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_smoke","factor":$factor,"src":"$src","queries":$qjson,"errors":$errs}""")
+    spark.stop()
+  }
+}
