@@ -45,6 +45,54 @@ object CorpusStats {
     docs.select(col("doc_id"), col("lang"),
       explode(split(lower(col("text")), " +")).as("term"))
 
+  /** q105's operator over a (doc_id, text) frame — exposed so the spec
+    * can feed a planted corpus whose backoff classes are hand-checkable.
+    * See the q105 entry below for the full semantics/scale story. */
+  def bigramLmScore(docsText: DataFrame): DataFrame = {
+    // the tokenized+split frame feeds three consumers (train tokens,
+    // train pairs, validation pairs) — persist it once
+    val d = docsText
+      .select(col("doc_id"), split(lower(col("text")), " +").as("ws"),
+        expr("""cast(conv(substring(md5(concat('split:',
+             cast(doc_id as string))), 1, 14), 16, 10) as long) % 10""")
+          .as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pairs(docs: DataFrame): DataFrame = docs
+      .filter(size(col("ws")) >= 2) // sequence(1,0) is DESCENDING — filter first (q88)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+             i -> struct(element_at(ws, i) AS w1,
+                         element_at(ws, i + 1) AS w2))""")).as("pr"))
+      .select(col("doc_id"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val trTok = d.filter(col("b") < 8).select(explode(col("ws")).as("term"))
+    val ug = trTok.groupBy(col("term")).agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = trTok.agg(count(lit(1)).cast("long").as("t"))
+    // per-bigram bits precomputed at train time: c(w1) ≥ c(w1,w2) ≥ 1
+    // by construction, so the div never truncates to 0 bits wrongly
+    val sbg = pairs(d.filter(col("b") < 8))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .join(ug.withColumnRenamed("term", "w1"), "w1")
+      .select(col("w1"), col("w2"),
+        (length(bin(expr("c1 div c12"))) - 1).cast("long").as("bgbits"))
+    pairs(d.filter(col("b") === 8))
+      .join(sbg, Seq("w1", "w2"), "left")
+      .join(ug.select(col("term").as("w2"), col("c1").as("c2")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("ibits", when(col("bgbits").isNotNull, col("bgbits"))
+        .otherwise((length(bin(expr("t div coalesce(c2, 1L)"))) - 1)
+          .cast("long") + 2))
+      .withColumn("backoff", when(col("bgbits").isNull, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"),
+        sum(col("ibits")).as("bits_total"),
+        sum(col("backoff")).as("n_backoff"))
+      .withColumn("mean_bits",
+        round(col("bits_total") * lit(1.0) / col("n_trans"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- vocabulary coverage: OOV tokens per language against the
@@ -327,5 +375,69 @@ object CorpusStats {
              FROM w JOIN sc USING (term)
              GROUP BY doc_id
              ORDER BY doc_id""")),
+
+    // ---- held-out bigram LM scoring: the trained-model upgrade of
+    //      q89's unigram surprisal, and the closest deterministic
+    //      mirror of a CCNet/KenLM perplexity filter the cross-engine
+    //      gate can certify. The LM (unigram + bigram counts) is
+    //      trained ONLY on q65's 80% train split (same md5 'split:'
+    //      bucket — adding docs never changes the split), and scores
+    //      the HELD-OUT validation split, so unseen bigrams genuinely
+    //      occur and the backoff path does real work. Per transition
+    //      (w1,w2): seen → whole-bit conditional surprisal
+    //      floor(log2(c(w1)/c(w1,w2))) via the q89 length(bin()) trick;
+    //      unseen → stupid backoff to the unigram, α = 1/4 spelled as
+    //      an integer +2 bits: floor(log2(T/c(w2))) + 2 (unseen w2
+    //      backs off at count 1). Pure int64 throughout; the only float
+    //      is the final rounded IEEE division. Scale shape: both count
+    //      tables are map-side-combinable groupBys; the bigram-bits
+    //      precompute and both scoring joins are word-keyed equi-joins
+    //      (the vocabulary is corpus-sized — never broadcast); the
+    //      1-row totals frame rides a broadcast crossJoin (q89
+    //      precedent). High mean_bits = documents the trained LM finds
+    //      surprising — the perplexity filter's outlier signal, now
+    //      measured out-of-sample like the real pipelines do. ----
+    "q105_bigram_lm_score" -> QueryDef(
+      (s, dir) => bigramLmScore(Tables.load(s, dir, "documents")),
+      Some("""WITH d AS (
+               SELECT doc_id, string_split_regex(lower(text), ' +') AS ws,
+                 CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                   1, 14)) AS BIGINT) % 10 AS b
+               FROM documents),
+             tr_tok AS (SELECT unnest(ws) AS term FROM d WHERE b < 8),
+             ug AS (SELECT term, count(*) AS c1 FROM tr_tok GROUP BY term),
+             tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tr_tok),
+             tr_pair AS (
+               SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                 i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS pr
+               FROM d WHERE b < 8 AND len(ws) >= 2),
+             bg AS (
+               SELECT pr.w1 AS w1, pr.w2 AS w2, count(*) AS c12
+               FROM tr_pair GROUP BY pr.w1, pr.w2),
+             sbg AS (
+               SELECT w1, w2,
+                 CAST(length(bin(c1 // c12)) - 1 AS BIGINT) AS bgbits
+               FROM bg JOIN ug ON bg.w1 = ug.term),
+             vp AS (
+               SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(ws) - 1),
+                 i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS pr
+               FROM d WHERE b = 8 AND len(ws) >= 2),
+             scored AS (
+               SELECT vp.doc_id,
+                 CASE WHEN sbg.bgbits IS NOT NULL THEN sbg.bgbits
+                   ELSE CAST(length(bin(t // coalesce(ug.c1, 1))) - 1
+                     AS BIGINT) + 2 END AS ibits,
+                 CASE WHEN sbg.bgbits IS NULL THEN 1 ELSE 0 END AS backoff
+               FROM vp
+               LEFT JOIN sbg ON vp.pr.w1 = sbg.w1 AND vp.pr.w2 = sbg.w2
+               LEFT JOIN ug ON vp.pr.w2 = ug.term
+               CROSS JOIN tot)
+             SELECT doc_id, count(*) AS n_trans,
+               CAST(sum(ibits) AS BIGINT) AS bits_total,
+               CAST(sum(backoff) AS BIGINT) AS n_backoff,
+               round(CAST(sum(ibits) AS BIGINT) * 1.0 / count(*), 4)
+                 AS mean_bits
+             FROM scored GROUP BY doc_id ORDER BY doc_id""")),
   )
 }

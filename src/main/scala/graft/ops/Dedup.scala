@@ -311,6 +311,71 @@ object Dedup {
       .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
   }
 
+  /** Power-iteration rounds for q106 — fixed (not converged-to), so both
+    * engines run the identical count; 8 rounds with 0.85 damping settle
+    * the rank ordering on any graph whose diameter the dedup caps allow. */
+  val PageRankIters = 8
+
+  /** Fixed-point scale for q106's ranks: 1 unit = 10⁻¹² of total rank
+    * mass. Big enough that floor-division noise never reorders ranks,
+    * small enough that 17 × (total mass) stays far inside int64. */
+  val PageRankScale = 1000000000000L
+
+  /** PageRank over the (symmetrized) near-dup candidate graph — the
+    * graph-centrality companion to [[connectedComponents]]: q54 says
+    * which docs form a duplicate cluster, this says which member is the
+    * most CENTRAL representative (the doc that near-matches the most
+    * other members, transitively weighted) — the canonical-selection
+    * signal when no quality score breaks the tie, and the standard
+    * importance-weighting trick over crawl dup/link graphs.
+    *
+    * Arithmetic is pure int64 fixed point so the DuckDB gate certifies
+    * it bitwise: r₀ = S/N; each round r'(v) = (3S)/(20N) + 17·C(v)/20
+    * with C(v) = Σ over in-edges of r(u) div deg(u) — the 0.15/0.85
+    * damped walk with every division a floor div of nonneg longs
+    * (identical in Spark `div` and DuckDB `//`). Symmetrized edges mean
+    * every node has an out-edge, so there is no dangling-mass term.
+    *
+    * Scale shape: one round = ONE src-keyed equi-join (ranks into the
+    * materialized (src,dst,deg) edge list) + one map-side-combinable
+    * sum — the q54 loop discipline applies verbatim: every round is
+    * checkpointed ([[Checkpoints.stabilize]], reliable under
+    * `spark.graft.checkpointDir`) or the plan tree doubles per
+    * iteration. The single driver-side scalar is the node COUNT (it
+    * fixes the two integer constants); ranks never leave executors. */
+  def dupGraphPageRank(pairs: DataFrame,
+      iters: Int = PageRankIters): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = Checkpoints.stabilize(
+      pairs.select(col("da").as("src"), col("db").as("dst"))
+        .union(pairs.select(col("db").as("src"), col("da").as("dst"))))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = deg.count() // bounded metadata: one scalar, sizes the constants
+    if (n == 0L) {
+      Seq.empty[(Long, Long, Long)].toDF("doc_id", "degree", "rank_fp")
+    } else {
+      val base = 3L * PageRankScale / (20L * n)
+      val ed = Checkpoints.stabilize(edges.join(deg, "src"))
+      var ranks = Checkpoints.stabilize(
+        deg.select(col("src").as("doc_id"),
+          lit(PageRankScale / n).as("r")))
+      for (_ <- 1 to iters) {
+        ranks = Checkpoints.stabilize(
+          ed.join(ranks, ed("src") === ranks("doc_id"))
+            .select(col("dst"), expr("r div deg").as("c"))
+            .groupBy(col("dst"))
+            .agg(sum(col("c")).as("csum"))
+            .select(col("dst").as("doc_id"),
+              (lit(base) + expr("(17 * csum) div 20")).as("r")))
+      }
+      ranks.join(deg, ranks("doc_id") === deg("src"))
+        .select(col("doc_id"), col("deg").as("degree"),
+          col("r").as("rank_fp"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- MinHash signatures + LSH banding → candidate near-dup pairs
@@ -656,6 +721,51 @@ object Dedup {
            JOIN szs sb ON sb.doc_id = ag.db
            ORDER BY ag.da, ag.db"""
       }),
+
+    // ---- graph-centrality canonical scoring: [[dupGraphPageRank]] over
+    //      the q33 candidate graph. The oracle replays the identical
+    //      8-round int64 power iteration in a WITH RECURSIVE whose
+    //      single state row carries the whole rank vector as a
+    //      list-of-structs (the q103 pattern — depth costs recursion
+    //      steps, not unrolled SQL): each step computes one fixed-point
+    //      contribution per edge (rank lookup ÷ degree) and folds them
+    //      per node, so a wrong damping constant, floor division, edge
+    //      symmetrization or iteration count flips the hash compare. ----
+    "q106_dupgraph_pagerank" -> QueryDef(
+      (s, dir) =>
+        dupGraphPageRank(lshCandidatePairs(Tables.load(s, dir, "documents"))),
+      Some(s"""WITH RECURSIVE ${duckCandPairsBody()},
+           edges0 AS (SELECT da AS src, db AS dst FROM cand_pairs
+                      UNION ALL SELECT db, da FROM cand_pairs),
+           pdeg AS (SELECT src, count(*) AS deg FROM edges0 GROUP BY src),
+           nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pdeg),
+           steps AS (
+             SELECT 0 AS it,
+               (SELECT CAST(3 * $PageRankScale // (20 * n) AS BIGINT)
+                  FROM nn) AS base,
+               (SELECT list({'src': e.src, 'dst': e.dst, 'deg': d.deg}
+                    ORDER BY e.src, e.dst)
+                  FROM edges0 e JOIN pdeg d ON e.src = d.src) AS es,
+               (SELECT list({'v': src,
+                    'r': CAST($PageRankScale // n AS BIGINT)} ORDER BY src)
+                  FROM pdeg, nn) AS ranks
+             UNION ALL
+             SELECT it + 1, base, es,
+               list_transform(ranks, rv -> {'v': rv.v,
+                 'r': CAST(base + (17 * coalesce(list_sum(list_transform(cs,
+                        c -> CASE WHEN c.dst = rv.v THEN c.c ELSE 0 END)),
+                        0)) // 20 AS BIGINT)})
+             FROM (
+               SELECT it, base, es, ranks,
+                 list_transform(es, e -> {'dst': e.dst,
+                   'c': CAST(list_filter(ranks, x -> x.v = e.src)[1].r
+                          // e.deg AS BIGINT)}) AS cs
+               FROM steps WHERE it < $PageRankIters))
+           SELECT z.u.v AS doc_id, d.deg AS degree, z.u.r AS rank_fp
+           FROM (SELECT unnest(ranks) AS u FROM steps
+                 WHERE it = $PageRankIters) z
+           JOIN pdeg d ON z.u.v = d.src
+           ORDER BY doc_id""")),
   )
 
   /** The full q62 pipeline over a (doc_id, text) frame, exposed with the

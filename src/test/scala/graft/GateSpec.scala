@@ -175,7 +175,10 @@ class PlanGateSpec extends AnyFunSuite {
     // q102: the recall report embeds q35's inequality-broadcast exact
     // side and q43's 16-centroid assignment wholesale — both build
     // sides are O(1) by the same arguments as above
-    "q102_ann_recall")
+    "q102_ann_recall",
+    // q105: the ONE-ROW train-token total crossJoined onto the scored
+    // validation pairs (the q89 scalar shape)
+    "q105_bigram_lm_score")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -1670,3 +1670,109 @@ class SemanticDedupPropertySpec extends AnyFunSuite {
     assert(beyondCap.intersect(flagged).isEmpty)
   }
 }
+
+/** q106 dup-graph PageRank: the distributed power iteration must equal an
+  * in-memory integer mirror bitwise (same fixed point, same floor
+  * divisions, same round count), and the rank ORDER must reflect
+  * centrality — the middle of a chain outranks its leaves. */
+class PageRankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Plain-Scala mirror of the q106 arithmetic (not a port of the
+    * DataFrame code — a direct transcription of the documented formula). */
+  private def mirror(pairs: Seq[(Long, Long)], iters: Int)
+      : Map[Long, (Long, Long)] = {
+    val sym = pairs ++ pairs.map { case (a, b) => (b, a) }
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = deg.size.toLong
+    val s = graft.ops.Dedup.PageRankScale
+    val base = 3L * s / (20L * n)
+    var r = deg.keys.map(v => v -> s / n).toMap
+    for (_ <- 1 to iters) {
+      val c = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      sym.foreach { case (u, v) => c(v) += r(u) / deg(u) }
+      r = r.keys.map(v => v -> (base + 17L * c(v) / 20L)).toMap
+    }
+    r.map { case (v, rank) => v -> (deg(v), rank) }
+  }
+
+  test("distributed iteration equals the integer mirror bitwise; chain centers outrank leaves") {
+    import spark.implicits._
+    // chain 0-1-2, triangle 10-11-12, pair 20-21
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L))
+    val got = graft.ops.Dedup.dupGraphPageRank(pairs.toDF("da", "db"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == mirror(pairs, graft.ops.Dedup.PageRankIters))
+    // centrality: the chain's middle node collects both leaves' mass
+    assert(got(1L)._2 > got(0L)._2 && got(1L)._2 > got(2L)._2)
+    // symmetry: structurally identical nodes get identical ranks
+    assert(got(0L)._2 == got(2L)._2)
+    assert(got(10L)._2 == got(11L)._2 && got(11L)._2 == got(12L)._2)
+    assert(got(20L)._2 == got(21L)._2)
+  }
+
+  test("an empty pair graph yields an empty, correctly-typed frame") {
+    import spark.implicits._
+    val out = graft.ops.Dedup.dupGraphPageRank(
+      Seq.empty[(Long, Long)].toDF("da", "db"))
+    assert(out.columns.toSeq == Seq("doc_id", "degree", "rank_fp"))
+    assert(out.count() == 0L)
+  }
+}
+
+/** q105 held-out bigram LM: every scoring class — seen bigram, unseen
+  * bigram between seen words, unseen second word — must produce exactly
+  * the documented whole-bit surprisal on a planted corpus where the
+  * counts are small enough to check by hand. */
+class BigramLmSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** q65's split bucket, computed independently of the operator. */
+  private def bucket(docId: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"split:$docId".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(14), 16) % 10
+  }
+
+  test("seen / backoff-to-unigram / unseen-word transitions score exactly as documented") {
+    import spark.implicits._
+    val trainIds = (0L until 200L).filter(bucket(_) < 8).take(3)
+    val valId = (0L until 200L).find(bucket(_) == 8).get
+    // train: "aa bb" ×3 docs plus one "bb cc" tail; tokens: aa×3 bb×4 cc×1 → T=8
+    val docs = Seq(
+      (trainIds(0), "aa bb"), (trainIds(1), "aa bb"),
+      (trainIds(2), "aa bb bb cc"),
+      // validation transitions: (aa,bb) seen c12=3; (bb,aa) unseen both
+      // seen; (aa,zz) unseen second word
+      (valId, "aa bb aa zz")).toDF("doc_id", "text")
+    val out = graft.ops.CorpusStats.bigramLmScore(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // c(aa)=3, c(bb)=4, c12(aa,bb)=3, T=8:
+    //   (aa,bb) seen:   floor(log2(3/3))  = 0 bits
+    //   (bb,aa) backoff: floor(log2(8/3)) + 2 = 1 + 2 = 3 bits
+    //   (aa,zz) unseen word: floor(log2(8/1)) + 2 = 3 + 2 = 5 bits
+    assert(r.getAs[Long]("n_trans") == 3L)
+    assert(r.getAs[Long]("bits_total") == 8L)
+    assert(r.getAs[Long]("n_backoff") == 2L)
+    assert(r.getAs[Double]("mean_bits") == 2.6667)
+  }
+
+  test("training never sees validation text: a val-only bigram of val-only words backs off at count 1") {
+    import spark.implicits._
+    val trainId = (0L until 200L).find(bucket(_) < 8).get
+    val valId = (0L until 200L).find(bucket(_) == 8).get
+    val docs = Seq(
+      (trainId, "xx yy xx yy"), // T=4
+      (valId, "qq rr")).toDF("doc_id", "text")
+    val r = graft.ops.CorpusStats.bigramLmScore(docs).collect().head
+    // (qq,rr): rr unseen → floor(log2(4/1)) + 2 = 4 bits
+    assert(r.getAs[Long]("n_trans") == 1L)
+    assert(r.getAs[Long]("bits_total") == 4L)
+    assert(r.getAs[Long]("n_backoff") == 1L)
+  }
+}
