@@ -439,5 +439,61 @@ object CorpusStats {
                round(CAST(sum(ibits) AS BIGINT) * 1.0 / count(*), 4)
                  AS mean_bits
              FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- hierarchical (mergeable) data card: q76's statistics computed
+    //      the way a 100 TB pipeline actually computes them — per-shard
+    //      PARTIALS aggregated as data lands, then MERGED per source,
+    //      never a full-corpus rescan. The Spark side explicitly runs
+    //      the two-level tree (groupBy (source, shard) → groupBy
+    //      source); the oracle computes the same card DIRECTLY in one
+    //      level, so the hash compare is a machine-checked proof that
+    //      every statistic in the card is decomposable: counts and sums
+    //      merge by +, extremes by min/max, and the content signature by
+    //      bit_xor (commutative, associative, self-inverse — order- and
+    //      grouping-insensitive over the 56-bit md5 text hashes, and it
+    //      cannot overflow where a SUM of hashes eventually would). A
+    //      statistic that does NOT merge (an exact distinct, an exact
+    //      median) cannot pass this gate — which is the point: the card
+    //      is certified safe for incremental per-shard maintenance. ----
+    "q108_mergeable_datacard" -> QueryDef(
+      (s, dir) => {
+        val partials = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            expr("""cast(conv(substring(md5(concat('card:',
+                 cast(doc_id as string))), 1, 14), 16, 10) as long) % 16""")
+              .as("shard"),
+            size(split(lower(col("text")), " +")).cast("long").as("nw"),
+            expr("cast(conv(substring(md5(text), 1, 14), 16, 10) as long)")
+              .as("h"))
+          .groupBy(col("source"), col("shard"))
+          .agg(count(lit(1)).as("p_docs"), sum(col("nw")).as("p_tokens"),
+            min(col("nw")).as("p_min"), max(col("nw")).as("p_max"),
+            expr("bit_xor(h)").as("p_sig"))
+        partials
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_shards"), sum(col("p_docs")).as("n_docs"),
+            sum(col("p_tokens")).as("n_tokens"),
+            min(col("p_min")).as("min_tokens"),
+            max(col("p_max")).as("max_tokens"),
+            expr("bit_xor(p_sig)").as("xor_sig"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (
+               SELECT source,
+                 CAST(('0x' || substr(md5('card:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 16
+                   AS shard,
+                 CAST(len(string_split_regex(lower(text), ' +'))
+                   AS BIGINT) AS nw,
+                 CAST(('0x' || substr(md5(text), 1, 14)) AS BIGINT) AS h
+               FROM documents)
+             SELECT source,
+               count(DISTINCT shard) AS n_shards,
+               count(*) AS n_docs,
+               CAST(sum(nw) AS BIGINT) AS n_tokens,
+               min(nw) AS min_tokens,
+               max(nw) AS max_tokens,
+               bit_xor(h) AS xor_sig
+             FROM d GROUP BY source ORDER BY source""")),
   )
 }

@@ -39,6 +39,42 @@ object Scrub {
   /** q80: documents kept per source — the per-source contribution cap. */
   val QuotaPerSource = 10
 
+  /** q107: documents kept per source by the weighted priority rule. */
+  val WeightedSampleK = 10
+
+  /** q107's operator over a (doc_id, source, text) frame — deterministic
+    * QUALITY-WEIGHTED sampling, the biased upgrade of q80's uniform
+    * quota: weight w = 1 + floor(10·quality) (the shared [[Quality]]
+    * score), priority = h div w over the 56-bit md5 grid, keep the k
+    * smallest priorities per source. This is an integer surrogate of the
+    * Efraimidis-Spirakis reservoir key u^(1/w) (the float pow is outside
+    * the cross-engine-exact function set): dividing the uniform hash by
+    * w preserves the monotone weight→priority bias — a weight-6 doc's
+    * priority distribution sits 6× lower than a weight-1 doc's — and
+    * keeps every property the q53/q65/q80 family guarantees
+    * (reproducible across engines, cluster layouts and re-runs; adding
+    * docs never evicts a doc whose priority still clears the cut).
+    * Scale shape: one per-row projection, then ONE window shuffle keyed
+    * on source; per-source groups stream through their sort. */
+  def weightedSample(docs: DataFrame,
+      k: Int = WeightedSampleK): DataFrame = {
+    val d = docs
+      .select(col("source"), col("doc_id"),
+        (lit(1L) + floor(Quality.score(col("text")) * 10).cast("long"))
+          .as("weight"))
+      .withColumn("priority", expr(
+        """cast(conv(substring(md5(concat('wsamp:',
+             cast(doc_id as string))), 1, 14), 16, 10) as long)
+           div weight"""))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority"), col("doc_id"))
+    d.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("doc_id"), col("weight"),
+        col("priority"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** Chained redaction; replacement tokens are uppercase and digit-free
     * so later patterns in the chain cannot re-match earlier output. */
   def redact(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -182,6 +218,27 @@ object Scrub {
                    AS rk
                FROM documents)
              WHERE rk <= $QuotaPerSource
+             ORDER BY source, rk""")),
+
+    // ---- deterministic quality-weighted sampling ([[weightedSample]]):
+    //      the priority rule, weight derivation and scale shape live on
+    //      the helper's Scaladoc; the oracle recomputes the identical
+    //      weight, hash, floor division and window. ----
+    "q107_weighted_sample" -> QueryDef(
+      (s, dir) => weightedSample(Tables.load(s, dir, "documents")),
+      Some(s"""WITH d AS (
+               SELECT source, doc_id,
+                 1 + CAST(floor((${Quality.duckScore("text")}) * 10)
+                   AS BIGINT) AS weight,
+                 CAST(('0x' || substr(md5('wsamp:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+               FROM documents)
+             SELECT source, doc_id, weight, priority, rk FROM (
+               SELECT source, doc_id, weight, h // weight AS priority,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY h // weight, doc_id) AS rk
+               FROM d)
+             WHERE rk <= $WeightedSampleK
              ORDER BY source, rk""")),
 
     // ---- Gopher-style rule-based quality filter report: the named

@@ -1776,3 +1776,80 @@ class BigramLmSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_backoff") == 1L)
   }
 }
+
+/** q107 weighted sampling: the kept set must equal an independent
+  * plain-Scala recomputation of weight → priority → per-source top-k,
+  * and the quality weighting must actually bias the kept set. */
+class WeightedSampleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def h56(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(14), 16)
+  }
+
+  private def quality(text: String): Double = {
+    val nw = text.split(" +").length
+    val ns = "\\b(the|and|of|to|in|is|a)\\b".r
+      .findAllIn(text.toLowerCase).length
+    math.min(nw * 1.0, 100.0) / 100.0 * 0.5 + ns * 1.0 / nw * 0.5
+  }
+
+  test("kept set equals the mirror; high-weight docs are favored under contention") {
+    import spark.implicits._
+    // one source, 30 docs: 15 all-stopword high-quality (w=11), 15
+    // one-word low-quality (w=1), k=10 forces contention
+    val rows = (0L until 30L).map { i =>
+      val text = if (i < 15) ("the " * 100).trim else "zz"
+      (i, "s0", text)
+    }
+    val docs = rows.toDF("doc_id", "source", "text")
+    val got = graft.ops.Scrub.weightedSample(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val mirror = rows.map { case (id, _, text) =>
+      val w = 1L + math.floor(quality(text) * 10).toLong
+      (id, w, h56(s"wsamp:$id") / w)
+    }.sortBy { case (id, _, p) => (p, id) }
+      .take(graft.ops.Scrub.WeightedSampleK)
+      .zipWithIndex
+      .map { case ((id, w, p), i) => (id, w, p, i + 1) }
+    assert(got.toSeq == mirror)
+    // the bias is real for this fixture: weight-11 docs dominate the kept set
+    val keptW = got.map(_._2)
+    assert(keptW.count(_ == 11L) > keptW.count(_ == 1L))
+  }
+}
+
+/** q108 mergeable data card: the two-level (shard-partial → merge)
+  * aggregation must equal a direct one-level card bitwise, whatever the
+  * input partitioning — the machine-checked decomposability proof. */
+class MergeableCardSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("merged card equals the direct card and is partition-invariant") {
+    val build = graft.SparkEntry.queries("q108_mergeable_datacard")
+    val sf = "/root/testdata/sf0.001"
+    val merged = build(spark, sf).collect().toSeq
+    // direct one-level computation over the same frame
+    import org.apache.spark.sql.functions._
+    val direct = graft.Tables.load(spark, sf, "documents")
+      .select(col("source"),
+        expr("""cast(conv(substring(md5(concat('card:',
+             cast(doc_id as string))), 1, 14), 16, 10) as long) % 16""")
+          .as("shard"),
+        size(split(lower(col("text")), " +")).cast("long").as("nw"),
+        expr("cast(conv(substring(md5(text), 1, 14), 16, 10) as long)")
+          .as("h"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("shard")).as("n_shards"),
+        count(lit(1)).as("n_docs"), sum(col("nw")).as("n_tokens"),
+        min(col("nw")).as("min_tokens"), max(col("nw")).as("max_tokens"),
+        expr("bit_xor(h)").as("xor_sig"))
+      .orderBy(col("source"))
+      .collect().toSeq
+    assert(merged == direct)
+    // partials genuinely span multiple shards (the merge does real work)
+    assert(merged.forall(_.getAs[Long]("n_shards") > 1L))
+  }
+}
