@@ -58,22 +58,29 @@ object Scrub {
     * on source; per-source groups stream through their sort. */
   def weightedSample(docs: DataFrame,
       k: Int = WeightedSampleK): DataFrame = {
-    val d = docs
-      .select(col("source"), col("doc_id"),
-        (lit(1L) + floor(Quality.score(col("text")) * 10).cast("long"))
-          .as("weight"))
-      .withColumn("priority", expr(
-        """cast(conv(substring(md5(concat('wsamp:',
-             cast(doc_id as string))), 1, 14), 16, 10) as long)
-           div weight"""))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("priority"), col("doc_id"))
-    d.withColumn("rk", row_number().over(w))
+    weightedPriorities(docs)
+      .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("source"), col("doc_id"), col("weight"),
         col("priority"), col("rk"))
       .orderBy(col("source"), col("rk"))
   }
+
+  /** The per-row half of [[weightedSample]] — (source, doc_id, weight,
+    * priority), a pure projection with no shuffle. Factored out so the
+    * streaming reservoir ([[graft.streaming.EventStreams
+    * .streamingWeightedReservoir]]) computes bit-identical priorities
+    * and only maintains the top-k under state. */
+  def weightedPriorities(docs: DataFrame): DataFrame = docs
+    .select(col("source"), col("doc_id"),
+      (lit(1L) + floor(Quality.score(col("text")) * 10).cast("long"))
+        .as("weight"))
+    .withColumn("priority", expr(
+      """cast(conv(substring(md5(concat('wsamp:',
+           cast(doc_id as string))), 1, 14), 16, 10) as long)
+         div weight"""))
 
   /** Chained redaction; replacement tokens are uppercase and digit-free
     * so later patterns in the chain cannot re-match earlier output. */

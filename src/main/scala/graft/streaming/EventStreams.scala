@@ -248,6 +248,61 @@ object EventStreams {
       }
   }
 
+  /** Streaming per-source data card — the online form of q108's merged
+    * card, and the payoff of that query's decomposability proof: because
+    * every statistic merges (counts/sums by +, extremes by min/max, the
+    * content signature by bit_xor), the card can be MAINTAINED by a
+    * streaming aggregation whose state is exactly one row of int64s per
+    * source — bounded by the source count, never the corpus (the q73/CMS
+    * "Complete mode is correct" shape). A batch-built q108 card and a
+    * stream-built one over the same documents agree column-for-column
+    * (StreamingSpec pins it). */
+  def streamingDataCard(docs: DataFrame): DataFrame = docs
+    .select(col("source"),
+      size(split(lower(col("text")), " +")).cast("long").as("nw"),
+      expr("cast(conv(substring(md5(text), 1, 14), 16, 10) as long)")
+        .as("h"))
+    .groupBy(col("source"))
+    .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_tokens"),
+      min(col("nw")).as("min_tokens"), max(col("nw")).as("max_tokens"),
+      expr("bit_xor(h)").as("xor_sig"))
+
+  final case class SourceDoc(doc_id: Long, source: String, text: String)
+  final case class Kept(doc_id: Long, weight: Long, priority: Long)
+  final case class Reservoir(source: String, kept: Seq[Kept])
+
+  /** Streaming weighted reservoir — the online form of q107's
+    * quality-weighted sample. Priorities come from the SAME projection
+    * as the batch operator ([[graft.ops.Scrub.weightedPriorities]] —
+    * bit-identical weights and hash divisions, no stateful math), so the
+    * state machine only maintains each source's k smallest (priority,
+    * doc_id) pairs: merge the batch's arrivals into the stored list,
+    * sort, truncate to k. A later arrival with a smaller priority EVICTS
+    * an earlier member — exactly the reservoir semantics, and why this
+    * is mapGroupsWithState in Update mode rather than append (the kept
+    * set is revisable by construction; q107's batch window replays the
+    * same decision over the full corpus). State per source is ≤ k
+    * triples — bounded by config, never the corpus — and the emitted row
+    * is the source's CURRENT reservoir, deterministic under any
+    * partitioning because the merge sorts before truncating. */
+  def streamingWeightedReservoir(spark: SparkSession, docs: DataFrame,
+      k: Int = graft.ops.Scrub.WeightedSampleK): Dataset[Reservoir] = {
+    import spark.implicits._
+    graft.ops.Scrub.weightedPriorities(docs)
+      .select(col("source"), col("doc_id"), col("weight"), col("priority"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (source: String, batch: Iterator[(String, Long, Long, Long)],
+            state: GroupState[Seq[Kept]]) =>
+          val merged = (state.getOption.getOrElse(Nil) ++
+            batch.map { case (_, id, w, p) => Kept(id, w, p) })
+            .sortBy(kp => (kp.priority, kp.doc_id)).take(k)
+          state.update(merged)
+          Reservoir(source, merged)
+      }
+  }
+
   /** State-store configuration for running [[streamingDedup]] against a
     * corpus-scale stream. The state is deliberately tiny per key (one
     * boolean per content md5) but the KEY COUNT is the corpus

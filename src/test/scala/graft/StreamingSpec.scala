@@ -317,4 +317,70 @@ class StreamingSpec extends AnyFunSuite {
       assert(latest(1).getAs[Long]("n") == 1L)
     } finally q.stop()
   }
+
+  test("streaming data card equals the batch card cell-for-cell (q108's mergeability, maintained online)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.SourceDoc]
+    val q = EventStreams.streamingDataCard(input.toDF())
+      .writeStream.format("memory").queryName("card_stream")
+      .outputMode("complete").start()
+    try {
+      val b1 = Seq(EventStreams.SourceDoc(1, "sA", "alpha beta gamma"),
+        EventStreams.SourceDoc(2, "sA", "delta"),
+        EventStreams.SourceDoc(3, "sB", "epsilon zeta"))
+      val b2 = Seq(EventStreams.SourceDoc(4, "sA", "eta theta iota kappa"),
+        EventStreams.SourceDoc(5, "sB", "lambda"))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val streamed = spark.table("card_stream").collect().map(key).toMap
+      val batch = EventStreams.streamingDataCard((b1 ++ b2).toDF())
+        .collect().map(key).toMap
+      assert(streamed == batch)
+      // hand check one source: sA has 3 docs of 3/1/4 words
+      assert(streamed("sA")._1 == 3L && streamed("sA")._2 == 8L)
+      assert(streamed("sA")._3 == 1L && streamed("sA")._4 == 4L)
+    } finally q.stop()
+  }
+
+  test("streaming weighted reservoir converges to the batch q107 kept set; later better arrivals evict") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one source, contention: k low-quality docs arrive first, then k
+    // all-stopword (weight-11) docs whose priorities are ~11x smaller
+    val low = (0L until 10L).map(i => EventStreams.SourceDoc(i, "s0", "zz"))
+    val high = (10L until 20L).map(i =>
+      EventStreams.SourceDoc(i, "s0", ("the " * 100).trim))
+    val input = MemoryStream[EventStreams.SourceDoc]
+    val q = EventStreams.streamingWeightedReservoir(spark, input.toDF())
+      .writeStream.format("memory").queryName("reservoir")
+      .outputMode("update").start()
+    try {
+      input.addData(low: _*)
+      q.processAllAvailable()
+      val after1 = spark.table("reservoir").collect()
+      assert(after1.last.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("kept")
+        .map(_.getLong(0)).toSet == (0L until 10L).toSet,
+        "first batch fills the reservoir with the only candidates")
+      input.addData(high: _*)
+      q.processAllAvailable()
+      // update mode: the LAST emitted row per source is the current state
+      val kept = spark.table("reservoir").collect().last
+        .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("kept")
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val batchKept = graft.ops.Scrub.weightedSample(
+        (low ++ high).map(d => (d.doc_id, d.source, d.text))
+          .toDF("doc_id", "source", "text"))
+        .orderBy("rk").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(kept.toSeq == batchKept.toSeq,
+        "streamed reservoir equals the batch sample, in rank order")
+      // eviction really happened: at least one low doc left the reservoir
+      assert(kept.map(_._1).toSet.intersect((0L until 10L).toSet).size < 10)
+    } finally q.stop()
+  }
 }
