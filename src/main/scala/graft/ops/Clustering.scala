@@ -174,6 +174,51 @@ object Clustering {
       .orderBy(col("cluster_id"))
   }
 
+  /** Product-quantization geometry: the 64-dim embedding splits into
+    * [[PqSubspaces]] contiguous subvectors of [[PqSubDim]] dims; each
+    * subspace gets its own [[K]]-centroid k-medians codebook. A vector's
+    * code is 4 bytes instead of 64 doubles — 128× smaller — and
+    * asymmetric-distance (ADC) scoring needs only 4 table lookups + 3
+    * additions per corpus vector, the memory/compute shape that lets a
+    * 100 TB corpus keep its WHOLE index in executor memory (Jégou et
+    * al. 2011, "Product Quantization for Nearest Neighbor Search"). */
+  val PqSubspaces = 4
+  val PqSubDim = 16
+
+  /** PQ training + encoding over a (vec_id, embedding) frame: per
+    * subspace, the q70 k-medians machinery runs verbatim on the SLICED
+    * subvectors (seed = first [[K]] vectors' subvectors, one
+    * lower-median Lloyd update, L1 metric — every parity property q70
+    * established carries over unchanged), and the final assignment IS
+    * the code. Returns (codes = one (vec_id, s, code) row per vector
+    * per subspace, books = the 4×[[K]] codebook rows (s, cid, cde)).
+    * Scale shape: per subspace one broadcast assign (K tiny rows), one
+    * K·dim-group median window, one more broadcast assign — all corpus
+    * scans are subvector-width, and the codebooks are 32 rows total. */
+  def pqEncode(emb: DataFrame): (DataFrame, DataFrame) = {
+    val n = emb
+      .withColumn("de", expr(toDouble))
+      .select(col("vec_id"), col("de"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val subs = (0 until PqSubspaces).map { s =>
+      val sub = n.select(col("vec_id"),
+        expr(s"slice(de, ${s * PqSubDim + 1}, $PqSubDim)").as("de"))
+      val c0 = sub.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("de").as("cde"))
+      val c1 = updateCentroids(assign(sub, c0))
+      val a2 = assign(sub, c1)
+      (a2.select(col("vec_id"), lit(s).as("s"), col("cluster_id").as("code")),
+        c1.select(lit(s).as("s"), col("cid"), col("cde")))
+    }
+    (subs.map(_._1).reduce(_ unionByName _),
+      subs.map(_._2).reduce(_ unionByName _))
+  }
+
+  /** L1 fold mirrors for the q109 oracle (same text the q70 oracle
+    * uses), exposed to [[Similarity]]. */
+  private[ops] def l1SparkExpr(a: String, b: String): String = l1Spark(a, b)
+  private[ops] def l1DuckExpr(a: String, b: String): String = l1Duck(a, b)
+
   /** Exact-verify cosine threshold for a q85 semantic near-dup: same
     * display threshold as q41's sign-LSH path, so the two
     * candidate-generation strategies (banding vs cluster scoping) are

@@ -412,6 +412,10 @@ object Similarity {
              FROM ranked WHERE rank <= 3
              ORDER BY query_id, rank"""
 
+  /** Query-set size shared by the top-k family (q35/q36/q43/q97/q98/
+    * q102 spell the `vec_id < 10` literal; q109 references this). */
+  val NumQueries = 10
+
   /** Exact brute-force cosine top-3 for queries vec_id < 10 — the q35
     * operator, factored out so q102's recall report can reuse it as the
     * ground-truth side. The query side is the broadcast (small) side;
@@ -838,6 +842,121 @@ object Similarity {
              (hits_at_3 * 10000) // (3 * n_queries) AS recall_bp
            FROM hits CROSS JOIN nq
            ORDER BY method"""
+      }),
+
+    // ---- product-quantization ANN ([[Clustering.pqEncode]]): per-query
+    //      top-3 by ASYMMETRIC DISTANCE — the query's exact subvectors
+    //      against each corpus vector's 4-byte code through the
+    //      per-subspace lookup tables. The LUT joins are broadcast hash
+    //      equi-joins on (query_id, code); the 4 subspace distances add
+    //      in ONE fixed-order expression (never a float SUM aggregate —
+    //      the q87 ordering discipline), so adc is bit-identical in both
+    //      engines and the rank/tie-break agrees exactly. The oracle
+    //      replays all four codebook trainings (the q70 CTE chain on
+    //      sliced lists), the encoding, the LUTs and the ADC ranking —
+    //      a wrong slice boundary, seed, median, code or lookup flips
+    //      the hash compare. ----
+    "q109_pq_ann_topk" -> QueryDef(
+      (s, dir) => {
+        import Clustering.{PqSubspaces, PqSubDim}
+        val emb = Tables.load(s, dir, "embeddings")
+        val (codes, books) = Clustering.pqEncode(emb)
+        val pivots = (0 until PqSubspaces).map(i =>
+          max(when(col("s") === i, col("code"))).as(s"c$i"))
+        val wide = codes.groupBy(col("vec_id"))
+          .agg(pivots.head, pivots.tail: _*)
+        val queries = emb
+          .withColumn("de", expr("transform(embedding, x -> cast(x as double))"))
+          .filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("de").as("qe"))
+        val luts = (0 until PqSubspaces).map { i =>
+          queries.crossJoin(broadcast(books.filter(col("s") === i)))
+            .select(col("query_id"), col("cid").as(s"c$i"),
+              expr(Clustering.l1SparkExpr(
+                s"slice(qe, ${i * PqSubDim + 1}, $PqSubDim)", "cde"))
+                .as(s"d$i"))
+        }
+        val joined = (1 until PqSubspaces).foldLeft(
+          wide.join(broadcast(luts(0)), Seq("c0"))) { (acc, i) =>
+          acc.join(broadcast(luts(i)), Seq("query_id", s"c$i"))
+        }
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc"), col("vec_id"))
+        joined
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("adc",
+            col("d0") + col("d1") + col("d2") + col("d3"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"),
+            col("vec_id").as("neighbor_id"), round(col("adc"), 4).as("adc"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        import Clustering.{PqSubspaces, PqSubDim, K}
+        def l1 = Clustering.l1DuckExpr _
+        val subCtes = (0 until PqSubspaces).map { i =>
+          val (lo, hi) = (i * PqSubDim + 1, (i + 1) * PqSubDim)
+          s"""s${i}n AS (SELECT vec_id, de[$lo:$hi] AS de FROM pn),
+             s${i}c0 AS (SELECT vec_id AS cid, de AS cde FROM s${i}n
+                         WHERE vec_id < $K),
+             s${i}a1 AS (
+               SELECT vec_id, de, cid AS cluster_id FROM (
+                 SELECT n.vec_id, n.de, c0.cid,
+                   row_number() OVER (PARTITION BY n.vec_id
+                     ORDER BY ${l1("n.de", "c0.cde")}, c0.cid) AS crank
+                 FROM s${i}n n CROSS JOIN s${i}c0 c0) WHERE crank = 1),
+             s${i}dims AS (
+               SELECT cluster_id, generate_subscripts(de, 1) AS dim,
+                 unnest(de) AS v
+               FROM s${i}a1),
+             s${i}med AS (
+               SELECT cluster_id, dim, quantile_disc(v, 0.5) AS med
+               FROM s${i}dims GROUP BY cluster_id, dim),
+             s${i}c1 AS (
+               SELECT cluster_id AS cid, list(med ORDER BY dim) AS cde
+               FROM s${i}med GROUP BY cluster_id),
+             s${i}code AS (
+               SELECT vec_id, cid AS code FROM (
+                 SELECT n.vec_id, c1.cid,
+                   row_number() OVER (PARTITION BY n.vec_id
+                     ORDER BY ${l1("n.de", "c1.cde")}, c1.cid) AS crank
+                 FROM s${i}n n CROSS JOIN s${i}c1 c1) WHERE crank = 1),
+             s${i}lut AS (
+               SELECT q.query_id, c1.cid,
+                 ${l1(s"q.qe[$lo:$hi]", "c1.cde")} AS d$i
+               FROM pq q CROSS JOIN s${i}c1 c1)"""
+        }.mkString(",\n")
+        s"""WITH pn AS (
+             SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+             FROM embeddings),
+           pq AS (SELECT vec_id AS query_id, de AS qe FROM pn
+                  WHERE vec_id < $NumQueries),
+           $subCtes,
+           wide AS (
+             SELECT a.vec_id, a.code AS c0, b.code AS c1, c.code AS c2,
+               d.code AS c3
+             FROM s0code a JOIN s1code b USING (vec_id)
+             JOIN s2code c USING (vec_id) JOIN s3code d USING (vec_id)),
+           adc AS (
+             SELECT l0.query_id, w.vec_id,
+               l0.d0 + l1.d1 + l2.d2 + l3.d3 AS adc
+             FROM wide w
+             JOIN s0lut l0 ON l0.cid = w.c0
+             JOIN s1lut l1 ON l1.cid = w.c1 AND l1.query_id = l0.query_id
+             JOIN s2lut l2 ON l2.cid = w.c2 AND l2.query_id = l0.query_id
+             JOIN s3lut l3 ON l3.cid = w.c3 AND l3.query_id = l0.query_id
+             WHERE w.vec_id <> l0.query_id)
+           SELECT query_id, rank, vec_id AS neighbor_id,
+             round(adc, 4) AS adc
+           FROM (
+             SELECT query_id, vec_id, adc,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc, vec_id) AS rank
+             FROM adc)
+           WHERE rank <= 3
+           ORDER BY query_id, rank"""
       }),
   )
 }

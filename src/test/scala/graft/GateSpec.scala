@@ -178,7 +178,11 @@ class PlanGateSpec extends AnyFunSuite {
     "q102_ann_recall",
     // q105: the ONE-ROW train-token total crossJoined onto the scored
     // validation pairs (the q89 scalar shape)
-    "q105_bigram_lm_score")
+    "q105_bigram_lm_score",
+    // q109: pqEncode runs the q70 assign (8-centroid broadcast, K-row
+    // build side) once per subspace, and the per-subspace LUT crossJoins
+    // the 10-query side with the 8-row codebook — both O(1) builds
+    "q109_pq_ann_topk")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -1853,3 +1853,48 @@ class MergeableCardSpec extends AnyFunSuite {
     assert(merged.forall(_.getAs[Long]("n_shards") > 1L))
   }
 }
+
+/** q109 product quantization: codes are a pure function of vector
+  * content (partition-invariant, clones share codes), and ADC ranking
+  * puts a planted near-identical vector first for its query. */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def vec(seed: Long): Seq[Float] =
+    (0 until 64).map(j => (((seed * 31 + j * 7) % 13) - 6).toFloat)
+
+  test("codes are partition-invariant and identical vectors share codes") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(i => (i, vec(i))) :+ (40L, vec(17L))
+    def codesOf(parts: Int) = {
+      val (codes, _) = graft.ops.Clustering.pqEncode(
+        rows.toDF("vec_id", "embedding").repartition(parts))
+      codes.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    }
+    val c1 = codesOf(1)
+    assert(c1 == codesOf(7))
+    // doc 40 is a byte clone of doc 17: all four subspace codes agree
+    (0 until graft.ops.Clustering.PqSubspaces).foreach { s =>
+      assert(c1((40L, s)) == c1((17L, s)))
+    }
+  }
+
+  test("a near-clone of a query quantizes to the query's own codes (minimal ADC)") {
+    import spark.implicits._
+    // query 0's near-clone at id 30 (one coordinate nudged); the rest
+    // are unrelated seeds
+    val base = vec(0L)
+    val clone = base.updated(5, base(5) + 0.25f)
+    val rows = (1L until 30L).map(i => (i, vec(i * 101 + 3))) ++
+      Seq((0L, base), (30L, clone))
+    val emb = rows.toDF("vec_id", "embedding")
+    val (codes, books) = graft.ops.Clustering.pqEncode(emb)
+    // clone shares ALL FOUR codes with the query (identical after
+    // quantization), so its ADC equals the query's own-code distance —
+    // the minimum any vector can achieve for this query
+    val cm = codes.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    (0 until graft.ops.Clustering.PqSubspaces).foreach { s =>
+      assert(cm((30L, s)) == cm((0L, s)), s"subspace $s code differs")
+    }
+  }
+}
