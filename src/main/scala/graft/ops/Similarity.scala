@@ -416,6 +416,19 @@ object Similarity {
     * q102 spell the `vec_id < 10` literal; q109 references this). */
   val NumQueries = 10
 
+  /** q110's stand-in benchmark eval set: the vec_id slab [lo, hi) just
+    * past the ANN query set — 32 vectors, fixed-size regardless of SF
+    * (benchmarks don't grow with the training corpus), so the eval side
+    * is an O(1) broadcast build everywhere. */
+  val EvalSetLo = 10
+  val EvalSetHi = 42
+
+  /** q110's contamination cosine threshold. Calibrated to the synthetic
+    * corpus (max corpus-vs-eval cosine ≈ 0.46 — the data has no planted
+    * eval copies, so the report exercises the near-miss tail); flags a
+    * handful of vectors at every SF. */
+  val SemContamMinCos = 0.42
+
   /** q109's PQ top-3 by asymmetric distance, factored out so q102's
     * recall report can measure the PQ index like the others. Returns
     * (query_id, rank, neighbor_id, adc) with adc UNROUNDED — the q109
@@ -963,6 +976,67 @@ object Similarity {
              FROM adc)
            WHERE rank <= 3
            ORDER BY query_id, rank""")),
+
+    // ---- SEMANTIC decontamination: the embedding-space complement of
+    //      q58's 4-gram overlap check. A paraphrased benchmark item
+    //      shares no exact 4-gram with its source, but its embedding
+    //      still sits next to the eval vector — this query flags every
+    //      corpus vector whose cosine against ANY held-out eval vector
+    //      reaches [[SemContamMinCos]], reporting the best-matching eval
+    //      item and how many eval items it collides with. The eval set
+    //      is FIXED SIZE by nature (benchmarks don't grow with the
+    //      training corpus): here the [[EvalSetLo]]..[[EvalSetHi]]
+    //      vec_id slab — 32 vectors, an O(1) broadcast build side, so
+    //      the corpus streams through map-side exactly once and the
+    //      only shuffle is the per-vector window over the ≤|eval| hit
+    //      rows. Cosines are the same graft_dot / sequential-fold
+    //      sequence as q35 — bit-identical in both engines, so the
+    //      threshold cut and the tie-broken argmax agree exactly. The
+    //      0.42 threshold is calibrated to this synthetic corpus (max
+    //      corpus-vs-eval cosine ≈ 0.46); a production run sets it from
+    //      the q102-style recall/precision trade-off, not from here. ----
+    "q110_semantic_decontam" -> QueryDef(
+      (s, dir) => {
+        val n = normed(s, dir)
+        val ev = n.filter(col("vec_id") >= EvalSetLo && col("vec_id") < EvalSetHi)
+          .select(col("vec_id").as("eval_id"), col("de").as("ee"),
+            col("nrm").as("en"))
+        val wBest = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("eval_id"))
+        val wCnt = Window.partitionBy(col("vec_id"))
+        n.filter(col("vec_id") < EvalSetLo || col("vec_id") >= EvalSetHi)
+          .join(broadcast(ev))
+          .withColumn("cos", expr(dotExpr("de", "ee")) / (col("nrm") * col("en")))
+          .filter(col("cos") >= SemContamMinCos)
+          .withColumn("rk", row_number().over(wBest))
+          .withColumn("n_eval_hits", count(lit(1)).over(wCnt))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("eval_id"),
+            round(col("cos"), 4).as("cos_sim"), col("n_eval_hits"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH n AS (
+             SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
+             FROM embeddings),
+           ev AS (
+             SELECT vec_id AS eval_id, embedding AS ee, nrm AS en
+             FROM n WHERE vec_id >= $EvalSetLo AND vec_id < $EvalSetHi),
+           co AS (
+             SELECT vec_id, embedding, nrm FROM n
+             WHERE vec_id < $EvalSetLo OR vec_id >= $EvalSetHi),
+           hits AS (
+             SELECT co.vec_id, ev.eval_id,
+               ${duckDot("co.embedding", "ev.ee")} / (co.nrm * ev.en) AS cos
+             FROM co CROSS JOIN ev),
+           flagged AS (
+             SELECT vec_id, eval_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, eval_id) AS rk,
+               count(*) OVER (PARTITION BY vec_id) AS n_eval_hits
+             FROM hits WHERE cos >= $SemContamMinCos)
+           SELECT vec_id, eval_id, round(cos, 4) AS cos_sim, n_eval_hits
+           FROM flagged WHERE rk = 1
+           ORDER BY vec_id""")),
   )
 
   /** The q109 oracle's full CTE chain — `pn` (double-cast corpus), `pq`

@@ -187,6 +187,14 @@ object TextOps {
     * tokenizer artifact, and each rule costs one fold pass per word. */
   val BpeMerges = 8
 
+  /** q111's content-defined-chunking geometry: a boundary opens where
+    * the 56-bit hash of the trailing [[CdcHashWindow]]-word window is
+    * ≡ 0 mod [[CdcBoundaryMod]]; expected chunk length ≈ the modulus.
+    * 16 is calibrated to this corpus's ~54-word documents (~3-4 chunks
+    * per doc); a production corpus with book-length docs raises it. */
+  val CdcHashWindow = 4
+  val CdcBoundaryMod = 16
+
   /** 56-bit md5-derived shingle key — the inverted-index join/group key,
     * so the exchange carries one int64 per shingle instead of the 3-gram
     * TEXT. Collisions between distinct shingles are ~|S|²/2⁵⁷ (≪ 1 for
@@ -553,6 +561,95 @@ object TextOps {
                round(CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
                  * 1.0 / count(*), 4) AS repeat_frac
              FROM occs
+             GROUP BY doc_id
+             ORDER BY doc_id""")),
+
+    // ---- CONTENT-DEFINED chunking + chunk-level dedup: a chunk
+    //      boundary opens wherever the 56-bit hash of the trailing
+    //      [[CdcHashWindow]]-word window ≡ 0 mod [[CdcBoundaryMod]] —
+    //      the Rabin-fingerprint trick (LBFS/rsync lineage) that makes
+    //      boundaries a function of LOCAL content only. Insert a
+    //      sentence at the top of a copied document and q59's
+    //      fixed-stride chunks all shift (every fingerprint changes);
+    //      these chunks re-align at the first surviving boundary, so
+    //      the copied tail still collides. The per-doc report counts
+    //      chunks whose hash recurs in ANOTHER document — the
+    //      shift-robust exact-dedup signal. Scale shape: boundary
+    //      detection and chunk hashing are per-row array expressions
+    //      (zero shuffle); the only exchanges are the chunk-hash
+    //      groupBy and the hash-keyed join back — 16-char keys, never
+    //      text (DESIGN.md "shuffle keys are hashes"). Expected chunk
+    //      length is the modulus (~16 words) + the window floor; both
+    //      engines fold the identical md5 arithmetic, so boundaries,
+    //      hashes and counts agree bitwise. ----
+    "q111_cdc_chunks" -> QueryDef(
+      (s, dir) => {
+        val boundary = s"""filter(
+            sequence(5L, greatest(5L, cast(size(ws) as bigint))),
+            i -> i <= size(ws) and
+              cast(conv(substring(md5(concat_ws(' ',
+                slice(ws, cast(i as int) - $CdcHashWindow, $CdcHashWindow))),
+                1, 14), 16, 10) as long) % $CdcBoundaryMod = 0)"""
+        val ch = Tables.load(s, dir, "documents")
+          .withColumn("ws", split(lower(col("text")), " +"))
+          .withColumn("starts",
+            expr(s"concat(array(cast(1 as bigint)), $boundary)"))
+          .select(col("doc_id"), col("ws"), col("starts"),
+            posexplode(col("starts")).as(Seq("j0", "stw")))
+          .withColumn("en", expr("""CASE WHEN j0 + 2 <= size(starts)
+              THEN element_at(starts, j0 + 2) - 1
+              ELSE cast(size(ws) as bigint) END"""))
+          .select(col("doc_id"),
+            (col("j0") + 1).cast("long").as("chunk_idx"),
+            (col("en") - col("stw") + 1).as("chunk_tokens"),
+            expr("""substring(md5(concat_ws(' ',
+                slice(ws, cast(stw as int), cast(en - stw + 1 as int)))),
+                1, 16)""").as("chunk_hash"))
+        val cnt = ch.groupBy(col("chunk_hash"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        ch.join(cnt, "chunk_hash")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+            sum(when(col("nd") >= 2, col("chunk_tokens")).otherwise(0L))
+              .as("dup_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (
+               SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
+               FROM documents),
+             st AS (
+               SELECT doc_id, ws,
+                 list_prepend(CAST(1 AS BIGINT),
+                   list_filter(generate_series(5, len(ws)),
+                     i -> CAST(('0x' || substr(md5(array_to_string(
+                            ws[i - $CdcHashWindow : i - 1], ' ')), 1, 14))
+                          AS BIGINT) % $CdcBoundaryMod = 0)) AS starts
+               FROM d),
+             idx AS (
+               SELECT doc_id, unnest(generate_series(1, len(starts))) AS j,
+                 ws, starts
+               FROM st),
+             ch AS (
+               SELECT doc_id, j AS chunk_idx, starts[j] AS stw,
+                 CASE WHEN j < len(starts) THEN starts[j + 1] - 1
+                      ELSE len(ws) END AS en,
+                 ws
+               FROM idx),
+             h AS (
+               SELECT doc_id, chunk_idx, en - stw + 1 AS chunk_tokens,
+                 substr(md5(array_to_string(ws[stw:en], ' ')), 1, 16)
+                   AS chunk_hash
+               FROM ch),
+             cnt AS (
+               SELECT chunk_hash, count(DISTINCT doc_id) AS nd
+               FROM h GROUP BY chunk_hash)
+             SELECT doc_id, count(*) AS n_chunks,
+               CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_chunks,
+               CAST(sum(CASE WHEN nd >= 2 THEN chunk_tokens ELSE 0 END)
+                 AS BIGINT) AS dup_tokens
+             FROM h JOIN cnt USING (chunk_hash)
              GROUP BY doc_id
              ORDER BY doc_id""")),
 

@@ -182,7 +182,10 @@ class PlanGateSpec extends AnyFunSuite {
     // q109: pqEncode runs the q70 assign (8-centroid broadcast, K-row
     // build side) once per subspace, and the per-subspace LUT crossJoins
     // the 10-query side with the 8-row codebook — both O(1) builds
-    "q109_pq_ann_topk")
+    "q109_pq_ann_topk",
+    // q110: the 32-row FIXED-SIZE eval set broadcast against the corpus
+    // (benchmarks don't grow with the training corpus — the q35 shape)
+    "q110_semantic_decontam")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
