@@ -631,5 +631,98 @@ object Clustering {
              SELECT cluster_id, vec_id, rk
              FROM ranked WHERE rk <= $ClusterQuota
              ORDER BY cluster_id, rk""")),
+
+    // ---- cluster-quality report: per-cluster COHESION (lower-median
+    //      L1 distance to the own centroid) vs SEPARATION (lower-median
+    //      distance to the nearest OTHER centroid) and their ratio — the
+    //      Davies-Bouldin-style read-out that answers "is K right, are
+    //      these clusters real?" BEFORE q85/q94 trust the assignment for
+    //      semantic dedup, the same way q102 gates the ANN indexes on
+    //      measured recall. A sep_ratio near 1 means the cluster barely
+    //      separates from its neighbor (semantic dedup inside it is
+    //      arbitrary); large means tight and well-isolated. Medians are
+    //      exact ELEMENT values (the q70 window-rank trick, no float-sum
+    //      ordering hazard) and every distance is the same sequential L1
+    //      fold in both engines, so even the ratio divides identical
+    //      bits. Scale shape: one broadcast-K distance join (the q70
+    //      assign shape), per-vector aggregation, then K·2 median
+    //      windows over K groups — no corpus-sized shuffle beyond the
+    //      vec_id window. ----
+    "q113_cluster_quality" -> QueryDef(
+      (s, dir) => {
+        val n = Tables.load(s, dir, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("de", expr(toDouble))
+          .select(col("vec_id"), col("de"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cents0 = n.filter(col("vec_id") < K)
+          .select(col("vec_id").as("cid"), col("de").as("cde"))
+        val cents1 = updateCentroids(assign(n, cents0))
+        val wAll = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist"), col("cid"))
+        val per = n.join(broadcast(cents1))
+          .withColumn("dist", expr(l1Spark("de", "cde")))
+          .withColumn("crank", row_number().over(wAll))
+          .groupBy(col("vec_id"))
+          .agg(max(when(col("crank") === 1, col("cid"))).as("cluster_id"),
+            max(when(col("crank") === 1, col("dist"))).as("own"),
+            min(when(col("crank") > 1, col("dist"))).as("sep"))
+        def med(c: String) = {
+          val wS = Window.partitionBy(col("cluster_id"))
+            .orderBy(col(c), col("vec_id"))
+          val wC = Window.partitionBy(col("cluster_id"))
+          per.withColumn("rn", row_number().over(wS))
+            .withColumn("cnt", count(lit(1)).over(wC))
+            .filter(col("rn") === expr("(cnt + 1) div 2"))
+            .select(col("cluster_id"), col("cnt"), col(c).as(s"med_$c"))
+        }
+        med("own").join(med("sep").drop("cnt"), "cluster_id")
+          .select(col("cluster_id"), col("cnt").as("n_members"),
+            round(col("med_own"), 4).as("med_cohesion"),
+            round(col("med_sep"), 4).as("med_separation"),
+            round(col("med_sep") / col("med_own"), 4).as("sep_ratio"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH n AS (
+               SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+               FROM embeddings),
+             c0 AS (SELECT vec_id AS cid, de AS cde FROM n WHERE vec_id < $K),
+             a1p AS (
+               SELECT n.vec_id, n.de, c0.cid, ${l1Duck("n.de", "c0.cde")} AS dist
+               FROM n CROSS JOIN c0),
+             a1 AS (
+               SELECT vec_id, de, cid AS cluster_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cid) AS crank
+                 FROM a1p) WHERE crank = 1),
+             dims1 AS (
+               SELECT cluster_id, generate_subscripts(de, 1) AS dim,
+                 unnest(de) AS v
+               FROM a1),
+             med1 AS (
+               SELECT cluster_id, dim, quantile_disc(v, 0.5) AS med
+               FROM dims1 GROUP BY cluster_id, dim),
+             c1 AS (
+               SELECT cluster_id AS cid, list(med ORDER BY dim) AS cde
+               FROM med1 GROUP BY cluster_id),
+             ranked AS (
+               SELECT n.vec_id, c1.cid, ${l1Duck("n.de", "c1.cde")} AS dist,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY ${l1Duck("n.de", "c1.cde")}, c1.cid) AS crank
+               FROM n CROSS JOIN c1),
+             per AS (
+               SELECT vec_id,
+                 max(CASE WHEN crank = 1 THEN cid END) AS cluster_id,
+                 max(CASE WHEN crank = 1 THEN dist END) AS own,
+                 min(CASE WHEN crank > 1 THEN dist END) AS sep
+               FROM ranked GROUP BY vec_id)
+             SELECT cluster_id, count(*) AS n_members,
+               round(quantile_disc(own, 0.5), 4) AS med_cohesion,
+               round(quantile_disc(sep, 0.5), 4) AS med_separation,
+               round(quantile_disc(sep, 0.5) / quantile_disc(own, 0.5), 4)
+                 AS sep_ratio
+             FROM per GROUP BY cluster_id
+             ORDER BY cluster_id""")),
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -324,6 +325,72 @@ object CorpusStats {
                  AS epochs
              FROM w CROSS JOIN t
              ORDER BY source""")),
+
+    // ---- two-level mixture grid: q87's √tokens temperature weighting
+    //      applied to the (source × lang) CELL grid — the mixture table
+    //      a multilingual run actually trains from, where balancing must
+    //      consider both axes at once (a language dominant overall can
+    //      still be the starved minority inside one source). Per cell:
+    //      its within-source token share (int64 ratio — exact in both
+    //      engines), its global temperature weight, and effective
+    //      epochs. Same parity discipline as q87: the normalizer is a
+    //      sequential fold over the (source, lang)-sorted weight list,
+    //      never an order-sensitive float SUM; the within-source total
+    //      is an integer window sum (order-free). Scale shape: one
+    //      |sources|·|langs|-row int64 rollup off the corpus scan, a
+    //      grid-sized window, and a ONE-ROW totals crossJoin back. ----
+    "q112_mixture_grid" -> QueryDef(
+      (s, dir) => {
+        val wSrc = Window.partitionBy(col("source"))
+        val ps = Tables.load(s, dir, "documents")
+          .select(col("source"), col("lang"),
+            Quality.nWords(col("text")).as("nw"))
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nw").cast("long")).as("n_tokens"))
+          .withColumn("w_raw", sqrt(col("n_tokens")))
+          .withColumn("src_tokens", sum(col("n_tokens")).over(wSrc))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tot = ps.agg(
+          expr("""aggregate(array_sort(collect_list(struct(source, lang, w_raw))),
+                    0D, (acc, s) -> acc + s.w_raw)""").as("tot_w"),
+          sum(col("n_tokens")).as("tot_tokens"))
+        ps.crossJoin(broadcast(tot))
+          .withColumn("src_share",
+            round(col("n_tokens") * lit(1.0) / col("src_tokens"), 4))
+          .withColumn("weight", round(col("w_raw") / col("tot_w"), 4))
+          .withColumn("epochs",
+            round(col("weight") * col("tot_tokens") / col("n_tokens"), 4))
+          .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+            col("src_share"), col("weight"), col("epochs"))
+          .orderBy(col("source"), col("lang"))
+      },
+      Some(s"""WITH perdoc AS (
+               SELECT source, lang,
+                 ${graft.ops.Quality.duckNWords("text")} AS nw
+               FROM documents),
+             ps AS (
+               SELECT source, lang, count(*) AS n_docs,
+                 CAST(sum(nw) AS BIGINT) AS n_tokens
+               FROM perdoc GROUP BY source, lang),
+             w AS (
+               SELECT *, sqrt(n_tokens) AS w_raw,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source) AS BIGINT)
+                   AS src_tokens
+               FROM ps),
+             t AS (
+               SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(w_raw ORDER BY source, lang)), (acc, v) -> acc + v)
+                   AS tot_w,
+                 CAST(sum(n_tokens) AS BIGINT) AS tot_tokens
+               FROM w)
+             SELECT source, lang, n_docs, n_tokens,
+               round(n_tokens * 1.0 / src_tokens, 4) AS src_share,
+               round(w_raw / tot_w, 4) AS weight,
+               round(round(w_raw / tot_w, 4) * tot_tokens / n_tokens, 4)
+                 AS epochs
+             FROM w CROSS JOIN t
+             ORDER BY source, lang""")),
 
     // ---- integer-quantized unigram surprisal: the deterministic stand-in
     //      for a perplexity filter (CCNet-style pipelines score docs with

@@ -185,7 +185,13 @@ class PlanGateSpec extends AnyFunSuite {
     "q109_pq_ann_topk",
     // q110: the 32-row FIXED-SIZE eval set broadcast against the corpus
     // (benchmarks don't grow with the training corpus — the q35 shape)
-    "q110_semantic_decontam")
+    "q110_semantic_decontam",
+    // q112: the ONE-ROW normalizer/total-tokens aggregate crossJoined
+    // back onto the grid rows (q87's scalar shape, cell-keyed)
+    "q112_mixture_grid",
+    // q113: the K-centroid relation broadcast for the all-distance join
+    // (q70's assign shape — build side is the cluster count, a constant)
+    "q113_cluster_quality")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
