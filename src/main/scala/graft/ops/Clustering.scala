@@ -174,6 +174,48 @@ object Clustering {
       .orderBy(col("cluster_id"))
   }
 
+  /** The q113 operator over a raw (vec_id, embedding) frame: per-cluster
+    * lower-median cohesion (L1 to the own centroid) vs separation
+    * (distance to the nearest OTHER centroid) and their ratio, over the
+    * same seed→assign→median-update training as [[kmediansProfile]].
+    * Exposed so CorpusOpsSpec can assert that planted well-separated
+    * clusters score high and overlapping ones score near 1. */
+  def clusterQuality(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val n = emb
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("de", expr(toDouble))
+      .select(col("vec_id"), col("de"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents0 = n.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("de").as("cde"))
+    val cents1 = updateCentroids(assign(n, cents0))
+    val wAll = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    val per = n.join(broadcast(cents1))
+      .withColumn("dist", expr(l1Spark("de", "cde")))
+      .withColumn("crank", row_number().over(wAll))
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("crank") === 1, col("cid"))).as("cluster_id"),
+        max(when(col("crank") === 1, col("dist"))).as("own"),
+        min(when(col("crank") > 1, col("dist"))).as("sep"))
+    def med(c: String) = {
+      val wS = Window.partitionBy(col("cluster_id"))
+        .orderBy(col(c), col("vec_id"))
+      val wC = Window.partitionBy(col("cluster_id"))
+      per.withColumn("rn", row_number().over(wS))
+        .withColumn("cnt", count(lit(1)).over(wC))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("cluster_id"), col("cnt"), col(c).as(s"med_$c"))
+    }
+    med("own").join(med("sep").drop("cnt"), "cluster_id")
+      .select(col("cluster_id"), col("cnt").as("n_members"),
+        round(col("med_own"), 4).as("med_cohesion"),
+        round(col("med_sep"), 4).as("med_separation"),
+        round(col("med_sep") / col("med_own"), 4).as("sep_ratio"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Product-quantization geometry: the 64-dim embedding splits into
     * [[PqSubspaces]] contiguous subvectors of [[PqSubDim]] dims; each
     * subspace gets its own [[K]]-centroid k-medians codebook. A vector's
@@ -649,40 +691,7 @@ object Clustering {
     //      windows over K groups — no corpus-sized shuffle beyond the
     //      vec_id window. ----
     "q113_cluster_quality" -> QueryDef(
-      (s, dir) => {
-        val n = Tables.load(s, dir, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism)
-          .withColumn("de", expr(toDouble))
-          .select(col("vec_id"), col("de"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cents0 = n.filter(col("vec_id") < K)
-          .select(col("vec_id").as("cid"), col("de").as("cde"))
-        val cents1 = updateCentroids(assign(n, cents0))
-        val wAll = Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist"), col("cid"))
-        val per = n.join(broadcast(cents1))
-          .withColumn("dist", expr(l1Spark("de", "cde")))
-          .withColumn("crank", row_number().over(wAll))
-          .groupBy(col("vec_id"))
-          .agg(max(when(col("crank") === 1, col("cid"))).as("cluster_id"),
-            max(when(col("crank") === 1, col("dist"))).as("own"),
-            min(when(col("crank") > 1, col("dist"))).as("sep"))
-        def med(c: String) = {
-          val wS = Window.partitionBy(col("cluster_id"))
-            .orderBy(col(c), col("vec_id"))
-          val wC = Window.partitionBy(col("cluster_id"))
-          per.withColumn("rn", row_number().over(wS))
-            .withColumn("cnt", count(lit(1)).over(wC))
-            .filter(col("rn") === expr("(cnt + 1) div 2"))
-            .select(col("cluster_id"), col("cnt"), col(c).as(s"med_$c"))
-        }
-        med("own").join(med("sep").drop("cnt"), "cluster_id")
-          .select(col("cluster_id"), col("cnt").as("n_members"),
-            round(col("med_own"), 4).as("med_cohesion"),
-            round(col("med_sep"), 4).as("med_separation"),
-            round(col("med_sep") / col("med_own"), 4).as("sep_ratio"))
-          .orderBy(col("cluster_id"))
-      },
+      (s, dir) => clusterQuality(Tables.load(s, dir, "embeddings")),
       Some(s"""WITH n AS (
                SELECT vec_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de

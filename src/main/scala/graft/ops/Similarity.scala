@@ -429,6 +429,29 @@ object Similarity {
     * handful of vectors at every SF. */
   val SemContamMinCos = 0.42
 
+  /** The q110 operator over a raw (vec_id, embedding) frame, exposed so
+    * SimilaritySpec can plant an eval near-copy and assert it is
+    * flagged. See the q110 entry for the scale/parity story. */
+  def semanticDecontam(emb: DataFrame): DataFrame = {
+    val n = normedFrom(emb)
+    val ev = n.filter(col("vec_id") >= EvalSetLo && col("vec_id") < EvalSetHi)
+      .select(col("vec_id").as("eval_id"), col("de").as("ee"),
+        col("nrm").as("en"))
+    val wBest = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("eval_id"))
+    val wCnt = Window.partitionBy(col("vec_id"))
+    n.filter(col("vec_id") < EvalSetLo || col("vec_id") >= EvalSetHi)
+      .join(broadcast(ev))
+      .withColumn("cos", expr(dotExpr("de", "ee")) / (col("nrm") * col("en")))
+      .filter(col("cos") >= SemContamMinCos)
+      .withColumn("rk", row_number().over(wBest))
+      .withColumn("n_eval_hits", count(lit(1)).over(wCnt))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("eval_id"),
+        round(col("cos"), 4).as("cos_sim"), col("n_eval_hits"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q109's PQ top-3 by asymmetric distance, factored out so q102's
     * recall report can measure the PQ index like the others. Returns
     * (query_id, rank, neighbor_id, adc) with adc UNROUNDED — the q109
@@ -996,25 +1019,7 @@ object Similarity {
     //      corpus-vs-eval cosine ≈ 0.46); a production run sets it from
     //      the q102-style recall/precision trade-off, not from here. ----
     "q110_semantic_decontam" -> QueryDef(
-      (s, dir) => {
-        val n = normed(s, dir)
-        val ev = n.filter(col("vec_id") >= EvalSetLo && col("vec_id") < EvalSetHi)
-          .select(col("vec_id").as("eval_id"), col("de").as("ee"),
-            col("nrm").as("en"))
-        val wBest = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos").desc, col("eval_id"))
-        val wCnt = Window.partitionBy(col("vec_id"))
-        n.filter(col("vec_id") < EvalSetLo || col("vec_id") >= EvalSetHi)
-          .join(broadcast(ev))
-          .withColumn("cos", expr(dotExpr("de", "ee")) / (col("nrm") * col("en")))
-          .filter(col("cos") >= SemContamMinCos)
-          .withColumn("rk", row_number().over(wBest))
-          .withColumn("n_eval_hits", count(lit(1)).over(wCnt))
-          .filter(col("rk") === 1)
-          .select(col("vec_id"), col("eval_id"),
-            round(col("cos"), 4).as("cos_sim"), col("n_eval_hits"))
-          .orderBy(col("vec_id"))
-      },
+      (s, dir) => semanticDecontam(Tables.load(s, dir, "embeddings")),
       Some(s"""WITH n AS (
              SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
              FROM embeddings),

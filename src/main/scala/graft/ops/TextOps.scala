@@ -195,6 +195,35 @@ object TextOps {
   val CdcHashWindow = 4
   val CdcBoundaryMod = 16
 
+  /** Content-defined chunks of a (doc_id, text) frame: one row per
+    * chunk with its 1-based index, token count and 16-char md5 prefix.
+    * Boundaries are a pure per-row array expression (see the q111 entry
+    * for the scale/parity story); exposed so CdcSpec can pin the
+    * shift-robustness property on synthetic corpora. */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val boundary = s"""filter(
+        sequence(5L, greatest(5L, cast(size(ws) as bigint))),
+        i -> i <= size(ws) and
+          cast(conv(substring(md5(concat_ws(' ',
+            slice(ws, cast(i as int) - $CdcHashWindow, $CdcHashWindow))),
+            1, 14), 16, 10) as long) % $CdcBoundaryMod = 0)"""
+    docs
+      .withColumn("ws", split(lower(col("text")), " +"))
+      .withColumn("starts",
+        expr(s"concat(array(cast(1 as bigint)), $boundary)"))
+      .select(col("doc_id"), col("ws"), col("starts"),
+        posexplode(col("starts")).as(Seq("j0", "stw")))
+      .withColumn("en", expr("""CASE WHEN j0 + 2 <= size(starts)
+          THEN element_at(starts, j0 + 2) - 1
+          ELSE cast(size(ws) as bigint) END"""))
+      .select(col("doc_id"),
+        (col("j0") + 1).cast("long").as("chunk_idx"),
+        (col("en") - col("stw") + 1).as("chunk_tokens"),
+        expr("""substring(md5(concat_ws(' ',
+            slice(ws, cast(stw as int), cast(en - stw + 1 as int)))),
+            1, 16)""").as("chunk_hash"))
+  }
+
   /** 56-bit md5-derived shingle key — the inverted-index join/group key,
     * so the exchange carries one int64 per shingle instead of the 3-gram
     * TEXT. Collisions between distinct shingles are ~|S|²/2⁵⁷ (≪ 1 for
@@ -584,27 +613,7 @@ object TextOps {
     //      hashes and counts agree bitwise. ----
     "q111_cdc_chunks" -> QueryDef(
       (s, dir) => {
-        val boundary = s"""filter(
-            sequence(5L, greatest(5L, cast(size(ws) as bigint))),
-            i -> i <= size(ws) and
-              cast(conv(substring(md5(concat_ws(' ',
-                slice(ws, cast(i as int) - $CdcHashWindow, $CdcHashWindow))),
-                1, 14), 16, 10) as long) % $CdcBoundaryMod = 0)"""
-        val ch = Tables.load(s, dir, "documents")
-          .withColumn("ws", split(lower(col("text")), " +"))
-          .withColumn("starts",
-            expr(s"concat(array(cast(1 as bigint)), $boundary)"))
-          .select(col("doc_id"), col("ws"), col("starts"),
-            posexplode(col("starts")).as(Seq("j0", "stw")))
-          .withColumn("en", expr("""CASE WHEN j0 + 2 <= size(starts)
-              THEN element_at(starts, j0 + 2) - 1
-              ELSE cast(size(ws) as bigint) END"""))
-          .select(col("doc_id"),
-            (col("j0") + 1).cast("long").as("chunk_idx"),
-            (col("en") - col("stw") + 1).as("chunk_tokens"),
-            expr("""substring(md5(concat_ws(' ',
-                slice(ws, cast(stw as int), cast(en - stw + 1 as int)))),
-                1, 16)""").as("chunk_hash"))
+        val ch = cdcChunks(Tables.load(s, dir, "documents"))
         val cnt = ch.groupBy(col("chunk_hash"))
           .agg(countDistinct(col("doc_id")).as("nd"))
         ch.join(cnt, "chunk_hash")

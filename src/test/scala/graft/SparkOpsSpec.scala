@@ -1898,3 +1898,131 @@ class PqSpec extends AnyFunSuite {
     }
   }
 }
+
+/** q111's defining property: content-defined boundaries depend only on
+  * LOCAL word windows, so a copied document that gained a prefix still
+  * shares its chunk fingerprints from the first surviving boundary on —
+  * where fixed-stride chunking (q59's geometry) loses every window. */
+class CdcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Deterministic pseudo-words (md5-derived, no RNG). */
+  private def word(i: Int): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"cdc:$i".getBytes("UTF-8"))
+    f"w${d(0) & 0xff}%02x${d(1) & 0xff}%02x"
+  }
+
+  test("a 3-word prefix insertion keeps every chunk after the first boundary; fixed-stride keeps none") {
+    import spark.implicits._
+    val base = (0 until 200).map(word).mkString(" ")
+    val shifted = "zzz yyy xxx " + base
+    val docs = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+
+    val ch = graft.ops.TextOps.cdcChunks(docs).collect()
+    val a = ch.filter(_.getLong(0) == 1L).map(_.getAs[String]("chunk_hash")).toSet
+    val b = ch.filter(_.getLong(0) == 2L).map(_.getAs[String]("chunk_hash")).toSet
+    val shared = a.intersect(b)
+    // only A's FIRST chunk (whose start the prefix moved) may be lost;
+    // every boundary after it is a function of unchanged local windows
+    assert(a.size >= 3, s"degenerate fixture: only ${a.size} chunks")
+    assert(shared.size >= a.size - 1,
+      s"CDC re-alignment failed: ${shared.size} of ${a.size} chunks shared")
+
+    // the q59 fixed-stride geometry on the same pair: the 3-word shift
+    // changes every 32-word window, so NO fingerprint survives
+    val stride = docs
+      .withColumn("words", split(lower(col("text")), " +"))
+      .withColumn("n_chunks", expr("greatest(1, (size(words) + 15) div 24)"))
+      .select(col("doc_id"), col("words"),
+        posexplode(expr("sequence(0, n_chunks - 1)")).as(Seq("ci", "s24")))
+      .withColumn("h", expr(
+        "substring(md5(concat_ws(' ', slice(words, ci * 24 + 1, 32))), 1, 16)"))
+    val sa = stride.filter(col("doc_id") === 1L).select("h").collect().map(_.getString(0)).toSet
+    val sb = stride.filter(col("doc_id") === 2L).select("h").collect().map(_.getString(0)).toSet
+    assert(sa.intersect(sb).isEmpty,
+      "fixed-stride should lose every fingerprint under a 3-word shift")
+  }
+
+  test("chunks tile each document exactly: token counts sum to the word count") {
+    import spark.implicits._
+    val docs = Seq((1L, (0 until 77).map(word).mkString(" ")),
+      (2L, "one two"), (3L, "solo")).toDF("doc_id", "text")
+    val sums = graft.ops.TextOps.cdcChunks(docs)
+      .groupBy(col("doc_id")).agg(sum(col("chunk_tokens")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums == Map(1L -> 77L, 2L -> 2L, 3L -> 1L))
+  }
+}
+
+/** q110: a planted eval near-copy must be flagged with its eval source;
+  * orthogonal corpus vectors must not be. */
+class SemanticDecontamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("planted near-copy of eval vector 15 is flagged at cos 1.0; orthogonal vectors are clean") {
+    import spark.implicits._
+    val dim = 64
+    def unit(i: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(dim)(j => if (j == i % dim) scale else 0.0f)
+    // vec 0..49 are distinct basis vectors (eval slab = 10..41);
+    // vec 100 is a scaled copy of eval vector 15 — cosine exactly 1
+    val rows = (0 until 50).map(v => (v.toLong, unit(v, 1.0f))) :+
+      (100L, unit(15, 2.0f))
+    val out = graft.ops.Similarity.semanticDecontam(
+      rows.toDF("vec_id", "embedding")).collect()
+    val flagged = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged == Map(100L -> 15L),
+      s"expected exactly the planted copy, got $flagged")
+    val hit = out.find(_.getLong(0) == 100L).get
+    assert(hit.getAs[Double]("cos_sim") == 1.0)
+    assert(hit.getAs[Long]("n_eval_hits") == 1L)
+  }
+}
+
+/** q113: separation/cohesion must actually discriminate — planted tight
+  * well-separated clusters score high, one overlapping blob scores low. */
+class ClusterQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dim = 64
+
+  /** K planted clusters: center c = 100·e_c, member m of cluster c
+    * jittered by (m mod 3) in dimension 8+c. vec_id = c + K·m keeps the
+    * seed set (vec_id < K) one-per-cluster. */
+  private def planted(spread: Double): Seq[(Long, Seq[Float])] = {
+    val K = graft.ops.Clustering.K
+    for (c <- 0 until K; m <- 0 until 10) yield {
+      val v = Array.fill(dim)(0.0f)
+      v(c) = 100.0f
+      v(8 + c) = ((m % 3) * spread).toFloat
+      ((c + K * m).toLong, v.toSeq)
+    }
+  }
+
+  test("well-separated planted clusters: every sep_ratio is large; overlapping blob: small") {
+    import spark.implicits._
+    val tight = graft.ops.Clustering.clusterQuality(
+      planted(spread = 1.0).toDF("vec_id", "embedding")).collect()
+    assert(tight.length == graft.ops.Clustering.K)
+    tight.foreach { r =>
+      assert(r.getAs[Double]("sep_ratio") > 10.0,
+        s"cluster ${r.getLong(0)}: ratio ${r.getAs[Double]("sep_ratio")} not >> 1")
+    }
+    // one blob: all centers coincide, only the jitter dimension differs —
+    // separation collapses to the same scale as cohesion. Jitter is
+    // m%3 + 1 (never zero) so the K seeds stay distinct and the
+    // training keeps K clusters instead of collapsing to one.
+    val K = graft.ops.Clustering.K
+    val blob = (for (c <- 0 until K; m <- 0 until 10) yield {
+      val v = Array.fill(dim)(0.0f)
+      v(0) = 100.0f
+      v(8 + c) = (m % 3 + 1).toFloat
+      ((c + K * m).toLong, v.toSeq)
+    }).toDF("vec_id", "embedding")
+    val flat = graft.ops.Clustering.clusterQuality(blob).collect()
+    flat.foreach { r =>
+      assert(r.getAs[Double]("sep_ratio") < 10.0,
+        s"blob cluster ${r.getLong(0)} scored ${r.getAs[Double]("sep_ratio")}")
+    }
+  }
+}
