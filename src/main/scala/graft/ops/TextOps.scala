@@ -197,20 +197,30 @@ object TextOps {
 
   /** Content-defined chunks of a (doc_id, text) frame: one row per
     * chunk with its 1-based index, token count and 16-char md5 prefix.
-    * Boundaries are a pure per-row array expression (see the q111 entry
-    * for the scale/parity story); exposed so CdcSpec can pin the
-    * shift-robustness property on synthetic corpora. */
+    * Boundary hashes run over ROW-EXPLODED positions (the q99 shape —
+    * codegen'd md5 projection; the same predicate as a `filter(...)`
+    * higher-order lambda runs interpreted per element and was ~10×
+    * slower), then the few boundary positions per doc regroup into a
+    * `starts` array — the only exchanges carry (doc_id, int64) pairs
+    * plus the one doc_id-keyed join putting `starts` next to the words.
+    * Exposed so CdcSpec can pin the shift-robustness property. */
   def cdcChunks(docs: DataFrame): DataFrame = {
-    val boundary = s"""filter(
-        sequence(5L, greatest(5L, cast(size(ws) as bigint))),
-        i -> i <= size(ws) and
-          cast(conv(substring(md5(concat_ws(' ',
-            slice(ws, cast(i as int) - $CdcHashWindow, $CdcHashWindow))),
-            1, 14), 16, 10) as long) % $CdcBoundaryMod = 0)"""
-    docs
+    val d = docs
       .withColumn("ws", split(lower(col("text")), " +"))
-      .withColumn("starts",
-        expr(s"concat(array(cast(1 as bigint)), $boundary)"))
+      .select(col("doc_id"), col("ws"))
+    val bpos = d
+      .filter(size(col("ws")) >= CdcHashWindow + 1)
+      .select(col("doc_id"), col("ws"),
+        posexplode(expr(s"sequence(${CdcHashWindow + 1}, size(ws))"))
+          .as(Seq("pi", "i")))
+      .filter(expr(s"""cast(conv(substring(md5(concat_ws(' ',
+          slice(ws, i - $CdcHashWindow, $CdcHashWindow))), 1, 14), 16, 10)
+          as long) % $CdcBoundaryMod = 0"""))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("i").cast("long"))).as("bpos"))
+    d.join(bpos, Seq("doc_id"), "left")
+      .withColumn("starts", expr("""concat(array(cast(1 as bigint)),
+          coalesce(bpos, cast(array() as array<bigint>)))"""))
       .select(col("doc_id"), col("ws"), col("starts"),
         posexplode(col("starts")).as(Seq("j0", "stw")))
       .withColumn("en", expr("""CASE WHEN j0 + 2 <= size(starts)
@@ -613,7 +623,10 @@ object TextOps {
     //      hashes and counts agree bitwise. ----
     "q111_cdc_chunks" -> QueryDef(
       (s, dir) => {
+        // feeds both the per-hash doc counts and the join back — persist
+        // so the boundary scan runs ONCE
         val ch = cdcChunks(Tables.load(s, dir, "documents"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cnt = ch.groupBy(col("chunk_hash"))
           .agg(countDistinct(col("doc_id")).as("nd"))
         ch.join(cnt, "chunk_hash")
