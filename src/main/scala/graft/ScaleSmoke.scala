@@ -82,6 +82,23 @@ object ScaleSmoke {
     expand(spark, src, out, factor)
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // The artifact line must stay machine-parseable no matter what the
+    // runs produced: error strings are escaped (today timeOne emits only
+    // exception class names, but that contract is one refactor away from
+    // carrying a message with quotes/backslashes), and the big/small
+    // ratio is guarded — a 0-duration small run would print Infinity,
+    // which is not JSON (same rationale as Bench's Locale.ROOT compact
+    // tail).
+    def esc(s: String): String =
+      s.flatMap {
+        case '\\' => "\\\\"
+        case '"'  => "\\\""
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    def ratio(big: Double, small: Double): String =
+      if (small > 0 && !big.isNaN && !small.isNaN) fmt(big / small)
+      else "null"
     // min of runs 2..3 per dir (run 1 absorbs first-use cost), source
     // first so codegen warm-up is charged to the small corpus
     val rows = queries.map { name =>
@@ -99,13 +116,13 @@ object ScaleSmoke {
       val (small, errS) = best(src)
       val (big, errB) = best(out)
       val err = errS.orElse(errB)
-      println(s"""[scale] $name: sf0.1=${fmt(small)}s ${factor}x=${fmt(big)}s ratio=${fmt(big / small)}${err.map(e => s" ERROR=$e").getOrElse("")}""")
+      println(s"""[scale] $name: sf0.1=${fmt(small)}s ${factor}x=${fmt(big)}s ratio=${ratio(big, small)}${err.map(e => s" ERROR=$e").getOrElse("")}""")
       (name, small, big, err)
     }
     val qjson = rows.map { case (n, s, b, _) =>
-      s""""$n":{"small":${fmt(s)},"big":${fmt(b)},"ratio":${fmt(b / s)}}"""
+      s""""$n":{"small":${fmt(s)},"big":${fmt(b)},"ratio":${ratio(b, s)}}"""
     }.mkString("{", ",", "}")
-    val errs = rows.collect { case (n, _, _, Some(e)) => s""""$n":"$e"""" }
+    val errs = rows.collect { case (n, _, _, Some(e)) => s""""$n":"${esc(e)}"""" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","factor":$factor,"src":"$src","queries":$qjson,"errors":$errs}""")
     spark.stop()

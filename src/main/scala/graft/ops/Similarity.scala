@@ -283,9 +283,11 @@ object Similarity {
     *     fingerprint-keyed temp cache (`fromConf = false` — the path
     *     itself encodes the corpus content, so a pre-manifest cache
     *     entry is provably for this corpus); an explicit
-    *     `spark.graft.ivfIndexDir` pointing at a manifest-less dir could
-    *     be a hand-built index over a DIFFERENT corpus and is rebuilt
-    *     rather than silently served as wrong neighbors;
+    *     `spark.graft.ivfIndexDir` pointing at a non-empty manifest-less
+    *     dir could be a HAND-BUILT index over a different corpus — it is
+    *     neither served unvalidated nor destroyed-and-rebuilt in place:
+    *     the call FAILS FAST and tells the operator how to resolve it
+    *     (documented in DESIGN.md alongside the conf knob);
     *   - the build lands in a process-unique temp dir and is RENAMED
     *     into place: two drivers racing the same cache dir (parallel
     *     Verify/Bench against one data dir) cannot interleave part
@@ -301,14 +303,28 @@ object Similarity {
     val fs = idxPath.getFileSystem(conf)
     val marker = new org.apache.hadoop.fs.Path(s"$idx/centroids.parquet")
     val manifest = new org.apache.hadoop.fs.Path(s"$idx/manifest.json")
+    // An explicit spark.graft.ivfIndexDir pointing at a POPULATED dir
+    // with no manifest.json could be a hand-built external index (any
+    // layout, not just ours) — destroying and rebuilding it in place
+    // would eat the user's artifact, and serving it unvalidated could
+    // answer from the wrong corpus. Refuse both, fail fast, and make
+    // the operator decide: delete the dir, add a manifest.json carrying
+    // the corpus fingerprint, or unset the conf to use the
+    // fingerprint-keyed cache (whose path itself vouches for content).
+    if (fromConf && fs.exists(idxPath) && !fs.exists(manifest)
+        && fs.listStatus(idxPath).nonEmpty)
+      throw new IllegalStateException(s"[ivf] $idx (explicit " +
+        "spark.graft.ivfIndexDir) is non-empty but has no manifest.json " +
+        "— refusing to serve it unvalidated AND refusing to rebuild " +
+        "over it (it may be a hand-built index this engine did not " +
+        "produce). Delete the directory, add a manifest.json containing " +
+        "the corpus fingerprint, or unset spark.graft.ivfIndexDir to " +
+        "use the fingerprint-keyed cache.")
     def manifestOk: Boolean =
       if (!fs.exists(manifest)) {
-        if (fromConf) {
-          System.err.println(s"[ivf] $idx (explicit spark.graft.ivfIndexDir) " +
-            "has no manifest.json — could be an index over a different " +
-            "corpus; rebuilding instead of serving it unvalidated")
-          false
-        } else {
+        if (fromConf) false // unreachable serve-side (guard above); a
+          // manifest-less dir appearing MID-RACE is treated as stale
+        else {
           System.err.println(s"[ivf] $idx has no manifest.json (pre-manifest " +
             "cache entry) — the fingerprint-keyed path vouches for it")
           true
@@ -875,6 +891,11 @@ object Similarity {
     //      and a 1-row totals cross join. ----
     "q102_ann_recall" -> QueryDef(
       (s, dir) => {
+        // This persist (like q111's/q113's) feeds the RETURNED plan, so
+        // the builder cannot unpersist it — the session-hygiene contract
+        // is the CALLER's: Verify, Bench and ScaleSmoke all
+        // clearCache() between queries, and any long-lived interactive
+        // session should do the same (DESIGN.md "persist hygiene").
         val exact = bruteTopk(s, dir)
           .select(col("query_id"), col("neighbor_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1041,6 +1041,26 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.ivfIndexDir")
   }
 
+  test("q97 fails fast on a non-empty manifest-less explicit index dir instead of deleting it") {
+    // r8 ADVICE: an explicit spark.graft.ivfIndexDir holding a
+    // HAND-BUILT index (no manifest.json) must be neither served
+    // unvalidated nor destroyed-and-rebuilt in place — the engine did
+    // not produce it and cannot vouch for or recreate it.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-hand").toString
+    val handBuilt = java.nio.file.Paths.get(s"$dir/faiss.index")
+    java.nio.file.Files.writeString(handBuilt, "not ours")
+    spark.conf.set("spark.graft.ivfIndexDir", dir)
+    try {
+      val e = intercept[IllegalStateException] {
+        SparkEntry.queries("q97_ivf_index_topk")(spark, sf).collect()
+      }
+      assert(e.getMessage.contains("manifest.json"))
+      assert(java.nio.file.Files.exists(handBuilt),
+        "fail-fast must leave the user's artifact untouched")
+      assert(java.nio.file.Files.readString(handBuilt) == "not ours")
+    } finally spark.conf.unset("spark.graft.ivfIndexDir")
+  }
+
   test("wide-band sign-LSH finds planted high-cosine near-dups (the operator's design point)") {
     import spark.implicits._
     // 500 random gaussian vectors plus 10 small-perturbation copies
