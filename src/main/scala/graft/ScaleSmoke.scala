@@ -66,6 +66,22 @@ object ScaleSmoke {
       s"(${nDocs * factor} docs, ${nVecs * factor} vectors)")
   }
 
+  /** Bench-only pseudo-queries: operations worth timing at scale that
+    * are not SparkEntry queries. `ivf_build` forces a FRESH IVF index
+    * build into a throwaway directory every run — the q97 serve path
+    * hits the fingerprint cache after run 1, so min-of-runs-2..3 on q97
+    * times the serve; this task times the build itself (the
+    * once-per-corpus cost a recurring-crawl pipeline pays). */
+  private def extraTasks: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "ivf_build" -> ((s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_smoke_ivf_build"
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        ops.Similarity.writeIvfIndex(Tables.load(s, dir, "embeddings"), tmp)
+        s.read.parquet(s"$tmp/centroids.parquet")
+      }))
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
       "usage: ScaleSmoke <srcSfDir> <outDir> <factor> <query> [query ...]")
@@ -102,8 +118,8 @@ object ScaleSmoke {
     // min of runs 2..3 per dir (run 1 absorbs first-use cost), source
     // first so codegen warm-up is charged to the small corpus
     val rows = queries.map { name =>
-      val fn = SparkEntry.queries.getOrElse(name,
-        sys.error(s"unknown query $name"))
+      val fn = SparkEntry.queries.get(name).orElse(extraTasks.get(name))
+        .getOrElse(sys.error(s"unknown query $name"))
       def best(dir: String): (Double, Option[String]) = {
         val runs = (1 to 3).map { _ =>
           spark.catalog.clearCache()

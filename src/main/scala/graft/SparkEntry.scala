@@ -24,6 +24,7 @@ object SparkEntry {
     ops.Clustering.defs,
     ops.CorpusStats.defs,
     ops.Scrub.defs,
+    ops.WebPrep.defs,
   )
 
   private lazy val all: Map[String, QueryDef] = {

@@ -53,5 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(exprs.length == 1, "graft_norm_key takes exactly 1 argument")
       NormalizeKey(exprs.head)
     })
+    inject(e, "graft_nfc", classOf[NfcNormalize], exprs => {
+      require(exprs.length == 1, "graft_nfc takes exactly 1 argument")
+      NfcNormalize(exprs.head)
+    })
   }
 }

@@ -1,0 +1,269 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Web-corpus preparation stages — the two universal curation steps that
+  * run BEFORE every operator in this suite on a real crawl corpus
+  * (VERDICT r8 "what's missing" #3/#4):
+  *
+  *   - q114: HTML tag-strip + line-level boilerplate removal (the
+  *     jusText/trafilatura rule family: line length, link density,
+  *     stopword ratio — Pomikálek, "Removing Boilerplate and Duplicate
+  *     Content from Web Corpora", 2011);
+  *   - q115: Unicode NFC normalization + confusable-whitespace/
+  *     punctuation folding (UAX #15; the KenLM/CC-Net-style text prep).
+  *
+  * The corpus tables are plain text, so q114 plants a deterministic HTML
+  * wrapper (nav / cookie banner / content paragraphs / link farm /
+  * footer) and q115 plants decomposed accents, curly quotes, fullwidth
+  * letters and NBSPs — both synthesized by the SAME expression in both
+  * engines, so the strip/normalize arithmetic sits fully under the
+  * DuckDB hash gate (the q104 fixture discipline: the oracle replays the
+  * synthesis, not the engine's output).
+  *
+  * Scale shape (both): one per-row projection to synthesize, one
+  * per-line row-explode with codegen'd metrics (the q111 lesson — never
+  * a higher-order-function lambda in the hot path), and exactly one
+  * shuffle on the int64 doc_id to reassemble per-document results. No
+  * joins, no driver-side state.
+  */
+object WebPrep {
+
+  // ---- q114 boilerplate rule constants (jusText-family thresholds,
+  //      integer-only so the keep decision never touches a float) ----
+
+  /** A content line needs at least this many words after tag-strip. */
+  val MinContentWords = 10
+
+  /** ... and at least this many stopword hits (the Quality regex). */
+  val MinContentStopwords = 2
+
+  /** ... and link density < 1/5: drop when `5·n_links ≥ n_words`. */
+  val LinkDensityDen = 5
+
+  /** The planted page skeleton around a document's text: boilerplate the
+    * rules must drop (nav, cookie banner, related-links farm, a linky
+    * paragraph that passes the length+stopword rules but fails link
+    * density, footer) around the real text split into ≤2 paragraphs.
+    * NULL-valued CASE branches vanish inside concat_ws in both engines,
+    * so short documents simply have fewer lines. */
+  private val NavLine =
+    """<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a> <a href="/login">Login</a></nav>"""
+  private val CookieLine =
+    """<div class="cookie">We use cookies to improve your experience on this site</div>"""
+  private val RelatedLine =
+    """<ul><li><a href="/r/1">Related article about tables</a></li> <li><a href="/r/2">More links to follow here</a></li></ul>"""
+  private val LinkyLine =
+    """<p>Read more of the linked articles here: <a href="/x1">first</a> <a href="/x2">second</a> <a href="/x3">third</a> <a href="/x4">fourth</a> in the archive</p>"""
+  private val FooterLine =
+    """<footer>Copyright 2026 Example Corp All rights reserved</footer>"""
+
+  /** (doc_id, source, html): the deterministic HTML-wrapped variant of
+    * `documents` both engines synthesize identically. */
+  def synthesizeHtml(docs: DataFrame): DataFrame = docs
+    .withColumn("ws", split(col("text"), " +"))
+    .select(col("doc_id"), col("source"), concat_ws("\n",
+      lit(NavLine),
+      concat(lit("<h1>Document "), col("doc_id").cast("string"), lit("</h1>")),
+      when(col("doc_id") % 3 === 0, lit(CookieLine)),
+      concat(lit("<p>"), array_join(slice(col("ws"), 1, 25), " "), lit("</p>")),
+      when(size(col("ws")) > 25,
+        concat(lit("<p>"),
+          array_join(expr("slice(ws, 26, size(ws) - 25)"), " "),
+          lit("</p>"))),
+      lit(RelatedLine),
+      lit(LinkyLine),
+      lit(FooterLine)).as("html"))
+
+  /** The DuckDB mirror of [[synthesizeHtml]]'s html column, over
+    * `documents` with `w` = the split word list. */
+  private def htmlDuck: String =
+    s"""concat_ws(chr(10),
+       '${NavLine.replace("'", "''")}',
+       '<h1>Document ' || doc_id || '</h1>',
+       CASE WHEN doc_id % 3 = 0 THEN '${CookieLine.replace("'", "''")}' END,
+       '<p>' || array_to_string(w[1:25], ' ') || '</p>',
+       CASE WHEN len(w) > 25
+         THEN '<p>' || array_to_string(w[26:len(w)], ' ') || '</p>' END,
+       '${RelatedLine.replace("'", "''")}',
+       '${LinkyLine.replace("'", "''")}',
+       '${FooterLine.replace("'", "''")}')"""
+
+  /** Per-line strip + verdict over a (doc_id, source, html) frame: one
+    * row per line with the tag-stripped text (`cw`), link count, word
+    * count, stopword count and the keep verdict. Row-exploded so every
+    * metric is a codegen'd projection; exposed for WebPrepSpec. */
+  def stripLineVerdicts(pages: DataFrame): DataFrame = pages
+    .select(col("doc_id"), col("source"),
+      posexplode(split(col("html"), "\n")).as(Seq("li", "line")))
+    .withColumn("cw", expr(
+      "trim(regexp_replace(regexp_replace(line, '<[^>]*>', ' '), ' +', ' '))"))
+    .withColumn("nlinks", expr(
+      "(length(line) - length(replace(line, '<a ', ''))) div 3"))
+    .withColumn("nw", expr(
+      "CASE WHEN cw = '' THEN 0 ELSE size(split(cw, ' ')) END"))
+    .withColumn("nstop", size(regexp_extract_all(lower(col("cw")),
+      lit(Quality.StopwordRegex), lit(0))))
+    .withColumn("keep", expr(
+      s"""CASE WHEN nw >= $MinContentWords AND nstop >= $MinContentStopwords
+            AND nlinks * $LinkDensityDen < nw THEN 1 ELSE 0 END"""))
+
+  /** Per-document boilerplate-strip summary: line counts, kept/dropped
+    * word counts and the md5 of the cleaned content (kept lines in page
+    * order) — the artifact a curation run ships. One shuffle (doc_id);
+    * the grouped rows carry the kept line text because the cleaned
+    * document IS the product being reassembled. */
+  def stripBoilerplate(pages: DataFrame): DataFrame =
+    stripLineVerdicts(pages)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("keep")).cast("long").as("n_kept"),
+        sum(when(col("keep") === 1, col("nw")).otherwise(0)).cast("long")
+          .as("kept_words"),
+        sum(when(col("keep") === 0, col("nw")).otherwise(0)).cast("long")
+          .as("boiler_words"),
+        sort_array(collect_list(when(col("keep") === 1,
+          struct(col("li"), col("cw"))))).as("ks"))
+      .select(col("doc_id"), col("source"), col("n_lines"), col("n_kept"),
+        col("kept_words"), col("boiler_words"),
+        md5(expr("concat_ws(chr(10), transform(ks, x -> x.cw))"))
+          .as("content_md5"))
+      .orderBy(col("doc_id"))
+
+  // ---- q115 normalization constants ----
+
+  /** Confusable fold map applied AFTER NFC: NBSP → space, curly double/
+    * single quotes → straight, en/em-dash → hyphen, fullwidth Latin
+    * letters and digits → ASCII. NFC alone composes combining marks but
+    * deliberately preserves these compatibility characters (that is
+    * NFKC's job); a corpus pipeline folds exactly this small confusable
+    * set without dragging in NFKC's more destructive mappings (ligature
+    * splitting, superscript folding). */
+  private[graft] val FoldFrom: String =
+    "\u00a0\u201c\u201d\u2018\u2019\u2013\u2014" +
+      (0xff21 to 0xff3a).map(_.toChar).mkString +
+      (0xff41 to 0xff5a).map(_.toChar).mkString +
+      (0xff10 to 0xff19).map(_.toChar).mkString
+  private[graft] val FoldTo: String =
+    " \"\"''--" + ('A' to 'Z').mkString + ('a' to 'z').mkString +
+      ('0' to '9').mkString
+
+  /** The planted dirty prefix: decomposed e+U+0301, curly-quoted q,
+    * fullwidth ＡＢ, em-dash, NBSP — one instance of every fold class,
+    * prepended to the real text. */
+  private[graft] val DirtyPrefix: String =
+    "Cafe\u0301 \u201cq\u201d \uff21\uff22\u2014end\u00a0"
+
+  /** What [[normalizeText]] must turn [[DirtyPrefix]] into. */
+  private[graft] val CleanPrefix: String = "Caf\u00e9 \"q\" AB-end "
+
+  /** NFC + confusable fold + whitespace collapse — the shared text-prep
+    * column every text operator can opt into. Uses the native
+    * [[graft.expr.NfcNormalize]] expression (codegen'd; Spark has no
+    * normalization builtin). Callers must have run
+    * [[graft.expr.TextExpressions.register]] on the session. */
+  def normalizeText(colName: String): Column =
+    trim(regexp_replace(
+      translate(expr(s"graft_nfc($colName)"), FoldFrom, FoldTo),
+      " +", " "))
+
+  private def duckLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB mirror of [[normalizeText]]: `nfc_normalize` implements the
+    * same UAX #15 algorithm as the JVM Normalizer — and q115's hash gate
+    * CERTIFIES the agreement over the corpus instead of assuming it. */
+  private def duckNormalize(e: String): String =
+    s"""trim(regexp_replace(translate(nfc_normalize($e),
+       ${duckLit(FoldFrom)}, ${duckLit(FoldTo)}), ' +', ' ', 'g'))"""
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- HTML/boilerplate strip over the planted page wrapper: per
+    //      document, line counts, kept vs boilerplate word mass, and the
+    //      md5 of the cleaned text. The oracle re-synthesizes the SAME
+    //      html and replays the strip rules — a wrong regex, link count,
+    //      threshold or line order flips the hash. ----
+    "q114_html_boilerplate_strip" -> QueryDef(
+      (s, dir) =>
+        stripBoilerplate(synthesizeHtml(Tables.load(s, dir, "documents"))),
+      Some(s"""WITH w0 AS (
+               SELECT doc_id, source, string_split_regex(text, ' +') AS w
+               FROM documents),
+             pages AS (
+               SELECT doc_id, source, $htmlDuck AS html FROM w0),
+             ls AS (
+               SELECT doc_id, source, string_split(html, chr(10)) AS la
+               FROM pages),
+             lines AS (
+               SELECT doc_id, source, generate_subscripts(la, 1) AS li,
+                 unnest(la) AS line
+               FROM ls),
+             m AS (
+               SELECT doc_id, source, li, line,
+                 trim(regexp_replace(regexp_replace(line, '<[^>]*>', ' ', 'g'),
+                   ' +', ' ', 'g')) AS cw,
+                 (length(line) - length(replace(line, '<a ', ''))) // 3
+                   AS nlinks
+               FROM lines),
+             c AS (
+               SELECT *,
+                 CASE WHEN cw = '' THEN 0
+                      ELSE len(string_split(cw, ' ')) END AS nw,
+                 ${Quality.duckNStop("cw")} AS nstop
+               FROM m),
+             k AS (
+               SELECT *,
+                 CASE WHEN nw >= $MinContentWords
+                       AND nstop >= $MinContentStopwords
+                       AND nlinks * $LinkDensityDen < nw
+                   THEN 1 ELSE 0 END AS keep
+               FROM c)
+             SELECT doc_id, source, count(*) AS n_lines,
+               CAST(sum(keep) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN keep = 1 THEN nw ELSE 0 END) AS BIGINT)
+                 AS kept_words,
+               CAST(sum(CASE WHEN keep = 0 THEN nw ELSE 0 END) AS BIGINT)
+                 AS boiler_words,
+               md5(coalesce(string_agg(CASE WHEN keep = 1 THEN cw END,
+                 chr(10) ORDER BY li), '')) AS content_md5
+             FROM k
+             GROUP BY doc_id, source
+             ORDER BY doc_id""")),
+
+    // ---- Unicode normalization prep over the planted dirty variant:
+    //      NFC composes the decomposed accent, the fold map straightens
+    //      quotes/dashes/fullwidth/NBSP, whitespace collapses. The
+    //      norm_md5 column hash-certifies that the JVM Normalizer and
+    //      DuckDB's nfc_normalize agree byte-for-byte on this corpus —
+    //      the cross-engine parity question VERDICT r8 flagged, answered
+    //      by measurement (DESIGN.md "Unicode normalization parity"). ----
+    "q115_unicode_normalize" -> QueryDef(
+      (s, dir) => {
+        graft.expr.TextExpressions.register(s)
+        Tables.load(s, dir, "documents")
+          .withColumn("dirty", concat(lit(DirtyPrefix), col("text")))
+          .select(col("doc_id"),
+            length(col("dirty")).cast("long").as("n_dirty_chars"),
+            normalizeText("dirty").as("norm"))
+          .select(col("doc_id"), col("n_dirty_chars"),
+            length(col("norm")).cast("long").as("n_norm_chars"),
+            md5(col("norm")).as("norm_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH dirty AS (
+               SELECT doc_id, ${duckLit(DirtyPrefix)} || text AS d
+               FROM documents),
+             n AS (
+               SELECT doc_id, length(d) AS n_dirty_chars,
+                 ${duckNormalize("d")} AS norm
+               FROM dirty)
+             SELECT doc_id, n_dirty_chars, length(norm) AS n_norm_chars,
+               md5(norm) AS norm_md5
+             FROM n
+             ORDER BY doc_id""")),
+  )
+}

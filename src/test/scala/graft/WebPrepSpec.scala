@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.WebPrep
+
+/** Property pins for the web-prep stages (q114/q115). The DuckDB hash
+  * gate proves Spark≡oracle on the corpus; these specs pin the SEMANTIC
+  * claims — planted boilerplate is dropped, planted content survives,
+  * normalization folds every fixture class and is idempotent. */
+class WebPrepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // 30 words, 0 links, plenty of stopwords: must classify as content
+  private val ContentText =
+    ("the quick brown fox jumps over the lazy dog and then runs " +
+      "to the river of stones in a field that is wide and green " +
+      "under the open sky today").trim
+
+  test("q114: planted boilerplate lines drop, content lines survive") {
+    import spark.implicits._
+    val docs = Seq((0L, "src0", ContentText)).toDF("doc_id", "source", "text")
+    val v = WebPrep.stripLineVerdicts(WebPrep.synthesizeHtml(docs))
+      .select("cw", "nlinks", "nw", "keep").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+
+    val byPrefix = (p: String) => v.filter(_._1.startsWith(p))
+    // nav: 4 links, 4 words -> dropped (length AND link density)
+    assert(byPrefix("Home About").forall(_._4 == 0))
+    // heading: 2 words -> dropped
+    assert(byPrefix("Document 0").forall(_._4 == 0))
+    // cookie banner (doc_id=0 has it): 10 words but 1 stopword -> dropped
+    assert(byPrefix("We use cookies").forall(_._4 == 0))
+    // related-links farm: 9 words -> dropped
+    assert(byPrefix("Related article").forall(_._4 == 0))
+    // linky paragraph: 14 words, 4 stopwords BUT 4 links -> link density kills it
+    val linky = byPrefix("Read more")
+    assert(linky.nonEmpty && linky.forall(r => r._2 == 4 && r._4 == 0))
+    // footer: 7 words -> dropped
+    assert(byPrefix("Copyright 2026").forall(_._4 == 0))
+    // both content paragraphs (25 + 5 words... 30 words total split 25/5):
+    // first paragraph (25 words, stopword-rich) survives
+    val p1 = byPrefix("the quick brown")
+    assert(p1.length == 1 && p1.head._4 == 1)
+    // the 5-word tail paragraph fails the length rule — rules are honest
+    assert(byPrefix("under the open").forall(_._4 == 0))
+  }
+
+  test("q114: summary reassembles kept lines in page order") {
+    import spark.implicits._
+    val docs = Seq((7L, "srcX", (ContentText + " extra words here for the second paragraph to also pass the length and the stopword rules of this strip")))
+      .toDF("doc_id", "source", "text")
+    val out = WebPrep.stripBoilerplate(WebPrep.synthesizeHtml(docs)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // 7 % 3 != 0 -> no cookie line; 7 lines total
+    assert(r.getAs[Long]("n_lines") == 7L)
+    assert(r.getAs[Long]("n_kept") == 2L)
+    // md5 must equal the hash of the two kept cleaned paragraphs joined
+    // by newline, in page order
+    val ws = (ContentText + " extra words here for the second paragraph to also pass the length and the stopword rules of this strip").split(" +")
+    val expect = ws.take(25).mkString(" ") + "\n" + ws.drop(25).mkString(" ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expect.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("content_md5") == md)
+  }
+
+  test("q115: every fold class lands on its ASCII/precomposed target") {
+    import spark.implicits._
+    graft.expr.TextExpressions.register(spark)
+    val df = Seq((1L, WebPrep.DirtyPrefix + "tail text")).toDF("doc_id", "dirty")
+    val norm = df.select(WebPrep.normalizeText("dirty").as("n"))
+      .head().getString(0)
+    assert(norm == WebPrep.CleanPrefix + "tail text")
+    // the clean prefix is precomposed NFC: é is ONE char
+    assert(WebPrep.CleanPrefix.codePointCount(0, WebPrep.CleanPrefix.length)
+      == WebPrep.CleanPrefix.length)
+    assert(norm.contains('\u00e9') && !norm.contains('\u0301'))
+    assert(!norm.exists(c => c >= 0xff00 || c == '\u00a0' || c == '\u201c'))
+  }
+
+  test("q115: normalization is idempotent and ASCII-invariant") {
+    import spark.implicits._
+    graft.expr.TextExpressions.register(spark)
+    val inputs = Seq(
+      (1L, WebPrep.DirtyPrefix + "mixed \u201cstate\u201d"),
+      (2L, "already clean ascii text"),
+      (3L, "\uff41\uff42\uff43 \u2013 x y"))
+    val df = inputs.toDF("doc_id", "dirty")
+    val once = df.select(col("doc_id"), WebPrep.normalizeText("dirty").as("dirty"))
+    val twice = once.select(col("doc_id"), WebPrep.normalizeText("dirty").as("n"))
+    val a = once.orderBy("doc_id").collect().map(_.getString(1))
+    val b = twice.orderBy("doc_id").collect().map(_.getString(1))
+    assert(a.sameElements(b), "normalize must be a fixpoint after one pass")
+    assert(a(1) == "already clean ascii text")
+    assert(a(2) == "abc - x y")
+  }
+}
