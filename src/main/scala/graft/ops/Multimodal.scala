@@ -394,6 +394,57 @@ object Multimodal {
                    16, 10) as bigint) % 240
          + (CASE WHEN b < doc_id % 7 THEN 16L ELSE 0L END))"""
 
+  /** The q104 oracle's full CTE chain, factored out so the extended
+    * curation ledger (q117) can reuse the image-near-dup definition
+    * verbatim — the same single-source-of-truth discipline as
+    * [[graft.ops.TextOps.fourGramDuckCtes]]. Names are `im_`-prefixed to
+    * compose inside larger WITH blocks without collisions. Ends at
+    * `im_pairs(da, db, hamming)`: the verified near-dup image pairs,
+    * already filtered to hamming ≤ [[ImagePhashMaxHamming]]. */
+  private[ops] val phashDuckCtes: String = {
+    val words = (0 until 4).map { j =>
+      (0 until 16)
+        .map(k => s"CASE WHEN px[${16 * j + k + 1}] > mean " +
+          s"THEN ${1L << k} ELSE 0 END")
+        .mkString("CAST(", " + ", s" AS BIGINT) AS p$j")
+    }.mkString(", ")
+    val bandSelects = (0 until 4)
+      .map(j => s"SELECT doc_id, $j AS band_idx, p$j AS band_val FROM im_words")
+      .mkString(" UNION ALL ")
+    val ham = (0 until 4)
+      .map(j => s"bit_count(xor(a.p$j, b.p$j))")
+      .mkString(" + ")
+    s"""im_d AS (
+             SELECT doc_id, doc_id // 7 AS g, doc_id % 7 AS r FROM documents),
+           im_px AS (
+             SELECT doc_id,
+               list_transform(generate_series(0, 63),
+                 b -> CAST(('0x' || substr(md5('img:' || g || ':' || b), 1, 14))
+                           AS BIGINT) % 240
+                      + CASE WHEN b < r THEN 16 ELSE 0 END) AS px
+             FROM im_d),
+           im_ph AS (SELECT doc_id, px, list_sum(px) / 64.0 AS mean FROM im_px),
+           im_words AS (SELECT doc_id, $words FROM im_ph),
+           im_bands0 AS ($bandSelects),
+           im_hot AS (
+             SELECT band_idx, band_val FROM im_bands0
+             GROUP BY band_idx, band_val HAVING count(*) > ${Dedup.HotBandCap}),
+           im_bands AS (
+             SELECT b.* FROM im_bands0 b
+             ANTI JOIN im_hot h USING (band_idx, band_val)),
+           im_cands AS (
+             SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+             FROM im_bands x JOIN im_bands y
+               ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+              AND x.doc_id < y.doc_id),
+           im_pairs AS (
+             SELECT da, db, CAST($ham AS BIGINT) AS hamming
+             FROM im_cands
+             JOIN im_words a ON da = a.doc_id
+             JOIN im_words b ON db = b.doc_id
+             WHERE $ham <= $ImagePhashMaxHamming)"""
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Int,
       frame_hex: String)
 
@@ -463,48 +514,8 @@ object Multimodal {
         val media = encodeBlockPng(s, px)
         phashPairs(thumbPixels(decodeImageFeatures(s, media)))
       },
-      Some {
-        val words = (0 until 4).map { j =>
-          (0 until 16)
-            .map(k => s"CASE WHEN px[${16 * j + k + 1}] > mean " +
-              s"THEN ${1L << k} ELSE 0 END")
-            .mkString("CAST(", " + ", s" AS BIGINT) AS p$j")
-        }.mkString(", ")
-        val bandSelects = (0 until 4)
-          .map(j => s"SELECT doc_id, $j AS band_idx, p$j AS band_val FROM words")
-          .mkString(" UNION ALL ")
-        val ham = (0 until 4)
-          .map(j => s"bit_count(xor(a.p$j, b.p$j))")
-          .mkString(" + ")
-        s"""WITH d AS (
-             SELECT doc_id, doc_id // 7 AS g, doc_id % 7 AS r FROM documents),
-           px AS (
-             SELECT doc_id,
-               list_transform(generate_series(0, 63),
-                 b -> CAST(('0x' || substr(md5('img:' || g || ':' || b), 1, 14))
-                           AS BIGINT) % 240
-                      + CASE WHEN b < r THEN 16 ELSE 0 END) AS px
-             FROM d),
-           ph AS (SELECT doc_id, px, list_sum(px) / 64.0 AS mean FROM px),
-           words AS (SELECT doc_id, $words FROM ph),
-           bands0 AS ($bandSelects),
-           hot AS (
-             SELECT band_idx, band_val FROM bands0
-             GROUP BY band_idx, band_val HAVING count(*) > ${Dedup.HotBandCap}),
-           bands AS (
-             SELECT b.* FROM bands0 b
-             ANTI JOIN hot h USING (band_idx, band_val)),
-           cands AS (
-             SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-             FROM bands x JOIN bands y
-               ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-              AND x.doc_id < y.doc_id)
-           SELECT da, db, CAST($ham AS BIGINT) AS hamming
-           FROM cands
-           JOIN words a ON da = a.doc_id
-           JOIN words b ON db = b.doc_id
-           WHERE $ham <= $ImagePhashMaxHamming
-           ORDER BY da, db"""
-      }),
+      Some(s"""WITH $phashDuckCtes
+           SELECT da, db, hamming FROM im_pairs
+           ORDER BY da, db""")),
   )
 }

@@ -234,6 +234,42 @@ object TextOps {
             1, 16)""").as("chunk_hash"))
   }
 
+  /** The q111 oracle's CTE chain, factored out (`cdc_`-prefixed names)
+    * so the extended curation ledger (q117) reuses the content-defined
+    * chunking definition verbatim. Ends at `cdc_h(doc_id, chunk_idx,
+    * chunk_tokens, chunk_hash)` (one row per chunk) and
+    * `cdc_cnt(chunk_hash, nd)` (distinct-doc count per chunk hash). */
+  private[ops] val cdcDuckCtes: String =
+    s"""cdc_d AS (
+               SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
+               FROM documents),
+             cdc_st AS (
+               SELECT doc_id, ws,
+                 list_prepend(CAST(1 AS BIGINT),
+                   list_filter(generate_series(5, len(ws)),
+                     i -> CAST(('0x' || substr(md5(array_to_string(
+                            ws[i - $CdcHashWindow : i - 1], ' ')), 1, 14))
+                          AS BIGINT) % $CdcBoundaryMod = 0)) AS starts
+               FROM cdc_d),
+             cdc_idx AS (
+               SELECT doc_id, unnest(generate_series(1, len(starts))) AS j,
+                 ws, starts
+               FROM cdc_st),
+             cdc_ch AS (
+               SELECT doc_id, j AS chunk_idx, starts[j] AS stw,
+                 CASE WHEN j < len(starts) THEN starts[j + 1] - 1
+                      ELSE len(ws) END AS en,
+                 ws
+               FROM cdc_idx),
+             cdc_h AS (
+               SELECT doc_id, chunk_idx, en - stw + 1 AS chunk_tokens,
+                 substr(md5(array_to_string(ws[stw:en], ' ')), 1, 16)
+                   AS chunk_hash
+               FROM cdc_ch),
+             cdc_cnt AS (
+               SELECT chunk_hash, count(DISTINCT doc_id) AS nd
+               FROM cdc_h GROUP BY chunk_hash)"""
+
   /** 56-bit md5-derived shingle key — the inverted-index join/group key,
     * so the exchange carries one int64 per shingle instead of the 3-gram
     * TEXT. Collisions between distinct shingles are ~|S|²/2⁵⁷ (≪ 1 for
@@ -637,41 +673,13 @@ object TextOps {
               .as("dup_tokens"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH d AS (
-               SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
-               FROM documents),
-             st AS (
-               SELECT doc_id, ws,
-                 list_prepend(CAST(1 AS BIGINT),
-                   list_filter(generate_series(5, len(ws)),
-                     i -> CAST(('0x' || substr(md5(array_to_string(
-                            ws[i - $CdcHashWindow : i - 1], ' ')), 1, 14))
-                          AS BIGINT) % $CdcBoundaryMod = 0)) AS starts
-               FROM d),
-             idx AS (
-               SELECT doc_id, unnest(generate_series(1, len(starts))) AS j,
-                 ws, starts
-               FROM st),
-             ch AS (
-               SELECT doc_id, j AS chunk_idx, starts[j] AS stw,
-                 CASE WHEN j < len(starts) THEN starts[j + 1] - 1
-                      ELSE len(ws) END AS en,
-                 ws
-               FROM idx),
-             h AS (
-               SELECT doc_id, chunk_idx, en - stw + 1 AS chunk_tokens,
-                 substr(md5(array_to_string(ws[stw:en], ' ')), 1, 16)
-                   AS chunk_hash
-               FROM ch),
-             cnt AS (
-               SELECT chunk_hash, count(DISTINCT doc_id) AS nd
-               FROM h GROUP BY chunk_hash)
+      Some(s"""WITH $cdcDuckCtes
              SELECT doc_id, count(*) AS n_chunks,
                CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_dup_chunks,
                CAST(sum(CASE WHEN nd >= 2 THEN chunk_tokens ELSE 0 END)
                  AS BIGINT) AS dup_tokens
-             FROM h JOIN cnt USING (chunk_hash)
+             FROM cdc_h JOIN cdc_cnt USING (chunk_hash)
              GROUP BY doc_id
              ORDER BY doc_id""")),
 

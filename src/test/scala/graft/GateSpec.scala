@@ -191,7 +191,11 @@ class PlanGateSpec extends AnyFunSuite {
     "q112_mixture_grid",
     // q113: the K-centroid relation broadcast for the all-distance join
     // (q70's assign shape — build side is the cluster count, a constant)
-    "q113_cluster_quality")
+    "q113_cluster_quality",
+    // q116: the nprobe sweep embeds q35's inequality-broadcast exact
+    // side and q43's 16-centroid assignment once (the q102 argument);
+    // the four sweep points are filters over that one candidate frame
+    "q116_ivf_nprobe_sweep")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

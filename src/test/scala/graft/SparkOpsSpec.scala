@@ -995,6 +995,24 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.ivfIndexDir")
   }
 
+  test("q116 nprobe sweep: recall and candidate cost are monotone; nprobe=2 row equals q102's ivf row") {
+    val sweep = SparkEntry.queries("q116_ivf_nprobe_sweep")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Long]("cand_rows"),
+        r.getAs[Long]("recall_bp")))
+    assert(sweep.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    // more probes can only add candidates, and candidates only help
+    assert(sweep.sliding(2).forall { case Array(a, b) =>
+      a._2 < b._2 && a._3 <= b._3 },
+      s"cand_rows must grow and recall must not drop: ${sweep.toSeq}")
+    // the nprobe=2 point IS the q43/q97 serve configuration — its recall
+    // must equal what q102 reports for method=ivf
+    val q102Ivf = SparkEntry.queries("q102_ann_recall")(spark, sf)
+      .filter(col("method") === "ivf").head().getAs[Long]("recall_bp")
+    assert(sweep.find(_._1 == 2).get._3 == q102Ivf,
+      "sweep@2 and q102 ivf measure the same configuration")
+  }
+
   test("q98 incremental ingest: the delta is appended without touching persisted base lists") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString
     spark.conf.set("spark.graft.ivfIndexDir", dir)
