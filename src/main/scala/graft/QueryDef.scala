@@ -31,18 +31,32 @@ object Tables {
     if (name == "events") loadEvents(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read nanos as a
-    * raw long via the legacy conf and floor-divide to microseconds —
-    * exactly the truncation DuckDB applies when casting its TIMESTAMP_NS
-    * to TIMESTAMP, so both engines see identical µs values. Oracle SQL
-    * referencing `ts` must wrap it in CAST(ts AS TIMESTAMP) for the same
-    * reason. */
+  /** `events.ts` has shipped under two physical parquet types across
+    * testdata generations, so the loader adapts to what is on disk:
+    *
+    *   - TIMESTAMP(NANOS): Spark's reader rejects it outright
+    *     ([PARQUET_TYPE_ILLEGAL]); we read nanos as a raw long via the
+    *     legacy conf and floor-divide to microseconds — exactly the
+    *     truncation DuckDB applies when casting TIMESTAMP_NS to
+    *     TIMESTAMP, so both engines see identical µs values.
+    *   - TIMESTAMP(MICROS) (current generation): arrives as
+    *     TIMESTAMP_NTZ; cast to the session-TZ (UTC) TimestampType so
+    *     every downstream window/date function sees the same type and
+    *     values as before.
+    *
+    * Oracle SQL referencing `ts` wraps it in CAST(ts AS TIMESTAMP) —
+    * the ns→µs truncation under the old generation, a no-op under the
+    * new one. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", ts)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
   }

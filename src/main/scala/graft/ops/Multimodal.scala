@@ -283,6 +283,19 @@ object Multimodal {
     * mean), cross-pattern hashes sit near 32 bits apart. */
   val ImagePhashMaxHamming = 6
 
+  /** q118 audio-fingerprint geometry: 64 energy windows of 16 PCM
+    * samples each — the 64-value signature feeds the SAME banding
+    * machinery as the image pHash ([[phashPairs]] is shape-agnostic:
+    * any (doc_id, px[64]) frame). */
+  val AudioWindows = 64
+  val AudioWindowSamples = 16
+
+  /** Hamming cutoff for a verified q118 near-dup audio pair: same-group
+    * variants perturb ≤ 6 windows (doc_id % 7 raised windows, plus the
+    * occasional mean-boundary flip), cross-group fingerprints sit near
+    * 32 bits apart — the q104 profile transposed to 1-D audio. */
+  val AudioFpMaxHamming = 6
+
   /** ENCODE side of the q104 decode gate: each row's 64 block values
     * become a 32×32 TYPE_INT_RGB PNG (gray: r=g=b=v, constant 4×4
     * blocks), written with `javax.imageio` inside the partition bridge.
@@ -326,6 +339,90 @@ object Multimodal {
       """transform(sequence(0, 63),
            i -> cast(conv(substring(thumb_hex, 2 * i + 1, 2), 16, 10)
                      as bigint))""").as("px"))
+
+  /** ENCODE side of the q118 audio decode gate: each row's PCM sample
+    * values (longs in the signed-16-bit range, column `px`) become a
+    * REAL RIFF/WAVE file — PCM_SIGNED 16-bit little-endian mono — via
+    * `javax.sound.sampled.AudioSystem.write` inside the partition
+    * bridge. WAV/PCM is lossless, so running [[decodeAudioWindows]] on
+    * the emitted payloads must reproduce the samples bit-exactly —
+    * the same encode→REAL-decode→arithmetic-oracle construction as
+    * [[encodeBlockPng]]/q104, transposed to audio. */
+  def encodeWavPcm16(spark: SparkSession, pxRows: DataFrame,
+      sampleRate: Float = 8000f): DataFrame = {
+    import spark.implicits._
+    pxRows.as[PxRow].mapPartitions { rows =>
+      rows.map { r =>
+        val n = r.px.length
+        val bytes = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = r.px(i).toShort
+          bytes(2 * i) = s.toByte
+          bytes(2 * i + 1) = (s >> 8).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1,
+          true, false)
+        val in = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        try javax.sound.sampled.AudioSystem.write(in,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        finally in.close()
+        val payload = bos.toByteArray
+        MediaRow(r.doc_id, payload, "audio/wav", payload.length.toLong)
+      }
+    }.toDF()
+  }
+
+  /** REAL audio decode to per-window energies: `javax.sound.sampled`
+    * parses the WAV payload (PCM_SIGNED 16-bit mono — the
+    * [[encodeWavPcm16]] format and the WAV core), and each consecutive
+    * window of `windowSamples` samples folds to Σv² over the RAW
+    * integer sample values — exact int64 arithmetic, so the energies
+    * are bit-deterministic and an arithmetic oracle can replay them.
+    * Output is the (doc_id, px[nWindows]) frame [[phashPairs]] consumes;
+    * undecodable rows are dropped (the [[decodeAudioFeatures]] curation
+    * semantic). A trailing partial window is discarded — both engines
+    * must agree on the window count, and a short tail would fold fewer
+    * samples than the signature geometry promises. */
+  def decodeAudioWindows(spark: SparkSession, media: DataFrame,
+      windowSamples: Int = AudioWindowSamples): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            val f = in.getFormat
+            val ok = f.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              f.getSampleSizeInBits == 16 && f.getChannels == 1
+            if (!ok) None
+            else {
+              val bytes = in.readAllBytes()
+              val n = bytes.length / 2
+              val nw = n / windowSamples
+              val e = new Array[Long](nw)
+              var i = 0
+              while (i < nw * windowSamples) {
+                val v: Int =
+                  if (f.isBigEndian)
+                    ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort.toInt
+                  else
+                    ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+                e(i / windowSamples) += v.toLong * v
+                i += 1
+              }
+              Some(PxRow(r.doc_id, e))
+            }
+          } finally in.close()
+        } catch { case _: Exception => None }
+      }
+    }.toDF()
+  }
 
   /** 64-bit average-hash near-dup pairs over a (doc_id, px[64]) frame —
     * the perceptual-hash finish of the image-dedup story: threshold each
@@ -394,14 +491,14 @@ object Multimodal {
                    16, 10) as bigint) % 240
          + (CASE WHEN b < doc_id % 7 THEN 16L ELSE 0L END))"""
 
-  /** The q104 oracle's full CTE chain, factored out so the extended
-    * curation ledger (q117) can reuse the image-near-dup definition
-    * verbatim — the same single-source-of-truth discipline as
-    * [[graft.ops.TextOps.fourGramDuckCtes]]. Names are `im_`-prefixed to
-    * compose inside larger WITH blocks without collisions. Ends at
-    * `im_pairs(da, db, hamming)`: the verified near-dup image pairs,
-    * already filtered to hamming ≤ [[ImagePhashMaxHamming]]. */
-  private[ops] val phashDuckCtes: String = {
+  /** The oracle-side mirror of [[phashPairs]], parameterized by CTE
+    * prefix so every 64-value-signature operator (q104 image, q118
+    * audio, q117 ledger reuse) splices ONE definition: given a
+    * `{pfx}px(doc_id, px[64])` CTE, emits the mean-threshold 4×16-bit
+    * words, the capped band self-join, and the Hamming-verified
+    * `{pfx}pairs(da, db, hamming)` chain. */
+  private[ops] def sig64PairsDuckCtes(pfx: String, maxHamming: Int,
+      cap: Int = Dedup.HotBandCap): String = {
     val words = (0 until 4).map { j =>
       (0 until 16)
         .map(k => s"CASE WHEN px[${16 * j + k + 1}] > mean " +
@@ -409,11 +506,43 @@ object Multimodal {
         .mkString("CAST(", " + ", s" AS BIGINT) AS p$j")
     }.mkString(", ")
     val bandSelects = (0 until 4)
-      .map(j => s"SELECT doc_id, $j AS band_idx, p$j AS band_val FROM im_words")
+      .map(j =>
+        s"SELECT doc_id, $j AS band_idx, p$j AS band_val FROM ${pfx}words")
       .mkString(" UNION ALL ")
     val ham = (0 until 4)
       .map(j => s"bit_count(xor(a.p$j, b.p$j))")
       .mkString(" + ")
+    s"""${pfx}ph AS (
+             SELECT doc_id, px, list_sum(px) / 64.0 AS mean FROM ${pfx}px),
+           ${pfx}words AS (SELECT doc_id, $words FROM ${pfx}ph),
+           ${pfx}bands0 AS ($bandSelects),
+           ${pfx}hot AS (
+             SELECT band_idx, band_val FROM ${pfx}bands0
+             GROUP BY band_idx, band_val HAVING count(*) > $cap),
+           ${pfx}bands AS (
+             SELECT b.* FROM ${pfx}bands0 b
+             ANTI JOIN ${pfx}hot h USING (band_idx, band_val)),
+           ${pfx}cands AS (
+             SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+             FROM ${pfx}bands x JOIN ${pfx}bands y
+               ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+              AND x.doc_id < y.doc_id),
+           ${pfx}pairs AS (
+             SELECT da, db, CAST($ham AS BIGINT) AS hamming
+             FROM ${pfx}cands
+             JOIN ${pfx}words a ON da = a.doc_id
+             JOIN ${pfx}words b ON db = b.doc_id
+             WHERE $ham <= $maxHamming)"""
+  }
+
+  /** The q104 oracle's full CTE chain, factored out so the extended
+    * curation ledger (q117) can reuse the image-near-dup definition
+    * verbatim — the same single-source-of-truth discipline as
+    * [[graft.ops.TextOps.fourGramDuckCtes]]. Names are `im_`-prefixed to
+    * compose inside larger WITH blocks without collisions. Ends at
+    * `im_pairs(da, db, hamming)`: the verified near-dup image pairs,
+    * already filtered to hamming ≤ [[ImagePhashMaxHamming]]. */
+  private[ops] val phashDuckCtes: String =
     s"""im_d AS (
              SELECT doc_id, doc_id // 7 AS g, doc_id % 7 AS r FROM documents),
            im_px AS (
@@ -423,27 +552,52 @@ object Multimodal {
                            AS BIGINT) % 240
                       + CASE WHEN b < r THEN 16 ELSE 0 END) AS px
              FROM im_d),
-           im_ph AS (SELECT doc_id, px, list_sum(px) / 64.0 AS mean FROM im_px),
-           im_words AS (SELECT doc_id, $words FROM im_ph),
-           im_bands0 AS ($bandSelects),
-           im_hot AS (
-             SELECT band_idx, band_val FROM im_bands0
-             GROUP BY band_idx, band_val HAVING count(*) > ${Dedup.HotBandCap}),
-           im_bands AS (
-             SELECT b.* FROM im_bands0 b
-             ANTI JOIN im_hot h USING (band_idx, band_val)),
-           im_cands AS (
-             SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-             FROM im_bands x JOIN im_bands y
-               ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-              AND x.doc_id < y.doc_id),
-           im_pairs AS (
-             SELECT da, db, CAST($ham AS BIGINT) AS hamming
-             FROM im_cands
-             JOIN im_words a ON da = a.doc_id
-             JOIN im_words b ON db = b.doc_id
-             WHERE $ham <= $ImagePhashMaxHamming)"""
-  }
+           ${sig64PairsDuckCtes("im_", ImagePhashMaxHamming)}"""
+
+  /** Deterministic PCM test signal for the q118 gate, the audio
+    * transposition of [[blockPxSpark]]: documents in the same group
+    * `g = doc_id div 7` share 1024 base samples (md5-derived values in
+    * [0, 30000) — non-negative, so the variant bump below STRICTLY
+    * raises a window's energy), and variant `r = doc_id % 7` adds
+    * +1000 to every sample of the first r windows — planted near-dup
+    * clips with a known cross-variant energy profile, computable
+    * arithmetically by the oracle. Max sample 30999 < 2¹⁵, so the
+    * 16-bit PCM round-trip never clips. */
+  private[graft] val audioSamplesSpark =
+    s"""transform(sequence(0, ${AudioWindows * AudioWindowSamples - 1}), i ->
+         cast(conv(substring(md5(concat('aud:', cast(doc_id div 7 as string),
+                                        ':', cast(i as string))), 1, 14),
+                   16, 10) as bigint) % 30000
+         + (CASE WHEN i div $AudioWindowSamples < doc_id % 7
+            THEN 1000L ELSE 0L END))"""
+
+  /** The q118 oracle's CTE chain (`au_`-prefixed): rebuilds the PCM
+    * samples arithmetically (WAV/PCM is lossless, so the REAL decode
+    * must reproduce them bit-exactly), folds exact int64 per-window
+    * Σv² energies, and hands the 64-energy signature to the SAME
+    * [[sig64PairsDuckCtes]] chain the image gate uses. Ends at
+    * `au_pairs(da, db, hamming)`. */
+  private[ops] val audioDuckCtes: String =
+    s"""au_d AS (
+             SELECT doc_id, doc_id // 7 AS g, doc_id % 7 AS r FROM documents),
+           au_s AS (
+             SELECT doc_id,
+               list_transform(
+                 generate_series(0, ${AudioWindows * AudioWindowSamples - 1}),
+                 i -> CAST(('0x' || substr(md5('aud:' || g || ':' || i), 1, 14))
+                           AS BIGINT) % 30000
+                      + CASE WHEN i // $AudioWindowSamples < r
+                        THEN 1000 ELSE 0 END) AS s
+             FROM au_d),
+           au_px AS (
+             SELECT doc_id,
+               list_transform(generate_series(0, ${AudioWindows - 1}),
+                 w -> list_sum(list_transform(
+                        generate_series(1, $AudioWindowSamples),
+                        k -> s[w * $AudioWindowSamples + k]
+                             * s[w * $AudioWindowSamples + k]))) AS px
+             FROM au_s),
+           ${sig64PairsDuckCtes("au_", AudioFpMaxHamming)}"""
 
   final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Int,
       frame_hex: String)
@@ -516,6 +670,34 @@ object Multimodal {
       },
       Some(s"""WITH $phashDuckCtes
            SELECT da, db, hamming FROM im_pairs
+           ORDER BY da, db""")),
+
+    // ---- AUDIO NEAR-DUP DEDUP, decode path REALLY gated: each doc_id
+    //      yields a deterministic 1024-sample PCM clip (same-group docs
+    //      = near-identical audio), the samples round-trip through a
+    //      REAL RIFF/WAVE encode ([[encodeWavPcm16]]) and a REAL
+    //      `javax.sound.sampled` decode ([[decodeAudioWindows]] — the
+    //      exact code path a real audio corpus runs), fold to exact
+    //      int64 per-window energies, and the 64-energy signature feeds
+    //      the SAME banding pipeline as the image gate ([[phashPairs]]
+    //      is shape-agnostic). The oracle rebuilds samples and energies
+    //      ARITHMETICALLY (PCM is lossless), so a wrong WAV header
+    //      parse, endianness, sample reconstruction, window fold,
+    //      threshold, packing, or band join all flip the hash compare.
+    //      With q104 this completes the multimodal↔dedup loop for BOTH
+    //      real decoders the JDK ships. Scale shape: per-clip decode is
+    //      inherently per-row work (the q104 smoke measured that
+    //      near-linear); the joins after the energies are the capped
+    //      band equi-joins. ----
+    "q118_audio_fingerprint_neardup" -> QueryDef(
+      (s, dir) => {
+        val samples = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), expr(audioSamplesSpark).as("px"))
+        val media = encodeWavPcm16(s, samples)
+        phashPairs(decodeAudioWindows(s, media), AudioFpMaxHamming)
+      },
+      Some(s"""WITH $audioDuckCtes
+           SELECT da, db, hamming FROM au_pairs
            ORDER BY da, db""")),
   )
 }

@@ -423,5 +423,145 @@ object Scrub {
              LEFT JOIN sem ON b.doc_id = sem.doc_id
              LEFT JOIN cont ON b.doc_id = cont.doc_id
              ORDER BY b.doc_id""")),
+
+    // ---- FULL curation ledger (VERDICT r8 item 5): q90 extended with
+    //      the round-8 verdict columns — image near-dup (q104's pHash
+    //      pipeline, REAL PNG decode path), semantic benchmark
+    //      decontamination (q110), and CDC chunk-level duplication
+    //      (q111, flagged when shared chunks carry ≥ half the doc's
+    //      tokens). Every verdict reuses its owning operator's canonical
+    //      definition on BOTH sides: the Spark plan calls the operator's
+    //      own function ([[graft.ops.Multimodal.phashPairs]],
+    //      [[graft.ops.Similarity.semanticDecontam]],
+    //      [[graft.ops.TextOps.cdcChunks]]) and the oracle splices the
+    //      operator's own factored CTE chain (`im_`/`sdc_`/`cdc_`
+    //      prefixes keep the merged WITH block collision-free), so no
+    //      definition exists twice. The image-dup flag marks the
+    //      NON-KEEPER (higher doc_id) side of every verified pair —
+    //      q81's canonical-keeper rule applied to image identity.
+    //      Scale shape: each verdict branch produces a bounded
+    //      doc-id list equi-joined back on doc_id (AQE broadcasts the
+    //      small sides); the expensive branch is the honest one — the
+    //      per-image PNG decode is inherently per-row work (the q104
+    //      scale smoke measured it near-linear and under data growth);
+    //      everything else is per-row projection plus hash-keyed
+    //      groupBys. The export a real run ships is exactly this frame
+    //      written partitioned by source. ----
+    "q117_curation_ledger_full" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val emb = Tables.load(s, dir, "embeddings")
+        val wDup = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+        val base = docs
+          .withColumn("h", md5(col("text")))
+          .withColumn("quality_score", round(Quality.score(col("text")), 4))
+          .withColumn("dup_rank", row_number().over(wDup))
+          .select(col("doc_id"), col("source"), col("quality_score"),
+            when(col("dup_rank") > 1, 1).otherwise(0).as("is_exact_dup"))
+        val semDropped = Clustering.semanticDedup(emb)
+          .select(col("dropped_id").as("doc_id"), lit(1).as("sem_hit"))
+        val evalGrams = TextOps
+          .wordShingles(docs.filter(col("source") === "src0"), 4)
+          .select(col("s")).distinct()
+        val contaminated = TextOps
+          .wordShingles(docs.filter(col("source") =!= "src0"), 4)
+          .join(broadcast(evalGrams), "s")
+          .select(col("doc_id")).distinct()
+          .withColumn("cont_hit", lit(1))
+        val px = docs.select(col("doc_id"),
+          expr(Multimodal.blockPxSpark).as("px"))
+        val imgDup = Multimodal.phashPairs(Multimodal.thumbPixels(
+            Multimodal.decodeImageFeatures(s, Multimodal.encodeBlockPng(s, px))))
+          .select(col("db").as("doc_id")).distinct()
+          .withColumn("img_hit", lit(1))
+        val decontam = Similarity.semanticDecontam(emb)
+          .select(col("vec_id").as("doc_id"), lit(1).as("dec_hit"))
+        val ch = TextOps.cdcChunks(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cnt = ch.groupBy(col("chunk_hash"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        val chunkDup = ch.join(cnt, "chunk_hash")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("chunk_tokens")).as("tot"),
+            sum(when(col("nd") >= 2, col("chunk_tokens")).otherwise(0L))
+              .as("dup"))
+          .filter(col("dup") * 2 >= col("tot"))
+          .select(col("doc_id"))
+          .withColumn("chunk_hit", lit(1))
+        base
+          .join(semDropped, Seq("doc_id"), "left")
+          .join(contaminated, Seq("doc_id"), "left")
+          .join(imgDup, Seq("doc_id"), "left")
+          .join(decontam, Seq("doc_id"), "left")
+          .join(chunkDup, Seq("doc_id"), "left")
+          .withColumn("is_sem_dropped", coalesce(col("sem_hit"), lit(0)))
+          .withColumn("is_contaminated", coalesce(col("cont_hit"), lit(0)))
+          .withColumn("is_image_dup", coalesce(col("img_hit"), lit(0)))
+          .withColumn("is_decontam_hit", coalesce(col("dec_hit"), lit(0)))
+          .withColumn("is_chunk_dup", coalesce(col("chunk_hit"), lit(0)))
+          .withColumn("keep",
+            when(col("is_exact_dup") === 0 && col("is_sem_dropped") === 0 &&
+              col("is_contaminated") === 0 && col("is_image_dup") === 0 &&
+              col("is_decontam_hit") === 0 && col("is_chunk_dup") === 0 &&
+              col("quality_score") >= 0.5, 1)
+              .otherwise(0))
+          .select(col("doc_id"), col("source"), col("quality_score"),
+            col("is_exact_dup"), col("is_sem_dropped"),
+            col("is_contaminated"), col("is_image_dup"),
+            col("is_decontam_hit"), col("is_chunk_dup"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${Clustering.semanticDedupDuckCtes()},
+             sem AS (SELECT DISTINCT vb AS doc_id FROM hits),
+             ${TextOps.fourGramDuckCtes},
+             ev AS (
+               SELECT DISTINCT g.s FROM g
+               JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
+             cont AS (
+               SELECT DISTINCT g.doc_id FROM g
+               JOIN documents d USING (doc_id)
+               JOIN ev USING (s)
+               WHERE d.source <> 'src0'),
+             ${Multimodal.phashDuckCtes},
+             img AS (SELECT DISTINCT db AS doc_id FROM im_pairs),
+             ${Similarity.semanticDecontamDuckCtes},
+             dec AS (SELECT DISTINCT vec_id AS doc_id FROM sdc_flagged),
+             ${TextOps.cdcDuckCtes},
+             chunk AS (
+               SELECT doc_id FROM (
+                 SELECT doc_id, sum(chunk_tokens) AS tot,
+                   sum(CASE WHEN nd >= 2 THEN chunk_tokens ELSE 0 END) AS dup
+                 FROM cdc_h JOIN cdc_cnt USING (chunk_hash)
+                 GROUP BY doc_id)
+               WHERE dup * 2 >= tot),
+             base AS (
+               SELECT doc_id, source,
+                 round(${Quality.duckScore("text")}, 4) AS quality_score,
+                 CASE WHEN row_number() OVER (PARTITION BY md5(text)
+                     ORDER BY doc_id) > 1 THEN 1 ELSE 0 END AS is_exact_dup
+               FROM documents)
+             SELECT b.doc_id, b.source, b.quality_score, b.is_exact_dup,
+               CASE WHEN sem.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                 AS is_sem_dropped,
+               CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                 AS is_contaminated,
+               CASE WHEN img.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                 AS is_image_dup,
+               CASE WHEN dec.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                 AS is_decontam_hit,
+               CASE WHEN chunk.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                 AS is_chunk_dup,
+               CASE WHEN b.is_exact_dup = 0 AND sem.doc_id IS NULL
+                     AND cont.doc_id IS NULL AND img.doc_id IS NULL
+                     AND dec.doc_id IS NULL AND chunk.doc_id IS NULL
+                     AND b.quality_score >= 0.5
+                 THEN 1 ELSE 0 END AS keep
+             FROM base b
+             LEFT JOIN sem ON b.doc_id = sem.doc_id
+             LEFT JOIN cont ON b.doc_id = cont.doc_id
+             LEFT JOIN img ON b.doc_id = img.doc_id
+             LEFT JOIN dec ON b.doc_id = dec.doc_id
+             LEFT JOIN chunk ON b.doc_id = chunk.doc_id
+             ORDER BY b.doc_id""")),
   )
 }

@@ -86,7 +86,7 @@ object EventStreams {
   private val md5Digest =
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
-  private def contentKey(text: String): String = {
+  private[graft] def contentKey(text: String): String = {
     val d = md5Digest.get()
     d.reset()
     new java.math.BigInteger(1,
@@ -127,6 +127,64 @@ object EventStreams {
       .withColumn("content_key", md5(col("text")))
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("content_key")
+
+  /** Per-key state of the incremental-ingest dedup: was the content in
+    * the pre-existing base corpus, and has it already arrived in the
+    * ingest stream itself. Two bits — the distinction q74 needs (a key
+    * already in base still has a batch KEEPER, it just isn't NOVEL). */
+  final case class IngestState(inBase: Boolean, seenInStream: Boolean)
+
+  /** One verdict row per ingested document: `kept` marks the key's first
+    * stream arrival (q74's `keepers` — one per distinct content in the
+    * batch), `novel` marks a kept row whose content was absent from the
+    * base corpus (q74's `novel` anti-join). */
+  final case class IngestVerdict(doc_id: Long, source: String,
+      kept: Boolean, novel: Boolean)
+
+  /** Streaming mirror of q74's incremental-ingest dedup (VERDICT r8
+    * item 8): the batch operator anti-joins a new batch's content keys
+    * against the accumulated base corpus; here the base keys ARRIVE AS
+    * INITIAL STATE (`flatMapGroupsWithState`'s initialState hook — the
+    * state a warm 100 TB ingest pipeline restores from its checkpoint)
+    * and each micro-batch's documents are judged on arrival. Per
+    * arriving doc: first stream arrival of its content ⇒ `kept` (q74's
+    * min-doc_id keeper when docs arrive in doc_id order — within one
+    * micro-batch the group is sorted explicitly, across micro-batches
+    * first-arrival wins, which IS insertion order); kept ∧ not-in-base ⇒
+    * `novel`. Aggregating the verdicts per source reproduces q74's
+    * (n_batch, n_unique, n_novel) row for any stream prefix —
+    * StreamingSpec pins that prefix-equivalence. Scale shape: state is
+    * one 2-bit flag per DISTINCT content md5, sharded by the same hash
+    * the batch groupBy(tkey) shuffles on; run under
+    * [[rocksDbStateStoreConf]] at corpus scale like [[streamingDedup]].
+    * The md5 key (never the text) carries every exchange. */
+  def streamingIncrementalDedup(spark: SparkSession,
+      docs: Dataset[SourceDoc],
+      baseKeys: Dataset[String]): Dataset[IngestVerdict] = {
+    import spark.implicits._
+    val init = baseKeys
+      .map(k => (k, IngestState(inBase = true, seenInStream = false)))
+      .groupByKey(_._1).mapValues(_._2)
+    docs
+      .groupByKey(d => contentKey(d.text))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout, init) {
+        (_: String, batch: Iterator[SourceDoc],
+            state: GroupState[IngestState]) =>
+          val prev = state.getOption
+            .getOrElse(IngestState(inBase = false, seenInStream = false))
+          val arrivals = batch.toSeq.sortBy(_.doc_id)
+          if (arrivals.isEmpty) Iterator.empty
+          else {
+            state.update(prev.copy(seenInStream = true))
+            arrivals.iterator.zipWithIndex.map { case (d, i) =>
+              val kept = i == 0 && !prev.seenInStream
+              IngestVerdict(d.doc_id, d.source, kept,
+                kept && !prev.inBase)
+            }
+          }
+      }
+  }
 
   /** Stream-stream interval join — the unbounded form of q63's
     * view→purchase conversion: each purchase matches the same user's

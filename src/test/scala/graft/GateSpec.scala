@@ -195,7 +195,11 @@ class PlanGateSpec extends AnyFunSuite {
     // q116: the nprobe sweep embeds q35's inequality-broadcast exact
     // side and q43's 16-centroid assignment once (the q102 argument);
     // the four sweep points are filters over that one candidate frame
-    "q116_ivf_nprobe_sweep")
+    "q116_ivf_nprobe_sweep",
+    // q117: the extended ledger embeds q85's K-row centroid assignment
+    // (q90's shape) and q110's 32-row fixed-size eval-set broadcast —
+    // both O(1) build sides by the arguments above
+    "q117_curation_ledger_full")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

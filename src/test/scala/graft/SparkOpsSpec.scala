@@ -415,6 +415,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.length == 12)
   }
 
+  test("q118 WAV round-trip: real encode + real decode reproduce the window energies bit-exactly") {
+    import spark.implicits._
+    // known samples → expected energies computed directly; the encode→
+    // decode path must reproduce them through the actual RIFF bytes
+    val rnd = new scala.util.Random(7)
+    val px = Array.fill(Multimodal.AudioWindows *
+      Multimodal.AudioWindowSamples)(rnd.nextInt(31000).toLong)
+    val expected = px.grouped(Multimodal.AudioWindowSamples)
+      .map(_.map(v => v * v).sum).toSeq
+    val rows = Seq((1L, px)).toDF("doc_id", "px")
+    val decoded = Multimodal.decodeAudioWindows(spark,
+      Multimodal.encodeWavPcm16(spark, rows)).collect()
+    assert(decoded.length == 1)
+    assert(decoded.head.getAs[scala.collection.Seq[Long]]("px").toSeq
+      == expected)
+    // and the planted corpus geometry holds: variants of one group band
+    // together, unrelated groups never pair
+    val docs = (0L until 21L).toDF("doc_id")
+    val samples = docs.select(col("doc_id"),
+      expr(Multimodal.audioSamplesSpark).as("px"))
+    val pairs = Multimodal.phashPairs(
+      Multimodal.decodeAudioWindows(spark,
+        Multimodal.encodeWavPcm16(spark, samples)),
+      Multimodal.AudioFpMaxHamming).collect()
+    assert(pairs.nonEmpty, "same-group variants must pair")
+    assert(pairs.forall(r => r.getLong(0) / 7 == r.getLong(1) / 7),
+      "pairs never cross signal groups")
+  }
+
   test("real MP4 container parse: box tree, brand, mvhd duration, tkhd resolution") {
     import spark.implicits._
     // hand-built minimal ISO-BMFF file, the same box layout any muxer

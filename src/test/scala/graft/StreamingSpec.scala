@@ -383,4 +383,74 @@ class StreamingSpec extends AnyFunSuite {
       assert(kept.map(_._1).toSet.intersect((0L until 10L).toSet).size < 10)
     } finally q.stop()
   }
+
+  test("streaming incremental dedup over initial base-key state reproduces batch q74 for every prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // base corpus: two contents already ingested; their md5 keys arrive
+    // as INITIAL STATE, the way a warm pipeline restores its checkpoint
+    val baseTexts = Seq("alpha text", "beta text")
+    val baseKeys = baseTexts.toDS().map(EventStreams.contentKey)
+    val b1 = Seq(
+      EventStreams.SourceDoc(100L, "srcA", "alpha text"), // in base
+      EventStreams.SourceDoc(101L, "srcA", "gamma text"), // novel keeper
+      EventStreams.SourceDoc(102L, "srcB", "gamma text"), // in-batch dup
+      EventStreams.SourceDoc(103L, "srcB", "delta text")) // novel keeper
+    val b2 = Seq(
+      EventStreams.SourceDoc(104L, "srcA", "gamma text"), // cross-batch dup
+      EventStreams.SourceDoc(105L, "srcB", "beta text"),  // in base
+      EventStreams.SourceDoc(106L, "srcB", "epsilon text")) // novel keeper
+    // batch q74 over a prefix of the ingest: same plan shape as the
+    // oracle-checked query (min-doc_id keepers, anti-join vs base keys)
+    def batchQ74(prefix: Seq[EventStreams.SourceDoc]) = {
+      val newB = prefix.map(d => (d.doc_id, d.source, d.text))
+        .toDF("doc_id", "source", "text")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("tkey"))
+      val baseK = baseTexts.toDF("text").select(md5(col("text")).as("tkey"))
+      val keepers = newB.groupBy(col("tkey"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          expr("min_by(source, doc_id)").as("source"))
+      val novel = keepers.join(baseK, Seq("tkey"), "left_anti")
+      (newB.groupBy(col("source")).count().collect()
+         .map(r => r.getString(0) -> r.getLong(1)).toMap,
+       keepers.groupBy(col("source")).count().collect()
+         .map(r => r.getString(0) -> r.getLong(1)).toMap,
+       novel.groupBy(col("source")).count().collect()
+         .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    }
+    def streamedCounts() = {
+      val v = spark.table("ingest_verdicts").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+          r.getBoolean(3)))
+      (v.groupBy(_._2).view.mapValues(_.length.toLong).toMap,
+       v.filter(_._3).groupBy(_._2).view.mapValues(_.length.toLong).toMap,
+       v.filter(_._4).groupBy(_._2).view.mapValues(_.length.toLong).toMap)
+    }
+    val input = MemoryStream[EventStreams.SourceDoc]
+    val q = EventStreams
+      .streamingIncrementalDedup(spark, input.toDS(), baseKeys)
+      .writeStream.format("memory").queryName("ingest_verdicts")
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(streamedCounts() == batchQ74(b1),
+        "after batch 1 the per-source (n_batch, n_unique, n_novel) " +
+          "triples equal the batch operator on the same prefix")
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(streamedCounts() == batchQ74(b1 ++ b2),
+        "after batch 2 the verdicts still aggregate to the batch answer")
+      // the cross-batch duplicate was recognized: doc 104 is neither
+      // kept nor novel even though it led micro-batch 2
+      val v104 = spark.table("ingest_verdicts").collect()
+        .find(_.getLong(0) == 104L).get
+      assert(!v104.getBoolean(2) && !v104.getBoolean(3))
+      // a base-corpus hit is kept (it IS the batch keeper for its key)
+      // but never novel: doc 100
+      val v100 = spark.table("ingest_verdicts").collect()
+        .find(_.getLong(0) == 100L).get
+      assert(v100.getBoolean(2) && !v100.getBoolean(3))
+    } finally q.stop()
+  }
 }
