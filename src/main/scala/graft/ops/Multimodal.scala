@@ -562,11 +562,15 @@ object Multimodal {
     * +1000 to every sample of the first r windows — planted near-dup
     * clips with a known cross-variant energy profile, computable
     * arithmetically by the oracle. Max sample 30999 < 2¹⁵, so the
-    * 16-bit PCM round-trip never clips. */
+    * 16-bit PCM round-trip never clips. One md5 digest yields EIGHT
+    * 16-bit samples (substring the 32-hex digest in 4-char slices) —
+    * a per-sample digest made the synthesis the slowest projection in
+    * the bench at 1024 md5/doc; this form needs 128/doc. */
   private[graft] val audioSamplesSpark =
     s"""transform(sequence(0, ${AudioWindows * AudioWindowSamples - 1}), i ->
          cast(conv(substring(md5(concat('aud:', cast(doc_id div 7 as string),
-                                        ':', cast(i as string))), 1, 14),
+                                        ':', cast(i div 8 as string))),
+                             cast(4 * (i % 8) + 1 as int), 4),
                    16, 10) as bigint) % 30000
          + (CASE WHEN i div $AudioWindowSamples < doc_id % 7
             THEN 1000L ELSE 0L END))"""
@@ -584,7 +588,8 @@ object Multimodal {
              SELECT doc_id,
                list_transform(
                  generate_series(0, ${AudioWindows * AudioWindowSamples - 1}),
-                 i -> CAST(('0x' || substr(md5('aud:' || g || ':' || i), 1, 14))
+                 i -> CAST(('0x' || substr(md5('aud:' || g || ':' || (i // 8)),
+                                           4 * (i % 8) + 1, 4))
                            AS BIGINT) % 30000
                       + CASE WHEN i // $AudioWindowSamples < r
                         THEN 1000 ELSE 0 END) AS s

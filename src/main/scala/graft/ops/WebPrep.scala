@@ -180,6 +180,147 @@ object WebPrep {
     s"""trim(regexp_replace(translate(nfc_normalize($e),
        ${duckLit(FoldFrom)}, ${duckLit(FoldTo)}), ' +', ' ', 'g'))"""
 
+  // ---- q119/q120 URL canonicalization (the C4/RefinedWeb URL-filter
+  //      prep stage: before any text operator runs, crawl URLs are
+  //      canonicalized so exact-URL dedup and domain-level budgeting see
+  //      through scheme/case/port/tracking-param/fragment noise) ----
+
+  /** The planted messy URL per document, synthesized identically by both
+    * engines (the q114 fixture discipline): upper/lower scheme and host
+    * case, optional `www.`, explicit default ports, an `index.html`
+    * suffix, tracking params (`utm_*`, `ref=`) in varying order around
+    * the one real param (`id=doc_id % 100`), and a fragment. Every noise
+    * class the canonicalizer must fold appears as a doc_id-dependent
+    * variant. */
+  private val urlSynthSpark: String =
+    """concat(
+         CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END, '://',
+         CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+         CASE WHEN doc_id % 2 = 0 THEN 'Blog.' ELSE 'news.' END,
+         source, cast(doc_id % 5 as string), '.COM',
+         CASE WHEN doc_id % 4 = 0
+           THEN CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+           ELSE '' END,
+         '/Articles/', cast(doc_id div 7 as string),
+         CASE WHEN doc_id % 6 = 0 THEN '/index.html' ELSE '' END,
+         CASE WHEN doc_id % 2 = 0
+           THEN concat('?id=', cast(doc_id % 100 as string),
+                       '&utm_source=feed&ref=home')
+           ELSE concat('?utm_source=feed&ref=home&id=',
+                       cast(doc_id % 100 as string)) END,
+         CASE WHEN doc_id % 3 > 0
+           THEN concat('#sec', cast(doc_id % 3 as string)) ELSE '' END)"""
+
+  private val urlSynthDuck: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END || '://'
+        || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+        || CASE WHEN doc_id % 2 = 0 THEN 'Blog.' ELSE 'news.' END
+        || source || (doc_id % 5) || '.COM'
+        || CASE WHEN doc_id % 4 = 0
+             THEN CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+             ELSE '' END
+        || '/Articles/' || (doc_id // 7)
+        || CASE WHEN doc_id % 6 = 0 THEN '/index.html' ELSE '' END
+        || CASE WHEN doc_id % 2 = 0
+             THEN '?id=' || (doc_id % 100) || '&utm_source=feed&ref=home'
+             ELSE '?utm_source=feed&ref=home&id=' || (doc_id % 100) END
+        || CASE WHEN doc_id % 3 > 0
+             THEN '#sec' || (doc_id % 3) ELSE '' END)"""
+
+  /** Canonical mapping over a frame carrying `url`: drop the fragment,
+    * lowercase scheme+host, strip the scheme's DEFAULT port only, strip
+    * `www.`, fold a trailing `/index.html` to `/`, drop tracking params
+    * (`utm_*`, `ref=`) and sort the survivors, and derive the registered
+    * domain (last two host labels). Pure per-row string projections —
+    * the small per-URL lambdas (≤4 params) stay off the q111 hot-path
+    * concern, and the only shuffle downstream is whatever the caller
+    * groups on. */
+  def canonicalizeUrls(withUrl: DataFrame): DataFrame = withUrl
+    .withColumn("defrag", expr("regexp_replace(url, '#.*$', '')"))
+    .withColumn("scheme", expr(
+      "lower(regexp_extract(defrag, '^([A-Za-z]+)://', 1))"))
+    .withColumn("hostport", expr(
+      "lower(regexp_extract(defrag, '^[A-Za-z]+://([^/?#]*)', 1))"))
+    .withColumn("host", expr(
+      """regexp_replace(
+           CASE WHEN scheme = 'https'
+                THEN regexp_replace(hostport, '^([^:]*):443$', '$1')
+                ELSE regexp_replace(hostport, '^([^:]*):80$', '$1') END,
+           '^www\\.', '')"""))
+    .withColumn("path", expr(
+      """CASE WHEN regexp_replace(
+             regexp_extract(defrag, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1),
+             '/index\\.html$', '/') = '' THEN '/'
+         ELSE regexp_replace(
+             regexp_extract(defrag, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1),
+             '/index\\.html$', '/') END"""))
+    .withColumn("params", expr("""filter(
+         split(regexp_extract(defrag, '\\?([^#]*)', 1), '&'),
+         p -> p != '')"""))
+    .withColumn("kept_params", expr("""array_sort(filter(params,
+         p -> NOT startswith(p, 'utm_') AND NOT startswith(p, 'ref=')))"""))
+    .withColumn("n_dropped_params",
+      expr("size(params) - size(kept_params)").cast("long"))
+    .withColumn("canon_url", expr(
+      """concat(scheme, '://', host, path,
+           CASE WHEN size(kept_params) > 0
+             THEN concat('?', array_join(kept_params, '&'))
+             ELSE '' END)"""))
+    .withColumn("domain", expr(
+      "regexp_extract(regexp_replace(host, ':[0-9]+$', ''), '([^.]+\\.[^.]+)$', 1)"))
+
+  /** The DuckDB mirror of [[canonicalizeUrls]] over `documents`:
+    * CTE chain `u0 → u` ending at
+    * `u(doc_id, source, url, canon_url, domain, n_dropped_params)`.
+    * Shared by q119 and q120 so the canonical definition exists once. */
+  private val urlDuckCtes: String =
+    s"""u0 AS (
+         SELECT doc_id, source, $urlSynthDuck AS url FROM documents),
+       u1 AS (
+         SELECT doc_id, source, url,
+           regexp_replace(url, '#.*$$', '') AS defrag
+         FROM u0),
+       u2 AS (
+         SELECT *,
+           lower(regexp_extract(defrag, '^([A-Za-z]+)://', 1)) AS scheme,
+           lower(regexp_extract(defrag, '^[A-Za-z]+://([^/?#]*)', 1))
+             AS hostport
+         FROM u1),
+       u3 AS (
+         SELECT *,
+           regexp_replace(
+             CASE WHEN scheme = 'https'
+                  THEN regexp_replace(hostport, '^([^:]*):443$$', '\\1')
+                  ELSE regexp_replace(hostport, '^([^:]*):80$$', '\\1') END,
+             '^www\\.', '') AS host,
+           CASE WHEN regexp_replace(
+                  regexp_extract(defrag, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1),
+                  '/index\\.html$$', '/') = '' THEN '/'
+                ELSE regexp_replace(
+                  regexp_extract(defrag, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1),
+                  '/index\\.html$$', '/') END AS path,
+           list_filter(string_split(
+             regexp_extract(defrag, '\\?([^#]*)', 1), '&'),
+             p -> p <> '') AS params
+         FROM u2),
+       u4 AS (
+         SELECT *,
+           list_sort(list_filter(params,
+             p -> NOT starts_with(p, 'utm_')
+              AND NOT starts_with(p, 'ref='))) AS kept_params
+         FROM u3),
+       u AS (
+         SELECT doc_id, source, url,
+           scheme || '://' || host || path
+             || CASE WHEN len(kept_params) > 0
+                  THEN '?' || array_to_string(kept_params, '&')
+                  ELSE '' END AS canon_url,
+           regexp_extract(regexp_replace(host, ':[0-9]+$$', ''),
+             '([^.]+\\.[^.]+)$$', 1) AS domain,
+           CAST(len(params) - len(kept_params) AS BIGINT)
+             AS n_dropped_params
+         FROM u4)"""
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- HTML/boilerplate strip over the planted page wrapper: per
@@ -265,5 +406,61 @@ object WebPrep {
                md5(norm) AS norm_md5
              FROM n
              ORDER BY doc_id""")),
+
+    // ---- URL canonicalization over the planted messy URLs: per doc the
+    //      canonical form, registered domain, tracking params dropped,
+    //      and how many docs share the canonical URL (exact-URL dedup's
+    //      key). The oracle re-synthesizes the SAME urls and replays
+    //      every fold — a wrong case fold, port/www/index strip, param
+    //      filter or sort flips the hash. Scale shape: pure per-row
+    //      projections; the one shuffle is the canon_url count window,
+    //      keyed on the canonical string (at corpus scale, key it on
+    //      md5(canon_url) the way q31 does — the string here is short
+    //      and the gate wants it visible). ----
+    "q119_url_canonicalize" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        canonicalizeUrls(Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), expr(urlSynthSpark).as("url")))
+          .withColumn("n_same_url",
+            count(lit(1)).over(Window.partitionBy(col("canon_url"))))
+          .select(col("doc_id"), col("source"), col("canon_url"),
+            col("domain"), col("n_dropped_params"), col("n_same_url"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $urlDuckCtes
+             SELECT doc_id, source, canon_url, domain, n_dropped_params,
+               count(*) OVER (PARTITION BY canon_url) AS n_same_url
+             FROM u
+             ORDER BY doc_id""")),
+
+    // ---- Domain-level crawl-budget rollup over the shared canonical
+    //      mapping: docs, distinct canonical URLs (dup-URL mass = the
+    //      difference), and total chars per registered domain — the
+    //      table a crawl scheduler budgets from and a curation run
+    //      caps domains with (the q80 quota's domain-level analog).
+    //      One groupBy on the domain key. ----
+    "q120_domain_stats" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        canonicalizeUrls(docs
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            expr(urlSynthSpark).as("url")))
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("canon_url")).as("n_urls"),
+            (count(lit(1)) - countDistinct(col("canon_url")))
+              .as("n_dup_docs"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy(col("domain"))
+      },
+      Some(s"""WITH $urlDuckCtes
+             SELECT u.domain, count(*) AS n_docs,
+               count(DISTINCT u.canon_url) AS n_urls,
+               count(*) - count(DISTINCT u.canon_url) AS n_dup_docs,
+               CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+             FROM u JOIN documents d USING (doc_id)
+             GROUP BY u.domain
+             ORDER BY u.domain""")),
   )
 }

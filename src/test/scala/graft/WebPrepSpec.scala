@@ -96,4 +96,39 @@ class WebPrepSpec extends AnyFunSuite {
     assert(a(1) == "already clean ascii text")
     assert(a(2) == "abc - x y")
   }
+
+  test("q119: every URL noise class folds; canonicalization is idempotent") {
+    import spark.implicits._
+    val urls = Seq(
+      // case + www + default port + index.html + tracking + fragment
+      (1L, "HTTPS://WWW.Blog.srcA0.COM:443/Articles/3/index.html?id=7&utm_source=feed&ref=home#sec2"),
+      // http default port, params out of order, no fragment
+      (2L, "http://news.srcA0.com:80/Articles/3?utm_source=feed&ref=home&id=7"),
+      // already canonical — must be a fixpoint
+      (3L, "https://blog.srca0.com/Articles/3?id=7"),
+      // non-default port survives; no params at all
+      (4L, "https://blog.srca0.com:8443/Articles/9"))
+      .toDF("doc_id", "url").withColumn("source", lit("srcA"))
+    val out = WebPrep.canonicalizeUrls(urls)
+      .select(col("doc_id"), col("canon_url"), col("domain"),
+        col("n_dropped_params"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) ==
+      "https://blog.srca0.com/Articles/3/?id=7")
+    assert(out(1).getString(1) == "http://news.srca0.com/Articles/3?id=7")
+    assert(out(2).getString(1) == "https://blog.srca0.com/Articles/3?id=7",
+      "an already-canonical URL passes through unchanged")
+    assert(out(3).getString(1) == "https://blog.srca0.com:8443/Articles/9",
+      "a non-default port is preserved")
+    assert(out.forall(_.getString(2) == "srca0.com"))
+    assert(out.map(_.getLong(3)).toSeq == Seq(2L, 2L, 0L, 0L))
+    // idempotence over the canonical output
+    val again = WebPrep.canonicalizeUrls(
+      urls.select(col("doc_id"), col("source"))
+        .join(WebPrep.canonicalizeUrls(urls)
+          .select(col("doc_id"), col("canon_url").as("url")), "doc_id"))
+      .select(col("doc_id"), col("canon_url")).orderBy("doc_id").collect()
+    assert(again.map(_.getString(1)).sameElements(out.map(_.getString(1))),
+      "canonicalize(canonicalize(u)) == canonicalize(u)")
+  }
 }
