@@ -563,17 +563,21 @@ object Multimodal {
     * clips with a known cross-variant energy profile, computable
     * arithmetically by the oracle. Max sample 30999 < 2¹⁵, so the
     * 16-bit PCM round-trip never clips. One md5 digest yields EIGHT
-    * 16-bit samples (substring the 32-hex digest in 4-char slices) —
-    * a per-sample digest made the synthesis the slowest projection in
-    * the bench at 1024 md5/doc; this form needs 128/doc. */
+    * 16-bit samples (substring the 32-hex digest in 4-char slices);
+    * the digest array is built in its own transform level because a
+    * single-level `md5(… i div 8 …)` re-evaluates the digest per
+    * element — codegen does not CSE across lambda iterations — so the
+    * nesting is what actually cuts 1024 md5/doc to 128. Window of
+    * global sample i = 8h+k is `i div 16 = h div 2`. */
   private[graft] val audioSamplesSpark =
-    s"""transform(sequence(0, ${AudioWindows * AudioWindowSamples - 1}), i ->
-         cast(conv(substring(md5(concat('aud:', cast(doc_id div 7 as string),
-                                        ':', cast(i div 8 as string))),
-                             cast(4 * (i % 8) + 1 as int), 4),
-                   16, 10) as bigint) % 30000
-         + (CASE WHEN i div $AudioWindowSamples < doc_id % 7
-            THEN 1000L ELSE 0L END))"""
+    s"""flatten(transform(
+         transform(sequence(0, ${AudioWindows * AudioWindowSamples / 8 - 1}),
+           h -> md5(concat('aud:', cast(doc_id div 7 as string),
+                           ':', cast(h as string)))),
+         (hx, h) -> transform(sequence(0, 7), k ->
+           cast(conv(substring(hx, cast(4 * k + 1 as int), 4),
+                     16, 10) as bigint) % 30000
+           + (CASE WHEN h div 2 < doc_id % 7 THEN 1000L ELSE 0L END))))"""
 
   /** The q118 oracle's CTE chain (`au_`-prefixed): rebuilds the PCM
     * samples arithmetically (WAV/PCM is lossless, so the REAL decode
@@ -668,7 +672,13 @@ object Multimodal {
     //      (round 6) now ends in gated near-dup image pairs. ----
     "q104_image_phash_neardup" -> QueryDef(
       (s, dir) => {
+        // the corpus parquet is one row group → one input split; without
+        // the repartition the whole synth→PNG-encode→decode chain (the
+        // expensive per-image codec work) runs on ONE task regardless of
+        // cluster size (the normedFrom rule; this was the entire 4 s
+        // bench cost of this query)
         val px = Tables.load(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), expr(blockPxSpark).as("px"))
         val media = encodeBlockPng(s, px)
         phashPairs(thumbPixels(decodeImageFeatures(s, media)))
@@ -696,7 +706,10 @@ object Multimodal {
     //      band equi-joins. ----
     "q118_audio_fingerprint_neardup" -> QueryDef(
       (s, dir) => {
+        // single-row-group input → spread the synth→WAV→decode chain
+        // across all cores before any per-clip work (see q104)
         val samples = Tables.load(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), expr(audioSamplesSpark).as("px"))
         val media = encodeWavPcm16(s, samples)
         phashPairs(decodeAudioWindows(s, media), AudioFpMaxHamming)

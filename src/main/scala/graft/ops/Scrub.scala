@@ -468,8 +468,8 @@ object Scrub {
           .join(broadcast(evalGrams), "s")
           .select(col("doc_id")).distinct()
           .withColumn("cont_hit", lit(1))
-        val px = docs.select(col("doc_id"),
-          expr(Multimodal.blockPxSpark).as("px"))
+        val px = docs.repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), expr(Multimodal.blockPxSpark).as("px"))
         val imgDup = Multimodal.phashPairs(Multimodal.thumbPixels(
             Multimodal.decodeImageFeatures(s, Multimodal.encodeBlockPng(s, px))))
           .select(col("db").as("doc_id")).distinct()

@@ -437,6 +437,11 @@ object Similarity {
     * the reported curve shows where recall saturates. */
   val IvfSweepProbes: Seq[Int] = Seq(1, 2, 4, 8)
 
+  /** The q121 truncation sweep's prefix lengths — halving steps down
+    * from the full 64-dim embedding; the last entry IS the ground
+    * truth, pinning its recall row at 10000 bp. */
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32, 64)
+
   /** q110's stand-in benchmark eval set: the vec_id slab [lo, hi) just
     * past the ANN query set — 32 vectors, fixed-size regardless of SF
     * (benchmarks don't grow with the training corpus), so the eval side
@@ -1204,6 +1209,86 @@ object Similarity {
              (hits_at_3 * 10000) // (3 * n_queries) AS recall_bp
            FROM sweep CROSS JOIN nq
            ORDER BY nprobe"""
+      }),
+
+    // ---- MATRYOSHKA truncation-recall report: top-3 cosine recall vs
+    //      the full-dimension exact top-3 when the embedding is cut to
+    //      its first d ∈ {8,16,32,64} coordinates — the measured curve
+    //      behind MRL-style dimension truncation (Kusupati et al.,
+    //      "Matryoshka Representation Learning", NeurIPS 2022): at
+    //      100 TB, serving ANN on a d/8 prefix cuts index memory and
+    //      dot-product cost 8× IF recall holds, and this report is the
+    //      gate that says whether it does (the q102/q116 observability
+    //      discipline applied to the dimension axis; the synthetic
+    //      corpus has no MRL training, so the curve here exercises the
+    //      machinery — a production run reads its own curve). d=64 is
+    //      the ground truth itself, pinning recall_bp=10000 as a
+    //      built-in sanity row. Scale shape: one corpus scan per d over
+    //      the broadcast 10-query side (the q35 argument), prefix
+    //      slicing and norms computed once per (vector, d); all
+    //      reported fields are int64 (floor-division basis points). ----
+    "q121_matryoshka_recall" -> QueryDef(
+      (s, dir) => {
+        val n = normed(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def topkAt(d: Int): DataFrame = {
+          val nd = n.select(col("vec_id"),
+              expr(s"slice(de, 1, $d)").as("dd"))
+            .withColumn("nr", expr(s"sqrt(${dotExpr("dd", "dd")})"))
+          val q = nd.filter(col("vec_id") < NumQueries)
+            .select(col("vec_id").as("query_id"), col("dd").as("qe"),
+              col("nr").as("qn"))
+          val w = Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("vec_id"))
+          nd.join(broadcast(q), col("vec_id") =!= col("query_id"))
+            .withColumn("cos",
+              expr(dotExpr("qe", "dd")) / (col("qn") * col("nr")))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= 3)
+            .select(col("query_id"), col("vec_id"))
+        }
+        val truth = topkAt(MatryoshkaDims.last)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = MatryoshkaDims.map { d =>
+          topkAt(d).join(truth, Seq("query_id", "vec_id"))
+            .agg(count(lit(1)).as("hits_at_3"))
+            .select(lit(d.toLong).as("dim"),
+              lit(NumQueries.toLong).as("n_queries"), col("hits_at_3"),
+              expr(s"hits_at_3 * 10000L div ${3L * NumQueries}")
+                .as("recall_bp"))
+        }.reduce(_ unionByName _).orderBy(col("dim"))
+        out
+      },
+      Some {
+        val perDim = MatryoshkaDims.map { d =>
+          s"""md${d}_n AS (
+               SELECT vec_id, embedding[1:$d] AS dd FROM embeddings),
+             md${d}_m AS (
+               SELECT vec_id, dd, ${duckNorm("dd")} AS nr FROM md${d}_n),
+             md${d}_q AS (
+               SELECT vec_id AS query_id, dd AS qe, nr AS qn
+               FROM md${d}_m WHERE vec_id < $NumQueries),
+             md${d}_t AS (
+               SELECT query_id, vec_id FROM (
+                 SELECT q.query_id, m.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${duckDot("q.qe", "m.dd")} / (q.qn * m.nr)
+                       DESC, m.vec_id) AS rk
+                 FROM md${d}_m m JOIN md${d}_q q
+                   ON m.vec_id <> q.query_id)
+               WHERE rk <= 3)"""
+        }.mkString(",\n             ")
+        val truthName = s"md${MatryoshkaDims.last}_t"
+        val rows = MatryoshkaDims.map { d =>
+          s"""SELECT CAST($d AS BIGINT) AS dim,
+               CAST($NumQueries AS BIGINT) AS n_queries,
+               CAST(count(*) AS BIGINT) AS hits_at_3,
+               (count(*) * 10000) // ${3 * NumQueries} AS recall_bp
+             FROM md${d}_t t JOIN $truthName u
+               USING (query_id, vec_id)"""
+        }.mkString(" UNION ALL ")
+        s"""WITH $perDim
+           SELECT * FROM ($rows) ORDER BY dim"""
       }),
   )
 

@@ -199,7 +199,10 @@ class PlanGateSpec extends AnyFunSuite {
     // q117: the extended ledger embeds q85's K-row centroid assignment
     // (q90's shape) and q110's 32-row fixed-size eval-set broadcast —
     // both O(1) build sides by the arguments above
-    "q117_curation_ledger_full")
+    "q117_curation_ledger_full",
+    // q121: five prefix-dim passes of q35's inequality-broadcast exact
+    // top-k — the 10-query build side is O(1) by the q35 argument
+    "q121_matryoshka_recall")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
