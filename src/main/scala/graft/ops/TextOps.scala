@@ -135,6 +135,89 @@ object TextOps {
     * BpeTrainSpec pins a 64-merge run bitwise against an in-memory
     * reference trainer (the 4-round oracle CTE chain pins the gated
     * configuration). */
+  /** The q95 merge-application vocabulary: for every DISTINCT word in
+    * `docs`, its char count and its token count after the top-
+    * [[BpeMerges]] q88 merge rules are applied as rank-ordered greedy
+    * folds. Factored out so q95 (per-doc encode report) and q122
+    * (per-source×lang tokenizer-fertility report) apply ONE definition.
+    * The folds run once per distinct word — the vocabulary, which grows
+    * sublinearly in the corpus — and callers join the (word, w_chars,
+    * w_toks) frame back onto word instances by the word key (shuffle,
+    * not broadcast: vocab can be huge at corpus scale). The merge table
+    * is a bounded tokenizer artifact (≤ [[BpeMerges]] rows, the same
+    * bounded-metadata collect class as the percentile cuts) folded into
+    * the expression tree. */
+  private def bpeVocabToks(docs: DataFrame): DataFrame = {
+    def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+    val merges = docs
+      .select(explode(split(lower(col("text")), " +")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(BpeMerges)
+      .collect().map(_.getString(0))
+    val chars0 =
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    val folded = merges.foldLeft(chars0) { (toks, p) =>
+      val (a, b) = (esc(p.substring(0, 1)), esc(p.substring(1, 2)))
+      s"""aggregate($toks, cast(array() as array<string>),
+            (acc, t) -> case
+              when size(acc) = 0 then array(t)
+              when element_at(acc, -1) = '$a' and t = '$b'
+                then concat(slice(acc, 1, size(acc) - 1), array('${esc(p)}'))
+              else concat(acc, array(t)) end)"""
+    }
+    docs
+      .select(explode(split(lower(col("text")), " +")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .select(col("word")).distinct()
+      .withColumn("toks", expr(folded))
+      .select(col("word"), length(col("word")).as("w_chars"),
+        size(col("toks")).as("w_toks"))
+  }
+
+  /** The q95 oracle's CTE chain, factored out (`bpe_`-prefixed names)
+    * so q95 and q122 splice ONE merge-application definition. Ends at
+    * `bpe_toks(doc_id, word, toks)`: every word instance with its
+    * post-merge token list (the DuckDB mirror of [[bpeVocabToks]]
+    * joined back onto instances — the oracle folds per instance, which
+    * is fine at oracle scale). */
+  private def bpeEncodeDuckCtes: String = {
+    val msel = (1 to BpeMerges)
+      .map(r => s"max(CASE WHEN rk = $r THEN pair END) AS p$r")
+      .mkString(", ")
+    val charsDuck =
+      "list_transform(generate_series(1, length(word)), i -> substr(word, i, 1))"
+    val foldedDuck = (1 to BpeMerges).foldLeft(charsDuck) { (toks, r) =>
+      s"""list_reduce(
+            list_prepend(CAST([] AS VARCHAR[]),
+              list_transform($toks, t -> [t])),
+            (acc, x) -> CASE
+              WHEN len(acc) = 0 THEN x
+              WHEN acc[-1] = substr(p$r, 1, 1) AND x[1] = substr(p$r, 2, 1)
+                THEN list_append(acc[1:len(acc) - 1], p$r)
+              ELSE list_append(acc, x[1]) END)"""
+    }
+    s"""bpe_w AS (
+             SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS word
+             FROM documents),
+           bpe_mp AS (
+             SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+               i -> substr(word, i, 2))) AS pair
+             FROM bpe_w WHERE length(word) >= 2),
+           bpe_merges AS (
+             SELECT pair, row_number() OVER (ORDER BY count(*) DESC, pair) AS rk
+             FROM bpe_mp GROUP BY pair),
+           bpe_msel AS (SELECT $msel FROM bpe_merges WHERE rk <= $BpeMerges),
+           bpe_toks AS (
+             SELECT doc_id, word, $foldedDuck AS toks
+             FROM bpe_w CROSS JOIN bpe_msel
+             WHERE length(word) >= 1)"""
+  }
+
   private[graft] def trainBpe(vocab0: DataFrame, rounds: Int)
       : Seq[(Int, String, String, String, Long)] = {
     val chars =
@@ -1441,43 +1524,10 @@ object TextOps {
     "q95_bpe_encode" -> QueryDef(
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
-        val merges = docs
-          .select(explode(split(lower(col("text")), " +")).as("word"))
-          .filter(length(col("word")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
-            .as("pair"))
-          .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("pair"))
-          .limit(BpeMerges)
-          .collect().map(_.getString(0))
-        val chars =
-          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
-        val folded = merges.foldLeft(chars) { (toks, p) =>
-          val (a, b) = (esc(p.substring(0, 1)), esc(p.substring(1, 2)))
-          s"""aggregate($toks, cast(array() as array<string>),
-                (acc, t) -> case
-                  when size(acc) = 0 then array(t)
-                  when element_at(acc, -1) = '$a' and t = '$b'
-                    then concat(slice(acc, 1, size(acc) - 1), array('${esc(p)}'))
-                  else concat(acc, array(t)) end)"""
-        }
-        // the folds run once per DISTINCT word (the vocabulary), not per
-        // word instance — a ~50× cut in lambda evaluations at sf0.1 (8.9
-        // → ~2 s) that only grows with corpus size, since instances
-        // scale with the corpus but vocabulary grows sublinearly. The
-        // per-word token count rides an equi-join on the word back onto
-        // the instances (shuffle on the word key — vocab can be huge at
-        // corpus scale, so no broadcast), then sums per document.
         val words = docs
           .select(col("doc_id"), explode(split(lower(col("text")), " +")).as("word"))
           .filter(length(col("word")) >= 1)
-        val vocab = words.select(col("word")).distinct()
-          .withColumn("toks", expr(folded))
-          .select(col("word"), length(col("word")).as("w_chars"),
-            size(col("toks")).as("w_toks"))
-        words.join(vocab, "word")
+        words.join(bpeVocabToks(docs), "word")
           .groupBy(col("doc_id"))
           .agg(sum(col("w_chars")).as("n_chars"),
             sum(col("w_toks")).as("n_bpe_tokens"))
@@ -1485,47 +1535,58 @@ object TextOps {
             round(col("n_chars") / col("n_bpe_tokens"), 4))
           .orderBy(col("doc_id"))
       },
-      Some {
-        val msel = (1 to BpeMerges)
-          .map(r => s"max(CASE WHEN rk = $r THEN pair END) AS p$r")
-          .mkString(", ")
-        val charsDuck =
-          "list_transform(generate_series(1, length(word)), i -> substr(word, i, 1))"
-        val foldedDuck = (1 to BpeMerges).foldLeft(charsDuck) { (toks, r) =>
-          s"""list_reduce(
-                list_prepend(CAST([] AS VARCHAR[]),
-                  list_transform($toks, t -> [t])),
-                (acc, x) -> CASE
-                  WHEN len(acc) = 0 THEN x
-                  WHEN acc[-1] = substr(p$r, 1, 1) AND x[1] = substr(p$r, 2, 1)
-                    THEN list_append(acc[1:len(acc) - 1], p$r)
-                  ELSE list_append(acc, x[1]) END)"""
-        }
-        s"""WITH w AS (
-             SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS word
-             FROM documents),
-           mp AS (
-             SELECT unnest(list_transform(generate_series(1, length(word) - 1),
-               i -> substr(word, i, 2))) AS pair
-             FROM w WHERE length(word) >= 2),
-           merges AS (
-             SELECT pair, row_number() OVER (ORDER BY count(*) DESC, pair) AS rk
-             FROM mp GROUP BY pair),
-           msel AS (SELECT $msel FROM merges WHERE rk <= $BpeMerges),
-           toks AS (
-             SELECT doc_id, word, $foldedDuck AS toks
-             FROM w CROSS JOIN msel
-             WHERE length(word) >= 1)
+      Some(s"""WITH $bpeEncodeDuckCtes
            SELECT doc_id,
              CAST(sum(length(word)) AS BIGINT) AS n_chars,
              CAST(sum(len(toks)) AS BIGINT) AS n_bpe_tokens,
              round(CAST(sum(length(word)) AS DOUBLE)
                  / CAST(sum(len(toks)) AS BIGINT), 4)
                AS compression
-           FROM toks
+           FROM bpe_toks
            GROUP BY doc_id
-           ORDER BY doc_id"""
-      }),
+           ORDER BY doc_id""")),
+
+    // ---- TOKENIZER FERTILITY report: the q95 merge table applied
+    //      corpus-wide, rolled up per (source × lang) — tokens-per-word
+    //      (fertility) and chars-per-token, the two numbers a
+    //      multilingual run reads before trusting one tokenizer across
+    //      sources (a high-fertility cell burns context budget; the
+    //      metric every tokenizer paper reports per language). Ratios
+    //      are int64 floor-division (basis points / centi-chars) so the
+    //      hash gate never touches a float. Shape: exactly q95's
+    //      vocabulary fold + word-keyed join, with the rollup key
+    //      swapped from doc_id to the (source, lang) grid — one extra
+    //      join back to documents for the grid columns, doc_id-keyed. ----
+    "q122_tokenizer_fertility" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val words = docs
+          .select(col("doc_id"), col("source"), col("lang"),
+            explode(split(lower(col("text")), " +")).as("word"))
+          .filter(length(col("word")) >= 1)
+        words.join(bpeVocabToks(docs), "word")
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("w_chars")).as("n_chars"),
+            sum(col("w_toks")).as("n_tokens"))
+          .withColumn("fertility_bp",
+            expr("n_tokens * 10000L div n_words"))
+          .withColumn("chars_per_token_c",
+            expr("n_chars * 100L div n_tokens"))
+          .orderBy(col("source"), col("lang"))
+      },
+      Some(s"""WITH $bpeEncodeDuckCtes
+           SELECT d.source, d.lang,
+             count(*) AS n_words,
+             CAST(sum(length(t.word)) AS BIGINT) AS n_chars,
+             CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens,
+             (CAST(sum(len(t.toks)) AS BIGINT) * 10000) // count(*)
+               AS fertility_bp,
+             (CAST(sum(length(t.word)) AS BIGINT) * 100)
+               // CAST(sum(len(t.toks)) AS BIGINT) AS chars_per_token_c
+           FROM bpe_toks t JOIN documents d USING (doc_id)
+           GROUP BY d.source, d.lang
+           ORDER BY d.source, d.lang""")),
 
     // ---- train/test split-leakage audit: near-duplicate pairs (q32's
     //      Jaccard ≥ 0.8 definition, via the SAME jaccardPairs code and
