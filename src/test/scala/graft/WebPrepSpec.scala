@@ -131,4 +131,63 @@ class WebPrepSpec extends AnyFunSuite {
     assert(again.map(_.getString(1)).sameElements(out.map(_.getString(1))),
       "canonicalize(canonicalize(u)) == canonicalize(u)")
   }
+
+  test("q119 property: invariants and idempotence hold over 200 random URLs") {
+    import spark.implicits._
+    // deterministic generator covering every noise axis independently:
+    // scheme case, www, subdomain, host case, default/odd/no port,
+    // index.html, param multiset + order, fragment
+    val rnd = new scala.util.Random(42)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    val urls = (1L to 200L).map { i =>
+      val https = rnd.nextBoolean()
+      val scheme = pick(Seq(if (https) "https" else "http",
+        if (https) "HTTPS" else "HTTP"))
+      val www = pick(Seq("", "www.", "WWW."))
+      val host = pick(Seq("alpha", "Beta", "GAMMA")) +
+        pick(Seq("", ".cdn")) + ".Site" + rnd.nextInt(3) + ".org"
+      val port = pick(Seq("", if (https) ":443" else ":80", ":8080"))
+      val path = pick(Seq("", "/a", "/a/b")) +
+        pick(Seq("", "/index.html"))
+      val params = rnd.shuffle(Seq(
+        Some(s"id=${rnd.nextInt(50)}"),
+        if (rnd.nextBoolean()) Some("utm_medium=email") else None,
+        if (rnd.nextBoolean()) Some("ref=nav") else None,
+        if (rnd.nextBoolean()) Some(s"page=${rnd.nextInt(9)}") else None)
+        .flatten)
+      val query = if (params.isEmpty) "" else "?" + params.mkString("&")
+      val frag = pick(Seq("", "#top", "#s2"))
+      (i, s"$scheme://$www$host$port$path$query$frag")
+    }
+    val df = urls.toDF("doc_id", "url").withColumn("source", lit("gen"))
+    val out = WebPrep.canonicalizeUrls(df)
+      .select(col("doc_id"), col("canon_url"), col("domain"))
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      val (canon, domain) = (r.getString(1), r.getString(2))
+      assert(canon.matches("^https?://.*"), s"lowercase scheme: $canon")
+      val rest = canon.replaceFirst("^https?://", "")
+      val hostPart = rest.takeWhile(c => c != '/' && c != '?')
+      assert(hostPart == hostPart.toLowerCase, s"lowercase host: $canon")
+      assert(!hostPart.startsWith("www."), s"www stripped: $canon")
+      assert(!hostPart.endsWith(":443") && !hostPart.endsWith(":80"),
+        s"default port stripped: $canon")
+      assert(!canon.contains("#"), s"fragment dropped: $canon")
+      assert(!canon.contains("utm_") && !canon.contains("ref="),
+        s"tracking params dropped: $canon")
+      if (canon.contains("?")) {
+        val ps = canon.substring(canon.indexOf('?') + 1).split("&").toSeq
+        assert(ps == ps.sorted, s"params sorted: $canon")
+      }
+      assert(domain.matches("^[a-z0-9]+\\.org$"), s"registered domain: $domain")
+      assert(!domain.contains(":"), s"domain portless: $domain")
+    }
+    val again = WebPrep.canonicalizeUrls(
+      df.select(col("doc_id"), col("source"))
+        .join(WebPrep.canonicalizeUrls(df)
+          .select(col("doc_id"), col("canon_url").as("url")), "doc_id"))
+      .select(col("doc_id"), col("canon_url")).orderBy("doc_id").collect()
+    assert(again.map(_.getString(1)).sameElements(out.map(_.getString(1))),
+      "idempotent over the full random sample")
+  }
 }
