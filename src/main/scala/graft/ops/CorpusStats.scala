@@ -94,6 +94,52 @@ object CorpusStats {
       .orderBy(col("doc_id"))
   }
 
+  /** The q105 oracle's CTE chain, factored out so q105 (per-doc scores)
+    * and q123 (filter-calibration sweep) splice ONE stupid-backoff
+    * bigram-LM definition. Ends at `lm_doc(doc_id, n_trans,
+    * bits_total, n_backoff)`: the held-out split's per-document
+    * whole-bit surprisal totals. */
+  private def bigramLmDuckCtes: String =
+    """d AS (
+               SELECT doc_id, string_split_regex(lower(text), ' +') AS ws,
+                 CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                   1, 14)) AS BIGINT) % 10 AS b
+               FROM documents),
+             tr_tok AS (SELECT unnest(ws) AS term FROM d WHERE b < 8),
+             ug AS (SELECT term, count(*) AS c1 FROM tr_tok GROUP BY term),
+             tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tr_tok),
+             tr_pair AS (
+               SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                 i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS pr
+               FROM d WHERE b < 8 AND len(ws) >= 2),
+             bg AS (
+               SELECT pr.w1 AS w1, pr.w2 AS w2, count(*) AS c12
+               FROM tr_pair GROUP BY pr.w1, pr.w2),
+             sbg AS (
+               SELECT w1, w2,
+                 CAST(length(bin(c1 // c12)) - 1 AS BIGINT) AS bgbits
+               FROM bg JOIN ug ON bg.w1 = ug.term),
+             vp AS (
+               SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(ws) - 1),
+                 i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS pr
+               FROM d WHERE b = 8 AND len(ws) >= 2),
+             scored AS (
+               SELECT vp.doc_id,
+                 CASE WHEN sbg.bgbits IS NOT NULL THEN sbg.bgbits
+                   ELSE CAST(length(bin(t // coalesce(ug.c1, 1))) - 1
+                     AS BIGINT) + 2 END AS ibits,
+                 CASE WHEN sbg.bgbits IS NULL THEN 1 ELSE 0 END AS backoff
+               FROM vp
+               LEFT JOIN sbg ON vp.pr.w1 = sbg.w1 AND vp.pr.w2 = sbg.w2
+               LEFT JOIN ug ON vp.pr.w2 = ug.term
+               CROSS JOIN tot),
+             lm_doc AS (
+               SELECT doc_id, count(*) AS n_trans,
+                 CAST(sum(ibits) AS BIGINT) AS bits_total,
+                 CAST(sum(backoff) AS BIGINT) AS n_backoff
+               FROM scored GROUP BY doc_id)"""
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- vocabulary coverage: OOV tokens per language against the
@@ -466,46 +512,70 @@ object CorpusStats {
     //      measured out-of-sample like the real pipelines do. ----
     "q105_bigram_lm_score" -> QueryDef(
       (s, dir) => bigramLmScore(Tables.load(s, dir, "documents")),
-      Some("""WITH d AS (
-               SELECT doc_id, string_split_regex(lower(text), ' +') AS ws,
-                 CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
-                   1, 14)) AS BIGINT) % 10 AS b
-               FROM documents),
-             tr_tok AS (SELECT unnest(ws) AS term FROM d WHERE b < 8),
-             ug AS (SELECT term, count(*) AS c1 FROM tr_tok GROUP BY term),
-             tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tr_tok),
-             tr_pair AS (
-               SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
-                 i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS pr
-               FROM d WHERE b < 8 AND len(ws) >= 2),
-             bg AS (
-               SELECT pr.w1 AS w1, pr.w2 AS w2, count(*) AS c12
-               FROM tr_pair GROUP BY pr.w1, pr.w2),
-             sbg AS (
-               SELECT w1, w2,
-                 CAST(length(bin(c1 // c12)) - 1 AS BIGINT) AS bgbits
-               FROM bg JOIN ug ON bg.w1 = ug.term),
-             vp AS (
-               SELECT doc_id, unnest(list_transform(
-                 generate_series(1, len(ws) - 1),
-                 i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS pr
-               FROM d WHERE b = 8 AND len(ws) >= 2),
-             scored AS (
-               SELECT vp.doc_id,
-                 CASE WHEN sbg.bgbits IS NOT NULL THEN sbg.bgbits
-                   ELSE CAST(length(bin(t // coalesce(ug.c1, 1))) - 1
-                     AS BIGINT) + 2 END AS ibits,
-                 CASE WHEN sbg.bgbits IS NULL THEN 1 ELSE 0 END AS backoff
-               FROM vp
-               LEFT JOIN sbg ON vp.pr.w1 = sbg.w1 AND vp.pr.w2 = sbg.w2
-               LEFT JOIN ug ON vp.pr.w2 = ug.term
-               CROSS JOIN tot)
-             SELECT doc_id, count(*) AS n_trans,
-               CAST(sum(ibits) AS BIGINT) AS bits_total,
-               CAST(sum(backoff) AS BIGINT) AS n_backoff,
-               round(CAST(sum(ibits) AS BIGINT) * 1.0 / count(*), 4)
-                 AS mean_bits
-             FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+      Some(s"""WITH $bigramLmDuckCtes
+             SELECT doc_id, n_trans, bits_total, n_backoff,
+               round(bits_total * 1.0 / n_trans, 4) AS mean_bits
+             FROM lm_doc ORDER BY doc_id""")),
+
+    // ---- PERPLEXITY-FILTER retention curve: the q78 threshold-sweep
+    //      shape over the q105 bigram-LM scores — per observed
+    //      whole-bits-per-transition value (bits_total div n_trans,
+    //      exact int64), the cumulative documents and transitions a
+    //      "keep if bpw ≤ τ" filter would retain, in basis points.
+    //      This is the CCNet-family calibration step: train the LM on
+    //      the training split, read the retention curve off the
+    //      HELD-OUT split, and only then pick the production cutoff —
+    //      never calibrate on data the model saw. Scale shape: the
+    //      q105 scoring plan (word-keyed equi-joins) feeds a ≤
+    //      few-dozen-row bpw histogram; the cumulative window and the
+    //      1-row totals crossJoin run on the histogram, never the
+    //      corpus (the q78 rule). ----
+    "q123_lm_filter_sweep" -> QueryDef(
+      (s, dir) => {
+        val db = bigramLmScore(Tables.load(s, dir, "documents"))
+          .withColumn("bpw", expr("bits_total div n_trans"))
+        val h = db.groupBy(col("bpw"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_trans")).as("n_trans"))
+        val tot = db.agg(count(lit(1)).cast("long").as("td"),
+          sum(col("n_trans")).cast("long").as("tt"))
+        val w = Window.orderBy(col("bpw"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        h.crossJoin(broadcast(tot))
+          .withColumn("docs_kept", sum(col("n_docs")).over(w).cast("long"))
+          .withColumn("trans_kept", sum(col("n_trans")).over(w).cast("long"))
+          .select(col("bpw"), col("n_docs"),
+            col("docs_kept"),
+            expr("docs_kept * 10000L div td").as("docs_kept_bp"),
+            col("trans_kept"),
+            expr("trans_kept * 10000L div tt").as("trans_kept_bp"))
+          .orderBy(col("bpw"))
+      },
+      Some(s"""WITH $bigramLmDuckCtes,
+             db AS (
+               SELECT doc_id, n_trans, bits_total // n_trans AS bpw
+               FROM lm_doc),
+             h AS (
+               SELECT bpw, count(*) AS n_docs,
+                 CAST(sum(n_trans) AS BIGINT) AS n_trans
+               FROM db GROUP BY bpw),
+             t AS (
+               SELECT CAST(count(*) AS BIGINT) AS td,
+                 CAST(sum(n_trans) AS BIGINT) AS tt
+               FROM db)
+             SELECT bpw, n_docs,
+               CAST(sum(n_docs) OVER (ORDER BY bpw
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS docs_kept,
+               (CAST(sum(n_docs) OVER (ORDER BY bpw
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) * 10000) // td
+                 AS docs_kept_bp,
+               CAST(sum(n_trans) OVER (ORDER BY bpw
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS trans_kept,
+               (CAST(sum(n_trans) OVER (ORDER BY bpw
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) * 10000) // tt
+                 AS trans_kept_bp
+             FROM h CROSS JOIN t
+             ORDER BY bpw""")),
 
     // ---- hierarchical (mergeable) data card: q76's statistics computed
     //      the way a 100 TB pipeline actually computes them — per-shard

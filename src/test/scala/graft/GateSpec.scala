@@ -202,7 +202,11 @@ class PlanGateSpec extends AnyFunSuite {
     "q117_curation_ledger_full",
     // q121: five prefix-dim passes of q35's inequality-broadcast exact
     // top-k — the 10-query build side is O(1) by the q35 argument
-    "q121_matryoshka_recall")
+    "q121_matryoshka_recall",
+    // q123: embeds q105's ONE-ROW train-token total crossJoin plus its
+    // own ONE-ROW sweep-totals crossJoin onto the ≤few-dozen-row bpw
+    // histogram (the q87/q89 scalar shape twice)
+    "q123_lm_filter_sweep")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
