@@ -35,6 +35,10 @@ object WebPrep {
   // ---- q114 boilerplate rule constants (jusText-family thresholds,
   //      integer-only so the keep decision never touches a float) ----
 
+  /** q124: documents kept per registered domain — the domain-level
+    * crawl cap (the q80 source quota's domain analog). */
+  val DomainQuota = 3
+
   /** A content line needs at least this many words after tag-strip. */
   val MinContentWords = 10
 
@@ -462,5 +466,38 @@ object WebPrep {
              FROM u JOIN documents d USING (doc_id)
              GROUP BY u.domain
              ORDER BY u.domain""")),
+
+    // ---- per-DOMAIN quota sampling: q80's deterministic hash-rank cap
+    //      applied at the registered-domain level from the SAME shared
+    //      canonicalization — the C4/RefinedWeb domain cap (sources are
+    //      curation-side labels; crawl over-representation happens per
+    //      DOMAIN, and a handful of giant domains would otherwise
+    //      dominate any token budget). Keeps the [[DomainQuota]]
+    //      smallest salted hashes per domain — membership is stable
+    //      under corpus growth for surviving docs, reproducible across
+    //      engines and partitionings (no rand()). One window over the
+    //      domain key. ----
+    "q124_domain_quota_sample" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("domain"))
+          .orderBy(md5(concat(lit("dq:"), col("doc_id").cast("string"))),
+            col("doc_id"))
+        canonicalizeUrls(Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), expr(urlSynthSpark).as("url")))
+          .select(col("domain"), col("doc_id"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= DomainQuota)
+          .orderBy(col("domain"), col("rk"))
+      },
+      Some(s"""WITH $urlDuckCtes
+             SELECT domain, doc_id, rk FROM (
+               SELECT u.domain, u.doc_id,
+                 row_number() OVER (PARTITION BY u.domain
+                   ORDER BY md5('dq:' || CAST(u.doc_id AS VARCHAR)), u.doc_id)
+                   AS rk
+               FROM u)
+             WHERE rk <= $DomainQuota
+             ORDER BY domain, rk""")),
   )
 }
