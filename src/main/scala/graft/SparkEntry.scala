@@ -25,6 +25,7 @@ object SparkEntry {
     ops.CorpusStats.defs,
     ops.Scrub.defs,
     ops.WebPrep.defs,
+    ops.Snapshot.defs,
   )
 
   private lazy val all: Map[String, QueryDef] = {

@@ -632,5 +632,92 @@ object CorpusStats {
                max(nw) AS max_tokens,
                bit_xor(h) AS xor_sig
              FROM d GROUP BY source ORDER BY source""")),
+
+    // ---- vocabulary growth (Heaps-law) curve: per source, distinct
+    //      vocabulary size and token mass after the first 1,2,4,…,2^k
+    //      documents in a deterministic hash order — the curve that
+    //      decides whether a tokenizer vocab is sized right and whether
+    //      dedup is working (a corpus whose vocab keeps growing linearly
+    //      is full of noise; one that flattens too early is full of
+    //      dups; Heaps 1978's V = K·n^β empirically). The prefix order
+    //      is md5-derived (the q53/q65 hash-order family), so the curve
+    //      is reproducible across runs/engines/layouts and extending
+    //      the corpus never reorders existing prefixes. Scale shape:
+    //      each token contributes its FIRST-occurrence doc rank via one
+    //      (source, token) groupBy — the vocabulary never materializes
+    //      per-prefix; prefix vocab sizes are a cumulative window over
+    //      the ≤11-bucket histogram. The per-source rank window uses the
+    //      same per-source-partition pattern as q80/q107 (at corpus
+    //      scale: the q66 two-pass range-partitioned rank). ----
+    "q127_vocab_growth" -> QueryDef(
+      (s, dir) => vocabGrowth(Tables.load(s, dir, "documents")),
+      Some(s"""WITH ranked AS (
+               SELECT source, text,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5('vg:' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rk
+               FROM documents),
+             d AS (
+               SELECT source, rk, ${rankBucket("rk")} AS bucket,
+                 string_split_regex(lower(text), ' +') AS words
+               FROM ranked),
+             tok AS (
+               SELECT source, bucket,
+                 CAST(sum(len(words)) AS BIGINT) AS btokens
+               FROM d GROUP BY source, bucket),
+             firsts AS (
+               SELECT source, term, min(rk) AS first_rk FROM (
+                 SELECT source, rk, unnest(words) AS term FROM d)
+               GROUP BY source, term),
+             voc AS (
+               SELECT source, ${rankBucket("first_rk")} AS bucket,
+                 count(*) AS bvocab
+               FROM firsts GROUP BY source, 2)
+             SELECT t.source, t.bucket AS n_docs_prefix,
+               CAST(sum(t.btokens) OVER (PARTITION BY t.source
+                 ORDER BY t.bucket) AS BIGINT) AS cum_tokens,
+               CAST(sum(coalesce(v.bvocab, 0)) OVER (PARTITION BY t.source
+                 ORDER BY t.bucket) AS BIGINT) AS cum_vocab
+             FROM tok t LEFT JOIN voc v
+               ON t.source = v.source AND t.bucket = v.bucket
+             ORDER BY t.source, n_docs_prefix""")),
   )
+
+  /** q127's pipeline over a (doc_id, source, text) frame, exposed for
+    * growth-invariant specs (monotone curve; final point = exact totals). */
+  def vocabGrowth(raw: DataFrame): DataFrame = {
+    val docs = raw
+      .withColumn("rk", row_number().over(Window
+        .partitionBy(col("source"))
+        .orderBy(md5(concat(lit("vg:"), col("doc_id").cast("string"))),
+          col("doc_id"))))
+      .withColumn("bucket", expr(rankBucket("rk")))
+      .withColumn("words", split(lower(col("text")), " +"))
+    val tokMass = docs
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(size(col("words")).cast("long")).as("btokens"))
+    val vocab = docs
+      .select(col("source"), col("rk"), explode(col("words")).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(min(col("rk")).as("first_rk"))
+      .withColumn("bucket", expr(rankBucket("first_rk")))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("bvocab"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("bucket"))
+    tokMass.join(vocab, Seq("source", "bucket"), "left_outer")
+      .select(col("source"), col("bucket").as("n_docs_prefix"),
+        sum(col("btokens")).over(wCum).as("cum_tokens"),
+        sum(coalesce(col("bvocab"), lit(0L))).over(wCum).as("cum_vocab"))
+      .orderBy(col("source"), col("n_docs_prefix"))
+  }
+
+  /** Ceil-power-of-two bucket of a 1-based doc rank: 1,2,4,…,1024, else
+    * 2048 — prefix "first 2^k docs" checkpoints. bucket(rk) ≤ B iff
+    * rk ≤ B for every power-of-two B, so cumulative sums over buckets
+    * equal exact prefix counts at the checkpoints. The CASE text is
+    * engine-agnostic — the same string feeds Spark `expr` and DuckDB. */
+  private def rankBucket(c: String): String =
+    "CASE " + (0 to 10).map(1 << _)
+      .map(b => s"WHEN $c <= $b THEN CAST($b AS BIGINT)").mkString(" ") +
+      " ELSE CAST(2048 AS BIGINT) END"
 }

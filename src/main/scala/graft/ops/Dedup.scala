@@ -766,7 +766,76 @@ object Dedup {
                  WHERE it = $PageRankIters) z
            JOIN pdeg d ON z.u.v = d.src
            ORDER BY doc_id""")),
+
+    // ---- dedup cluster-size distribution: power-of-two histogram over
+    //      q54's connected components plus the singleton mass (docs in no
+    //      candidate pair). The shape a dedup run is judged by — one
+    //      giant cluster means the threshold (or a boilerplate plague) is
+    //      eating the corpus, a flat tail means the caps are working;
+    //      NEITHER is visible from q54's per-doc rows without this
+    //      rollup. Scale: the histogram runs over CLUSTERS (≤ docs/2
+    //      rows); singletons are one left-anti equi-join on doc_id; no
+    //      crossJoin, no driver state. Oracle: the q54 recursive
+    //      reachability CTE re-derives the components independently. ----
+    "q126_cluster_size_histogram" -> QueryDef(
+      (s, dir) => clusterSizeHistogram(Tables.load(s, dir, "documents")),
+      Some(s"""WITH RECURSIVE ${duckCandPairsBody()},
+             edges AS (SELECT da AS src, db AS dst FROM cand_pairs
+                       UNION ALL
+                       SELECT db AS src, da AS dst FROM cand_pairs),
+             reach(doc_id, r) AS (
+               SELECT DISTINCT src AS doc_id, src AS r FROM edges
+               UNION
+               SELECT e.dst AS doc_id, reach.r
+               FROM reach JOIN edges e ON e.src = reach.doc_id),
+             labels AS (
+               SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+             clusters AS (
+               SELECT cluster_id, count(*) AS cluster_size
+               FROM labels GROUP BY cluster_id),
+             hist AS (
+               SELECT $ClusterBucketCase AS bucket_lo,
+                 count(*) AS n_clusters,
+                 CAST(sum(cluster_size) AS BIGINT) AS n_docs
+               FROM clusters GROUP BY 1),
+             singles AS (
+               SELECT CAST(1 AS BIGINT) AS bucket_lo,
+                 count(*) AS n_clusters, count(*) AS n_docs
+               FROM documents d
+               WHERE NOT EXISTS (SELECT 1 FROM labels l
+                                 WHERE l.doc_id = d.doc_id))
+             SELECT * FROM singles
+             UNION ALL
+             SELECT * FROM hist
+             ORDER BY bucket_lo""")),
   )
+
+  /** q126's pipeline over a (doc_id, text) frame: q54 components →
+    * per-cluster sizes → power-of-two histogram, with the singleton mass
+    * (docs in no candidate pair) as the bucket-1 row. Exposed for
+    * planted-cluster specs. */
+  def clusterSizeHistogram(docs: DataFrame): DataFrame = {
+    val labels = connectedComponents(lshCandidatePairs(docs))
+    val hist = labels
+      .groupBy(col("cluster_id"), col("cluster_size")).agg(count(lit(1)))
+      .withColumn("bucket_lo", expr(ClusterBucketCase))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+    val singles = docs.select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit(1L).as("bucket_lo"), col("n").as("n_clusters"),
+        col("n").as("n_docs"))
+    singles.unionByName(hist).orderBy(col("bucket_lo"))
+  }
+
+  /** Power-of-two bucket floor for cluster sizes (≥ 2 by construction —
+    * a component needs an edge): 2,4,...,1024, else 2048. */
+  private def ClusterBucketCase: String =
+    "CASE " + (1 to 10).map(1 << _)
+      .map(b => s"WHEN cluster_size < ${b * 2} THEN CAST($b AS BIGINT)")
+      .mkString(" ") + " ELSE CAST(2048 AS BIGINT) END"
 
   /** The full q62 pipeline over a (doc_id, text) frame, exposed with the
     * band cap as a parameter for spec-level stress tests (planting

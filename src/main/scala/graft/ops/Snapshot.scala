@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Corpus snapshot management — the incremental-curation primitives a
+  * recurring 100 TB pipeline runs between crawls.
+  *
+  * A production corpus is not rebuilt from scratch: each ingest produces a
+  * new snapshot, and every downstream stage (dedup, decontam, sharding)
+  * wants to touch ONLY the delta. The primitive underneath is a content
+  * diff between two snapshots: which documents appeared, disappeared, or
+  * changed text (same id, different content hash). q125 is that diff.
+  *
+  * The sandbox has one `documents` table, so the two snapshots are
+  * synthesized deterministically from it (previous = drops one doc-id
+  * residue class and carries a truncated "stale" text for another;
+  * current = drops a different residue class) — both engines synthesize
+  * identically, and the diff itself is the generic machinery: md5 each
+  * side map-side, full-outer-join on the id, compare hashes. The hash
+  * gate certifies the join+classify logic, not the synthesis.
+  *
+  * Scale shape: the md5 is computed BEFORE the join, so the shuffle
+  * carries (doc_id, hash, source, n_chars) and never text; the join is a
+  * plain int64 equi-join (sort-merge at corpus scale, AQE-splittable);
+  * the rollup is one map-side-combinable groupBy. No driver state, no
+  * broadcast of anything corpus-sized.
+  */
+object Snapshot {
+
+  /** Residue classes (mod [[SnapMod]]) defining the synthesized
+    * snapshots: `RemovedRes` exists only in the previous snapshot,
+    * `AddedRes` only in the current one, `ChangedRes` in both but with
+    * the previous text truncated by its last word. */
+  val SnapMod = 11
+  val RemovedRes = 5
+  val AddedRes = 7
+  val ChangedRes = 3
+
+  /** Previous snapshot: (doc_id, source, h = md5(text'), n_chars') where
+    * text' drops the last word for the changed class. */
+  def previousSnapshot(docs: DataFrame): DataFrame = docs
+    .filter(col("doc_id") % SnapMod =!= AddedRes)
+    .withColumn("old_text",
+      when(col("doc_id") % SnapMod === ChangedRes,
+        expr("array_join(slice(split(text, ' +'), 1, " +
+          "greatest(size(split(text, ' +')) - 1, 1)), ' ')"))
+        .otherwise(col("text")))
+    .select(col("doc_id"), col("source"),
+      md5(col("old_text")).as("h"),
+      length(col("old_text")).cast("long").as("n_chars"))
+
+  /** Current snapshot: (doc_id, source, h, n_chars) over the live text. */
+  def currentSnapshot(docs: DataFrame): DataFrame = docs
+    .filter(col("doc_id") % SnapMod =!= RemovedRes)
+    .select(col("doc_id"), col("source"),
+      md5(col("text")).as("h"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  /** The generic snapshot diff: full-outer-join two (doc_id, source, h,
+    * n_chars) snapshots on doc_id and classify each document as
+    * added / removed / changed / unchanged by hash compare. Returns one
+    * row per document with the verdict and the CURRENT side's byte mass
+    * (previous side's for removals) — the work-list an incremental run
+    * feeds to its delta stages. */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val p = prev.select(col("doc_id"), col("source").as("p_source"),
+      col("h").as("p_h"), col("n_chars").as("p_chars"))
+    val c = cur.select(col("doc_id"), col("source").as("c_source"),
+      col("h").as("c_h"), col("n_chars").as("c_chars"))
+    p.join(c, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("c_source"), col("p_source")).as("source"),
+        when(col("p_h").isNull, "added")
+          .when(col("c_h").isNull, "removed")
+          .when(col("p_h") =!= col("c_h"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("c_chars"), col("p_chars")).as("n_chars"))
+  }
+
+  /** DuckDB CTEs mirroring [[previousSnapshot]]/[[currentSnapshot]]/
+    * [[snapshotDiff]]: `diff` has (doc_id, source, status, n_chars). */
+  private val diffDuckCtes: String =
+    s"""prev AS (
+         SELECT doc_id, source, md5(t) AS h, length(t) AS n_chars FROM (
+           SELECT doc_id, source,
+             CASE WHEN doc_id % $SnapMod = $ChangedRes THEN
+               array_to_string(
+                 (string_split_regex(text, ' +'))[1:greatest(
+                   len(string_split_regex(text, ' +')) - 1, 1)], ' ')
+             ELSE text END AS t
+           FROM documents
+           WHERE doc_id % $SnapMod <> $AddedRes)),
+       cur AS (
+         SELECT doc_id, source, md5(text) AS h, length(text) AS n_chars
+         FROM documents
+         WHERE doc_id % $SnapMod <> $RemovedRes),
+       diff AS (
+         SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+           coalesce(c.source, p.source) AS source,
+           CASE WHEN p.h IS NULL THEN 'added'
+                WHEN c.h IS NULL THEN 'removed'
+                WHEN p.h <> c.h THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           coalesce(c.n_chars, p.n_chars) AS n_chars
+         FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id)"""
+
+  val defs: Map[String, QueryDef] = Map(
+    // ---- corpus snapshot diff rollup: per (source, status) the doc
+    //      count and byte mass, plus the re-process mass (added+changed
+    //      is exactly the delta the downstream incremental stages touch;
+    //      q74/the streaming dedup mirror consume that delta). ----
+    "q125_snapshot_diff" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        snapshotDiff(previousSnapshot(docs), currentSnapshot(docs))
+          .groupBy(col("source"), col("status"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"))
+          .orderBy(col("source"), col("status"))
+      },
+      Some(s"""WITH $diffDuckCtes
+             SELECT source, status, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+             FROM diff
+             GROUP BY source, status
+             ORDER BY source, status""")),
+  )
+}

@@ -37,6 +37,65 @@ object TextOps {
   /** The near-dup pipeline's 3-gram shingling. */
   def shingles(docs: DataFrame): DataFrame = wordShingles(docs, 3)
 
+  /** POSITIONAL n-gram shingles — (doc_id, i, s) with i the 0-based word
+    * offset, duplicates kept — for operators that need where a gram sits
+    * (q128's contamination run-lengths), unlike [[wordShingles]]'s
+    * distinct set semantics. */
+  def positionalWordShingles(docs: DataFrame, n: Int): DataFrame =
+    docs.withColumn("words", split(lower(col("text")), " +"))
+      .filter(size(col("words")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(words) - $n),
+              i -> concat_ws(' ', slice(words, i + 1, $n)))"""))
+        .as(Seq("i", "s")))
+
+  /** q128's pipeline over a (doc_id, source, text) frame, exposed for
+    * planted-quote specs: positional 4-grams of non-eval docs hit the
+    * eval source's distinct gram set; hit positions collapse to maximal
+    * consecutive runs (gaps-and-islands); a run of r grams spans r+3
+    * words. */
+  def contaminationSpans(docs: DataFrame,
+      evalSource: String = "src0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val evalGrams = wordShingles(docs.filter(col("source") === evalSource), 4)
+      .select(col("s")).distinct()
+    val hits = positionalWordShingles(
+      docs.filter(col("source") =!= evalSource), 4)
+      .join(broadcast(evalGrams), "s")
+      .select(col("doc_id"), col("i"))
+    val wRn = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    hits
+      .withColumn("grp", col("i") - row_number().over(wRn))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("run_len")).as("n_hit_grams"),
+        max(col("run_len")).as("max_run_grams"))
+      .withColumn("max_span_words", col("max_run_grams") + lit(3L))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB CTEs building the POSITIONAL (doc_id, i, s) 4-gram rows `pg`
+    * over `documents` — the oracle mirror of [[positionalWordShingles]]
+    * at n = 4 (i is 1-based here; only differences of i are consumed, so
+    * the base offset cancels). */
+  private[ops] val posGramDuckCtes: String =
+    """pw AS (
+               SELECT doc_id,
+                 unnest(string_split_regex(lower(text), ' +')) AS word,
+                 generate_subscripts(string_split_regex(lower(text), ' +'), 1) AS i
+               FROM documents),
+             pg AS (
+               SELECT doc_id, i, s FROM (
+                 SELECT doc_id, i,
+                   concat_ws(' ', word,
+                     lead(word, 1) OVER (PARTITION BY doc_id ORDER BY i),
+                     lead(word, 2) OVER (PARTITION BY doc_id ORDER BY i),
+                     lead(word, 3) OVER (PARTITION BY doc_id ORDER BY i)) AS s,
+                   lead(word, 3) OVER (PARTITION BY doc_id ORDER BY i) AS tail
+                 FROM pw)
+               WHERE tail IS NOT NULL)"""
+
   /** A shingle shared by k documents contributes a k-member join group —
     * k·(k-1)/2 candidate pairs — to the inverted-index self-join, so the
     * cap must be on the ABSOLUTE group size, not the document fraction: a
@@ -1638,5 +1697,42 @@ object TextOps {
              FROM g2
              GROUP BY split_a, split_b
              ORDER BY split_a, split_b""")),
+
+    // ---- contamination RUN-LENGTH report: q58 counts how many eval
+    //      4-grams a training doc shares; real decontamination policies
+    //      (GPT-3 appendix C, Llama's n-gram rules) key on the LONGEST
+    //      CONSECUTIVE overlapping span — 20 shared grams scattered as
+    //      single words are noise, 20 consecutive ones are a verbatim
+    //      benchmark quote. Positional 4-grams (no distinct) join the
+    //      broadcast eval set; hit positions collapse to maximal runs by
+    //      gaps-and-islands (pos − row_number is constant within a run);
+    //      a run of r consecutive hit grams covers r+3 words. Scale:
+    //      identical to q58 (map-side broadcast semi-join) plus one
+    //      per-doc window over hit positions only — hits, not grams,
+    //      shuffle. ----
+    "q128_contamination_spans" -> QueryDef(
+      (s, dir) => contaminationSpans(Tables.load(s, dir, "documents")),
+      Some(s"""WITH $posGramDuckCtes,
+             ev AS (
+               SELECT DISTINCT pg.s FROM pg
+               JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
+             hits AS (
+               SELECT pg.doc_id, pg.i FROM pg
+               JOIN documents d USING (doc_id)
+               JOIN ev USING (s)
+               WHERE d.source <> 'src0'),
+             runs AS (
+               SELECT doc_id,
+                 i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                   AS grp
+               FROM hits),
+             rl AS (
+               SELECT doc_id, grp, count(*) AS run_len
+               FROM runs GROUP BY doc_id, grp)
+             SELECT doc_id, CAST(sum(run_len) AS BIGINT) AS n_hit_grams,
+               max(run_len) AS max_run_grams,
+               max(run_len) + 3 AS max_span_words
+             FROM rl GROUP BY doc_id
+             ORDER BY doc_id""")),
   )
 }

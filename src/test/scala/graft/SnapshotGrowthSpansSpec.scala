@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{CorpusStats, Dedup, Snapshot, TextOps}
+
+/** Specs for the round's new curation operators: q125 snapshot diff,
+  * q126 cluster-size histogram, q127 vocabulary growth, q128
+  * contamination run-lengths. */
+class SnapshotGrowthSpansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("q125: snapshot diff classifies added/removed/changed/unchanged by hash") {
+    val prev = Seq(
+      (1L, "s", "h1", 10L), (2L, "s", "h2old", 8L), (3L, "s", "h3", 5L))
+      .toDF("doc_id", "source", "h", "n_chars")
+    val cur = Seq(
+      (1L, "s", "h1", 10L), (2L, "s", "h2new", 9L), (4L, "s", "h4", 7L))
+      .toDF("doc_id", "source", "h", "n_chars")
+    val got = Snapshot.snapshotDiff(prev, cur)
+      .select("doc_id", "status", "n_chars")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ("unchanged", 10L),
+      2L -> ("changed", 9L),     // current side's byte mass
+      3L -> ("removed", 5L),     // previous side's byte mass
+      4L -> ("added", 7L)))
+  }
+
+  test("q125: the synthesized snapshots land every residue class on its status") {
+    val docs = spark.range(0, 44).select(col("id").as("doc_id"),
+      lit("s").as("source"),
+      concat_ws(" ", lit("alpha beta gamma delta"),
+        col("id").cast("string")).as("text"))
+    val got = Snapshot.snapshotDiff(
+      Snapshot.previousSnapshot(docs), Snapshot.currentSnapshot(docs))
+    val byStatus = got.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 44 ids = 4 full mod-11 cycles: 4 added, 4 removed, 4 changed
+    assert(byStatus("added") == 4 && byStatus("removed") == 4 &&
+      byStatus("changed") == 4 && byStatus("unchanged") == 32)
+  }
+
+  test("q126: planted dup clusters land in size buckets; doc mass is conserved") {
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (1 to 30).map(i => s"v$i").mkString(" ")
+    val uniq = (1 to 30).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, words), (2L, words), (3L, words),  // cluster of 3
+      (4L, other), (5L, other),               // cluster of 2
+      (6L, uniq))                             // singleton
+      .toDF("doc_id", "text")
+    val hist = Dedup.clusterSizeHistogram(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(hist(1L) == ((1L, 1L)))   // one singleton
+    assert(hist(2L) == ((2L, 5L)))   // sizes 3 and 2 both bucket to 2
+    assert(hist.values.map(_._2).sum == 6L)  // every doc counted once
+  }
+
+  test("q127: growth curve is monotone and its last point is the exact total") {
+    val docs = Seq(
+      (1L, "a", "x y"), (2L, "a", "y z"), (3L, "a", "x z w"),
+      (4L, "b", "p p p"))
+      .toDF("doc_id", "source", "text")
+    val rows = CorpusStats.vocabGrowth(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bySrc = rows.groupBy(_._1)
+    // source a: 3 docs -> prefixes 1,2,4; totals 7 tokens, 4 distinct
+    val a = bySrc("a").sortBy(_._2)
+    assert(a.map(_._2).toSeq == Seq(1L, 2L, 4L))
+    assert(a.last._3 == 7L && a.last._4 == 4L)
+    // source b: 1 doc -> one prefix, 3 tokens, 1 distinct term
+    val b = bySrc("b")
+    assert(b.map(_._2).toSeq == Seq(1L) && b.head._3 == 3L && b.head._4 == 1L)
+    // monotone non-decreasing along every curve
+    for (curve <- Seq(a, b); Seq(p, n) <- curve.sliding(2).map(_.toSeq).toSeq
+         if curve.length > 1) {
+      assert(p._3 <= n._3 && p._4 <= n._4)
+    }
+  }
+
+  test("q128: a verbatim 10-word quote yields a 7-gram run; scattered hits stay runs of 1") {
+    val quote = (1 to 10).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (0L, "ev", quote),
+      (10L, "tr", s"t1 t2 t3 $quote t4 t5"),
+      (11L, "tr", "x1 q1 q2 q3 q4 x2 x3 q6 q7 q8 q9 x4"),
+      (12L, "tr", "z1 z2 z3 z4 z5"))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.contaminationSpans(docs, evalSource = "ev")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(10L) == ((7L, 7L, 10L)))  // 7 consecutive grams = 10 words
+    assert(got(11L) == ((2L, 1L, 4L)))   // two isolated grams
+    assert(!got.contains(12L))           // clean doc emits nothing
+  }
+}
