@@ -42,6 +42,19 @@ object Scrub {
   /** q107: documents kept per source by the weighted priority rule. */
   val WeightedSampleK = 10
 
+  /** q129's categorized deny list — corpus words standing in for a real
+    * policy list; the operator treats it as data (broadcast join), so a
+    * production list swaps in without code changes. */
+  val Blocklist: Seq[(String, String)] = Seq(
+    "slow" -> "latency", "big" -> "latency", "spill" -> "latency",
+    "scan" -> "scanheavy", "sort" -> "scanheavy")
+
+  /** Per-category hits at or above this count flag the document. */
+  val BlocklistThreshold = 8
+
+  private def BlocklistDuckValues: String =
+    Blocklist.map { case (t, c) => s"('$t', '$c')" }.mkString(", ")
+
   /** q107's operator over a (doc_id, source, text) frame — deterministic
     * QUALITY-WEIGHTED sampling, the biased upgrade of q80's uniform
     * quota: weight w = 1 + floor(10·quality) (the shared [[Quality]]
@@ -563,5 +576,80 @@ object Scrub {
              LEFT JOIN dec ON b.doc_id = dec.doc_id
              LEFT JOIN chunk ON b.doc_id = chunk.doc_id
              ORDER BY b.doc_id""")),
+
+    // ---- dictionary blocklist filter (the C4 "badwords" stage): a
+    //      categorized term list is broadcast; per-document hits roll up
+    //      per category and the doc is flagged when any category reaches
+    //      its threshold. Differs from q77 (regex PII projections) in
+    //      exactly the way production safety filters differ from PII
+    //      scrubbing: the list is DATA (thousands of terms, maintained
+    //      per policy/language), not a pattern — so the operator is a
+    //      token-explode + broadcast equi-join, updatable without
+    //      recompiling, and the same shape carries a 10k-term list at
+    //      100 TB (the corpus streams map-side; only (doc_id, category)
+    //      hit rows shuffle). Terms here are corpus words standing in
+    //      for a real deny list. ----
+    "q129_blocklist_filter" -> QueryDef(
+      (s, dir) => blocklistFilter(Tables.load(s, dir, "documents")),
+      Some(s"""WITH bl(term, category) AS (VALUES $BlocklistDuckValues),
+             hits AS (
+               SELECT t.doc_id, bl.category, count(*) AS n
+               FROM (SELECT doc_id,
+                       unnest(string_split_regex(lower(text), ' +')) AS term
+                     FROM documents) t
+               JOIN bl USING (term)
+               GROUP BY t.doc_id, bl.category),
+             per_doc AS (
+               SELECT d.doc_id, d.source,
+                 coalesce(max(CASE WHEN h.category = 'latency' THEN h.n END), 0)
+                   AS latency_hits,
+                 coalesce(max(CASE WHEN h.category = 'scanheavy' THEN h.n END), 0)
+                   AS scanheavy_hits
+               FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+               GROUP BY d.doc_id, d.source)
+             SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN latency_hits >= $BlocklistThreshold
+                 OR scanheavy_hits >= $BlocklistThreshold
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               CAST(sum(latency_hits) AS BIGINT) AS latency_hits,
+               CAST(sum(scanheavy_hits) AS BIGINT) AS scanheavy_hits
+             FROM per_doc
+             GROUP BY source
+             ORDER BY source""")),
   )
+
+  /** q129's pipeline over a (doc_id, source, text) frame: token explode,
+    * broadcast join against the categorized deny list, per-doc per-
+    * category hit counts, flag when any category reaches
+    * [[BlocklistThreshold]], per-source rollup. Exposed for planted-term
+    * specs. */
+  def blocklistFilter(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bl = Blocklist.toDF("term", "category")
+    val hits = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " +")).as("term"))
+      .join(broadcast(bl), "term")
+      .groupBy(col("doc_id"), col("category"))
+      .agg(count(lit(1)).as("n"))
+    val perDoc = docs.select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        coalesce(max(when(col("category") === "latency", col("n"))), lit(0L))
+          .as("latency_hits"),
+        coalesce(max(when(col("category") === "scanheavy", col("n"))), lit(0L))
+          .as("scanheavy_hits"))
+    perDoc
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("latency_hits") >= BlocklistThreshold or
+          col("scanheavy_hits") >= BlocklistThreshold, 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum(col("latency_hits")).as("latency_hits"),
+        sum(col("scanheavy_hits")).as("scanheavy_hits"))
+      .orderBy(col("source"))
+  }
 }

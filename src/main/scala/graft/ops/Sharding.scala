@@ -261,5 +261,71 @@ object Sharding {
              FROM c
              GROUP BY shard_id
              ORDER BY shard_id""")),
+
+    // ---- training-order interleaving audit: docs take their epoch
+    //      order from a seeded hash (the deterministic "shuffle" a
+    //      reproducible training run uses instead of rand()); the audit
+    //      measures how well sources interleave by collapsing the order
+    //      into maximal same-source runs. Long runs = consecutive
+    //      gradient steps from one source = the correlation a shuffle
+    //      exists to kill. Runs are scoped to 256 hash-prefix BLOCKS of
+    //      the order (a run cannot cross a block boundary — documented,
+    //      deterministic, and exactly what makes the audit
+    //      embarrassingly parallel: one window per block, never a
+    //      global single-partition sort; block membership is a
+    //      substring of the same hash that orders the docs, so blocks
+    //      ARE contiguous ranges of the training order). Output: per
+    //      source, docs / runs / longest run / interleave quality in
+    //      basis points (10000 = every doc its own run). ----
+    "q130_interleave_audit" -> QueryDef(
+      (s, dir) => interleaveAudit(Tables.load(s, dir, "documents")),
+      Some("""WITH ord AS (
+               SELECT source,
+                 md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS h, doc_id
+               FROM documents),
+             pos AS (
+               SELECT source, substr(h, 1, 2) AS block,
+                 row_number() OVER (PARTITION BY substr(h, 1, 2)
+                   ORDER BY h, doc_id) AS rn1,
+                 row_number() OVER (PARTITION BY substr(h, 1, 2), source
+                   ORDER BY h, doc_id) AS rn2
+               FROM ord),
+             runs AS (
+               SELECT source, block, rn1 - rn2 AS grp,
+                 count(*) AS run_len
+               FROM pos GROUP BY source, block, grp)
+             SELECT source,
+               CAST(sum(run_len) AS BIGINT) AS n_docs,
+               count(*) AS n_runs,
+               max(run_len) AS max_run,
+               count(*) * 10000 // CAST(sum(run_len) AS BIGINT)
+                 AS interleave_bp
+             FROM runs
+             GROUP BY source
+             ORDER BY source""")),
   )
+
+  /** q130's pipeline over a (doc_id, source) frame — exposed for specs
+    * that plant clumped vs interleaved orders. */
+  def interleaveAudit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = docs.select(col("source"),
+      md5(concat(lit("shuffle:"), col("doc_id").cast("string"))).as("h"),
+      col("doc_id"))
+      .withColumn("block", substring(col("h"), 1, 2))
+    val w1 = Window.partitionBy(col("block")).orderBy(col("h"), col("doc_id"))
+    val w2 = Window.partitionBy(col("block"), col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    ord
+      .withColumn("grp", row_number().over(w1) - row_number().over(w2))
+      .groupBy(col("source"), col("block"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("source"))
+      .agg(sum(col("run_len")).as("n_docs"),
+        count(lit(1)).as("n_runs"),
+        max(col("run_len")).as("max_run"))
+      .withColumn("interleave_bp",
+        expr("n_runs * 10000 div n_docs"))
+      .orderBy(col("source"))
+  }
 }

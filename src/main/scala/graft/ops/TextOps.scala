@@ -1734,5 +1734,56 @@ object TextOps {
                max(run_len) + 3 AS max_span_words
              FROM rl GROUP BY doc_id
              ORDER BY doc_id""")),
+
+    // ---- split-drift audit: per (split × lang) the doc count and the
+    //      lang's share WITHIN its split in basis points, against the
+    //      train split's share of the same lang — validation/test are
+    //      only trustworthy if they are distributionally exchangeable
+    //      with train, and a hash split (q65) guarantees that only in
+    //      expectation; this measures the realized drift before anyone
+    //      reads a validation metric. Pure int64 (shares by floor
+    //      division), two tiny groupBys + one lang-keyed self-join on
+    //      the ≤ splits×langs frame. ----
+    "q131_split_drift" -> QueryDef(
+      (s, dir) => {
+        val b = expr("""cast(conv(substring(md5(concat('split:',
+                   cast(doc_id as string))), 1, 14), 16, 10) as long) % 10""")
+        val cnt = Tables.load(s, dir, "documents")
+          .withColumn("split",
+            when(b < 8, "train").when(b === 8, "validation").otherwise("test"))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("share_bp", expr(
+            "n_docs * 10000 div sum(n_docs) OVER (PARTITION BY split)"))
+        val train = cnt.filter(col("split") === "train")
+          .select(col("lang"), col("share_bp").as("train_share_bp"))
+        cnt.join(train, Seq("lang"), "left_outer")
+          .select(col("split"), col("lang"), col("n_docs"), col("share_bp"),
+            coalesce(col("train_share_bp"), lit(0L)).as("train_share_bp"),
+            abs(col("share_bp") - coalesce(col("train_share_bp"), lit(0L)))
+              .as("drift_bp"))
+          .orderBy(col("split"), col("lang"))
+      },
+      Some("""WITH t AS (
+               SELECT lang,
+                 CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'validation'
+                      ELSE 'test' END AS split
+               FROM (SELECT lang,
+                 CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 14))
+                   AS BIGINT) % 10 AS b
+                 FROM documents)),
+             cnt AS (
+               SELECT split, lang, count(*) AS n_docs,
+                 count(*) * 10000 // CAST(sum(count(*))
+                   OVER (PARTITION BY split) AS BIGINT) AS share_bp
+               FROM t GROUP BY split, lang),
+             tr AS (
+               SELECT lang, share_bp AS train_share_bp FROM cnt
+               WHERE split = 'train')
+             SELECT c.split, c.lang, c.n_docs, c.share_bp,
+               coalesce(tr.train_share_bp, 0) AS train_share_bp,
+               abs(c.share_bp - coalesce(tr.train_share_bp, 0)) AS drift_bp
+             FROM cnt c LEFT JOIN tr ON c.lang = tr.lang
+             ORDER BY c.split, c.lang""")),
   )
 }

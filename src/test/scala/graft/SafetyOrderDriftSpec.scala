@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Scrub, Sharding}
+
+/** Specs for q129 blocklist filter, q130 interleave audit, q131 split
+  * drift (the drift query is pinned by its oracle; here we pin the two
+  * operators with planted inputs). */
+class SafetyOrderDriftSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("q129: per-category thresholds flag exactly the offending docs") {
+    val docs = Seq(
+      // 8 "slow" hits -> latency category reaches the threshold
+      (1L, "a", Seq.fill(8)("slow").mkString(" ") + " table join"),
+      // 7 + 7 split across categories -> neither reaches 8, not flagged
+      (2L, "a", (Seq.fill(7)("slow") ++ Seq.fill(7)("scan")).mkString(" ")),
+      // clean doc
+      (3L, "b", "table join merge"),
+      // 5 scan + 3 sort = 8 scanheavy hits -> flagged
+      (4L, "b", (Seq.fill(5)("scan") ++ Seq.fill(3)("sort")).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = Scrub.blocklistFilter(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((2L, 1L, 15L, 7L)))  // docs, flagged, latency, scanheavy
+    assert(got("b") == ((2L, 1L, 0L, 8L)))
+  }
+
+  test("q130: runs partition the corpus; a one-source corpus is one run per block") {
+    val mixed = spark.range(0, 300).select(col("id").as("doc_id"),
+      concat(lit("s"), (col("id") % 3).cast("string")).as("source"))
+    val audit = Sharding.interleaveAudit(mixed).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(audit.map(_._2).sum == 300L)            // every doc in exactly one run
+    for ((_, nDocs, nRuns, maxRun, bp) <- audit) {
+      assert(nRuns >= 1 && nRuns <= nDocs && maxRun <= nDocs)
+      assert(bp == nRuns * 10000 / nDocs && bp > 0 && bp <= 10000)
+    }
+    // degenerate order: single source -> exactly one run per touched block
+    val solo = spark.range(0, 100).select(col("id").as("doc_id"),
+      lit("only").as("source"))
+    val nBlocks = solo
+      .select(substring(md5(concat(lit("shuffle:"),
+        col("doc_id").cast("string"))), 1, 2)).distinct().count()
+    val soloAudit = Sharding.interleaveAudit(solo).collect().head
+    assert(soloAudit.getLong(2) == nBlocks)
+  }
+
+  test("q130: audit is invariant under input repartitioning") {
+    val docs = spark.range(0, 200).select(col("id").as("doc_id"),
+      concat(lit("s"), (col("id") % 4).cast("string")).as("source"))
+    val a = Sharding.interleaveAudit(docs).collect().toSeq
+    val b = Sharding.interleaveAudit(docs.repartition(13)).collect().toSeq
+    assert(a == b)
+  }
+}
