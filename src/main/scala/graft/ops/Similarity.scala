@@ -220,16 +220,22 @@ object Similarity {
     // instead of trusting a half-written inverted file
     corpusCells.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$outDir/cells.parquet")
-    fingerprint.foreach { fp =>
-      val p = new org.apache.hadoop.fs.Path(s"$outDir/manifest.json")
-      val fs = p.getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration)
-      val out = fs.create(p, true)
-      try out.write(s"""{"corpus":"$fp"}""".getBytes("UTF-8"))
-      finally out.close()
-    }
+    fingerprint.foreach(writeIvfManifest(emb.sparkSession, outDir, _))
     cents.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/centroids.parquet")
     n.unpersist()
+  }
+
+  /** Write `manifest.json` carrying the corpus fingerprint an index dir
+    * is validated against before serving (shared by the one-shot build
+    * and q132's compaction). */
+  private def writeIvfManifest(s: SparkSession, dir: String,
+      fp: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/manifest.json")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"corpus":"$fp"}""".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Content fingerprint of a data dir's embeddings table, resolved
@@ -702,6 +708,62 @@ object Similarity {
       },
       // one IVF oracle per engine: q98 is ivfDuckSql with the seed set
       // restricted to the base corpus
+      Some(ivfDuckSql(s"vec_id < $IvfCells AND vec_id % 5 <> 4"))),
+
+    // ---- index COMPACTION: q98's append leaves the delta outside the
+    //      partitioned inverted file — after enough ingest cycles a
+    //      probe reads one clean partition plus k delta fragments, and
+    //      locality degrades. Compaction is the recurring maintenance
+    //      op that folds the delta INTO the lists and reinstalls the
+    //      index as a fresh partitioned write (atomic tmp-build+rename,
+    //      the same install discipline as the base build). The served
+    //      result must be byte-identical to q98's merged-view serve —
+    //      the oracle IS q98's, so the hash gate certifies compaction
+    //      changes the LAYOUT and nothing else. Scale: the rewrite
+    //      shuffles each vector once on its cell key; centroids are
+    //      copied untouched. ----
+    "q132_ivf_compact_topk" -> QueryDef(
+      (s, dir) => {
+        graft.expr.VectorExpressions.register(s)
+        val emb = Tables.load(s, dir, "embeddings")
+        val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 4)
+        val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 4)
+        val fp = corpusFingerprint(s, dir)
+        val baseIdx = ivfIndexDirFor(s, dir) + "_base"
+        ensureIvfIndex(s, baseIdx, fp, ivfIndexConf(s).isDefined)(tmp =>
+          writeIvfIndex(base, tmp, Some(fp)))
+        val compIdx = ivfIndexDirFor(s, dir) + "_compact"
+        ensureIvfIndex(s, compIdx, fp, ivfIndexConf(s).isDefined) { tmp =>
+          val cents = s.read.parquet(s"$baseIdx/centroids.parquet")
+          val baseCells = s.read.parquet(s"$baseIdx/cells.parquet")
+            .select(col("vec_id"), col("de"), col("nrm"),
+              col("cell").cast("long").as("cell"))
+          val wA = Window.partitionBy(col("vec_id"))
+            .orderBy(col("ccos").desc, col("cid"))
+          val deltaCells = normedFrom(delta).join(broadcast(cents))
+            .withColumn("ccos",
+              expr(dotExpr("de", "cde")) / (col("nrm") * col("cnrm")))
+            .withColumn("crank", row_number().over(wA))
+            .filter(col("crank") === 1)
+            .select(col("vec_id"), col("de"), col("nrm"),
+              col("cid").as("cell"))
+          baseCells.unionByName(deltaCells)
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$tmp/cells.parquet")
+          writeIvfManifest(s, tmp, fp)
+          cents.coalesce(1).write.mode("overwrite")
+            .parquet(s"$tmp/centroids.parquet")
+        }
+        val queries = normed(s, dir).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("de").as("qe"),
+            col("nrm").as("qn"))
+        ivfServe(s.read.parquet(s"$compIdx/centroids.parquet"),
+          s.read.parquet(s"$compIdx/cells.parquet")
+            .select(col("vec_id"), col("de"), col("nrm"),
+              col("cell").cast("long").as("cell")),
+          queries)
+      },
+      // compaction must not change answers: the oracle is exactly q98's
       Some(ivfDuckSql(s"vec_id < $IvfCells AND vec_id % 5 <> 4"))),
 
     // ---- brute-force cosine top-3 for queries vec_id < 10 ----

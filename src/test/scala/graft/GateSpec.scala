@@ -169,6 +169,10 @@ class PlanGateSpec extends AnyFunSuite {
     "q85_semantic_dedup", "q87_mixture_weights", "q89_unigram_surprisal",
     "q90_curation_ledger", "q92_split_leakage", "q94_cluster_balanced_sample",
     "q97_ivf_index_topk", "q98_ivf_incremental_topk",
+    // q132: compaction reuses q98's two O(1)-build broadcasts — the
+    // 16 persisted centroids replicated to assign the delta during the
+    // rewrite and to probe the queries at serve time
+    "q132_ivf_compact_topk",
     // q101: q85's regime probe — the coarse-centroid broadcast (k1 tiny
     // rows) is the same K-row build side as q85's flat path
     "q101_semantic_dedup_hier",

@@ -1024,6 +1024,24 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.ivfIndexDir")
   }
 
+  test("q132 compacted index serves byte-identical rows to q98's merged view") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfc").toString
+    spark.conf.set("spark.graft.ivfIndexDir", dir)
+    try {
+      val compacted = SparkEntry.queries("q132_ivf_compact_topk")(spark, sf)
+        .collect().toSeq
+      val merged = SparkEntry.queries("q98_ivf_incremental_topk")(spark, sf)
+        .collect().toSeq
+      assert(compacted == merged,
+        "compaction must change the layout, never the answer")
+      // the compacted install is a real partitioned index: one partition
+      // per cell, no delta fragments on the side
+      val cellDirs = new java.io.File(s"${dir}_compact/cells.parquet")
+        .listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      assert(cellDirs.nonEmpty, "compacted inverted file must be cell-partitioned")
+    } finally spark.conf.unset("spark.graft.ivfIndexDir")
+  }
+
   test("q116 nprobe sweep: recall and candidate cost are monotone; nprobe=2 row equals q102's ivf row") {
     val sweep = SparkEntry.queries("q116_ivf_nprobe_sweep")(spark, sf)
       .collect()
