@@ -49,8 +49,12 @@ object Scrub {
     "slow" -> "latency", "big" -> "latency", "spill" -> "latency",
     "scan" -> "scanheavy", "sort" -> "scanheavy")
 
-  /** Per-category hits at or above this count flag the document. */
-  val BlocklistThreshold = 8
+  /** Per-category hits at or above this count flag the document. Tuned
+    * so the flag marks a small minority of the synthetic corpus (~3 % at
+    * sf0.01) — a deny list that eats double-digit percentages of a
+    * corpus is a broken list, and a degenerate all-flagged column would
+    * weaken the q117 ledger's keep conjunction. */
+  val BlocklistThreshold = 10
 
   private def BlocklistDuckValues: String =
     Blocklist.map { case (t, c) => s"('$t', '$c')" }.mkString(", ")
@@ -440,9 +444,11 @@ object Scrub {
     // ---- FULL curation ledger (VERDICT r8 item 5): q90 extended with
     //      the round-8 verdict columns — image near-dup (q104's pHash
     //      pipeline, REAL PNG decode path), semantic benchmark
-    //      decontamination (q110), and CDC chunk-level duplication
+    //      decontamination (q110), CDC chunk-level duplication
     //      (q111, flagged when shared chunks carry ≥ half the doc's
-    //      tokens). Every verdict reuses its owning operator's canonical
+    //      tokens), span contamination (q128, a ≥ SpanRunGate-gram
+    //      verbatim run against the eval set), and the categorized
+    //      blocklist (q129). Every verdict reuses its owning operator's canonical
     //      definition on BOTH sides: the Spark plan calls the operator's
     //      own function ([[graft.ops.Multimodal.phashPairs]],
     //      [[graft.ops.Similarity.semanticDecontam]],
@@ -501,27 +507,42 @@ object Scrub {
           .filter(col("dup") * 2 >= col("tot"))
           .select(col("doc_id"))
           .withColumn("chunk_hit", lit(1))
+        val spanContam = TextOps.contaminationSpans(docs)
+          .filter(col("max_run_grams") >= TextOps.SpanRunGate)
+          .select(col("doc_id"))
+          .withColumn("span_hit", lit(1))
+        val blocked = blocklistDocVerdicts(docs)
+          .filter(col("latency_hits") >= BlocklistThreshold or
+            col("scanheavy_hits") >= BlocklistThreshold)
+          .select(col("doc_id"))
+          .withColumn("bl_hit", lit(1))
         base
           .join(semDropped, Seq("doc_id"), "left")
           .join(contaminated, Seq("doc_id"), "left")
           .join(imgDup, Seq("doc_id"), "left")
           .join(decontam, Seq("doc_id"), "left")
           .join(chunkDup, Seq("doc_id"), "left")
+          .join(spanContam, Seq("doc_id"), "left")
+          .join(blocked, Seq("doc_id"), "left")
           .withColumn("is_sem_dropped", coalesce(col("sem_hit"), lit(0)))
           .withColumn("is_contaminated", coalesce(col("cont_hit"), lit(0)))
           .withColumn("is_image_dup", coalesce(col("img_hit"), lit(0)))
           .withColumn("is_decontam_hit", coalesce(col("dec_hit"), lit(0)))
           .withColumn("is_chunk_dup", coalesce(col("chunk_hit"), lit(0)))
+          .withColumn("is_span_contam", coalesce(col("span_hit"), lit(0)))
+          .withColumn("is_blocklisted", coalesce(col("bl_hit"), lit(0)))
           .withColumn("keep",
             when(col("is_exact_dup") === 0 && col("is_sem_dropped") === 0 &&
               col("is_contaminated") === 0 && col("is_image_dup") === 0 &&
               col("is_decontam_hit") === 0 && col("is_chunk_dup") === 0 &&
+              col("is_span_contam") === 0 && col("is_blocklisted") === 0 &&
               col("quality_score") >= 0.5, 1)
               .otherwise(0))
           .select(col("doc_id"), col("source"), col("quality_score"),
             col("is_exact_dup"), col("is_sem_dropped"),
             col("is_contaminated"), col("is_image_dup"),
-            col("is_decontam_hit"), col("is_chunk_dup"), col("keep"))
+            col("is_decontam_hit"), col("is_chunk_dup"),
+            col("is_span_contam"), col("is_blocklisted"), col("keep"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH ${Clustering.semanticDedupDuckCtes()},
@@ -547,6 +568,30 @@ object Scrub {
                  FROM cdc_h JOIN cdc_cnt USING (chunk_hash)
                  GROUP BY doc_id)
                WHERE dup * 2 >= tot),
+             ${TextOps.posGramDuckCtes},
+             spanruns AS (
+               SELECT pg.doc_id,
+                 pg.i - row_number() OVER (PARTITION BY pg.doc_id
+                   ORDER BY pg.i) AS grp
+               FROM pg
+               JOIN documents d USING (doc_id)
+               JOIN ev USING (s)
+               WHERE d.source <> 'src0'),
+             spanc AS (
+               SELECT DISTINCT doc_id FROM (
+                 SELECT doc_id, grp, count(*) AS c FROM spanruns
+                 GROUP BY doc_id, grp)
+               WHERE c >= ${TextOps.SpanRunGate}),
+             bl(term, category) AS (VALUES $BlocklistDuckValues),
+             blocked AS (
+               SELECT DISTINCT doc_id FROM (
+                 SELECT t.doc_id, blc.category, count(*) AS n
+                 FROM (SELECT doc_id,
+                         unnest(string_split_regex(lower(text), ' +')) AS term
+                       FROM documents) t
+                 JOIN bl blc USING (term)
+                 GROUP BY t.doc_id, blc.category)
+               WHERE n >= $BlocklistThreshold),
              base AS (
                SELECT doc_id, source,
                  round(${Quality.duckScore("text")}, 4) AS quality_score,
@@ -564,9 +609,14 @@ object Scrub {
                  AS is_decontam_hit,
                CASE WHEN chunk.doc_id IS NOT NULL THEN 1 ELSE 0 END
                  AS is_chunk_dup,
+               CASE WHEN spanc.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                 AS is_span_contam,
+               CASE WHEN blocked.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                 AS is_blocklisted,
                CASE WHEN b.is_exact_dup = 0 AND sem.doc_id IS NULL
                      AND cont.doc_id IS NULL AND img.doc_id IS NULL
                      AND dec.doc_id IS NULL AND chunk.doc_id IS NULL
+                     AND spanc.doc_id IS NULL AND blocked.doc_id IS NULL
                      AND b.quality_score >= 0.5
                  THEN 1 ELSE 0 END AS keep
              FROM base b
@@ -575,6 +625,8 @@ object Scrub {
              LEFT JOIN img ON b.doc_id = img.doc_id
              LEFT JOIN dec ON b.doc_id = dec.doc_id
              LEFT JOIN chunk ON b.doc_id = chunk.doc_id
+             LEFT JOIN spanc ON b.doc_id = spanc.doc_id
+             LEFT JOIN blocked ON b.doc_id = blocked.doc_id
              ORDER BY b.doc_id""")),
 
     // ---- dictionary blocklist filter (the C4 "badwords" stage): a
@@ -619,12 +671,10 @@ object Scrub {
              ORDER BY source""")),
   )
 
-  /** q129's pipeline over a (doc_id, source, text) frame: token explode,
-    * broadcast join against the categorized deny list, per-doc per-
-    * category hit counts, flag when any category reaches
-    * [[BlocklistThreshold]], per-source rollup. Exposed for planted-term
-    * specs. */
-  def blocklistFilter(docs: DataFrame): DataFrame = {
+  /** Per-document blocklist verdict frame (doc_id, source, latency_hits,
+    * scanheavy_hits) — the q129 building block the q117 ledger also
+    * consumes. */
+  def blocklistDocVerdicts(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bl = Blocklist.toDF("term", "category")
@@ -634,7 +684,7 @@ object Scrub {
       .join(broadcast(bl), "term")
       .groupBy(col("doc_id"), col("category"))
       .agg(count(lit(1)).as("n"))
-    val perDoc = docs.select(col("doc_id"), col("source"))
+    docs.select(col("doc_id"), col("source"))
       .join(hits, Seq("doc_id"), "left_outer")
       .groupBy(col("doc_id"), col("source"))
       .agg(
@@ -642,7 +692,15 @@ object Scrub {
           .as("latency_hits"),
         coalesce(max(when(col("category") === "scanheavy", col("n"))), lit(0L))
           .as("scanheavy_hits"))
-    perDoc
+  }
+
+  /** q129's pipeline over a (doc_id, source, text) frame: token explode,
+    * broadcast join against the categorized deny list, per-doc per-
+    * category hit counts, flag when any category reaches
+    * [[BlocklistThreshold]], per-source rollup. Exposed for planted-term
+    * specs. */
+  def blocklistFilter(docs: DataFrame): DataFrame = {
+    blocklistDocVerdicts(docs)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("latency_hits") >= BlocklistThreshold or

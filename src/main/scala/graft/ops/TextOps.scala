@@ -37,6 +37,12 @@ object TextOps {
   /** The near-dup pipeline's 3-gram shingling. */
   def shingles(docs: DataFrame): DataFrame = wordShingles(docs, 3)
 
+  /** Span-contamination policy gate: a doc whose longest consecutive
+    * hit-gram run reaches this many 4-grams (= run + 3 words verbatim,
+    * so 10 grams ≈ a 13-word quote — the GPT-3-appendix-C order) is
+    * span-contaminated. Consumed by the q117 ledger. */
+  val SpanRunGate = 10
+
   /** POSITIONAL n-gram shingles — (doc_id, i, s) with i the 0-based word
     * offset, duplicates kept — for operators that need where a gram sits
     * (q128's contamination run-lengths), unlike [[wordShingles]]'s

@@ -13,21 +13,22 @@ class SafetyOrderDriftSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("q129: per-category thresholds flag exactly the offending docs") {
+    val t = Scrub.BlocklistThreshold
     val docs = Seq(
-      // 8 "slow" hits -> latency category reaches the threshold
-      (1L, "a", Seq.fill(8)("slow").mkString(" ") + " table join"),
-      // 7 + 7 split across categories -> neither reaches 8, not flagged
-      (2L, "a", (Seq.fill(7)("slow") ++ Seq.fill(7)("scan")).mkString(" ")),
+      // exactly t "slow" hits -> latency category reaches the threshold
+      (1L, "a", Seq.fill(t)("slow").mkString(" ") + " table join"),
+      // t-1 + t-1 split across categories -> neither reaches t, not flagged
+      (2L, "a", (Seq.fill(t - 1)("slow") ++ Seq.fill(t - 1)("scan")).mkString(" ")),
       // clean doc
       (3L, "b", "table join merge"),
-      // 5 scan + 3 sort = 8 scanheavy hits -> flagged
-      (4L, "b", (Seq.fill(5)("scan") ++ Seq.fill(3)("sort")).mkString(" ")))
+      // scan + sort sum to t scanheavy hits -> flagged
+      (4L, "b", (Seq.fill(t - 4)("scan") ++ Seq.fill(4)("sort")).mkString(" ")))
       .toDF("doc_id", "source", "text")
     val got = Scrub.blocklistFilter(docs).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-    assert(got("a") == ((2L, 1L, 15L, 7L)))  // docs, flagged, latency, scanheavy
-    assert(got("b") == ((2L, 1L, 0L, 8L)))
+    assert(got("a") == ((2L, 1L, (2L * t) - 1L, t - 1L)))  // docs, flagged, latency, scanheavy
+    assert(got("b") == ((2L, 1L, 0L, t.toLong)))
   }
 
   test("q130: runs partition the corpus; a one-source corpus is one run per block") {
