@@ -733,5 +733,120 @@ object Clustering {
                  AS sep_ratio
              FROM per GROUP BY cluster_id
              ORDER BY cluster_id""")),
+
+    // ---- embedding OUTLIER report: per cluster, members whose L1
+    //      distance to their own centroid exceeds twice the cluster's
+    //      lower-median distance — the mislabeled/noise/poisoned-vector
+    //      detector that runs before q85/q94 trust an assignment (the
+    //      NN-distance filter of the SemDeDup family, pointed at the
+    //      far tail instead of the near one). The 2×median gate
+    //      compares EXACT doubles (the sequential-fold distance against
+    //      an exact element value), so the flag set is bitwise
+    //      reproducible in both engines; only the two displayed
+    //      distances round. One broadcast assign + two cluster-keyed
+    //      windows — the q70 scale shape unchanged. ----
+    "q133_embedding_outliers" -> QueryDef(
+      (s, dir) => embeddingOutliers(Tables.load(s, dir, "embeddings")),
+      Some(s"""WITH n AS (
+               SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+               FROM embeddings),
+             c0 AS (SELECT vec_id AS cid, de AS cde FROM n WHERE vec_id < $K),
+             a1p AS (
+               SELECT n.vec_id, n.de, c0.cid, ${l1Duck("n.de", "c0.cde")} AS dist
+               FROM n CROSS JOIN c0),
+             a1 AS (
+               SELECT vec_id, de, cid AS cluster_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cid) AS crank
+                 FROM a1p) WHERE crank = 1),
+             dims1 AS (
+               SELECT cluster_id, generate_subscripts(de, 1) AS dim,
+                 unnest(de) AS v
+               FROM a1),
+             med1 AS (
+               SELECT cluster_id, dim, quantile_disc(v, 0.5) AS med
+               FROM dims1 GROUP BY cluster_id, dim),
+             c1 AS (
+               SELECT cluster_id AS cid, list(med ORDER BY dim) AS cde
+               FROM med1 GROUP BY cluster_id),
+             a2p AS (
+               SELECT n.vec_id, c1.cid, ${l1Duck("n.de", "c1.cde")} AS dist
+               FROM n CROSS JOIN c1),
+             a2 AS (
+               SELECT vec_id, cid AS cluster_id, dist FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cid) AS crank
+                 FROM a2p) WHERE crank = 1),
+             prof AS (
+               SELECT cluster_id, count(*) AS n_members,
+                 quantile_disc(dist, 0.5) AS med
+               FROM a2 GROUP BY cluster_id),
+             flagged AS (
+               SELECT a2.cluster_id, a2.vec_id, a2.dist
+               FROM a2 JOIN prof USING (cluster_id)
+               WHERE a2.dist > 2 * prof.med),
+             oc AS (
+               SELECT cluster_id, count(*) AS n_outliers FROM flagged
+               GROUP BY cluster_id),
+             top AS (
+               SELECT cluster_id, vec_id AS top_outlier_id,
+                 round(dist, 4) AS top_dist
+               FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY dist DESC, vec_id) AS orank
+                     FROM flagged)
+               WHERE orank = 1)
+             SELECT p.cluster_id, p.n_members, round(p.med, 4) AS med_l1,
+               coalesce(oc.n_outliers, 0) AS n_outliers,
+               coalesce(top.top_outlier_id, -1) AS top_outlier_id,
+               coalesce(top.top_dist, 0.0) AS top_dist
+             FROM prof p
+             LEFT JOIN oc USING (cluster_id)
+             LEFT JOIN top USING (cluster_id)
+             ORDER BY p.cluster_id""")),
   )
+
+  /** q133's pipeline over a raw (vec_id, embedding) frame, exposed for
+    * planted-outlier specs: train exactly as q70, then flag members
+    * whose distance exceeds twice their cluster's lower-median. */
+  def embeddingOutliers(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val n = emb
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("de", expr(toDouble))
+      .select(col("vec_id"), col("de"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents0 = n.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("de").as("cde"))
+    val a2 = assign(n, updateCentroids(assign(n, cents0)))
+    val wSort = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    val wCnt = Window.partitionBy(col("cluster_id"))
+    val prof = a2
+      .withColumn("rn", row_number().over(wSort))
+      .withColumn("cnt", count(lit(1)).over(wCnt))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("cluster_id"), col("cnt").as("n_members"),
+        col("dist").as("med"))
+    val flagged = a2.select(col("cluster_id"), col("vec_id"), col("dist"))
+      .join(prof.select(col("cluster_id"), col("med")), "cluster_id")
+      .filter(col("dist") > lit(2d) * col("med"))
+    val oc = flagged.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_outliers"))
+    val wTop = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("dist").desc, col("vec_id"))
+    val top = flagged.withColumn("orank", row_number().over(wTop))
+      .filter(col("orank") === 1)
+      .select(col("cluster_id"), col("vec_id").as("top_outlier_id"),
+        round(col("dist"), 4).as("top_dist"))
+    prof
+      .join(oc, Seq("cluster_id"), "left_outer")
+      .join(top, Seq("cluster_id"), "left_outer")
+      .select(col("cluster_id"), col("n_members"),
+        round(col("med"), 4).as("med_l1"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"),
+        coalesce(col("top_outlier_id"), lit(-1L)).as("top_outlier_id"),
+        coalesce(col("top_dist"), lit(0d)).as("top_dist"))
+      .orderBy(col("cluster_id"))
+  }
 }

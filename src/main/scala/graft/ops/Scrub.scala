@@ -59,6 +59,21 @@ object Scrub {
   private def BlocklistDuckValues: String =
     Blocklist.map { case (t, c) => s"('$t', '$c')" }.mkString(", ")
 
+  /** DuckDB CTEs `bl` + `blocked` (distinct flagged doc_id at
+    * [[BlocklistThreshold]]) — the shared oracle mirror of
+    * [[blocklistDocVerdicts]]'s verdict, spliced by q117 and q134. */
+  private[ops] def blockedDuckCtes: String =
+    s"""bl(term, category) AS (VALUES $BlocklistDuckValues),
+             blocked AS (
+               SELECT DISTINCT doc_id FROM (
+                 SELECT t.doc_id, blc.category, count(*) AS n
+                 FROM (SELECT doc_id,
+                         unnest(string_split_regex(lower(text), ' +')) AS term
+                       FROM documents) t
+                 JOIN bl blc USING (term)
+                 GROUP BY t.doc_id, blc.category)
+               WHERE n >= $BlocklistThreshold)"""
+
   /** q107's operator over a (doc_id, source, text) frame — deterministic
     * QUALITY-WEIGHTED sampling, the biased upgrade of q80's uniform
     * quota: weight w = 1 + floor(10·quality) (the shared [[Quality]]
@@ -582,16 +597,7 @@ object Scrub {
                  SELECT doc_id, grp, count(*) AS c FROM spanruns
                  GROUP BY doc_id, grp)
                WHERE c >= ${TextOps.SpanRunGate}),
-             bl(term, category) AS (VALUES $BlocklistDuckValues),
-             blocked AS (
-               SELECT DISTINCT doc_id FROM (
-                 SELECT t.doc_id, blc.category, count(*) AS n
-                 FROM (SELECT doc_id,
-                         unnest(string_split_regex(lower(text), ' +')) AS term
-                       FROM documents) t
-                 JOIN bl blc USING (term)
-                 GROUP BY t.doc_id, blc.category)
-               WHERE n >= $BlocklistThreshold),
+             $blockedDuckCtes,
              base AS (
                SELECT doc_id, source,
                  round(${Quality.duckScore("text")}, 4) AS quality_score,

@@ -1791,5 +1791,40 @@ object TextOps {
                abs(c.share_bp - coalesce(tr.train_share_bp, 0)) AS drift_bp
              FROM cnt c LEFT JOIN tr ON c.lang = tr.lang
              ORDER BY c.split, c.lang""")),
+
+    // ---- leaked-benchmark-items report: q58 asks "which TRAINING docs
+    //      are contaminated"; the eval-set owner asks the inverse —
+    //      WHICH benchmark items leaked, and how widely. Per eval doc:
+    //      distinct training docs sharing any 4-gram and distinct
+    //      leaked grams. A benchmark item found in hundreds of training
+    //      docs is boilerplate (discount it); one found in exactly one
+    //      is a verbatim leak (drop the doc, or retire the item). Same
+    //      broadcast shape as q58 with the small side keyed per eval
+    //      doc. ----
+    "q135_leaked_eval_items" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val ev = wordShingles(docs.filter(col("source") === "src0"), 4)
+          .select(col("doc_id").as("eval_doc"), col("s"))
+        val tr = wordShingles(docs.filter(col("source") =!= "src0"), 4)
+        tr.join(broadcast(ev), "s")
+          .groupBy(col("eval_doc"))
+          .agg(countDistinct(col("doc_id")).as("n_train_docs"),
+            countDistinct(col("s")).as("n_leaked_grams"))
+          .orderBy(col("eval_doc"))
+      },
+      Some(s"""WITH $fourGramDuckCtes,
+             evd AS (
+               SELECT g.doc_id AS eval_doc, g.s FROM g
+               JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
+             trg AS (
+               SELECT g.doc_id, g.s FROM g
+               JOIN documents d USING (doc_id) WHERE d.source <> 'src0')
+             SELECT eval_doc,
+               count(DISTINCT trg.doc_id) AS n_train_docs,
+               count(DISTINCT evd.s) AS n_leaked_grams
+             FROM evd JOIN trg ON evd.s = trg.s
+             GROUP BY eval_doc
+             ORDER BY eval_doc""")),
   )
 }

@@ -499,5 +499,64 @@ object WebPrep {
                FROM u)
              WHERE rk <= $DomainQuota
              ORDER BY domain, rk""")),
+
+    // ---- domain QUALITY rollup — the crawl-frontier prioritization
+    //      table: per registered domain (shared canonicalization), the
+    //      dup-URL rate, mean quality, and blocklist-hit mass a
+    //      scheduler reads to decide which domains deserve more crawl
+    //      budget and which get cut. The quality mean is an INTEGER
+    //      surrogate (each doc's 4-dp-rounded score scaled to 1e-4
+    //      units and floor-divided) so the aggregate never touches an
+    //      order-sensitive float sum. One token-explode broadcast join
+    //      (q129's verdict) + one domain-keyed groupBy. ----
+    "q134_domain_quality" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val dom = canonicalizeUrls(docs
+          .select(col("doc_id"), col("source"), expr(urlSynthSpark).as("url")))
+          .select(col("doc_id"), col("domain"), col("canon_url"))
+        val q = docs.select(col("doc_id"),
+          round(round(Quality.score(col("text")), 4) * 10000, 0)
+            .cast("long").as("qint"))
+        val blocked = Scrub.blocklistDocVerdicts(docs)
+          .filter(col("latency_hits") >= Scrub.BlocklistThreshold or
+            col("scanheavy_hits") >= Scrub.BlocklistThreshold)
+          .select(col("doc_id")).withColumn("bl_hit", lit(1L))
+        dom.join(q, "doc_id")
+          .join(blocked, Seq("doc_id"), "left_outer")
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("canon_url")).as("n_urls"),
+            sum(col("qint")).as("qsum"),
+            sum(coalesce(col("bl_hit"), lit(0L))).as("n_blocklisted"))
+          .select(col("domain"), col("n_docs"), col("n_urls"),
+            expr("(n_docs - n_urls) * 10000 div n_docs").as("dup_bp"),
+            expr("qsum div n_docs").as("mean_q_e4"),
+            col("n_blocklisted"))
+          .orderBy(col("domain"))
+      },
+      Some(s"""WITH $urlDuckCtes,
+             q AS (
+               SELECT doc_id,
+                 CAST(round(round(${Quality.duckScore("text")}, 4) * 10000, 0)
+                   AS BIGINT) AS qint
+               FROM documents),
+             ${Scrub.blockedDuckCtes},
+             agg AS (
+               SELECT u.domain, count(*) AS n_docs,
+                 count(DISTINCT u.canon_url) AS n_urls,
+                 CAST(sum(q.qint) AS BIGINT) AS qsum,
+                 CAST(sum(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_blocklisted
+               FROM u
+               JOIN q USING (doc_id)
+               LEFT JOIN blocked b ON u.doc_id = b.doc_id
+               GROUP BY u.domain)
+             SELECT domain, n_docs, n_urls,
+               (n_docs - n_urls) * 10000 // n_docs AS dup_bp,
+               qsum // n_docs AS mean_q_e4,
+               n_blocklisted
+             FROM agg
+             ORDER BY domain""")),
   )
 }

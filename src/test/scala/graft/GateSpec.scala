@@ -173,6 +173,9 @@ class PlanGateSpec extends AnyFunSuite {
     // 16 persisted centroids replicated to assign the delta during the
     // rewrite and to probe the queries at serve time
     "q132_ivf_compact_topk",
+    // q133: the outlier report runs q70's two broadcast assigns (K-row
+    // centroid build side, a constant)
+    "q133_embedding_outliers",
     // q101: q85's regime probe — the coarse-centroid broadcast (k1 tiny
     // rows) is the same K-row build side as q85's flat path
     "q101_semantic_dedup_hier",

@@ -52,6 +52,18 @@ class SafetyOrderDriftSpec extends AnyFunSuite {
     assert(soloAudit.getLong(2) == nBlocks)
   }
 
+  test("q133: a planted far vector is flagged as its cluster's top outlier") {
+    val tight = Seq.fill(64)(1.0)
+    val far = Seq.fill(64)(9.0)
+    val rows = (0L to 14L).map(id => (id, tight)) :+ (15L, far)
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = graft.ops.Clustering.embeddingOutliers(emb).collect()
+    assert(got.map(_.getLong(1)).sum == 16L)          // every vector profiled
+    val flagged = got.filter(_.getLong(3) > 0)
+    assert(flagged.length == 1 && flagged.head.getLong(3) == 1L)
+    assert(flagged.head.getLong(4) == 15L)            // the planted outlier
+  }
+
   test("q130: audit is invariant under input repartitioning") {
     val docs = spark.range(0, 200).select(col("id").as("doc_id"),
       concat(lit("s"), (col("id") % 4).cast("string")).as("source"))
