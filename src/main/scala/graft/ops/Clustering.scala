@@ -818,7 +818,13 @@ object Clustering {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents0 = n.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("de").as("cde"))
+    // a2 feeds THREE consumers (profile, flag filter, top-outlier rank);
+    // unpinned, the whole two-assign training recomputes per consumer
+    // (measured 4.2 s steady vs 1.26 s for single-consumer q70) —
+    // session hygiene evicts it (Verify/Bench clearCache between queries)
     val a2 = assign(n, updateCentroids(assign(n, cents0)))
+      .select(col("vec_id"), col("cluster_id"), col("dist"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wSort = Window.partitionBy(col("cluster_id"))
       .orderBy(col("dist"), col("vec_id"))
     val wCnt = Window.partitionBy(col("cluster_id"))
