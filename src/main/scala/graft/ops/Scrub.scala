@@ -675,7 +675,62 @@ object Scrub {
              FROM per_doc
              GROUP BY source
              ORDER BY source""")),
+
+    // ---- quality-score CALIBRATION: per quality decile, the realized
+    //      exact-dup and blocklist rates — the cross-signal sanity
+    //      check run before anyone trusts a score threshold (a quality
+    //      score worth filtering on should anti-correlate with spam
+    //      signals; a flat curve means the score is noise). Integer
+    //      surrogate deciles (the q134 trick) so bucketing never
+    //      touches float comparison; two groupBys + the broadcast
+    //      blocklist verdict. ----
+    "q137_quality_calibration" -> QueryDef(
+      (s, dir) => qualityCalibration(Tables.load(s, dir, "documents")),
+      Some(s"""WITH base AS (
+               SELECT doc_id,
+                 least(CAST(round(round(${Quality.duckScore("text")}, 4)
+                   * 10000, 0) AS BIGINT) // 1000, 9) AS decile,
+                 CASE WHEN row_number() OVER (PARTITION BY md5(text)
+                     ORDER BY doc_id) > 1 THEN 1 ELSE 0 END AS is_dup
+               FROM documents),
+             $blockedDuckCtes
+             SELECT decile, count(*) AS n_docs,
+               CAST(sum(is_dup) AS BIGINT) * 10000 // count(*) AS dup_bp,
+               CAST(sum(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) * 10000 // count(*) AS blocked_bp
+             FROM base
+             LEFT JOIN blocked b USING (doc_id)
+             GROUP BY decile
+             ORDER BY decile""")),
   )
+
+  /** q137's decile calibration over a (doc_id, source, text) frame:
+    * quality deciles (integer surrogate score, 1e-4 units, bucket 1000
+    * wide, top bucket capped at 9) against realized exact-dup and
+    * blocklist rates. Exposed for planted-correlation specs. */
+  def qualityCalibration(docs: DataFrame): DataFrame = {
+    val wDup = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val base = docs
+      .withColumn("h", md5(col("text")))
+      .withColumn("qint",
+        round(round(Quality.score(col("text")), 4) * 10000, 0).cast("long"))
+      .withColumn("decile", least(expr("qint div 1000"), lit(9L)))
+      .withColumn("is_dup",
+        when(row_number().over(wDup) > 1, 1L).otherwise(0L))
+    val blocked = blocklistDocVerdicts(docs)
+      .filter(col("latency_hits") >= BlocklistThreshold or
+        col("scanheavy_hits") >= BlocklistThreshold)
+      .select(col("doc_id")).withColumn("bl_hit", lit(1L))
+    base.join(blocked, Seq("doc_id"), "left_outer")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).as("n_dup"),
+        sum(coalesce(col("bl_hit"), lit(0L))).as("n_blocked"))
+      .select(col("decile"), col("n_docs"),
+        expr("n_dup * 10000 div n_docs").as("dup_bp"),
+        expr("n_blocked * 10000 div n_docs").as("blocked_bp"))
+      .orderBy(col("decile"))
+  }
 
   /** Per-document blocklist verdict frame (doc_id, source, latency_hits,
     * scanheavy_hits) — the q129 building block the q117 ledger also

@@ -127,5 +127,71 @@ object Snapshot {
              FROM diff
              GROUP BY source, status
              ORDER BY source, status""")),
+
+    // ---- DELTA-ONLY dedup: the q125 diff feeding q74's incremental
+    //      dedup — exactly the composition a recurring pipeline runs
+    //      (never re-dedup the world; dedup the added+changed docs
+    //      against the previous snapshot's content keys). Per source:
+    //      delta size, within-delta unique keepers, and truly novel
+    //      content (absent from the previous snapshot). The changed-doc
+    //      class makes this strictly richer than q74's modulo batch: a
+    //      changed doc's OLD hash sits in the base key set, so only a
+    //      real text change survives the anti-join. Scale: hash keys
+    //      computed map-side, one groupBy + one left-anti equi-join on
+    //      the 32-char key — the delta, not the corpus, is the join's
+    //      probe side. ----
+    "q136_delta_dedup" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val prev = previousSnapshot(docs)
+        val cur = currentSnapshot(docs)
+        val deltaIds = snapshotDiff(prev, cur)
+          .filter(col("status").isin("added", "changed"))
+          .select(col("doc_id"))
+        val delta = cur.join(deltaIds, "doc_id")
+        val baseKeys = prev.select(col("h")).distinct()
+        val keepers = delta.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("keeper_id"),
+            expr("min_by(source, doc_id)").as("source"))
+        val novel = keepers.join(baseKeys, Seq("h"), "left_anti")
+        val nDelta = delta.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_delta"))
+        val nUnique = keepers.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_unique"))
+        val nNovel = novel.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_novel"))
+        nDelta
+          .join(nUnique, Seq("source"), "left_outer")
+          .join(nNovel, Seq("source"), "left_outer")
+          .select(col("source"), col("n_delta"),
+            coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH $diffDuckCtes,
+             delta AS (
+               SELECT c.doc_id, c.source, c.h FROM cur c
+               JOIN diff ON c.doc_id = diff.doc_id
+               WHERE diff.status IN ('added', 'changed')),
+             basekeys AS (SELECT DISTINCT h FROM prev),
+             keepers AS (
+               SELECT h, min(doc_id) AS keeper_id,
+                 min_by(source, doc_id) AS source
+               FROM delta GROUP BY h),
+             novel AS (
+               SELECT k.* FROM keepers k ANTI JOIN basekeys b USING (h)),
+             nd AS (SELECT source, count(*) AS n_delta FROM delta
+                    GROUP BY source),
+             nu AS (SELECT source, count(*) AS n_unique FROM keepers
+                    GROUP BY source),
+             nn AS (SELECT source, count(*) AS n_novel FROM novel
+                    GROUP BY source)
+             SELECT nd.source, nd.n_delta,
+               CAST(coalesce(nu.n_unique, 0) AS BIGINT) AS n_unique,
+               CAST(coalesce(nn.n_novel, 0) AS BIGINT) AS n_novel
+             FROM nd
+             LEFT JOIN nu USING (source)
+             LEFT JOIN nn USING (source)
+             ORDER BY nd.source""")),
   )
 }

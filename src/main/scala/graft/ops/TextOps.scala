@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -36,6 +36,54 @@ object TextOps {
 
   /** The near-dup pipeline's 3-gram shingling. */
   def shingles(docs: DataFrame): DataFrame = wordShingles(docs, 3)
+
+  /** q37/q138 shared per-language stopword regexes, in ARGMAX TIE-BREAK
+    * ORDER (equal hit counts resolve en > es > fr > de; zh has no set —
+    * an uncovered language falls to the first branch on all-zero hits,
+    * which q138 makes visible instead of hiding). */
+  private[ops] val LangStopRes: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|a)\\b",
+    "es" -> "\\b(el|la|los|de|que|y)\\b",
+    "fr" -> "\\b(le|les|et|des|un|une)\\b",
+    "de" -> "\\b(der|die|das|und|ein|zu)\\b")
+
+  /** The q37 argmax over per-language hit expressions supplied by `h` —
+    * ONE predictor definition for the standalone query and the q138
+    * confusion audit. */
+  private def predLangFrom(h: String => Column): Column =
+    when(h("en") >= h("es") && h("en") >= h("fr") && h("en") >= h("de"), "en")
+      .when(h("es") >= h("fr") && h("es") >= h("de"), "es")
+      .when(h("fr") >= h("de"), "fr")
+      .otherwise("de")
+
+  private def duckLangHits(l: String, text: String): String =
+    s"len(regexp_extract_all(lower($text), '${LangStopRes.toMap.apply(l)}'))"
+
+  /** DuckDB mirror of [[predLangFrom]] over a raw text column. */
+  private def predLangDuck(text: String): String = {
+    def h(l: String) = duckLangHits(l, text)
+    s"""CASE WHEN ${h("en")} >= ${h("es")} AND ${h("en")} >= ${h("fr")}
+                AND ${h("en")} >= ${h("de")} THEN 'en'
+           WHEN ${h("es")} >= ${h("fr")} AND ${h("es")} >= ${h("de")}
+             THEN 'es'
+           WHEN ${h("fr")} >= ${h("de")} THEN 'fr'
+           ELSE 'de' END"""
+  }
+
+  /** q138's pipeline over a (doc_id, lang, text) frame, exposed for
+    * planted multilingual specs. */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    val t = lower(col("text"))
+    docs
+      .select(col("lang").as("tagged_lang"),
+        predLangFrom(l => size(regexp_extract_all(t,
+          lit(LangStopRes.toMap.apply(l)), lit(0)))).as("pred_lang"))
+      .groupBy(col("tagged_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_bp", expr("n_docs * 10000 div sum(n_docs)" +
+        " OVER (PARTITION BY tagged_lang)"))
+      .orderBy(col("tagged_lang"), col("pred_lang"))
+  }
 
   /** Span-contamination policy gate: a doc whose longest consecutive
     * hit-gram run reaches this many 4-grams (= run + 3 words verbatim,
@@ -1069,44 +1117,50 @@ object TextOps {
       (s, dir) => bloomDecontam(Tables.load(s, dir, "documents")),
       None),
 
-    // ---- language ID: stopword-hit scoring, deterministic argmax ----
+    // ---- language ID: stopword-hit scoring, deterministic argmax
+    //      (predictor defined ONCE in [[predLang]]/[[predLangDuck]],
+    //      shared with q138's confusion audit) ----
     "q37_language_id" -> QueryDef(
       (s, dir) => {
         val t = lower(col("text"))
-        def hits(re: String) = size(regexp_extract_all(t, lit(re), lit(0)))
+        val hits = LangStopRes.map { case (l, re) =>
+          size(regexp_extract_all(t, lit(re), lit(0))).as(s"${l}_hits")
+        }
         Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("lang").as("tagged_lang"),
-            hits("\\b(the|and|of|to|in|is|a)\\b").as("en_hits"),
-            hits("\\b(el|la|los|de|que|y)\\b").as("es_hits"),
-            hits("\\b(le|les|et|des|un|une)\\b").as("fr_hits"),
-            hits("\\b(der|die|das|und|ein|zu)\\b").as("de_hits"))
-          .withColumn("pred_lang",
-            when(col("en_hits") >= col("es_hits") &&
-                 col("en_hits") >= col("fr_hits") &&
-                 col("en_hits") >= col("de_hits"), "en")
-              .when(col("es_hits") >= col("fr_hits") &&
-                    col("es_hits") >= col("de_hits"), "es")
-              .when(col("fr_hits") >= col("de_hits"), "fr")
-              .otherwise("de"))
+          .select(col("doc_id") +: col("lang").as("tagged_lang") +: hits: _*)
+          .withColumn("pred_lang", predLangFrom(l => col(s"${l}_hits")))
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id, lang AS tagged_lang,
-               len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS en_hits,
-               len(regexp_extract_all(lower(text), '\b(el|la|los|de|que|y)\b')) AS es_hits,
-               len(regexp_extract_all(lower(text), '\b(le|les|et|des|un|une)\b')) AS fr_hits,
-               len(regexp_extract_all(lower(text), '\b(der|die|das|und|ein|zu)\b')) AS de_hits,
-               CASE WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) >= len(regexp_extract_all(lower(text), '\b(el|la|los|de|que|y)\b'))
-                     AND len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) >= len(regexp_extract_all(lower(text), '\b(le|les|et|des|un|une)\b'))
-                     AND len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) >= len(regexp_extract_all(lower(text), '\b(der|die|das|und|ein|zu)\b'))
-                    THEN 'en'
-                    WHEN len(regexp_extract_all(lower(text), '\b(el|la|los|de|que|y)\b')) >= len(regexp_extract_all(lower(text), '\b(le|les|et|des|un|une)\b'))
-                     AND len(regexp_extract_all(lower(text), '\b(el|la|los|de|que|y)\b')) >= len(regexp_extract_all(lower(text), '\b(der|die|das|und|ein|zu)\b'))
-                    THEN 'es'
-                    WHEN len(regexp_extract_all(lower(text), '\b(le|les|et|des|un|une)\b')) >= len(regexp_extract_all(lower(text), '\b(der|die|das|und|ein|zu)\b'))
-                    THEN 'fr'
-                    ELSE 'de' END AS pred_lang
+      Some(s"""SELECT doc_id, lang AS tagged_lang,
+               ${LangStopRes.map { case (l, _) =>
+                 s"${duckLangHits(l, "text")} AS ${l}_hits" }.mkString(",\n               ")},
+               ${predLangDuck("text")} AS pred_lang
              FROM documents
              ORDER BY doc_id""")),
+
+    // ---- language-ID CONFUSION audit: the q37 predictor against the
+    //      corpus's gold lang tags — per (tagged, predicted) cell the
+    //      doc count and its share of the tagged language in basis
+    //      points. The classifier-health read every multilingual
+    //      pipeline takes before trusting lang-conditioned stages
+    //      (q112's mixture grid, q122's fertility table): a language
+    //      whose row mass sits off-diagonal is being routed to the
+    //      wrong tokenizer/filters. zh has no stopword set, so its row
+    //      shows exactly where an uncovered language lands — the
+    //      honest failure mode, visible instead of hidden. One
+    //      groupBy + a tagged-lang share window over ≤ |langs|² rows. ----
+    "q138_langid_confusion" -> QueryDef(
+      (s, dir) => langIdConfusion(Tables.load(s, dir, "documents")),
+      Some(s"""WITH p AS (
+               SELECT lang AS tagged_lang,
+                 ${predLangDuck("text")} AS pred_lang
+               FROM documents)
+             SELECT tagged_lang, pred_lang, count(*) AS n_docs,
+               count(*) * 10000 // CAST(sum(count(*))
+                 OVER (PARTITION BY tagged_lang) AS BIGINT) AS row_bp
+             FROM p
+             GROUP BY tagged_lang, pred_lang
+             ORDER BY tagged_lang, pred_lang""")),
 
     // ---- quality scoring: length/punct/stopword ratios ----
     "q38_quality_score" -> QueryDef(

@@ -64,6 +64,23 @@ class SafetyOrderDriftSpec extends AnyFunSuite {
     assert(flagged.head.getLong(4) == 15L)            // the planted outlier
   }
 
+  test("q138: planted multilingual texts land on the confusion diagonal") {
+    val docs = Seq(
+      (1L, "en", "the cat and the dog of the house is a friend"),
+      (2L, "es", "el gato y la casa de los perros que corren"),
+      (3L, "fr", "le chat et les chiens des maisons un jour une nuit"),
+      (4L, "de", "der hund und die katze das haus ein garten zu gehen"),
+      (5L, "zh", "zhe shi yi ge fangzi"))  // uncovered -> all-zero -> 'en'
+      .toDF("doc_id", "lang", "text")
+    val cells = graft.ops.TextOps.langIdConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val pred = cells.map(c => c._1 -> c._2).toMap
+    assert(pred("en") == "en" && pred("es") == "es" &&
+      pred("fr") == "fr" && pred("de") == "de")
+    assert(pred("zh") == "en")  // the documented uncovered-language fall-through
+    assert(cells.forall(_._4 == 10000L))  // one doc per lang: full row share
+  }
+
   test("q130: audit is invariant under input repartitioning") {
     val docs = spark.range(0, 200).select(col("id").as("doc_id"),
       concat(lit("s"), (col("id") % 4).cast("string")).as("source"))
