@@ -717,5 +717,43 @@ object Multimodal {
       Some(s"""WITH $audioDuckCtes
            SELECT da, db, hamming FROM au_pairs
            ORDER BY da, db""")),
+
+    // ---- image dedup CLUSTERS: q104's verified near-dup pairs closed
+    //      into connected components (q54's machinery verbatim) — image
+    //      dedup pipelines keep one representative per CLUSTER, not per
+    //      pair, so the pair list alone under-drops transitive chains
+    //      (A≈B, B≈C, A̸≈C still means keep one of three). Keeper =
+    //      min doc_id per component, exactly the q54 contract; the
+    //      oracle recomputes the REAL-decode pHash pipeline AND the
+    //      reachability closure independently. Completes the
+    //      modality↔dedup loop at the cluster level. ----
+    "q140_image_dedup_clusters" -> QueryDef(
+      (s, dir) => {
+        val px = Tables.load(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), expr(blockPxSpark).as("px"))
+        val pairs = phashPairs(thumbPixels(
+          decodeImageFeatures(s, encodeBlockPng(s, px))))
+        Dedup.connectedComponents(pairs.select(col("da"), col("db")))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $phashDuckCtes,
+           edges AS (SELECT da AS src, db AS dst FROM im_pairs
+                     UNION ALL
+                     SELECT db AS src, da AS dst FROM im_pairs),
+           reach(doc_id, r) AS (
+             SELECT DISTINCT src AS doc_id, src AS r FROM edges
+             UNION
+             SELECT e.dst AS doc_id, reach.r
+             FROM reach JOIN edges e ON e.src = reach.doc_id),
+           labels AS (
+             SELECT doc_id, min(r) AS cluster_id FROM reach
+             GROUP BY doc_id),
+           sizes AS (
+             SELECT cluster_id, count(*) AS cluster_size
+             FROM labels GROUP BY cluster_id)
+           SELECT l.doc_id, l.cluster_id, z.cluster_size
+           FROM labels l JOIN sizes z USING (cluster_id)
+           ORDER BY doc_id""")),
   )
 }

@@ -1880,5 +1880,67 @@ object TextOps {
              FROM evd JOIN trg ON evd.s = trg.s
              GROUP BY eval_doc
              ORDER BY eval_doc""")),
+
+    // ---- contamination-THRESHOLD sweep: before q117 hard-codes the
+    //      [[SpanRunGate]] policy, this measures what each candidate
+    //      gate would do — per minimum-run threshold t ∈ 1..16 grams,
+    //      how many training docs a "longest verbatim run ≥ t" rule
+    //      flags, in docs and basis points of the training corpus. The
+    //      q78/q123 retention-curve shape pointed at q128's span
+    //      statistic: the cumulative count over the per-doc max-run
+    //      histogram, so the sweep costs one ≤16-row window more than
+    //      q128 itself. ----
+    "q139_contamination_threshold_sweep" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val nTrain = docs.filter(col("source") =!= "src0")
+          .agg(count(lit(1)).as("n_train"))
+        val capped = contaminationSpans(docs)
+          .select(least(col("max_run_grams"), lit(16L)).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("n_at"))
+        val wCum = Window.orderBy(col("t").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        capped
+          .withColumn("n_flagged", sum(col("n_at")).over(wCum))
+          .crossJoin(broadcast(nTrain))
+          .select(col("t").as("min_run_grams"), col("n_flagged"),
+            expr("n_flagged * 10000 div n_train").as("flagged_bp"))
+          .orderBy(col("min_run_grams"))
+      },
+      Some(s"""WITH $posGramDuckCtes,
+             ev AS (
+               SELECT DISTINCT pg.s FROM pg
+               JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
+             hits AS (
+               SELECT pg.doc_id, pg.i FROM pg
+               JOIN documents d USING (doc_id)
+               JOIN ev USING (s)
+               WHERE d.source <> 'src0'),
+             runs AS (
+               SELECT doc_id,
+                 i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                   AS grp
+               FROM hits),
+             perdoc AS (
+               SELECT doc_id, least(max(run_len), 16) AS t FROM (
+                 SELECT doc_id, grp, count(*) AS run_len
+                 FROM runs GROUP BY doc_id, grp)
+               GROUP BY doc_id),
+             hist AS (
+               SELECT t, count(*) AS n_at FROM perdoc GROUP BY t),
+             nt AS (
+               SELECT count(*) AS n_train FROM documents
+               WHERE source <> 'src0')
+             SELECT t AS min_run_grams,
+               CAST(sum(n_at) OVER (ORDER BY t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n_flagged,
+               CAST(sum(n_at) OVER (ORDER BY t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) * 10000 // (SELECT n_train FROM nt)
+                 AS flagged_bp
+             FROM hist
+             ORDER BY min_run_grams""")),
   )
 }

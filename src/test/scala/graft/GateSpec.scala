@@ -176,6 +176,9 @@ class PlanGateSpec extends AnyFunSuite {
     // q133: the outlier report runs q70's two broadcast assigns (K-row
     // centroid build side, a constant)
     "q133_embedding_outliers",
+    // q139: the ONE-ROW training-corpus total crossJoined onto the
+    // ≤16-row threshold histogram (the q87/q105 scalar shape)
+    "q139_contamination_threshold_sweep",
     // q101: q85's regime probe — the coarse-centroid broadcast (k1 tiny
     // rows) is the same K-row build side as q85's flat path
     "q101_semantic_dedup_hier",
