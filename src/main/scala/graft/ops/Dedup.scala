@@ -78,6 +78,54 @@ object Dedup {
     * reads it.) */
   val SimhashMaxHamming = 6
 
+  /** The nested banding configs q142 sweeps: rows-per-band over the 8
+    * MinHash signature positions (bands = 8/r); r=2 is exactly q33's
+    * production 4×2 config, so the sweep brackets the shipped default.
+    * (Declared before `defs` — its oracle string is built eagerly.) */
+  val BandingConfigs: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** q142's candidate generator: from ONE signature aggregation over a
+    * deduplicated (doc_id, g) shingle-hash frame, the hot-capped LSH
+    * candidate pairs of EVERY [[BandingConfigs]] config, tagged with
+    * their `rows_per_band`. Band boundaries nest across configs (band k
+    * of config r covers positions [k·r, (k+1)·r)), so absent hot-cap
+    * intervention candidates(2r) ⊆ candidates(r) — spec-pinned. */
+  def bandingCandidates(sh: DataFrame): DataFrame = {
+    val sigAggs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
+      min(expr(s"(g * $a + $b) % ${P}L")).as(s"m$j")
+    }
+    val sigs = sh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandsAll = BandingConfigs.map { r =>
+      val nb = 8 / r
+      val stackArgs = (0 until nb).map { k =>
+        val v = (0 until r).map(j => s"m${k * r + j}")
+          .mkString("concat_ws(':', ", ", ", ")")
+        s"$k, $v"
+      }.mkString(s"stack($nb, ", ", ", ") AS (band_idx, band_val)")
+      sigs.selectExpr(s"$r AS rows_per_band", "doc_id", stackArgs)
+    }.reduce(_ unionByName _)
+    val hot = bandsAll
+      .groupBy(col("rows_per_band"), col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("bf")).filter(col("bf") > HotBandCap)
+      .select(col("rows_per_band"), col("band_idx"), col("band_val"))
+    val cold = bandsAll.join(broadcast(hot),
+      Seq("rows_per_band", "band_idx", "band_val"), "left_anti")
+    cold.as("x").join(cold.as("y"),
+        col("x.rows_per_band") === col("y.rows_per_band") &&
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.rows_per_band").as("rows_per_band"),
+        col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** The deduplicated (doc_id, g) shingle-hash frame q141/q142 build
+    * from a (doc_id, text) corpus — exposed for specs. */
+  def shingleHashes(docsText: DataFrame): DataFrame =
+    shingled(docsText).select(col("doc_id"), col("g")).distinct()
+
   /** Removes rows whose (band_idx, band_val) group exceeds `cap` members.
     * The hot list is tiny by construction → broadcast anti-join. What the
     * cap silently drops is observable through q82 (see [[capRow]]). */
@@ -808,6 +856,221 @@ object Dedup {
              UNION ALL
              SELECT * FROM hist
              ORDER BY bucket_lo""")),
+
+    // ---- NEAR-DUP THRESHOLD retention curve: per observed 500-bp
+    //      true-Jaccard grid value over the q33 candidate pairs, the
+    //      pairs and (keep-first dropped) docs a "flag if J >= t" rule
+    //      touches — the dedup-threshold calibration measured BEFORE a
+    //      production cutoff is hard-coded, exactly as q139 sweeps the
+    //      contamination gate and q123 the perplexity cutoff. Every
+    //      threshold compare is an exact int64 floor division onto the
+    //      grid — no float thresholding anywhere, so the curve cannot
+    //      flip on summation noise. Scale shape: the pair frame is the
+    //      capped candidate set (what the caps drop is q82's report);
+    //      the per-pair true Jaccard reuses q93's overlap join driven BY
+    //      that bounded pair set, never all-pairs; the histogram +
+    //      descending cumulative windows run on the ≤21-row grid frame
+    //      (the q78/q123 rule) and the corpus total rides a 1-row
+    //      crossJoin. ----
+    "q141_jaccard_threshold_sweep" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sh = shingleHashes(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sigAggs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
+          min(expr(s"(g * $a + $b) % ${P}L")).as(s"m$j")
+        }
+        val sigs = sh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+        val bands = coldBands(sigs.selectExpr("doc_id", minhashStack))
+        val pairs = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band_val") === col("y.band_val") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .distinct()
+        val inter = pairs
+          .join(sh.select(col("doc_id").as("da"), col("g")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("g")), Seq("db", "g"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val pj = pairs
+          .join(inter, Seq("da", "db"), "left").na.fill(0L, Seq("c"))
+          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+          .withColumn("j_bp",
+            expr("((c * 10000L) div (na + nb - c)) div 500 * 500"))
+        val pairHist = pj.groupBy(col("j_bp"))
+          .agg(count(lit(1)).as("n_pairs_at"))
+        val docHist = pj.groupBy(col("db"))
+          .agg(max(col("j_bp")).as("j_bp"))
+          .groupBy(col("j_bp")).agg(count(lit(1)).as("n_docs_at"))
+        val tot = docs.agg(count(lit(1)).cast("long").as("n_total"))
+        val wDesc = Window.orderBy(col("j_bp").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pairHist.join(docHist, Seq("j_bp"), "full_outer")
+          .na.fill(0L, Seq("n_pairs_at", "n_docs_at"))
+          .withColumn("pairs_ge",
+            sum(col("n_pairs_at")).over(wDesc).cast("long"))
+          .withColumn("docs_ge",
+            sum(col("n_docs_at")).over(wDesc).cast("long"))
+          .crossJoin(broadcast(tot))
+          .select(col("j_bp"), col("n_pairs_at"), col("n_docs_at"),
+            col("pairs_ge"), col("docs_ge"),
+            expr("docs_ge * 10000L div n_total").as("docs_ge_bp"))
+          .orderBy(col("j_bp"))
+      },
+      Some(s"""WITH ${duckCandPairsBody()},
+           dg AS (SELECT DISTINCT doc_id, g FROM hashed),
+           szs AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
+           pg AS (
+             SELECT p.da, p.db, count(*) AS c
+             FROM cand_pairs p
+             JOIN dg xa ON xa.doc_id = p.da
+             JOIN dg xb ON xb.doc_id = p.db AND xb.g = xa.g
+             GROUP BY p.da, p.db),
+           pj AS (
+             SELECT p.da, p.db,
+               ((COALESCE(pg.c, 0) * 10000)
+                  // (sa.n + sb.n - COALESCE(pg.c, 0))) // 500 * 500 AS j_bp
+             FROM cand_pairs p
+             LEFT JOIN pg ON pg.da = p.da AND pg.db = p.db
+             JOIN szs sa ON sa.doc_id = p.da
+             JOIN szs sb ON sb.doc_id = p.db),
+           ph AS (SELECT j_bp, count(*) AS n_pairs_at FROM pj GROUP BY j_bp),
+           dh AS (SELECT j_bp, count(*) AS n_docs_at FROM (
+                    SELECT db, max(j_bp) AS j_bp FROM pj GROUP BY db)
+                  GROUP BY j_bp),
+           t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+           joined AS (
+             SELECT coalesce(ph.j_bp, dh.j_bp) AS j_bp,
+               COALESCE(ph.n_pairs_at, 0) AS n_pairs_at,
+               COALESCE(dh.n_docs_at, 0) AS n_docs_at
+             FROM ph FULL OUTER JOIN dh ON ph.j_bp = dh.j_bp)
+           SELECT j_bp, n_pairs_at, n_docs_at,
+             CAST(sum(n_pairs_at) OVER (ORDER BY j_bp DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pairs_ge,
+             CAST(sum(n_docs_at) OVER (ORDER BY j_bp DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS docs_ge,
+             (CAST(sum(n_docs_at) OVER (ORDER BY j_bp DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) * 10000) // t.n_total
+               AS docs_ge_bp
+           FROM joined CROSS JOIN t
+           ORDER BY j_bp""")),
+
+    // ---- LSH BANDING (b × r) S-curve sweep: from the SAME 8 MinHash
+    //      signatures, every nested banding config (8×1, 4×2, 2×4, 1×8)
+    //      measured on the three axes that matter — candidate volume
+    //      (the join cost), recall and precision against true-Jaccard
+    //      ≥ 1/2 pairs. The truth universe is the 8×1 candidate set
+    //      (the loosest config: any shared signature position) — a true
+    //      pair OUTSIDE it shares not a single MinHash value and is
+    //      invisible to ANY banding of these 8 hashes, so
+    //      within-universe recall isolates the banding decision from
+    //      the sketch-size decision (q93's axis). The b/r knob every
+    //      production LSH run sets by folklore, here set from a
+    //      measured curve — q116's nprobe philosophy on the banding
+    //      axis. Scale shape: ONE signature aggregation feeds all four
+    //      configs; the band self-join carries the config in its
+    //      equi-key and stays under the per-config hot cap; the truth
+    //      overlap join is driven by the capped 8×1 candidate set,
+    //      never all-pairs. ----
+    "q142_lsh_banding_sweep" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sh = shingleHashes(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cand = bandingCandidates(sh)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val base = cand.filter(col("rows_per_band") === 1)
+          .select(col("da"), col("db"))
+        val inter = base
+          .join(sh.select(col("doc_id").as("da"), col("g")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("g")), Seq("db", "g"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val truth = base
+          .join(inter, Seq("da", "db"), "left").na.fill(0L, Seq("c"))
+          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+          .filter(col("c") * 2 >= col("na") + col("nb") - col("c"))
+          .select(col("da"), col("db"))
+        val tt = truth.agg(count(lit(1)).cast("long").as("truth_total"))
+        val hits = cand.join(truth, Seq("da", "db"))
+          .groupBy(col("rows_per_band")).agg(count(lit(1)).as("true_hits"))
+        cand.groupBy(col("rows_per_band"))
+          .agg(count(lit(1)).as("n_candidates"))
+          .join(hits, Seq("rows_per_band"), "left")
+          .na.fill(0L, Seq("true_hits"))
+          .crossJoin(broadcast(tt))
+          .select(col("rows_per_band"),
+            expr("cast(8 div rows_per_band as bigint)").as("n_bands"),
+            col("n_candidates"), col("true_hits"), col("truth_total"),
+            expr("true_hits * 10000L div greatest(truth_total, 1L)")
+              .as("recall_bp"),
+            expr("true_hits * 10000L div greatest(n_candidates, 1L)")
+              .as("precision_bp"))
+          .orderBy(col("rows_per_band"))
+      },
+      Some {
+        val bandUnions = BandingConfigs.flatMap { r =>
+          (0 until 8 / r).map { k =>
+            val v = (0 until r).map(j => s"m${k * r + j}")
+              .mkString("concat_ws(':', ", ", ", ")")
+            s"SELECT doc_id, $r AS rows_per_band, $k AS band_idx, $v AS band_val FROM sigs"
+          }
+        }.mkString(" UNION ALL ")
+        s"""WITH ${duckShinglesBody()},
+           sigs AS (SELECT doc_id, $duckSigCols FROM hashed GROUP BY doc_id),
+           bandsall AS ($bandUnions),
+           hot AS (
+             SELECT rows_per_band, band_idx, band_val FROM bandsall
+             GROUP BY 1, 2, 3 HAVING count(*) > $HotBandCap),
+           cold AS (
+             SELECT b.* FROM bandsall b
+             ANTI JOIN hot h USING (rows_per_band, band_idx, band_val)),
+           cand AS (
+             SELECT DISTINCT x.rows_per_band, x.doc_id AS da, y.doc_id AS db
+             FROM cold x JOIN cold y
+               ON x.rows_per_band = y.rows_per_band
+              AND x.band_idx = y.band_idx AND x.band_val = y.band_val
+              AND x.doc_id < y.doc_id),
+           base AS (SELECT da, db FROM cand WHERE rows_per_band = 1),
+           dg AS (SELECT DISTINCT doc_id, g FROM hashed),
+           szs AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
+           pg AS (
+             SELECT p.da, p.db, count(*) AS c
+             FROM base p
+             JOIN dg xa ON xa.doc_id = p.da
+             JOIN dg xb ON xb.doc_id = p.db AND xb.g = xa.g
+             GROUP BY p.da, p.db),
+           truth AS (
+             SELECT p.da, p.db
+             FROM base p
+             LEFT JOIN pg ON pg.da = p.da AND pg.db = p.db
+             JOIN szs sa ON sa.doc_id = p.da
+             JOIN szs sb ON sb.doc_id = p.db
+             WHERE COALESCE(pg.c, 0) * 2 >= sa.n + sb.n - COALESCE(pg.c, 0)),
+           tt AS (SELECT CAST(count(*) AS BIGINT) AS truth_total FROM truth),
+           hits AS (
+             SELECT c.rows_per_band, count(*) AS true_hits
+             FROM cand c JOIN truth t ON t.da = c.da AND t.db = c.db
+             GROUP BY c.rows_per_band),
+           nc AS (SELECT rows_per_band, count(*) AS n_candidates
+                  FROM cand GROUP BY 1)
+           SELECT nc.rows_per_band,
+             CAST(8 // nc.rows_per_band AS BIGINT) AS n_bands,
+             nc.n_candidates,
+             COALESCE(h.true_hits, 0) AS true_hits,
+             tt.truth_total,
+             (COALESCE(h.true_hits, 0) * 10000)
+               // greatest(tt.truth_total, 1) AS recall_bp,
+             (COALESCE(h.true_hits, 0) * 10000)
+               // greatest(nc.n_candidates, 1) AS precision_bp
+           FROM nc LEFT JOIN hits h ON h.rows_per_band = nc.rows_per_band
+           CROSS JOIN tt
+           ORDER BY nc.rows_per_band"""
+      }),
   )
 
   /** q126's pipeline over a (doc_id, text) frame: q54 components →

@@ -216,7 +216,13 @@ class PlanGateSpec extends AnyFunSuite {
     // q123: embeds q105's ONE-ROW train-token total crossJoin plus its
     // own ONE-ROW sweep-totals crossJoin onto the ≤few-dozen-row bpw
     // histogram (the q87/q89 scalar shape twice)
-    "q123_lm_filter_sweep")
+    "q123_lm_filter_sweep",
+    // q141: the ONE-ROW corpus-doc total crossJoined onto the ≤21-row
+    // Jaccard-grid histogram (the q78/q123 scalar shape)
+    "q141_jaccard_threshold_sweep",
+    // q142: the ONE-ROW truth-total aggregate crossJoined onto the
+    // 4-row banding-config frame (the q87/q89 scalar shape)
+    "q142_lsh_banding_sweep")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
