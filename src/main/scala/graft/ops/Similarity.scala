@@ -1352,7 +1352,75 @@ object Similarity {
         s"""WITH $perDim
            SELECT * FROM ($rows) ORDER BY dim"""
       }),
+
+    // ---- EMBEDDING-SPACE health card: per dimension, the count, mean,
+    //      extremes, zero mass and a variance surrogate over the whole
+    //      corpus — the dead/degenerate-dimension detector a pipeline
+    //      reads BEFORE trusting any distance-based operator (a constant
+    //      dimension contributes nothing to q35/q43 cosine but still
+    //      costs 4 bytes/vector in every index; a near-dead one wrecks
+    //      q109's per-subspace codebooks). All statistics are int64
+    //      fixed-point surrogates of floor(x·1e6)/floor-div derivations —
+    //      sums of int64 are order-independent, so no float summation
+    //      order can flip the hash. Scale shape: ONE posexplode and ONE
+    //      64-group map-side-combinable aggregation; no joins, no
+    //      windows, no driver state. At 100 TB the same two-level
+    //      partial/merge tree q108 proves applies verbatim (every
+    //      statistic here is decomposable: +, min, max). ----
+    "q143_embedding_dim_stats" -> QueryDef(
+      (s, dir) => embeddingDimStats(Tables.load(s, dir, "embeddings")),
+      Some("""WITH e AS (
+               SELECT unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS sub
+               FROM embeddings),
+             v AS (
+               SELECT CAST(sub - 1 AS BIGINT) AS dim,
+                 CAST(x AS DOUBLE) AS xd,
+                 CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS sv
+               FROM e),
+             v2 AS (SELECT dim, xd, sv, sv // 1000 AS sq FROM v),
+             a AS (
+               SELECT dim, count(*) AS n_vecs,
+                 CAST(sum(sv) AS BIGINT) AS sum_micro,
+                 min(sv) AS min_micro, max(sv) AS max_micro,
+                 CAST(sum(CASE WHEN xd = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero,
+                 CAST(sum(sq * sq) AS BIGINT) AS ssq,
+                 CAST(sum(sq) AS BIGINT) AS sm
+               FROM v2 GROUP BY dim)
+             SELECT dim, n_vecs, sum_micro // n_vecs AS mean_micro,
+               min_micro, max_micro, n_zero,
+               ssq // n_vecs - (sm // n_vecs) * (sm // n_vecs) AS var_milli2,
+               min_micro = max_micro AS dead
+             FROM a ORDER BY dim""")),
   )
+
+  /** q143's per-dimension health card over a (vec_id, embedding) frame —
+    * exposed for planted-vector specs. All statistics are int64
+    * fixed-point surrogates (micro-units for mean/extremes, milli-unit
+    * squares for the variance surrogate); `dead` flags dimensions whose
+    * fixed-point min equals their max. */
+  def embeddingDimStats(emb: DataFrame): DataFrame = emb
+    .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+    .select(col("dim").cast("long").as("dim"),
+      col("x").cast("double").as("xd"))
+    .withColumn("sv", expr("cast(floor(xd * 1000000D) as bigint)"))
+    .withColumn("sq", expr("sv div 1000"))
+    .groupBy(col("dim"))
+    .agg(count(lit(1)).as("n_vecs"),
+      sum(col("sv")).as("sum_micro"),
+      min(col("sv")).as("min_micro"),
+      max(col("sv")).as("max_micro"),
+      sum(when(col("xd") === 0.0d, 1L).otherwise(0L)).as("n_zero"),
+      sum(expr("sq * sq")).as("ssq"),
+      sum(col("sq")).as("sm"))
+    .select(col("dim"), col("n_vecs"),
+      expr("sum_micro div n_vecs").as("mean_micro"),
+      col("min_micro"), col("max_micro"), col("n_zero"),
+      expr("ssq div n_vecs - (sm div n_vecs) * (sm div n_vecs)")
+        .as("var_milli2"),
+      (col("min_micro") === col("max_micro")).as("dead"))
+    .orderBy(col("dim"))
 
   /** The q109 oracle's full CTE chain — `pn` (double-cast corpus), `pq`
     * (the query set), four per-subspace codebook trainings (the q70 CTE

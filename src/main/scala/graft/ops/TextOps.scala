@@ -731,6 +731,67 @@ object TextOps {
       .map(b => s"WHEN n_tokens < ${b * 2} THEN $b").mkString(" ") +
       " ELSE 2048 END"
 
+  /** q144's fixed query workload: the ranked-retrieval probe set (every
+    * term drawn from the synthetic corpus vocabulary so df > 0 paths and
+    * the common-term idf=0 suppression are both exercised). A real
+    * deployment feeds live queries; the workload here is part of the
+    * operator contract so both engines score identical requests.
+    * (Declared before `defs` — the oracle string is built eagerly.) */
+  val BmQueries: Seq[(Int, String)] = Seq(
+    1 -> "hash join table",
+    2 -> "window agg stream",
+    3 -> "customer order big",
+    4 -> "vector scan filter",
+    5 -> "spark batch merge",
+    6 -> "dup query sort")
+
+  /** Top-k documents returned per q144 query. */
+  val BmTopK = 5
+
+  /** q144's integer-surrogate BM25 (k1=1, b=1/2) top-k retrieval over a
+    * (doc_id, text) corpus — exposed for planted-corpus specs. Term
+    * weight is add-one-smoothed whole-bit idf `length(bin(N div df))`;
+    * the tf/length kernel is the exact rational 4A·tf/(2A·tf + A + dl·N)
+    * in milli-units (A = Σdl). Ties break on doc_id. */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)],
+      k: Int = BmTopK): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " +")).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).cast("long").as("a_total"))
+    val qterms = queries.flatMap { case (qid, q) =>
+      q.split(" ").distinct.map(t => (qid, q, t))
+    }.toDF("qid", "query", "term")
+    val dfx = tf
+      .join(broadcast(qterms.select(col("term")).distinct()), "term")
+      .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val contrib = tf
+      .join(broadcast(qterms.join(dfx, "term")), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("ibits",
+        length(bin(expr("n_docs div df"))).cast("long"))
+      .withColumn("sc", expr(
+        """(1000L * ibits * 4 * a_total * tf)
+           div (2 * a_total * tf + a_total + dl * n_docs)"""))
+    val scored = contrib.groupBy(col("qid"), col("query"), col("doc_id"))
+      .agg(sum(col("sc")).as("score_milli"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_milli").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("query"), col("rank"), col("doc_id"),
+        col("score_milli"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- exact dedup: keeper = min doc_id per identical text. The
@@ -1942,5 +2003,72 @@ object TextOps {
                  AS flagged_bp
              FROM hist
              ORDER BY min_run_grams""")),
+
+    // ---- RANKED RETRIEVAL: integer-surrogate BM25 top-k over the
+    //      corpus for a fixed query workload — the IR primitive behind
+    //      RAG indexing and retrieval-based dedup that the TF-IDF term
+    //      report (q51) does not provide. BM25 with k1=1, b=1/2 is an
+    //      exact rational: score = idf · 2·tf / (tf + 1/2 + dl·N/2A);
+    //      multiplying through by 2A gives 4A·tf / (2A·tf + A + dl·N)
+    //      with A = Σdl — pure int64, so the engine-side work is one
+    //      floor division per (query-term, doc) pair and an
+    //      order-independent integer sum. idf is add-one-smoothed
+    //      whole-bit: 1 + floor(log2(N/df)) = length(bin(N div df))
+    //      (the q89 trick) — the +1 keeps ubiquitous terms at weight 1
+    //      instead of 0, so on a small-vocabulary corpus the tf and
+    //      length normalization still rank, while rare terms still
+    //      dominate log-proportionally. Scale shape: ONE token explode
+    //      feeds tf/dl/df; the
+    //      ≤18-row query-term relation broadcasts onto the tf equi-join;
+    //      dl joins doc-keyed; the 1-row (N, A) stats frame rides a
+    //      broadcast crossJoin; top-k is a per-query window over the
+    //      matched docs only. At 100 TB A and N are per-shard manifest
+    //      numbers (q91) — scores stay int64 for A·tf·idf·1000 up to
+    //      ~10^18, i.e. shard token masses in the billions. ----
+    "q144_bm25_retrieval" -> QueryDef(
+      (s, dir) => bm25TopK(Tables.load(s, dir, "documents"), BmQueries),
+      Some {
+        val valuesList = BmQueries.flatMap { case (qid, q) =>
+          q.split(" ").distinct.map(t => s"($qid, '$q', '$t')")
+        }.mkString(", ")
+        s"""WITH toks AS (
+               SELECT doc_id,
+                 unnest(string_split_regex(lower(text), ' +')) AS term
+               FROM documents),
+             tf AS (SELECT doc_id, term, count(*) AS tf
+                    FROM toks GROUP BY 1, 2),
+             dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+             st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS a_total FROM dl),
+             qt AS (SELECT * FROM (VALUES $valuesList)
+                    AS v(qid, query, term)),
+             dfx AS (
+               SELECT t.term, count(DISTINCT t.doc_id) AS df
+               FROM tf t
+               JOIN (SELECT DISTINCT term FROM qt) q ON q.term = t.term
+               GROUP BY t.term),
+             contrib AS (
+               SELECT q.qid, q.query, t.doc_id,
+                 (1000 * length(bin(st.n_docs // d.df))
+                    * 4 * st.a_total * t.tf)
+                   // (2 * st.a_total * t.tf + st.a_total
+                      + l.dl * st.n_docs) AS sc
+               FROM qt q
+               JOIN dfx d ON d.term = q.term
+               JOIN tf t ON t.term = q.term
+               JOIN dl l ON l.doc_id = t.doc_id
+               CROSS JOIN st),
+             scored AS (
+               SELECT qid, query, doc_id,
+                 CAST(sum(sc) AS BIGINT) AS score_milli
+               FROM contrib GROUP BY 1, 2, 3)
+             SELECT qid, query, rank, doc_id, score_milli FROM (
+               SELECT qid, query, doc_id, score_milli,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank
+               FROM scored)
+             WHERE rank <= $BmTopK
+             ORDER BY qid, rank"""
+      }),
   )
 }

@@ -64,3 +64,50 @@ class DedupSweepSpec extends AnyFunSuite {
     }
   }
 }
+
+/** q143 (embedding dimension stats) and q144 (integer BM25) against
+  * planted inputs where the expected statistics and rankings are known
+  * by hand. */
+class RetrievalStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("q143: dead, zero-heavy and varying dimensions are reported exactly") {
+    import spark.implicits._
+    val emb = Seq(
+      1L -> Seq(1.0f, 0.0f, 0.5f),
+      2L -> Seq(1.0f, 0.25f, -0.5f),
+      3L -> Seq(1.0f, 0.5f, 0.0f)).toDF("vec_id", "embedding")
+    val rows = graft.ops.Similarity.embeddingDimStats(emb).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(7)))
+      .toMap
+    // dim 0: constant 1.0 → dead, mean/min/max = 1e6, no zeros
+    assert(rows(0L) == ((3L, 1000000L, 1000000L, 1000000L, 0L, true)))
+    // dim 1: {0, 0.25, 0.5} → mean floor(750000/3)=250000, one zero
+    assert(rows(1L) == ((3L, 250000L, 0L, 500000L, 1L, false)))
+    // dim 2: {0.5, -0.5, 0} → mean 0, min -500000, max 500000, one zero
+    assert(rows(2L) == ((3L, 0L, -500000L, 500000L, 1L, false)))
+  }
+
+  test("q144: higher tf and shorter docs outrank; rare terms dominate common ones") {
+    import spark.implicits._
+    val filler = (10L until 24L).map(i => (i, "common common common common"))
+    val docs = (Seq(
+      1L -> "alpha alpha alpha beta",
+      2L -> "alpha gamma gamma gamma pad pad pad pad pad pad pad pad",
+      3L -> "beta beta common common") ++ filler).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.bm25TopK(docs,
+      Seq(1 -> "alpha", 2 -> "alpha common"), k = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val q1 = out.filter(_._1 == 1).sortBy(_._2)
+    // only docs 1 and 2 contain alpha; doc 1 (tf=3, short) outranks
+    // doc 2 (tf=1, long), and both score positive
+    assert(q1.map(_._3).toSeq == Seq(1L, 2L), s"q1 ranking: ${q1.toSeq}")
+    assert(q1.forall(_._4 > 0))
+    // rare alpha (df=2 of 17) outweighs ubiquitous common: the two
+    // alpha docs take ranks 1-2 ahead of every common-only doc
+    val q2 = out.filter(_._1 == 2).sortBy(_._2)
+    assert(q2.take(2).map(_._3).toSet == Set(1L, 2L), s"q2 ranking: ${q2.toSeq}")
+  }
+}

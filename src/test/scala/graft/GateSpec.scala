@@ -222,7 +222,11 @@ class PlanGateSpec extends AnyFunSuite {
     "q141_jaccard_threshold_sweep",
     // q142: the ONE-ROW truth-total aggregate crossJoined onto the
     // 4-row banding-config frame (the q87/q89 scalar shape)
-    "q142_lsh_banding_sweep")
+    "q142_lsh_banding_sweep",
+    // q144: the ONE-ROW (N, A) corpus-stats aggregate crossJoined onto
+    // the matched (query-term, doc) pairs (the q89 scalar shape); the
+    // query workload itself rides broadcast EQUI-joins
+    "q144_bm25_retrieval")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
