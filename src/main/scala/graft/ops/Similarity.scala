@@ -448,6 +448,18 @@ object Similarity {
     * truth, pinning its recall row at 10000 bp. */
   val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32, 64)
 
+  /** q146's power-iteration geometry: embedding dimensionality, round
+    * count, and the post-projection shift. After each round v is
+    * renormalized to ~µ-scale (|v| ≤ ~2·10⁶), so a projection is at most
+    * 64·|x|ₘₐₓ·2·10⁶ ≈ 7·10¹³; shifting it down 2²⁶ caps the per-term
+    * outer product at ~5·10¹¹ and its corpus sum stays in int64 through
+    * ~10⁷ vectors — raise the shift one bit per corpus doubling past
+    * that. (Declared before `defs` — the oracle string is built
+    * eagerly.) */
+  val EmbDim = 64
+  val PowerIterRounds = 8
+  val PowerShift = 26
+
   /** q110's stand-in benchmark eval set: the vec_id slab [lo, hi) just
     * past the ANN query set — 32 vectors, fixed-size regardless of SF
     * (benchmarks don't grow with the training corpus), so the eval side
@@ -1367,6 +1379,29 @@ object Similarity {
     //      windows, no driver state. At 100 TB the same two-level
     //      partial/merge tree q108 proves applies verbatim (every
     //      statistic here is decomposable: +, min, max). ----
+    // ---- dominant principal component by POWER ITERATION — the
+    //      spectral read-out behind embedding whitening / OPQ-style
+    //      rotation and "is one direction eating the variance?" health
+    //      checks (a single dominant direction usually means an uncentered
+    //      or collapsed embedding space). 8 rounds of vₜ₊₁ ∝ Gram·vₜ in
+    //      int64 fixed point: coords quantize to µ-units (q143's grid),
+    //      each round computes per-vector projections s = ⟨q, v⟩, shifts
+    //      them down 2²⁶ (keeping every outer-product term and its
+    //      corpus-sized sum inside int64 — headroom to ~10⁷ vectors at
+    //      the observed |x| ≤ 0.53; the shift is the knob that buys more),
+    //      accumulates u_d = Σ s·q_d as ONE 64-column map-side-combinable
+    //      aggregation (no explode — the shuffle carries 64 longs per
+    //      partition), then renormalizes to ~µ-scale by truncating
+    //      division (Spark `div` ≡ DuckDB `//` toward zero, signed).
+    //      The per-round 1-row v frame rides a broadcast crossJoin (the
+    //      O(1)-build-side pattern); the matrix is quantized once and
+    //      persisted, so 8 rounds = 8 corpus passes, which IS the
+    //      algorithm. The oracle replays all 8 rounds unrolled
+    //      bit-for-bit. ----
+    "q146_principal_component" -> QueryDef(
+      (s, dir) => principalComponent(Tables.load(s, dir, "embeddings")),
+      Some(powerIterDuck(PowerIterRounds))),
+
     "q143_embedding_dim_stats" -> QueryDef(
       (s, dir) => embeddingDimStats(Tables.load(s, dir, "embeddings")),
       Some("""WITH e AS (
@@ -1421,6 +1456,80 @@ object Similarity {
         .as("var_milli2"),
       (col("min_micro") === col("max_micro")).as("dead"))
     .orderBy(col("dim"))
+
+  /** The q146 operator over a (vec_id, embedding) frame — exposed for
+    * planted-direction specs. Returns one row per dimension with the
+    * dominant eigendirection's fixed-point loading. See the q146 defs
+    * entry for the full scale/parity story. */
+  def principalComponent(emb: DataFrame,
+      rounds: Int = PowerIterRounds): DataFrame = {
+    val spark = emb.sparkSession
+    val mat = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> " +
+        "cast(floor(cast(x as double) * 1000000D) as bigint))").as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v0 = spark.range(1)
+      .select(array((0 until EmbDim).map(_ => lit(1000000L)): _*).as("v"))
+    val vFinal = (1 to rounds).foldLeft(v0) { (v, _) =>
+      val s = mat.crossJoin(broadcast(v))
+        .withColumn("t", expr(
+          "aggregate(zip_with(q, v, (a, b) -> a * b), 0L, " +
+            s"(acc, x) -> acc + x) div ${1L << PowerShift}L"))
+      val sums = (0 until EmbDim).map(d =>
+        sum(expr(s"t * q[$d]")).cast("long").as(s"u$d"))
+      s.agg(sums.head, sums.tail: _*)
+        .select(array((0 until EmbDim).map(d => col(s"u$d")): _*).as("u"))
+        .withColumn("m",
+          expr("greatest(array_max(transform(u, y -> abs(y))) div 1000000L, 1L)"))
+        .select(expr("transform(u, x -> x div m)").as("v"))
+    }
+    vFinal
+      .select(posexplode(col("v")).as(Seq("dim", "loading_micro")))
+      .select(col("dim").cast("long").as("dim"), col("loading_micro"))
+      .orderBy(col("dim"))
+  }
+
+  /** The q146 oracle: the identical fixed-point power iteration unrolled
+    * `rounds` times — per round a projection/shift CTE, a per-dimension
+    * outer-product sum, list assembly, and the truncating renormalize.
+    * Every intermediate is CAST to BIGINT so DuckDB's HUGEINT promotion
+    * never reaches a comparison or output. */
+  private def powerIterDuck(rounds: Int): String = {
+    val shift = 1L << PowerShift
+    val d1 = EmbDim + 1
+    val roundCtes = (1 to rounds).map { r =>
+      s"""s$r AS (
+           SELECT m.vec_id, m.q,
+             CAST(list_sum(list_transform(range(1, $d1),
+               d -> m.q[d] * vv.v[d])) // $shift AS BIGINT) AS t
+           FROM mat m CROSS JOIN v${r - 1} vv),
+         u$r AS (
+           SELECT ds.d, CAST(sum(s.t * s.q[ds.d]) AS BIGINT) AS u
+           FROM s$r s
+           CROSS JOIN (SELECT unnest(range(1, $d1)) AS d) ds
+           GROUP BY ds.d),
+         w$r AS (SELECT list(u ORDER BY d) AS u FROM u$r),
+         m$r AS (
+           SELECT greatest(CAST(list_max(list_transform(u, y -> abs(y)))
+             AS BIGINT) // 1000000, 1) AS m
+           FROM w$r),
+         v$r AS (
+           SELECT list_transform(w.u, x -> CAST(x // mm.m AS BIGINT)) AS v
+           FROM w$r w CROSS JOIN m$r mm)"""
+    }.mkString(",\n")
+    s"""WITH mat AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+           FROM embeddings),
+         v0 AS (SELECT list_transform(range(1, $d1),
+                  d -> CAST(1000000 AS BIGINT)) AS v),
+         $roundCtes
+         SELECT CAST(d - 1 AS BIGINT) AS dim, loading_micro
+         FROM (SELECT unnest(v) AS loading_micro,
+                 generate_subscripts(v, 1) AS d
+               FROM v$rounds)
+         ORDER BY dim"""
+  }
 
   /** The q109 oracle's full CTE chain — `pn` (double-cast corpus), `pq`
     * (the query set), four per-subspace codebook trainings (the q70 CTE

@@ -748,15 +748,30 @@ object TextOps {
   /** Top-k documents returned per q144 query. */
   val BmTopK = 5
 
-  /** q144's integer-surrogate BM25 (k1=1, b=1/2) top-k retrieval over a
-    * (doc_id, text) corpus — exposed for planted-corpus specs. Term
-    * weight is add-one-smoothed whole-bit idf `length(bin(N div df))`;
-    * the tf/length kernel is the exact rational 4A·tf/(2A·tf + A + dl·N)
-    * in milli-units (A = Σdl). Ties break on doc_id. */
-  def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)],
-      k: Int = BmTopK): DataFrame = {
+  /** q145's reciprocal-rank-fusion constant (Cormack, Clarke & Büttcher
+    * 2009: 1/(60 + rank)) and the per-ranker candidate depth the fusion
+    * reads. */
+  val RrfK = 60L
+  val FuseDepth = 20
+
+  /** Shared candidate scoring for the ranked-retrieval family (q144/
+    * q145): per (query, matching doc) BOTH lexical kernels over ONE
+    * token explode —
+    *
+    *   - `score_milli` — BM25 with k1=1, b=1/2: the exact rational
+    *     idf · 4A·tf/(2A·tf + A + dl·N) in milli-units (A = Σdl);
+    *   - `lex_milli`   — saturation-free length-normalized TF-IDF:
+    *     idf · 1000·tf·A/(dl·N) (tf × avgdl/dl) — no tf damping and a
+    *     LINEAR length penalty, so it genuinely disagrees with BM25 on
+    *     long/repetitive documents, which is what makes fusing the two
+    *     lists informative.
+    *
+    * idf is the add-one-smoothed whole-bit `length(bin(N div df))` in
+    * both kernels. Pure int64 throughout (headroom: 1000·idf·4A·tf ≲
+    * 10^13 at the 30× smoke). */
+  private[ops] def bmScoredCandidates(docs: DataFrame,
+      queries: Seq[(Int, String)]): DataFrame = {
     import docs.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
     val toks = docs
       .select(col("doc_id"),
         explode(split(lower(col("text")), " +")).as("term"))
@@ -781,14 +796,69 @@ object TextOps {
       .withColumn("sc", expr(
         """(1000L * ibits * 4 * a_total * tf)
            div (2 * a_total * tf + a_total + dl * n_docs)"""))
-    val scored = contrib.groupBy(col("qid"), col("query"), col("doc_id"))
-      .agg(sum(col("sc")).as("score_milli"))
+      .withColumn("lx", expr(
+        "(1000L * ibits * tf * a_total) div (dl * n_docs)"))
+    contrib.groupBy(col("qid"), col("query"), col("doc_id"))
+      .agg(sum(col("sc")).as("score_milli"),
+        sum(col("lx")).as("lex_milli"))
+  }
+
+  /** q144's integer-surrogate BM25 (k1=1, b=1/2) top-k retrieval over a
+    * (doc_id, text) corpus — exposed for planted-corpus specs. Term
+    * weight is add-one-smoothed whole-bit idf `length(bin(N div df))`;
+    * the tf/length kernel is the exact rational 4A·tf/(2A·tf + A + dl·N)
+    * in milli-units (A = Σdl). Ties break on doc_id. */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)],
+      k: Int = BmTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bmScoredCandidates(docs, queries)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score_milli").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("query"), col("rank"), col("doc_id"),
         col("score_milli"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** q145: HYBRID retrieval via reciprocal-rank fusion — the standard
+    * way a RAG / retrieval-dedup stack combines rankers that disagree
+    * (Cormack, Clarke & Büttcher 2009). Both lexical kernels come from
+    * ONE [[bmScoredCandidates]] pass; each is ranked per query
+    * (row_number, doc_id tie-break), a document appearing in either
+    * ranker's top-`depth` earns `1_000_000 div (60 + rank)` micro-units
+    * per list it appears in, and the fused top-k is re-ranked on that
+    * sum (ties by doc_id). Integer floor division keeps the fused score
+    * on an exact grid — no float reciprocal noise between engines.
+    *
+    * Scale shape: the only corpus-sized work is the shared token
+    * explode; candidate ranking is a per-query window over matched docs
+    * (bounded by the query terms' posting lists — at 100 TB the hot-term
+    * cap story of q32 applies before this operator sees candidates);
+    * the fusion itself touches ≤ 2·depth rows per query. */
+  def rrfFuseTopK(docs: DataFrame, queries: Seq[(Int, String)],
+      depth: Int = FuseDepth, k: Int = BmTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bmScoredCandidates(docs, queries)
+    val wBm = Window.partitionBy(col("qid"))
+      .orderBy(col("score_milli").desc, col("doc_id"))
+    val wLex = Window.partitionBy(col("qid"))
+      .orderBy(col("lex_milli").desc, col("doc_id"))
+    val ranked = scored
+      .withColumn("r_bm25", row_number().over(wBm).cast("long"))
+      .withColumn("r_lex", row_number().over(wLex).cast("long"))
+      .withColumn("rrf_micro",
+        when(col("r_bm25") <= depth,
+          expr(s"1000000L div ($RrfK + r_bm25)")).otherwise(0L) +
+        when(col("r_lex") <= depth,
+          expr(s"1000000L div ($RrfK + r_lex)")).otherwise(0L))
+      .filter(col("rrf_micro") > 0L)
+    val wFuse = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    ranked.withColumn("rank", row_number().over(wFuse).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("query"), col("rank"), col("doc_id"),
+        col("rrf_micro"), col("r_bm25"), col("r_lex"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -2027,48 +2097,95 @@ object TextOps {
     //      ~10^18, i.e. shard token masses in the billions. ----
     "q144_bm25_retrieval" -> QueryDef(
       (s, dir) => bm25TopK(Tables.load(s, dir, "documents"), BmQueries),
-      Some {
-        val valuesList = BmQueries.flatMap { case (qid, q) =>
-          q.split(" ").distinct.map(t => s"($qid, '$q', '$t')")
-        }.mkString(", ")
-        s"""WITH toks AS (
-               SELECT doc_id,
-                 unnest(string_split_regex(lower(text), ' +')) AS term
-               FROM documents),
-             tf AS (SELECT doc_id, term, count(*) AS tf
-                    FROM toks GROUP BY 1, 2),
-             dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-             st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                      CAST(sum(dl) AS BIGINT) AS a_total FROM dl),
-             qt AS (SELECT * FROM (VALUES $valuesList)
-                    AS v(qid, query, term)),
-             dfx AS (
-               SELECT t.term, count(DISTINCT t.doc_id) AS df
-               FROM tf t
-               JOIN (SELECT DISTINCT term FROM qt) q ON q.term = t.term
-               GROUP BY t.term),
-             contrib AS (
-               SELECT q.qid, q.query, t.doc_id,
-                 (1000 * length(bin(st.n_docs // d.df))
-                    * 4 * st.a_total * t.tf)
-                   // (2 * st.a_total * t.tf + st.a_total
-                      + l.dl * st.n_docs) AS sc
-               FROM qt q
-               JOIN dfx d ON d.term = q.term
-               JOIN tf t ON t.term = q.term
-               JOIN dl l ON l.doc_id = t.doc_id
-               CROSS JOIN st),
-             scored AS (
-               SELECT qid, query, doc_id,
-                 CAST(sum(sc) AS BIGINT) AS score_milli
-               FROM contrib GROUP BY 1, 2, 3)
+      Some(s"""WITH $bmDuckChain
              SELECT qid, query, rank, doc_id, score_milli FROM (
                SELECT qid, query, doc_id, score_milli,
                  CAST(row_number() OVER (PARTITION BY qid
                    ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank
                FROM scored)
              WHERE rank <= $BmTopK
-             ORDER BY qid, rank"""
-      }),
+             ORDER BY qid, rank""")),
+
+    // ---- HYBRID retrieval: reciprocal-rank fusion of the two q144-
+    //      family kernels (BM25 and saturation-free TF-IDF) from the
+    //      SAME scored-candidates pass — the production answer when two
+    //      rankers disagree (RRF, Cormack/Clarke/Büttcher 2009). A doc
+    //      in either top-20 earns 1e6 div (60 + rank) micro-units per
+    //      list; fused top-5 per query, doc_id tie-breaks everywhere.
+    //      Integer floor division keeps the fused score on an exact
+    //      grid, so the hash gate certifies BOTH rankings and the
+    //      fusion arithmetic at once. ----
+    "q145_rrf_fusion" -> QueryDef(
+      (s, dir) => rrfFuseTopK(Tables.load(s, dir, "documents"), BmQueries),
+      Some(s"""WITH $bmDuckChain,
+             ranked AS (
+               SELECT qid, query, doc_id, score_milli, lex_milli,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY score_milli DESC, doc_id) AS BIGINT) AS r_bm25,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY lex_milli DESC, doc_id) AS BIGINT) AS r_lex
+               FROM scored),
+             fused AS (
+               SELECT qid, query, doc_id, r_bm25, r_lex,
+                 CAST(CASE WHEN r_bm25 <= $FuseDepth
+                        THEN 1000000 // ($RrfK + r_bm25) ELSE 0 END
+                    + CASE WHEN r_lex <= $FuseDepth
+                        THEN 1000000 // ($RrfK + r_lex) ELSE 0 END
+                   AS BIGINT) AS rrf_micro
+               FROM ranked)
+             SELECT qid, query, rank, doc_id, rrf_micro, r_bm25, r_lex
+             FROM (
+               SELECT qid, query, doc_id, rrf_micro, r_bm25, r_lex,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+               FROM fused WHERE rrf_micro > 0)
+             WHERE rank <= $BmTopK
+             ORDER BY qid, rank""")),
   )
+
+  /** The shared q144/q145 oracle CTE chain — one token explode feeding
+    * tf/dl/corpus stats, the fixed query-term relation, per-term df, and
+    * a `scored` CTE carrying BOTH kernels ([[bmScoredCandidates]]'s
+    * exact integer arithmetic: `score_milli` = BM25, `lex_milli` =
+    * saturation-free TF-IDF). */
+  private def bmDuckChain: String = {
+    val valuesList = BmQueries.flatMap { case (qid, q) =>
+      q.split(" ").distinct.map(t => s"($qid, '$q', '$t')")
+    }.mkString(", ")
+    s"""toks AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(text), ' +')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(dl) AS BIGINT) AS a_total FROM dl),
+         qt AS (SELECT * FROM (VALUES $valuesList)
+                AS v(qid, query, term)),
+         dfx AS (
+           SELECT t.term, count(DISTINCT t.doc_id) AS df
+           FROM tf t
+           JOIN (SELECT DISTINCT term FROM qt) q ON q.term = t.term
+           GROUP BY t.term),
+         contrib AS (
+           SELECT q.qid, q.query, t.doc_id,
+             (1000 * length(bin(st.n_docs // d.df))
+                * 4 * st.a_total * t.tf)
+               // (2 * st.a_total * t.tf + st.a_total
+                  + l.dl * st.n_docs) AS sc,
+             (1000 * length(bin(st.n_docs // d.df))
+                * t.tf * st.a_total)
+               // (l.dl * st.n_docs) AS lx
+           FROM qt q
+           JOIN dfx d ON d.term = q.term
+           JOIN tf t ON t.term = q.term
+           JOIN dl l ON l.doc_id = t.doc_id
+           CROSS JOIN st),
+         scored AS (
+           SELECT qid, query, doc_id,
+             CAST(sum(sc) AS BIGINT) AS score_milli,
+             CAST(sum(lx) AS BIGINT) AS lex_milli
+           FROM contrib GROUP BY 1, 2, 3)"""
+  }
 }

@@ -110,4 +110,106 @@ class RetrievalStatsSpec extends AnyFunSuite {
     val q2 = out.filter(_._1 == 2).sortBy(_._2)
     assert(q2.take(2).map(_._3).toSet == Set(1L, 2L), s"q2 ranking: ${q2.toSeq}")
   }
+
+  /** Long filler docs make A ≫ N, so BM25's partial (b=1/2) length
+    * penalty prefers the high-tf long doc while the saturation-free
+    * linear kernel prefers the short dense doc — a genuine ranking
+    * disagreement for the fusion to arbitrate. */
+  private def fusionDocs = {
+    import spark.implicits._
+    val filler = (10L until 16L).map(i => (i, Seq.fill(30)("pad").mkString(" ")))
+    (Seq(
+      1L -> "alpha alpha pad pad",
+      2L -> (Seq.fill(8)("alpha") ++ Seq.fill(22)("pad")).mkString(" "),
+      3L -> (Seq("alpha") ++ Seq.fill(29)("pad")).mkString(" ")) ++ filler)
+      .toDF("doc_id", "text")
+  }
+
+  test("q145: the two kernels disagree on the planted pair, fusion scores follow the RRF formula, and both-list docs win") {
+    val out = graft.ops.TextOps.rrfFuseTopK(fusionDocs, Seq(1 -> "alpha"))
+      .collect()
+      .map(r => (r.getLong(3), (r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // planted disagreement: BM25 ranks the saturated long doc 2 first,
+    // the linear kernel ranks the short dense doc 1 first
+    assert(out(2L)._3 == 1L && out(2L)._4 == 2L, s"doc 2 ranks: ${out(2L)}")
+    assert(out(1L)._3 == 2L && out(1L)._4 == 1L, s"doc 1 ranks: ${out(1L)}")
+    assert(out(3L)._3 == 3L && out(3L)._4 == 3L, s"doc 3 ranks: ${out(3L)}")
+    // every fused score equals the integer RRF formula over its ranks
+    out.foreach { case (id, (_, rrf, rb, rl)) =>
+      val expect = (if (rb <= graft.ops.TextOps.FuseDepth) 1000000L / (60 + rb) else 0L) +
+        (if (rl <= graft.ops.TextOps.FuseDepth) 1000000L / (60 + rl) else 0L)
+      assert(rrf == expect, s"doc $id rrf $rrf != $expect")
+    }
+    // the {1,2}/{2,1} pair ties on RRF and breaks on doc_id; the (3,3)
+    // doc scores strictly lower and lands third
+    assert(out(1L)._1 == 1L && out(2L)._1 == 2L && out(3L)._1 == 3L)
+    assert(out(1L)._2 == out(2L)._2 && out(3L)._2 < out(2L)._2)
+  }
+
+  test("q145: a doc outside both top-depth lists earns zero and is dropped") {
+    val shallow = graft.ops.TextOps.rrfFuseTopK(
+      fusionDocs, Seq(1 -> "alpha"), depth = 2).collect()
+    assert(shallow.map(_.getLong(3)).toSet == Set(1L, 2L),
+      s"depth=2 kept: ${shallow.map(_.getLong(3)).toSeq}")
+  }
+}
+
+/** q146 (power-iteration principal component) — a planted one-axis
+  * corpus where the eigendirection is known, and a bitwise pure-Scala
+  * mirror of the full fixed-point iteration on a random corpus (the
+  * PageRankSpec pattern: the distributed rounds must equal the integer
+  * mirror exactly, not approximately). */
+class PrincipalComponentSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import graft.ops.Similarity.{EmbDim, PowerIterRounds, PowerShift}
+
+  private def toDF(vecs: Seq[Array[Float]]) = {
+    import spark.implicits._
+    vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding")
+  }
+
+  /** The exact integer iteration [[graft.ops.Similarity.principalComponent]]
+    * distributes — truncating Long division throughout. */
+  private def mirror(vecs: Seq[Array[Float]], rounds: Int): Array[Long] = {
+    val mat = vecs.map(_.map(x => math.floor(x.toDouble * 1e6).toLong))
+    var v = Array.fill(EmbDim)(1000000L)
+    for (_ <- 1 to rounds) {
+      val ts = mat.map { q =>
+        q.zip(v).map { case (a, b) => a * b }.sum / (1L << PowerShift)
+      }
+      val u = Array.tabulate(EmbDim) { d =>
+        mat.zip(ts).map { case (q, t) => t * q(d) }.sum
+      }
+      val m = math.max(u.map(math.abs).max / 1000000L, 1L)
+      v = u.map(_ / m)
+    }
+    v
+  }
+
+  test("q146: a planted single-axis corpus loads entirely on that axis") {
+    val vecs = Seq(0.4f, -0.3f, 0.25f, 0.5f).map { a =>
+      val v = Array.fill(EmbDim)(0.0f); v(7) = a; v
+    }
+    val out = graft.ops.Similarity.principalComponent(toDF(vecs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == EmbDim)
+    assert(math.abs(out(7L)) > 0, s"axis 7 loading: ${out(7L)}")
+    (0 until EmbDim).filter(_ != 7).foreach { d =>
+      assert(out(d.toLong) == 0L, s"off-axis dim $d loaded ${out(d.toLong)}")
+    }
+  }
+
+  test("q146: distributed iteration equals the pure-Scala integer mirror bitwise") {
+    val rnd = new scala.util.Random(29)
+    val vecs = Seq.fill(40)(Array.fill(EmbDim)((rnd.nextFloat() - 0.5f) * 0.9f))
+    val expect = mirror(vecs, PowerIterRounds)
+    val got = graft.ops.Similarity.principalComponent(toDF(vecs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until EmbDim).foreach { d =>
+      assert(got(d.toLong) == expect(d),
+        s"dim $d: spark ${got(d.toLong)} != mirror ${expect(d)}")
+    }
+  }
 }

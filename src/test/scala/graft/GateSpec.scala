@@ -226,7 +226,15 @@ class PlanGateSpec extends AnyFunSuite {
     // q144: the ONE-ROW (N, A) corpus-stats aggregate crossJoined onto
     // the matched (query-term, doc) pairs (the q89 scalar shape); the
     // query workload itself rides broadcast EQUI-joins
-    "q144_bm25_retrieval")
+    "q144_bm25_retrieval",
+    // q145: embeds the same shared scored-candidates pass as q144 —
+    // the identical ONE-ROW (N, A) crossJoin; the fusion itself is
+    // windows over ≤2·depth rows per query, no further joins
+    "q145_rrf_fusion",
+    // q146: eight ONE-ROW v-frame broadcasts (one per power-iteration
+    // round) crossJoined onto the quantized corpus — the q87/q89
+    // scalar shape, one row of 64 longs per round by construction
+    "q146_principal_component")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
