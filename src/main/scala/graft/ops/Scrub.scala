@@ -123,6 +123,39 @@ object Scrub {
         DigitRe, "<NUM>"),
       TermRe, "<TERM>")
 
+  /** q148's marker table: (column-name suffix, lowercase substring the
+    * detector matches). The copyright class plants BOTH the copyright
+    * line and the rights claim, so multi-marker documents exist by
+    * construction. (Declared before `defs` — the oracle string is built
+    * eagerly.) */
+  val LicenseMarkers: Seq[(String, String)] = Seq(
+    "copyright" -> "copyright (c)",
+    "rights_reserved" -> "all rights reserved",
+    "apache" -> "licensed under the apache license",
+    "creative_commons" -> "creative commons")
+
+  /** The planted license header per document (q114 fixture discipline —
+    * both engines synthesize the identical text): every 7th doc gets a
+    * notice, class cycling through copyright / Apache / CC-BY. */
+  private val licenseHeaders = Seq(
+    "copyright (c) 2024 acme corp. all rights reserved.",
+    "licensed under the apache license, version 2.0.",
+    "this work is licensed under a creative commons attribution 4.0 license.")
+
+  private[ops] val licenseSynthSpark: String =
+    s"""CASE WHEN doc_id % 7 = 0 THEN concat(
+          CASE ${licenseHeaders.zipWithIndex.map { case (h, i) =>
+            s"WHEN doc_id % 3 = $i THEN '$h'" }.mkString(" ")} END,
+          ' ', text)
+        ELSE text END"""
+
+  private val licenseSynthDuck: String =
+    s"""CASE WHEN doc_id % 7 = 0 THEN
+          CASE ${licenseHeaders.zipWithIndex.map { case (h, i) =>
+            s"WHEN doc_id % 3 = $i THEN '$h'" }.mkString(" ")} END
+          || ' ' || text
+        ELSE text END"""
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- PII-style scrub report: per source, how many documents and
@@ -702,7 +735,72 @@ object Scrub {
              LEFT JOIN blocked b USING (doc_id)
              GROUP BY decile
              ORDER BY decile""")),
+
+    // ---- LICENSE / COPYRIGHT notice detection — the provenance-
+    //      compliance stage every permissively-licensed-data pipeline
+    //      runs (The Stack's license filter, C4's boilerplate notices):
+    //      per source, how many documents carry a copyright line, an
+    //      "all rights reserved" claim, an Apache-style grant or a
+    //      Creative Commons mark. The corpus is plain synthetic text, so
+    //      the notices are PLANTED deterministically by both engines
+    //      (the q114/q119 fixture discipline: doc_id % 7 == 0 gets a
+    //      header, class = doc_id % 3) and the detector runs substring
+    //      containment (`instr`/`position` — no regex dialect risk).
+    //      Scale shape: pure per-row projections; the one shuffle is the
+    //      per-source rollup on a 20-value key. A real deployment swaps
+    //      the synthesized column for the raw text and extends the
+    //      marker table — the operator shape is unchanged. ----
+    "q148_license_notices" -> QueryDef(
+      (s, dir) => licenseNotices(Tables.load(s, dir, "documents")
+        .withColumn("ltext", expr(licenseSynthSpark))),
+      Some(s"""WITH lt AS (
+               SELECT doc_id, source, $licenseSynthDuck AS ltext
+               FROM documents),
+             v AS (
+               SELECT source,
+                 ${LicenseMarkers.map { case (name, m) =>
+                   s"CASE WHEN position('$m' IN lower(ltext)) > 0 THEN 1 ELSE 0 END AS f_$name"
+                 }.mkString(",\n                 ")}
+               FROM lt)
+             SELECT source, count(*) AS n_docs,
+               ${LicenseMarkers.map { case (name, _) =>
+                 s"CAST(sum(f_$name) AS BIGINT) AS n_$name"
+               }.mkString(",\n               ")},
+               CAST(sum(CASE WHEN ${LicenseMarkers.map(m => s"f_${m._1} = 1")
+                 .mkString(" OR ")} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_flagged,
+               CAST(sum(CASE WHEN ${LicenseMarkers.map(m => s"f_${m._1} = 1")
+                 .mkString(" OR ")} THEN 1 ELSE 0 END) AS BIGINT)
+                 * 10000 // count(*) AS flagged_bp
+             FROM v
+             GROUP BY source
+             ORDER BY source""")),
   )
+
+  /** The q148 detector over a (doc_id, source, ltext) frame — exposed
+    * for planted-notice specs. One flag column per [[LicenseMarkers]]
+    * entry via substring containment, rolled up per source. */
+  def licenseNotices(docs: DataFrame): DataFrame = {
+    val flagged = LicenseMarkers.foldLeft(
+      docs.select(col("source"), lower(col("ltext")).as("lt"))) {
+      case (df, (name, m)) =>
+        df.withColumn(s"f_$name",
+          when(instr(col("lt"), m) > 0, 1L).otherwise(0L))
+    }
+    val anyFlag = LicenseMarkers.map(m => col(s"f_${m._1}") === 1L)
+      .reduce(_ or _)
+    flagged
+      .withColumn("f_any", when(anyFlag, 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        LicenseMarkers.map(m => sum(col(s"f_${m._1}")).as(s"n_${m._1}")) :+
+          sum(col("f_any")).as("n_flagged"): _*)
+      .select(Seq(col("source"), col("n_docs")) ++
+        LicenseMarkers.map(m => col(s"n_${m._1}")) ++ Seq(
+          col("n_flagged"),
+          expr("n_flagged * 10000 div n_docs").as("flagged_bp")): _*)
+      .orderBy(col("source"))
+  }
 
   /** q137's decile calibration over a (doc_id, source, text) frame:
     * quality deciles (integer surrogate score, 1e-4 units, bucket 1000

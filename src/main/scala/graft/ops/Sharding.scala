@@ -121,6 +121,51 @@ object Sharding {
       .toDF("shard_id", "window_id", "doc_id", "n_tokens")
   }
 
+  /** The q84 first-fit packing oracle chain ending at
+    * `pack(shard_id, rn, doc_id, n_tokens, window_id, fills)` — the
+    * recursive CTE replaying [[packWindows]]'s walk with the open-window
+    * fills list as its state. Shared by q84 and q149 so the oracle-side
+    * packing definition exists once. (Declared before `defs` — the
+    * oracle strings are built eagerly.) */
+  private def packDuckCtes: String =
+    s"""t AS (
+         SELECT doc_id, md5('shard:' || CAST(doc_id AS VARCHAR)) AS k,
+           CAST(len(string_split_regex(lower(text), ' +')) AS BIGINT)
+             AS n_tokens
+         FROM documents),
+       c AS (
+         SELECT doc_id, k, n_tokens,
+           COALESCE(CAST(sum(n_tokens) OVER (ORDER BY k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS BIGINT), 0) AS cum_before
+         FROM t),
+       ordered AS (
+         SELECT CAST(cum_before // $ShardBudget AS BIGINT) AS shard_id,
+           doc_id, n_tokens,
+           row_number() OVER (PARTITION BY cum_before // $ShardBudget
+             ORDER BY k) AS rn
+         FROM c),
+       pack AS (
+         SELECT shard_id, rn, doc_id, n_tokens,
+           CAST(0 AS BIGINT) AS window_id,
+           [n_tokens] AS fills
+         FROM ordered WHERE rn = 1
+         UNION ALL
+         SELECT o.shard_id, o.rn, o.doc_id, o.n_tokens,
+           CAST(CASE WHEN l.ff IS NULL THEN len(p.fills)
+                     ELSE l.ff - 1 END AS BIGINT),
+           CASE WHEN l.ff IS NULL THEN list_append(p.fills, o.n_tokens)
+                ELSE list_transform(range(1, len(p.fills) + 1),
+                       i -> CASE WHEN i = l.ff
+                                 THEN p.fills[i] + o.n_tokens
+                                 ELSE p.fills[i] END)
+           END
+         FROM pack p
+         JOIN ordered o ON o.shard_id = p.shard_id AND o.rn = p.rn + 1,
+         LATERAL (SELECT list_filter(range(1, len(p.fills) + 1),
+                    i -> p.fills[i] + o.n_tokens <= $PackCapacity)[1]
+                    AS ff) l)"""
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- per-shard manifest: contiguous md5-ordered shards of
@@ -173,43 +218,7 @@ object Sharding {
             round(col("window_tokens") * lit(1.0) / PackCapacity, 4))
           .orderBy(col("shard_id"), col("window_id"))
       },
-      Some(s"""WITH RECURSIVE t AS (
-               SELECT doc_id, md5('shard:' || CAST(doc_id AS VARCHAR)) AS k,
-                 CAST(len(string_split_regex(lower(text), ' +')) AS BIGINT)
-                   AS n_tokens
-               FROM documents),
-             c AS (
-               SELECT doc_id, k, n_tokens,
-                 COALESCE(CAST(sum(n_tokens) OVER (ORDER BY k
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                   AS BIGINT), 0) AS cum_before
-               FROM t),
-             ordered AS (
-               SELECT CAST(cum_before // $ShardBudget AS BIGINT) AS shard_id,
-                 doc_id, n_tokens,
-                 row_number() OVER (PARTITION BY cum_before // $ShardBudget
-                   ORDER BY k) AS rn
-               FROM c),
-             pack AS (
-               SELECT shard_id, rn, doc_id, n_tokens,
-                 CAST(0 AS BIGINT) AS window_id,
-                 [n_tokens] AS fills
-               FROM ordered WHERE rn = 1
-               UNION ALL
-               SELECT o.shard_id, o.rn, o.doc_id, o.n_tokens,
-                 CAST(CASE WHEN l.ff IS NULL THEN len(p.fills)
-                           ELSE l.ff - 1 END AS BIGINT),
-                 CASE WHEN l.ff IS NULL THEN list_append(p.fills, o.n_tokens)
-                      ELSE list_transform(range(1, len(p.fills) + 1),
-                             i -> CASE WHEN i = l.ff
-                                       THEN p.fills[i] + o.n_tokens
-                                       ELSE p.fills[i] END)
-                 END
-               FROM pack p
-               JOIN ordered o ON o.shard_id = p.shard_id AND o.rn = p.rn + 1,
-               LATERAL (SELECT list_filter(range(1, len(p.fills) + 1),
-                          i -> p.fills[i] + o.n_tokens <= $PackCapacity)[1]
-                          AS ff) l)
+      Some(s"""WITH RECURSIVE $packDuckCtes
              SELECT shard_id, window_id, count(*) AS n_chunks,
                CAST(sum(n_tokens) AS BIGINT) AS window_tokens,
                round(CAST(sum(n_tokens) AS BIGINT) * 1.0 / $PackCapacity, 4)
@@ -217,6 +226,59 @@ object Sharding {
              FROM pack
              GROUP BY shard_id, window_id
              ORDER BY shard_id, window_id""")),
+
+    // ---- packing-EFFICIENCY report: the per-shard roll-up a training
+    //      run reads off q84's first-fit packing before paying for the
+    //      epoch — window count, chunk count, token mass, padding waste
+    //      (the tokens each under-filled window burns as pad), oversize
+    //      windows (single chunks past capacity), and realized fill in
+    //      basis points. Padding waste IS the compute bill a packer
+    //      exists to minimize; without this roll-up q84's per-window
+    //      rows don't answer "how much of the budget is pad?" at a
+    //      glance. Scale: two map-side-combinable aggregations over the
+    //      q84 frame — per (shard, window), then per shard; nothing new
+    //      shuffles beyond q84's own machinery. ----
+    "q149_packing_efficiency" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("k",
+            md5(concat(lit("shard:"), col("doc_id").cast("string"))))
+          .withColumn("n_tokens", size(split(lower(col("text")), " +")))
+        packWindows(assignShards(docs, ShardBudget, 32), PackCapacity)
+          .groupBy(col("shard_id"), col("window_id"))
+          .agg(count(lit(1)).as("wc"), sum(col("n_tokens")).as("wt"))
+          .groupBy(col("shard_id"))
+          .agg(count(lit(1)).as("n_windows"),
+            sum(col("wc")).as("n_chunks"),
+            sum(col("wt")).as("tokens"),
+            sum(greatest(lit(PackCapacity) - col("wt"), lit(0L)))
+              .as("padding_tokens"),
+            sum(when(col("wt") > PackCapacity, 1L).otherwise(0L))
+              .as("oversize_windows"))
+          .select(col("shard_id"), col("n_windows"), col("n_chunks"),
+            col("tokens"), col("padding_tokens"), col("oversize_windows"),
+            expr(s"tokens * 10000 div (n_windows * $PackCapacity)")
+              .as("fill_bp"))
+          .orderBy(col("shard_id"))
+      },
+      Some(s"""WITH RECURSIVE $packDuckCtes,
+             wins AS (
+               SELECT shard_id, window_id, count(*) AS wc,
+                 CAST(sum(n_tokens) AS BIGINT) AS wt
+               FROM pack GROUP BY 1, 2)
+             SELECT shard_id, count(*) AS n_windows,
+               CAST(sum(wc) AS BIGINT) AS n_chunks,
+               CAST(sum(wt) AS BIGINT) AS tokens,
+               CAST(sum(CASE WHEN wt < $PackCapacity
+                 THEN $PackCapacity - wt ELSE 0 END) AS BIGINT)
+                 AS padding_tokens,
+               CAST(sum(CASE WHEN wt > $PackCapacity THEN 1 ELSE 0 END)
+                 AS BIGINT) AS oversize_windows,
+               CAST(sum(wt) AS BIGINT) * 10000
+                 // (count(*) * $PackCapacity) AS fill_bp
+             FROM wins
+             GROUP BY shard_id
+             ORDER BY shard_id""")),
 
     // ---- per-shard integrity manifest: the reproducibility artifact a
     //      real training-data run writes alongside each shard — doc and

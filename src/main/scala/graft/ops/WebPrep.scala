@@ -325,6 +325,11 @@ object WebPrep {
              AS n_dropped_params
          FROM u4)"""
 
+  /** A block this many DISTINCT same-domain documents share is
+    * boilerplate (the CCNet rule: repeated means template). (Declared
+    * before `defs` — the oracle string is built eagerly.) */
+  val MinBoilerDocs = 2
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- HTML/boilerplate strip over the planted page wrapper: per
@@ -558,5 +563,93 @@ object WebPrep {
                n_blocklisted
              FROM agg
              ORDER BY domain""")),
+
+    // ---- per-DOMAIN block-level boilerplate report — the CCNet-style
+    //      stage (Wenzek et al. 2019 deduplicate repeated lines across a
+    //      shard before any quality scoring): a 20-word block recurring
+    //      in ≥ MinBoilerDocs distinct documents of the SAME registered
+    //      domain is site template/navigation, not content. Composes the
+    //      shared canonicalization (domain) with q83's canonical
+    //      segmentation (TextOps.paragraphDocs — the same blocks the
+    //      paragraph dedup family keys on). Per domain: doc mass, block
+    //      instances/distinct keys, flagged boilerplate keys/instances/
+    //      word mass, and the boilerplate share in basis points — the
+    //      read that says "this domain is 40% chrome" before its docs
+    //      hit the token budget. Scale shape: the explode is corpus
+    //      tokens / 20 rows; every shuffle is keyed (domain, 32-byte
+    //      md5) with group sizes bounded by the domain's doc count —
+    //      counting only, never a pair join (a million-doc template
+    //      costs a million-row count group, the q99 argument); the
+    //      domain rollup and doc-count join are |domains|-sized. ----
+    "q147_domain_boilerplate" -> QueryDef(
+      (s, dir) => domainBoilerplate(Tables.load(s, dir, "documents")),
+      Some(s"""WITH $urlDuckCtes,
+             ${TextOps.paragraphDocsDuckCte("pd")},
+             blocks AS (
+               SELECT d.domain, p.doc_id // ${TextOps.ParaCap} AS orig_id,
+                 md5(p.text) AS pkey,
+                 CAST(len(string_split(p.text, ' ')) AS BIGINT) AS nw
+               FROM pd p
+               JOIN u d ON p.doc_id // ${TextOps.ParaCap} = d.doc_id),
+             g AS (
+               SELECT domain, pkey,
+                 count(DISTINCT orig_id) AS dd, count(*) AS occ,
+                 CAST(sum(nw) AS BIGINT) AS w
+               FROM blocks GROUP BY 1, 2),
+             per AS (
+               SELECT domain,
+                 CAST(sum(occ) AS BIGINT) AS n_blocks,
+                 count(*) AS n_distinct_blocks,
+                 CAST(sum(CASE WHEN dd >= $MinBoilerDocs THEN 1 ELSE 0 END)
+                   AS BIGINT) AS boiler_keys,
+                 CAST(sum(CASE WHEN dd >= $MinBoilerDocs THEN occ ELSE 0 END)
+                   AS BIGINT) AS boiler_blocks,
+                 CAST(sum(CASE WHEN dd >= $MinBoilerDocs THEN w ELSE 0 END)
+                   AS BIGINT) AS boiler_words,
+                 CAST(sum(w) AS BIGINT) AS tw
+               FROM g GROUP BY domain),
+             nd AS (
+               SELECT domain, count(DISTINCT doc_id) AS n_docs
+               FROM u GROUP BY domain)
+             SELECT p.domain, n.n_docs, p.n_blocks, p.n_distinct_blocks,
+               p.boiler_keys, p.boiler_blocks, p.boiler_words,
+               p.boiler_words * 10000 // p.tw AS boiler_bp
+             FROM per p JOIN nd n ON p.domain = n.domain
+             ORDER BY p.domain""")),
   )
+
+  /** The q147 operator over a (doc_id, source, text) frame — exposed for
+    * planted-template specs. See the q147 defs entry for the full
+    * scale/parity story. */
+  def domainBoilerplate(docs: DataFrame): DataFrame = {
+    val dom = canonicalizeUrls(docs
+      .select(col("doc_id"), col("source"), expr(urlSynthSpark).as("url")))
+      .select(col("doc_id"), col("domain"))
+    val blocks = TextOps.paragraphDocs(docs)
+      .select(expr(s"doc_id div ${TextOps.ParaCap}").as("orig_id"),
+        md5(col("text")).as("pkey"),
+        size(split(col("text"), " ")).cast("long").as("nw"))
+      .join(dom.withColumnRenamed("doc_id", "orig_id"), "orig_id")
+    val g = blocks.groupBy(col("domain"), col("pkey"))
+      .agg(countDistinct(col("orig_id")).as("dd"),
+        count(lit(1)).as("occ"), sum(col("nw")).as("w"))
+    val per = g.groupBy(col("domain"))
+      .agg(sum(col("occ")).as("n_blocks"),
+        count(lit(1)).as("n_distinct_blocks"),
+        sum(when(col("dd") >= MinBoilerDocs, 1L).otherwise(0L))
+          .as("boiler_keys"),
+        sum(when(col("dd") >= MinBoilerDocs, col("occ")).otherwise(0L))
+          .as("boiler_blocks"),
+        sum(when(col("dd") >= MinBoilerDocs, col("w")).otherwise(0L))
+          .as("boiler_words"),
+        sum(col("w")).as("tw"))
+    val nd = dom.groupBy(col("domain"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    per.join(nd, "domain")
+      .select(col("domain"), col("n_docs"), col("n_blocks"),
+        col("n_distinct_blocks"), col("boiler_keys"), col("boiler_blocks"),
+        col("boiler_words"),
+        expr("boiler_words * 10000 div tw").as("boiler_bp"))
+      .orderBy(col("domain"))
+  }
 }

@@ -88,4 +88,29 @@ class SafetyOrderDriftSpec extends AnyFunSuite {
     val b = Sharding.interleaveAudit(docs.repartition(13)).collect().toSeq
     assert(a == b)
   }
+
+  test("q148: each marker fires on its notice, case-folded; multi-marker docs count once in n_flagged") {
+    val docs = Seq(
+      (1L, "a", "Copyright (C) 2020 Foo Corp. All Rights Reserved. body text"),
+      (2L, "a", "Licensed under the Apache License, Version 2.0. body"),
+      (3L, "a", "plain content with no notice at all"),
+      (4L, "b", "shared under a Creative Commons license. body"))
+      .toDF("doc_id", "source", "ltext")
+    val got = Scrub.licenseNotices(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // source a: doc 1 fires copyright AND rights_reserved but counts
+    // once in n_flagged; doc 3 is clean -> 2 of 3 flagged = 6666 bp
+    assert(got("a") == ((3L, 1L, 1L, 1L, 0L, 2L, 6666L)), s"a: ${got("a")}")
+    assert(got("b") == ((1L, 0L, 0L, 0L, 1L, 1L, 10000L)), s"b: ${got("b")}")
+  }
+
+  test("q148: the synthesized fixture plants a notice on exactly the doc_id % 7 == 0 docs") {
+    val out = SparkEntry.queries("q148_license_notices")(
+      spark, "/root/testdata/sf0.001").collect()
+    val flagged = out.map(_.getLong(6)).sum
+    val expect = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") % 7 === 0).count()
+    assert(flagged == expect, s"flagged $flagged != planted $expect")
+  }
 }

@@ -86,4 +86,26 @@ class ShardingSpec extends AnyFunSuite {
       .map(r => r.getLong(2) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("q149: padding identity, fill bound and corpus-token conservation hold per shard") {
+    import org.apache.spark.sql.functions._
+    val cap = Sharding.PackCapacity
+    val rows = SparkEntry.queries("q149_packing_efficiency")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (sid, nw, tokens, padding, oversize, fillBp) =>
+      if (oversize == 0) {
+        assert(tokens + padding == nw * cap, s"shard $sid padding identity")
+        assert(fillBp <= 10000L, s"shard $sid fill_bp $fillBp")
+      }
+      assert(fillBp == tokens * 10000 / (nw * cap), s"shard $sid fill_bp recompute")
+    }
+    val corpusTokens = graft.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select(sum(size(split(lower(col("text")), " +"))).cast("long"))
+      .collect()(0).getLong(0)
+    assert(rows.map(_._3).sum == corpusTokens, "every corpus token lands in a window")
+  }
 }

@@ -190,4 +190,43 @@ class WebPrepSpec extends AnyFunSuite {
     assert(again.map(_.getString(1)).sameElements(out.map(_.getString(1))),
       "idempotent over the full random sample")
   }
+
+  test("q147: a shared header across same-domain docs is boilerplate; a clean domain reports zeros") {
+    import spark.implicits._
+    // domain = source + (doc_id % 5) + '.com' under the synthesized
+    // URLs: ids 0/5/10 land on acme0.com, ids 1/6 on acme1.com
+    val header = (1 to 20).map(i => s"nav$i").mkString(" ")
+    def tail(tag: String) = (1 to 20).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (0L, "acme", s"$header ${tail("a")}"),
+      (5L, "acme", s"$header ${tail("b")}"),
+      (10L, "acme", s"$header ${tail("c")}"),
+      (1L, "acme", tail("d")),
+      (6L, "acme", tail("e"))).toDF("doc_id", "source", "text")
+    val out = WebPrep.domainBoilerplate(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // acme0.com: 3 docs x 2 blocks; the header key recurs in 3 docs ->
+    // 1 boiler key, 3 instances, 60 of 120 words = 5000 bp
+    assert(out("acme0.com") == ((3L, 6L, 4L, 1L, 3L, 60L, 5000L)),
+      s"acme0.com: ${out("acme0.com")}")
+    // acme1.com: 2 unique docs, nothing repeats
+    assert(out("acme1.com") == ((2L, 2L, 2L, 0L, 0L, 0L, 0L)),
+      s"acme1.com: ${out("acme1.com")}")
+  }
+
+  test("q147: the SAME block in different domains is not boilerplate (domain-scoped, not global)") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"w$i").mkString(" ")
+    // ids 0 and 1 land on different domains (doc_id % 5 differs)
+    val docs = Seq(
+      (0L, "acme", shared),
+      (1L, "acme", shared)).toDF("doc_id", "source", "text")
+    val out = WebPrep.domainBoilerplate(docs).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(4) == 0L && r.getLong(5) == 0L,
+        s"cross-domain block flagged in ${r.getString(0)}")
+    }
+  }
 }
