@@ -193,5 +193,85 @@ object Snapshot {
              LEFT JOIN nu USING (source)
              LEFT JOIN nn USING (source)
              ORDER BY nd.source""")),
+
+    // ---- INCREMENTAL data-card maintenance: the per-source card of the
+    //      CURRENT snapshot computed from the PREVIOUS snapshot's card
+    //      plus the q125 delta ONLY — the maintenance a recurring run
+    //      performs instead of re-scanning the corpus. q108 proved the
+    //      card's statistics merge across shards; this proves they also
+    //      support REMOVAL, which restricts the card to invertible
+    //      statistics: counts and sums subtract, and the bit_xor content
+    //      signature is its own inverse (xor a removed doc's key back
+    //      out and it is gone; a changed doc xors out its old key and in
+    //      its new one). Extremes (min/max) are deliberately absent —
+    //      they cannot be decremented, which is exactly the design rule
+    //      this gate documents. The oracle computes the current card
+    //      DIRECTLY, so the hash match is a machine-checked proof of the
+    //      whole maintenance algebra. Scale: the base card is
+    //      |sources|-sized (read from the previous run's artifact in
+    //      production — synthesized here); the only corpus-shaped work
+    //      is the diff join, and the delta aggregation touches delta
+    //      rows only. ----
+    "q150_incremental_datacard" -> QueryDef(
+      (s, dir) => incrementalDataCard(Tables.load(s, dir, "documents")),
+      Some(s"""WITH $diffDuckCtes
+             SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               bit_xor(CAST(('0x' || substr(md5('snap:' ||
+                 CAST(doc_id AS VARCHAR) || ':' || h), 1, 14)) AS BIGINT))
+                 AS sig
+             FROM cur
+             GROUP BY source
+             ORDER BY source""")),
   )
+
+  /** 56-bit per-document content key for the q150 signature: doc id and
+    * content hash together, so a changed doc changes its key. */
+  private def snapKey(idCol: String, hCol: String) =
+    expr(s"""cast(conv(substring(md5(concat('snap:',
+      cast($idCol as string), ':', $hCol)), 1, 14), 16, 10) as long)""")
+
+  /** The q150 operator: current-snapshot card = previous card ⊕ delta.
+    * See the defs entry for the invertibility story. */
+  def incrementalDataCard(docs: DataFrame): DataFrame = {
+    val prev = previousSnapshot(docs)
+    val cur = currentSnapshot(docs)
+    // the previous run's artifact (per-source, |sources| rows)
+    val base = prev.withColumn("k", snapKey("doc_id", "h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("b_docs"), sum(col("n_chars")).as("b_chars"),
+        expr("bit_xor(k)").as("b_sig"))
+    // the delta: both sides of the diff, unchanged rows dropped EARLY so
+    // everything downstream is delta-sized
+    val p = prev.select(col("doc_id"), col("source").as("p_source"),
+      col("h").as("p_h"), col("n_chars").as("p_chars"))
+    val c = cur.select(col("doc_id"), col("source").as("c_source"),
+      col("h").as("c_h"), col("n_chars").as("c_chars"))
+    val delta = p.join(c, Seq("doc_id"), "full_outer")
+      .filter(col("p_h").isNull or col("c_h").isNull or
+        col("p_h") =!= col("c_h"))
+      .select(
+        coalesce(col("c_source"), col("p_source")).as("source"),
+        when(col("p_h").isNull, 1L).when(col("c_h").isNull, -1L)
+          .otherwise(0L).as("d_docs"),
+        (coalesce(col("c_chars"), lit(0L)) -
+          coalesce(col("p_chars"), lit(0L))).as("d_chars"),
+        (when(col("p_h").isNull, lit(0L))
+          .otherwise(snapKey("doc_id", "p_h")) bitwiseXOR
+         when(col("c_h").isNull, lit(0L))
+          .otherwise(snapKey("doc_id", "c_h"))).as("d_sig"))
+      .groupBy(col("source"))
+      .agg(sum(col("d_docs")).as("d_docs"), sum(col("d_chars")).as("d_chars"),
+        expr("bit_xor(d_sig)").as("d_sig"))
+    base.join(delta, Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("b_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("b_chars"), lit(0L)) + coalesce(col("d_chars"), lit(0L)))
+          .as("total_chars"),
+        (coalesce(col("b_sig"), lit(0L)) bitwiseXOR
+          coalesce(col("d_sig"), lit(0L))).as("sig"))
+      .filter(col("n_docs") > 0L)
+      .orderBy(col("source"))
+  }
 }

@@ -97,4 +97,26 @@ class SnapshotGrowthSpansSpec extends AnyFunSuite {
     assert(got(11L) == ((2L, 1L, 4L)))   // two isolated grams
     assert(!got.contains(12L))           // clean doc emits nothing
   }
+
+  test("q150: base-card-plus-delta equals the directly computed current card, with every diff class exercised") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // the synthesis must land adds, removals AND changes, or the
+    // invertibility claim goes untested
+    val statuses = Snapshot
+      .snapshotDiff(Snapshot.previousSnapshot(docs), Snapshot.currentSnapshot(docs))
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses == Set("added", "removed", "changed", "unchanged"))
+    val inc = SparkEntry.queries("q150_incremental_datacard")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val direct = Snapshot.currentSnapshot(docs)
+      .withColumn("k", expr("""cast(conv(substring(md5(concat('snap:',
+        cast(doc_id as string), ':', h)), 1, 14), 16, 10) as long)"""))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        expr("bit_xor(k)").as("sig"))
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(inc.toSeq == direct.toSeq)
+  }
 }
