@@ -188,6 +188,62 @@ object Similarity {
       .orderBy(col("va"), col("vb"))
   }
 
+  /** Neighbors kept per node in the q151 kNN graph. Small by design: the
+    * graph consumers (SemDeDup-style pruning, graph clustering, diversity
+    * walks) want a sparse graph, and per-node output is k rows whatever
+    * the corpus size. */
+  val KnnGraphK = 4
+
+  /** Approximate k-nearest-neighbor GRAPH over the corpus: for every
+    * vector, its top-k most-cosine-similar neighbors among the sign-LSH
+    * candidates — the q41 banding with the threshold removed and a
+    * per-node rank window on top. This is the substrate structure behind
+    * SemDeDup-style semantic pruning, kNN-graph clustering and
+    * diversity-aware sampling: unlike q41 (a global near-dup pair list)
+    * every node gets neighbors, however far, as long as the banding
+    * surfaces a candidate.
+    *
+    * Scale shape: candidates come from the capped (band_idx, band_val)
+    * equi self-join — never all pairs — and are SYMMETRIZED (each
+    * unordered candidate feeds both endpoints' neighbor lists) before
+    * exact cosine verification via two vec_id equi-joins. The rank
+    * window partitions by node over its own candidate list, whose size
+    * is bounded by bands × cap, not corpus size. Parity: cosines are
+    * sequential-fold bitwise-identical in both engines, so ordering by
+    * raw (cos DESC, neighbor) cannot diverge; output rounds to the 4-dp
+    * display grid only after ranking. */
+  def knnGraph(emb: DataFrame, k: Int = KnnGraphK): DataFrame = {
+    registerNeardupBands(emb.sparkSession)
+    val n = normedFrom(emb)
+      .withColumn("band_vals", expr("graft_sign_bands(embedding)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = Dedup.coldBands(
+      n.select(col("vec_id"),
+        posexplode(col("band_vals")).as(Seq("band_idx", "band_val"))),
+      NeardupBandCap)
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+    val sym = cands.union(cands.select(col("vb").as("va"), col("va").as("vb")))
+    val a = n.select(col("vec_id").as("va"), col("de").as("ea"),
+      col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("vb"), col("de").as("eb"),
+      col("nrm").as("nb"))
+    val w = Window.partitionBy(col("va"))
+      .orderBy(col("cos").desc, col("vb"))
+    sym.join(a, "va").join(b, "vb")
+      .withColumn("cos", expr(dotExpr("ea", "eb")) / (col("na") * col("nb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("va").as("vec_id"), col("rank").cast("long").as("rank"),
+        col("vb").as("neighbor"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** Number of IVF cells for q43/q97 (deterministic centroids = the 16
     * smallest-id vectors, the q43 convention). */
   private val IvfCells = 16
@@ -1428,6 +1484,50 @@ object Similarity {
                ssq // n_vecs - (sm // n_vecs) * (sm // n_vecs) AS var_milli2,
                min_micro = max_micro AS dead
              FROM a ORDER BY dim""")),
+
+    // ---- approximate kNN GRAPH: q41's capped sign-LSH banding with the
+    //      threshold removed, symmetrized so each unordered candidate
+    //      feeds both endpoints, then a per-node (cos DESC, neighbor)
+    //      rank window keeping the top [[KnnGraphK]]. The substrate for
+    //      SemDeDup pruning / graph clustering / diversity walks. The
+    //      oracle mirrors banding, cap, symmetrization and window
+    //      bit-for-bit (cosines are sequential folds — identical IEEE
+    //      sequences in both engines, so the rank cannot diverge). ----
+    "q151_knn_graph" -> QueryDef(
+      (s, dir) => knnGraph(Tables.load(s, dir, "embeddings")),
+      Some {
+        s"""WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
+                    FROM embeddings),
+           bands0 AS ($neardupBandDuckUnion),
+           hot AS (
+             SELECT band_idx, band_val FROM bands0
+             GROUP BY band_idx, band_val HAVING count(*) > $NeardupBandCap),
+           bands AS (
+             SELECT b.* FROM bands0 b
+             ANTI JOIN hot h USING (band_idx, band_val)),
+           cands AS (
+             SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+             FROM bands x JOIN bands y
+               ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+              AND x.vec_id < y.vec_id),
+           sym AS (SELECT va, vb FROM cands
+                   UNION ALL SELECT vb AS va, va AS vb FROM cands),
+           scored AS (
+             SELECT sym.va, sym.vb,
+               ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+                 AS cos
+             FROM sym JOIN n a ON sym.va = a.vec_id
+                      JOIN n b ON sym.vb = b.vec_id),
+           ranked AS (
+             SELECT va, vb, cos,
+               row_number() OVER (PARTITION BY va
+                 ORDER BY cos DESC, vb) AS rank
+             FROM scored)
+           SELECT va AS vec_id, CAST(rank AS BIGINT) AS rank,
+             vb AS neighbor, round(cos, 4) AS cos_sim
+           FROM ranked WHERE rank <= $KnnGraphK
+           ORDER BY vec_id, rank"""
+      }),
   )
 
   /** q143's per-dimension health card over a (vec_id, embedding) frame —

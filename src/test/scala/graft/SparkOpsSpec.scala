@@ -1146,6 +1146,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(expected.subsetOf(out), s"planted pairs missing: ${expected -- out}")
   }
 
+  test("q151 kNN graph: planted twins rank first, out-degree ≤ k, graph covers banded nodes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(151)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0L until 300L).map(i => (i, vec()))
+    val planted = base.take(8).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + (rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val g = graft.ops.Similarity.knnGraph(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // each planted twin's rank-1 neighbor is its original and vice versa
+    for (i <- 0L until 8L) {
+      assert(g.contains((i + 1000L, 1L, i)),
+        s"twin ${i + 1000} rank-1 neighbor should be $i")
+      assert(g.contains((i, 1L, i + 1000L)),
+        s"node $i rank-1 neighbor should be its twin ${i + 1000}")
+    }
+    // out-degree bounded by k, ranks contiguous from 1
+    val byNode = g.groupBy(_._1)
+    byNode.foreach { case (n, rows) =>
+      assert(rows.length <= graft.ops.Similarity.KnnGraphK)
+      assert(rows.map(_._2).sorted.sameElements(1L to rows.length.toLong),
+        s"ranks for node $n not contiguous")
+    }
+  }
+
   test("q41 plan has no cartesian/nested-loop join (scale gate)") {
     val plan = SparkEntry.queries("q41_embedding_neardup")(spark, sf)
       .queryExecution.executedPlan.toString
