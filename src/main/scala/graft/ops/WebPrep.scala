@@ -330,6 +330,39 @@ object WebPrep {
     * before `defs` — the oracle string is built eagerly.) */
   val MinBoilerDocs = 2
 
+  /** q152 marker families: (name, literal-codepoint regex). Each pattern
+    * is built from the mis-decoded codepoints themselves — no backslash
+    * escapes, so the identical string is a valid, identical-semantics
+    * regex in Java (Spark) and RE2 (DuckDB). */
+  val MojibakeMarkers: Seq[(String, String)] = Seq(
+    ("cp1252", "â€"),              // â€ : CP1252 punctuation read as UTF-8
+    ("latin1", "Ã[©¨¼±¯]"), // Ã + accent tail: double-decoded é è ü ñ ï
+    ("nbsp", "Â "),                     // Â + space: mis-decoded NBSP
+    ("repl", "�"))                      // U+FFFD hard decode failure
+
+  /** q152 fixture snippets, one per marker class (doc_id % 4 picks).
+    * Quote-free so they embed in single-quoted SQL literals verbatim. */
+  private val mojibakeSnippets: Seq[String] = Seq(
+    "donâ€™t trust â€œsmart quotes",
+    "cafÃ© rÃ©sumÃ© naÃ¯ve",
+    "wideÂ spacedÂ words",
+    "lost � and � chars")
+
+  private[ops] val mojibakeSynthSpark: String =
+    s"""CASE WHEN doc_id % 11 = 5 THEN concat(
+          CASE ${mojibakeSnippets.zipWithIndex.map { case (m, i) =>
+            s"WHEN doc_id % 4 = $i THEN '$m'" }.mkString(" ")} END,
+          ' ', text)
+        ELSE text END"""
+
+  private val mojibakeSynthDuck: String =
+    s"""CASE WHEN doc_id % 11 = 5 THEN
+          CASE ${mojibakeSnippets.zipWithIndex.map { case (m, i) =>
+            s"WHEN doc_id % 4 = $i THEN '$m'" }.mkString(" ")} END
+          || ' ' || text
+        ELSE text END"""
+
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- HTML/boilerplate strip over the planted page wrapper: per
@@ -616,7 +649,66 @@ object WebPrep {
                p.boiler_words * 10000 // p.tw AS boiler_bp
              FROM per p JOIN nd n ON p.domain = n.domain
              ORDER BY p.domain""")),
+
+    // ---- ENCODING-ANOMALY (mojibake) detection: every crawl corpus
+    //      carries documents whose bytes were decoded under the wrong
+    //      charset — CP1252 curly quotes read as UTF-8 (â€™/â€œ),
+    //      Latin-1 accents double-decoded (Ã©/Ã¨), NBSP smeared to
+    //      "Â ", and U+FFFD replacement chars from hard decode errors.
+    //      The corpus here is clean synthetic text, so the anomalies are
+    //      PLANTED deterministically by both engines (the q148 fixture
+    //      discipline: doc_id % 11 == 5 gets a snippet, class =
+    //      doc_id % 4) and the detector counts each marker family with
+    //      a shared literal-codepoint regex — no backslash classes, so
+    //      the Spark/DuckDB escaping dialects cannot diverge (the q119
+    //      lesson). Scale shape: pure per-row codegen'd projections;
+    //      the one shuffle is the 20-value per-source rollup. A real
+    //      deployment drops the synthesis column and keeps the
+    //      detector verbatim. ----
+    "q152_mojibake_report" -> QueryDef(
+      (s, dir) => mojibakeReport(Tables.load(s, dir, "documents")
+        .withColumn("mtext", expr(mojibakeSynthSpark))),
+      Some(s"""WITH mt AS (
+               SELECT doc_id, source, $mojibakeSynthDuck AS mtext
+               FROM documents),
+             d AS (
+               SELECT source,
+                 ${MojibakeMarkers.map { case (name, re) =>
+                   s"len(regexp_extract_all(mtext, '$re')) AS h_$name"
+                 }.mkString(",\n                 ")}
+               FROM mt)
+             SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN ${MojibakeMarkers.map(m => s"h_${m._1} > 0")
+                 .mkString(" OR ")} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_flagged,
+               ${MojibakeMarkers.map { case (name, _) =>
+                 s"CAST(sum(h_$name) AS BIGINT) AS hits_$name"
+               }.mkString(",\n               ")},
+               CAST(sum(CASE WHEN ${MojibakeMarkers.map(m => s"h_${m._1} > 0")
+                 .mkString(" OR ")} THEN 1 ELSE 0 END) AS BIGINT)
+                 * 10000 // count(*) AS flagged_bp
+             FROM d GROUP BY source ORDER BY source""")),
   )
+
+  /** The q152 detector over a (doc_id, source, mtext) frame — exposed
+    * for planted-anomaly specs. One count column per [[MojibakeMarkers]]
+    * family, rolled up per source. */
+  def mojibakeReport(docs: DataFrame): DataFrame = {
+    val counted = MojibakeMarkers.foldLeft(
+      docs.select(col("source"), col("mtext"))) { case (df, (name, re)) =>
+      df.withColumn(s"h_$name",
+        size(regexp_extract_all(col("mtext"), lit(re), lit(0))).cast("long"))
+    }
+    val anyHit = MojibakeMarkers.map(m => col(s"h_${m._1}") > 0L).reduce(_ or _)
+    counted
+      .withColumn("f_any", when(anyHit, 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("f_any")).as("n_flagged") +:
+          MojibakeMarkers.map(m => sum(col(s"h_${m._1}")).as(s"hits_${m._1}"))): _*)
+      .withColumn("flagged_bp", expr("n_flagged * 10000 div n_docs"))
+      .orderBy(col("source"))
+  }
 
   /** The q147 operator over a (doc_id, source, text) frame — exposed for
     * planted-template specs. See the q147 defs entry for the full

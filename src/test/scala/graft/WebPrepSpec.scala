@@ -215,6 +215,25 @@ class WebPrepSpec extends AnyFunSuite {
       s"acme1.com: ${out("acme1.com")}")
   }
 
+  test("q152: each mojibake family is counted by its own detector; clean text stays unflagged") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "s", "donâ€™t trust â€œthese quotes"),      // 2× cp1252
+      (1L, "s", "cafÃ© and naÃ¯ve rÃ©sumÃ©"),          // 4× latin1
+      (2L, "s", "oddÂ spacingÂ here"),                 // 2× nbsp
+      (3L, "s", "bad � byte"),                         // 1× repl
+      (4L, "s", "perfectly clean ascii text"),
+      (5L, "clean", "nothing wrong at all")
+    ).toDF("doc_id", "source", "mtext")
+    val out = WebPrep.mojibakeReport(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // (n_docs, n_flagged, cp1252, latin1, nbsp, repl, flagged_bp)
+    assert(out("s") == ((5L, 4L, 2L, 4L, 2L, 1L, 8000L)), s"s: ${out("s")}")
+    assert(out("clean") == ((1L, 0L, 0L, 0L, 0L, 0L, 0L)),
+      s"clean: ${out("clean")}")
+  }
+
   test("q147: the SAME block in different domains is not boilerplate (domain-scoped, not global)") {
     import spark.implicits._
     val shared = (1 to 20).map(i => s"w$i").mkString(" ")
