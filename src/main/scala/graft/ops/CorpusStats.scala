@@ -24,6 +24,12 @@ object CorpusStats {
     * in the oracle. */
   val VocabSize = 1000
 
+  /** Terms per source entering the q154 Zipf rank-frequency fit — the
+    * head of the distribution, where the power law lives (the tail is
+    * dominated by hapax counts whose whole-bit log is 0). Declared
+    * before `defs` (the oracle SQL interpolates it at init). */
+  val ZipfTopK = 64
+
   /** Count-min sketch geometry: 4 independent hash rows × 1024 buckets.
     * Depth drives the error probability (min over 4 estimates), width
     * the overestimate magnitude (~corpus_tokens/width). 4×1024 int64
@@ -681,6 +687,102 @@ object CorpusStats {
              FROM tok t LEFT JOIN voc v
                ON t.source = v.source AND t.bucket = v.bucket
              ORDER BY t.source, n_docs_prefix""")),
+
+    // ---- LEXICAL-DIVERSITY card: per source, type/token ratio, bigram
+    //      type ratio and a whole-bit unigram entropy — the diversity
+    //      axis of a data mixture (a source of templated near-identical
+    //      text shows low TTR / low entropy however many bytes it
+    //      contributes; mixture tuning wants that signal next to the
+    //      volume numbers q87/q112 already carry). All ratios are int64
+    //      basis points and the entropy is the q89 whole-bit surrogate
+    //      Σ cnt·floor(log2(tot/cnt)) — floats never enter. Scale
+    //      shape: two map-side-combinable groupBys (unigram, bigram per
+    //      source), one source-keyed equi-join chain on a 20-value key;
+    //      bigrams row-explode via the q105 index-transform (never a
+    //      HOF lambda downstream of the explode). ----
+    "q153_lexical_diversity" -> QueryDef(
+      (s, dir) => lexicalDiversity(Tables.load(s, dir, "documents")),
+      Some("""WITH d AS (
+               SELECT doc_id, source,
+                 string_split_regex(lower(text), ' +') AS ws
+               FROM documents),
+             uni AS (
+               SELECT source, term, count(*) AS cnt FROM (
+                 SELECT source, unnest(ws) AS term FROM d)
+               GROUP BY source, term),
+             srcs AS (
+               SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                 count(*) AS n_types
+               FROM uni GROUP BY source),
+             ent AS (
+               SELECT u.source,
+                 CAST(sum(cnt * (length(bin(n_tokens // cnt)) - 1))
+                   AS BIGINT) AS ent_units
+               FROM uni u JOIN srcs s ON u.source = s.source
+               GROUP BY u.source),
+             bgu AS (
+               SELECT source, b, count(*) AS bc FROM (
+                 SELECT source,
+                   unnest(list_transform(generate_series(1, len(ws) - 1),
+                     i -> ws[i] || ' ' || ws[i + 1])) AS b
+                 FROM d WHERE len(ws) >= 2)
+               GROUP BY source, b),
+             bgs AS (
+               SELECT source, CAST(sum(bc) AS BIGINT) AS n_bigrams,
+                 count(*) AS n_bigram_types
+               FROM bgu GROUP BY source),
+             nd AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source)
+             SELECT nd.source, nd.n_docs, s.n_tokens, s.n_types,
+               s.n_types * 10000 // s.n_tokens AS ttr_bp,
+               b.n_bigrams, b.n_bigram_types,
+               b.n_bigram_types * 10000 // b.n_bigrams AS bigram_ttr_bp,
+               e.ent_units * 1000 // s.n_tokens AS mean_bits_milli
+             FROM nd JOIN srcs s ON nd.source = s.source
+             JOIN bgs b ON nd.source = b.source
+             JOIN ent e ON nd.source = e.source
+             ORDER BY nd.source""")),
+
+    // ---- ZIPF rank-frequency fit: per source, an integer least-squares
+    //      slope over (whole-bit log rank, whole-bit log count) of the
+    //      top-[[ZipfTopK]] terms — natural text slopes near −1; heavily
+    //      templated or machine-generated sources drift off it, which
+    //      makes the slope a cheap distribution-shape fingerprint next
+    //      to q153's diversity card. Every sum is int64; the closed-form
+    //      OLS numerators/denominator divide once, scaled to
+    //      milli-units (both engines truncate integer division toward
+    //      zero — negative slopes stay parity-safe). Scale shape: one
+    //      unigram groupBy, a per-source top-k window over it (k rows
+    //      per source thereafter), then a 20-row fold. ----
+    "q154_zipf_fit" -> QueryDef(
+      (s, dir) => zipfFit(Tables.load(s, dir, "documents")),
+      Some(s"""WITH uni AS (
+               SELECT source, term, count(*) AS cnt FROM (
+                 SELECT source,
+                   unnest(string_split_regex(lower(text), ' +')) AS term
+                 FROM documents)
+               GROUP BY source, term),
+             topk AS (
+               SELECT source, cnt,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY cnt DESC, term) AS rk
+               FROM uni QUALIFY rk <= $ZipfTopK),
+             pts AS (
+               SELECT source,
+                 CAST(length(bin(rk)) - 1 AS BIGINT) AS x,
+                 CAST(length(bin(cnt)) - 1 AS BIGINT) AS y
+               FROM topk),
+             f AS (
+               SELECT source, count(*) AS n_terms,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+               FROM pts GROUP BY source)
+             SELECT source, n_terms,
+               (n_terms * sxy - sx * sy) * 1000
+                 // (n_terms * sxx - sx * sx) AS slope_milli,
+               (sy * sxx - sx * sxy) * 1000
+                 // (n_terms * sxx - sx * sx) AS intercept_milli
+             FROM f ORDER BY source""")),
   )
 
   /** q127's pipeline over a (doc_id, source, text) frame, exposed for
@@ -720,4 +822,67 @@ object CorpusStats {
     "CASE " + (0 to 10).map(1 << _)
       .map(b => s"WHEN $c <= $b THEN CAST($b AS BIGINT)").mkString(" ") +
       " ELSE CAST(2048 AS BIGINT) END"
+
+  /** q153's card over a (doc_id, source, text) frame — exposed for
+    * hand-checkable specs. See the defs entry for semantics/scale. */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), col("source"),
+        split(lower(col("text")), " +").as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = d.select(col("source"), explode(col("ws")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcs = uni.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_types"))
+    val ent = uni.join(srcs.select(col("source"), col("n_tokens")), "source")
+      .select(col("source"),
+        (col("cnt") * (length(bin(expr("n_tokens div cnt"))) - 1).cast("long"))
+          .as("wb"))
+      .groupBy(col("source")).agg(sum(col("wb")).as("ent_units"))
+    val bgs = d.filter(size(col("ws")) >= 2)
+      .select(col("source"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+             i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"""))
+        .as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("bc"))
+      .groupBy(col("source"))
+      .agg(sum(col("bc")).as("n_bigrams"), count(lit(1)).as("n_bigram_types"))
+    val nd = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    nd.join(srcs, "source").join(bgs, "source").join(ent, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_types"),
+        expr("n_types * 10000 div n_tokens").as("ttr_bp"),
+        col("n_bigrams"), col("n_bigram_types"),
+        expr("n_bigram_types * 10000 div n_bigrams").as("bigram_ttr_bp"),
+        expr("ent_units * 1000 div n_tokens").as("mean_bits_milli"))
+      .orderBy(col("source"))
+  }
+
+  /** q154's integer OLS Zipf fit over a (doc_id, source, text) frame —
+    * exposed for exact-arithmetic specs (power-of-two counts make every
+    * whole-bit point and the closed-form slope hand-checkable). */
+  def zipfFit(docs: DataFrame): DataFrame = {
+    val uni = docs
+      .select(col("source"),
+        explode(split(lower(col("text")), " +")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("term"))
+    val pts = uni.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= ZipfTopK)
+      .select(col("source"),
+        (length(bin(col("rk"))) - 1).cast("long").as("x"),
+        (length(bin(col("cnt"))) - 1).cast("long").as("y"))
+    pts.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n_terms"),
+        expr("(n_terms * sxy - sx * sy) * 1000 div (n_terms * sxx - sx * sx)")
+          .as("slope_milli"),
+        expr("(sy * sxx - sx * sxy) * 1000 div (n_terms * sxx - sx * sx)")
+          .as("intercept_milli"))
+      .orderBy(col("source"))
+  }
 }

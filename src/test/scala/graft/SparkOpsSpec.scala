@@ -929,6 +929,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q153 lexical diversity: hand-computed TTR, bigram ratio and whole-bit entropy") {
+    import spark.implicits._
+    // source "a": one doc, 8 tokens = {x:4, y:2, z:1, w:1} -> 4 types,
+    // ttr 5000 bp; 7 bigrams, all distinct -> 10000 bp; entropy units:
+    // x: 4*(bits(8 div 4)=1)=4, y: 2*(bits(4)=2)=4, z/w: 1*(bits(8)=3)
+    // each -> total 14, mean_bits_milli = 14000 div 8 = 1750
+    val docs = Seq(
+      (1L, "a", "x x y z x w y x"),
+      (2L, "b", "p q")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.ops.CorpusStats.lexicalDiversity(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8))).toMap
+    assert(out("a") == ((1L, 8L, 4L, 5000L, 7L, 7L, 10000L, 1750L)),
+      s"a: ${out("a")}")
+    // source "b": 2 tokens, 2 types, 1 bigram; each term bits(2 div 1)=1
+    // -> 2 units, mean 1000 milli-bits
+    assert(out("b") == ((1L, 2L, 2L, 10000L, 1L, 1L, 10000L, 1000L)),
+      s"b: ${out("b")}")
+  }
+
+  test("q154 Zipf fit: power-of-two counts give the exact closed-form OLS slope") {
+    import spark.implicits._
+    // counts 64/32/16/8 at ranks 1..4 -> points (0,6),(1,5),(1,4),(2,3):
+    // n=4 sx=4 sy=18 sxy=15 sxx=6 -> slope=(60-72)/8=-1.5, icept=(108-60)/8=6
+    val text = Seq.fill(64)("a") ++ Seq.fill(32)("b") ++
+      Seq.fill(16)("c") ++ Seq.fill(8)("d")
+    val docs = Seq((1L, "s", text.mkString(" "))).toDF("doc_id", "source", "text")
+    val r = graft.ops.CorpusStats.zipfFit(docs).collect().head
+    assert(r.getLong(1) == 4L)
+    assert(r.getLong(2) == -1500L, s"slope ${r.getLong(2)}")
+    assert(r.getLong(3) == 6000L, s"intercept ${r.getLong(3)}")
+  }
+
   test("q73 count-min estimates never undercount (the sketch's defining guarantee)") {
     val rows = SparkEntry.queries("q73_cms_heavy_hitters")(spark, sf).collect()
     assert(rows.length == 20)
