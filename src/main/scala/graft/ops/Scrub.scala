@@ -156,6 +156,41 @@ object Scrub {
           || ' ' || text
         ELSE text END"""
 
+  // ---- q156 code-vs-prose constants (declared before `defs`) ----
+
+  /** Symbol class and keyword alternation the q156 detector counts.
+    * Both patterns stay inside the Java∩RE2 common syntax and are passed
+    * as raw strings on the Spark side (lit()), literally in the oracle —
+    * no escaping dialect can diverge (the q119 rule). */
+  val CodeSymbolRe = "[{}();=\\[\\]:]"
+  val CodeKeywordRe = "\\b(def|return|import|int|void|function|var)\\b"
+
+  /** A document is code when symbols reach this density per 1000 chars… */
+  val CodeSymPerKchar = 15L
+  /** …or it carries at least this many language keywords. */
+  val CodeMinKeywords = 2L
+
+  /** Planted code bodies (doc_id % 9 == 2, class = doc_id % 3): python
+    * (keywords, no braces), C (braces+semicolons), JSON (symbols, no
+    * keywords) — each repeated so the synthetic doc IS code, not prose
+    * with a code tail. Quote- and apostrophe-free for SQL literals. */
+  private val codeBodies = Seq(
+    "def compute(x): return x + 1 import os def main(): return compute(2)",
+    "int main() { int x = 0; x = x + 1; print(x); return x; }",
+    "{ key: [1, 2, 3], flag: [4, 5], nested: { a: 1, b: 2 } }")
+
+  private[ops] val codeSynthSpark: String =
+    s"""CASE WHEN doc_id % 9 = 2 THEN
+          CASE ${codeBodies.zipWithIndex.map { case (b, i) =>
+            s"WHEN doc_id % 3 = $i THEN repeat('$b ', 4)" }.mkString(" ")} END
+        ELSE text END"""
+
+  private val codeSynthDuck: String =
+    s"""CASE WHEN doc_id % 9 = 2 THEN
+          CASE ${codeBodies.zipWithIndex.map { case (b, i) =>
+            s"WHEN doc_id % 3 = $i THEN repeat('$b ', 4)" }.mkString(" ")} END
+        ELSE text END"""
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- PII-style scrub report: per source, how many documents and
@@ -775,7 +810,64 @@ object Scrub {
              FROM v
              GROUP BY source
              ORDER BY source""")),
+
+    // ---- CODE-vs-PROSE detection: the routing classifier every mixed
+    //      crawl runs before language-specific processing (code goes to
+    //      a code pipeline with its own dedup/quality rules; prose goes
+    //      here). Detector = two integer signals — symbol density per
+    //      1000 chars ([[CodeSymbolRe]]) and a keyword count
+    //      ([[CodeKeywordRe]]) — with an OR verdict, so brace-free
+    //      python and keyword-free JSON both land (spec pins each class
+    //      fires exactly one side). The corpus is prose, so code bodies
+    //      are PLANTED on the doc_id % 9 == 2 grid (q148 discipline).
+    //      Scale: per-row codegen'd regex counts; one 20-value rollup
+    //      shuffle. ----
+    "q156_code_detection" -> QueryDef(
+      (s, dir) => codeDetection(Tables.load(s, dir, "documents")
+        .withColumn("ctext", expr(codeSynthSpark))),
+      Some(s"""WITH ct AS (
+               SELECT doc_id, source, $codeSynthDuck AS ctext
+               FROM documents),
+             d AS (
+               SELECT source,
+                 len(regexp_extract_all(ctext, '$CodeSymbolRe')) AS n_sym,
+                 len(regexp_extract_all(ctext, '$CodeKeywordRe')) AS n_kw,
+                 length(ctext) AS n_chars
+               FROM ct),
+             v AS (
+               SELECT source, n_sym, n_kw,
+                 CASE WHEN n_sym * 1000 // n_chars >= $CodeSymPerKchar
+                        OR n_kw >= $CodeMinKeywords
+                   THEN 1 ELSE 0 END AS is_code
+               FROM d)
+             SELECT source, count(*) AS n_docs,
+               CAST(sum(is_code) AS BIGINT) AS n_code,
+               CAST(sum(is_code) AS BIGINT) * 10000 // count(*) AS code_bp,
+               CAST(sum(n_sym) AS BIGINT) AS total_sym,
+               CAST(sum(n_kw) AS BIGINT) AS total_kw
+             FROM v GROUP BY source ORDER BY source""")),
   )
+
+  /** The q156 detector over a (doc_id, source, ctext) frame — exposed
+    * for per-class specs (python trips only the keyword rule, JSON only
+    * the symbol rule, C both, prose neither). */
+  def codeDetection(docs: DataFrame): DataFrame = docs
+    .select(col("source"),
+      size(regexp_extract_all(col("ctext"), lit(CodeSymbolRe), lit(0)))
+        .cast("long").as("n_sym"),
+      size(regexp_extract_all(col("ctext"), lit(CodeKeywordRe), lit(0)))
+        .cast("long").as("n_kw"),
+      length(col("ctext")).cast("long").as("n_chars"))
+    .withColumn("is_code", when(
+      expr(s"n_sym * 1000 div n_chars") >= CodeSymPerKchar ||
+        col("n_kw") >= CodeMinKeywords, 1L).otherwise(0L))
+    .groupBy(col("source"))
+    .agg(count(lit(1)).as("n_docs"), sum(col("is_code")).as("n_code"),
+      sum(col("n_sym")).as("total_sym"), sum(col("n_kw")).as("total_kw"))
+    .select(col("source"), col("n_docs"), col("n_code"),
+      expr("n_code * 10000 div n_docs").as("code_bp"),
+      col("total_sym"), col("total_kw"))
+    .orderBy(col("source"))
 
   /** The q148 detector over a (doc_id, source, ltext) frame — exposed
     * for planted-notice specs. One flag column per [[LicenseMarkers]]

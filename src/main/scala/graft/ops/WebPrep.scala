@@ -688,7 +688,61 @@ object WebPrep {
                  .mkString(" OR ")} THEN 1 ELSE 0 END) AS BIGINT)
                  * 10000 // count(*) AS flagged_bp
              FROM d GROUP BY source ORDER BY source""")),
+
+    // ---- ROBOTS-COMPLIANCE audit: every lawful crawl pipeline drops
+    //      documents whose URL path a domain's robots policy disallows,
+    //      BEFORE any content operator runs. The corpus has no robots
+    //      files, so each domain's policy is DERIVED deterministically
+    //      from the domain string itself (md5-hash digit → the one
+    //      '/Articles/<digit>…' path prefix that domain disallows) and
+    //      both engines replay the derivation — the q148 fixture
+    //      discipline. The check itself is the real thing: canonical
+    //      URL → path → longest-prefix match against the domain's
+    //      disallow list → per-domain blocked counts. Scale shape: the
+    //      policy here is a per-row projection (hash of the domain); a
+    //      real deployment swaps it for a parsed robots table joined
+    //      BROADCAST on domain — the rest of the plan is unchanged. One
+    //      shuffle: the domain rollup. ----
+    "q155_robots_compliance" -> QueryDef(
+      (s, dir) => robotsCompliance(Tables.load(s, dir, "documents")),
+      Some(s"""WITH $urlDuckCtes,
+             p AS (
+               SELECT u.doc_id, u.domain, u4.path,
+                 CAST(('0x' || substr(md5('robots:' || u.domain), 1, 14))
+                   AS BIGINT) % 10 AS ddigit
+               FROM u JOIN u4 ON u.doc_id = u4.doc_id),
+             v AS (
+               SELECT domain, ddigit,
+                 CASE WHEN starts_with(path, '/Articles/' || ddigit)
+                   THEN 1 ELSE 0 END AS blocked
+               FROM p)
+             SELECT domain, count(*) AS n_docs,
+               CAST(max(ddigit) AS BIGINT) AS disallow_digit,
+               CAST(sum(blocked) AS BIGINT) AS n_blocked,
+               CAST(sum(blocked) AS BIGINT) * 10000 // count(*)
+                 AS blocked_bp
+             FROM v GROUP BY domain ORDER BY domain""")),
   )
+
+  /** q155 over a (doc_id, source, text) frame: synthesize the messy URL,
+    * canonicalize, derive each domain's disallowed '/Articles/<digit>'
+    * prefix from md5(domain), and roll up blocked counts per domain.
+    * Exposed so specs can pin that only the policy digit's paths block. */
+  def robotsCompliance(docs: DataFrame): DataFrame = {
+    val u = canonicalizeUrls(docs
+      .select(col("doc_id"), col("source"), expr(urlSynthSpark).as("url")))
+    u.withColumn("ddigit", expr(
+        "cast(conv(substring(md5(concat('robots:', domain)), 1, 14), 16, 10) as long) % 10"))
+      .withColumn("blocked", when(
+        expr("startswith(path, concat('/Articles/', cast(ddigit as string)))"),
+        1L).otherwise(0L))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("ddigit")).as("disallow_digit"),
+        sum(col("blocked")).as("n_blocked"))
+      .withColumn("blocked_bp", expr("n_blocked * 10000 div n_docs"))
+      .orderBy(col("domain"))
+  }
 
   /** The q152 detector over a (doc_id, source, mtext) frame — exposed
     * for planted-anomaly specs. One count column per [[MojibakeMarkers]]

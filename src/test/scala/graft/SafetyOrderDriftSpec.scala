@@ -105,6 +105,31 @@ class SafetyOrderDriftSpec extends AnyFunSuite {
     assert(got("b") == ((1L, 0L, 0L, 0L, 1L, 1L, 10000L)), s"b: ${got("b")}")
   }
 
+  test("q156: keyword-only python and symbol-only JSON both flag; prose flags neither rule") {
+    val docs = Seq(
+      // 4 keywords, zero class symbols -> keyword rule alone fires
+      (1L, "py", "def f of x return x plus one import os then return again"),
+      // 9 symbols in 26 chars (346/kchar), zero keywords -> density alone
+      (2L, "js", "{ a: [1, 2], b: { c: 3 } }"),
+      (3L, "txt", "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "source", "ctext")
+    val got = Scrub.codeDetection(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got("py") == ((1L, 1L, 10000L, 0L, 4L)), s"py: ${got("py")}")
+    assert(got("js") == ((1L, 1L, 10000L, 9L, 0L)), s"js: ${got("js")}")
+    assert(got("txt") == ((1L, 0L, 0L, 0L, 0L)), s"txt: ${got("txt")}")
+  }
+
+  test("q156: the fixture plants code on exactly the doc_id % 9 == 2 docs") {
+    val out = SparkEntry.queries("q156_code_detection")(
+      spark, "/root/testdata/sf0.001").collect()
+    val flagged = out.map(_.getLong(2)).sum
+    val planted = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") % 9 === 2).count()
+    assert(flagged >= planted, s"flagged $flagged < planted $planted")
+  }
+
   test("q148: the synthesized fixture plants a notice on exactly the doc_id % 7 == 0 docs") {
     val out = SparkEntry.queries("q148_license_notices")(
       spark, "/root/testdata/sf0.001").collect()

@@ -234,6 +234,32 @@ class WebPrepSpec extends AnyFunSuite {
       s"clean: ${out("clean")}")
   }
 
+  test("q155: the hash-derived policy digit is reproduced and exactly the matching paths block") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, "acme", "some text"))
+      .toDF("doc_id", "source", "text")
+    def digitOf(domain: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"robots:$domain".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(14)
+      java.lang.Long.parseLong(hex, 16) % 10
+    }
+    val out = WebPrep.robotsCompliance(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // independently recompute: domain acme<d%5>.com, article = doc_id/7,
+    // blocked iff decimal(article) starts with the domain's digit
+    val expected = (0L until 100L).groupBy(i => s"acme${i % 5}.com")
+      .map { case (dom, ids) =>
+        val d = digitOf(dom)
+        dom -> ((ids.size.toLong, d,
+          ids.count(i => (i / 7).toString.startsWith(d.toString)).toLong))
+      }
+    assert(out == expected, s"got $out\nexpected $expected")
+    // sanity: at least one domain actually blocks something in this range
+    assert(expected.values.exists(_._3 > 0L))
+  }
+
   test("q147: the SAME block in different domains is not boilerplate (domain-scoped, not global)") {
     import spark.implicits._
     val shared = (1 to 20).map(i => s"w$i").mkString(" ")
