@@ -244,6 +244,58 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** Shared oracle CTE chain for the q151 kNN graph (ends at
+    * `ranked(va, vb, cos, rank)` — pre-filter, so consumers pick their
+    * own rank cut): band rows → hot-cap filter → candidate pairs →
+    * symmetrize → exact cosine → per-node rank window. Spliced by q151
+    * and q157. */
+  private def knnGraphDuckCtes: String =
+    s"""n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
+                    FROM embeddings),
+           bands0 AS ($neardupBandDuckUnion),
+           hot AS (
+             SELECT band_idx, band_val FROM bands0
+             GROUP BY band_idx, band_val HAVING count(*) > $NeardupBandCap),
+           bands AS (
+             SELECT b.* FROM bands0 b
+             ANTI JOIN hot h USING (band_idx, band_val)),
+           cands AS (
+             SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+             FROM bands x JOIN bands y
+               ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+              AND x.vec_id < y.vec_id),
+           sym AS (SELECT va, vb FROM cands
+                   UNION ALL SELECT vb AS va, va AS vb FROM cands),
+           scored AS (
+             SELECT sym.va, sym.vb,
+               ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+                 AS cos
+             FROM sym JOIN n a ON sym.va = a.vec_id
+                      JOIN n b ON sym.vb = b.vec_id),
+           ranked AS (
+             SELECT va, vb, cos,
+               row_number() OVER (PARTITION BY va
+                 ORDER BY cos DESC, vb) AS rank
+             FROM scored)"""
+
+  /** q157: connected components over the MUTUAL subset of the q151
+    * graph (edges where each endpoint ranks the other in its top-k —
+    * the symmetrization that strips one-way hub fans). Output one row
+    * per vector that has at least one mutual neighbor. */
+  def semanticComponents(emb: DataFrame, k: Int = KnnGraphK): DataFrame = {
+    val g = knnGraph(emb, k)
+      .select(col("vec_id").as("a"), col("neighbor").as("b"))
+    val mutual = g.as("x")
+      .join(g.as("y"),
+        col("x.a") === col("y.b") && col("x.b") === col("y.a") &&
+          col("x.a") < col("x.b"))
+      .select(col("x.a").as("da"), col("x.b").as("db"))
+    Dedup.connectedComponents(mutual)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Number of IVF cells for q43/q97 (deterministic centroids = the 16
     * smallest-id vectors, the q43 convention). */
   private val IvfCells = 16
@@ -1495,39 +1547,47 @@ object Similarity {
     //      sequences in both engines, so the rank cannot diverge). ----
     "q151_knn_graph" -> QueryDef(
       (s, dir) => knnGraph(Tables.load(s, dir, "embeddings")),
-      Some {
-        s"""WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
-                    FROM embeddings),
-           bands0 AS ($neardupBandDuckUnion),
-           hot AS (
-             SELECT band_idx, band_val FROM bands0
-             GROUP BY band_idx, band_val HAVING count(*) > $NeardupBandCap),
-           bands AS (
-             SELECT b.* FROM bands0 b
-             ANTI JOIN hot h USING (band_idx, band_val)),
-           cands AS (
-             SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
-             FROM bands x JOIN bands y
-               ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-              AND x.vec_id < y.vec_id),
-           sym AS (SELECT va, vb FROM cands
-                   UNION ALL SELECT vb AS va, va AS vb FROM cands),
-           scored AS (
-             SELECT sym.va, sym.vb,
-               ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
-                 AS cos
-             FROM sym JOIN n a ON sym.va = a.vec_id
-                      JOIN n b ON sym.vb = b.vec_id),
-           ranked AS (
-             SELECT va, vb, cos,
-               row_number() OVER (PARTITION BY va
-                 ORDER BY cos DESC, vb) AS rank
-             FROM scored)
+      Some(s"""WITH $knnGraphDuckCtes
            SELECT va AS vec_id, CAST(rank AS BIGINT) AS rank,
              vb AS neighbor, round(cos, 4) AS cos_sim
            FROM ranked WHERE rank <= $KnnGraphK
-           ORDER BY vec_id, rank"""
-      }),
+           ORDER BY vec_id, rank""")),
+
+    // ---- SEMANTIC COMPONENTS over the MUTUAL kNN graph: keep only
+    //      edges both endpoints agree on (b in topk(a) AND a in
+    //      topk(b)) — the standard symmetrization that strips hub
+    //      nodes' one-way fans — then connected components. This is the
+    //      SemDeDup-style cluster structure derived from q151 alone: no
+    //      centroids, no K choice. The oracle recomputes components via
+    //      a recursive reachability CTE — an independent algorithm, so
+    //      the iterative min-propagation and the transitive closure
+    //      must agree (the q54 discipline). Scale: the mutual filter is
+    //      an (a,b)=(b,a) equi self-join on the N·k edge list; CC is
+    //      the checkpointed O(rounds) loop. ----
+    "q157_semantic_components" -> QueryDef(
+      (s, dir) => semanticComponents(Tables.load(s, dir, "embeddings")),
+      Some(s"""WITH RECURSIVE $knnGraphDuckCtes,
+           topk AS (SELECT va, vb FROM ranked WHERE rank <= $KnnGraphK),
+           mutual AS (
+             SELECT x.va AS da, x.vb AS db
+             FROM topk x JOIN topk y ON x.va = y.vb AND x.vb = y.va
+             WHERE x.va < x.vb),
+           edges AS (SELECT da AS src, db AS dst FROM mutual
+                     UNION ALL
+                     SELECT db AS src, da AS dst FROM mutual),
+           reach(vid, r) AS (
+             SELECT DISTINCT src AS vid, src AS r FROM edges
+             UNION
+             SELECT e.dst AS vid, reach.r
+             FROM reach JOIN edges e ON e.src = reach.vid),
+           labels AS (
+             SELECT vid, min(r) AS cluster_id FROM reach GROUP BY vid),
+           sizes AS (
+             SELECT cluster_id, count(*) AS cluster_size
+             FROM labels GROUP BY cluster_id)
+           SELECT l.vid AS vec_id, l.cluster_id, s.cluster_size
+           FROM labels l JOIN sizes s USING (cluster_id)
+           ORDER BY vec_id""")),
   )
 
   /** q143's per-dimension health card over a (vec_id, embedding) frame —

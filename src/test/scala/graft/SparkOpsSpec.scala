@@ -1208,6 +1208,32 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q157 semantic components: planted twin pairs form mutual-kNN clusters containing both ends") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(157)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0L until 300L).map(i => (i, vec()))
+    // twins AND triplets: ids i, i+1000 (and for i<3 also i+2000) are
+    // tight perturbation clusters that must land in one component
+    val twins = base.take(8).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + (rnd.nextGaussian() * 0.03).toFloat))
+    }
+    val trips = base.take(3).map { case (id, v) =>
+      (id + 2000L, v.map(x => x + (rnd.nextGaussian() * 0.03).toFloat))
+    }
+    val emb = (base ++ twins ++ trips).toDF("vec_id", "embedding")
+    val comp = graft.ops.Similarity.semanticComponents(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (i <- 0L until 8L) {
+      assert(comp.contains(i) && comp.contains(i + 1000L), s"pair $i absent")
+      assert(comp(i)._1 == comp(i + 1000L)._1, s"pair $i split across clusters")
+    }
+    for (i <- 0L until 3L) {
+      assert(comp(i)._1 == comp(i + 2000L)._1, s"triplet $i split")
+      assert(comp(i)._2 >= 3L, s"triplet $i cluster too small: ${comp(i)._2}")
+    }
+  }
+
   test("q41 plan has no cartesian/nested-loop join (scale gate)") {
     val plan = SparkEntry.queries("q41_embedding_neardup")(spark, sf)
       .queryExecution.executedPlan.toString
