@@ -188,6 +188,17 @@ object Similarity {
       .orderBy(col("va"), col("vb"))
   }
 
+  /** q159 hard-negative band: exact ranks [[HardNegFrom]]..[[HardNegTo]]
+    * per query after the near-dup ceiling drop — the slice just below
+    * q35's top-3 positives. */
+  val HardNegFrom = 4
+  val HardNegTo = 11
+
+  /** Candidates at or above this cosine are treated as unlabeled
+    * POSITIVES and excluded from the q159 negative band (the
+    * dense-retrieval denoising rule). */
+  val HardNegDupCos = 0.95
+
   /** Neighbors kept per node in the q151 kNN graph. Small by design: the
     * graph consumers (SemDeDup-style pruning, graph clustering, diversity
     * walks) want a sparse graph, and per-node output is k rows whatever
@@ -283,8 +294,14 @@ object Similarity {
     * the symmetrization that strips one-way hub fans). Output one row
     * per vector that has at least one mutual neighbor. */
   def semanticComponents(emb: DataFrame, k: Int = KnnGraphK): DataFrame = {
+    // the N·k edge list feeds BOTH sides of the mutual self-join —
+    // without the persist each side re-runs the whole banded kNN
+    // pipeline (bands, cap, cosine, window), measured 6× slower at
+    // sf0.1. Tiny frame (two longs per edge); consumed entirely before
+    // the CC loop's first checkpoint, caller hygiene per DESIGN.md.
     val g = knnGraph(emb, k)
       .select(col("vec_id").as("a"), col("neighbor").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mutual = g.as("x")
       .join(g.as("y"),
         col("x.a") === col("y.b") && col("x.b") === col("y.a") &&
@@ -1552,6 +1569,53 @@ object Similarity {
              vb AS neighbor, round(cos, 4) AS cos_sim
            FROM ranked WHERE rank <= $KnnGraphK
            ORDER BY vec_id, rank""")),
+
+    // ---- HARD-NEGATIVE MINING for retrieval/contrastive training: per
+    //      query vector, the exact-ranked neighbors at ranks
+    //      [[HardNegFrom]]..[[HardNegTo]] AFTER dropping candidates
+    //      above the near-dup ceiling (cos ≥ 0.95 — likely unlabeled
+    //      POSITIVES; feeding them as negatives poisons the loss, the
+    //      standard denoising rule in dense-retrieval training). The
+    //      top-3 stay q35's positives; this emits the band just below —
+    //      similar enough to be hard, dissimilar enough to be safely
+    //      negative. Same scale shape as q35: the 10-query set is the
+    //      broadcast side, the corpus streams once; the rank window
+    //      partitions per query. ----
+    "q159_hard_negatives" -> QueryDef(
+      (s, dir) => {
+        val corpus = normed(s, dir)
+        val queries = corpus.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("de").as("qe"),
+            col("nrm").as("qn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+          .withColumn("cos", expr(dotExpr("qe", "de")) / (col("qn") * col("nrm")))
+          .filter(col("cos") < HardNegDupCos)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank").between(HardNegFrom, HardNegTo))
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id").as("neighbor_id"),
+            round(col("cos"), 4).as("cos_sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
+                        FROM embeddings),
+             q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+                   FROM n WHERE vec_id < 10),
+             scored AS (
+               SELECT q.query_id, n.vec_id,
+                 ${duckDot("q.qe", "n.embedding")} / (q.qn * n.nrm) AS cos
+               FROM n JOIN q ON n.vec_id <> q.query_id),
+             ranked AS (
+               SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id) AS rank
+               FROM scored WHERE cos < $HardNegDupCos)
+             SELECT query_id, CAST(rank AS BIGINT) AS rank,
+               vec_id AS neighbor_id, round(cos, 4) AS cos_sim
+             FROM ranked WHERE rank BETWEEN $HardNegFrom AND $HardNegTo
+             ORDER BY query_id, rank""")),
 
     // ---- SEMANTIC COMPONENTS over the MUTUAL kNN graph: keep only
     //      edges both endpoints agree on (b in topk(a) AND a in

@@ -47,6 +47,11 @@ object TextOps {
     "fr" -> "\\b(le|les|et|des|un|une)\\b",
     "de" -> "\\b(der|die|das|und|ein|zu)\\b")
 
+  /** q158: a language "participates" in a document at this many stopword
+    * hits; a doc with ≥2 participating languages is MIXED. (Declared
+    * before `defs` — the oracle interpolates it.) */
+  val MixMinHits = 3
+
   /** The q37 argmax over per-language hit expressions supplied by `h` —
     * ONE predictor definition for the standalone query and the q138
     * confusion audit. */
@@ -68,6 +73,31 @@ object TextOps {
              THEN 'es'
            WHEN ${h("fr")} >= ${h("de")} THEN 'fr'
            ELSE 'de' END"""
+  }
+
+  /** q158 over a (doc_id, lang, text) frame — exposed for planted
+    * code-switching specs. A doc is mixed when ≥2 stopword families
+    * reach [[MixMinHits]]; secondary_hits is the total hit mass the
+    * winning language does not explain. */
+  def languageMixing(docs: DataFrame): DataFrame = {
+    val hits = LangStopRes.map { case (l, re) =>
+      size(regexp_extract_all(lower(col("text")), lit(re), lit(0)))
+        .cast("long").as(s"${l}_hits")
+    }
+    val hcols = LangStopRes.map(p => col(s"${p._1}_hits"))
+    docs.select(col("doc_id") +: col("lang") +: hits: _*)
+      .withColumn("langs_hit",
+        hcols.map(c => when(c >= MixMinHits, 1L).otherwise(0L)).reduce(_ + _))
+      .withColumn("sec_hits",
+        hcols.reduce(_ + _) - greatest(hcols: _*))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("langs_hit") >= 2L, 1L).otherwise(0L)).as("n_mixed"),
+        sum(col("sec_hits")).as("secondary_hits"))
+      .select(col("lang").as("tagged_lang"), col("n_docs"), col("n_mixed"),
+        expr("n_mixed * 10000 div n_docs").as("mixed_bp"),
+        col("secondary_hits"))
+      .orderBy(col("tagged_lang"))
   }
 
   /** q138's pipeline over a (doc_id, lang, text) frame, exposed for
@@ -1292,6 +1322,45 @@ object TextOps {
              FROM p
              GROUP BY tagged_lang, pred_lang
              ORDER BY tagged_lang, pred_lang""")),
+
+    // ---- LANGUAGE-MIXING detection: documents where a SECOND language's
+    //      stopwords participate materially (≥ [[MixMinHits]] hits from
+    //      ≥2 of the q37 stopword families) — the code-switching /
+    //      concatenated-crawl signal a multilingual curation run flags
+    //      before lang-conditioned stages, because a mixed doc poisons
+    //      whichever single-language bucket it lands in (q138 only
+    //      audits the ARGMAX, which hides the runner-up mass this
+    //      measures). secondary_hits = total stopword hits minus the
+    //      winning language's — the runner-up mass itself. Per-row
+    //      regex counts + one rollup on the gold lang tag. ----
+    "q158_language_mixing" -> QueryDef(
+      (s, dir) => languageMixing(Tables.load(s, dir, "documents")),
+      Some {
+        def h(l: String) = s"${l}_hits"
+        val participates = LangStopRes.map { case (l, _) =>
+          s"CASE WHEN ${h(l)} >= $MixMinHits THEN 1 ELSE 0 END" }
+          .mkString(" + ")
+        s"""WITH hh AS (
+               SELECT doc_id, lang,
+                 ${LangStopRes.map { case (l, _) =>
+                   s"${duckLangHits(l, "text")} AS ${h(l)}" }
+                   .mkString(",\n                 ")}
+               FROM documents),
+             v AS (
+               SELECT lang,
+                 ($participates) AS langs_hit,
+                 (${LangStopRes.map(p => h(p._1)).mkString(" + ")})
+                   - greatest(${LangStopRes.map(p => h(p._1)).mkString(", ")})
+                   AS sec_hits
+               FROM hh)
+             SELECT lang AS tagged_lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN langs_hit >= 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_mixed,
+               CAST(sum(CASE WHEN langs_hit >= 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) * 10000 // count(*) AS mixed_bp,
+               CAST(sum(sec_hits) AS BIGINT) AS secondary_hits
+             FROM v GROUP BY lang ORDER BY tagged_lang"""
+      }),
 
     // ---- quality scoring: length/punct/stopword ratios ----
     "q38_quality_score" -> QueryDef(

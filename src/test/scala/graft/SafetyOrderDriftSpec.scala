@@ -105,6 +105,27 @@ class SafetyOrderDriftSpec extends AnyFunSuite {
     assert(got("b") == ((1L, 0L, 0L, 0L, 1L, 1L, 10000L)), s"b: ${got("b")}")
   }
 
+  test("q158: a planted code-switching doc is mixed; monolingual docs are not") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      // en: the/and/of (3 hits) + es: el/la/de/que (4 hits) -> mixed
+      (1L, "en", "the cat and the dog of el mundo la casa de que"),
+      // pure en: 4 en hits, nothing else >= 3
+      (2L, "en", "the quick fox and the dog of all things"),
+      // pure de: der/die/und/das = 4 de hits
+      (3L, "de", "der hund und die katze das haus der garten"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.languageMixing(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val en = out("en")
+    assert(en._1 == 2L && en._2 == 1L && en._3 == 5000L, s"en: $en")
+    // doc1: en hits = the,and,the,of = 4; es = el,la,de,que = 4 ->
+    // secondary = total - max; doc2 secondary = non-en hits only
+    val de = out("de")
+    assert(de._2 == 0L && de._3 == 0L, s"de: $de")
+  }
+
   test("q156: keyword-only python and symbol-only JSON both flag; prose flags neither rule") {
     val docs = Seq(
       // 4 keywords, zero class symbols -> keyword rule alone fires

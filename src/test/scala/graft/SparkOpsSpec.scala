@@ -1234,6 +1234,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q159 hard negatives: near-dups excluded, band starts below the positives, ranks contiguous") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(159)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    // query 0 plus: an almost-exact copy (cos ≈ 0.999 — must be DROPPED
+    // by the near-dup ceiling) and 60 random vectors
+    val q0 = vec()
+    val nearDup = q0.map(x => x + (rnd.nextGaussian() * 0.01).toFloat)
+    val rows = Seq((0L, q0), (100L, nearDup)) ++
+      (1L until 61L).map(i => (i + 200L, vec()))
+    // vec_ids 1..9 must exist for the query set; give them random vecs
+    val emb = (rows ++ (1L until 10L).map(i => (i, vec())))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hn").toString
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q159_hard_negatives")(spark, dir).collect()
+    val forQ0 = out.filter(_.getLong(0) == 0L)
+    assert(forQ0.map(_.getLong(1)).sorted.sameElements(4L to 11L),
+      s"ranks: ${forQ0.map(_.getLong(1)).mkString(",")}")
+    assert(!forQ0.exists(_.getLong(2) == 100L),
+      "near-dup id 100 must be excluded from the negative band")
+    assert(forQ0.forall(_.getDouble(3) < 0.95))
+  }
+
   test("q41 plan has no cartesian/nested-loop join (scale gate)") {
     val plan = SparkEntry.queries("q41_embedding_neardup")(spark, sf)
       .queryExecution.executedPlan.toString
