@@ -826,7 +826,11 @@ object CorpusStats {
   /** q153's card over a (doc_id, source, text) frame — exposed for
     * hand-checkable specs. See the defs entry for semantics/scale. */
   def lexicalDiversity(docs: DataFrame): DataFrame = {
+    // the testdata parquet is one row group — without the repartition the
+    // tokenize+explode+partial-agg map side runs on ONE task (the q104
+    // codec-chain lesson applied to heavy projections)
     val d = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"),
         split(lower(col("text")), " +").as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -863,6 +867,7 @@ object CorpusStats {
     * whole-bit point and the closed-form slope hand-checkable). */
   def zipfFit(docs: DataFrame): DataFrame = {
     val uni = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("source"),
         explode(split(lower(col("text")), " +")).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
