@@ -1071,6 +1071,72 @@ object Dedup {
            CROSS JOIN tt
            ORDER BY nc.rows_per_band"""
       }),
+
+    // ---- CONTAINMENT pairs: per q33 candidate pair the ASYMMETRIC
+    //      overlap c/min(|A|,|B|) next to resemblance c/|A∪B| — the
+    //      quote/subset detector. A short doc fully embedded in a long
+    //      one (news wire inside an aggregator page, a licence block,
+    //      a quoted answer) has containment ≈ 1 while Jaccard stays
+    //      low, so resemblance dedup (q33/q54) never fires; pipelines
+    //      that care (RealNews-style provenance, quote-chasing) key on
+    //      exactly this statistic (Broder 1997 distinguishes the two).
+    //      Both ratios in int64 basis points. Scale shape: q93's —
+    //      sizes and intersections are driven BY the capped candidate
+    //      set, never all-pairs; one shingle explode feeds everything. ----
+    "q160_containment_pairs" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sh = shingled(docs).select(col("doc_id"), col("g")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sigAggs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
+          min(expr(s"(g * $a + $b) % ${P}L")).as(s"m$j")
+        }
+        val sigs = sh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+        val bands = coldBands(sigs.selectExpr("doc_id", minhashStack))
+        val pairs = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band_val") === col("y.band_val") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .distinct()
+        val inter = pairs
+          .join(sh.select(col("doc_id").as("da"), col("g")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("g")), Seq("db", "g"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        pairs
+          .join(inter, Seq("da", "db"), "left")
+          .na.fill(0L, Seq("c"))
+          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+          .select(col("da"), col("db"), col("na"), col("nb"),
+            col("c").as("n_shared"),
+            expr("c * 10000 div least(na, nb)").as("containment_bp"),
+            expr("c * 10000 div (na + nb - c)").as("jaccard_bp"))
+          .orderBy(col("da"), col("db"))
+      },
+      Some(s"""WITH ${duckCandPairsBody()},
+           dg AS (SELECT DISTINCT doc_id, g FROM hashed),
+           szs AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
+           pg AS (
+             SELECT p.da, p.db, count(*) AS c
+             FROM cand_pairs p
+             JOIN dg xa ON xa.doc_id = p.da
+             JOIN dg xb ON xb.doc_id = p.db AND xb.g = xa.g
+             GROUP BY p.da, p.db)
+           SELECT p.da, p.db,
+             sa.n AS na, sb.n AS nb,
+             CAST(COALESCE(pg.c, 0) AS BIGINT) AS n_shared,
+             COALESCE(pg.c, 0) * 10000 // least(sa.n, sb.n)
+               AS containment_bp,
+             COALESCE(pg.c, 0) * 10000 // (sa.n + sb.n - COALESCE(pg.c, 0))
+               AS jaccard_bp
+           FROM cand_pairs p
+           LEFT JOIN pg ON pg.da = p.da AND pg.db = p.db
+           JOIN szs sa ON sa.doc_id = p.da
+           JOIN szs sb ON sb.doc_id = p.db
+           ORDER BY p.da, p.db""")),
   )
 
   /** q126's pipeline over a (doc_id, text) frame: q54 components →

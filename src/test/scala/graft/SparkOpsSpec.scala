@@ -964,6 +964,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.getLong(3) == 6000L, s"intercept ${r.getLong(3)}")
   }
 
+  test("q160 containment: a doc fully embedded in a longer one scores 10000 bp with lower jaccard") {
+    import spark.implicits._
+    val a = (1 to 22).map(i => s"w$i").mkString(" ")
+    val b = a + " tail1 tail2"                       // A's shingles ⊂ B's
+    val other = (100 to 130).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, a, "en", "s", a.length.toLong),
+      (2L, b, "en", "s", b.length.toLong),
+      (3L, other, "en", "s", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cont").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q160_containment_pairs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val p = out.get((1L, 2L)).getOrElse(fail(s"pair (1,2) not a candidate: $out"))
+    // A has 20 shingles, B those plus 2 -> containment 20/20, J = 20/22
+    assert(p == ((20L, 22L, 20L, 10000L, 9090L)), s"pair: $p")
+  }
+
   test("q73 count-min estimates never undercount (the sketch's defining guarantee)") {
     val rows = SparkEntry.queries("q73_cms_heavy_hitters")(spark, sf).collect()
     assert(rows.length == 20)

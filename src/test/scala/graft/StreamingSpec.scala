@@ -347,6 +347,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("the q152 mojibake report runs unchanged as a complete-mode stream and equals the batch report") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the detector is per-row projections + one sum aggregation — no
+    // cross-row state — so the BATCH operator itself is the streaming
+    // monitor: same function, complete mode, one int64 row per source
+    val input = MemoryStream[EventStreams.SourceDoc]
+    val q = graft.ops.WebPrep.mojibakeReport(
+        input.toDF().withColumnRenamed("text", "mtext"))
+      .writeStream.format("memory").queryName("moji_stream")
+      .outputMode("complete").start()
+    try {
+      val b1 = Seq(EventStreams.SourceDoc(1, "sA", "donâ€™t panic"),
+        EventStreams.SourceDoc(2, "sA", "clean text"),
+        EventStreams.SourceDoc(3, "sB", "cafÃ© bar"))
+      val b2 = Seq(EventStreams.SourceDoc(4, "sA", "bad � byte"),
+        EventStreams.SourceDoc(5, "sB", "more clean prose"))
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = r.getString(0) ->
+        (1 to 7).map(r.getLong).toList
+      val streamed = spark.table("moji_stream").collect().map(key).toMap
+      val batch = graft.ops.WebPrep.mojibakeReport(
+        (b1 ++ b2).toDF().withColumnRenamed("text", "mtext"))
+        .collect().map(key).toMap
+      assert(streamed == batch)
+      assert(streamed("sA").head == 3L && streamed("sA")(1) == 2L)
+    } finally q.stop()
+  }
+
   test("streaming weighted reservoir converges to the batch q107 kept set; later better arrivals evict") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
