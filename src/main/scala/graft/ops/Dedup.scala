@@ -264,7 +264,7 @@ object Dedup {
   /** CTE chain ending in `${p}cand_pairs(da, db)` — the oracle mirror of
     * [[lshCandidatePairs]], reused by q33/q54/q56/q81/q93 (default
     * names) and q96/q82 (paragraph units under a prefix). */
-  private def duckCandPairsBody(src: String = "documents", p: String = ""): String = {
+  private[ops] def duckCandPairsBody(src: String = "documents", p: String = ""): String = {
     val sigCols = duckSigCols
     val bandSelects = (0 until 4)
       .map(k => s"SELECT doc_id, $k AS band_idx, concat_ws(':', m${2 * k}, m${2 * k + 1}) AS band_val FROM ${p}sigs")

@@ -1617,6 +1617,74 @@ object Similarity {
              FROM ranked WHERE rank BETWEEN $HardNegFrom AND $HardNegTo
              ORDER BY query_id, rank""")),
 
+    // ---- DUP-SIGNAL AGREEMENT audit: the lexical near-dup pair set
+    //      (q33 MinHash candidates) against the semantic one (q41
+    //      cos ≥ 0.45 verified pairs), under the doc_id ≡ vec_id
+    //      convention the q117 ledger already rides. Lexical-only pairs
+    //      are surface copies with drifted embeddings; semantic-only
+    //      pairs are paraphrases exact-shingle dedup misses — the
+    //      one-row report that tells a pipeline whether running BOTH
+    //      dedup passes still pays. One full-outer join of two bounded
+    //      pair lists + one fold; agreement is the int64-bp Jaccard of
+    //      the two sets. ----
+    "q161_dup_signal_agreement" -> QueryDef(
+      (s, dir) => {
+        val lex = Dedup.lshCandidatePairs(Tables.load(s, dir, "documents"))
+          .select(col("da"), col("db")).withColumn("in_lex", lit(1L))
+        val sem = embeddingNeardupPairs(Tables.load(s, dir, "embeddings"), 0.45)
+          .select(col("va").as("da"), col("vb").as("db"))
+          .withColumn("in_sem", lit(1L))
+        lex.join(sem, Seq("da", "db"), "full_outer")
+          .agg(sum(col("in_lex")).as("n_lexical"),
+            sum(col("in_sem")).as("n_semantic"),
+            sum(when(col("in_lex").isNotNull && col("in_sem").isNotNull, 1L)
+              .otherwise(0L)).as("n_both"))
+          .select(col("n_lexical"), col("n_semantic"), col("n_both"),
+            (col("n_lexical") - col("n_both")).as("lexical_only"),
+            (col("n_semantic") - col("n_both")).as("semantic_only"),
+            expr("""n_both * 10000 div
+                    greatest(n_lexical + n_semantic - n_both, 1L)""")
+              .as("agreement_bp"))
+      },
+      Some {
+        s"""WITH ${Dedup.duckCandPairsBody("documents", "lx")},
+           n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
+                 FROM embeddings),
+           bands0 AS ($neardupBandDuckUnion),
+           hot AS (
+             SELECT band_idx, band_val FROM bands0
+             GROUP BY band_idx, band_val HAVING count(*) > $NeardupBandCap),
+           bands AS (
+             SELECT b.* FROM bands0 b
+             ANTI JOIN hot h USING (band_idx, band_val)),
+           scands AS (
+             SELECT DISTINCT x.vec_id AS da, y.vec_id AS db
+             FROM bands x JOIN bands y
+               ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+              AND x.vec_id < y.vec_id),
+           sem AS (
+             SELECT c.da, c.db FROM scands c
+             JOIN n a ON c.da = a.vec_id JOIN n b ON c.db = b.vec_id
+             WHERE ${duckDot("a.embedding", "b.embedding")}
+               / (a.nrm * b.nrm) >= 0.45),
+           lx AS (SELECT da, db, 1 AS in_lex FROM lxcand_pairs),
+           sm AS (SELECT da, db, 1 AS in_sem FROM sem),
+           j AS (
+             SELECT coalesce(lx.in_lex, 0) AS il, coalesce(sm.in_sem, 0) AS
+               isem
+             FROM lx FULL OUTER JOIN sm
+               ON lx.da = sm.da AND lx.db = sm.db)
+           SELECT CAST(sum(il) AS BIGINT) AS n_lexical,
+             CAST(sum(isem) AS BIGINT) AS n_semantic,
+             CAST(sum(il * isem) AS BIGINT) AS n_both,
+             CAST(sum(il) - sum(il * isem) AS BIGINT) AS lexical_only,
+             CAST(sum(isem) - sum(il * isem) AS BIGINT) AS semantic_only,
+             CAST(sum(il * isem) AS BIGINT) * 10000
+               // greatest(CAST(sum(il) + sum(isem) - sum(il * isem)
+                 AS BIGINT), 1) AS agreement_bp
+           FROM j"""
+      }),
+
     // ---- SEMANTIC COMPONENTS over the MUTUAL kNN graph: keep only
     //      edges both endpoints agree on (b in topk(a) AND a in
     //      topk(b)) — the standard symmetrization that strips hub

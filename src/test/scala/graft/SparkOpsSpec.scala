@@ -1277,6 +1277,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(forQ0.forall(_.getDouble(3) < 0.95))
   }
 
+  test("q161 dup-signal agreement: planted both/lexical-only/semantic-only pairs count into the right cells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(161)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def near(v: Array[Float]) = v.map(x => x + (rnd.nextGaussian() * 0.01).toFloat)
+    val tA = (1 to 30).map(i => s"a$i").mkString(" ")
+    val tB = (1 to 30).map(i => s"b$i").mkString(" ")
+    val tC = (1 to 30).map(i => s"c$i").mkString(" ")
+    val tD = (1 to 30).map(i => s"d$i").mkString(" ")
+    // docs 0/1: same text AND same embedding -> both signals
+    // docs 2/3: same text, unrelated embeddings -> lexical only
+    // docs 4/5: different text, same embedding -> semantic only
+    // docs 6/7: unrelated in both -> neither
+    val v01 = vec(); val v45 = vec()
+    val docs = Seq((0L, tA), (1L, tA + " tail"), (2L, tB), (3L, tB + " x"),
+      (4L, tC), (5L, tD), (6L, "solo " + tA.replace("a", "z")), (7L, tB.replace("b", "y")))
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val emb = Seq((0L, v01), (1L, near(v01)), (2L, vec()), (3L, vec()),
+      (4L, v45), (5L, near(v45)), (6L, vec()), (7L, vec()))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-agree").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = SparkEntry.queries("q161_dup_signal_agreement")(spark, dir)
+      .collect().head
+    val (nl, ns, nb) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nl == 2L, s"n_lexical $nl")    // (0,1) and (2,3)
+    assert(ns == 2L, s"n_semantic $ns")   // (0,1) and (4,5)
+    assert(nb == 1L, s"n_both $nb")       // (0,1)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 1L)
+    assert(r.getLong(5) == 3333L, s"agreement ${r.getLong(5)}")
+  }
+
   test("q41 plan has no cartesian/nested-loop join (scale gate)") {
     val plan = SparkEntry.queries("q41_embedding_neardup")(spark, sf)
       .queryExecution.executedPlan.toString
