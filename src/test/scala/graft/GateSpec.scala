@@ -234,7 +234,11 @@ class PlanGateSpec extends AnyFunSuite {
     // q146: eight ONE-ROW v-frame broadcasts (one per power-iteration
     // round) crossJoined onto the quantized corpus — the q87/q89
     // scalar shape, one row of 64 longs per round by construction
-    "q146_principal_component")
+    "q146_principal_component",
+    // q159: the 10-query set broadcast under the vec_id <> query_id
+    // inequality — exactly q35's O(1)-build shape (hard negatives are
+    // mined from the same exact ranking the positives come from)
+    "q159_hard_negatives")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
