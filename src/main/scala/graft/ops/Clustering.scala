@@ -804,6 +804,62 @@ object Clustering {
              LEFT JOIN oc USING (cluster_id)
              LEFT JOIN top USING (cluster_id)
              ORDER BY p.cluster_id""")),
+
+    // ---- CLUSTER × SOURCE composition: per semantic cluster (the
+    //      shared q85 assignment, vec_id ≡ doc_id) how many sources
+    //      contribute, the dominant source's share and a whole-bit mix
+    //      entropy — the topic-vs-provenance balance read. A cluster
+    //      owned 100% by one source is a provenance artifact (one
+    //      site's template), not a topic; diversity sampling (q94) and
+    //      mixture tuning (q112) want that distinction. Entropy is the
+    //      q153/q89 int64 whole-bit surrogate. Scale: the assignment's
+    //      broadcast-centroid pass + two groupBys keyed by (cluster,
+    //      source) and cluster. ----
+    "q163_cluster_source_mix" -> QueryDef(
+      (s, dir) => {
+        val asg = assignClusters(Tables.load(s, dir, "embeddings"))
+          .select(col("vec_id").as("doc_id"), col("cluster_id"))
+        val src = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+        val cell = asg.join(src, "doc_id")
+          .groupBy(col("cluster_id"), col("source"))
+          .agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val per = cell.groupBy(col("cluster_id"))
+          .agg(sum(col("cnt")).as("n_members"),
+            count(lit(1)).as("n_sources"), max(col("cnt")).as("top_cnt"))
+        val ent = cell
+          .join(per.select(col("cluster_id"), col("n_members")), "cluster_id")
+          .select(col("cluster_id"),
+            (col("cnt") * (length(bin(expr("n_members div cnt"))) - 1)
+              .cast("long")).as("wb"))
+          .groupBy(col("cluster_id")).agg(sum(col("wb")).as("ent_units"))
+        per.join(ent, "cluster_id")
+          .select(col("cluster_id"), col("n_members"), col("n_sources"),
+            expr("top_cnt * 10000 div n_members").as("top_source_bp"),
+            expr("ent_units * 1000 div n_members").as("mix_bits_milli"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH ${semanticDedupDuckCtes()},
+             cell AS (
+               SELECT a.cluster_id, d.source, count(*) AS cnt
+               FROM asg a JOIN documents d ON a.vec_id = d.doc_id
+               GROUP BY a.cluster_id, d.source),
+             per AS (
+               SELECT cluster_id, CAST(sum(cnt) AS BIGINT) AS n_members,
+                 count(*) AS n_sources, max(cnt) AS top_cnt
+               FROM cell GROUP BY cluster_id),
+             ent AS (
+               SELECT c.cluster_id,
+                 CAST(sum(c.cnt * (length(bin(p.n_members // c.cnt)) - 1))
+                   AS BIGINT) AS ent_units
+               FROM cell c JOIN per p USING (cluster_id)
+               GROUP BY c.cluster_id)
+             SELECT p.cluster_id, p.n_members, p.n_sources,
+               p.top_cnt * 10000 // p.n_members AS top_source_bp,
+               e.ent_units * 1000 // p.n_members AS mix_bits_milli
+             FROM per p JOIN ent e USING (cluster_id)
+             ORDER BY p.cluster_id""")),
   )
 
   /** q133's pipeline over a raw (vec_id, embedding) frame, exposed for

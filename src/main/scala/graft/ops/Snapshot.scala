@@ -112,6 +112,72 @@ object Snapshot {
     //      count and byte mass, plus the re-process mass (added+changed
     //      is exactly the delta the downstream incremental stages touch;
     //      q74/the streaming dedup mirror consume that delta). ----
+    // ---- QUALITY DRIFT between snapshots: per source the integer-
+    //      surrogate mean quality (the q134 1e-4-unit idiom — no
+    //      order-sensitive float sums) of the previous vs current
+    //      snapshot and their signed delta — the ops alarm for a source
+    //      whose crawl degraded between ingests (template change,
+    //      spam flood, encoding break) BEFORE the per-doc filters eat
+    //      the damage silently. Same synthesized snapshots as q125, so
+    //      the changed-doc class genuinely moves scores. Two groupBys
+    //      on the 20-value source key + one equi-join. ----
+    "q162_quality_drift" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        def qint(c: org.apache.spark.sql.Column) =
+          round(round(Quality.score(c), 4) * 10000, 0).cast("long")
+        val prev = docs.filter(col("doc_id") % SnapMod =!= AddedRes)
+          .withColumn("t",
+            when(col("doc_id") % SnapMod === ChangedRes,
+              expr("array_join(slice(split(text, ' +'), 1, " +
+                "greatest(size(split(text, ' +')) - 1, 1)), ' ')"))
+              .otherwise(col("text")))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("prev_docs"), sum(qint(col("t"))).as("pq"))
+        val cur = docs.filter(col("doc_id") % SnapMod =!= RemovedRes)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("cur_docs"), sum(qint(col("text"))).as("cq"))
+        prev.join(cur, "source")
+          .select(col("source"), col("prev_docs"), col("cur_docs"),
+            expr("pq div prev_docs").as("prev_q_e4"),
+            expr("cq div cur_docs").as("cur_q_e4"),
+            expr("cq div cur_docs - pq div prev_docs").as("drift_e4"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH pv AS (
+               SELECT source,
+                 CAST(round(round(${Quality.duckScore("t")}, 4) * 10000, 0)
+                   AS BIGINT) AS qi
+               FROM (
+                 SELECT source,
+                   CASE WHEN doc_id % $SnapMod = $ChangedRes THEN
+                     array_to_string(
+                       (string_split_regex(text, ' +'))[1:greatest(
+                         len(string_split_regex(text, ' +')) - 1, 1)], ' ')
+                   ELSE text END AS t
+                 FROM documents
+                 WHERE doc_id % $SnapMod <> $AddedRes)),
+             cu AS (
+               SELECT source,
+                 CAST(round(round(${Quality.duckScore("text")}, 4) * 10000, 0)
+                   AS BIGINT) AS qi
+               FROM documents
+               WHERE doc_id % $SnapMod <> $RemovedRes),
+             pa AS (
+               SELECT source, count(*) AS prev_docs,
+                 CAST(sum(qi) AS BIGINT) AS pq
+               FROM pv GROUP BY source),
+             ca AS (
+               SELECT source, count(*) AS cur_docs,
+                 CAST(sum(qi) AS BIGINT) AS cq
+               FROM cu GROUP BY source)
+             SELECT pa.source, prev_docs, cur_docs,
+               pq // prev_docs AS prev_q_e4,
+               cq // cur_docs AS cur_q_e4,
+               cq // cur_docs - pq // prev_docs AS drift_e4
+             FROM pa JOIN ca ON pa.source = ca.source
+             ORDER BY pa.source""")),
+
     "q125_snapshot_diff" -> QueryDef(
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{CorpusStats, Dedup, Snapshot, TextOps}
+// q162 spec lives beside the other snapshot tests below
 
 /** Specs for the round's new curation operators: q125 snapshot diff,
   * q126 cluster-size histogram, q127 vocabulary growth, q128
@@ -96,6 +97,55 @@ class SnapshotGrowthSpansSpec extends AnyFunSuite {
     assert(got(10L) == ((7L, 7L, 10L)))  // 7 consecutive grams = 10 words
     assert(got(11L) == ((2L, 1L, 4L)))   // two isolated grams
     assert(!got.contains(12L))           // clean doc emits nothing
+  }
+
+  test("q162: quality drift catches the changed class; an all-unchanged source drifts 0") {
+    import spark.implicits._
+    // residues mod 11: ids 0,1,2 (unchanged in src u), 3 (changed in c),
+    // 7 (added in c), 5 (removed in c). Changed doc's previous text has
+    // one more stopword ('the' is the dropped last word), so prev
+    // quality > cur quality for source c.
+    val stop = "the and of in is"   // high-stopword base
+    val docs = Seq(
+      (0L, "u", s"$stop words here"), (1L, "u", s"$stop again now"),
+      (2L, "u", s"$stop third doc"),
+      (3L, "c", s"plain words entirely without common ones the"),
+      (7L, "c", s"plain text no stopwords at all"),
+      (5L, "c", s"$stop removed doc"))
+      .map { case (i, src, t) => (i, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q162_quality_drift")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(5)))
+      .toMap
+    assert(out("u") == ((3L, 3L, 0L)), s"u: ${out("u")}")
+    val (pc, cc, drift) = out("c")
+    assert(pc == 2L && cc == 2L, s"c counts: $pc/$cc")   // 5 prev-only, 7 cur-only
+    // removal of the high-stopword doc 5 plus arrival of the stopword-free
+    // doc 7 must drag source c's mean quality down between snapshots
+    assert(drift < 0L, s"source c must drift negative: $drift")
+  }
+
+  test("q163: a single-source corpus yields pure clusters (top share 10000, zero mix entropy)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(163)
+    val n = 64
+    val emb = (0L until n).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val docs = (0L until n).map(i => (i, s"text $i", "en", "only", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mix").toString
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q163_cluster_source_mix")(spark, dir)
+      .collect()
+    assert(rows.map(_.getLong(1)).sum == n, "members must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(2) == 1L && r.getLong(3) == 10000L && r.getLong(4) == 0L,
+        s"cluster ${r.getLong(0)}: ${r.mkString(",")}")
+    }
   }
 
   test("q150: base-card-plus-delta equals the directly computed current card, with every diff class exercised") {
