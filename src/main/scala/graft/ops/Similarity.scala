@@ -111,10 +111,13 @@ object Similarity {
     }.mkString(" + ")
 
   /** Oracle mirror of the full pre-cap band explode — one SELECT per
-    * band, UNION ALL'd; shared by the q41 oracle and q82's cap report. */
-  private[ops] def neardupBandDuckUnion: String =
+    * band, UNION ALL'd; shared by the q41 oracle, q82's cap report and
+    * (over a subset relation) q164's incremental base chain. */
+  private[ops] def neardupBandDuckUnion: String = neardupBandDuckUnionFrom()
+
+  private[ops] def neardupBandDuckUnionFrom(src: String = "embeddings"): String =
     (0 until NeardupBands)
-      .map(b => s"SELECT vec_id, $b AS band_idx, ${neardupBandDuck("embedding", b)} AS band_val FROM embeddings")
+      .map(b => s"SELECT vec_id, $b AS band_idx, ${neardupBandDuck("embedding", b)} AS band_val FROM $src")
       .mkString(" UNION ALL ")
 
   /** Pre-cap (vec_id, band_idx, band_val) sign-LSH band rows — the frame
@@ -255,39 +258,96 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** q164: incremental kNN-graph maintenance under the q98 delta
+    * convention (base = vec_id % 5 ≠ 4, delta = vec_id % 5 = 4). The
+    * stored artifact is the base graph's PAIR LIST (scores recomputed
+    * bitwise at merge time, so ranking never depends on a rounded
+    * stored float); the update scopes candidate generation to pairs
+    * TOUCHING the delta and re-ranks each node over (its stored top-k ∪
+    * its delta candidates). That merge is EXACT for monotone candidate
+    * growth: a base candidate outside the stored top-k was worse than
+    * the k-th base neighbor and adding candidates only raises the k-th
+    * bar, so it can never re-enter — KnnIncrSpec pins incremental ≡
+    * full-rebuild whenever no band crosses the hot cap between runs.
+    * When the delta DOES push a band over the cap, previously-emitted
+    * base pairs are not retracted (the q33 streaming non-retraction
+    * contract, same trade, documented not hidden). Scale: the only new
+    * work per ingest is the delta's band rows, the delta-touching
+    * band join and a per-affected-node window over ≤ k + delta-cand
+    * rows — never a full-graph rebuild. */
+  def knnGraphIncremental(emb: DataFrame, k: Int = KnnGraphK): DataFrame = {
+    val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 4)
+    val g0 = knnGraph(base, k)
+      .select(col("vec_id").as("va"), col("neighbor").as("vb"))
+    val nAll = normedFrom(emb)
+      .withColumn("band_vals", expr("graft_sign_bands(embedding)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = Dedup.coldBands(
+      nAll.select(col("vec_id"),
+        posexplode(col("band_vals")).as(Seq("band_idx", "band_val"))),
+      NeardupBandCap)
+    val dcands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .filter(pmod(col("va"), lit(5)) === 4 || pmod(col("vb"), lit(5)) === 4)
+      .distinct()
+    val pool = g0
+      .union(dcands)
+      .union(dcands.select(col("vb").as("va"), col("va").as("vb")))
+    val a = nAll.select(col("vec_id").as("va"), col("de").as("ea"),
+      col("nrm").as("na"))
+    val b = nAll.select(col("vec_id").as("vb"), col("de").as("eb"),
+      col("nrm").as("nb"))
+    val w = Window.partitionBy(col("va"))
+      .orderBy(col("cos").desc, col("vb"))
+    pool.join(a, "va").join(b, "vb")
+      .withColumn("cos", expr(dotExpr("ea", "eb")) / (col("na") * col("nb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("va").as("vec_id"), col("rank").cast("long").as("rank"),
+        col("vb").as("neighbor"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** Shared oracle CTE chain for the q151 kNN graph (ends at
-    * `ranked(va, vb, cos, rank)` — pre-filter, so consumers pick their
-    * own rank cut): band rows → hot-cap filter → candidate pairs →
-    * symmetrize → exact cosine → per-node rank window. Spliced by q151
-    * and q157. */
-  private def knnGraphDuckCtes: String =
-    s"""n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
-                    FROM embeddings),
-           bands0 AS ($neardupBandDuckUnion),
-           hot AS (
-             SELECT band_idx, band_val FROM bands0
+    * `${p}ranked(va, vb, cos, rank)` — pre-filter, so consumers pick
+    * their own rank cut): band rows → hot-cap filter → candidate pairs
+    * → symmetrize → exact cosine → per-node rank window. Spliced by
+    * q151 and q157 (defaults) and twice by q164 (base subset + full). */
+  private def knnGraphDuckCtes: String = knnGraphDuckCtesFrom()
+
+  private def knnGraphDuckCtesFrom(src: String = "embeddings",
+      p: String = ""): String =
+    s"""${p}n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
+                    FROM $src),
+           ${p}bands0 AS (${neardupBandDuckUnionFrom(src)}),
+           ${p}hot AS (
+             SELECT band_idx, band_val FROM ${p}bands0
              GROUP BY band_idx, band_val HAVING count(*) > $NeardupBandCap),
-           bands AS (
-             SELECT b.* FROM bands0 b
-             ANTI JOIN hot h USING (band_idx, band_val)),
-           cands AS (
+           ${p}bands AS (
+             SELECT b.* FROM ${p}bands0 b
+             ANTI JOIN ${p}hot h USING (band_idx, band_val)),
+           ${p}cands AS (
              SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
-             FROM bands x JOIN bands y
+             FROM ${p}bands x JOIN ${p}bands y
                ON x.band_idx = y.band_idx AND x.band_val = y.band_val
               AND x.vec_id < y.vec_id),
-           sym AS (SELECT va, vb FROM cands
-                   UNION ALL SELECT vb AS va, va AS vb FROM cands),
-           scored AS (
-             SELECT sym.va, sym.vb,
+           ${p}sym AS (SELECT va, vb FROM ${p}cands
+                   UNION ALL SELECT vb AS va, va AS vb FROM ${p}cands),
+           ${p}scored AS (
+             SELECT s.va, s.vb,
                ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
                  AS cos
-             FROM sym JOIN n a ON sym.va = a.vec_id
-                      JOIN n b ON sym.vb = b.vec_id),
-           ranked AS (
+             FROM ${p}sym s JOIN ${p}n a ON s.va = a.vec_id
+                      JOIN ${p}n b ON s.vb = b.vec_id),
+           ${p}ranked AS (
              SELECT va, vb, cos,
                row_number() OVER (PARTITION BY va
                  ORDER BY cos DESC, vb) AS rank
-             FROM scored)"""
+             FROM ${p}scored)"""
 
   /** q157: connected components over the MUTUAL subset of the q151
     * graph (edges where each endpoint ranks the other in its top-k —
@@ -1616,6 +1676,42 @@ object Similarity {
                vec_id AS neighbor_id, round(cos, 4) AS cos_sim
              FROM ranked WHERE rank BETWEEN $HardNegFrom AND $HardNegTo
              ORDER BY query_id, rank""")),
+
+    // ---- INCREMENTAL kNN-graph maintenance (q98's delta convention):
+    //      the stored base graph's pair list merged with delta-touching
+    //      band candidates only, each affected node re-ranked over
+    //      (stored top-k ∪ delta candidates) — exact under monotone
+    //      candidate growth (see [[knnGraphIncremental]]; KnnIncrSpec
+    //      pins incremental ≡ full rebuild while no band crosses the
+    //      cap). The graph-pillar completion of the incremental story
+    //      q98/q132/q136/q150 tell for indexes, dedup and cards. ----
+    "q164_knn_graph_incremental" -> QueryDef(
+      (s, dir) => knnGraphIncremental(Tables.load(s, dir, "embeddings")),
+      Some(s"""WITH baseemb AS (
+               SELECT * FROM embeddings WHERE vec_id % 5 <> 4),
+           ${knnGraphDuckCtesFrom("baseemb", "b")},
+           ${knnGraphDuckCtesFrom("embeddings", "a")},
+           g0 AS (SELECT va, vb FROM branked WHERE rank <= $KnnGraphK),
+           dc AS (SELECT va, vb FROM acands
+                  WHERE va % 5 = 4 OR vb % 5 = 4),
+           pool AS (SELECT va, vb FROM g0
+                    UNION ALL SELECT va, vb FROM dc
+                    UNION ALL SELECT vb AS va, va AS vb FROM dc),
+           pscored AS (
+             SELECT p.va, p.vb,
+               ${duckDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm)
+                 AS cos
+             FROM pool p JOIN an x ON p.va = x.vec_id
+                         JOIN an y ON p.vb = y.vec_id),
+           pranked AS (
+             SELECT va, vb, cos,
+               row_number() OVER (PARTITION BY va
+                 ORDER BY cos DESC, vb) AS rank
+             FROM pscored)
+           SELECT va AS vec_id, CAST(rank AS BIGINT) AS rank,
+             vb AS neighbor, round(cos, 4) AS cos_sim
+           FROM pranked WHERE rank <= $KnnGraphK
+           ORDER BY vec_id, rank""")),
 
     // ---- DUP-SIGNAL AGREEMENT audit: the lexical near-dup pair set
     //      (q33 MinHash candidates) against the semantic one (q41

@@ -1311,6 +1311,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getLong(5) == 3333L, s"agreement ${r.getLong(5)}")
   }
 
+  test("q164: incremental kNN graph equals the full rebuild while no band crosses the cap") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(164)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    // random base + twins that straddle the delta boundary (ids % 5 == 4
+    // are the delta): twin pairs (i, i+1000) where i+1000 % 5 cycles, so
+    // base→delta, delta→base and base→base updates all occur
+    val base = (0L until 400L).map(i => (i, vec()))
+    val twins = base.take(10).map { case (id, v) =>
+      (id + 1003L, v.map(x => x + (rnd.nextGaussian() * 0.03).toFloat))
+    }
+    val emb = (base ++ twins).toDF("vec_id", "embedding")
+    val full = graft.ops.Similarity.knnGraph(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val incr = graft.ops.Similarity.knnGraphIncremental(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(incr == full,
+      s"incremental != full: only-incr=${(incr -- full).take(5)} only-full=${(full -- incr).take(5)}")
+  }
+
   test("q41 plan has no cartesian/nested-loop join (scale gate)") {
     val plan = SparkEntry.queries("q41_embedding_neardup")(spark, sf)
       .queryExecution.executedPlan.toString
