@@ -75,6 +75,66 @@ object TextOps {
            ELSE 'de' END"""
   }
 
+  /** q165 over a (doc_id, source, ctext) frame — exposed for
+    * per-malformation specs. See the defs entry for the rule set. */
+  def chatTurnAudit(docs: DataFrame): DataFrame = docs
+    .select(col("source"),
+      expr("split(ctext, ' [|][|] ')").as("turns"))
+    .withColumn("roles", expr(
+      """transform(turns, x ->
+           CASE WHEN startswith(x, 'user:') THEN 'u'
+                WHEN startswith(x, 'assistant:') THEN 'a'
+                ELSE 'x' END)"""))
+    .withColumn("is_chat", expr(
+      "CASE WHEN size(turns) >= 2 AND element_at(roles, 1) != 'x' THEN 1L ELSE 0L END"))
+    // sequence(1, 0) is DESCENDING in Spark — guard the 1-turn case
+    .withColumn("same_adj", expr(
+      """CASE WHEN size(roles) < 2 THEN 0L
+         ELSE aggregate(sequence(1, size(roles) - 1), 0L, (acc, i) ->
+           acc + CASE WHEN element_at(roles, i) = element_at(roles, i + 1)
+                 THEN 1L ELSE 0L END) END"""))
+    .withColumn("empties", expr(
+      """size(filter(turns, x ->
+           trim(regexp_replace(x, '^(user:|assistant:)', '')) = ''))""")
+      .cast("long"))
+    .withColumn("badroles",
+      expr("size(filter(roles, x -> x = 'x'))").cast("long"))
+    .withColumn("shape_ok", expr(
+      """CASE WHEN size(roles) >= 2 AND element_at(roles, 1) = 'u'
+              AND element_at(roles, size(roles)) = 'a' THEN 1L ELSE 0L END"""))
+    .groupBy(col("source"))
+    .agg(count(lit(1)).as("n_docs"),
+      sum(col("is_chat")).as("n_chat"),
+      sum(when(col("is_chat") === 1L, col("same_adj")).otherwise(0L))
+        .as("n_role_violations"),
+      sum(when(col("is_chat") === 1L, col("empties")).otherwise(0L))
+        .as("n_empty_turns"),
+      sum(when(col("is_chat") === 1L && col("same_adj") === 0L &&
+        col("empties") === 0L && col("badroles") === 0L &&
+        col("shape_ok") === 1L, 1L).otherwise(0L)).as("n_wellformed"))
+    .orderBy(col("source"))
+
+  /** q166 over a (doc_id, source, ttext) frame — exposed for planted
+    * loop-tail specs. Trailing run = n − max index whose token differs
+    * from the last (empty filter ⇒ the whole doc is one repeated
+    * token). */
+  def tailRepetition(docs: DataFrame): DataFrame = docs
+    .select(col("source"), expr("split(ttext, ' +')").as("ws"))
+    .withColumn("run", expr(
+      """CASE WHEN size(ws) < 2 THEN cast(size(ws) AS long)
+         ELSE size(ws) - coalesce(array_max(filter(
+           sequence(1, size(ws) - 1),
+           i -> element_at(ws, i) != element_at(ws, size(ws)))), 0L) END"""))
+    .groupBy(col("source"))
+    .agg(count(lit(1)).as("n_docs"),
+      sum(when(col("run") >= TailRepeatMin, 1L).otherwise(0L))
+        .as("n_flagged"),
+      max(col("run")).as("max_tail_run"))
+    .select(col("source"), col("n_docs"), col("n_flagged"),
+      expr("n_flagged * 10000 div n_docs").as("flagged_bp"),
+      col("max_tail_run"))
+    .orderBy(col("source"))
+
   /** q158 over a (doc_id, lang, text) frame — exposed for planted
     * code-switching specs. A doc is mixed when ≥2 stopword families
     * reach [[MixMinHits]]; secondary_hits is the total hit mass the
@@ -892,6 +952,32 @@ object TextOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---- q165/q166 constants (declared before `defs` — oracle strings
+  //      interpolate them at init) ----
+
+  /** q165 planted chat transcripts, class = doc_id % 3 on the
+    * doc_id % 8 == 1 grid: well-formed, double-user role violation,
+    * empty assistant turn. Turns are ` || `-delimited. */
+  private val chatBodies = Seq(
+    "user: how do tables work || assistant: they hold rows || user: and columns || assistant: those too",
+    "user: first question || user: second question || assistant: one answer",
+    "user: anything there || assistant: || user: hello || assistant: yes")
+
+  private[ops] val chatSynthSpark: String =
+    s"""CASE WHEN doc_id % 8 = 1 THEN
+          CASE ${chatBodies.zipWithIndex.map { case (b, i) =>
+            s"WHEN doc_id % 3 = $i THEN '$b'" }.mkString(" ")} END
+        ELSE text END"""
+
+  /** q166: a trailing run of the same token at least this long flags a
+    * degenerate-generation tail. */
+  val TailRepeatMin = 4
+
+  private[ops] val tailSynthSpark: String =
+    """CASE WHEN doc_id % 10 = 6
+         THEN concat(text, ' loop loop loop loop loop')
+         ELSE text END"""
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- exact dedup: keeper = min doc_id per identical text. The
@@ -1361,6 +1447,101 @@ object TextOps {
                CAST(sum(sec_hits) AS BIGINT) AS secondary_hits
              FROM v GROUP BY lang ORDER BY tagged_lang"""
       }),
+
+    // ---- CHAT-TURN structure audit: the SFT/chat-data gate that runs
+    //      before conversation data trains anything — parse the turn
+    //      structure, validate role alternation, flag empty and
+    //      unknown-role turns, and certify well-formedness (starts with
+    //      user, ends with assistant, ≥2 turns, zero violations). The
+    //      corpus is plain text, so transcripts are PLANTED on the
+    //      doc_id % 8 == 1 grid with one malformation per class (q148
+    //      discipline); the detector keys on STRUCTURE (≥2 delimited
+    //      turns with a role prefix), not the grid. Delimiters and role
+    //      regexes avoid backslashes entirely (character-class split,
+    //      literal alternation — the q152 dialect rule). Per-row array
+    //      expressions + one source rollup. ----
+    "q165_chat_turn_audit" -> QueryDef(
+      (s, dir) => chatTurnAudit(Tables.load(s, dir, "documents")
+        .withColumn("ctext", expr(chatSynthSpark))),
+      // chatSynthSpark is dialect-neutral SQL (CASE + string literals,
+      // no concat operator), so the oracle interpolates it verbatim
+      Some(s"""WITH ct AS (
+               SELECT doc_id, source, $chatSynthSpark AS ctext
+               FROM documents),
+             t AS (
+               SELECT source,
+                 string_split_regex(ctext, ' [|][|] ') AS turns
+               FROM ct),
+             r AS (
+               SELECT source, turns,
+                 list_transform(turns, x ->
+                   CASE WHEN starts_with(x, 'user:') THEN 'u'
+                        WHEN starts_with(x, 'assistant:') THEN 'a'
+                        ELSE 'x' END) AS roles
+               FROM t),
+             v AS (
+               SELECT source,
+                 CASE WHEN len(turns) >= 2 AND roles[1] <> 'x'
+                   THEN 1 ELSE 0 END AS is_chat,
+                 coalesce(list_sum(list_transform(
+                   generate_series(1, len(roles) - 1), i ->
+                     CASE WHEN roles[i] = roles[i + 1] THEN 1 ELSE 0 END)),
+                   0) AS same_adj,
+                 len(list_filter(turns, x ->
+                   trim(regexp_replace(x, '^(user:|assistant:)', '')) = ''))
+                   AS empties,
+                 len(list_filter(roles, x -> x = 'x')) AS badroles,
+                 CASE WHEN len(roles) >= 2 AND roles[1] = 'u'
+                       AND roles[len(roles)] = 'a' THEN 1 ELSE 0 END
+                   AS shape_ok
+               FROM r),
+             f AS (
+               SELECT source, is_chat,
+                 CASE WHEN is_chat = 1 THEN same_adj ELSE 0 END AS rv,
+                 CASE WHEN is_chat = 1 THEN empties ELSE 0 END AS et,
+                 CASE WHEN is_chat = 1 AND same_adj = 0 AND empties = 0
+                       AND badroles = 0 AND shape_ok = 1
+                   THEN 1 ELSE 0 END AS wf
+               FROM v)
+             SELECT source, count(*) AS n_docs,
+               CAST(sum(is_chat) AS BIGINT) AS n_chat,
+               CAST(sum(rv) AS BIGINT) AS n_role_violations,
+               CAST(sum(et) AS BIGINT) AS n_empty_turns,
+               CAST(sum(wf) AS BIGINT) AS n_wellformed
+             FROM f GROUP BY source ORDER BY source""")),
+
+    // ---- TAIL-REPETITION (degenerate-loop) detection: documents whose
+    //      final token repeats ≥ [[TailRepeatMin]] times at the end —
+    //      the model-generated-loop artifact synthetic/SFT curation
+    //      filters (distinct from q64's global repetition ratios, which
+    //      a long doc with a short loop tail passes). Planted on the
+    //      doc_id % 10 == 6 grid. The trailing-run length is pure array
+    //      arithmetic: n − max index whose token differs from the last
+    //      (empty filter ⇒ the whole doc is one token repeated). ----
+    "q166_tail_repetition" -> QueryDef(
+      (s, dir) => tailRepetition(Tables.load(s, dir, "documents")
+        .withColumn("ttext", expr(tailSynthSpark))),
+      // tailSynthSpark is dialect-neutral (CASE + concat(), both engines)
+      Some(s"""WITH tt AS (
+               SELECT doc_id, source, $tailSynthSpark AS ttext
+               FROM documents),
+             w AS (
+               SELECT source, string_split_regex(ttext, ' +') AS ws
+               FROM tt),
+             rn AS (
+               SELECT source, len(ws) AS n,
+                 CASE WHEN len(ws) < 2 THEN len(ws)
+                   ELSE len(ws) - coalesce(list_max(list_filter(
+                     generate_series(1, len(ws) - 1),
+                     i -> ws[i] <> ws[len(ws)])), 0) END AS run
+               FROM w)
+             SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN run >= $TailRepeatMin THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_flagged,
+               CAST(sum(CASE WHEN run >= $TailRepeatMin THEN 1 ELSE 0 END)
+                 AS BIGINT) * 10000 // count(*) AS flagged_bp,
+               CAST(max(run) AS BIGINT) AS max_tail_run
+             FROM rn GROUP BY source ORDER BY source""")),
 
     // ---- quality scoring: length/punct/stopword ratios ----
     "q38_quality_score" -> QueryDef(

@@ -105,6 +105,36 @@ class SafetyOrderDriftSpec extends AnyFunSuite {
     assert(got("b") == ((1L, 0L, 0L, 0L, 1L, 1L, 10000L)), s"b: ${got("b")}")
   }
 
+  test("q165: each chat malformation lands in its own counter; prose is not chat") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "s", "user: a || assistant: b || user: c || assistant: d"), // wellformed
+      (2L, "s", "user: a || user: b || assistant: c"),                  // role violation
+      (3L, "s", "user: a || assistant: || user: c || assistant: d"),    // empty turn
+      (4L, "s", "assistant: starts wrong || user: ends wrong"),         // shape violation
+      (5L, "s", "plain prose with no structure at all"))
+      .toDF("doc_id", "source", "ctext")
+    val r = TextOps.chatTurnAudit(docs).collect().head
+    // (n_docs, n_chat, n_role_violations, n_empty_turns, n_wellformed)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((5L, 4L, 1L, 1L, 1L)), r.mkString(","))
+  }
+
+  test("q166: a loop tail flags at the threshold; a loop in the middle does not") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "s", "normal text then loop loop loop loop"),      // run 4 -> flagged
+      (2L, "s", "loop loop loop loop then normal end"),       // tail run 1
+      (3L, "s", "three only loop loop loop"),                 // run 3 -> clean
+      (4L, "t", "x"))                                         // single token, run 1
+      .toDF("doc_id", "source", "ttext")
+    val got = TextOps.tailRepetition(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got("s") == ((3L, 1L, 3333L, 4L)), s"s: ${got("s")}")
+    assert(got("t") == ((1L, 0L, 0L, 1L)), s"t: ${got("t")}")
+  }
+
   test("q158: a planted code-switching doc is mixed; monolingual docs are not") {
     import graft.ops.TextOps
     val docs = Seq(
