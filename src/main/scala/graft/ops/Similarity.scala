@@ -1677,6 +1677,98 @@ object Similarity {
              FROM ranked WHERE rank BETWEEN $HardNegFrom AND $HardNegTo
              ORDER BY query_id, rank""")),
 
+    // ---- COSINE-threshold retention sweep: q141's curve pointed at the
+    //      SEMANTIC pair generator — per 500-bp cosine bucket over the
+    //      q41 candidate set, pairs at that similarity, docs whose BEST
+    //      pair sits there (the q141 db-endpoint convention), and the
+    //      cumulative pairs/docs a "drop at cos ≥ t" rule would affect.
+    //      Buckets come from floor(cos·10000) on the bitwise-identical
+    //      raw double — never the rounded display value. Read before
+    //      q85/q41 hard-code a threshold, exactly as q141 is read
+    //      before q32's. ----
+    "q167_cosine_threshold_sweep" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        registerNeardupBands(s)
+        val n = normedFrom(emb)
+          .withColumn("band_vals", expr("graft_sign_bands(embedding)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bands = Dedup.coldBands(
+          n.select(col("vec_id"),
+            posexplode(col("band_vals")).as(Seq("band_idx", "band_val"))),
+          NeardupBandCap)
+        val cands = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band_val") === col("y.band_val") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+          .distinct()
+        val a = n.select(col("vec_id").as("va"), col("de").as("ea"),
+          col("nrm").as("na"))
+        val b = n.select(col("vec_id").as("vb"), col("de").as("eb"),
+          col("nrm").as("nb"))
+        val pj = cands.join(a, "va").join(b, "vb")
+          .withColumn("cos",
+            expr(dotExpr("ea", "eb")) / (col("na") * col("nb")))
+          .withColumn("c_bp", expr(
+            "CAST(floor(cos * 10000) AS BIGINT) div 500 * 500"))
+        val pairHist = pj.groupBy(col("c_bp"))
+          .agg(count(lit(1)).as("n_pairs_at"))
+        val docHist = pj.groupBy(col("vb"))
+          .agg(max(col("c_bp")).as("c_bp"))
+          .groupBy(col("c_bp")).agg(count(lit(1)).as("n_docs_at"))
+        val tot = emb.agg(count(lit(1)).cast("long").as("n_total"))
+        val wDesc = Window.orderBy(col("c_bp").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pairHist.join(docHist, Seq("c_bp"), "full_outer")
+          .na.fill(0L, Seq("n_pairs_at", "n_docs_at"))
+          .withColumn("pairs_ge",
+            sum(col("n_pairs_at")).over(wDesc).cast("long"))
+          .withColumn("docs_ge",
+            sum(col("n_docs_at")).over(wDesc).cast("long"))
+          .crossJoin(broadcast(tot))
+          .select(col("c_bp"), col("n_pairs_at"), col("n_docs_at"),
+            col("pairs_ge"), col("docs_ge"),
+            expr("docs_ge * 10000L div n_total").as("docs_ge_bp"))
+          .orderBy(col("c_bp"))
+      },
+      Some(s"""WITH ${knnGraphDuckCtesFrom()},
+           ps AS (
+             SELECT c.va, c.vb,
+               ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+                 AS cos
+             FROM cands c JOIN n a ON c.va = a.vec_id
+                          JOIN n b ON c.vb = b.vec_id),
+           pj AS (
+             SELECT va, vb,
+               CAST(floor(cos * 10000) AS BIGINT) // 500 * 500 AS c_bp
+             FROM ps),
+           ph AS (SELECT c_bp, count(*) AS n_pairs_at FROM pj GROUP BY c_bp),
+           dh AS (
+             SELECT c_bp, count(*) AS n_docs_at FROM (
+               SELECT vb, max(c_bp) AS c_bp FROM pj GROUP BY vb)
+             GROUP BY c_bp),
+           tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total
+                   FROM embeddings),
+           m AS (
+             SELECT coalesce(ph.c_bp, dh.c_bp) AS c_bp,
+               coalesce(ph.n_pairs_at, 0) AS n_pairs_at,
+               coalesce(dh.n_docs_at, 0) AS n_docs_at
+             FROM ph FULL OUTER JOIN dh ON ph.c_bp = dh.c_bp)
+           SELECT c_bp, n_pairs_at, n_docs_at,
+             CAST(sum(n_pairs_at) OVER (ORDER BY c_bp DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS pairs_ge,
+             CAST(sum(n_docs_at) OVER (ORDER BY c_bp DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS docs_ge,
+             CAST(sum(n_docs_at) OVER (ORDER BY c_bp DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               * 10000 // (SELECT n_total FROM tot) AS docs_ge_bp
+           FROM m
+           ORDER BY c_bp""")),
+
     // ---- INCREMENTAL kNN-graph maintenance (q98's delta convention):
     //      the stored base graph's pair list merged with delta-touching
     //      band candidates only, each affected node re-ranked over

@@ -1333,6 +1333,30 @@ class SimilaritySpec extends AnyFunSuite {
       s"incremental != full: only-incr=${(incr -- full).take(5)} only-full=${(full -- incr).take(5)}")
   }
 
+  test("q167 cosine sweep: planted twins land in the top bucket; cumulative curve is monotone") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(167)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0L until 300L).map(i => (i, vec()))
+    val twins = base.take(6).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + (rnd.nextGaussian() * 0.01).toFloat))
+    }
+    val emb = (base ++ twins).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-csweep").toString
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("q167_cosine_threshold_sweep")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // six cos≈0.9995 twins must sit in the 9500 bucket
+    val top = rows.filter(_._1 >= 9500L).map(_._2).sum
+    assert(top >= 6L, s"top-bucket pairs $top")
+    // cumulative columns are nondecreasing as the threshold drops
+    val sorted = rows.sortBy(-_._1)
+    assert(sorted.sliding(2).forall { case Array(hi, lo) =>
+      lo._3 >= hi._3 && lo._4 >= hi._4
+    }, "cumulative curve must be monotone")
+  }
+
   test("q41 plan has no cartesian/nested-loop join (scale gate)") {
     val plan = SparkEntry.queries("q41_embedding_neardup")(spark, sf)
       .queryExecution.executedPlan.toString
