@@ -742,6 +742,50 @@ object CorpusStats {
              JOIN ent e ON nd.source = e.source
              ORDER BY nd.source""")),
 
+    // ---- SOURCE-DIVERGENCE report: a whole-bit KL(source ‖ corpus)
+    //      surrogate per source — Σ_w cnt_s(w)·(bits_c(w) − bits_s(w))
+    //      over the source's tokens, in milli-bits/token, where
+    //      bits_x(w) = floor(log2(tokens_x / cnt_x(w))) is the q89
+    //      integer surprisal under distribution x. A source whose
+    //      vocabulary usage matches the corpus sits near 0; templated
+    //      or off-domain sources diverge — the distribution-shift
+    //      signal mixture tuning reads next to q153/q154 (true KL needs
+    //      float logs outside the cross-engine-exact set; the whole-bit
+    //      form keeps the ranking and the gate). Scale: two
+    //      map-side-combinable groupBys + one word-keyed equi-join
+    //      (corpus vocab is corpus-sized — never broadcast). ----
+    "q168_source_divergence" -> QueryDef(
+      (s, dir) => sourceDivergence(Tables.load(s, dir, "documents")),
+      Some("""WITH w AS (
+               SELECT source,
+                 unnest(string_split_regex(lower(text), ' +')) AS term
+               FROM documents),
+             sv AS (
+               SELECT source, term, count(*) AS cs
+               FROM w GROUP BY source, term),
+             st AS (
+               SELECT source, CAST(sum(cs) AS BIGINT) AS ts
+               FROM sv GROUP BY source),
+             cv AS (
+               SELECT term, CAST(sum(cs) AS BIGINT) AS cc FROM sv
+               GROUP BY term),
+             ct AS (SELECT CAST(sum(cc) AS BIGINT) AS tc FROM cv),
+             d AS (
+               SELECT sv.source,
+                 CAST(sum(sv.cs * (
+                   (length(bin(tc // cc)) - 1)
+                     - (length(bin(ts // cs)) - 1))) AS BIGINT) AS units,
+                 CAST(sum(sv.cs) AS BIGINT) AS toks
+               FROM sv
+               JOIN st ON sv.source = st.source
+               JOIN cv ON sv.term = cv.term
+               CROSS JOIN ct
+               GROUP BY sv.source)
+             SELECT source, toks AS n_tokens,
+               units AS div_units,
+               units * 1000 // toks AS div_milli_bits
+             FROM d ORDER BY source""")),
+
     // ---- ZIPF rank-frequency fit: per source, an integer least-squares
     //      slope over (whole-bit log rank, whole-bit log count) of the
     //      top-[[ZipfTopK]] terms — natural text slopes near −1; heavily
@@ -859,6 +903,32 @@ object CorpusStats {
         col("n_bigrams"), col("n_bigram_types"),
         expr("n_bigram_types * 10000 div n_bigrams").as("bigram_ttr_bp"),
         expr("ent_units * 1000 div n_tokens").as("mean_bits_milli"))
+      .orderBy(col("source"))
+  }
+
+  /** q168 over a (doc_id, source, text) frame — exposed for
+    * hand-checkable specs. Whole-bit KL(source ‖ corpus) surrogate; see
+    * the defs entry. Integer division of the possibly-negative unit sum
+    * truncates toward zero in both engines. */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val sv = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("source"),
+        explode(split(lower(col("text")), " +")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val st = sv.groupBy(col("source")).agg(sum(col("cs")).as("ts"))
+    val cv = sv.groupBy(col("term")).agg(sum(col("cs")).as("cc"))
+    val ct = cv.agg(sum(col("cc")).as("tc"))
+    sv.join(st, "source").join(cv, "term").crossJoin(broadcast(ct))
+      .select(col("source"), col("cs"),
+        ((length(bin(expr("tc div cc"))) - 1) -
+          (length(bin(expr("ts div cs"))) - 1)).cast("long").as("db"))
+      .groupBy(col("source"))
+      .agg(sum(col("cs") * col("db")).as("units"), sum(col("cs")).as("toks"))
+      .select(col("source"), col("toks").as("n_tokens"),
+        col("units").as("div_units"),
+        expr("units * 1000 div toks").as("div_milli_bits"))
       .orderBy(col("source"))
   }
 

@@ -983,6 +983,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(p == ((20L, 22L, 20L, 10000L, 9090L)), s"pair: $p")
   }
 
+  test("q168 source divergence: an on-distribution source scores 0; a disjoint-vocabulary source diverges") {
+    import spark.implicits._
+    // sources a and b share one uniform vocabulary (each term equally
+    // common overall), source c uses completely different terms
+    val docs = Seq(
+      (1L, "a", "x y z w x y z w"),
+      (2L, "b", "x y z w x y z w"),
+      (3L, "c", "qq rr ss tt qq rr ss tt"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.ops.CorpusStats.sourceDivergence(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // a: per-term cs=2 of ts=8 -> bits_s = log2(4) = 2; corpus: x has
+    // cc=4 of tc=24 -> bits_c = floor(log2(6)) = 2 -> delta 0
+    assert(out("a") == ((8L, 0L)), s"a: ${out("a")}")
+    assert(out("b") == ((8L, 0L)), s"b: ${out("b")}")
+    // c: its terms have cc=2 of 24 -> bits_c = floor(log2(12)) = 3,
+    // bits_s = 2 -> +1 bit/token = 1000 milli-bits
+    assert(out("c") == ((8L, 1000L)), s"c: ${out("c")}")
+  }
+
   test("q73 count-min estimates never undercount (the sketch's defining guarantee)") {
     val rows = SparkEntry.queries("q73_cms_heavy_hitters")(spark, sf).collect()
     assert(rows.length == 20)
