@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -73,6 +74,44 @@ object TextOps {
              THEN 'es'
            WHEN ${h("fr")} >= ${h("de")} THEN 'fr'
            ELSE 'de' END"""
+  }
+
+  /** q169 over a (doc_id, text) frame — exposed for guarantee specs
+    * (two docs sharing a ≥ k+w−1-token run share a fingerprint). */
+  def winnowingFingerprints(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val grams = docs
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(lower(col("text")), " +").as("ws"))
+      .filter(size(col("ws")) >= WinnowK)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(ws) - $WinnowK),
+             i -> concat_ws(' ', slice(ws, i + 1, $WinnowK)))"""))
+        .as(Seq("pos", "gram")))
+      .withColumn("h",
+        expr("cast(conv(substring(md5(gram), 1, 14), 16, 10) as long)"))
+      .drop("gram")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mp = grams.groupBy(col("doc_id"))
+      .agg(max(col("pos")).as("mp"), count(lit(1)).as("n_grams"))
+    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    val fps = grams.withColumn("fp", min(col("h")).over(wWin))
+      .join(mp.select(col("doc_id"), col("mp")), "doc_id")
+      .filter(col("pos") <= col("mp") - (WinnowW - 1))
+      .select(col("doc_id"), col("fp")).distinct()
+    val shared = fps.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("fp")).withColumn("sh", lit(1L))
+    fps.join(shared, Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(coalesce(col("sh"), lit(0L))).as("n_shared_fp"))
+      .join(mp.select(col("doc_id"), col("n_grams")), "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_fp"), col("n_shared_fp"),
+        expr("n_shared_fp * 10000 div n_fp").as("shared_bp"))
+      .orderBy(col("doc_id"))
   }
 
   /** q165 over a (doc_id, source, ctext) frame — exposed for
@@ -973,6 +1012,13 @@ object TextOps {
     * degenerate-generation tail. */
   val TailRepeatMin = 4
 
+  /** q169 winnowing geometry (Schleimer, Wilkerson & Aiken 2003, MOSS):
+    * k-gram size and window width. Guarantee: any shared token run of
+    * length ≥ WinnowK + WinnowW − 1 (= 7 words here) yields at least one
+    * shared selected fingerprint. */
+  val WinnowK = 4
+  val WinnowW = 4
+
   private[ops] val tailSynthSpark: String =
     """CASE WHEN doc_id % 10 = 6
          THEN concat(text, ' loop loop loop loop loop')
@@ -1081,6 +1127,62 @@ object TextOps {
              FROM occs
              GROUP BY doc_id
              ORDER BY doc_id""")),
+
+    // ---- WINNOWING fingerprints (Schleimer/Wilkerson/Aiken 2003 — the
+    //      MOSS algorithm): per position the md5 of the [[WinnowK]]-gram,
+    //      then the MINIMUM hash of each [[WinnowW]]-wide window is a
+    //      selected fingerprint; the distinct selected set per document
+    //      is its sketch. The guarantee q39's whole-doc md5 and q99's
+    //      fixed spans lack: ANY shared run of ≥ k+w−1 tokens shares a
+    //      selected fingerprint, at ~2/(w+1) the storage of all grams.
+    //      Output per doc: grams, selected fingerprints, fingerprints
+    //      shared with ANY other doc, and share basis points — the
+    //      plagiarism/copy-detection signal at fingerprint cost. Scale:
+    //      one explode + one per-doc position window + a fingerprint-
+    //      keyed groupBy; no self-join. ----
+    "q169_winnowing_fingerprints" -> QueryDef(
+      (s, dir) => winnowingFingerprints(Tables.load(s, dir, "documents")),
+      Some(s"""WITH wds AS (
+               SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
+               FROM documents),
+             gr AS (
+               SELECT doc_id,
+                 unnest(generate_series(0, len(ws) - $WinnowK)) AS pos, ws
+               FROM wds WHERE len(ws) >= $WinnowK),
+             hashed AS (
+               SELECT doc_id, pos,
+                 CAST(('0x' || substr(md5(array_to_string(
+                   ws[pos + 1 : pos + $WinnowK], ' ')), 1, 14)) AS BIGINT)
+                   AS h
+               FROM gr),
+             mx AS (SELECT doc_id, max(pos) AS mp FROM hashed
+                    GROUP BY doc_id),
+             wmin AS (
+               SELECT h2.doc_id,
+                 min(h2.h) OVER (PARTITION BY h2.doc_id ORDER BY h2.pos
+                   ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING)
+                   AS fp,
+                 h2.pos, mx.mp
+               FROM hashed h2 JOIN mx ON h2.doc_id = mx.doc_id),
+             fps AS (
+               SELECT DISTINCT doc_id, fp FROM wmin
+               WHERE pos <= mp - ${WinnowW - 1}),
+             shared AS (
+               SELECT fp FROM fps GROUP BY fp
+               HAVING count(DISTINCT doc_id) > 1),
+             gct AS (SELECT doc_id, count(*) AS n_grams FROM hashed
+                     GROUP BY doc_id)
+             SELECT f.doc_id, g.n_grams,
+               count(*) AS n_fp,
+               CAST(sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_shared_fp,
+               CAST(sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) * 10000 // count(*) AS shared_bp
+             FROM fps f
+             JOIN gct g ON f.doc_id = g.doc_id
+             LEFT JOIN shared s ON f.fp = s.fp
+             GROUP BY f.doc_id, g.n_grams
+             ORDER BY f.doc_id""")),
 
     // ---- CONTENT-DEFINED chunking + chunk-level dedup: a chunk
     //      boundary opens wherever the 56-bit hash of the trailing

@@ -105,6 +105,24 @@ class SafetyOrderDriftSpec extends AnyFunSuite {
     assert(got("b") == ((1L, 0L, 0L, 0L, 1L, 1L, 10000L)), s"b: ${got("b")}")
   }
 
+  test("q169 winnowing: a shared ≥ k+w−1 token run guarantees a shared fingerprint; disjoint docs share none") {
+    import graft.ops.TextOps
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 tokens
+    val docs = Seq(
+      (1L, s"one prefix here $run and one tail"),
+      (2L, s"совершенно other start $run different ending text"),
+      (3L, "completely unrelated words nowhere matching anything else four five six"))
+      .toDF("doc_id", "text")
+    val got = TextOps.winnowingFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L)._2 >= 1L, s"doc1 shared: ${got(1L)}")
+    assert(got(2L)._2 >= 1L, s"doc2 shared: ${got(2L)}")
+    assert(got(3L)._2 == 0L, s"doc3 shared: ${got(3L)}")
+    // compression: selected fingerprints are a strict subset of grams
+    val full = TextOps.winnowingFingerprints(docs).collect()
+    full.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
   test("q165: each chat malformation lands in its own counter; prose is not chat") {
     import graft.ops.TextOps
     val docs = Seq(
