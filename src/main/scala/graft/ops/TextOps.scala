@@ -76,9 +76,10 @@ object TextOps {
            ELSE 'de' END"""
   }
 
-  /** q169 over a (doc_id, text) frame — exposed for guarantee specs
-    * (two docs sharing a ≥ k+w−1-token run share a fingerprint). */
-  def winnowingFingerprints(docs: DataFrame): DataFrame = {
+  /** The shared q169/q170 substrate over a (doc_id, text) frame:
+    * (fps(doc_id, fp) distinct selected fingerprints — PERSISTED,
+    * consumed by two aggregations; grams(doc_id, mp, n_grams)). */
+  private def winnowFps(docs: DataFrame): (DataFrame, DataFrame) = {
     val s = docs.sparkSession
     val grams = docs
       .repartition(s.sparkContext.defaultParallelism)
@@ -100,6 +101,14 @@ object TextOps {
       .join(mp.select(col("doc_id"), col("mp")), "doc_id")
       .filter(col("pos") <= col("mp") - (WinnowW - 1))
       .select(col("doc_id"), col("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (fps, mp)
+  }
+
+  /** q169 over a (doc_id, text) frame — exposed for guarantee specs
+    * (two docs sharing a ≥ k+w−1-token run share a fingerprint). */
+  def winnowingFingerprints(docs: DataFrame): DataFrame = {
+    val (fps, mp) = winnowFps(docs)
     val shared = fps.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
@@ -112,6 +121,30 @@ object TextOps {
       .select(col("doc_id"), col("n_grams"), col("n_fp"), col("n_shared_fp"),
         expr("n_shared_fp * 10000 div n_fp").as("shared_bp"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q170 over a (doc_id, text) frame — exposed for planted copy-pair
+    * specs. See the defs entry for the cap/threshold semantics. */
+  def winnowingPairs(docs: DataFrame): DataFrame = {
+    val (fps, _) = winnowFps(docs)
+    val hot = fps.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > WinnowFpCap)
+      .select(col("fp"))
+    val cold = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fct = cold.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val pr = cold.as("x")
+      .join(cold.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowPairMin)
+    pr.join(fct.select(col("doc_id").as("da"), col("nf").as("na")), "da")
+      .join(fct.select(col("doc_id").as("db"), col("nf").as("nb")), "db")
+      .select(col("da"), col("db"), col("n_shared"), col("na"), col("nb"),
+        expr("n_shared * 10000 div least(na, nb)").as("overlap_bp"))
+      .orderBy(col("da"), col("db"))
   }
 
   /** q165 over a (doc_id, source, ctext) frame — exposed for
@@ -1019,6 +1052,42 @@ object TextOps {
   val WinnowK = 4
   val WinnowW = 4
 
+  /** q170: a fingerprint selected by more than this many documents is
+    * boilerplate (dropped before pairing, the hot-band cap's analog);
+    * pairs need ≥ [[WinnowPairMin]] shared fingerprints to report. */
+  val WinnowFpCap = 50
+  val WinnowPairMin = 2
+
+  /** Shared q169/q170 oracle chain: `whashed(doc_id, pos, h)` per-gram
+    * hashes and `fps(doc_id, fp)` the distinct selected winnowing
+    * fingerprints. (Before `defs` — interpolated at init.) */
+  private val winnowDuckCtes: String =
+    s"""wds AS (
+               SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
+               FROM documents),
+             gr AS (
+               SELECT doc_id,
+                 unnest(generate_series(0, len(ws) - $WinnowK)) AS pos, ws
+               FROM wds WHERE len(ws) >= $WinnowK),
+             whashed AS (
+               SELECT doc_id, pos,
+                 CAST(('0x' || substr(md5(array_to_string(
+                   ws[pos + 1 : pos + $WinnowK], ' ')), 1, 14)) AS BIGINT)
+                   AS h
+               FROM gr),
+             wmx AS (SELECT doc_id, max(pos) AS mp FROM whashed
+                    GROUP BY doc_id),
+             wmin AS (
+               SELECT h2.doc_id,
+                 min(h2.h) OVER (PARTITION BY h2.doc_id ORDER BY h2.pos
+                   ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING)
+                   AS fp,
+                 h2.pos, wmx.mp
+               FROM whashed h2 JOIN wmx ON h2.doc_id = wmx.doc_id),
+             fps AS (
+               SELECT DISTINCT doc_id, fp FROM wmin
+               WHERE pos <= mp - ${WinnowW - 1})"""
+
   private[ops] val tailSynthSpark: String =
     """CASE WHEN doc_id % 10 = 6
          THEN concat(text, ' loop loop loop loop loop')
@@ -1142,35 +1211,11 @@ object TextOps {
     //      keyed groupBy; no self-join. ----
     "q169_winnowing_fingerprints" -> QueryDef(
       (s, dir) => winnowingFingerprints(Tables.load(s, dir, "documents")),
-      Some(s"""WITH wds AS (
-               SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
-               FROM documents),
-             gr AS (
-               SELECT doc_id,
-                 unnest(generate_series(0, len(ws) - $WinnowK)) AS pos, ws
-               FROM wds WHERE len(ws) >= $WinnowK),
-             hashed AS (
-               SELECT doc_id, pos,
-                 CAST(('0x' || substr(md5(array_to_string(
-                   ws[pos + 1 : pos + $WinnowK], ' ')), 1, 14)) AS BIGINT)
-                   AS h
-               FROM gr),
-             mx AS (SELECT doc_id, max(pos) AS mp FROM hashed
-                    GROUP BY doc_id),
-             wmin AS (
-               SELECT h2.doc_id,
-                 min(h2.h) OVER (PARTITION BY h2.doc_id ORDER BY h2.pos
-                   ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING)
-                   AS fp,
-                 h2.pos, mx.mp
-               FROM hashed h2 JOIN mx ON h2.doc_id = mx.doc_id),
-             fps AS (
-               SELECT DISTINCT doc_id, fp FROM wmin
-               WHERE pos <= mp - ${WinnowW - 1}),
+      Some(s"""WITH $winnowDuckCtes,
              shared AS (
                SELECT fp FROM fps GROUP BY fp
                HAVING count(DISTINCT doc_id) > 1),
-             gct AS (SELECT doc_id, count(*) AS n_grams FROM hashed
+             gct AS (SELECT doc_id, count(*) AS n_grams FROM whashed
                      GROUP BY doc_id)
              SELECT f.doc_id, g.n_grams,
                count(*) AS n_fp,
@@ -1183,6 +1228,39 @@ object TextOps {
              LEFT JOIN shared s ON f.fp = s.fp
              GROUP BY f.doc_id, g.n_grams
              ORDER BY f.doc_id""")),
+
+    // ---- WINNOWING copy-pair report — MOSS's second half: documents
+    //      sharing ≥ [[WinnowPairMin]] selected fingerprints, paired
+    //      through a fingerprint-keyed equi self-join after dropping
+    //      boilerplate fingerprints selected by > [[WinnowFpCap]] docs
+    //      (the hot-band cap's analog — a header fragment shared by
+    //      hundreds of docs would otherwise quadratically dominate).
+    //      Overlap is reported against the SMALLER doc's sketch (the
+    //      q160 containment convention), so a short doc lifted into a
+    //      long one still scores high. ----
+    "q170_winnowing_pairs" -> QueryDef(
+      (s, dir) => winnowingPairs(Tables.load(s, dir, "documents")),
+      Some(s"""WITH $winnowDuckCtes,
+             hot AS (
+               SELECT fp FROM fps GROUP BY fp
+               HAVING count(DISTINCT doc_id) > $WinnowFpCap),
+             cold AS (
+               SELECT f.* FROM fps f ANTI JOIN hot h USING (fp)),
+             fct AS (SELECT doc_id, count(*) AS nf FROM cold
+                     GROUP BY doc_id),
+             pr AS (
+               SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS n_shared
+               FROM cold x JOIN cold y
+                 ON x.fp = y.fp AND x.doc_id < y.doc_id
+               GROUP BY x.doc_id, y.doc_id)
+             SELECT pr.da, pr.db, pr.n_shared,
+               a.nf AS na, b.nf AS nb,
+               pr.n_shared * 10000 // least(a.nf, b.nf) AS overlap_bp
+             FROM pr
+             JOIN fct a ON pr.da = a.doc_id
+             JOIN fct b ON pr.db = b.doc_id
+             WHERE pr.n_shared >= $WinnowPairMin
+             ORDER BY pr.da, pr.db""")),
 
     // ---- CONTENT-DEFINED chunking + chunk-level dedup: a chunk
     //      boundary opens wherever the 56-bit hash of the trailing

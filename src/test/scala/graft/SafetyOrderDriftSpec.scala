@@ -123,6 +123,24 @@ class SafetyOrderDriftSpec extends AnyFunSuite {
     full.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
 
+  test("q170: copied docs pair with high overlap; the pair threshold suppresses singleton matches") {
+    import graft.ops.TextOps
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, s"$base extra trailing words here"),   // near-copy of 1
+      (3L, (100 to 130).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.winnowingPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(5)))
+      .toMap
+    val p = pairs.get((1L, 2L))
+      .getOrElse(fail(s"copy pair (1,2) missing: $pairs"))
+    assert(p._2 >= 9000L, s"overlap ${p._2}")   // ≥90% of the smaller sketch
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc must not pair")
+  }
+
   test("q165: each chat malformation lands in its own counter; prose is not chat") {
     import graft.ops.TextOps
     val docs = Seq(
