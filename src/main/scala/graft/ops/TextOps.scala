@@ -162,9 +162,8 @@ object TextOps {
     // sequence(1, 0) is DESCENDING in Spark — guard the 1-turn case
     .withColumn("same_adj", expr(
       """CASE WHEN size(roles) < 2 THEN 0L
-         ELSE aggregate(sequence(1, size(roles) - 1), 0L, (acc, i) ->
-           acc + CASE WHEN element_at(roles, i) = element_at(roles, i + 1)
-                 THEN 1L ELSE 0L END) END"""))
+         ELSE cast(size(filter(sequence(1, size(roles) - 1), i ->
+           element_at(roles, i) = element_at(roles, i + 1))) AS long) END"""))
     .withColumn("empties", expr(
       """size(filter(turns, x ->
            trim(regexp_replace(x, '^(user:|assistant:)', '')) = ''))""")
@@ -1663,10 +1662,8 @@ object TextOps {
                SELECT source,
                  CASE WHEN len(turns) >= 2 AND roles[1] <> 'x'
                    THEN 1 ELSE 0 END AS is_chat,
-                 coalesce(list_sum(list_transform(
-                   generate_series(1, len(roles) - 1), i ->
-                     CASE WHEN roles[i] = roles[i + 1] THEN 1 ELSE 0 END)),
-                   0) AS same_adj,
+                 len(list_filter(generate_series(1, len(roles) - 1),
+                   i -> roles[i] = roles[i + 1])) AS same_adj,
                  len(list_filter(turns, x ->
                    trim(regexp_replace(x, '^(user:|assistant:)', '')) = ''))
                    AS empties,

@@ -238,7 +238,16 @@ class PlanGateSpec extends AnyFunSuite {
     // q159: the 10-query set broadcast under the vec_id <> query_id
     // inequality — exactly q35's O(1)-build shape (hard negatives are
     // mined from the same exact ranking the positives come from)
-    "q159_hard_negatives")
+    "q159_hard_negatives",
+    // q163: rides assignClusters' K-row centroid broadcast (the
+    // q70/q85 shape — build side is the cluster count, a constant)
+    "q163_cluster_source_mix",
+    // q167: the ONE-ROW corpus-total aggregate crossJoined onto the
+    // ≤~40-row bucket histogram (q141's scalar shape for the cosine axis)
+    "q167_cosine_threshold_sweep",
+    // q168: the ONE-ROW corpus-token total crossJoined onto the
+    // source-vocab rows (the q89 scalar shape)
+    "q168_source_divergence")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
