@@ -258,6 +258,98 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** q167's sweep over a (vec_id, embedding) frame — exposed for spec
+    * use and spliced by q171's operating-point pick. Per 500-bp cosine
+    * bucket over the capped sign-LSH candidate set: pairs at the bucket,
+    * docs whose best pair sits there, cumulative ≥-threshold mass. */
+  def cosineSweep(emb: DataFrame): DataFrame = {
+    registerNeardupBands(emb.sparkSession)
+    val n = normedFrom(emb)
+      .withColumn("band_vals", expr("graft_sign_bands(embedding)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = Dedup.coldBands(
+      n.select(col("vec_id"),
+        posexplode(col("band_vals")).as(Seq("band_idx", "band_val"))),
+      NeardupBandCap)
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+    val a = n.select(col("vec_id").as("va"), col("de").as("ea"),
+      col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("vb"), col("de").as("eb"),
+      col("nrm").as("nb"))
+    val pj = cands.join(a, "va").join(b, "vb")
+      .withColumn("cos",
+        expr(dotExpr("ea", "eb")) / (col("na") * col("nb")))
+      .withColumn("c_bp", expr(
+        "CAST(floor(cos * 10000) AS BIGINT) div 500 * 500"))
+    val pairHist = pj.groupBy(col("c_bp"))
+      .agg(count(lit(1)).as("n_pairs_at"))
+    val docHist = pj.groupBy(col("vb"))
+      .agg(max(col("c_bp")).as("c_bp"))
+      .groupBy(col("c_bp")).agg(count(lit(1)).as("n_docs_at"))
+    val tot = emb.agg(count(lit(1)).cast("long").as("n_total"))
+    val wDesc = Window.orderBy(col("c_bp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairHist.join(docHist, Seq("c_bp"), "full_outer")
+      .na.fill(0L, Seq("n_pairs_at", "n_docs_at"))
+      .withColumn("pairs_ge",
+        sum(col("n_pairs_at")).over(wDesc).cast("long"))
+      .withColumn("docs_ge",
+        sum(col("n_docs_at")).over(wDesc).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(col("c_bp"), col("n_pairs_at"), col("n_docs_at"),
+        col("pairs_ge"), col("docs_ge"),
+        expr("docs_ge * 10000L div n_total").as("docs_ge_bp"))
+      .orderBy(col("c_bp"))
+  }
+
+  /** q167's oracle chain ending at `sweep(c_bp, n_pairs_at, n_docs_at,
+    * pairs_ge, docs_ge, docs_ge_bp)` — spliced by q167 and q171. */
+  private def cosineSweepDuckCtes: String =
+    s"""${knnGraphDuckCtesFrom()},
+           ps AS (
+             SELECT c.va, c.vb,
+               ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+                 AS cos
+             FROM cands c JOIN n a ON c.va = a.vec_id
+                          JOIN n b ON c.vb = b.vec_id),
+           pj AS (
+             SELECT va, vb,
+               CAST(floor(cos * 10000) AS BIGINT) // 500 * 500 AS c_bp
+             FROM ps),
+           ph AS (SELECT c_bp, count(*) AS n_pairs_at FROM pj GROUP BY c_bp),
+           dh AS (
+             SELECT c_bp, count(*) AS n_docs_at FROM (
+               SELECT vb, max(c_bp) AS c_bp FROM pj GROUP BY vb)
+             GROUP BY c_bp),
+           tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total
+                   FROM embeddings),
+           m AS (
+             SELECT coalesce(ph.c_bp, dh.c_bp) AS c_bp,
+               coalesce(ph.n_pairs_at, 0) AS n_pairs_at,
+               coalesce(dh.n_docs_at, 0) AS n_docs_at
+             FROM ph FULL OUTER JOIN dh ON ph.c_bp = dh.c_bp),
+           sweep AS (
+             SELECT c_bp, n_pairs_at, n_docs_at,
+               CAST(sum(n_pairs_at) OVER (ORDER BY c_bp DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS pairs_ge,
+               CAST(sum(n_docs_at) OVER (ORDER BY c_bp DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS docs_ge,
+               CAST(sum(n_docs_at) OVER (ORDER BY c_bp DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 * 10000 // (SELECT n_total FROM tot) AS docs_ge_bp
+             FROM m)"""
+
+  /** q171 loss budgets (basis points of docs a dedup drop may affect). */
+  val OperatingBudgetsBp: Seq[Long] = Seq(100L, 250L, 500L, 1000L)
+
   /** q164: incremental kNN-graph maintenance under the q98 delta
     * convention (base = vec_id % 5 ≠ 4, delta = vec_id % 5 = 4). The
     * stored artifact is the base graph's PAIR LIST (scores recomputed
@@ -1699,87 +1791,45 @@ object Similarity {
     //      q85/q41 hard-code a threshold, exactly as q141 is read
     //      before q32's. ----
     "q167_cosine_threshold_sweep" -> QueryDef(
+      (s, dir) => cosineSweep(Tables.load(s, dir, "embeddings")),
+      Some(s"""WITH $cosineSweepDuckCtes
+           SELECT * FROM sweep ORDER BY c_bp""")),
+
+    // ---- DEDUP OPERATING-POINT pick: for each loss budget in
+    //      [[OperatingBudgetsBp]] (the docs a "drop at cos ≥ t" rule may
+    //      affect, in basis points), the MOST AGGRESSIVE threshold —
+    //      the lowest sweep bucket — whose cumulative affected-doc mass
+    //      stays within budget, with the realized stats at that point.
+    //      The config-committing step downstream of q167, exactly as a
+    //      production run picks nprobe from q116's measured curve
+    //      instead of guessing. One broadcast of 4 budget rows over the
+    //      ≤~40-row sweep frame. ----
+    "q171_dedup_operating_point" -> QueryDef(
       (s, dir) => {
-        val emb = Tables.load(s, dir, "embeddings")
-        registerNeardupBands(s)
-        val n = normedFrom(emb)
-          .withColumn("band_vals", expr("graft_sign_bands(embedding)"))
+        import s.implicits._
+        val sweep = cosineSweep(Tables.load(s, dir, "embeddings"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val bands = Dedup.coldBands(
-          n.select(col("vec_id"),
-            posexplode(col("band_vals")).as(Seq("band_idx", "band_val"))),
-          NeardupBandCap)
-        val cands = bands.as("x")
-          .join(bands.as("y"),
-            col("x.band_idx") === col("y.band_idx") &&
-              col("x.band_val") === col("y.band_val") &&
-              col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
-          .distinct()
-        val a = n.select(col("vec_id").as("va"), col("de").as("ea"),
-          col("nrm").as("na"))
-        val b = n.select(col("vec_id").as("vb"), col("de").as("eb"),
-          col("nrm").as("nb"))
-        val pj = cands.join(a, "va").join(b, "vb")
-          .withColumn("cos",
-            expr(dotExpr("ea", "eb")) / (col("na") * col("nb")))
-          .withColumn("c_bp", expr(
-            "CAST(floor(cos * 10000) AS BIGINT) div 500 * 500"))
-        val pairHist = pj.groupBy(col("c_bp"))
-          .agg(count(lit(1)).as("n_pairs_at"))
-        val docHist = pj.groupBy(col("vb"))
-          .agg(max(col("c_bp")).as("c_bp"))
-          .groupBy(col("c_bp")).agg(count(lit(1)).as("n_docs_at"))
-        val tot = emb.agg(count(lit(1)).cast("long").as("n_total"))
-        val wDesc = Window.orderBy(col("c_bp").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        pairHist.join(docHist, Seq("c_bp"), "full_outer")
-          .na.fill(0L, Seq("n_pairs_at", "n_docs_at"))
-          .withColumn("pairs_ge",
-            sum(col("n_pairs_at")).over(wDesc).cast("long"))
-          .withColumn("docs_ge",
-            sum(col("n_docs_at")).over(wDesc).cast("long"))
-          .crossJoin(broadcast(tot))
-          .select(col("c_bp"), col("n_pairs_at"), col("n_docs_at"),
-            col("pairs_ge"), col("docs_ge"),
-            expr("docs_ge * 10000L div n_total").as("docs_ge_bp"))
-          .orderBy(col("c_bp"))
+        val budgets = OperatingBudgetsBp.toDF("budget_bp")
+        val feasible = budgets.crossJoin(broadcast(sweep))
+          .filter(col("docs_ge_bp") <= col("budget_bp"))
+        val pick = feasible.groupBy(col("budget_bp"))
+          .agg(min(col("c_bp")).as("c_bp"))
+        pick.join(sweep, "c_bp")
+          .select(col("budget_bp"), col("c_bp").as("threshold_bp"),
+            col("pairs_ge"), col("docs_ge"), col("docs_ge_bp"))
+          .orderBy(col("budget_bp"))
       },
-      Some(s"""WITH ${knnGraphDuckCtesFrom()},
-           ps AS (
-             SELECT c.va, c.vb,
-               ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
-                 AS cos
-             FROM cands c JOIN n a ON c.va = a.vec_id
-                          JOIN n b ON c.vb = b.vec_id),
-           pj AS (
-             SELECT va, vb,
-               CAST(floor(cos * 10000) AS BIGINT) // 500 * 500 AS c_bp
-             FROM ps),
-           ph AS (SELECT c_bp, count(*) AS n_pairs_at FROM pj GROUP BY c_bp),
-           dh AS (
-             SELECT c_bp, count(*) AS n_docs_at FROM (
-               SELECT vb, max(c_bp) AS c_bp FROM pj GROUP BY vb)
-             GROUP BY c_bp),
-           tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total
-                   FROM embeddings),
-           m AS (
-             SELECT coalesce(ph.c_bp, dh.c_bp) AS c_bp,
-               coalesce(ph.n_pairs_at, 0) AS n_pairs_at,
-               coalesce(dh.n_docs_at, 0) AS n_docs_at
-             FROM ph FULL OUTER JOIN dh ON ph.c_bp = dh.c_bp)
-           SELECT c_bp, n_pairs_at, n_docs_at,
-             CAST(sum(n_pairs_at) OVER (ORDER BY c_bp DESC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS pairs_ge,
-             CAST(sum(n_docs_at) OVER (ORDER BY c_bp DESC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS docs_ge,
-             CAST(sum(n_docs_at) OVER (ORDER BY c_bp DESC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               * 10000 // (SELECT n_total FROM tot) AS docs_ge_bp
-           FROM m
-           ORDER BY c_bp""")),
+      Some(s"""WITH $cosineSweepDuckCtes,
+           budgets AS (SELECT unnest(ARRAY[${OperatingBudgetsBp
+             .mkString(", ")}]) AS budget_bp),
+           pick AS (
+             SELECT b.budget_bp, min(s.c_bp) AS c_bp
+             FROM budgets b JOIN sweep s ON s.docs_ge_bp <= b.budget_bp
+             GROUP BY b.budget_bp)
+           SELECT p.budget_bp, p.c_bp AS threshold_bp,
+             s.pairs_ge, s.docs_ge, s.docs_ge_bp
+           FROM pick p JOIN sweep s ON p.c_bp = s.c_bp
+           ORDER BY p.budget_bp""")),
 
     // ---- INCREMENTAL kNN-graph maintenance (q98's delta convention):
     //      the stored base graph's pair list merged with delta-touching

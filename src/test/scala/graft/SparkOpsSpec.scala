@@ -1377,6 +1377,23 @@ class SimilaritySpec extends AnyFunSuite {
     }, "cumulative curve must be monotone")
   }
 
+  test("q171: each budget's pick is feasible and minimal against the full sweep") {
+    val sweep = graft.ops.Similarity.cosineSweep(
+      Tables.load(spark, sf, "embeddings")).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    val picks = SparkEntry.queries("q171_dedup_operating_point")(spark, sf)
+      .collect()
+    assert(picks.length == graft.ops.Similarity.OperatingBudgetsBp.length)
+    picks.foreach { r =>
+      val (budget, thr, dgb) = (r.getLong(0), r.getLong(1), r.getLong(4))
+      assert(dgb <= budget, s"budget $budget: picked $thr with docs_ge_bp $dgb")
+      sweep.filter(_._1 < thr).foreach { case (c, d) =>
+        assert(d > budget,
+          s"budget $budget: bucket $c (docs_ge_bp $d) beats picked $thr")
+      }
+    }
+  }
+
   test("q41 plan has no cartesian/nested-loop join (scale gate)") {
     val plan = SparkEntry.queries("q41_embedding_neardup")(spark, sf)
       .queryExecution.executedPlan.toString

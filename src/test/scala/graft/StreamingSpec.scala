@@ -377,6 +377,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("the q166 tail-repetition report runs unchanged as a complete-mode stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.SourceDoc]
+    val q = graft.ops.TextOps.tailRepetition(
+        input.toDF().withColumnRenamed("text", "ttext"))
+      .writeStream.format("memory").queryName("tail_stream")
+      .outputMode("complete").start()
+    try {
+      val b1 = Seq(EventStreams.SourceDoc(1, "sA", "fine text here"),
+        EventStreams.SourceDoc(2, "sA", "bad loop loop loop loop loop"))
+      val b2 = Seq(EventStreams.SourceDoc(3, "sA", "more clean words"))
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = r.getString(0) ->
+        (1 to 4).map(r.getLong).toList
+      val streamed = spark.table("tail_stream").collect().map(key).toMap
+      val batch = graft.ops.TextOps.tailRepetition(
+        (b1 ++ b2).toDF().withColumnRenamed("text", "ttext"))
+        .collect().map(key).toMap
+      assert(streamed == batch)
+      assert(streamed("sA") == List(3L, 1L, 3333L, 5L))
+    } finally q.stop()
+  }
+
   test("streaming weighted reservoir converges to the batch q107 kept set; later better arrivals evict") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
