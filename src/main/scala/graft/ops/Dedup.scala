@@ -1072,6 +1072,73 @@ object Dedup {
            ORDER BY nc.rows_per_band"""
       }),
 
+    // ---- POST-DEDUP token budget: the accounting stage that connects
+    //      dedup to mixture planning — per source the raw token mass,
+    //      the mass inside dropped near-dup docs (q54's components,
+    //      keeper = min doc_id) and the EFFECTIVE budget that survives,
+    //      in kept basis points. Mixture weights (q87/q112) computed on
+    //      raw counts overweight duplicate-heavy sources; this is the
+    //      corrected input. Oracle recomputes the components via the
+    //      independent recursive reachability CTE (the q54 discipline)
+    //      and the token counts directly. ----
+    "q172_dedup_token_budget" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs.select(col("doc_id"), col("source"),
+          size(split(lower(col("text")), " +")).cast("long").as("nt"))
+        val comp = connectedComponents(lshCandidatePairs(docs))
+          .select(col("doc_id"), col("cluster_id"))
+        toks.join(comp, Seq("doc_id"), "left")
+          .withColumn("dropped",
+            when(col("cluster_id").isNotNull &&
+              col("cluster_id") =!= col("doc_id"), 1L).otherwise(0L))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("raw_tokens"),
+            sum(col("dropped")).as("n_dropped"),
+            sum(when(col("dropped") === 1L, col("nt")).otherwise(0L))
+              .as("dropped_tokens"))
+          .select(col("source"), col("n_docs"), col("raw_tokens"),
+            col("n_dropped"), col("dropped_tokens"),
+            (col("raw_tokens") - col("dropped_tokens")).as("kept_tokens"),
+            expr("(raw_tokens - dropped_tokens) * 10000 div raw_tokens")
+              .as("kept_bp"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH RECURSIVE ${duckCandPairsBody()},
+           edges AS (SELECT da AS src, db AS dst FROM cand_pairs
+                     UNION ALL
+                     SELECT db AS src, da AS dst FROM cand_pairs),
+           reach(doc_id, r) AS (
+             SELECT DISTINCT src AS doc_id, src AS r FROM edges
+             UNION
+             SELECT e.dst AS doc_id, reach.r
+             FROM reach JOIN edges e ON e.src = reach.doc_id),
+           labels AS (
+             SELECT doc_id, min(r) AS cluster_id FROM reach
+             GROUP BY doc_id),
+           tk AS (
+             SELECT doc_id, source,
+               CAST(len(string_split_regex(lower(text), ' +')) AS BIGINT)
+                 AS nt
+             FROM documents),
+           v AS (
+             SELECT tk.source, tk.nt,
+               CASE WHEN l.cluster_id IS NOT NULL
+                     AND l.cluster_id <> tk.doc_id THEN 1 ELSE 0 END
+                 AS dropped
+             FROM tk LEFT JOIN labels l ON tk.doc_id = l.doc_id)
+           SELECT source, count(*) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS raw_tokens,
+             CAST(sum(dropped) AS BIGINT) AS n_dropped,
+             CAST(sum(CASE WHEN dropped = 1 THEN nt ELSE 0 END) AS BIGINT)
+               AS dropped_tokens,
+             CAST(sum(nt) - sum(CASE WHEN dropped = 1 THEN nt ELSE 0 END)
+               AS BIGINT) AS kept_tokens,
+             CAST(sum(nt) - sum(CASE WHEN dropped = 1 THEN nt ELSE 0 END)
+               AS BIGINT) * 10000 // CAST(sum(nt) AS BIGINT) AS kept_bp
+           FROM v GROUP BY source ORDER BY source""")),
+
     // ---- CONTAINMENT pairs: per q33 candidate pair the ASYMMETRIC
     //      overlap c/min(|A|,|B|) next to resemblance c/|A∪B| — the
     //      quote/subset detector. A short doc fully embedded in a long

@@ -964,6 +964,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.getLong(3) == 6000L, s"intercept ${r.getLong(3)}")
   }
 
+  test("q172: dropped dup tokens leave the budget; a dup-free source keeps 10000 bp") {
+    import spark.implicits._
+    val dup = (1 to 20).map(i => s"d$i").mkString(" ")     // 20 tokens
+    val uniq = (50 to 69).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, dup, "en", "s", 1L), (2L, dup, "en", "s", 1L),
+      (3L, dup, "en", "s", 1L), (4L, uniq, "en", "s", 1L),
+      (5L, (80 to 99).map(i => s"w$i").mkString(" "), "en", "clean", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-budget").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q172_dedup_token_budget")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // source s: docs 2 and 3 drop (keeper 1) -> 40 of 80 tokens leave
+    assert(out("s") == ((4L, 80L, 2L, 40L, 40L, 5000L)), s"s: ${out("s")}")
+    assert(out("clean") == ((1L, 20L, 0L, 0L, 20L, 10000L)),
+      s"clean: ${out("clean")}")
+  }
+
   test("q160 containment: a doc fully embedded in a longer one scores 10000 bp with lower jaccard") {
     import spark.implicits._
     val a = (1 to 22).map(i => s"w$i").mkString(" ")
