@@ -657,36 +657,38 @@ object CorpusStats {
     //      scale: the q66 two-pass range-partitioned rank). ----
     "q127_vocab_growth" -> QueryDef(
       (s, dir) => vocabGrowth(Tables.load(s, dir, "documents")),
-      Some(s"""WITH ranked AS (
-               SELECT source, text,
-                 row_number() OVER (PARTITION BY source
-                   ORDER BY md5('vg:' || CAST(doc_id AS VARCHAR)), doc_id)
-                   AS rk
-               FROM documents),
-             d AS (
-               SELECT source, rk, ${rankBucket("rk")} AS bucket,
-                 string_split_regex(lower(text), ' +') AS words
-               FROM ranked),
-             tok AS (
-               SELECT source, bucket,
-                 CAST(sum(len(words)) AS BIGINT) AS btokens
-               FROM d GROUP BY source, bucket),
-             firsts AS (
-               SELECT source, term, min(rk) AS first_rk FROM (
-                 SELECT source, rk, unnest(words) AS term FROM d)
-               GROUP BY source, term),
-             voc AS (
-               SELECT source, ${rankBucket("first_rk")} AS bucket,
-                 count(*) AS bvocab
-               FROM firsts GROUP BY source, 2)
-             SELECT t.source, t.bucket AS n_docs_prefix,
-               CAST(sum(t.btokens) OVER (PARTITION BY t.source
-                 ORDER BY t.bucket) AS BIGINT) AS cum_tokens,
-               CAST(sum(coalesce(v.bvocab, 0)) OVER (PARTITION BY t.source
-                 ORDER BY t.bucket) AS BIGINT) AS cum_vocab
-             FROM tok t LEFT JOIN voc v
-               ON t.source = v.source AND t.bucket = v.bucket
-             ORDER BY t.source, n_docs_prefix""")),
+      Some(s"""WITH $vocabGrowthDuckCtes
+             SELECT source, n_docs_prefix, cum_tokens, cum_vocab
+             FROM growth
+             ORDER BY source, n_docs_prefix""")),
+
+    // ---- HEAPS-LAW fit: integer OLS over (whole-bit log cum_tokens,
+    //      whole-bit log cum_vocab) of q127's growth curve — V ≈ K·N^b,
+    //      so the slope is b in milli-units (English corpora sit near
+    //      b ≈ 0.5; a source whose b collapses toward 0 has stopped
+    //      contributing new vocabulary — the saturation read that says
+    //      when more crawl buys nothing). The q154 closed-form OLS on
+    //      the q127 points; everything int64. ----
+    "q173_heaps_fit" -> QueryDef(
+      (s, dir) => heapsFit(Tables.load(s, dir, "documents")),
+      Some(s"""WITH $vocabGrowthDuckCtes,
+             pts AS (
+               SELECT source,
+                 CAST(length(bin(cum_tokens)) - 1 AS BIGINT) AS x,
+                 CAST(length(bin(cum_vocab)) - 1 AS BIGINT) AS y
+               FROM growth),
+             f AS (
+               SELECT source, count(*) AS n_points,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+               FROM pts GROUP BY source)
+             SELECT source, n_points,
+               (n_points * sxy - sx * sy) * 1000
+                 // (n_points * sxx - sx * sx) AS b_milli,
+               (sy * sxx - sx * sxy) * 1000
+                 // (n_points * sxx - sx * sx) AS logk_milli
+             FROM f ORDER BY source""")),
 
     // ---- LEXICAL-DIVERSITY card: per source, type/token ratio, bigram
     //      type ratio and a whole-bit unigram entropy — the diversity
@@ -862,6 +864,40 @@ object CorpusStats {
     * rk ≤ B for every power-of-two B, so cumulative sums over buckets
     * equal exact prefix counts at the checkpoints. The CASE text is
     * engine-agnostic — the same string feeds Spark `expr` and DuckDB. */
+  /** q127's oracle chain ending at `growth(source, n_docs_prefix,
+    * cum_tokens, cum_vocab)` — spliced by q127 and q173. */
+  private def vocabGrowthDuckCtes: String =
+    s"""ranked AS (
+               SELECT source, text,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5('vg:' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rk
+               FROM documents),
+             d AS (
+               SELECT source, rk, ${rankBucket("rk")} AS bucket,
+                 string_split_regex(lower(text), ' +') AS words
+               FROM ranked),
+             tok AS (
+               SELECT source, bucket,
+                 CAST(sum(len(words)) AS BIGINT) AS btokens
+               FROM d GROUP BY source, bucket),
+             firsts AS (
+               SELECT source, term, min(rk) AS first_rk FROM (
+                 SELECT source, rk, unnest(words) AS term FROM d)
+               GROUP BY source, term),
+             voc AS (
+               SELECT source, ${rankBucket("first_rk")} AS bucket,
+                 count(*) AS bvocab
+               FROM firsts GROUP BY source, 2),
+             growth AS (
+               SELECT t.source, t.bucket AS n_docs_prefix,
+                 CAST(sum(t.btokens) OVER (PARTITION BY t.source
+                   ORDER BY t.bucket) AS BIGINT) AS cum_tokens,
+                 CAST(sum(coalesce(v.bvocab, 0)) OVER (PARTITION BY t.source
+                   ORDER BY t.bucket) AS BIGINT) AS cum_vocab
+               FROM tok t LEFT JOIN voc v
+                 ON t.source = v.source AND t.bucket = v.bucket)"""
+
   private def rankBucket(c: String): String =
     "CASE " + (0 to 10).map(1 << _)
       .map(b => s"WHEN $c <= $b THEN CAST($b AS BIGINT)").mkString(" ") +
@@ -958,6 +994,27 @@ object CorpusStats {
           .as("slope_milli"),
         expr("(sy * sxx - sx * sxy) * 1000 div (n_terms * sxx - sx * sx)")
           .as("intercept_milli"))
+      .orderBy(col("source"))
+  }
+
+  /** q173 over a (doc_id, source, text) frame: the q154 integer OLS on
+    * q127's growth points under whole-bit logs — slope = Heaps b in
+    * milli-units. Exposed for power-of-two-exact specs. */
+  def heapsFit(docs: DataFrame): DataFrame = {
+    val pts = vocabGrowth(docs)
+      .select(col("source"),
+        (length(bin(col("cum_tokens"))) - 1).cast("long").as("x"),
+        (length(bin(col("cum_vocab"))) - 1).cast("long").as("y"))
+    pts.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n_points"),
+        expr("(n_points * sxy - sx * sy) * 1000 div (n_points * sxx - sx * sx)")
+          .as("b_milli"),
+        expr("(sy * sxx - sx * sxy) * 1000 div (n_points * sxx - sx * sx)")
+          .as("logk_milli"))
       .orderBy(col("source"))
   }
 }

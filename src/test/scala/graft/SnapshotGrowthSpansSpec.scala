@@ -148,6 +148,33 @@ class SnapshotGrowthSpansSpec extends AnyFunSuite {
     }
   }
 
+  test("q173: Heaps exponents land strictly inside (0, 1) on real text; a repeated-doc source collapses toward 0") {
+    import spark.implicits._
+    val fits = graft.ops.CorpusStats.heapsFit(
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+      .collect()
+    assert(fits.nonEmpty)
+    // whole-bit logs on a tiny sf0.001 source can legitimately flatten
+    // to b = 0; sublinear (≤ 1) is the hard invariant
+    fits.foreach { r =>
+      val b = r.getLong(2)
+      assert(b >= 0L && b <= 1000L,
+        s"${r.getString(0)}: Heaps b $b outside [0, 1000] milli")
+    }
+    // a source that repeats ONE document contributes no new vocabulary
+    // after its first bucket — its exponent must sit far below a
+    // fresh-vocabulary source's
+    val tmpl = (1 to 40).map(i => s"t$i").mkString(" ")
+    val docs = ((0L until 64L).map(i => (i, tmpl, "rep")) ++
+      (100L until 164L).map(i =>
+        (i, (0 to 39).map(j => s"w${i}_$j").mkString(" "), "fresh")))
+      .toDF("doc_id", "text", "source")
+    val f2 = graft.ops.CorpusStats.heapsFit(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(f2("rep") < f2("fresh"),
+      s"rep ${f2("rep")} should collapse below fresh ${f2("fresh")}")
+  }
+
   test("q150: base-card-plus-delta equals the directly computed current card, with every diff class exercised") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     // the synthesis must land adds, removals AND changes, or the
