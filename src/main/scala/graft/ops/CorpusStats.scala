@@ -788,6 +788,72 @@ object CorpusStats {
                units * 1000 // toks AS div_milli_bits
              FROM d ORDER BY source""")),
 
+    // ---- PER-SOURCE LENGTH PROFILE: exact token-length P50/P90/P99
+    //      per source (plus extremes) — the packing/context-window
+    //      input q84's fixed 512-token windows and q149's efficiency
+    //      rollup assume; a source whose P99 dwarfs its P50 fragments
+    //      badly and wants its own chunking policy. Percentile index =
+    //      ceil(p·n) computed in INTEGER arithmetic ((p·n + p) div 1
+    //      forms below), matching DuckDB quantile_disc's element (the
+    //      q52-certified correspondence); the value at a tied rank is
+    //      order-independent because equal values are interchangeable.
+    //      One per-source sort window over the (source, n_tokens)
+    //      projection. ----
+    "q175_length_profile" -> QueryDef(
+      (s, dir) => lengthProfile(Tables.load(s, dir, "documents")),
+      Some("""WITH t AS (
+               SELECT source,
+                 CAST(len(string_split_regex(lower(text), ' +')) AS BIGINT)
+                   AS nt
+               FROM documents)
+             SELECT source, count(*) AS n_docs,
+               CAST(min(nt) AS BIGINT) AS min_tokens,
+               CAST(quantile_disc(nt, 0.5) AS BIGINT) AS p50_tokens,
+               CAST(quantile_disc(nt, 0.9) AS BIGINT) AS p90_tokens,
+               CAST(quantile_disc(nt, 0.99) AS BIGINT) AS p99_tokens,
+               CAST(max(nt) AS BIGINT) AS max_tokens
+             FROM t GROUP BY source ORDER BY source""")),
+
+    // ---- SOURCE-SIMILARITY matrix: Jaccard (in basis points) of each
+    //      source pair's top-[[ZipfTopK]] term sets — the coarse "which
+    //      sources are near-duplicates of each other" read a mixture
+    //      designer takes before treating sources as independent axes
+    //      (two mirrors of the same site deserve one weight, not two).
+    //      Complements q56 (doc-level cross-source dup pairs) at the
+    //      vocabulary level and q168 (corpus-relative divergence) with
+    //      a pairwise structure. Scale: per-source top-k via one window
+    //      (k·|sources| rows thereafter), then a term-keyed self-join
+    //      over ≤ k·|sources| rows — never the corpus. ----
+    "q174_source_similarity" -> QueryDef(
+      (s, dir) => sourceSimilarity(Tables.load(s, dir, "documents")),
+      Some(s"""WITH uni AS (
+               SELECT source, term, count(*) AS cnt FROM (
+                 SELECT source,
+                   unnest(string_split_regex(lower(text), ' +')) AS term
+                 FROM documents)
+               GROUP BY source, term),
+             topk AS (
+               SELECT source, term,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY cnt DESC, term) AS rk
+               FROM uni QUALIFY rk <= $ZipfTopK),
+             ks AS (SELECT source, count(*) AS k FROM topk GROUP BY source),
+             ov AS (
+               SELECT x.source AS source_a, y.source AS source_b,
+                 count(*) AS n_shared
+               FROM topk x JOIN topk y
+                 ON x.term = y.term AND x.source < y.source
+               GROUP BY x.source, y.source)
+             SELECT a.source AS source_a, b.source AS source_b,
+               coalesce(ov.n_shared, 0) AS n_shared,
+               CAST(coalesce(ov.n_shared, 0) * 10000
+                 // (a.k + b.k - coalesce(ov.n_shared, 0)) AS BIGINT)
+                 AS jaccard_bp
+             FROM ks a JOIN ks b ON a.source < b.source
+             LEFT JOIN ov ON ov.source_a = a.source
+               AND ov.source_b = b.source
+             ORDER BY source_a, source_b""")),
+
     // ---- ZIPF rank-frequency fit: per source, an integer least-squares
     //      slope over (whole-bit log rank, whole-bit log count) of the
     //      top-[[ZipfTopK]] terms — natural text slopes near −1; heavily
@@ -995,6 +1061,58 @@ object CorpusStats {
         expr("(sy * sxx - sx * sxy) * 1000 div (n_terms * sxx - sx * sx)")
           .as("intercept_milli"))
       .orderBy(col("source"))
+  }
+
+  /** q175 over a (doc_id, source, text) frame — exposed for exact-index
+    * specs. Percentile index ceil(p·n) in pure integer arithmetic;
+    * ties are value-interchangeable so the picked VALUE is stable. */
+  def lengthProfile(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("source"),
+      size(split(lower(col("text")), " +")).cast("long").as("nt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("nt"))
+    t.withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        min(col("nt")).as("min_tokens"),
+        max(when(col("rk") === expr("(n + 1) div 2"), col("nt")))
+          .as("p50_tokens"),
+        max(when(col("rk") === expr("(9 * n + 9) div 10"), col("nt")))
+          .as("p90_tokens"),
+        max(when(col("rk") === expr("(99 * n + 99) div 100"), col("nt")))
+          .as("p99_tokens"),
+        max(col("nt")).as("max_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** q174 over a (doc_id, source, text) frame — exposed for
+    * hand-checkable specs. Jaccard (bp) of source-pair top-k term sets. */
+  def sourceSimilarity(docs: DataFrame): DataFrame = {
+    val uni = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("source"),
+        explode(split(lower(col("text")), " +")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("term"))
+    val topk = uni.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= ZipfTopK)
+      .select(col("source"), col("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ks = topk.groupBy(col("source")).agg(count(lit(1)).as("k"))
+    val ov = topk.as("x")
+      .join(topk.as("y"),
+        col("x.term") === col("y.term") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    ks.as("a").join(ks.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.k").as("ka"), col("b.k").as("kb"))
+      .join(ov, Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        expr("n_shared * 10000 div (ka + kb - n_shared)").as("jaccard_bp"))
+      .orderBy(col("source_a"), col("source_b"))
   }
 
   /** q173 over a (doc_id, source, text) frame: the q154 integer OLS on

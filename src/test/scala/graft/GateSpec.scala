@@ -247,7 +247,15 @@ class PlanGateSpec extends AnyFunSuite {
     "q167_cosine_threshold_sweep",
     // q168: the ONE-ROW corpus-token total crossJoined onto the
     // source-vocab rows (the q89 scalar shape)
-    "q168_source_divergence")
+    "q168_source_divergence",
+    // q174: the |sources|-row top-k-size relation self-joined under
+    // source_a < source_b for the pairwise matrix — both sides are
+    // source-count-sized, a constant (the q79 label-affinity shape)
+    "q174_source_similarity",
+    // q171: the 4-row budget relation crossJoined onto the ≤~40-row
+    // sweep frame and matched under an inequality — both sides O(1)
+    // by construction (q167's histogram is bucket-count-sized)
+    "q171_dedup_operating_point")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -1024,6 +1024,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out("c") == ((8L, 1000L)), s"c: ${out("c")}")
   }
 
+  test("q174 source similarity: hand-built top-k overlap gives the exact pairwise Jaccard") {
+    import spark.implicits._
+    def doc(terms: Seq[String]) = terms.mkString(" ")
+    val a = (1 to 64).map(i => s"t$i")
+    val b = (33 to 64).map(i => s"t$i") ++ (1 to 32).map(i => s"u$i")
+    val c = (1 to 64).map(i => s"z$i")
+    val docs = Seq((1L, "a", doc(a)), (2L, "b", doc(b)), (3L, "c", doc(c)))
+      .toDF("doc_id", "source", "text")
+    val got = graft.ops.CorpusStats.sourceSimilarity(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(("a", "b")) == ((32L, 3333L)), s"ab: ${got(("a", "b"))}")
+    assert(got(("a", "c")) == ((0L, 0L)), s"ac: ${got(("a", "c"))}")
+    assert(got(("b", "c")) == ((0L, 0L)), s"bc: ${got(("b", "c"))}")
+  }
+
+  test("q175 length profile: percentile indexes hit the exact order statistics") {
+    import spark.implicits._
+    val docs = (1 to 10).map(n =>
+      (n.toLong, "s", (1 to n).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val r = graft.ops.CorpusStats.lengthProfile(docs).collect().head
+    // lengths 1..10: p50 = 5th = 5, p90 = 9th = 9, p99 = ceil(9.9) = 10th
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) == ((10L, 1L, 5L, 9L, 10L, 10L)),
+      r.mkString(","))
+  }
+
   test("q73 count-min estimates never undercount (the sketch's defining guarantee)") {
     val rows = SparkEntry.queries("q73_cms_heavy_hitters")(spark, sf).collect()
     assert(rows.length == 20)
