@@ -1867,6 +1867,65 @@ object Similarity {
            FROM pranked WHERE rank <= $KnnGraphK
            ORDER BY vec_id, rank""")),
 
+    // ---- CONTRASTIVE-PAIR export: embedding-training data prep — the
+    //      verified near-dup pairs (q41's cos ≥ 0.45 — the corpus's
+    //      attested positive definition; a tighter bar at this SF would
+    //      export an empty set) become (anchor, positive)
+    //      training examples, split-assigned train/validation/test by
+    //      an md5 over the PAIR key (both endpoints — q65's stability
+    //      discipline: adding pairs never reassigns existing ones, and
+    //      a pair's split never depends on orientation). The export a
+    //      retriever-training run consumes together with q159's hard
+    //      negatives. ----
+    "q176_contrastive_pairs" -> QueryDef(
+      (s, dir) => {
+        val pairs = embeddingNeardupPairs(
+          Tables.load(s, dir, "embeddings"), 0.45)
+        pairs
+          .withColumn("b", expr(
+            """cast(conv(substring(md5(concat('cp:', cast(va as string),
+                 ':', cast(vb as string))), 1, 14), 16, 10) as long) % 10"""))
+          .withColumn("split",
+            when(col("b") < 8, "train").when(col("b") === 8, "validation")
+              .otherwise("test"))
+          .select(col("va").as("anchor_id"), col("vb").as("positive_id"),
+            col("cos_sim"), col("split"))
+          .orderBy(col("anchor_id"), col("positive_id"))
+      },
+      Some {
+        s"""WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
+                    FROM embeddings),
+           bands0 AS ($neardupBandDuckUnion),
+           hot AS (
+             SELECT band_idx, band_val FROM bands0
+             GROUP BY band_idx, band_val HAVING count(*) > $NeardupBandCap),
+           bands AS (
+             SELECT b.* FROM bands0 b
+             ANTI JOIN hot h USING (band_idx, band_val)),
+           cands AS (
+             SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+             FROM bands x JOIN bands y
+               ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+              AND x.vec_id < y.vec_id),
+           vp AS (
+             SELECT va, vb,
+               round(${duckDot("a.embedding", "b.embedding")}
+                 / (a.nrm * b.nrm), 4) AS cos_sim
+             FROM cands JOIN n a ON va = a.vec_id JOIN n b ON vb = b.vec_id
+             WHERE ${duckDot("a.embedding", "b.embedding")}
+               / (a.nrm * b.nrm) >= 0.45),
+           sp AS (
+             SELECT va, vb, cos_sim,
+               CAST(('0x' || substr(md5('cp:' || CAST(va AS VARCHAR) || ':'
+                 || CAST(vb AS VARCHAR)), 1, 14)) AS BIGINT) % 10 AS b
+             FROM vp)
+           SELECT va AS anchor_id, vb AS positive_id, cos_sim,
+             CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'validation'
+               ELSE 'test' END AS split
+           FROM sp
+           ORDER BY anchor_id, positive_id"""
+      }),
+
     // ---- DUP-SIGNAL AGREEMENT audit: the lexical near-dup pair set
     //      (q33 MinHash candidates) against the semantic one (q41
     //      cos ≥ 0.45 verified pairs), under the doc_id ≡ vec_id

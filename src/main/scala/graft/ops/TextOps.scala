@@ -185,6 +185,34 @@ object TextOps {
         col("shape_ok") === 1L, 1L).otherwise(0L)).as("n_wellformed"))
     .orderBy(col("source"))
 
+  /** q177 over a (doc_id, source, ctext) frame — exposed for planted
+    * transcript specs. Adjacent (user, assistant) turns with non-empty
+    * response become (prompt, response) examples. */
+  def instructionPairs(docs: DataFrame): DataFrame = {
+    val wl = Window.partitionBy(col("doc_id")).orderBy(col("ti"))
+    docs
+      .select(col("doc_id"), col("source"),
+        posexplode(expr("split(ctext, ' [|][|] ')")).as(Seq("ti", "turn")))
+      .withColumn("nturn", lead(col("turn"), 1).over(wl))
+      .filter(expr("startswith(turn, 'user:')") &&
+        col("nturn").isNotNull &&
+        expr("startswith(nturn, 'assistant:')") &&
+        expr("trim(regexp_replace(nturn, '^assistant:', ''))") =!= "")
+      .withColumn("prompt", expr("trim(regexp_replace(turn, '^user:', ''))"))
+      .withColumn("response",
+        expr("trim(regexp_replace(nturn, '^assistant:', ''))"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(size(split(col("prompt"), " +")).cast("long"))
+          .as("prompt_words"),
+        sum(size(split(col("response"), " +")).cast("long"))
+          .as("response_words"),
+        countDistinct(expr("md5(concat(prompt, chr(31), response))"))
+          .as("n_distinct_pairs"))
+      .orderBy(col("source"))
+  }
+
   /** q166 over a (doc_id, source, ttext) frame — exposed for planted
     * loop-tail specs. Trailing run = n − max index whose token differs
     * from the last (empty filter ⇒ the whole doc is one repeated
@@ -1686,6 +1714,51 @@ object TextOps {
                CAST(sum(et) AS BIGINT) AS n_empty_turns,
                CAST(sum(wf) AS BIGINT) AS n_wellformed
              FROM f GROUP BY source ORDER BY source""")),
+
+    // ---- INSTRUCTION-PAIR extraction: the step after q165's audit —
+    //      every (user turn, immediately-following assistant turn) with
+    //      non-empty response becomes an SFT (prompt, response)
+    //      example. Per source: pair count, docs contributing, prompt/
+    //      response word mass and a distinct-pair content signature
+    //      (md5 over prompt ␟ response — the q77 discipline: the
+    //      checksum verifies the EXTRACTED TEXT, not just counts).
+    //      Adjacency rides one lead() window per doc. ----
+    "q177_instruction_pairs" -> QueryDef(
+      (s, dir) => instructionPairs(Tables.load(s, dir, "documents")
+        .withColumn("ctext", expr(chatSynthSpark))),
+      Some(s"""WITH ct AS (
+               SELECT doc_id, source, $chatSynthSpark AS ctext
+               FROM documents),
+             t AS (
+               SELECT doc_id, source,
+                 unnest(string_split_regex(ctext, ' [|][|] ')) AS turn,
+                 generate_subscripts(
+                   string_split_regex(ctext, ' [|][|] '), 1) AS ti
+               FROM ct),
+             r AS (
+               SELECT doc_id, source, ti, turn,
+                 lead(turn) OVER (PARTITION BY doc_id ORDER BY ti)
+                   AS nturn
+               FROM t),
+             p AS (
+               SELECT doc_id, source,
+                 trim(regexp_replace(turn, '^user:', '')) AS prompt,
+                 trim(regexp_replace(nturn, '^assistant:', '')) AS response
+               FROM r
+               WHERE starts_with(turn, 'user:')
+                 AND nturn IS NOT NULL
+                 AND starts_with(nturn, 'assistant:')
+                 AND trim(regexp_replace(nturn, '^assistant:', '')) <> '')
+             SELECT source,
+               count(*) AS n_pairs,
+               count(DISTINCT doc_id) AS n_docs,
+               CAST(sum(len(string_split_regex(prompt, ' +'))) AS BIGINT)
+                 AS prompt_words,
+               CAST(sum(len(string_split_regex(response, ' +'))) AS BIGINT)
+                 AS response_words,
+               count(DISTINCT md5(prompt || chr(31) || response))
+                 AS n_distinct_pairs
+             FROM p GROUP BY source ORDER BY source""")),
 
     // ---- TAIL-REPETITION (degenerate-loop) detection: documents whose
     //      final token repeats ≥ [[TailRepeatMin]] times at the end —

@@ -141,6 +141,23 @@ class SafetyOrderDriftSpec extends AnyFunSuite {
       "unrelated doc must not pair")
   }
 
+  test("q177: adjacent user→assistant turns become pairs; empty responses and role breaks drop") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "s", "user: q one || assistant: a one || user: q two || assistant: a two"),
+      (2L, "s", "user: dangling || user: second ask || assistant: one answer"),
+      (3L, "s", "user: asked || assistant: || user: again || assistant: replied"),
+      (4L, "s", "no structure at all"))
+      .toDF("doc_id", "source", "ctext")
+    val r = TextOps.instructionPairs(docs).collect().head
+    // doc1: 2 pairs; doc2: (second ask, one answer); doc3: empty response
+    // dropped, (again, replied) kept -> 4 pairs from 3 docs
+    assert((r.getLong(1), r.getLong(2)) == ((4L, 3L)), r.mkString(","))
+    // prompt words: (2+2) + 2 + 1 = 7; response words: (2+2) + 2 + 1 = 7
+    assert((r.getLong(3), r.getLong(4)) == ((7L, 7L)), r.mkString(","))
+    assert(r.getLong(5) == 4L)
+  }
+
   test("q165: each chat malformation lands in its own counter; prose is not chat") {
     import graft.ops.TextOps
     val docs = Seq(

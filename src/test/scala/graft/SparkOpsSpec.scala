@@ -1443,6 +1443,37 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q176: planted twins export as pairs; splits are stable under corpus growth") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(176)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0L until 200L).map(i => (i, vec()))
+    val twins = base.take(5).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + (rnd.nextGaussian() * 0.02).toFloat))
+    }
+    def dirFor(rows: Seq[(Long, Array[Float])]) = {
+      val d = java.nio.file.Files.createTempDirectory("graft-cp").toString
+      rows.toDF("vec_id", "embedding").write.mode("overwrite")
+        .parquet(s"$d/embeddings.parquet")
+      d
+    }
+    val small = SparkEntry.queries("q176_contrastive_pairs")(
+      spark, dirFor(base ++ twins)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3)).toMap
+    for (i <- 0L until 5L)
+      assert(small.contains((i, i + 1000L)), s"twin pair $i missing")
+    // grow the corpus: existing pairs keep their split (q65 stability)
+    val grown = SparkEntry.queries("q176_contrastive_pairs")(
+      spark, dirFor(base ++ twins ++
+        base.slice(5, 8).map { case (id, v) =>
+          (id + 2000L, v.map(x => x + (rnd.nextGaussian() * 0.02).toFloat))
+        })).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3)).toMap
+    small.foreach { case (k, sp) =>
+      assert(grown.get(k).contains(sp), s"pair $k split drifted")
+    }
+  }
+
   test("q41 plan has no cartesian/nested-loop join (scale gate)") {
     val plan = SparkEntry.queries("q41_embedding_neardup")(spark, sf)
       .queryExecution.executedPlan.toString
