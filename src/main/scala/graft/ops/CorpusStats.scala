@@ -38,6 +38,12 @@ object CorpusStats {
   val CmsDepth = 4
   val CmsWidth = 1024
 
+  /** Hashed-feature buckets for the q178 DSIR weights — fixed size, so
+    * the per-bucket stats table is a broadcast LUT whatever the corpus
+    * size (the paper's hashed n-gram trick, which is what lets DSIR run
+    * over raw corpora without materializing a vocabulary). */
+  val DsirBuckets = 1024
+
   /** 56-bit md5-derived hash of `term` salted per sketch row, reduced to
     * a bucket — identical text → identical bucket in both engines.
     * Public because the streaming sketch
@@ -669,6 +675,65 @@ object CorpusStats {
     //      contributing new vocabulary — the saturation read that says
     //      when more crawl buys nothing). The q154 closed-form OLS on
     //      the q127 points; everything int64. ----
+    // ---- DSIR importance weights (Xie et al. 2023): per document, the
+    //      whole-bit log-likelihood ratio between a hashed-feature
+    //      target distribution (the stopword-dense sub-corpus — an
+    //      integer-exact predicate) and the raw corpus. THE principled
+    //      alternative to threshold filters for matching a target
+    //      domain: rank by w_units and resample (q107's machinery takes
+    //      wpt_milli as its weight column). Scale: the per-bucket stats
+    //      LUT is DsirBuckets rows whatever the corpus — broadcast;
+    //      both corpus passes map-side-combinable; shuffles carry
+    //      (doc_id, bucket, count), never text. ----
+    "q178_dsir_weights" -> QueryDef(
+      (s, dir) => dsirWeights(Tables.load(s, dir, "documents")),
+      Some(s"""WITH meta AS (
+               SELECT doc_id, source,
+                 CAST(${Quality.duckNWords("text")} AS BIGINT) AS n_words,
+                 CAST(${Quality.duckNStop("text")} AS BIGINT) AS n_stop,
+                 string_split_regex(lower(text), ' +') AS ws
+               FROM documents),
+             m2 AS (
+               SELECT doc_id, source, ws,
+                 CASE WHEN 8 * n_stop >= n_words THEN 1 ELSE 0 END
+                   AS is_target
+               FROM meta),
+             feats AS (
+               SELECT doc_id, is_target,
+                 CAST(('0x' || substr(md5(w), 1, 14)) AS BIGINT)
+                   % $DsirBuckets AS b,
+                 count(*) AS c
+               FROM (SELECT doc_id, is_target, unnest(ws) AS w FROM m2)
+               GROUP BY doc_id, is_target, b),
+             raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr
+                     FROM feats GROUP BY b),
+             tgt AS (SELECT b, CAST(sum(c) AS BIGINT) AS ct
+                     FROM feats WHERE is_target = 1 GROUP BY b),
+             tots AS (
+               SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tr,
+                      (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT)
+                         FROM tgt) AS tt),
+             lut AS (
+               SELECT raw.b,
+                 CAST(length(bin(tr // (cr + 1))) - 1 AS BIGINT) AS bits_r,
+                 CAST(length(bin(tt // (coalesce(ct, 0) + 1))) - 1
+                   AS BIGINT) AS bits_t
+               FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots),
+             dw AS (
+               SELECT f.doc_id,
+                 CAST(sum(f.c * (l.bits_r - l.bits_t)) AS BIGINT)
+                   AS w_units
+               FROM feats f JOIN lut l ON f.b = l.b
+               GROUP BY f.doc_id)
+             SELECT m.doc_id, m.source, CAST(m.is_target AS BIGINT)
+                 AS is_target,
+               CAST(len(m.ws) AS BIGINT) AS n_tokens, dw.w_units,
+               CASE WHEN dw.w_units < 0
+                 THEN -((-dw.w_units) * 1000 // len(m.ws))
+                 ELSE dw.w_units * 1000 // len(m.ws) END AS wpt_milli
+             FROM m2 m JOIN dw ON m.doc_id = dw.doc_id
+             ORDER BY m.doc_id""")),
+
     "q173_heaps_fit" -> QueryDef(
       (s, dir) => heapsFit(Tables.load(s, dir, "documents")),
       Some(s"""WITH $vocabGrowthDuckCtes,
@@ -1134,5 +1199,78 @@ object CorpusStats {
         expr("(sy * sxx - sx * sxy) * 1000 div (n_points * sxx - sx * sx)")
           .as("logk_milli"))
       .orderBy(col("source"))
+  }
+
+  /** q178 over a (doc_id, source, text) frame: DSIR importance weights
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling") under the engine's whole-bit-log parity
+    * discipline. Features are words hashed into [[DsirBuckets]] buckets;
+    * the target distribution is the stopword-dense sub-corpus (the
+    * integer-exact proxy for "looks like curated text":
+    * 8·n_stop ≥ n_words — a pure int64 predicate, no float threshold;
+    * ~5% of this corpus, the small-target/big-raw shape DSIR assumes).
+    * Per document, the importance weight is
+    *
+    *   w_units = Σ_b c_doc(b) · (bits_raw(b) − bits_target(b))
+    *
+    * where bits_x(b) = floor(log2(tokens_x / (cnt_x(b)+1))) is the q89
+    * whole-bit surprisal with add-one smoothing (buckets absent from
+    * the target stay finite). Positive w_units ⇔ the doc's hashed
+    * feature profile is more probable under the target than under the
+    * raw corpus — exactly log(p_T/p_R) with whole-bit logs. wpt_milli
+    * divides by doc length with an explicit sign split so Spark `div`
+    * (trunc) and DuckDB `//` (floor) only ever see non-negative
+    * operands.
+    *
+    * Scale shape: the feature table is [[DsirBuckets]] rows whatever
+    * the corpus size — a broadcast LUT join the per-doc counts stream
+    * through map-side; both corpus passes are map-side-combinable
+    * groupBys; the shuffle carries (doc_id, bucket, count) triples,
+    * never text. Exposed for sign/planted-fixture specs. */
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    val meta = docs
+      .select(col("doc_id"), col("source"),
+        Quality.nWords(col("text")).cast("long").as("n_words"),
+        Quality.nStop(col("text")).cast("long").as("n_stop"),
+        split(lower(col("text")), " +").as("ws"))
+      .withColumn("is_target",
+        (col("n_stop") * 8 >= col("n_words")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (doc, bucket) counts feed three consumers: raw stats, target
+    // stats, per-doc weights — persist once (jaccardPairs convention)
+    val feats = meta
+      .select(col("doc_id"), col("is_target"), explode(col("ws")).as("w"))
+      .select(col("doc_id"), col("is_target"),
+        expr(s"cast(conv(substring(md5(w), 1, 14), 16, 10) as long)" +
+          s" % $DsirBuckets").as("b"))
+      .groupBy(col("doc_id"), col("is_target"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = feats.groupBy(col("b")).agg(sum(col("c")).as("cr"))
+    val tgt = feats.filter(col("is_target") === 1L)
+      .groupBy(col("b")).agg(sum(col("c")).as("ct"))
+    // coalesce: an empty target set (possible at tiny fixtures) must
+    // yield bits_t = 0 on both engines, not a null cascade
+    val tots = raw.agg(sum(col("cr")).as("tr"))
+      .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))
+    val lut = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
+      .crossJoin(tots)
+      .select(col("b"),
+        (length(bin(expr("tr div (cr + 1)"))) - 1).cast("long").as("bits_r"),
+        (length(bin(expr("tt div (ct + 1)"))) - 1).cast("long").as("bits_t"))
+    val dw = feats.join(broadcast(lut), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * (col("bits_r") - col("bits_t"))).as("w_units"))
+    meta
+      .select(col("doc_id"), col("source"), col("is_target"),
+        size(col("ws")).cast("long").as("n_tokens"))
+      .join(dw, Seq("doc_id"))
+      .withColumn("wpt_milli", expr(
+        """CASE WHEN w_units < 0
+             THEN -((-w_units) * 1000 div n_tokens)
+             ELSE w_units * 1000 div n_tokens END"""))
+      .select(col("doc_id"), col("source"), col("is_target"),
+        col("n_tokens"), col("w_units"), col("wpt_milli"))
+      .orderBy(col("doc_id"))
   }
 }

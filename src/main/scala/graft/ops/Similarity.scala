@@ -258,6 +258,47 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** q179 over a (vec_id, embedding, label) frame: hold-out kNN label
+    * vote — the label-quality / pseudo-labeling audit (the evaluation
+    * half of Zhu & Ghahramani 2002-style label propagation, cut to one
+    * synchronous round so the oracle stays a plain join). A
+    * deterministic 20% of vectors (md5('lp:'||vec_id) % 5 = 0) hide
+    * their label; each predicts the plurality label among its
+    * [[KnnGraphK]] q151-graph neighbors that kept theirs (ties → the
+    * smallest label; no labeled neighbor → −1). Output is the
+    * (true_label, pred_label) confusion matrix — the diagonal mass is
+    * the embedding-space label-consistency score that decides whether
+    * labels are trustworthy enough to train a filter on.
+    *
+    * Scale shape: rides the q151 banded kNN graph (N·k edges); the
+    * vote is two equi-joins plus a map-side-combinable count and a
+    * per-vector ≤K-row rank window; confusion rollup is ≤ labels²
+    * rows. No work beyond the graph build is corpus-quadratic. */
+  def knnLabelEval(emb: DataFrame): DataFrame = {
+    val lbl = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+      expr("""cast(conv(substring(md5(concat('lp:',
+           cast(vec_id as string))), 1, 14), 16, 10) as long) % 5""")
+        .as("hb"))
+    val seeds = lbl.filter(col("hb") =!= 0)
+      .select(col("vec_id").as("neighbor"), col("label").as("n_label"))
+    val held = lbl.filter(col("hb") === 0)
+      .select(col("vec_id"), col("label").as("true_label"))
+    val g = knnGraph(emb).select(col("vec_id"), col("neighbor"))
+    val votes = held.join(g, "vec_id").join(seeds, Seq("neighbor"))
+      .groupBy(col("vec_id"), col("true_label"), col("n_label"))
+      .agg(count(lit(1)).as("nv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("nv").desc, col("n_label"))
+    val pred = votes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("n_label").as("pred_label"))
+    held.join(pred, Seq("vec_id"), "left")
+      .na.fill(-1L, Seq("pred_label"))
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
   /** q167's sweep over a (vec_id, embedding) frame — exposed for spec
     * use and spliced by q171's operating-point pick. Per 500-bp cosine
     * bucket over the capped sign-LSH candidate set: pairs at the bucket,
@@ -1733,6 +1774,48 @@ object Similarity {
              vb AS neighbor, round(cos, 4) AS cos_sim
            FROM ranked WHERE rank <= $KnnGraphK
            ORDER BY vec_id, rank""")),
+
+    // ---- HOLD-OUT kNN LABEL VOTE: a deterministic 20% of vectors hide
+    //      their label and predict the plurality among their q151-graph
+    //      neighbors that kept theirs — the (true, predicted) confusion
+    //      matrix whose diagonal mass says whether the label column is
+    //      consistent enough in embedding space to train a filter on
+    //      (the evaluation half of label propagation, one synchronous
+    //      round). −1 = no labeled neighbor survived the band cap.
+    //      Scale: rides the q151 banded graph; everything downstream is
+    //      equi-joins + combinable counts + a ≤K-row-per-vector rank
+    //      window; output ≤ (labels+1)² rows. ----
+    "q179_knn_label_eval" -> QueryDef(
+      (s, dir) => knnLabelEval(Tables.load(s, dir, "embeddings")),
+      Some(s"""WITH $knnGraphDuckCtes,
+             g AS (SELECT va AS vec_id, vb AS neighbor
+                   FROM ranked WHERE rank <= $KnnGraphK),
+             lbl AS (
+               SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 CAST(('0x' || substr(md5('lp:' ||
+                   CAST(vec_id AS VARCHAR)), 1, 14)) AS BIGINT) % 5 AS hb
+               FROM embeddings),
+             seeds AS (SELECT vec_id AS neighbor, label AS n_label
+                       FROM lbl WHERE hb <> 0),
+             held AS (SELECT vec_id, label AS true_label
+                      FROM lbl WHERE hb = 0),
+             votes AS (
+               SELECT h.vec_id, h.true_label, s.n_label, count(*) AS nv
+               FROM held h JOIN g USING (vec_id) JOIN seeds s
+                 USING (neighbor)
+               GROUP BY h.vec_id, h.true_label, s.n_label),
+             pred AS (
+               SELECT vec_id, n_label AS pred_label FROM (
+                 SELECT vec_id, n_label,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY nv DESC, n_label) AS rk
+                 FROM votes) WHERE rk = 1)
+             SELECT h.true_label,
+               coalesce(p.pred_label, -1) AS pred_label,
+               count(*) AS n_vecs
+             FROM held h LEFT JOIN pred p ON h.vec_id = p.vec_id
+             GROUP BY h.true_label, coalesce(p.pred_label, -1)
+             ORDER BY true_label, pred_label""")),
 
     // ---- HARD-NEGATIVE MINING for retrieval/contrastive training: per
     //      query vector, the exact-ranked neighbors at ranks

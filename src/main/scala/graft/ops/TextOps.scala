@@ -185,6 +185,46 @@ object TextOps {
         col("shape_ok") === 1L, 1L).otherwise(0L)).as("n_wellformed"))
     .orderBy(col("source"))
 
+  /** q180 over a (doc_id, text) frame — exposed for reassembly specs
+    * (segments concatenate back to the document; lengths tile exactly).
+    * Deterministic FIM rewrite: md5-derived 50% doc selection, two
+    * md5-derived character cuts, hash-chosen PSM/SPM sentinel order;
+    * the output md5 is over the reassembled training string. All
+    * per-row string arithmetic — no shuffle before the output sort. */
+  def fimTransform(docs: DataFrame): DataFrame = {
+    def h(salt: String) = expr(
+      s"""cast(conv(substring(md5(concat('$salt:',
+           cast(doc_id as string))), 1, 14), 16, 10) as long)""")
+    docs
+      .select(col("doc_id"), col("text"),
+        greatest(length(col("text")), lit(1)).cast("long").as("l"),
+        (h("fimr") % 2).as("hr"), (h("fimm") % 2).as("hm"),
+        (h("fim1") % greatest(length(col("text")), lit(1))).as("c1"),
+        (h("fim2") % greatest(length(col("text")), lit(1))).as("c2"))
+      .withColumn("lo", least(col("c1"), col("c2")))
+      .withColumn("hi", greatest(col("c1"), col("c2")))
+      .withColumn("pre", expr("substring(text, 1, lo)"))
+      .withColumn("mid", expr("substring(text, lo + 1, hi - lo)"))
+      .withColumn("suf", expr("substring(text, hi + 1)"))
+      .select(col("doc_id"),
+        when(col("hr") === 1, "ar")
+          .when(col("hm") === 0, "psm").otherwise("spm").as("mode"),
+        when(col("hr") === 1, length(col("text")).cast("long"))
+          .otherwise(col("lo")).as("len_prefix"),
+        when(col("hr") === 1, 0L)
+          .otherwise(col("hi") - col("lo")).as("len_middle"),
+        when(col("hr") === 1, 0L)
+          .otherwise(length(col("text")).cast("long") - col("hi"))
+          .as("len_suffix"),
+        when(col("hr") === 1, md5(col("text")))
+          .when(col("hm") === 0, md5(concat(lit("<PRE>"), col("pre"),
+            lit("<SUF>"), col("suf"), lit("<MID>"), col("mid"))))
+          .otherwise(md5(concat(lit("<SUF>"), col("suf"),
+            lit("<PRE>"), col("pre"), lit("<MID>"), col("mid"))))
+          .as("out_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q177 over a (doc_id, source, ctext) frame — exposed for planted
     * transcript specs. Adjacent (user, assistant) turns with non-empty
     * response become (prompt, response) examples. */
@@ -1723,6 +1763,63 @@ object TextOps {
     //      (md5 over prompt ␟ response — the q77 discipline: the
     //      checksum verifies the EXTRACTED TEXT, not just counts).
     //      Adjacency rides one lead() window per doc. ----
+    // ---- FILL-IN-THE-MIDDLE transform (Bavarian et al. 2022): the
+    //      deterministic document rewrite code-model training applies to
+    //      ~half its corpus — two md5-derived character cuts split each
+    //      selected doc into (prefix, middle, suffix), reassembled as
+    //      PSM '<PRE>p<SUF>s<MID>m' or SPM '<SUF>s<PRE>p<MID>m' (mode
+    //      also hash-chosen); unselected docs pass through as plain
+    //      autoregressive text. Output carries the segment lengths
+    //      (span-boundary accounting the loss masking needs) and the
+    //      md5 of the reassembled training string — the hash gate that
+    //      proves both engines build byte-identical sequences. Scale:
+    //      a pure per-row projection — whole-stage codegen, zero
+    //      shuffles beyond the output sort; the transform is applied at
+    //      read time, never materialized corpus-wide. ----
+    "q180_fim_transform" -> QueryDef(
+      (s, dir) => fimTransform(Tables.load(s, dir, "documents")),
+      Some("""WITH h AS (
+               SELECT doc_id, text,
+                 greatest(length(text), 1) AS l,
+                 CAST(('0x' || substr(md5('fimr:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 2 AS hr,
+                 CAST(('0x' || substr(md5('fimm:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 2 AS hm,
+                 CAST(('0x' || substr(md5('fim1:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                   % greatest(length(text), 1) AS c1,
+                 CAST(('0x' || substr(md5('fim2:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                   % greatest(length(text), 1) AS c2
+               FROM documents),
+             cut AS (
+               SELECT doc_id, text, l, hr, hm,
+                 least(c1, c2) AS lo, greatest(c1, c2) AS hi
+               FROM h),
+             seg AS (
+               SELECT doc_id, hr, hm, l, lo, hi,
+                 substr(text, 1, lo) AS pre,
+                 substr(text, lo + 1, hi - lo) AS mid,
+                 substr(text, hi + 1) AS suf,
+                 text
+               FROM cut)
+             SELECT doc_id,
+               CASE WHEN hr = 1 THEN 'ar'
+                    WHEN hm = 0 THEN 'psm' ELSE 'spm' END AS mode,
+               CASE WHEN hr = 1 THEN CAST(length(text) AS BIGINT)
+                    ELSE CAST(lo AS BIGINT) END AS len_prefix,
+               CASE WHEN hr = 1 THEN 0
+                    ELSE CAST(hi - lo AS BIGINT) END AS len_middle,
+               CASE WHEN hr = 1 THEN 0
+                    ELSE CAST(length(text) - hi AS BIGINT) END AS len_suffix,
+               CASE WHEN hr = 1 THEN md5(text)
+                    WHEN hm = 0 THEN
+                      md5('<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid)
+                    ELSE
+                      md5('<SUF>' || suf || '<PRE>' || pre || '<MID>' || mid)
+               END AS out_md5
+             FROM seg ORDER BY doc_id""")),
+
     "q177_instruction_pairs" -> QueryDef(
       (s, dir) => instructionPairs(Tables.load(s, dir, "documents")
         .withColumn("ctext", expr(chatSynthSpark))),

@@ -255,7 +255,12 @@ class PlanGateSpec extends AnyFunSuite {
     // q171: the 4-row budget relation crossJoined onto the ≤~40-row
     // sweep frame and matched under an inequality — both sides O(1)
     // by construction (q167's histogram is bucket-count-sized)
-    "q171_dedup_operating_point")
+    "q171_dedup_operating_point",
+    // q178: two ONE-ROW totals crossJoins (raw/target token counts)
+    // onto the DsirBuckets-row stats LUT — the q87/q89 scalar shape;
+    // the per-doc weight join itself is a broadcast EQUI-join on the
+    // fixed-size bucket key
+    "q178_dsir_weights")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -242,4 +242,103 @@ class SafetyOrderDriftSpec extends AnyFunSuite {
       .filter(col("doc_id") % 7 === 0).count()
     assert(flagged == expect, s"flagged $flagged != planted $expect")
   }
+
+  /** md5-prefix hash exactly as the engine computes it (56-bit / mod m). */
+  private def h56mod(s: String, m: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 14)
+    java.lang.Long.parseLong(hex, 16) % m
+  }
+
+  test("q180: FIM segments tile the document exactly; AR docs pass through") {
+    import graft.ops.TextOps
+    val docs = (0L until 100L)
+      .map(i => (i, s"document number $i with some body text to cut up " +
+        ("x" * (i % 17).toInt)))
+      .toDF("doc_id", "text")
+    val textOf = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TextOps.fimTransform(docs).collect()
+    assert(out.length == 100)
+    val modes = out.map(_.getString(1)).toSet
+    assert(modes.subsetOf(Set("ar", "psm", "spm")) &&
+      modes.contains("ar") && (modes.contains("psm") || modes.contains("spm")),
+      s"modes: $modes")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (r <- out) {
+      val (id, mode, lp, lm, ls) = (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      val t = textOf(id)
+      assert(lp + lm + ls == t.length, s"doc $id segments don't tile")
+      val expectAr = h56mod(s"fimr:$id", 2) == 1
+      assert((mode == "ar") == expectAr, s"doc $id mode $mode")
+      if (mode == "ar") {
+        assert(lm == 0 && ls == 0 && lp == t.length)
+        md.reset()
+        val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        assert(r.getString(5) == hex, s"doc $id ar md5")
+      } else {
+        // reassemble from the hash-derived cuts and re-derive the md5
+        val l = math.max(t.length, 1).toLong
+        val c1 = h56mod(s"fim1:$id", l); val c2 = h56mod(s"fim2:$id", l)
+        val (lo, hi) = (math.min(c1, c2).toInt, math.max(c1, c2).toInt)
+        assert(lp == lo && lm == hi - lo && ls == t.length - hi)
+        val (pre, mid, suf) =
+          (t.substring(0, lo), t.substring(lo, hi), t.substring(hi))
+        val s2 = if (mode == "psm") s"<PRE>$pre<SUF>$suf<MID>$mid"
+                 else s"<SUF>$suf<PRE>$pre<MID>$mid"
+        md.reset()
+        val hex = md.digest(s2.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        assert(r.getString(5) == hex, s"doc $id $mode md5")
+      }
+    }
+  }
+
+  test("q178: a target-vocabulary doc outweighs a junk-vocabulary doc of the same length") {
+    import graft.ops.CorpusStats
+    val stopRun = "the and of to in is a"          // 7 stopwords
+    val docs =
+      // 5 stop-dense target docs (ratio 1 >= 1/8)
+      (0L until 5L).map(i => (i, "s", (stopRun + " ") * 3 + stopRun)) ++
+      // 30 junk docs: unique vocabulary, zero stopwords
+      (10L until 40L).map(i => (i, "s",
+        (0 until 28).map(j => s"junk${i}w$j").mkString(" "))) ++
+      // probe A: target vocabulary but diluted below the target cut
+      Seq((50L, "s", stopRun + " " + (0 until 50).map(j => s"fill$j")
+        .mkString(" "))) ++
+      // probe B: same shape, junk-only vocabulary
+      Seq((51L, "s", (0 until 57).map(j => s"probe$j").mkString(" ")))
+    val out = CorpusStats.dsirWeights(
+      docs.toDF("doc_id", "source", "text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4), r.getLong(5)))
+      .toMap
+    for (i <- 0L until 5L) assert(out(i)._1 == 1L, s"doc $i not target")
+    assert(out(50L)._1 == 0L && out(51L)._1 == 0L, "probes must not be target")
+    // the target-vocab probe must score strictly above the junk probe
+    assert(out(50L)._2 > out(51L)._2,
+      s"w_units: target-ish ${out(50L)._2} !> junk ${out(51L)._2}")
+    assert(out(50L)._3 > out(51L)._3, "wpt_milli must preserve the order")
+  }
+
+  test("q179: held-out members of tight single-label clusters vote their own label") {
+    import graft.ops.Similarity
+    // 4 clusters x 25 vectors, one label each, tiny deterministic jitter
+    // so neighbors are cluster-mates with overwhelming probability
+    val rows = for (c <- 0 until 4; i <- 0 until 25) yield {
+      val id = (c * 25 + i).toLong
+      val base = Array.fill(64)(0.0)
+      base(c) = 10.0; base((c + 7) % 64) = 5.0
+      base(16 + (i % 8)) += 0.01 * ((i % 5) + 1)
+      (id, base.toSeq, c)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelEval(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val nHeld = rows.count { case (id, _, _) => h56mod(s"lp:$id", 5) == 0 }
+    assert(out.values.sum == nHeld, s"confusion mass ${out.values.sum} != $nHeld")
+    val diag = out.collect { case ((t, p), n) if t == p => n }.sum
+    val offdiag = out.collect { case ((t, p), n) if t != p && p != -1 => n }.sum
+    assert(diag > offdiag * 3,
+      s"diagonal $diag not dominant over $offdiag in $out")
+  }
 }
