@@ -1139,6 +1139,54 @@ object Dedup {
                AS BIGINT) * 10000 // CAST(sum(nt) AS BIGINT) AS kept_bp
            FROM v GROUP BY source ORDER BY source""")),
 
+    // ---- LEAKAGE-SAFE SPLIT: q65's hash split keyed on the q54
+    //      near-dup cluster representative — a whole dup cluster lands
+    //      in ONE split, eliminating q92's cross-split leakage class by
+    //      construction (audit → fix). Singletons hash their own id
+    //      under the same salt, so n_moved counts exactly the clustered
+    //      docs whose representative hashed elsewhere. Scale: the q54
+    //      CC substrate + one left join + a combinable rollup. ----
+    "q183_leakage_safe_split" -> QueryDef(
+      (s, dir) => leakageSafeSplit(Tables.load(s, dir, "documents")),
+      Some(s"""WITH RECURSIVE ${duckCandPairsBody()},
+           edges AS (SELECT da AS src, db AS dst FROM cand_pairs
+                     UNION ALL
+                     SELECT db AS src, da AS dst FROM cand_pairs),
+           reach(doc_id, r) AS (
+             SELECT DISTINCT src AS doc_id, src AS r FROM edges
+             UNION
+             SELECT e.dst AS doc_id, reach.r
+             FROM reach JOIN edges e ON e.src = reach.doc_id),
+           labels AS (
+             SELECT doc_id, min(r) AS cluster_id FROM reach
+             GROUP BY doc_id),
+           d AS (
+             SELECT dd.doc_id, dd.source,
+               CAST(len(string_split_regex(lower(dd.text), ' +'))
+                 AS BIGINT) AS nw,
+               coalesce(l.cluster_id, dd.doc_id) AS skey
+             FROM documents dd LEFT JOIN labels l ON dd.doc_id = l.doc_id),
+           b AS (
+             SELECT source, nw,
+               CAST(('0x' || substr(md5('split:' ||
+                 CAST(skey AS VARCHAR)), 1, 14)) AS BIGINT) % 10 AS sb,
+               CAST(('0x' || substr(md5('split:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 10 AS nb
+             FROM d),
+           c AS (
+             SELECT source, nw,
+               CASE WHEN sb < 8 THEN 'train' WHEN sb = 8 THEN 'validation'
+                    ELSE 'test' END AS split,
+               CASE WHEN nb < 8 THEN 'train' WHEN nb = 8 THEN 'validation'
+                    ELSE 'test' END AS naive
+             FROM b)
+           SELECT source, split, count(*) AS n_docs,
+             CAST(sum(nw) AS BIGINT) AS tokens,
+             CAST(sum(CASE WHEN split <> naive THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_moved
+           FROM c GROUP BY source, split
+           ORDER BY source, split""")),
+
     // ---- CONTAINMENT pairs: per q33 candidate pair the ASYMMETRIC
     //      overlap c/min(|A|,|B|) next to resemblance c/|A∪B| — the
     //      quote/subset detector. A short doc fully embedded in a long
@@ -1224,6 +1272,39 @@ object Dedup {
       .select(lit(1L).as("bucket_lo"), col("n").as("n_clusters"),
         col("n").as("n_docs"))
     singles.unionByName(hist).orderBy(col("bucket_lo"))
+  }
+
+  /** q183 over a (doc_id, source, text) frame — exposed for planted-
+    * cluster specs. Leakage-safe split assignment: q65's hash split,
+    * but keyed on the q54 near-dup CLUSTER representative instead of
+    * the doc itself, so a whole dup cluster always lands in ONE split
+    * and the q92 cross-split leakage class is eliminated by
+    * construction (the fix for what q92 audits). Singleton docs hash
+    * their own id under the SAME 'split:' salt, so they keep exactly
+    * q65's assignment — n_moved counts precisely the clustered docs
+    * whose representative hashed elsewhere. Scale shape: the q54 CC
+    * substrate (checkpointed O(log diameter) equi-join rounds) + one
+    * doc-keyed left join + a map-side-combinable rollup. */
+  def leakageSafeSplit(docs: DataFrame): DataFrame = {
+    val labels = connectedComponents(lshCandidatePairs(docs))
+    def splitOf(key: Column): Column = {
+      val b = expr(s"""cast(conv(substring(md5(concat('split:',
+           cast(${key.toString} as string))), 1, 14), 16, 10) as long) % 10""")
+      when(b < 8, "train").when(b === 8, "validation").otherwise("test")
+    }
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(lower(col("text")), " +")).cast("long").as("nw"))
+      .join(labels.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("skey", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split", splitOf(col("skey")))
+      .withColumn("naive", splitOf(col("doc_id")))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tokens"),
+        sum(when(col("split") =!= col("naive"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .orderBy(col("source"), col("split"))
   }
 
   /** Power-of-two bucket floor for cluster sizes (≥ 2 by construction —

@@ -147,6 +147,69 @@ object TextOps {
       .orderBy(col("da"), col("db"))
   }
 
+  /** q181 over a (doc_id, text) frame — exposed for planted-secret
+    * specs. Rare = corpus frequency ≤ [[RareFreqMax]]; a gaps-and-
+    * islands pass (pos − row_number over the rare positions) groups
+    * consecutive rare tokens into runs; runs ≥ [[RareRunMin]] flag the
+    * document. Scale shape: one posexplode (persisted — feeds the
+    * frequency table, the rare join and the per-doc totals), one
+    * map-side-combinable vocabulary groupBy, one word-keyed equi-join
+    * (the vocabulary is corpus-sized — never broadcast), and doc-keyed
+    * windows; shuffles carry (doc_id, pos) pairs, never text. */
+  def rareTokenRuns(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val toks = docs
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " +")).as(Seq("pos", "w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+    val nt = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = toks.join(freq, "w")
+      .filter(col("cf") <= RareFreqMax)
+      .select(col("doc_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(wOrd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+    val perDoc = runs.groupBy(col("doc_id"))
+      .agg(sum(col("run_len")).as("n_rare"),
+        sum(when(col("run_len") >= RareRunMin, 1L).otherwise(0L))
+          .as("n_runs"),
+        max(col("run_len")).as("max_run"))
+    nt.join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_rare", "n_runs", "max_run"))
+      .withColumn("flagged", (col("n_runs") > 0).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q182 over a (doc_id, text) frame — exposed for planted-leak specs.
+    * Winnowing-fingerprint decontamination: the q65 hash split tags
+    * eval docs (buckets 8-9); a TRAIN doc sharing selected fingerprints
+    * with ANY eval doc carries a ≥ WinnowK+WinnowW−1-token verbatim run
+    * into the held-out set (the MOSS guarantee, pointed at leakage —
+    * catches long spans q58's scattered 4-gram count underweights).
+    * Scale shape: one winnowing pass over the corpus (q169's substrate,
+    * persisted), then fp-keyed equi-joins only — the eval fingerprint
+    * set is corpus-scaled, so it is NOT broadcast. */
+  def winnowDecontam(docs: DataFrame): DataFrame = {
+    val (fps, _) = winnowFps(docs)
+    val sp = docs.select(col("doc_id"),
+      expr("""cast(conv(substring(md5(concat('split:',
+           cast(doc_id as string))), 1, 14), 16, 10) as long) % 10""")
+        .as("b"))
+    val fb = fps.join(sp, "doc_id")
+    val evalFps = fb.filter(col("b") >= 8).select(col("fp")).distinct()
+    val trainFps = fb.filter(col("b") < 8)
+    val nfp = trainFps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    trainFps.join(evalFps, "fp")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_eval_fp"))
+      .join(nfp, "doc_id")
+      .select(col("doc_id"), col("n_fp"), col("n_eval_fp"),
+        expr("n_eval_fp * 10000 div n_fp").as("eval_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q165 over a (doc_id, source, ctext) frame — exposed for
     * per-malformation specs. See the defs entry for the rule set. */
   def chatTurnAudit(docs: DataFrame): DataFrame = docs
@@ -1125,6 +1188,13 @@ object TextOps {
   val WinnowFpCap = 50
   val WinnowPairMin = 2
 
+  /** q181: a token whose CORPUS frequency is ≤ RareFreqMax is "rare";
+    * a run of ≥ RareRunMin consecutive rare tokens is secret-shaped
+    * (keys, tokens, hashes, dense identifiers — the memorization-risk
+    * spans Carlini et al. 2021 showed models regurgitate). */
+  val RareFreqMax = 2
+  val RareRunMin = 5
+
   /** Shared q169/q170 oracle chain: `whashed(doc_id, pos, h)` per-gram
     * hashes and `fps(doc_id, fp)` the distinct selected winnowing
     * fingerprints. (Before `defs` — interpolated at init.) */
@@ -1819,6 +1889,84 @@ object TextOps {
                       md5('<SUF>' || suf || '<PRE>' || pre || '<MID>' || mid)
                END AS out_md5
              FROM seg ORDER BY doc_id""")),
+
+    // ---- RARE-TOKEN-RUN detector: runs of ≥ RareRunMin consecutive
+    //      tokens whose corpus frequency is ≤ RareFreqMax — the
+    //      secret-shaped spans (API keys, session tokens, dense
+    //      identifiers, one-off PII) that q77's pattern regexes miss
+    //      because secrets don't match known formats; the memorization-
+    //      risk signal (Carlini et al. 2021) a privacy review reads per
+    //      document. Scale: explode + combinable vocab groupBy +
+    //      word-keyed equi-join + doc-keyed windows (see rareTokenRuns
+    //      Scaladoc); no self-joins anywhere. ----
+    "q181_rare_token_runs" -> QueryDef(
+      (s, dir) => rareTokenRuns(Tables.load(s, dir, "documents")),
+      Some(s"""WITH d AS (
+               SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
+               FROM documents),
+             toks AS (
+               SELECT doc_id, unnest(ws) AS w,
+                 generate_subscripts(ws, 1) - 1 AS pos
+               FROM d),
+             freq AS (SELECT w, count(*) AS cf FROM toks GROUP BY w),
+             rare AS (
+               SELECT t.doc_id, t.pos FROM toks t JOIN freq f ON t.w = f.w
+               WHERE f.cf <= $RareFreqMax),
+             grps AS (
+               SELECT doc_id,
+                 pos - row_number() OVER (PARTITION BY doc_id
+                   ORDER BY pos) AS grp
+               FROM rare),
+             runs AS (SELECT doc_id, grp, count(*) AS run_len
+                      FROM grps GROUP BY doc_id, grp),
+             pd AS (
+               SELECT doc_id, CAST(sum(run_len) AS BIGINT) AS n_rare,
+                 CAST(sum(CASE WHEN run_len >= $RareRunMin THEN 1 ELSE 0
+                   END) AS BIGINT) AS n_runs,
+                 CAST(max(run_len) AS BIGINT) AS max_run
+               FROM runs GROUP BY doc_id),
+             nt AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens
+                    FROM d)
+             SELECT nt.doc_id, nt.n_tokens,
+               coalesce(pd.n_rare, 0) AS n_rare,
+               coalesce(pd.n_runs, 0) AS n_runs,
+               coalesce(pd.max_run, 0) AS max_run,
+               CASE WHEN coalesce(pd.n_runs, 0) > 0 THEN 1 ELSE 0 END
+                 AS flagged
+             FROM nt LEFT JOIN pd ON nt.doc_id = pd.doc_id
+             ORDER BY nt.doc_id""")),
+
+    // ---- WINNOWING DECONTAMINATION: q169's selected fingerprints
+    //      joined across the q65 split boundary — train docs sharing a
+    //      fingerprint with ANY eval doc carry a ≥ 7-token verbatim run
+    //      into the held-out set (the MOSS guarantee as a leakage gate;
+    //      the long-span complement of q58's scattered-gram count and
+    //      q92's near-dup-pair audit). Output: every contaminated train
+    //      doc with its sketch size, eval-shared fingerprints and the
+    //      shared share in basis points. Scale: one winnowing pass +
+    //      fp-keyed equi-joins; the eval fp set is corpus-scaled and
+    //      NOT broadcast. ----
+    "q182_winnow_decontam" -> QueryDef(
+      (s, dir) => winnowDecontam(Tables.load(s, dir, "documents")),
+      Some(s"""WITH $winnowDuckCtes,
+             sp AS (
+               SELECT doc_id,
+                 CAST(('0x' || substr(md5('split:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 10 AS b
+               FROM documents),
+             fb AS (SELECT f.doc_id, f.fp, sp.b
+                    FROM fps f JOIN sp USING (doc_id)),
+             ef AS (SELECT DISTINCT fp FROM fb WHERE b >= 8),
+             tf AS (SELECT doc_id, fp FROM fb WHERE b < 8),
+             nfp AS (SELECT doc_id, count(*) AS n_fp FROM tf
+                     GROUP BY doc_id),
+             hits AS (
+               SELECT tf.doc_id, count(*) AS n_eval_fp
+               FROM tf JOIN ef USING (fp) GROUP BY tf.doc_id)
+             SELECT h.doc_id, nfp.n_fp, h.n_eval_fp,
+               h.n_eval_fp * 10000 // nfp.n_fp AS eval_bp
+             FROM hits h JOIN nfp ON h.doc_id = nfp.doc_id
+             ORDER BY h.doc_id""")),
 
     "q177_instruction_pairs" -> QueryDef(
       (s, dir) => instructionPairs(Tables.load(s, dir, "documents")

@@ -320,6 +320,70 @@ class SafetyOrderDriftSpec extends AnyFunSuite {
     assert(out(50L)._3 > out(51L)._3, "wpt_milli must preserve the order")
   }
 
+  test("q181: a consecutive rare run flags; scattered rare tokens do not") {
+    import graft.ops.TextOps
+    val common = "the table holds rows and columns here"
+    val docs = Seq(
+      // 6 consecutive corpus-unique tokens mid-text -> one run of 6
+      (1L, s"$common sk1x sk2x sk3x sk4x sk5x sk6x $common"),
+      // 4 unique tokens each separated by common words -> runs of 1
+      (2L, "the uq1 table uq2 holds uq3 rows uq4 and columns"),
+      // only common vocabulary -> zero rare tokens
+      (3L, s"$common $common"))
+      .toDF("doc_id", "text")
+    val got = TextOps.rareTokenRuns(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))).toMap
+    assert(got(1L) == ((6L, 1L, 6L, 1L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((4L, 0L, 1L, 0L)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, 0L, 0L)), s"doc3: ${got(3L)}")
+  }
+
+  test("q182: a train doc sharing a long run with an eval doc flags; clean train docs don't") {
+    import graft.ops.TextOps
+    // pick ids on each side of the q65 split hash
+    val ids = (0L until 200L)
+    val trainIds = ids.filter(i => h56mod(s"split:$i", 10) < 8)
+    val evalIds = ids.filter(i => h56mod(s"split:$i", 10) >= 8)
+    val leaked = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def unique(i: Long) = (0 until 12).map(j => s"u${i}w$j").mkString(" ")
+    val docs = Seq(
+      (trainIds(0), s"${unique(900)} $leaked ${unique(901)}"),
+      (evalIds(0), s"${unique(902)} $leaked ${unique(903)}"),
+      (trainIds(1), unique(904) + " " + unique(905)))
+      .toDF("doc_id", "text")
+    val got = TextOps.winnowDecontam(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.contains(trainIds(0)) && got(trainIds(0)) > 0,
+      s"leaky train doc missing: $got")
+    assert(!got.contains(trainIds(1)), s"clean train doc flagged: $got")
+    assert(!got.contains(evalIds(0)), "eval docs must not appear")
+  }
+
+  test("q183: a dup cluster spanning naive splits lands in one split; moves are counted") {
+    import graft.ops.Dedup
+    // identical long docs -> q33 candidate pairs -> one q54 cluster
+    val dupBody = (0 until 40).map(j => s"body$j word$j").mkString(" ")
+    val dupIds = Seq(11L, 12L, 13L, 14L, 15L)
+    def fill(i: Long) = (0 until 40).map(j => s"f${i}x$j").mkString(" ")
+    val docs = (dupIds.map(i => (i, "s", dupBody)) ++
+      (100L until 110L).map(i => (i, "s", fill(i))))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.leakageSafeSplit(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.values.map(_._1).sum == docs.count(), "docs conserved")
+    // every dup doc follows the representative's split
+    def cls(b: Long) = if (b < 8) "train" else if (b == 8) "validation" else "test"
+    val repSplit = cls(h56mod(s"split:${dupIds.min}", 10))
+    val movedExpect = dupIds.count(i => cls(h56mod(s"split:$i", 10)) != repSplit)
+    val moved = out.values.map(_._3).sum
+    assert(moved == movedExpect, s"moved $moved != expected $movedExpect")
+    // the cluster's docs all sit in repSplit: that split holds >= 5 docs
+    assert(out(("s", repSplit))._1 >= dupIds.size,
+      s"cluster not together: $out")
+  }
+
   test("q179: held-out members of tight single-label clusters vote their own label") {
     import graft.ops.Similarity
     // 4 clusters x 25 vectors, one label each, tiny deterministic jitter
