@@ -44,6 +44,50 @@ object CorpusStats {
     * over raw corpora without materializing a vocabulary). */
   val DsirBuckets = 1024
 
+  /** Shared q178/q184 oracle chain: `m2(doc_id, source, ws, is_target)`
+    * and `dw(doc_id, w_units)` — the hashed-feature stats LUT and the
+    * per-doc whole-bit importance weight. (Declared before `defs` — the
+    * oracle strings interpolate it at init.) */
+  private lazy val dsirDuckCtes: String =
+    s"""meta AS (
+               SELECT doc_id, source,
+                 CAST(${Quality.duckNWords("text")} AS BIGINT) AS n_words,
+                 CAST(${Quality.duckNStop("text")} AS BIGINT) AS n_stop,
+                 string_split_regex(lower(text), ' +') AS ws
+               FROM documents),
+             m2 AS (
+               SELECT doc_id, source, ws,
+                 CASE WHEN 8 * n_stop >= n_words THEN 1 ELSE 0 END
+                   AS is_target
+               FROM meta),
+             feats AS (
+               SELECT doc_id, is_target,
+                 CAST(('0x' || substr(md5(w), 1, 14)) AS BIGINT)
+                   % $DsirBuckets AS b,
+                 count(*) AS c
+               FROM (SELECT doc_id, is_target, unnest(ws) AS w FROM m2)
+               GROUP BY doc_id, is_target, b),
+             raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr
+                     FROM feats GROUP BY b),
+             tgt AS (SELECT b, CAST(sum(c) AS BIGINT) AS ct
+                     FROM feats WHERE is_target = 1 GROUP BY b),
+             tots AS (
+               SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tr,
+                      (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT)
+                         FROM tgt) AS tt),
+             lut AS (
+               SELECT raw.b,
+                 CAST(length(bin(tr // (cr + 1))) - 1 AS BIGINT) AS bits_r,
+                 CAST(length(bin(tt // (coalesce(ct, 0) + 1))) - 1
+                   AS BIGINT) AS bits_t
+               FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots),
+             dw AS (
+               SELECT f.doc_id,
+                 CAST(sum(f.c * (l.bits_r - l.bits_t)) AS BIGINT)
+                   AS w_units
+               FROM feats f JOIN lut l ON f.b = l.b
+               GROUP BY f.doc_id)"""
+
   /** 56-bit md5-derived hash of `term` salted per sketch row, reduced to
     * a bucket — identical text → identical bucket in both engines.
     * Public because the streaming sketch
@@ -687,44 +731,7 @@ object CorpusStats {
     //      (doc_id, bucket, count), never text. ----
     "q178_dsir_weights" -> QueryDef(
       (s, dir) => dsirWeights(Tables.load(s, dir, "documents")),
-      Some(s"""WITH meta AS (
-               SELECT doc_id, source,
-                 CAST(${Quality.duckNWords("text")} AS BIGINT) AS n_words,
-                 CAST(${Quality.duckNStop("text")} AS BIGINT) AS n_stop,
-                 string_split_regex(lower(text), ' +') AS ws
-               FROM documents),
-             m2 AS (
-               SELECT doc_id, source, ws,
-                 CASE WHEN 8 * n_stop >= n_words THEN 1 ELSE 0 END
-                   AS is_target
-               FROM meta),
-             feats AS (
-               SELECT doc_id, is_target,
-                 CAST(('0x' || substr(md5(w), 1, 14)) AS BIGINT)
-                   % $DsirBuckets AS b,
-                 count(*) AS c
-               FROM (SELECT doc_id, is_target, unnest(ws) AS w FROM m2)
-               GROUP BY doc_id, is_target, b),
-             raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr
-                     FROM feats GROUP BY b),
-             tgt AS (SELECT b, CAST(sum(c) AS BIGINT) AS ct
-                     FROM feats WHERE is_target = 1 GROUP BY b),
-             tots AS (
-               SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tr,
-                      (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT)
-                         FROM tgt) AS tt),
-             lut AS (
-               SELECT raw.b,
-                 CAST(length(bin(tr // (cr + 1))) - 1 AS BIGINT) AS bits_r,
-                 CAST(length(bin(tt // (coalesce(ct, 0) + 1))) - 1
-                   AS BIGINT) AS bits_t
-               FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots),
-             dw AS (
-               SELECT f.doc_id,
-                 CAST(sum(f.c * (l.bits_r - l.bits_t)) AS BIGINT)
-                   AS w_units
-               FROM feats f JOIN lut l ON f.b = l.b
-               GROUP BY f.doc_id)
+      Some(s"""WITH $dsirDuckCtes
              SELECT m.doc_id, m.source, CAST(m.is_target AS BIGINT)
                  AS is_target,
                CAST(len(m.ws) AS BIGINT) AS n_tokens, dw.w_units,
@@ -733,6 +740,42 @@ object CorpusStats {
                  ELSE dw.w_units * 1000 // len(m.ws) END AS wpt_milli
              FROM m2 m JOIN dw ON m.doc_id = dw.doc_id
              ORDER BY m.doc_id""")),
+
+    // ---- DSIR-vs-QUALITY agreement: per fixed-grid quality decile
+    //      (q137's integer surrogate), the DSIR weight profile — doc
+    //      count, share with non-negative weight, and the signed mean
+    //      weight per token in milli-units. THE cross-signal sanity
+    //      check before trusting either selector alone: if high-quality
+    //      deciles don't skew toward positive importance weights, the
+    //      hashed-feature target is mis-specified (or the quality
+    //      heuristic is). Scale: q178's passes + one map-side decile
+    //      projection and a ≤10-row rollup; sign-split division keeps
+    //      Spark `div` and DuckDB `//` on non-negative operands. ----
+    "q184_dsir_quality_agreement" -> QueryDef(
+      (s, dir) => dsirQualityAgreement(Tables.load(s, dir, "documents")),
+      Some(s"""WITH $dsirDuckCtes,
+             qd AS (
+               SELECT doc_id,
+                 least(CAST(round(round(${Quality.duckScore("text")}, 4)
+                   * 10000, 0) AS BIGINT) // 1000, 9) AS decile
+               FROM documents),
+             wp AS (
+               SELECT m2.doc_id,
+                 CASE WHEN dw.w_units < 0
+                   THEN -((-dw.w_units) * 1000 // len(m2.ws))
+                   ELSE dw.w_units * 1000 // len(m2.ws) END AS wpt
+               FROM m2 JOIN dw ON m2.doc_id = dw.doc_id),
+             j AS (
+               SELECT qd.decile, wp.wpt
+               FROM qd JOIN wp ON qd.doc_id = wp.doc_id)
+             SELECT decile, count(*) AS n_docs,
+               CAST(sum(CASE WHEN wpt >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 * 10000 // count(*) AS pos_bp,
+               CASE WHEN CAST(sum(wpt) AS BIGINT) < 0
+                 THEN -((-CAST(sum(wpt) AS BIGINT)) // count(*))
+                 ELSE CAST(sum(wpt) AS BIGINT) // count(*) END
+                 AS mean_wpt_milli
+             FROM j GROUP BY decile ORDER BY decile""")),
 
     "q173_heaps_fit" -> QueryDef(
       (s, dir) => heapsFit(Tables.load(s, dir, "documents")),
@@ -1272,5 +1315,29 @@ object CorpusStats {
       .select(col("doc_id"), col("source"), col("is_target"),
         col("n_tokens"), col("w_units"), col("wpt_milli"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q184 over a (doc_id, source, text) frame: per q137-surrogate
+    * quality decile, the DSIR weight profile (count, non-negative-weight
+    * share in basis points, signed mean wpt in milli-units with
+    * sign-split division). Exposed for monotone-trend specs on planted
+    * corpora. */
+  def dsirQualityAgreement(docs: DataFrame): DataFrame = {
+    val w = dsirWeights(docs).select(col("doc_id"), col("wpt_milli"))
+    val qd = docs
+      .withColumn("qint",
+        round(round(Quality.score(col("text")), 4) * 10000, 0).cast("long"))
+      .select(col("doc_id"),
+        least(expr("qint div 1000"), lit(9L)).as("decile"))
+    qd.join(w, "doc_id")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("wpt_milli") >= 0, 1L).otherwise(0L)).as("pos"),
+        sum(col("wpt_milli")).as("sw"))
+      .select(col("decile"), col("n_docs"),
+        expr("pos * 10000 div n_docs").as("pos_bp"),
+        expr("""CASE WHEN sw < 0 THEN -((-sw) div n_docs)
+                ELSE sw div n_docs END""").as("mean_wpt_milli"))
+      .orderBy(col("decile"))
   }
 }

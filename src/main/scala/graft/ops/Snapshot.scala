@@ -178,6 +178,55 @@ object Snapshot {
              FROM pa JOIN ca ON pa.source = ca.source
              ORDER BY pa.source""")),
 
+    // ---- EMBEDDING-CENTROID DRIFT between snapshots: the semantic-axis
+    //      companion to q162 — per label, the L1 distance (micro units)
+    //      between the previous and current snapshots' int64 centroids,
+    //      plus the worst single dimension. Catches an embedding-model
+    //      change or a membership shift the moment it moves the space,
+    //      before any cosine-thresholded downstream stage quietly
+    //      degrades. All integer: floor-micro quantization (q143 idiom)
+    //      + a +1e6 offset so Spark `div`/DuckDB `//` agree (offset
+    //      cancels in the difference). Scale: two (label × dim)-keyed
+    //      combinable groupBys + one equi-join; output ≤ labels rows. ----
+    "q185_embedding_drift" -> QueryDef(
+      (s, dir) => embeddingDrift(Tables.load(s, dir, "embeddings")),
+      Some(s"""WITH pe0 AS (
+               SELECT CAST(label AS BIGINT) AS label,
+                 unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS dim
+               FROM embeddings WHERE vec_id % $SnapMod <> $AddedRes),
+             pe AS (
+               SELECT label, dim,
+                 CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                   + 1000000 AS so
+               FROM pe0),
+             ce0 AS (
+               SELECT CAST(label AS BIGINT) AS label,
+                 unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS dim
+               FROM embeddings WHERE vec_id % $SnapMod <> $RemovedRes),
+             ce AS (
+               SELECT label, dim,
+                 CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                   + 1000000 AS so
+               FROM ce0),
+             pc AS (
+               SELECT label, dim,
+                 CAST(sum(so) AS BIGINT) // count(*) AS c,
+                 count(*) AS n
+               FROM pe GROUP BY label, dim),
+             cc AS (
+               SELECT label, dim,
+                 CAST(sum(so) AS BIGINT) // count(*) AS c,
+                 count(*) AS n
+               FROM ce GROUP BY label, dim)
+             SELECT pc.label, max(pc.n) AS n_prev, max(cc.n) AS n_cur,
+               CAST(sum(abs(pc.c - cc.c)) AS BIGINT) AS l1_micro,
+               CAST(max(abs(pc.c - cc.c)) AS BIGINT) AS max_dim_micro
+             FROM pc JOIN cc ON pc.label = cc.label AND pc.dim = cc.dim
+             GROUP BY pc.label
+             ORDER BY pc.label""")),
+
     "q125_snapshot_diff" -> QueryDef(
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
@@ -339,5 +388,43 @@ object Snapshot {
           coalesce(col("d_sig"), lit(0L))).as("sig"))
       .filter(col("n_docs") > 0L)
       .orderBy(col("source"))
+  }
+
+  /** q185 over a (vec_id, embedding, label) frame: per-label centroid
+    * drift between the previous and current embedding snapshots (the
+    * SnapMod membership convention on vec_id — previous lacks the
+    * added residue, current lacks the removed one). Centroids are
+    * computed entirely in int64: each coordinate is floor-micro-
+    * quantized (the q143 idiom) and OFFSET by +1,000,000 so every
+    * later division sees non-negative operands (Spark `div` = trunc,
+    * DuckDB `//` = floor — they agree only there); the offset cancels
+    * in the drift difference. Drift = Σ_dims |c_prev − c_cur| in micro
+    * units, plus the worst single dimension — the semantic-axis
+    * companion to q162's quality drift (an embedding-model change or a
+    * membership shift moves centroids before any downstream filter
+    * notices). Scale: two (label × dim)-keyed combinable groupBys +
+    * one (label, dim) equi-join + a ≤labels-row rollup; no vector ever
+    * reaches the driver. */
+  def embeddingDrift(emb: DataFrame): DataFrame = {
+    def snap(excludeRes: Int) = emb
+      .filter(col("vec_id") % SnapMod =!= excludeRes)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        (floor(col("x").cast("double") * 1000000L).cast("long") +
+          1000000L).as("so"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("so")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), expr("s div n").as("c"), col("n"))
+    val p = snap(AddedRes).select(col("label"), col("dim"),
+      col("c").as("cp"), col("n").as("np"))
+    val c = snap(RemovedRes).select(col("label"), col("dim"),
+      col("c").as("cc"), col("n").as("nc"))
+    p.join(c, Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(max(col("np")).as("n_prev"), max(col("nc")).as("n_cur"),
+        sum(abs(col("cp") - col("cc"))).as("l1_micro"),
+        max(abs(col("cp") - col("cc"))).as("max_dim_micro"))
+      .orderBy(col("label"))
   }
 }

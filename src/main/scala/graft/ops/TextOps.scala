@@ -79,7 +79,7 @@ object TextOps {
   /** The shared q169/q170 substrate over a (doc_id, text) frame:
     * (fps(doc_id, fp) distinct selected fingerprints — PERSISTED,
     * consumed by two aggregations; grams(doc_id, mp, n_grams)). */
-  private def winnowFps(docs: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def winnowFps(docs: DataFrame): (DataFrame, DataFrame) = {
     val s = docs.sparkSession
     val grams = docs
       .repartition(s.sparkContext.defaultParallelism)
@@ -104,6 +104,27 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (fps, mp)
   }
+
+  /** The winnowing fingerprint selection of [[winnowFps]] as ONE pure
+    * per-row array expression — no window, no shuffle — so it runs
+    * unchanged on a STREAMING DataFrame (WindowExec is batch-only).
+    * Returns the same distinct (doc_id, fp) set as the window form
+    * (spec-pinned): per-position k-gram hashes, then the minimum of
+    * each w-wide hash window, deduplicated per document. The per-row
+    * cost is O(tokens · w) array arithmetic inside codegen — the form
+    * a streaming ingest gate wants anyway, since each doc's sketch
+    * depends on that doc alone. */
+  def rowWinnowFps(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(lower(col("text")), " +").as("ws"))
+    .filter(size(col("ws")) >= WinnowK + WinnowW - 1)
+    .withColumn("hs", expr(
+      s"""transform(sequence(0, size(ws) - $WinnowK),
+           i -> cast(conv(substring(md5(
+             concat_ws(' ', slice(ws, i + 1, $WinnowK))), 1, 14), 16, 10)
+             as bigint))"""))
+    .select(col("doc_id"), explode(expr(
+      s"""array_distinct(transform(sequence(0, size(hs) - $WinnowW),
+           i -> array_min(slice(hs, i + 1, $WinnowW))))""")).as("fp"))
 
   /** q169 over a (doc_id, text) frame — exposed for guarantee specs
     * (two docs sharing a ≥ k+w−1-token run share a fingerprint). */

@@ -186,6 +186,24 @@ object EventStreams {
       }
   }
 
+  /** Streaming mirror of q182's winnowing decontamination — the online
+    * ingest gate: incoming documents compute their winnowing sketch
+    * per-row ([[graft.ops.TextOps.rowWinnowFps]] — the array-expression
+    * form, since WindowExec is batch-only), stream-static equi-join
+    * against the frozen eval-set fingerprint table, and aggregate
+    * per-doc shared-fingerprint counts. Any doc that surfaces here
+    * carries a ≥ WinnowK+WinnowW−1-token verbatim run from the held-out
+    * set and must not enter training. Complete-mode state is one count
+    * per FLAGGED doc — leaky docs only, a vanishing corpus fraction by
+    * construction (the q73/CMS "Complete mode is correct" shape).
+    * StreamingSpec pins equality with batch q182's n_eval_fp column. */
+  def streamingWinnowDecontam(docs: DataFrame,
+      evalFps: DataFrame): DataFrame =
+    graft.ops.TextOps.rowWinnowFps(docs)
+      .join(evalFps, "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval_fp"))
+
   /** Stream-stream interval join — the unbounded form of q63's
     * view→purchase conversion: each purchase matches the same user's
     * views from the preceding hour. Both sides MUST carry watermarks and

@@ -260,7 +260,10 @@ class PlanGateSpec extends AnyFunSuite {
     // onto the DsirBuckets-row stats LUT — the q87/q89 scalar shape;
     // the per-doc weight join itself is a broadcast EQUI-join on the
     // fixed-size bucket key
-    "q178_dsir_weights")
+    "q178_dsir_weights",
+    // q184: embeds q178's weight pipeline wholesale — the same two
+    // O(1)-row totals crossJoins; the decile join is a doc_id equi-join
+    "q184_dsir_quality_agreement")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

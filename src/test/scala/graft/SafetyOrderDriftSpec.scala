@@ -384,6 +384,71 @@ class SafetyOrderDriftSpec extends AnyFunSuite {
       s"cluster not together: $out")
   }
 
+  test("q182 substrate: the per-row array form selects exactly the window form's fingerprints") {
+    import graft.ops.TextOps
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (0L until 60L).map { i =>
+      val n = 3 + rnd.nextInt(30)  // includes docs below the 7-token floor
+      (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val winForm = TextOps.winnowFps(docs)._1.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rowForm = TextOps.rowWinnowFps(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rowForm == winForm,
+      s"diff: ${(rowForm diff winForm) ++ (winForm diff rowForm)}")
+  }
+
+  test("q184: the stop-dense decile carries higher DSIR weight than the junk decile") {
+    import graft.ops.CorpusStats
+    val stopRun = "the and of to in is a"
+    val docs =
+      (0L until 8L).map(i => (i, "s", (stopRun + " ") * 3 + stopRun)) ++
+      (10L until 40L).map(i => (i, "s",
+        (0 until 28).map(j => s"junk${i}w$j").mkString(" ")))
+    val out = CorpusStats.dsirQualityAgreement(
+      docs.toDF("doc_id", "source", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val hi = out.keys.max; val lo = out.keys.min
+    assert(hi > lo, s"need two deciles, got $out")
+    assert(out(hi)._3 > out(lo)._3,
+      s"mean_wpt: hi ${out(hi)._3} !> lo ${out(lo)._3}")
+    assert(out(hi)._2 >= out(lo)._2, s"pos_bp ordering: $out")
+  }
+
+  test("q185: a label whose membership shift moves vectors drifts; a constant label doesn't") {
+    import graft.ops.Snapshot
+    val dims = 8
+    val rows = (0L until 88L).map { id =>
+      val label = (id % 2).toInt
+      val v: Seq[Double] =
+        if (label == 0) Seq.fill(dims)(0.25)             // constant everywhere
+        else {
+          // hot docs exist ONLY in the current snapshot (added residue),
+          // so the current centroid moves while the previous stays put
+          val hot = if (id % Snapshot.SnapMod == Snapshot.AddedRes) 0.9
+            else 0.1
+          hot +: Seq.fill(dims - 1)(0.1)
+        }
+      (id, v, label)
+    }
+    val out = Snapshot.embeddingDrift(rows.toDF("vec_id", "embedding", "label"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val all0 = rows.count(_._3 == 0).toLong
+    val ex0p = rows.count(r => r._3 == 0 &&
+      r._1 % Snapshot.SnapMod == Snapshot.AddedRes).toLong
+    val ex0c = rows.count(r => r._3 == 0 &&
+      r._1 % Snapshot.SnapMod == Snapshot.RemovedRes).toLong
+    assert(out(0L)._1 == all0 - ex0p && out(0L)._2 == all0 - ex0c,
+      s"label0 membership: ${out(0L)}")
+    assert(out(0L)._3 == 0L, s"constant label must not drift: ${out(0L)}")
+    assert(out(1L)._3 > 0L, s"shifted label must drift: ${out(1L)}")
+  }
+
   test("q179: held-out members of tight single-label clusters vote their own label") {
     import graft.ops.Similarity
     // 4 clusters x 25 vectors, one label each, tiny deterministic jitter

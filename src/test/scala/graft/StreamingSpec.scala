@@ -508,4 +508,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(v100.getBoolean(2) && !v100.getBoolean(3))
     } finally q.stop()
   }
+
+  test("streaming winnow-decontam flags exactly batch q182's docs with equal counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def h56mod(s: String, m: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 14)
+      java.lang.Long.parseLong(hex, 16) % m
+    }
+    val ids = (0L until 300L)
+    val trainIds = ids.filter(i => h56mod(s"split:$i", 10) < 8)
+    val evalIds = ids.filter(i => h56mod(s"split:$i", 10) >= 8)
+    val leaked = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def unique(i: Long) = (0 until 12).map(j => s"u${i}w$j").mkString(" ")
+    val evalDocs = Seq(
+      (evalIds(0), s"${unique(800)} $leaked ${unique(801)}"),
+      (evalIds(1), unique(802) + " " + unique(803)))
+    val trainDocs = Seq(
+      (trainIds(0), s"${unique(900)} $leaked ${unique(901)}"),
+      (trainIds(1), unique(904) + " " + unique(905)),
+      (trainIds(2), s"${unique(906)} $leaked"))
+    // the frozen eval fingerprint table a deployment ships to the gate
+    val evalFps = graft.ops.TextOps
+      .rowWinnowFps(evalDocs.toDF("doc_id", "text"))
+      .select(col("fp")).distinct()
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams
+      .streamingWinnowDecontam(
+        input.toDF().toDF("doc_id", "text"), evalFps)
+      .writeStream.format("memory").queryName("winnow_gate")
+      .outputMode("complete").start()
+    try {
+      input.addData(trainDocs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(trainDocs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("winnow_gate").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // batch q182 over the union corpus: its n_eval_fp per train doc
+      val batch = graft.ops.TextOps
+        .winnowDecontam((trainDocs ++ evalDocs).toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+      assert(streamed.contains(trainIds(0)) && streamed.contains(trainIds(2)))
+      assert(!streamed.contains(trainIds(1)), "clean doc must not flag")
+    } finally q.stop()
+  }
 }
