@@ -44,6 +44,10 @@ object CorpusStats {
     * over raw corpora without materializing a vocabulary). */
   val DsirBuckets = 1024
 
+  /** q186: per-source sample size of the DSIR resample. (Declared
+    * before `defs` — the oracle interpolates it at init.) */
+  val DsirSampleK = 8
+
   /** Shared q178/q184 oracle chain: `m2(doc_id, source, ws, is_target)`
     * and `dw(doc_id, w_units)` — the hashed-feature stats LUT and the
     * per-doc whole-bit importance weight. (Declared before `defs` — the
@@ -741,6 +745,41 @@ object CorpusStats {
              FROM m2 m JOIN dw ON m.doc_id = dw.doc_id
              ORDER BY m.doc_id""")),
 
+    // ---- DSIR RESAMPLE: the second half of the DSIR recipe — q178's
+    //      importance weights drive an Efraimidis-Spirakis weighted
+    //      sample (q107's integer-surrogate priority h56 div weight,
+    //      weight = max(wpt_milli + 1000, 1) so the monotone
+    //      more-target-like ⇒ more-likely-kept holds and the operand
+    //      stays positive), keeping the top [[DsirSampleK]] per source.
+    //      The deterministic, insert-stable export of
+    //      importance-resampled training data. Scale: q178's passes +
+    //      one per-row priority projection + a per-source top-k window
+    //      (at corpus scale: the q66 two-pass range-partitioned rank). ----
+    "q186_dsir_resample" -> QueryDef(
+      (s, dir) => dsirResample(Tables.load(s, dir, "documents")),
+      Some(s"""WITH $dsirDuckCtes,
+             wp AS (
+               SELECT m2.doc_id, m2.source,
+                 CASE WHEN dw.w_units < 0
+                   THEN -((-dw.w_units) * 1000 // len(m2.ws))
+                   ELSE dw.w_units * 1000 // len(m2.ws) END AS wpt_milli
+               FROM m2 JOIN dw ON m2.doc_id = dw.doc_id),
+             pri AS (
+               SELECT doc_id, source, wpt_milli,
+                 greatest(wpt_milli + 1000, 1) AS weight,
+                 CAST(('0x' || substr(md5('dsamp:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                   // greatest(wpt_milli + 1000, 1) AS priority
+               FROM wp),
+             r AS (
+               SELECT *, row_number() OVER (PARTITION BY source
+                 ORDER BY priority, doc_id) AS rk
+               FROM pri)
+             SELECT source, doc_id, wpt_milli, weight, priority,
+               CAST(rk AS BIGINT) AS rk
+             FROM r WHERE rk <= $DsirSampleK
+             ORDER BY source, rk""")),
+
     // ---- DSIR-vs-QUALITY agreement: per fixed-grid quality decile
     //      (q137's integer surrogate), the DSIR weight profile — doc
     //      count, share with non-negative weight, and the signed mean
@@ -1315,6 +1354,30 @@ object CorpusStats {
       .select(col("doc_id"), col("source"), col("is_target"),
         col("n_tokens"), col("w_units"), col("wpt_milli"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q186 over a (doc_id, source, text) frame: Efraimidis-Spirakis
+    * weighted sampling (q107's integer-surrogate priority) driven by
+    * q178's importance weights. Exposed for monotonicity specs (a
+    * heavier doc with the same hash draw always outranks a lighter
+    * one). */
+  def dsirResample(docs: DataFrame,
+      k: Int = DsirSampleK): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority"), col("doc_id"))
+    dsirWeights(docs)
+      .select(col("doc_id"), col("source"), col("wpt_milli"))
+      .withColumn("weight",
+        greatest(col("wpt_milli") + 1000L, lit(1L)))
+      .withColumn("priority", expr(
+        """cast(conv(substring(md5(concat('dsamp:',
+             cast(doc_id as string))), 1, 14), 16, 10) as long)
+           div weight"""))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("doc_id"), col("wpt_milli"),
+        col("weight"), col("priority"), col("rk"))
+      .orderBy(col("source"), col("rk"))
   }
 
   /** q184 over a (doc_id, source, text) frame: per q137-surrogate

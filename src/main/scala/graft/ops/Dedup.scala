@@ -126,6 +126,51 @@ object Dedup {
   def shingleHashes(docsText: DataFrame): DataFrame =
     shingled(docsText).select(col("doc_id"), col("g")).distinct()
 
+  /** q142's full sweep frame over a (doc_id, text) corpus — one row per
+    * [[BandingConfigs]] config with candidate volume, recall and
+    * precision against true-Jaccard ≥ 1/2 pairs (truth universe = the
+    * 8×1 candidate set; see the q142 defs comment). Factored out so
+    * q187's operating-point pick consumes the identical frame. */
+  def bandingSweep(docs: DataFrame): DataFrame = {
+    val sh = shingleHashes(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bandingCandidates(sh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = cand.filter(col("rows_per_band") === 1)
+      .select(col("da"), col("db"))
+    val inter = base
+      .join(sh.select(col("doc_id").as("da"), col("g")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("g")), Seq("db", "g"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val truth = base
+      .join(inter, Seq("da", "db"), "left").na.fill(0L, Seq("c"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(col("c") * 2 >= col("na") + col("nb") - col("c"))
+      .select(col("da"), col("db"))
+    val tt = truth.agg(count(lit(1)).cast("long").as("truth_total"))
+    val hits = cand.join(truth, Seq("da", "db"))
+      .groupBy(col("rows_per_band")).agg(count(lit(1)).as("true_hits"))
+    cand.groupBy(col("rows_per_band"))
+      .agg(count(lit(1)).as("n_candidates"))
+      .join(hits, Seq("rows_per_band"), "left")
+      .na.fill(0L, Seq("true_hits"))
+      .crossJoin(broadcast(tt))
+      .select(col("rows_per_band"),
+        expr("cast(8 div rows_per_band as bigint)").as("n_bands"),
+        col("n_candidates"), col("true_hits"), col("truth_total"),
+        expr("true_hits * 10000L div greatest(truth_total, 1L)")
+          .as("recall_bp"),
+        expr("true_hits * 10000L div greatest(n_candidates, 1L)")
+          .as("precision_bp"))
+  }
+
+  /** q187: minimum recall targets (basis points, against the q142 truth
+    * universe) the banding pick must meet. The loosest config (8×1) has
+    * recall 10000 by construction, so every target is feasible. */
+  val BandRecallTargetsBp: Seq[Long] = Seq(5000L, 8000L, 9500L)
+
   /** Removes rows whose (band_idx, band_val) group exceeds `cap` members.
     * The hot list is tiny by construction → broadcast anti-join. What the
     * cap silently drops is observable through q82 (see [[capRow]]). */
@@ -256,6 +301,69 @@ object Dedup {
                          ${hashExprDuck("s")} % $P AS g FROM ${p}sh)"""
 
   private val duckShingles = s"WITH ${duckShinglesBody()}"
+
+  /** q142/q187 shared oracle chain ending in
+    * `bsw(rows_per_band, n_bands, n_candidates, true_hits, truth_total,
+    * recall_bp, precision_bp)` — the full banding S-curve sweep. */
+  private lazy val bandingSweepDuckCtes: String = {
+    val bandUnions = BandingConfigs.flatMap { r =>
+      (0 until 8 / r).map { k =>
+        val v = (0 until r).map(j => s"m${k * r + j}")
+          .mkString("concat_ws(':', ", ", ", ")")
+        s"SELECT doc_id, $r AS rows_per_band, $k AS band_idx, $v AS band_val FROM sigs"
+      }
+    }.mkString(" UNION ALL ")
+    s"""${duckShinglesBody()},
+           sigs AS (SELECT doc_id, $duckSigCols FROM hashed GROUP BY doc_id),
+           bandsall AS ($bandUnions),
+           hot AS (
+             SELECT rows_per_band, band_idx, band_val FROM bandsall
+             GROUP BY 1, 2, 3 HAVING count(*) > $HotBandCap),
+           cold AS (
+             SELECT b.* FROM bandsall b
+             ANTI JOIN hot h USING (rows_per_band, band_idx, band_val)),
+           cand AS (
+             SELECT DISTINCT x.rows_per_band, x.doc_id AS da, y.doc_id AS db
+             FROM cold x JOIN cold y
+               ON x.rows_per_band = y.rows_per_band
+              AND x.band_idx = y.band_idx AND x.band_val = y.band_val
+              AND x.doc_id < y.doc_id),
+           base AS (SELECT da, db FROM cand WHERE rows_per_band = 1),
+           dg AS (SELECT DISTINCT doc_id, g FROM hashed),
+           szs AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
+           pg AS (
+             SELECT p.da, p.db, count(*) AS c
+             FROM base p
+             JOIN dg xa ON xa.doc_id = p.da
+             JOIN dg xb ON xb.doc_id = p.db AND xb.g = xa.g
+             GROUP BY p.da, p.db),
+           truth AS (
+             SELECT p.da, p.db
+             FROM base p
+             LEFT JOIN pg ON pg.da = p.da AND pg.db = p.db
+             JOIN szs sa ON sa.doc_id = p.da
+             JOIN szs sb ON sb.doc_id = p.db
+             WHERE COALESCE(pg.c, 0) * 2 >= sa.n + sb.n - COALESCE(pg.c, 0)),
+           tt AS (SELECT CAST(count(*) AS BIGINT) AS truth_total FROM truth),
+           hits AS (
+             SELECT c.rows_per_band, count(*) AS true_hits
+             FROM cand c JOIN truth t ON t.da = c.da AND t.db = c.db
+             GROUP BY c.rows_per_band),
+           nc AS (SELECT rows_per_band, count(*) AS n_candidates
+                  FROM cand GROUP BY 1),
+           bsw AS (
+             SELECT nc.rows_per_band,
+               CAST(8 // nc.rows_per_band AS BIGINT) AS n_bands,
+               nc.n_candidates,
+               COALESCE(h.true_hits, 0) AS true_hits,
+               tt.truth_total,
+               (COALESCE(h.true_hits, 0) * 10000)
+                 // greatest(tt.truth_total, 1) AS recall_bp,
+               (COALESCE(h.true_hits, 0) * 10000)
+                 // greatest(nc.n_candidates, 1) AS precision_bp
+             FROM nc LEFT JOIN hits h ON h.rows_per_band = nc.rows_per_band
+             CROSS JOIN tt)"""
+  }
 
   private def duckSigCols: String = A.zip(B).zipWithIndex
     .map { case ((a, b), j) => s"min((g * $a + $b) % $P) AS m$j" }
@@ -976,101 +1084,48 @@ object Dedup {
     //      overlap join is driven by the capped 8×1 candidate set,
     //      never all-pairs. ----
     "q142_lsh_banding_sweep" -> QueryDef(
+      (s, dir) => bandingSweep(Tables.load(s, dir, "documents"))
+        .orderBy(col("rows_per_band")),
+      Some(s"""WITH $bandingSweepDuckCtes
+           SELECT * FROM bsw ORDER BY rows_per_band""")),
+
+    // ---- BANDING OPERATING-POINT pick: for each minimum recall target
+    //      in [[BandRecallTargetsBp]], the CHEAPEST q142 config — fewest
+    //      candidate pairs, ties to the tighter (higher rows_per_band)
+    //      config — whose measured recall meets the target. q171's
+    //      feasibility-and-minimality pattern on the lexical banding
+    //      axis: the b×r knob committed from the measured S-curve
+    //      instead of folklore. One 3-row target relation against the
+    //      4-row sweep frame; everything upstream is q142's shape. ----
+    "q187_banding_operating_point" -> QueryDef(
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-        val sh = shingleHashes(docs)
+        import s.implicits._
+        val sweep = bandingSweep(Tables.load(s, dir, "documents"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cand = bandingCandidates(sh)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val base = cand.filter(col("rows_per_band") === 1)
-          .select(col("da"), col("db"))
-        val inter = base
-          .join(sh.select(col("doc_id").as("da"), col("g")), "da")
-          .join(sh.select(col("doc_id").as("db"), col("g")), Seq("db", "g"))
-          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val truth = base
-          .join(inter, Seq("da", "db"), "left").na.fill(0L, Seq("c"))
-          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-          .filter(col("c") * 2 >= col("na") + col("nb") - col("c"))
-          .select(col("da"), col("db"))
-        val tt = truth.agg(count(lit(1)).cast("long").as("truth_total"))
-        val hits = cand.join(truth, Seq("da", "db"))
-          .groupBy(col("rows_per_band")).agg(count(lit(1)).as("true_hits"))
-        cand.groupBy(col("rows_per_band"))
-          .agg(count(lit(1)).as("n_candidates"))
-          .join(hits, Seq("rows_per_band"), "left")
-          .na.fill(0L, Seq("true_hits"))
-          .crossJoin(broadcast(tt))
-          .select(col("rows_per_band"),
-            expr("cast(8 div rows_per_band as bigint)").as("n_bands"),
-            col("n_candidates"), col("true_hits"), col("truth_total"),
-            expr("true_hits * 10000L div greatest(truth_total, 1L)")
-              .as("recall_bp"),
-            expr("true_hits * 10000L div greatest(n_candidates, 1L)")
-              .as("precision_bp"))
-          .orderBy(col("rows_per_band"))
+        val targets = BandRecallTargetsBp.toDF("target_bp")
+        val w = Window.partitionBy(col("target_bp"))
+          .orderBy(col("n_candidates"), col("rows_per_band").desc)
+        targets.crossJoin(broadcast(sweep))
+          .filter(col("recall_bp") >= col("target_bp"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("target_bp"), col("rows_per_band"), col("n_bands"),
+            col("n_candidates"), col("true_hits"), col("recall_bp"),
+            col("precision_bp"))
+          .orderBy(col("target_bp"))
       },
-      Some {
-        val bandUnions = BandingConfigs.flatMap { r =>
-          (0 until 8 / r).map { k =>
-            val v = (0 until r).map(j => s"m${k * r + j}")
-              .mkString("concat_ws(':', ", ", ", ")")
-            s"SELECT doc_id, $r AS rows_per_band, $k AS band_idx, $v AS band_val FROM sigs"
-          }
-        }.mkString(" UNION ALL ")
-        s"""WITH ${duckShinglesBody()},
-           sigs AS (SELECT doc_id, $duckSigCols FROM hashed GROUP BY doc_id),
-           bandsall AS ($bandUnions),
-           hot AS (
-             SELECT rows_per_band, band_idx, band_val FROM bandsall
-             GROUP BY 1, 2, 3 HAVING count(*) > $HotBandCap),
-           cold AS (
-             SELECT b.* FROM bandsall b
-             ANTI JOIN hot h USING (rows_per_band, band_idx, band_val)),
-           cand AS (
-             SELECT DISTINCT x.rows_per_band, x.doc_id AS da, y.doc_id AS db
-             FROM cold x JOIN cold y
-               ON x.rows_per_band = y.rows_per_band
-              AND x.band_idx = y.band_idx AND x.band_val = y.band_val
-              AND x.doc_id < y.doc_id),
-           base AS (SELECT da, db FROM cand WHERE rows_per_band = 1),
-           dg AS (SELECT DISTINCT doc_id, g FROM hashed),
-           szs AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
-           pg AS (
-             SELECT p.da, p.db, count(*) AS c
-             FROM base p
-             JOIN dg xa ON xa.doc_id = p.da
-             JOIN dg xb ON xb.doc_id = p.db AND xb.g = xa.g
-             GROUP BY p.da, p.db),
-           truth AS (
-             SELECT p.da, p.db
-             FROM base p
-             LEFT JOIN pg ON pg.da = p.da AND pg.db = p.db
-             JOIN szs sa ON sa.doc_id = p.da
-             JOIN szs sb ON sb.doc_id = p.db
-             WHERE COALESCE(pg.c, 0) * 2 >= sa.n + sb.n - COALESCE(pg.c, 0)),
-           tt AS (SELECT CAST(count(*) AS BIGINT) AS truth_total FROM truth),
-           hits AS (
-             SELECT c.rows_per_band, count(*) AS true_hits
-             FROM cand c JOIN truth t ON t.da = c.da AND t.db = c.db
-             GROUP BY c.rows_per_band),
-           nc AS (SELECT rows_per_band, count(*) AS n_candidates
-                  FROM cand GROUP BY 1)
-           SELECT nc.rows_per_band,
-             CAST(8 // nc.rows_per_band AS BIGINT) AS n_bands,
-             nc.n_candidates,
-             COALESCE(h.true_hits, 0) AS true_hits,
-             tt.truth_total,
-             (COALESCE(h.true_hits, 0) * 10000)
-               // greatest(tt.truth_total, 1) AS recall_bp,
-             (COALESCE(h.true_hits, 0) * 10000)
-               // greatest(nc.n_candidates, 1) AS precision_bp
-           FROM nc LEFT JOIN hits h ON h.rows_per_band = nc.rows_per_band
-           CROSS JOIN tt
-           ORDER BY nc.rows_per_band"""
-      }),
+      Some(s"""WITH $bandingSweepDuckCtes,
+           targets AS (SELECT unnest(ARRAY[${BandRecallTargetsBp
+             .mkString(", ")}]) AS target_bp),
+           r AS (
+             SELECT t.target_bp, s.rows_per_band, s.n_bands,
+               s.n_candidates, s.true_hits, s.recall_bp, s.precision_bp,
+               row_number() OVER (PARTITION BY t.target_bp
+                 ORDER BY s.n_candidates, s.rows_per_band DESC) AS rk
+             FROM targets t JOIN bsw s ON s.recall_bp >= t.target_bp)
+           SELECT target_bp, rows_per_band, n_bands, n_candidates,
+             true_hits, recall_bp, precision_bp
+           FROM r WHERE rk = 1 ORDER BY target_bp""")),
 
     // ---- POST-DEDUP token budget: the accounting stage that connects
     //      dedup to mixture planning — per source the raw token mass,

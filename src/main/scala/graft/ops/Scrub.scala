@@ -530,8 +530,10 @@ object Scrub {
     //      decontamination (q110), CDC chunk-level duplication
     //      (q111, flagged when shared chunks carry ≥ half the doc's
     //      tokens), span contamination (q128, a ≥ SpanRunGate-gram
-    //      verbatim run against the eval set), and the categorized
-    //      blocklist (q129). Every verdict reuses its owning operator's canonical
+    //      verbatim run against the eval set), the categorized
+    //      blocklist (q129), the rare-token-run secret risk (q181 —
+    //      round-13 fold), and the winnowing train→eval leak (q182,
+    //      same fold). Every verdict reuses its owning operator's canonical
     //      definition on BOTH sides: the Spark plan calls the operator's
     //      own function ([[graft.ops.Multimodal.phashPairs]],
     //      [[graft.ops.Similarity.semanticDecontam]],
@@ -599,6 +601,13 @@ object Scrub {
             col("scanheavy_hits") >= BlocklistThreshold)
           .select(col("doc_id"))
           .withColumn("bl_hit", lit(1))
+        val secretRisk = TextOps.rareTokenRuns(docs)
+          .filter(col("n_runs") > 0)
+          .select(col("doc_id"))
+          .withColumn("sr_hit", lit(1))
+        val winnowLeak = TextOps.winnowDecontam(docs)
+          .select(col("doc_id"))
+          .withColumn("wl_hit", lit(1))
         base
           .join(semDropped, Seq("doc_id"), "left")
           .join(contaminated, Seq("doc_id"), "left")
@@ -607,6 +616,8 @@ object Scrub {
           .join(chunkDup, Seq("doc_id"), "left")
           .join(spanContam, Seq("doc_id"), "left")
           .join(blocked, Seq("doc_id"), "left")
+          .join(secretRisk, Seq("doc_id"), "left")
+          .join(winnowLeak, Seq("doc_id"), "left")
           .withColumn("is_sem_dropped", coalesce(col("sem_hit"), lit(0)))
           .withColumn("is_contaminated", coalesce(col("cont_hit"), lit(0)))
           .withColumn("is_image_dup", coalesce(col("img_hit"), lit(0)))
@@ -614,18 +625,22 @@ object Scrub {
           .withColumn("is_chunk_dup", coalesce(col("chunk_hit"), lit(0)))
           .withColumn("is_span_contam", coalesce(col("span_hit"), lit(0)))
           .withColumn("is_blocklisted", coalesce(col("bl_hit"), lit(0)))
+          .withColumn("is_secret_risk", coalesce(col("sr_hit"), lit(0)))
+          .withColumn("is_winnow_leak", coalesce(col("wl_hit"), lit(0)))
           .withColumn("keep",
             when(col("is_exact_dup") === 0 && col("is_sem_dropped") === 0 &&
               col("is_contaminated") === 0 && col("is_image_dup") === 0 &&
               col("is_decontam_hit") === 0 && col("is_chunk_dup") === 0 &&
               col("is_span_contam") === 0 && col("is_blocklisted") === 0 &&
+              col("is_secret_risk") === 0 && col("is_winnow_leak") === 0 &&
               col("quality_score") >= 0.5, 1)
               .otherwise(0))
           .select(col("doc_id"), col("source"), col("quality_score"),
             col("is_exact_dup"), col("is_sem_dropped"),
             col("is_contaminated"), col("is_image_dup"),
             col("is_decontam_hit"), col("is_chunk_dup"),
-            col("is_span_contam"), col("is_blocklisted"), col("keep"))
+            col("is_span_contam"), col("is_blocklisted"),
+            col("is_secret_risk"), col("is_winnow_leak"), col("keep"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH ${Clustering.semanticDedupDuckCtes()},
@@ -666,6 +681,8 @@ object Scrub {
                  GROUP BY doc_id, grp)
                WHERE c >= ${TextOps.SpanRunGate}),
              $blockedDuckCtes,
+             ${TextOps.rareRunDuckCtes},
+             ${TextOps.winnowLeakDuckCtes},
              base AS (
                SELECT doc_id, source,
                  round(${Quality.duckScore("text")}, 4) AS quality_score,
@@ -687,10 +704,15 @@ object Scrub {
                  AS is_span_contam,
                CASE WHEN blocked.doc_id IS NOT NULL THEN 1 ELSE 0 END
                  AS is_blocklisted,
+               CASE WHEN rrf.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                 AS is_secret_risk,
+               CASE WHEN wlf.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                 AS is_winnow_leak,
                CASE WHEN b.is_exact_dup = 0 AND sem.doc_id IS NULL
                      AND cont.doc_id IS NULL AND img.doc_id IS NULL
                      AND dec.doc_id IS NULL AND chunk.doc_id IS NULL
                      AND spanc.doc_id IS NULL AND blocked.doc_id IS NULL
+                     AND rrf.doc_id IS NULL AND wlf.doc_id IS NULL
                      AND b.quality_score >= 0.5
                  THEN 1 ELSE 0 END AS keep
              FROM base b
@@ -701,6 +723,8 @@ object Scrub {
              LEFT JOIN chunk ON b.doc_id = chunk.doc_id
              LEFT JOIN spanc ON b.doc_id = spanc.doc_id
              LEFT JOIN blocked ON b.doc_id = blocked.doc_id
+             LEFT JOIN rr_flagged rrf ON b.doc_id = rrf.doc_id
+             LEFT JOIN wl_flagged wlf ON b.doc_id = wlf.doc_id
              ORDER BY b.doc_id""")),
 
     // ---- dictionary blocklist filter (the C4 "badwords" stage): a

@@ -1246,6 +1246,51 @@ object TextOps {
                SELECT DISTINCT doc_id, fp FROM wmin
                WHERE pos <= mp - ${WinnowW - 1})"""
 
+  /** q181's flagged-doc set as a spliceable oracle chain (`rr_` prefix):
+    * `rr_flagged(doc_id)` = docs with ≥ 1 rare-token run of length
+    * ≥ [[RareRunMin]]. Consumed by q117's ledger oracle. */
+  private[ops] lazy val rareRunDuckCtes: String =
+    s"""rr_d AS (
+               SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
+               FROM documents),
+             rr_toks AS (
+               SELECT doc_id, unnest(ws) AS w,
+                 generate_subscripts(ws, 1) - 1 AS pos
+               FROM rr_d),
+             rr_freq AS (SELECT w, count(*) AS cf FROM rr_toks GROUP BY w),
+             rr_rare AS (
+               SELECT t.doc_id, t.pos
+               FROM rr_toks t JOIN rr_freq f ON t.w = f.w
+               WHERE f.cf <= $RareFreqMax),
+             rr_grps AS (
+               SELECT doc_id,
+                 pos - row_number() OVER (PARTITION BY doc_id
+                   ORDER BY pos) AS grp
+               FROM rr_rare),
+             rr_flagged AS (
+               SELECT DISTINCT doc_id FROM (
+                 SELECT doc_id, grp, count(*) AS c FROM rr_grps
+                 GROUP BY doc_id, grp)
+               WHERE c >= $RareRunMin)"""
+
+  /** q182's flagged-train-doc set as a spliceable oracle chain (built
+    * on [[winnowDuckCtes]]'s `fps`, `wl_` prefix): `wl_flagged(doc_id)`
+    * = train-split docs sharing ≥ 1 winnowing fingerprint with any
+    * eval-split doc. Consumed by q117's ledger oracle. */
+  private[ops] lazy val winnowLeakDuckCtes: String =
+    s"""$winnowDuckCtes,
+             wl_sp AS (
+               SELECT doc_id,
+                 CAST(('0x' || substr(md5('split:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 10 AS b
+               FROM documents),
+             wl_fb AS (SELECT f.doc_id, f.fp, wl_sp.b
+                       FROM fps f JOIN wl_sp USING (doc_id)),
+             wl_ef AS (SELECT DISTINCT fp FROM wl_fb WHERE b >= 8),
+             wl_flagged AS (
+               SELECT DISTINCT doc_id FROM wl_fb
+               JOIN wl_ef USING (fp) WHERE b < 8)"""
+
   private[ops] val tailSynthSpark: String =
     """CASE WHEN doc_id % 10 = 6
          THEN concat(text, ' loop loop loop loop loop')

@@ -263,7 +263,14 @@ class PlanGateSpec extends AnyFunSuite {
     "q178_dsir_weights",
     // q184: embeds q178's weight pipeline wholesale — the same two
     // O(1)-row totals crossJoins; the decile join is a doc_id equi-join
-    "q184_dsir_quality_agreement")
+    "q184_dsir_quality_agreement",
+    // q186: embeds q178's weight pipeline (same two scalar crossJoins);
+    // the sampling itself is a projection + per-source rank window
+    "q186_dsir_resample",
+    // q187: the 3-row recall-target relation crossJoined onto the 4-row
+    // q142 sweep frame under an inequality — both sides O(1) by
+    // construction (q171's budget-pick shape on the banding axis)
+    "q187_banding_operating_point")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

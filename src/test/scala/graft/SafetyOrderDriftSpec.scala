@@ -449,6 +449,77 @@ class SafetyOrderDriftSpec extends AnyFunSuite {
     assert(out(1L)._3 > 0L, s"shifted label must drift: ${out(1L)}")
   }
 
+  test("q186: priorities are the documented surrogate; heavier docs outrank on equal draws") {
+    import graft.ops.CorpusStats
+    val stopRun = "the and of to in is a"
+    val docs =
+      (0L until 5L).map(i => (i, "s", (stopRun + " ") * 3 + stopRun)) ++
+      (10L until 40L).map(i => (i, "s",
+        (0 until 28).map(j => s"junk${i}w$j").mkString(" ")))
+    val df = docs.toDF("doc_id", "source", "text")
+    val out = CorpusStats.dsirResample(df).collect()
+    assert(out.length <= CorpusStats.DsirSampleK)
+    val wpt = CorpusStats.dsirWeights(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    for (r <- out) {
+      val (id, w, p) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(w == math.max(wpt(id) + 1000L, 1L), s"weight of doc $id")
+      assert(p == h56mod(s"dsamp:$id", Long.MaxValue) / w ||
+        p == parse56(s"dsamp:$id") / w, s"priority of doc $id")
+    }
+    // determinism: a second run reproduces the identical sample
+    val again = CorpusStats.dsirResample(df).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  private def parse56(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 14)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("q187: every pick meets its recall target at the minimal candidate cost") {
+    import graft.ops.Dedup
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val sweep = Dedup.bandingSweep(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(5))).toSeq // (rpb, nc, recall)
+    val picks = SparkEntry.queries("q187_banding_operating_point")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5)))
+    assert(picks.length == Dedup.BandRecallTargetsBp.length)
+    for ((target, rpb, nc, recall) <- picks) {
+      assert(recall >= target, s"target $target: picked recall $recall")
+      val cheaper = sweep.filter { case (_, c, rec) =>
+        rec >= target && c < nc }
+      assert(cheaper.isEmpty,
+        s"target $target: cheaper feasible config exists: $cheaper")
+    }
+  }
+
+  test("q117: the round-13 verdict columns are present and keep is their conjunction") {
+    val out = SparkEntry.queries("q117_curation_ledger_full")(
+      spark, "/root/testdata/sf0.001")
+    val cols = out.columns.toSeq
+    assert(cols.contains("is_secret_risk") && cols.contains("is_winnow_leak"))
+    val rows = out.collect()
+    for (r <- rows) {
+      val flags = Seq("is_exact_dup", "is_sem_dropped", "is_contaminated",
+        "is_image_dup", "is_decontam_hit", "is_chunk_dup",
+        "is_span_contam", "is_blocklisted", "is_secret_risk",
+        "is_winnow_leak").map(c => r.getInt(cols.indexOf(c)))
+      val keepExpect =
+        if (flags.forall(_ == 0) &&
+          r.getDouble(cols.indexOf("quality_score")) >= 0.5) 1 else 0
+      assert(r.getInt(cols.indexOf("keep")) == keepExpect,
+        s"doc ${r.getLong(0)} keep mismatch")
+    }
+    assert(rows.exists(r => r.getInt(cols.indexOf("is_secret_risk")) == 1) ||
+      rows.exists(r => r.getInt(cols.indexOf("is_winnow_leak")) == 1) ||
+      rows.nonEmpty)
+  }
+
   test("q179: held-out members of tight single-label clusters vote their own label") {
     import graft.ops.Similarity
     // 4 clusters x 25 vectors, one label each, tiny deterministic jitter
