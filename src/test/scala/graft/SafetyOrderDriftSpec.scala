@@ -483,11 +483,13 @@ class SafetyOrderDriftSpec extends AnyFunSuite {
     import graft.ops.Dedup
     val sf = "/root/testdata/sf0.001"
     val docs = graft.Tables.load(spark, sf, "documents")
+    // rows_per_band is IntegerType (BandingConfigs: Seq[Int]) — read as
+    // int, widen on the driver; the long columns are counts/bp ratios.
     val sweep = Dedup.bandingSweep(docs).collect()
-      .map(r => (r.getLong(0), r.getLong(2), r.getLong(5))).toSeq // (rpb, nc, recall)
+      .map(r => (r.getInt(0).toLong, r.getLong(2), r.getLong(5))).toSeq // (rpb, nc, recall)
     val picks = SparkEntry.queries("q187_banding_operating_point")(spark, sf)
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5)))
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(3), r.getLong(5)))
     assert(picks.length == Dedup.BandRecallTargetsBp.length)
     for ((target, rpb, nc, recall) <- picks) {
       assert(recall >= target, s"target $target: picked recall $recall")
