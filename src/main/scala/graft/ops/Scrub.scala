@@ -545,9 +545,11 @@ object Scrub {
     //      q81's canonical-keeper rule applied to image identity.
     //      Scale shape: each verdict branch produces a bounded
     //      doc-id list equi-joined back on doc_id (AQE broadcasts the
-    //      small sides); the expensive branch is the honest one — the
-    //      per-image PNG decode is inherently per-row work (the q104
-    //      scale smoke measured it near-linear and under data growth);
+    //      small sides); the expensive branch — the per-image PNG
+    //      decode, inherently per-row work — is served from the
+    //      fingerprint-keyed parquet cache shared with q104/q140
+    //      ([[graft.ops.Multimodal.thumbFeaturesCached]]), so the
+    //      session decodes each corpus ONCE however many consumers run;
     //      everything else is per-row projection plus hash-keyed
     //      groupBys. The export a real run ships is exactly this frame
     //      written partitioned by source. ----
@@ -572,10 +574,11 @@ object Scrub {
           .join(broadcast(evalGrams), "s")
           .select(col("doc_id")).distinct()
           .withColumn("cont_hit", lit(1))
-        val px = docs.repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), expr(Multimodal.blockPxSpark).as("px"))
-        val imgDup = Multimodal.phashPairs(Multimodal.thumbPixels(
-            Multimodal.decodeImageFeatures(s, Multimodal.encodeBlockPng(s, px))))
+        // decoded-features frame shared with q104/q140 through the
+        // fingerprint-keyed parquet cache — the ledger no longer
+        // re-runs the per-image codec pass its siblings already paid
+        val imgDup = Multimodal
+          .phashPairs(Multimodal.thumbFeaturesCached(s, dir))
           .select(col("db").as("doc_id")).distinct()
           .withColumn("img_hit", lit(1))
         val decontam = Similarity.semanticDecontam(emb)

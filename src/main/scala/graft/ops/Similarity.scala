@@ -576,15 +576,16 @@ object Similarity {
     * length, mtime) so a rewritten part file changes the fingerprint.
     * This string is both the temp-dir cache key AND the manifest value
     * a persisted index is validated against before serving. */
-  private[graft] def corpusFingerprint(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+  private[graft] def corpusFingerprint(s: SparkSession, dir: String,
+      table: String = "embeddings"): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
     val entries =
       if (st.isDirectory)
         fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
       else Array(st)
-    val key = dir + entries
+    val key = s"$dir/$table" + entries
       .map(e => s"${e.getPath.getName}:${e.getLen}:${e.getModificationTime}")
       .mkString("#")
     java.security.MessageDigest.getInstance("MD5")
