@@ -726,19 +726,33 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(2) == 13L))
   }
 
-  test("13-node chain round count is pinned: 5 rounds exactly (label-prop + pointer-jump doubling)") {
-    // label depth after round r is ~i - 2^(r+1) + 1 on a path (one
-    // propagation step fused into init), so a 13-node chain reaches its
-    // fixpoint during round 4 and round 5 observes zero changes — the
-    // observe-based convergence check must detect it in exactly 5 rounds,
-    // the same count the accumulator formulation produced.
+  test("13-node chain round count is pinned: 3 rounds exactly (label-prop + chained pointer jumps)") {
+    // with the default jumpsPerRound=3 each round applies lbl⁴ through
+    // the chained jump joins: after init lbl(i)=i-1, round 1 takes
+    // min(self i-1, nbrs i-2, lbl⁴ i-4)=i-4, round 2's jump follows the
+    // i→i-4 pointers four deep (i-16, clamped at the root) so every
+    // node lands on 0, and round 3 observes zero changes — 3 rounds,
+    // down from the 5 the single-jump formulation was pinned at.
     import spark.implicits._
     val chain = (0L until 12L).map(i => (i, i + 1)).toDF("da", "db")
-    assert(graft.ops.Dedup.connectedComponents(chain, maxIters = 5)
+    assert(graft.ops.Dedup.connectedComponents(chain, maxIters = 3)
       .collect().length == 13)
     intercept[IllegalArgumentException] {
-      graft.ops.Dedup.connectedComponents(chain, maxIters = 4)
+      graft.ops.Dedup.connectedComponents(chain, maxIters = 2)
     }
+  }
+
+  test("chained jumps and single jump agree on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 120)
+      .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("da", "db")
+    def run(j: Int) =
+      graft.ops.Dedup.connectedComponents(pairs, jumpsPerRound = j)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(3))
   }
 
   test("spark.graft.checkpointDir switches CC + assignShards to reliable checkpoints, results identical") {
