@@ -363,23 +363,13 @@ object Multimodal {
     * corpus rather than once per consumer. */
   def thumbFeaturesCached(s: SparkSession, dir: String): DataFrame = {
     val fp = Similarity.corpusFingerprint(s, dir, "documents")
-    val cacheDir =
-      s"${System.getProperty("java.io.tmpdir")}/graft_imgthumb_$fp"
-    val conf = s.sparkContext.hadoopConfiguration
-    val dest = new org.apache.hadoop.fs.Path(cacheDir)
-    val fs = dest.getFileSystem(conf)
-    val marker = new org.apache.hadoop.fs.Path(s"$cacheDir/_SUCCESS")
-    if (!fs.exists(marker)) {
+    FrameCache.serve(s,
+      s"${System.getProperty("java.io.tmpdir")}/graft_imgthumb_$fp") {
       val px = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), expr(blockPxSpark).as("px"))
-      val thumbs = thumbPixels(decodeImageFeatures(s, encodeBlockPng(s, px)))
-      val tmp = new org.apache.hadoop.fs.Path(
-        s"${cacheDir}_build_${java.util.UUID.randomUUID()}")
-      thumbs.write.mode("overwrite").parquet(tmp.toString)
-      if (!fs.rename(tmp, dest)) fs.delete(tmp, true)
+      thumbPixels(decodeImageFeatures(s, encodeBlockPng(s, px)))
     }
-    s.read.parquet(cacheDir)
   }
 
   /** ENCODE side of the q118 audio decode gate: each row's PCM sample

@@ -726,33 +726,38 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(2) == 13L))
   }
 
-  test("13-node chain round count is pinned: 3 rounds exactly (label-prop + chained pointer jumps)") {
-    // with the default jumpsPerRound=3 each round applies lbl⁴ through
-    // the chained jump joins: after init lbl(i)=i-1, round 1 takes
-    // min(self i-1, nbrs i-2, lbl⁴ i-4)=i-4, round 2's jump follows the
-    // i→i-4 pointers four deep (i-16, clamped at the root) so every
-    // node lands on 0, and round 3 observes zero changes — 3 rounds,
-    // down from the 5 the single-jump formulation was pinned at.
+  test("13-node chain round count is pinned per jump depth: 5 rounds single-jump, 3 chained") {
+    // iterative path forced with smallGraphCap=0 (the default would
+    // solve 13 nodes in the union-find endgame). Single jump: label
+    // depth after round r is ~i - 2^(r+1) + 1 on a path, fixpoint
+    // during round 4, round 5 observes zero changes. jumpsPerRound=3
+    // applies lbl⁴ per round: round 1 → i-4, round 2's chained jump
+    // follows the i→i-4 pointers four deep (clamped at the root) so
+    // every node lands on 0, round 3 observes zero changes.
     import spark.implicits._
     val chain = (0L until 12L).map(i => (i, i + 1)).toDF("da", "db")
-    assert(graft.ops.Dedup.connectedComponents(chain, maxIters = 3)
-      .collect().length == 13)
-    intercept[IllegalArgumentException] {
-      graft.ops.Dedup.connectedComponents(chain, maxIters = 2)
-    }
+    def run(j: Int, iters: Int) = graft.ops.Dedup.connectedComponents(
+      chain, maxIters = iters, jumpsPerRound = j, smallGraphCap = 0L)
+    assert(run(1, 5).collect().length == 13)
+    intercept[IllegalArgumentException] { run(1, 4) }
+    assert(run(3, 3).collect().length == 13)
+    intercept[IllegalArgumentException] { run(3, 2) }
   }
 
-  test("chained jumps and single jump agree on a random graph") {
+  test("union-find endgame, single jump and chained jumps agree on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
     val pairs = (1 to 120)
       .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
       .filter { case (a, b) => a != b }
       .toDF("da", "db")
-    def run(j: Int) =
-      graft.ops.Dedup.connectedComponents(pairs, jumpsPerRound = j)
+    def run(j: Int, cap: Long) =
+      graft.ops.Dedup.connectedComponents(pairs, jumpsPerRound = j,
+          smallGraphCap = cap)
         .orderBy("doc_id").collect().map(_.toSeq).toSeq
-    assert(run(1) == run(3))
+    val fast = run(1, graft.ops.Dedup.SmallGraphEdgeCap)
+    assert(fast == run(1, 0L))
+    assert(fast == run(3, 0L))
   }
 
   test("spark.graft.checkpointDir switches CC + assignShards to reliable checkpoints, results identical") {
