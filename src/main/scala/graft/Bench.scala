@@ -42,7 +42,10 @@ object Bench {
         "sf0.001")
       if (sibling.isDirectory) sibling.getPath else sfDir
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .forall(_.split(",").map(_.trim).exists(name.startsWith)) }
+      .foreach { case (name, fn) =>
       try fn(spark, warmDir).queryExecution.toRdd.foreach(_ => ())
       catch { case e: Throwable =>
         System.err.println(
@@ -77,7 +80,15 @@ object Bench {
     val benchRuns = math.max(2,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val steady = benchRuns >= 3
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q85,q90 restricts the timed set (prefix
+    // match) for A/B profiling; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => selected(name) }
+      .map { case (name, fn) =>
       val runs = (1 to benchRuns).map { _ =>
         spark.catalog.clearCache()
         timeOne(spark, sfDir, fn)

@@ -157,7 +157,7 @@ object Clustering {
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("de", expr(toDouble))
       .select(col("vec_id"), col("de"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val cents0 = n.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("de").as("cde"))
     val a1 = assign(n, cents0)
@@ -186,7 +186,7 @@ object Clustering {
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("de", expr(toDouble))
       .select(col("vec_id"), col("de"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val cents0 = n.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("de").as("cde"))
     val cents1 = updateCentroids(assign(n, cents0))
@@ -241,7 +241,7 @@ object Clustering {
     val n = emb
       .withColumn("de", expr(toDouble))
       .select(col("vec_id"), col("de"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val subs = (0 until PqSubspaces).map { s =>
       val sub = n.select(col("vec_id"),
         expr(s"slice(de, ${s * PqSubDim + 1}, $PqSubDim)").as("de"))
@@ -325,7 +325,13 @@ object Clustering {
     val assigned =
       if (k <= twoLevelThreshold) flatAssign(n, k)
       else twoLevelAssign(n, k, finePerCoarse)
-    assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // queued at the END of the builder (not scoped at the persist):
+    // the n.count() above is a construction-time action and would
+    // drain a scoped `n` before `assigned` ever materialized — both
+    // frames release together after the caller's first action
+    TransientCache.releaseAfterNextAction(n)
+    TransientCache.releaseAfterNextAction(
+      assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** Flat assignment: every vector scored against all `k` broadcast
@@ -366,7 +372,7 @@ object Clustering {
       .withColumn("crank", row_number().over(wCoarse))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("de"), col("nrm"), col("ccid").as("coarse_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val wSeed = Window.partitionBy(col("coarse_id")).orderBy(col("vec_id"))
     val fine = atCoarse.withColumn("srank", row_number().over(wSeed))
       .filter(col("srank") <= finePerCoarse)
@@ -824,7 +830,7 @@ object Clustering {
         val cell = asg.join(src, "doc_id")
           .groupBy(col("cluster_id"), col("source"))
           .agg(count(lit(1)).as("cnt"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         val per = cell.groupBy(col("cluster_id"))
           .agg(sum(col("cnt")).as("n_members"),
             count(lit(1)).as("n_sources"), max(col("cnt")).as("top_cnt"))
@@ -871,7 +877,7 @@ object Clustering {
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("de", expr(toDouble))
       .select(col("vec_id"), col("de"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val cents0 = n.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("de").as("cde"))
     // a2 feeds THREE consumers (profile, flag filter, top-outlier rank);
@@ -880,7 +886,7 @@ object Clustering {
     // session hygiene evicts it (Verify/Bench clearCache between queries)
     val a2 = assign(n, updateCentroids(assign(n, cents0)))
       .select(col("vec_id"), col("cluster_id"), col("dist"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val wSort = Window.partitionBy(col("cluster_id"))
       .orderBy(col("dist"), col("vec_id"))
     val wCnt = Window.partitionBy(col("cluster_id"))

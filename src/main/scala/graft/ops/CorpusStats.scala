@@ -117,7 +117,7 @@ object CorpusStats {
         expr("""cast(conv(substring(md5(concat('split:',
              cast(doc_id as string))), 1, 14), 16, 10) as long) % 10""")
           .as("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     def pairs(docs: DataFrame): DataFrame = docs
       .filter(size(col("ws")) >= 2) // sequence(1,0) is DESCENDING — filter first (q88)
       .select(col("doc_id"), explode(expr(
@@ -127,7 +127,7 @@ object CorpusStats {
       .select(col("doc_id"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
     val trTok = d.filter(col("b") < 8).select(explode(col("ws")).as("term"))
     val ug = trTok.groupBy(col("term")).agg(count(lit(1)).as("c1"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val tot = trTok.agg(count(lit(1)).cast("long").as("t"))
     // per-bigram bits precomputed at train time: c(w1) ≥ c(w1,w2) ≥ 1
     // by construction, so the div never truncates to 0 bits wrongly
@@ -212,7 +212,7 @@ object CorpusStats {
         // the token explode feeds two consumers (vocab top-k + per-doc
         // flags); persist once, same convention as jaccardPairs
         val w = words(Tables.load(s, dir, "documents"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         val vocab = w.groupBy(col("term")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("term")).limit(VocabSize)
           .select(col("term"), lit(1).as("in_vocab"))
@@ -271,7 +271,7 @@ object CorpusStats {
           .select(col("source"), col("doc_id"), col("lang"),
             md5(col("text")).as("tkey"),
             size(split(lower(col("text")), " +")).as("n_tokens"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         val stats = base.groupBy(col("source")).agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("tokens_total"),
@@ -334,7 +334,7 @@ object CorpusStats {
       (s, dir) => {
         // fed by both the sketch build and the true top-20 — persist once
         val w = words(Tables.load(s, dir, "documents")).select(col("term"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         val buckets = (0 until CmsDepth)
           .map(r => s"$r, ${bucketSpark(r)}").mkString(", ")
         val cms = w
@@ -399,7 +399,7 @@ object CorpusStats {
           .agg(count(lit(1)).as("n_docs"),
             sum(col("nw").cast("long")).as("n_tokens"))
           .withColumn("w_raw", sqrt(col("n_tokens")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         val tot = ps.agg(
           expr("""aggregate(array_sort(collect_list(struct(source, w_raw))),
                     0D, (acc, s) -> acc + s.w_raw)""").as("tot_w"),
@@ -456,7 +456,7 @@ object CorpusStats {
             sum(col("nw").cast("long")).as("n_tokens"))
           .withColumn("w_raw", sqrt(col("n_tokens")))
           .withColumn("src_tokens", sum(col("n_tokens")).over(wSrc))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         val tot = ps.agg(
           expr("""aggregate(array_sort(collect_list(struct(source, lang, w_raw))),
                     0D, (acc, s) -> acc + s.w_raw)""").as("tot_w"),
@@ -519,7 +519,7 @@ object CorpusStats {
         // feeds the vocab build AND the per-doc join — one explode, two jobs
         val w = words(Tables.load(s, dir, "documents"))
           .select(col("doc_id"), col("term"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         val vocab = w.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
         val tot = vocab.agg(sum(col("cnt")).as("t"))
         val scored = vocab.crossJoin(broadcast(tot))
@@ -1126,10 +1126,10 @@ object CorpusStats {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"),
         split(lower(col("text")), " +").as("ws"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val uni = d.select(col("source"), explode(col("ws")).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val srcs = uni.groupBy(col("source"))
       .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_types"))
     val ent = uni.join(srcs.select(col("source"), col("n_tokens")), "source")
@@ -1165,7 +1165,7 @@ object CorpusStats {
       .select(col("source"),
         explode(split(lower(col("text")), " +")).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val st = sv.groupBy(col("source")).agg(sum(col("cs")).as("ts"))
     val cv = sv.groupBy(col("term")).agg(sum(col("cs")).as("cc"))
     val ct = cv.agg(sum(col("cc")).as("tc"))
@@ -1245,7 +1245,7 @@ object CorpusStats {
     val topk = uni.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= ZipfTopK)
       .select(col("source"), col("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val ks = topk.groupBy(col("source")).agg(count(lit(1)).as("k"))
     val ov = topk.as("x")
       .join(topk.as("y"),
@@ -1317,7 +1317,7 @@ object CorpusStats {
         split(lower(col("text")), " +").as("ws"))
       .withColumn("is_target",
         (col("n_stop") * 8 >= col("n_words")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     // (doc, bucket) counts feed three consumers: raw stats, target
     // stats, per-doc weights — persist once (jaccardPairs convention)
     val feats = meta
@@ -1327,7 +1327,7 @@ object CorpusStats {
           s" % $DsirBuckets").as("b"))
       .groupBy(col("doc_id"), col("is_target"), col("b"))
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val raw = feats.groupBy(col("b")).agg(sum(col("c")).as("cr"))
     val tgt = feats.filter(col("is_target") === 1L)
       .groupBy(col("b")).agg(sum(col("c")).as("ct"))

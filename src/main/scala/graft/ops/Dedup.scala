@@ -95,7 +95,7 @@ object Dedup {
       min(expr(s"(g * $a + $b) % ${P}L")).as(s"m$j")
     }
     val sigs = sh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val bandsAll = BandingConfigs.map { r =>
       val nb = 8 / r
       val stackArgs = (0 until nb).map { k =>
@@ -133,9 +133,9 @@ object Dedup {
     * q187's operating-point pick consumes the identical frame. */
   def bandingSweep(docs: DataFrame): DataFrame = {
     val sh = shingleHashes(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val cand = bandingCandidates(sh)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val base = cand.filter(col("rows_per_band") === 1)
       .select(col("da"), col("db"))
     val inter = base
@@ -263,7 +263,7 @@ object Dedup {
     // signatures are tiny (one row per doc); cache so the band
     // self-join doesn't recompute the shingle explode + md5 twice
     val sigs = minhashSigs(docsText)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val bands = coldBands(sigs.selectExpr("doc_id", minhashStack))
     bands.as("x")
       .join(bands.as("y"),
@@ -900,12 +900,12 @@ object Dedup {
         // the TEXT already, so the dedup only removes the rare %P
         // collision duplicate, which cannot change a min)
         val sh = shingled(docs).select(col("doc_id"), col("g")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         val sigAggs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
           min(expr(s"(g * $a + $b) % ${P}L")).as(s"m$j")
         }
         val sigs = sh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         val bands = coldBands(sigs.selectExpr("doc_id", minhashStack))
         val pairs = bands.as("x")
           .join(bands.as("y"),
@@ -1079,7 +1079,7 @@ object Dedup {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val sh = shingleHashes(docs)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         val sigAggs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
           min(expr(s"(g * $a + $b) % ${P}L")).as(s"m$j")
         }
@@ -1196,7 +1196,7 @@ object Dedup {
       (s, dir) => {
         import s.implicits._
         val sweep = bandingSweep(Tables.load(s, dir, "documents"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         val targets = BandRecallTargetsBp.toDF("target_bp")
         val w = Window.partitionBy(col("target_bp"))
           .orderBy(col("n_candidates"), col("rows_per_band").desc)
@@ -1352,7 +1352,7 @@ object Dedup {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val sh = shingled(docs).select(col("doc_id"), col("g")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         val sigAggs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
           min(expr(s"(g * $a + $b) % ${P}L")).as(s"m$j")
         }
@@ -1473,7 +1473,7 @@ object Dedup {
       maxHamming: Int = SimhashMaxHamming,
       cap: Int = HotBandCap): DataFrame = {
     val sigs = simhashSignatures(docsText)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val bands = coldBands(sigs.selectExpr("doc_id", simhashStack), cap)
     val cands = bands.as("x")
       .join(bands.as("y"),

@@ -481,7 +481,7 @@ object Multimodal {
       .withColumn("ph_mean", expr(mean))
       .select(col("doc_id") +:
         words.zipWithIndex.map { case (w, j) => expr(w).as(s"p$j") }: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val bands = Dedup.coldBands(
       sigs.selectExpr("doc_id",
         s"stack(4, ${(0 until 4).map(j => s"$j, p$j").mkString(", ")}) " +

@@ -584,7 +584,7 @@ object Scrub {
         val decontam = Similarity.semanticDecontam(emb)
           .select(col("vec_id").as("doc_id"), lit(1).as("dec_hit"))
         val ch = TextOps.cdcChunks(docs)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         val cnt = ch.groupBy(col("chunk_hash"))
           .agg(countDistinct(col("doc_id")).as("nd"))
         val chunkDup = ch.join(cnt, "chunk_hash")

@@ -68,7 +68,7 @@ object Sharding {
       }.toMap
     }
     val bOff = spark.sparkContext.broadcast(offsets)
-    sorted.rdd
+    val out = sorted.rdd
       .mapPartitionsWithIndex { case (pid, it) =>
         var cum = bOff.value(pid)
         it.map { case (kk, id, t) =>
@@ -76,6 +76,14 @@ object Sharding {
         }
       }
       .toDF("doc_id", "n_tokens", "shard_id", "k")
+    // release the pin after the caller's action: pass 1's collect is a
+    // raw RDD action (no listener fire), so the pin survives through
+    // pass 2's materialization; a later re-materialization recomputes
+    // the SAME RDD DAG (fixed lineage, deterministic sources) so the
+    // broadcast offsets stay consistent. Under spark.graft.checkpointDir
+    // the pin is a reliable checkpoint and the release is a no-op.
+    TransientCache.releaseAfterNextAction(sorted)
+    out
   }
 
   /** Context-window capacity (tokens) for q84's sequence packing. */

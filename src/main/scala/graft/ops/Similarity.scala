@@ -168,7 +168,7 @@ object Similarity {
     registerNeardupBands(emb.sparkSession)
     val n = normedFrom(emb)
       .withColumn("band_vals", expr("graft_sign_bands(embedding)"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val bands = Dedup.coldBands(
       n.select(col("vec_id"),
         posexplode(col("band_vals")).as(Seq("band_idx", "band_val"))),
@@ -245,7 +245,7 @@ object Similarity {
     registerNeardupBands(emb.sparkSession)
     val n = normedFrom(emb)
       .withColumn("band_vals", expr("graft_sign_bands(embedding)"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val bands = Dedup.coldBands(
       n.select(col("vec_id"),
         posexplode(col("band_vals")).as(Seq("band_idx", "band_val"))),
@@ -324,7 +324,7 @@ object Similarity {
     registerNeardupBands(emb.sparkSession)
     val n = normedFrom(emb)
       .withColumn("band_vals", expr("graft_sign_bands(embedding)"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val bands = Dedup.coldBands(
       n.select(col("vec_id"),
         posexplode(col("band_vals")).as(Seq("band_idx", "band_val"))),
@@ -433,10 +433,10 @@ object Similarity {
     // the bench caught the first cut computing graft_sign_bands twice
     val nAll = normedFrom(emb)
       .withColumn("band_vals", expr("graft_sign_bands(embedding)"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val bandRows = nAll.select(col("vec_id"),
         posexplode(col("band_vals")).as(Seq("band_idx", "band_val")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     def candsOf(bands: DataFrame): DataFrame = bands.as("x")
       .join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -523,14 +523,14 @@ object Similarity {
     // slower at sf0.1. When the parquet-cached graph is supplied
     // ([[knnGraphCached]], the q157 path) both sides are cheap cached
     // reads; the emb path persists the tiny two-long edge frame
-    // (consumed entirely before the CC loop's first checkpoint, caller
-    // hygiene per DESIGN.md).
+    // (consumed entirely before the CC loop's first checkpoint, whose
+    // completion then auto-releases it via TransientCache).
     val g = graph match {
       case Some(cached) =>
         cached.select(col("vec_id").as("a"), col("neighbor").as("b"))
       case None => knnGraph(emb, k)
         .select(col("vec_id").as("a"), col("neighbor").as("b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(TransientCache.scopedDF)
     }
     val mutual = g.as("x")
       .join(g.as("y"),
@@ -1246,7 +1246,7 @@ object Similarity {
         val K = 16
         val n = normed(s, dir)
           .withColumn("blk", pmod(col("vec_id"), lit(K)))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         val blockPairs = (for { i <- 0 until K; j <- i until K } yield (i, j))
           .toDF("pa", "pb")
         val a = n.select(col("vec_id").as("ia"), col("de").as("ea"),
@@ -1360,13 +1360,12 @@ object Similarity {
     "q102_ann_recall" -> QueryDef(
       (s, dir) => {
         // This persist (like q111's/q113's) feeds the RETURNED plan, so
-        // the builder cannot unpersist it — the session-hygiene contract
-        // is the CALLER's: Verify, Bench and ScaleSmoke all
-        // clearCache() between queries, and any long-lived interactive
-        // session should do the same (DESIGN.md "persist hygiene").
+        // the builder cannot unpersist it — TransientCache releases it
+        // automatically once the caller's action completes (DESIGN.md
+        // "persist hygiene", automatic since r10).
         val exact = bruteTopk(s, dir)
           .select(col("query_id"), col("neighbor_id"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         val nq = exact.agg(countDistinct(col("query_id")).as("n_queries"))
         def methodRow(method: String, approx: DataFrame,
             truth: DataFrame = exact): DataFrame =
@@ -1534,11 +1533,11 @@ object Similarity {
     //      partition by query_id. ----
     "q116_ivf_nprobe_sweep" -> QueryDef(
       (s, dir) => {
-        // persists feed the RETURNED plan (persist-hygiene contract:
-        // Verify/Bench/ScaleSmoke clearCache between queries)
+        // persists feed the RETURNED plan; TransientCache releases them
+        // after the caller's action (DESIGN.md "persist hygiene")
         val exact = bruteTopk(s, dir)
           .select(col("query_id"), col("neighbor_id"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         val nq = exact.agg(countDistinct(col("query_id")).as("n_queries"))
         val n = normed(s, dir)
         val cents = n.filter(col("vec_id") < IvfCells)
@@ -1564,7 +1563,7 @@ object Similarity {
             expr(dotExpr("qe", "de")) / (col("qn") * col("nrm")))
           .select(col("query_id"), col("vec_id"), col("cos"),
             col("probe_rank"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         val wTop = Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("vec_id"))
         IvfSweepProbes.map { np =>
@@ -1660,7 +1659,7 @@ object Similarity {
     "q121_matryoshka_recall" -> QueryDef(
       (s, dir) => {
         val n = normed(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         def topkAt(d: Int): DataFrame = {
           val nd = n.select(col("vec_id"),
               expr(s"slice(de, 1, $d)").as("dd"))
@@ -1678,7 +1677,7 @@ object Similarity {
             .select(col("query_id"), col("vec_id"))
         }
         val truth = topkAt(MatryoshkaDims.last)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         val out = MatryoshkaDims.map { d =>
           topkAt(d).join(truth, Seq("query_id", "vec_id"))
             .agg(count(lit(1)).as("hits_at_3"))
@@ -1919,7 +1918,7 @@ object Similarity {
       (s, dir) => {
         import s.implicits._
         val sweep = cosineSweep(Tables.load(s, dir, "embeddings"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         val budgets = OperatingBudgetsBp.toDF("budget_bp")
         val feasible = budgets.crossJoin(broadcast(sweep))
           .filter(col("docs_ge_bp") <= col("budget_bp"))
@@ -2180,7 +2179,7 @@ object Similarity {
     val mat = emb.select(col("vec_id"),
       expr("transform(embedding, x -> " +
         "cast(floor(cast(x as double) * 1000000D) as bigint))").as("q"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val v0 = spark.range(1)
       .select(array((0 until EmbDim).map(_ => lit(1000000L)): _*).as("v"))
     val vFinal = (1 to rounds).foldLeft(v0) { (v, _) =>

@@ -92,7 +92,7 @@ object TextOps {
       .withColumn("h",
         expr("cast(conv(substring(md5(gram), 1, 14), 16, 10) as long)"))
       .drop("gram")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val mp = grams.groupBy(col("doc_id"))
       .agg(max(col("pos")).as("mp"), count(lit(1)).as("n_grams"))
     val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -101,7 +101,7 @@ object TextOps {
       .join(mp.select(col("doc_id"), col("mp")), "doc_id")
       .filter(col("pos") <= col("mp") - (WinnowW - 1))
       .select(col("doc_id"), col("fp")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     (fps, mp)
   }
 
@@ -153,7 +153,7 @@ object TextOps {
       .filter(col("nd") > WinnowFpCap)
       .select(col("fp"))
     val cold = fps.join(broadcast(hot), Seq("fp"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val fct = cold.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
     val pr = cold.as("x")
       .join(cold.as("y"),
@@ -183,7 +183,7 @@ object TextOps {
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         posexplode(split(lower(col("text")), " +")).as(Seq("pos", "w")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cf"))
     val nt = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -831,7 +831,7 @@ object TextOps {
     // subtree — MEMORY_AND_DISK so a corpus-scale shingle set spills
     // rather than evicting the executors
     val raw = hashedShingles(docsText)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val docs = raw.join(broadcast(hotShingles(raw)), Seq("g"), "left_anti")
     val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = docs.as("a")
@@ -1088,7 +1088,7 @@ object TextOps {
     val toks = docs
       .select(col("doc_id"),
         explode(split(lower(col("text")), " +")).as("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TransientCache.scopedDF)
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -1488,7 +1488,7 @@ object TextOps {
         // feeds both the per-hash doc counts and the join back — persist
         // so the boundary scan runs ONCE
         val ch = cdcChunks(Tables.load(s, dir, "documents"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         val cnt = ch.groupBy(col("chunk_hash"))
           .agg(countDistinct(col("doc_id")).as("nd"))
         ch.join(cnt, "chunk_hash")
@@ -2148,7 +2148,7 @@ object TextOps {
         val words = Tables.load(s, dir, "documents")
           .select(col("doc_id"),
             explode(split(lower(col("text")), " +")).as("term"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TransientCache.scopedDF)
         val n = Tables.load(s, dir, "documents")
           .agg(count(lit(1)).as("n_docs"))
         val tf = words.groupBy(col("doc_id"), col("term"))
