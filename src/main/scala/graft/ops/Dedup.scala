@@ -257,6 +257,23 @@ object Dedup {
       .selectExpr("doc_id", minhashStack)
   }
 
+  /** [[lshCandidatePairs]] over a data dir's documents table, served
+    * from the fingerprint-keyed parquet cache ([[FrameCache]], the
+    * kNN-graph/image-thumbs pattern): the shingle→minhash→band→
+    * candidate-join substrate is recomputed by ELEVEN queries in a
+    * session (q33/q54/q56/q81/q106/q126/q161/q172/q183 and the CC
+    * consumers riding them) — built once per corpus content
+    * fingerprint, every later consumer reads the (da, db) pair list
+    * back with pushdown. Deterministic (md5-derived hashing, hot-cap
+    * by count), so the cached frame is bit-identical to the inline
+    * computation; order is NOT preserved by the roundtrip —
+    * order-sensitive consumers re-sort (q33's def does). */
+  def lshCandidatePairsCached(s: SparkSession, dir: String): DataFrame =
+    FrameCache.serve(s, s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_lshpairs_${Similarity.corpusFingerprint(s, dir, "documents")}") {
+      lshCandidatePairs(Tables.load(s, dir, "documents"))
+    }
+
   /** MinHash → 4-band LSH candidate pairs over a (doc_id, text) frame
     * (the full q33 pipeline, exposed for spec-level stress tests). */
   def lshCandidatePairs(docsText: DataFrame): DataFrame = {
@@ -632,7 +649,8 @@ object Dedup {
     // ---- MinHash signatures + LSH banding → candidate near-dup pairs
     //      (hot band groups excluded, mirrored in the oracle) ----
     "q33_minhash_lsh_pairs" -> QueryDef(
-      (s, dir) => lshCandidatePairs(Tables.load(s, dir, "documents")),
+      (s, dir) => lshCandidatePairsCached(s, dir)
+        .orderBy(col("da"), col("db")),
       Some(s"""WITH ${duckCandPairsBody()}
              SELECT da, db FROM cand_pairs
              ORDER BY da, db""")),
@@ -674,7 +692,7 @@ object Dedup {
     //      min-propagation and the transitive closure must agree. ----
     "q54_dedup_clusters" -> QueryDef(
       (s, dir) =>
-        connectedComponents(lshCandidatePairs(Tables.load(s, dir, "documents")))
+        connectedComponents(lshCandidatePairsCached(s, dir))
           .orderBy(col("doc_id")),
       Some(s"""WITH RECURSIVE ${duckCandPairsBody()},
              edges AS (SELECT da AS src, db AS dst FROM cand_pairs
@@ -700,7 +718,7 @@ object Dedup {
     //      two hash joins on doc_id over the (small) pair list. ----
     "q56_source_overlap" -> QueryDef(
       (s, dir) => {
-        val pairs = lshCandidatePairs(Tables.load(s, dir, "documents"))
+        val pairs = lshCandidatePairsCached(s, dir)
         val src = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("source"))
         pairs
@@ -761,7 +779,7 @@ object Dedup {
     "q81_canonical_keeper" -> QueryDef(
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val clusters = connectedComponents(lshCandidatePairs(docs))
+        val clusters = connectedComponents(lshCandidatePairsCached(s, dir))
         val scored = docs.select(col("doc_id"),
           round(Quality.score(col("text")), 4).as("quality_score"))
         val w = Window.partitionBy(col("cluster_id"))
@@ -984,7 +1002,7 @@ object Dedup {
     //      symmetrization or iteration count flips the hash compare. ----
     "q106_dupgraph_pagerank" -> QueryDef(
       (s, dir) =>
-        dupGraphPageRank(lshCandidatePairs(Tables.load(s, dir, "documents"))),
+        dupGraphPageRank(lshCandidatePairsCached(s, dir)),
       Some(s"""WITH RECURSIVE ${duckCandPairsBody()},
            edges0 AS (SELECT da AS src, db AS dst FROM cand_pairs
                       UNION ALL SELECT db, da FROM cand_pairs),
@@ -1029,7 +1047,8 @@ object Dedup {
     //      crossJoin, no driver state. Oracle: the q54 recursive
     //      reachability CTE re-derives the components independently. ----
     "q126_cluster_size_histogram" -> QueryDef(
-      (s, dir) => clusterSizeHistogram(Tables.load(s, dir, "documents")),
+      (s, dir) => clusterSizeHistogram(Tables.load(s, dir, "documents"),
+        Some(lshCandidatePairsCached(s, dir))),
       Some(s"""WITH RECURSIVE ${duckCandPairsBody()},
              edges AS (SELECT da AS src, db AS dst FROM cand_pairs
                        UNION ALL
@@ -1236,7 +1255,7 @@ object Dedup {
         val docs = Tables.load(s, dir, "documents")
         val toks = docs.select(col("doc_id"), col("source"),
           size(split(lower(col("text")), " +")).cast("long").as("nt"))
-        val comp = connectedComponents(lshCandidatePairs(docs))
+        val comp = connectedComponents(lshCandidatePairsCached(s, dir))
           .select(col("doc_id"), col("cluster_id"))
         toks.join(comp, Seq("doc_id"), "left")
           .withColumn("dropped",
@@ -1297,7 +1316,8 @@ object Dedup {
     //      docs whose representative hashed elsewhere. Scale: the q54
     //      CC substrate + one left join + a combinable rollup. ----
     "q183_leakage_safe_split" -> QueryDef(
-      (s, dir) => leakageSafeSplit(Tables.load(s, dir, "documents")),
+      (s, dir) => leakageSafeSplit(Tables.load(s, dir, "documents"),
+        Some(lshCandidatePairsCached(s, dir))),
       Some(s"""WITH RECURSIVE ${duckCandPairsBody()},
            edges AS (SELECT da AS src, db AS dst FROM cand_pairs
                      UNION ALL
@@ -1408,8 +1428,10 @@ object Dedup {
     * per-cluster sizes → power-of-two histogram, with the singleton mass
     * (docs in no candidate pair) as the bucket-1 row. Exposed for
     * planted-cluster specs. */
-  def clusterSizeHistogram(docs: DataFrame): DataFrame = {
-    val labels = connectedComponents(lshCandidatePairs(docs))
+  def clusterSizeHistogram(docs: DataFrame,
+      pairs: Option[DataFrame] = None): DataFrame = {
+    val labels = connectedComponents(
+      pairs.getOrElse(lshCandidatePairs(docs)))
     val hist = labels
       .groupBy(col("cluster_id"), col("cluster_size")).agg(count(lit(1)))
       .withColumn("bucket_lo", expr(ClusterBucketCase))
@@ -1435,8 +1457,10 @@ object Dedup {
     * whose representative hashed elsewhere. Scale shape: the q54 CC
     * substrate (checkpointed O(log diameter) equi-join rounds) + one
     * doc-keyed left join + a map-side-combinable rollup. */
-  def leakageSafeSplit(docs: DataFrame): DataFrame = {
-    val labels = connectedComponents(lshCandidatePairs(docs))
+  def leakageSafeSplit(docs: DataFrame,
+      pairs: Option[DataFrame] = None): DataFrame = {
+    val labels = connectedComponents(
+      pairs.getOrElse(lshCandidatePairs(docs)))
     def splitOf(key: Column): Column = {
       val b = expr(s"""cast(conv(substring(md5(concat('split:',
            cast(${key.toString} as string))), 1, 14), 16, 10) as long) % 10""")

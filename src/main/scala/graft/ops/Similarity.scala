@@ -2048,7 +2048,7 @@ object Similarity {
     //      the two sets. ----
     "q161_dup_signal_agreement" -> QueryDef(
       (s, dir) => {
-        val lex = Dedup.lshCandidatePairs(Tables.load(s, dir, "documents"))
+        val lex = Dedup.lshCandidatePairsCached(s, dir)
           .select(col("da"), col("db")).withColumn("in_lex", lit(1L))
         val sem = embeddingNeardupPairs(Tables.load(s, dir, "embeddings"), 0.45)
           .select(col("va").as("da"), col("vb").as("db"))
