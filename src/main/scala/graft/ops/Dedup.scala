@@ -123,6 +123,17 @@ object Dedup {
 
   /** The deduplicated (doc_id, g) shingle-hash frame q141/q142 build
     * from a (doc_id, text) corpus — exposed for specs. */
+  /** [[shingleHashes]] over a data dir's documents table, served from
+    * the fingerprint-keyed parquet cache ([[FrameCache]]): the
+    * shingle-explode + 56-bit hash + distinct is the common prefix of
+    * the q141/q142/q187 sweeps and q160's containment pairs — built
+    * once per corpus, read back by every consumer. */
+  def shingleHashesCached(s: SparkSession, dir: String): DataFrame =
+    FrameCache.serve(s, s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_shingles_${Similarity.corpusFingerprint(s, dir, "documents")}") {
+      shingleHashes(Tables.load(s, dir, "documents"))
+    }
+
   def shingleHashes(docsText: DataFrame): DataFrame =
     shingled(docsText).select(col("doc_id"), col("g")).distinct()
 
@@ -131,9 +142,10 @@ object Dedup {
     * precision against true-Jaccard ≥ 1/2 pairs (truth universe = the
     * 8×1 candidate set; see the q142 defs comment). Factored out so
     * q187's operating-point pick consumes the identical frame. */
-  def bandingSweep(docs: DataFrame): DataFrame = {
-    val sh = shingleHashes(docs)
-      .transform(TransientCache.scopedDF)
+  def bandingSweep(docs: DataFrame,
+      preShingles: Option[DataFrame] = None): DataFrame = {
+    val sh = preShingles.getOrElse(shingleHashes(docs)
+      .transform(TransientCache.scopedDF))
     val cand = bandingCandidates(sh)
       .transform(TransientCache.scopedDF)
     val base = cand.filter(col("rows_per_band") === 1)
@@ -1097,8 +1109,7 @@ object Dedup {
     "q141_jaccard_threshold_sweep" -> QueryDef(
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val sh = shingleHashes(docs)
-          .transform(TransientCache.scopedDF)
+        val sh = shingleHashesCached(s, dir)
         val sigAggs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
           min(expr(s"(g * $a + $b) % ${P}L")).as(s"m$j")
         }
@@ -1198,7 +1209,8 @@ object Dedup {
     //      overlap join is driven by the capped 8×1 candidate set,
     //      never all-pairs. ----
     "q142_lsh_banding_sweep" -> QueryDef(
-      (s, dir) => bandingSweep(Tables.load(s, dir, "documents"))
+      (s, dir) => bandingSweep(Tables.load(s, dir, "documents"),
+          Some(shingleHashesCached(s, dir)))
         .orderBy(col("rows_per_band")),
       Some(s"""WITH $bandingSweepDuckCtes
            SELECT * FROM bsw ORDER BY rows_per_band""")),
@@ -1214,7 +1226,8 @@ object Dedup {
     "q187_banding_operating_point" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val sweep = bandingSweep(Tables.load(s, dir, "documents"))
+        val sweep = bandingSweep(Tables.load(s, dir, "documents"),
+            Some(shingleHashesCached(s, dir)))
           .transform(TransientCache.scopedDF)
         val targets = BandRecallTargetsBp.toDF("target_bp")
         val w = Window.partitionBy(col("target_bp"))
@@ -1370,9 +1383,7 @@ object Dedup {
     //      set, never all-pairs; one shingle explode feeds everything. ----
     "q160_containment_pairs" -> QueryDef(
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-        val sh = shingled(docs).select(col("doc_id"), col("g")).distinct()
-          .transform(TransientCache.scopedDF)
+        val sh = shingleHashesCached(s, dir)
         val sigAggs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
           min(expr(s"(g * $a + $b) % ${P}L")).as(s"m$j")
         }

@@ -583,8 +583,7 @@ object Scrub {
           .withColumn("img_hit", lit(1))
         val decontam = Similarity.semanticDecontam(emb)
           .select(col("vec_id").as("doc_id"), lit(1).as("dec_hit"))
-        val ch = TextOps.cdcChunks(docs)
-          .transform(TransientCache.scopedDF)
+        val ch = TextOps.cdcChunksCached(s, dir)
         val cnt = ch.groupBy(col("chunk_hash"))
           .agg(countDistinct(col("doc_id")).as("nd"))
         val chunkDup = ch.join(cnt, "chunk_hash")
@@ -608,7 +607,8 @@ object Scrub {
           .filter(col("n_runs") > 0)
           .select(col("doc_id"))
           .withColumn("sr_hit", lit(1))
-        val winnowLeak = TextOps.winnowDecontam(docs)
+        val winnowLeak = TextOps.winnowDecontam(docs,
+            Some(TextOps.winnowFpsCached(s, dir)))
           .select(col("doc_id"))
           .withColumn("wl_hit", lit(1))
         base

@@ -79,6 +79,22 @@ object TextOps {
   /** The shared q169/q170 substrate over a (doc_id, text) frame:
     * (fps(doc_id, fp) distinct selected fingerprints — PERSISTED,
     * consumed by two aggregations; grams(doc_id, mp, n_grams)). */
+  /** [[winnowFps]] over a data dir's documents table, both frames
+    * served from the fingerprint-keyed parquet cache ([[FrameCache]]):
+    * the winnowing gram explode + position window is the shared
+    * substrate of q169/q170/q182 and the q117 ledger's winnow-leak
+    * verdict. The lazy single build is written to two cache dirs; a
+    * one-time double materialization of the gram scan on first build
+    * is the price of two independent serve paths. */
+  private[graft] def winnowFpsCached(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val cfp = Similarity.corpusFingerprint(s, dir, "documents")
+    val tmp = System.getProperty("java.io.tmpdir")
+    lazy val built = winnowFps(Tables.load(s, dir, "documents"))
+    (FrameCache.serve(s, s"$tmp/graft_winfp_$cfp") { built._1 },
+      FrameCache.serve(s, s"$tmp/graft_winmp_$cfp") { built._2 })
+  }
+
   private[graft] def winnowFps(docs: DataFrame): (DataFrame, DataFrame) = {
     val s = docs.sparkSession
     val grams = docs
@@ -128,8 +144,9 @@ object TextOps {
 
   /** q169 over a (doc_id, text) frame — exposed for guarantee specs
     * (two docs sharing a ≥ k+w−1-token run share a fingerprint). */
-  def winnowingFingerprints(docs: DataFrame): DataFrame = {
-    val (fps, mp) = winnowFps(docs)
+  def winnowingFingerprints(docs: DataFrame,
+      pre: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (fps, mp) = pre.getOrElse(winnowFps(docs))
     val shared = fps.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
@@ -146,8 +163,9 @@ object TextOps {
 
   /** q170 over a (doc_id, text) frame — exposed for planted copy-pair
     * specs. See the defs entry for the cap/threshold semantics. */
-  def winnowingPairs(docs: DataFrame): DataFrame = {
-    val (fps, _) = winnowFps(docs)
+  def winnowingPairs(docs: DataFrame,
+      pre: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (fps, _) = pre.getOrElse(winnowFps(docs))
     val hot = fps.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > WinnowFpCap)
@@ -213,8 +231,9 @@ object TextOps {
     * Scale shape: one winnowing pass over the corpus (q169's substrate,
     * persisted), then fp-keyed equi-joins only — the eval fingerprint
     * set is corpus-scaled, so it is NOT broadcast. */
-  def winnowDecontam(docs: DataFrame): DataFrame = {
-    val (fps, _) = winnowFps(docs)
+  def winnowDecontam(docs: DataFrame,
+      pre: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (fps, _) = pre.getOrElse(winnowFps(docs))
     val sp = docs.select(col("doc_id"),
       expr("""cast(conv(substring(md5(concat('split:',
            cast(doc_id as string))), 1, 14), 16, 10) as long) % 10""")
@@ -713,6 +732,15 @@ object TextOps {
     * `starts` array — the only exchanges carry (doc_id, int64) pairs
     * plus the one doc_id-keyed join putting `starts` next to the words.
     * Exposed so CdcSpec can pin the shift-robustness property. */
+  /** [[cdcChunks]] over a data dir's documents table, served from the
+    * fingerprint-keyed parquet cache ([[FrameCache]]) — shared by q111
+    * and the q117 ledger's chunk-dup verdict. */
+  def cdcChunksCached(s: SparkSession, dir: String): DataFrame =
+    FrameCache.serve(s, s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_cdc_${Similarity.corpusFingerprint(s, dir, "documents")}") {
+      cdcChunks(Tables.load(s, dir, "documents"))
+    }
+
   def cdcChunks(docs: DataFrame): DataFrame = {
     val d = docs
       .withColumn("ws", split(lower(col("text")), " +"))
@@ -1413,7 +1441,8 @@ object TextOps {
     //      one explode + one per-doc position window + a fingerprint-
     //      keyed groupBy; no self-join. ----
     "q169_winnowing_fingerprints" -> QueryDef(
-      (s, dir) => winnowingFingerprints(Tables.load(s, dir, "documents")),
+      (s, dir) => winnowingFingerprints(Tables.load(s, dir, "documents"),
+        Some(winnowFpsCached(s, dir))),
       Some(s"""WITH $winnowDuckCtes,
              shared AS (
                SELECT fp FROM fps GROUP BY fp
@@ -1442,7 +1471,8 @@ object TextOps {
     //      q160 containment convention), so a short doc lifted into a
     //      long one still scores high. ----
     "q170_winnowing_pairs" -> QueryDef(
-      (s, dir) => winnowingPairs(Tables.load(s, dir, "documents")),
+      (s, dir) => winnowingPairs(Tables.load(s, dir, "documents"),
+        Some(winnowFpsCached(s, dir))),
       Some(s"""WITH $winnowDuckCtes,
              hot AS (
                SELECT fp FROM fps GROUP BY fp
@@ -1485,10 +1515,7 @@ object TextOps {
     //      hashes and counts agree bitwise. ----
     "q111_cdc_chunks" -> QueryDef(
       (s, dir) => {
-        // feeds both the per-hash doc counts and the join back — persist
-        // so the boundary scan runs ONCE
-        val ch = cdcChunks(Tables.load(s, dir, "documents"))
-          .transform(TransientCache.scopedDF)
+        val ch = cdcChunksCached(s, dir)
         val cnt = ch.groupBy(col("chunk_hash"))
           .agg(countDistinct(col("doc_id")).as("nd"))
         ch.join(cnt, "chunk_hash")
@@ -2013,7 +2040,8 @@ object TextOps {
     //      fp-keyed equi-joins; the eval fp set is corpus-scaled and
     //      NOT broadcast. ----
     "q182_winnow_decontam" -> QueryDef(
-      (s, dir) => winnowDecontam(Tables.load(s, dir, "documents")),
+      (s, dir) => winnowDecontam(Tables.load(s, dir, "documents"),
+        Some(winnowFpsCached(s, dir))),
       Some(s"""WITH $winnowDuckCtes,
              sp AS (
                SELECT doc_id,
