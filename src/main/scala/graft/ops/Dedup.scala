@@ -923,14 +923,12 @@ object Dedup {
     //      all-pairs. ----
     "q93_minhash_calibration" -> QueryDef(
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-        // ONE shingle explode feeds everything: sizes, both sides of the
-        // per-pair intersection join, AND the signatures (min() over g is
-        // insensitive to the distinct() — shingled is per-doc distinct on
-        // the TEXT already, so the dedup only removes the rare %P
-        // collision duplicate, which cannot change a min)
-        val sh = shingled(docs).select(col("doc_id"), col("g")).distinct()
-          .transform(TransientCache.scopedDF)
+        // ONE cached shingle frame feeds everything: sizes, both sides
+        // of the per-pair intersection join, AND the signatures (min()
+        // over g is insensitive to the distinct() — shingled is per-doc
+        // distinct on the TEXT already, so the dedup only removes the
+        // rare %P collision duplicate, which cannot change a min)
+        val sh = shingleHashesCached(s, dir)
         val sigAggs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
           min(expr(s"(g * $a + $b) % ${P}L")).as(s"m$j")
         }

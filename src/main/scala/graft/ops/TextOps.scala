@@ -853,6 +853,18 @@ object TextOps {
     * shingle (the string itself is dropped before any shuffle), hot
     * shingles removed first. Sizes are computed AFTER the cutoff so
     * numerator and denominator describe the same (capped) sets. */
+  /** [[jaccardPairs]] over a data dir's documents table at threshold
+    * `minJ`, served from the fingerprint-keyed parquet cache
+    * ([[FrameCache]], threshold folded into the key) — shared by q32's
+    * pair report and q92's split-leakage audit. */
+  def jaccardPairsCached(s: SparkSession, dir: String,
+      minJ: Double): DataFrame =
+    FrameCache.serve(s, s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_jacpairs${math.round(minJ * 100)}_" +
+        Similarity.corpusFingerprint(s, dir, "documents")) {
+      jaccardPairs(Tables.load(s, dir, "documents"), minJ)
+    }
+
   def jaccardPairs(docsText: DataFrame, minJ: Double): DataFrame = {
     // the shingle explode feeds four consumers (hot list, sizes, both join
     // sides); cache it once instead of recomputing the explode per
@@ -1706,7 +1718,8 @@ object TextOps {
     //      independent shingling path — and mirrors the hash and the
     //      cutoff exactly) ----
     "q32_dedup_ngram_jaccard" -> QueryDef(
-      (s, dir) => jaccardPairs(Tables.load(s, dir, "documents"), 0.8),
+      (s, dir) => jaccardPairsCached(s, dir, 0.8)
+        .orderBy(col("da"), col("db")),
       Some(s"""WITH ${jaccardPairsDuckCtes(0.8)}
              SELECT da, db, n_shared, round(jac, 3) AS jaccard
              FROM jp
@@ -2696,7 +2709,7 @@ object TextOps {
           .select(col("doc_id"),
             when(b < 8, "train").when(b === 8, "validation")
               .otherwise("test").as("split"))
-        jaccardPairs(Tables.load(s, dir, "documents"), 0.8)
+        jaccardPairsCached(s, dir, 0.8)
           .join(splits.select(col("doc_id").as("da"), col("split").as("spa")), "da")
           .join(splits.select(col("doc_id").as("db"), col("split").as("spb")), "db")
           .select(least(col("spa"), col("spb")).as("split_a"),
