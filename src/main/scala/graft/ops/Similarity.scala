@@ -2053,11 +2053,16 @@ object Similarity {
         val sem = embeddingNeardupPairs(Tables.load(s, dir, "embeddings"), 0.45)
           .select(col("va").as("da"), col("vb").as("db"))
           .withColumn("in_sem", lit(1L))
+        // coalesce: an EMPTY pair set on either side (sf0.001 has no
+        // cos ≥ 0.45 semantic pairs) must yield 0 like the oracle's
+        // per-row-coalesced sums, not a NULL that the hash compare
+        // reads as NaN (the q178 empty-target-set guard)
         lex.join(sem, Seq("da", "db"), "full_outer")
-          .agg(sum(col("in_lex")).as("n_lexical"),
-            sum(col("in_sem")).as("n_semantic"),
-            sum(when(col("in_lex").isNotNull && col("in_sem").isNotNull, 1L)
-              .otherwise(0L)).as("n_both"))
+          .agg(coalesce(sum(col("in_lex")), lit(0L)).as("n_lexical"),
+            coalesce(sum(col("in_sem")), lit(0L)).as("n_semantic"),
+            coalesce(sum(when(col("in_lex").isNotNull &&
+                col("in_sem").isNotNull, 1L)
+              .otherwise(0L)), lit(0L)).as("n_both"))
           .select(col("n_lexical"), col("n_semantic"), col("n_both"),
             (col("n_lexical") - col("n_both")).as("lexical_only"),
             (col("n_semantic") - col("n_both")).as("semantic_only"),
