@@ -334,6 +334,29 @@ object Clustering {
       assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** [[assignClusters]] (default regime) over a data dir's embeddings
+    * table, served from the fingerprint-keyed parquet cache
+    * ([[FrameCache]]): the centroid-broadcast assignment is the common
+    * substrate of q85/q90/q94/q117/q163 and the q82 cluster-cap row —
+    * built once per corpus, every consumer reads (vec_id, de, nrm,
+    * cluster_id) back with full pushdown. Doubles roundtrip parquet
+    * exactly, so downstream cosines stay bitwise-identical to the
+    * inline build; row order is NOT preserved — consumers re-sort
+    * (every consumer ranks or aggregates with id tie-breaks).
+    * Non-default regimes (q101's hierarchical probe) keep the inline
+    * path: their params would otherwise need folding into the key for
+    * a query that exists precisely to exercise the other branch. */
+  def assignClustersCached(s: SparkSession, dir: String): DataFrame =
+    FrameCache.serve(s, FrameCache.path("clusters", ClustersCacheV,
+        Similarity.corpusFingerprint(s, dir))) {
+      assignClusters(Tables.load(s, dir, "embeddings"))
+    }
+
+  /** Cache-format version ([[FrameCache.path]]): bump with any semantic
+    * change to the assignment (K derivation, seed choice, regime
+    * threshold, tie-breaks). */
+  private val ClustersCacheV = 1
+
   /** Flat assignment: every vector scored against all `k` broadcast
     * seed centroids (the K smallest vec_ids) — O(N·k), fine while k is
     * small; the oracle path. */
@@ -394,7 +417,15 @@ object Clustering {
     * MaxClusterMembers members, so drop_cnt is the excess, not the
     * whole group. */
   private[graft] def clusterGroupCounts(emb: DataFrame): DataFrame =
-    assignClusters(emb)
+    clusterGroupCountsFrom(assignClusters(emb))
+
+  /** [[clusterGroupCounts]] riding the fingerprint-cached assignment. */
+  private[graft] def clusterGroupCountsCached(s: SparkSession,
+      dir: String): DataFrame =
+    clusterGroupCountsFrom(assignClustersCached(s, dir))
+
+  private def clusterGroupCountsFrom(assigned: DataFrame): DataFrame =
+    assigned
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), (col("cnt") > MaxClusterMembers).as("hot"),
         when(col("cnt") > MaxClusterMembers, col("cnt") - MaxClusterMembers)
@@ -402,13 +433,28 @@ object Clustering {
 
   def semanticDedup(emb: DataFrame, minCos: Double = SemDedupMinCos,
       twoLevelThreshold: Int = TwoLevelThreshold,
-      finePerCoarse: Int = FinePerCoarse): DataFrame = {
+      finePerCoarse: Int = FinePerCoarse): DataFrame =
+    semanticDedupFrom(assignClusters(emb, twoLevelThreshold, finePerCoarse),
+      minCos)
+
+  /** [[semanticDedup]] (default assignment regime) riding the
+    * fingerprint-cached assignment — the q85/q90/q117 serve path.
+    * Bitwise-identical to the inline computation: the cached frame's
+    * doubles roundtrip parquet exactly, and every rank window
+    * tie-breaks by id, so order lost in the roundtrip cannot leak into
+    * the output. */
+  def semanticDedupCached(s: SparkSession, dir: String,
+      minCos: Double = SemDedupMinCos): DataFrame =
+    semanticDedupFrom(assignClustersCached(s, dir), minCos)
+
+  private def semanticDedupFrom(assigned0: DataFrame,
+      minCos: Double): DataFrame = {
     // only the MaxClusterMembers smallest vec_ids of each cluster enter
     // the self-join: a skewed cluster of size m costs min(m, cap)²/2
     // pairs, never m²/2 — what the cap excludes is measurable through
     // q82's semantic_cluster row (see [[clusterGroupCounts]])
     val wMem = Window.partitionBy(col("cluster_id")).orderBy(col("vec_id"))
-    val assigned = assignClusters(emb, twoLevelThreshold, finePerCoarse)
+    val assigned = assigned0
       .withColumn("mrank", row_number().over(wMem))
       .filter(col("mrank") <= MaxClusterMembers)
     val a = assigned.select(col("cluster_id"), col("vec_id").as("va"),
@@ -616,7 +662,7 @@ object Clustering {
     //      to the first-K seed centroids, within-cluster pairs, keeper =
     //      smallest near-dup id (see [[semanticDedup]]). ----
     "q85_semantic_dedup" -> QueryDef(
-      (s, dir) => semanticDedup(Tables.load(s, dir, "embeddings")),
+      (s, dir) => semanticDedupCached(s, dir),
       Some(s"""WITH ${semanticDedupDuckCtes()}
              SELECT cluster_id, vb AS dropped_id, va AS keeper_id,
                round(cos, 4) AS cos_sim
@@ -663,7 +709,7 @@ object Clustering {
         val w = Window.partitionBy(col("cluster_id"))
           .orderBy(md5(concat(lit("cquota:"), col("vec_id").cast("string"))),
             col("vec_id"))
-        assignClusters(Tables.load(s, dir, "embeddings"))
+        assignClustersCached(s, dir)
           .select(col("cluster_id"), col("vec_id"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= ClusterQuota)
@@ -823,7 +869,7 @@ object Clustering {
     //      source) and cluster. ----
     "q163_cluster_source_mix" -> QueryDef(
       (s, dir) => {
-        val asg = assignClusters(Tables.load(s, dir, "embeddings"))
+        val asg = assignClustersCached(s, dir)
           .select(col("vec_id").as("doc_id"), col("cluster_id"))
         val src = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("source"))

@@ -129,10 +129,15 @@ object Dedup {
     * the q141/q142/q187 sweeps and q160's containment pairs — built
     * once per corpus, read back by every consumer. */
   def shingleHashesCached(s: SparkSession, dir: String): DataFrame =
-    FrameCache.serve(s, s"${System.getProperty("java.io.tmpdir")}" +
-        s"/graft_shingles_${Similarity.corpusFingerprint(s, dir, "documents")}") {
+    FrameCache.serve(s, FrameCache.path("shingles", ShinglesCacheV,
+        Similarity.corpusFingerprint(s, dir, "documents"))) {
       shingleHashes(Tables.load(s, dir, "documents"))
     }
+
+  /** Cache-format versions ([[FrameCache.path]]): bump with any
+    * semantic change to the shingle hash / banding pipeline. */
+  private val ShinglesCacheV = 1
+  private val LshPairsCacheV = 1
 
   def shingleHashes(docsText: DataFrame): DataFrame =
     shingled(docsText).select(col("doc_id"), col("g")).distinct()
@@ -281,8 +286,8 @@ object Dedup {
     * computation; order is NOT preserved by the roundtrip —
     * order-sensitive consumers re-sort (q33's def does). */
   def lshCandidatePairsCached(s: SparkSession, dir: String): DataFrame =
-    FrameCache.serve(s, s"${System.getProperty("java.io.tmpdir")}" +
-        s"/graft_lshpairs_${Similarity.corpusFingerprint(s, dir, "documents")}") {
+    FrameCache.serve(s, FrameCache.path("lshpairs", LshPairsCacheV,
+        Similarity.corpusFingerprint(s, dir, "documents"))) {
       lshCandidatePairs(Tables.load(s, dir, "documents"))
     }
 
@@ -849,7 +854,7 @@ object Dedup {
         // participation cap TRUNCATES from skewed clusters (excess
         // members, conservatively kept in the corpus but invisible to
         // the q85 pair join) — K itself already scales with N
-        val clusterCounts = Clustering.clusterGroupCounts(emb)
+        val clusterCounts = Clustering.clusterGroupCountsCached(s, dir)
         capRow(bandGroupCounts(Similarity.neardupBandRows(emb),
             Similarity.NeardupBandCap), "embedding_sign_lsh")
           .union(capRow(bandGroupCounts(minhashBands(docs), HotBandCap),

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Disk-backed build-once cache for deterministic derived frames, keyed
@@ -14,25 +15,62 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (q151/q157/q179). Durable across `clearCache()` because it lives on
   * disk, read back with full parquet pushdown.
   *
+  * Cache paths carry a FORMAT VERSION as well as the corpus
+  * fingerprint ([[path]]): the fingerprint proves the INPUT is the
+  * same, the version proves the BUILDER is — the dirs outlive the
+  * process and the commit that wrote them, so a semantic change to a
+  * cached pipeline (shingle hash constants, banding configs, kNN
+  * internals, CDC params…) must bump its version constant or old
+  * sessions' frames would silently serve the pre-change results.
+  *
   * Concurrent builders race safely: each build lands in a
-  * process-unique temp dir and is RENAMED into place (atomic per FS);
-  * the loser deletes its own build and adopts the winner's completed
-  * cache. */
+  * process-unique temp dir and is published with a re-check of the
+  * winner's `_SUCCESS` marker — a loser deletes its own build and
+  * adopts the winner's completed cache. The publish also guards the
+  * Hadoop `rename` trap: renaming onto an EXISTING directory does not
+  * fail, it moves the source INSIDE the destination (HDFS moves
+  * tmp into dest; LocalFileSystem's copy fallback lands
+  * dest/<tmpname>), which would durably corrupt the cache with
+  * duplicated rows — so an unexpected nested dir is detected and
+  * removed, and a marker-less partial dir (a crashed earlier build) is
+  * cleared before the rename. */
 object FrameCache {
+
+  /** Canonical versioned cache path under `java.io.tmpdir`:
+    * `graft_<name>_v<version>_<fingerprint>`. Bump a substrate's
+    * version constant with ANY semantic change to its builder — the
+    * fingerprint only tracks the input corpus, not the build code. */
+  def path(name: String, version: Int, fingerprint: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_v${version}_$fingerprint"
 
   /** Serve the parquet cache at `cacheDir`, building it with `build`
     * on first use (or after the fingerprint-keyed path rotates). */
   def serve(s: SparkSession, cacheDir: String)(build: => DataFrame)
       : DataFrame = {
     val conf = s.sparkContext.hadoopConfiguration
-    val dest = new org.apache.hadoop.fs.Path(cacheDir)
+    val dest = new Path(cacheDir)
     val fs = dest.getFileSystem(conf)
-    val marker = new org.apache.hadoop.fs.Path(s"$cacheDir/_SUCCESS")
+    val marker = new Path(s"$cacheDir/_SUCCESS")
     if (!fs.exists(marker)) {
-      val tmp = new org.apache.hadoop.fs.Path(
+      val tmp = new Path(
         s"${cacheDir}_build_${java.util.UUID.randomUUID()}")
       build.write.mode("overwrite").parquet(tmp.toString)
-      if (!fs.rename(tmp, dest)) fs.delete(tmp, true)
+      if (fs.exists(marker)) {
+        // a concurrent builder won while we built: adopt its cache
+        fs.delete(tmp, true)
+      } else {
+        // a dest dir WITHOUT the marker is a crashed partial build:
+        // clear it so the rename below lands at dest itself instead of
+        // nesting inside it
+        if (fs.exists(dest)) fs.delete(dest, true)
+        if (fs.rename(tmp, dest)) {
+          // rename onto a dest that (re)appeared between the checks
+          // nests tmp INSIDE dest instead of failing — treat as a
+          // lost race and remove the nested duplicate
+          val nested = new Path(dest, tmp.getName)
+          if (fs.exists(nested)) fs.delete(nested, true)
+        } else fs.delete(tmp, true)
+      }
     }
     s.read.parquet(cacheDir)
   }

@@ -363,8 +363,9 @@ object Multimodal {
     * corpus rather than once per consumer. */
   def thumbFeaturesCached(s: SparkSession, dir: String): DataFrame = {
     val fp = Similarity.corpusFingerprint(s, dir, "documents")
-    FrameCache.serve(s,
-      s"${System.getProperty("java.io.tmpdir")}/graft_imgthumb_$fp") {
+    // v-bump with any change to the decode/thumb pipeline (block-PNG
+    // encoding, 8×8 thumb shape, grayscale weights)
+    FrameCache.serve(s, FrameCache.path("imgthumb", 1, fp)) {
       val px = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), expr(blockPxSpark).as("px"))

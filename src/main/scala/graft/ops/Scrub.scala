@@ -469,8 +469,7 @@ object Scrub {
           .withColumn("dup_rank", row_number().over(wDup))
           .select(col("doc_id"), col("source"), col("quality_score"),
             when(col("dup_rank") > 1, 1).otherwise(0).as("is_exact_dup"))
-        val semDropped = Clustering
-          .semanticDedup(Tables.load(s, dir, "embeddings"))
+        val semDropped = Clustering.semanticDedupCached(s, dir)
           .select(col("dropped_id").as("doc_id"), lit(1).as("sem_hit"))
         val evalGrams = TextOps
           .wordShingles(docs.filter(col("source") === "src0"), 4)
@@ -564,7 +563,7 @@ object Scrub {
           .withColumn("dup_rank", row_number().over(wDup))
           .select(col("doc_id"), col("source"), col("quality_score"),
             when(col("dup_rank") > 1, 1).otherwise(0).as("is_exact_dup"))
-        val semDropped = Clustering.semanticDedup(emb)
+        val semDropped = Clustering.semanticDedupCached(s, dir)
           .select(col("dropped_id").as("doc_id"), lit(1).as("sem_hit"))
         val evalGrams = TextOps
           .wordShingles(docs.filter(col("source") === "src0"), 4)

@@ -89,10 +89,10 @@ object TextOps {
   private[graft] def winnowFpsCached(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val cfp = Similarity.corpusFingerprint(s, dir, "documents")
-    val tmp = System.getProperty("java.io.tmpdir")
+    // v-bump with any change to the winnowing window/gram constants
     lazy val built = winnowFps(Tables.load(s, dir, "documents"))
-    (FrameCache.serve(s, s"$tmp/graft_winfp_$cfp") { built._1 },
-      FrameCache.serve(s, s"$tmp/graft_winmp_$cfp") { built._2 })
+    (FrameCache.serve(s, FrameCache.path("winfp", 1, cfp)) { built._1 },
+      FrameCache.serve(s, FrameCache.path("winmp", 1, cfp)) { built._2 })
   }
 
   private[graft] def winnowFps(docs: DataFrame): (DataFrame, DataFrame) = {
@@ -736,8 +736,9 @@ object TextOps {
     * fingerprint-keyed parquet cache ([[FrameCache]]) — shared by q111
     * and the q117 ledger's chunk-dup verdict. */
   def cdcChunksCached(s: SparkSession, dir: String): DataFrame =
-    FrameCache.serve(s, s"${System.getProperty("java.io.tmpdir")}" +
-        s"/graft_cdc_${Similarity.corpusFingerprint(s, dir, "documents")}") {
+    // v-bump with any change to the CDC gear-hash/chunk-bound params
+    FrameCache.serve(s, FrameCache.path("cdc", 1,
+        Similarity.corpusFingerprint(s, dir, "documents"))) {
       cdcChunks(Tables.load(s, dir, "documents"))
     }
 
@@ -859,9 +860,10 @@ object TextOps {
     * pair report and q92's split-leakage audit. */
   def jaccardPairsCached(s: SparkSession, dir: String,
       minJ: Double): DataFrame =
-    FrameCache.serve(s, s"${System.getProperty("java.io.tmpdir")}" +
-        s"/graft_jacpairs${math.round(minJ * 100)}_" +
-        Similarity.corpusFingerprint(s, dir, "documents")) {
+    // v-bump with any change to the shingle hash / hot-cap constants
+    FrameCache.serve(s,
+        FrameCache.path(s"jacpairs${math.round(minJ * 100)}", 1,
+          Similarity.corpusFingerprint(s, dir, "documents"))) {
       jaccardPairs(Tables.load(s, dir, "documents"), minJ)
     }
 

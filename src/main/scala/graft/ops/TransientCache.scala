@@ -48,8 +48,15 @@ object TransientCache {
   private val pending =
     new java.util.concurrent.ConcurrentLinkedQueue[(Dataset[_], Long)]()
 
-  private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  // WEAKLY-keyed listener registry: sessions are never unregistered on
+  // stop (SparkSession has no stop listener at this layer), so a strong
+  // set would pin every session a long-lived JVM ever created (sbt test
+  // suites, interactive shells) plus their plan trees. WeakHashMap keys
+  // let a stopped, dropped session become GC-eligible; the synchronized
+  // wrapper makes the add-returns-false dedup atomic.
+  private val registered = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Persist `ds` (MEMORY_AND_DISK, the library-wide level) and release
     * it automatically after the next completed action on its session. */
@@ -81,8 +88,12 @@ object TransientCache {
     val it = pending.iterator()
     while (it.hasNext) {
       val (old, _) = it.next()
+      // a stopped session's frames have no storage left to release and
+      // unpersist would throw — drop the entry so the queue (and this
+      // scan) can't retain dead sessions' plan trees
+      if (old.sparkSession.sparkContext.isStopped) it.remove()
       // cheap schema precheck before the canonicalizing sameResult
-      if ((old.sparkSession eq ds.sparkSession) &&
+      else if ((old.sparkSession eq ds.sparkSession) &&
           old.schema == ds.schema &&
           old.queryExecution.analyzed.sameResult(
             ds.queryExecution.analyzed))
@@ -106,6 +117,25 @@ object TransientCache {
 
   /** Number of frames currently queued for release (spec hook). */
   def pendingCount: Int = pending.size()
+
+  /** Release EVERYTHING queued, immediately and synchronously — the
+    * explicit-hygiene hook for harnesses that materialize via RDD
+    * actions (`queryExecution.toRdd`, Bench's timing protocol), which
+    * never fire the QueryExecutionListener: without it the pending
+    * queue and its supersede scan grow for the whole session. Call next
+    * to `catalog.clearCache()`; the storage is usually already evicted
+    * there, so this mainly empties the queue and drops the held
+    * Dataset/plan references. */
+  def drainAll(): Unit = {
+    var d = pending.poll()
+    while (d != null) {
+      if (!d._1.sparkSession.sparkContext.isStopped) {
+        try d._1.unpersist(blocking = false)
+        catch { case _: Exception => () }
+      }
+      d = pending.poll()
+    }
+  }
 
   private def ensureListener(s: SparkSession): Unit =
     if (registered.add(s))
@@ -132,7 +162,8 @@ object TransientCache {
     val keep = new java.util.ArrayList[(Dataset[_], Long)]()
     var d = pending.poll()
     while (d != null) {
-      if (d._2 < cutoffNanos) {
+      if (d._1.sparkSession.sparkContext.isStopped) ()  // dead session: drop
+      else if (d._2 < cutoffNanos) {
         try d._1.unpersist(blocking = false)
         catch { case _: Exception => () }
       } else keep.add(d)
