@@ -26,6 +26,18 @@ libraryDependencies ++= (
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output goes RAW to this process's stdout/stderr
+// instead of through the sbt logger: the driver's bench parser reads
+// stdout's LAST line as JSON, and the logger's "[info] " prefix (plus
+// the "[success] Total time" epilogue, suppressed below) broke that
+// parse in r9/r10 ("parsed": null). Raw pass-through also keeps
+// stdout/stderr separation, so Spark's stderr logging cannot interleave
+// into the JSON lines.
+outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
+// showSuccess is consumed by the command engine, not a task — silence
+// the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -52,6 +52,11 @@ object Bench {
           s"[bench] warm-up of $name on $warmDir failed (${e.getClass.getSimpleName}) — its timed runs include first-use codegen cost")
       }
       spark.catalog.clearCache()
+      // toRdd never fires the QueryExecutionListener, so TransientCache's
+      // pending queue (and its per-registration supersede scan) would
+      // otherwise grow for the whole bench session — drain it explicitly
+      // (r10 verdict: suite-load noise inflated driver numbers 5-21×)
+      ops.TransientCache.drainAll()
     }
     // Deterministic run order (hash-map order let whichever similarity
     // query came first absorb all the codegen warm-up), and consume the
@@ -91,6 +96,7 @@ object Bench {
       .map { case (name, fn) =>
       val runs = (1 to benchRuns).map { _ =>
         spark.catalog.clearCache()
+        ops.TransientCache.drainAll()
         timeOne(spark, sfDir, fn)
       }
       // a failed run's elapsed time is NOT a measurement: take the min
@@ -115,6 +121,7 @@ object Bench {
       (name, sec, err, flaky)
     }
     spark.catalog.clearCache()
+    ops.TransientCache.drainAll()
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e), _) => s"\"" + k + "\":\"" + e + "\"" }
@@ -173,7 +180,12 @@ object Bench {
       .take(5)
       .map { case (k, e) => s"\"${k.takeWhile(_ != '_')}\":\"$e\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n":${results.size},"n_errors":${results.count(_._3.isDefined)},"n_flaky":${results.count(_._4.isDefined)},"bench_runs":$benchRuns,"protocol":"$proto","sf":"$sfDir","file":"$benchFile","queries":$slow20,"t_ds_order":"name-sorted","t_ds":$tds,"errors":$errsTail}""")
-    spark.stop()
+    val finalLine = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n":${results.size},"n_errors":${results.count(_._3.isDefined)},"n_flaky":${results.count(_._4.isDefined)},"bench_runs":$benchRuns,"protocol":"$proto","sf":"$sfDir","file":"$benchFile","queries":$slow20,"t_ds_order":"name-sorted","t_ds":$tds,"errors":$errsTail}"""
+    // stop BEFORE the final print so nothing Spark writes during
+    // shutdown can land after the line the driver parses as JSON (the
+    // build's StdoutOutput strategy already keeps the sbt logger's
+    // "[info] " prefix and "[success]" epilogue off stdout)
+    try spark.stop() catch { case _: Exception => () }
+    println(finalLine)
   }
 }

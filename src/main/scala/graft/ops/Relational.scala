@@ -47,6 +47,27 @@ object Relational {
     * contract forbids. */
   val ApproxQuantileAccuracy = 1000000
 
+  /** The q52 exactness window, decided from DATA rather than an SF
+    * guess: the hash gate against DuckDB's exact `quantile_disc` holds
+    * iff every (returnflag, linestatus) group is at or under
+    * [[ApproxQuantileAccuracy]] (rank error ε·n < 1 → the sketch
+    * retains every value). [[graft.Verify]] consults this and demotes
+    * q52 to the rows-only check when the window is closed, so a future
+    * sf ≥ ~0.33 correctness run records the operator's designed ε-rank
+    * behavior instead of a spurious hash flip (r9/r10 verdict item). */
+  def q52WindowOpen(maxGroupRows: Long): Boolean =
+    maxGroupRows <= ApproxQuantileAccuracy
+
+  /** [[q52WindowOpen]] measured against a data dir's lineitem — one
+    * 2-column aggregation (map-side combinable, ≤ a handful of groups),
+    * cheap at any SF. */
+  def q52WindowOpen(s: SparkSession, dir: String): Boolean =
+    q52WindowOpen(
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(max(col("cnt"))).head().getLong(0))
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- aggregation over a pruned, filtered scan (TPC-H Q1 shape) ----
