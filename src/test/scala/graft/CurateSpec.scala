@@ -15,7 +15,7 @@ class CurateSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("curate composes dedup+filters and writes budget-bounded shards") {
-    val out = Files.createTempDirectory("graft_curate").toString
+    val out = TestDirs.scratch("graft_curate")
     val s = Curate.run(spark, sf, out, budget = 512L)
     assert(s.docsIn > 0 && s.docsKept > 0 && s.docsKept <= s.docsIn)
     assert(s.shards >= 1)
@@ -34,7 +34,7 @@ class CurateSpec extends AnyFunSuite {
     assert(over.isEmpty, "a shard exceeded its budget before its last doc")
 
     // determinism: a second run yields the identical assignment
-    val out2 = Files.createTempDirectory("graft_curate2").toString
+    val out2 = TestDirs.scratch("graft_curate2")
     Curate.run(spark, sf, out2, budget = 512L)
     // shard_id comes back as a partition directory column (type inferred
     // as int) — normalize to long before comparing

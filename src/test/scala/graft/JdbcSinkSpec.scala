@@ -246,7 +246,7 @@ class SourceSpec extends AnyFunSuite {
   }
 
   test("CLI dispatch: no --mongo-uri falls back to the file stand-in, which reads collections") {
-    val dir = java.nio.file.Files.createTempDirectory("src").toString
+    val dir = TestDirs.scratch("src")
     val fixture = getClass.getResource("/docs/users.jsonl").getPath
     java.nio.file.Files.copy(java.nio.file.Paths.get(fixture),
       java.nio.file.Paths.get(dir, "users.jsonl"))

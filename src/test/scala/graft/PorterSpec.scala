@@ -19,7 +19,7 @@ class PorterSpec extends AnyFunSuite {
 
   private def runPorter(collections: (String, DataFrame)*)
       : (Map[String, Long], String) = {
-    val out = Files.createTempDirectory("porter").toString
+    val out = TestDirs.scratch("porter")
     val porter = new Porter(spark, new ParquetSink(out))
     (porter.exportCollections(collections.toSeq), out)
   }
@@ -91,7 +91,7 @@ class PorterSpec extends AnyFunSuite {
   }
 
   test("skip-list drops routed tables before child export (Porter.php:156-157)") {
-    val porterOut = Files.createTempDirectory("porter").toString
+    val porterOut = TestDirs.scratch("porter")
     val porter = new Porter(spark, new ParquetSink(porterOut),
       PorterConfig(skip = Set("user", "settings")))
     val counts = porter.exportCollection("objects", fixture("objects"))
@@ -104,7 +104,7 @@ class PorterSpec extends AnyFunSuite {
   }
 
   test("$allKeys tally: occurrences per normalized key family (Porter.php:328-332)") {
-    val out = Files.createTempDirectory("porter").toString
+    val out = TestDirs.scratch("porter")
     val porter = new Porter(spark, new ParquetSink(out))
     porter.exportCollection("objects", fixture("objects"))
     // an all-digit key normalizes to the empty-string family — tallied
@@ -115,7 +115,7 @@ class PorterSpec extends AnyFunSuite {
   }
 
   test("limit caps rows per collection (Porter.php:141-144)") {
-    val porterOut = Files.createTempDirectory("porter").toString
+    val porterOut = TestDirs.scratch("porter")
     val porter = new Porter(spark, new ParquetSink(porterOut),
       PorterConfig(limit = Some(2)))
     val counts = porter.exportCollection("users", fixture("users"))
@@ -125,7 +125,7 @@ class PorterSpec extends AnyFunSuite {
   test("strict types fail fast on booleans with the column named (Porter.php:388-395)") {
     import spark.implicits._
     val df = Seq((1L, true)).toDF("_id", "flag")
-    val porterOut = Files.createTempDirectory("porter").toString
+    val porterOut = TestDirs.scratch("porter")
     val porter = new Porter(spark, new ParquetSink(porterOut))
     val e = intercept[graft.kernel.DocValue.UnknownTypeException] {
       porter.exportCollection("flags", df)
@@ -134,7 +134,7 @@ class PorterSpec extends AnyFunSuite {
   }
 
   test("dataonly: missing destinations skipped and remembered, existing ones written (Porter.php:158-179)") {
-    val out = Files.createTempDirectory("porter").toString
+    val out = TestDirs.scratch("porter")
     // first pass creates only the `user` table (skip everything else)
     val allTables = Set("tag_topics", "group_privileges_members", "ip_uid",
       "settings", "objects")
@@ -158,10 +158,10 @@ class PorterSpec extends AnyFunSuite {
     val rows = Seq(
       s"""{"_id":"a07f1f77bcf86cd799439051", $wideFields, "tags":["w1","w2"]}""",
       s"""{"_id":"a07f1f77bcf86cd799439052", "k1": 1, "tags":["n1"]}""")
-    val tmp = Files.createTempDirectory("widejson")
+    val tmp = java.nio.file.Paths.get(TestDirs.scratch("widejson"))
     Files.write(tmp.resolve("wide.jsonl"), rows.asJava)
     val df = spark.read.json(tmp.resolve("wide.jsonl").toString)
-    val out = Files.createTempDirectory("porter").toString
+    val out = TestDirs.scratch("porter")
     val porter = new Porter(spark, new ParquetSink(out))
     val counts = porter.exportCollection("wide", df)
     // parent keeps only the narrow row; both rows' children exported

@@ -114,7 +114,7 @@ class SnapshotGrowthSpansSpec extends AnyFunSuite {
       (5L, "c", s"$stop removed doc"))
       .map { case (i, src, t) => (i, t, "en", src, t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val dir = TestDirs.scratch("graft-drift")
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = SparkEntry.queries("q162_quality_drift")(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(5)))
@@ -136,7 +136,7 @@ class SnapshotGrowthSpansSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
     val docs = (0L until n).map(i => (i, s"text $i", "en", "only", 6L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val dir = java.nio.file.Files.createTempDirectory("graft-mix").toString
+    val dir = TestDirs.scratch("graft-mix")
     emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val rows = SparkEntry.queries("q163_cluster_source_mix")(spark, dir)

@@ -172,7 +172,7 @@ class BucketingSpec extends AnyFunSuite {
 
   test("bucketed tables co-locate the join: sort-merge with no shuffle exchange") {
     import java.nio.file.Files
-    val dir = Files.createTempDirectory("buckets").toString
+    val dir = TestDirs.scratch("buckets")
     val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val lineitem = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
@@ -678,7 +678,7 @@ class QuantizePropertySpec extends AnyFunSuite {
         Seq(100L -> Seq.fill(5)(0.25f),          // constant → all zeros
           101L -> Seq(0f, 1f),                   // exact endpoints
           102L -> Seq(-1f, -0.5f, 0f, 0.5f, 1f)) // symmetric grid
-    val dir = java.nio.file.Files.createTempDirectory("graft_quant").toString
+    val dir = TestDirs.scratch("graft_quant")
     vecs.toDF("vec_id", "embedding")
       .withColumn("embedding", org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
@@ -762,7 +762,7 @@ class ConnectedComponentsSpec extends AnyFunSuite {
 
   test("spark.graft.checkpointDir switches CC + assignShards to reliable checkpoints, results identical") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val dir = TestDirs.scratch("graft-ckpt")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
     val docs = (0L until 40L)
       .map(i => (f"k$i%03d", i, 7L)).toDF("k", "doc_id", "n_tokens")
@@ -992,7 +992,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3L, dup, "en", "s", 1L), (4L, uniq, "en", "s", 1L),
       (5L, (80 to 99).map(i => s"w$i").mkString(" "), "en", "clean", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val dir = java.nio.file.Files.createTempDirectory("graft-budget").toString
+    val dir = TestDirs.scratch("graft-budget")
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = SparkEntry.queries("q172_dedup_token_budget")(spark, dir)
       .collect()
@@ -1013,7 +1013,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       (2L, b, "en", "s", b.length.toLong),
       (3L, other, "en", "s", other.length.toLong))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val dir = java.nio.file.Files.createTempDirectory("graft-cont").toString
+    val dir = TestDirs.scratch("graft-cont")
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = SparkEntry.queries("q160_containment_pairs")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3),
@@ -1146,7 +1146,7 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("q97 persisted-index ANN returns byte-identical rows to the inline q43 path") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val dir = TestDirs.scratch("graft-ivf")
     spark.conf.set("spark.graft.ivfIndexDir", dir)
     try {
       val persisted = SparkEntry.queries("q97_ivf_index_topk")(spark, sf)
@@ -1167,7 +1167,7 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("q132 compacted index serves byte-identical rows to q98's merged view") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivfc").toString
+    val dir = TestDirs.scratch("graft-ivfc")
     spark.conf.set("spark.graft.ivfIndexDir", dir)
     try {
       val compacted = SparkEntry.queries("q132_ivf_compact_topk")(spark, sf)
@@ -1203,7 +1203,7 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("q98 incremental ingest: the delta is appended without touching persisted base lists") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString
+    val dir = TestDirs.scratch("graft-ivf-inc")
     spark.conf.set("spark.graft.ivfIndexDir", dir)
     try {
       val rows = SparkEntry.queries("q98_ivf_incremental_topk")(spark, sf)
@@ -1222,7 +1222,7 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("q97 rebuilds a stale index (manifest fingerprint mismatch) instead of serving it") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stale").toString
+    val dir = TestDirs.scratch("graft-ivf-stale")
     spark.conf.set("spark.graft.ivfIndexDir", dir)
     try {
       val rows = SparkEntry.queries("q97_ivf_index_topk")(spark, sf)
@@ -1253,7 +1253,7 @@ class SimilaritySpec extends AnyFunSuite {
     // HAND-BUILT index (no manifest.json) must be neither served
     // unvalidated nor destroyed-and-rebuilt in place — the engine did
     // not produce it and cannot vouch for or recreate it.
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-hand").toString
+    val dir = TestDirs.scratch("graft-ivf-hand")
     val handBuilt = java.nio.file.Paths.get(s"$dir/faiss.index")
     java.nio.file.Files.writeString(handBuilt, "not ours")
     spark.conf.set("spark.graft.ivfIndexDir", dir)
@@ -1354,7 +1354,7 @@ class SimilaritySpec extends AnyFunSuite {
     // vec_ids 1..9 must exist for the query set; give them random vecs
     val emb = (rows ++ (1L until 10L).map(i => (i, vec())))
       .toDF("vec_id", "embedding")
-    val dir = java.nio.file.Files.createTempDirectory("graft-hn").toString
+    val dir = TestDirs.scratch("graft-hn")
     emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = SparkEntry.queries("q159_hard_negatives")(spark, dir).collect()
     val forQ0 = out.filter(_.getLong(0) == 0L)
@@ -1386,7 +1386,7 @@ class SimilaritySpec extends AnyFunSuite {
     val emb = Seq((0L, v01), (1L, near(v01)), (2L, vec()), (3L, vec()),
       (4L, v45), (5L, near(v45)), (6L, vec()), (7L, vec()))
       .toDF("vec_id", "embedding")
-    val dir = java.nio.file.Files.createTempDirectory("graft-agree").toString
+    val dir = TestDirs.scratch("graft-agree")
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val r = SparkEntry.queries("q161_dup_signal_agreement")(spark, dir)
@@ -1430,7 +1430,7 @@ class SimilaritySpec extends AnyFunSuite {
       (id + 1000L, v.map(x => x + (rnd.nextGaussian() * 0.01).toFloat))
     }
     val emb = (base ++ twins).toDF("vec_id", "embedding")
-    val dir = java.nio.file.Files.createTempDirectory("graft-csweep").toString
+    val dir = TestDirs.scratch("graft-csweep")
     emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val rows = SparkEntry.queries("q167_cosine_threshold_sweep")(spark, dir)
       .collect()
@@ -1471,7 +1471,7 @@ class SimilaritySpec extends AnyFunSuite {
       (id + 1000L, v.map(x => x + (rnd.nextGaussian() * 0.02).toFloat))
     }
     def dirFor(rows: Seq[(Long, Array[Float])]) = {
-      val d = java.nio.file.Files.createTempDirectory("graft-cp").toString
+      val d = TestDirs.scratch("graft-cp")
       rows.toDF("vec_id", "embedding").write.mode("overwrite")
         .parquet(s"$d/embeddings.parquet")
       d
@@ -1677,7 +1677,7 @@ class CurationOpsSpec extends AnyFunSuite {
     // ("a","a")→"aa" the only adjacent pair is ("aa","aa") — a pair of
     // MERGED tokens, provable only by recounting between rounds. Two
     // rounds exhaust every pair, so the trainer stops early at 2 rows.
-    val docsDir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    val docsDir = TestDirs.scratch("graft-bpe")
     import spark.implicits._
     (1L to 10L).map(i => (i, "aaaa")).toDF("doc_id", "text")
       .withColumn("source", lit("s")).coalesce(1)
