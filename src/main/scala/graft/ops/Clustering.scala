@@ -873,20 +873,25 @@ object Clustering {
           .select(col("vec_id").as("doc_id"), col("cluster_id"))
         val src = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("source"))
+        // n_members rides a cluster-keyed window instead of a per-frame
+        // self-join: the window's exchange hash-partitions cell by
+        // cluster_id, the groupBy right after reuses that partitioning,
+        // and the old persist + two join exchanges disappear (same
+        // int64 arithmetic, bit-identical output; r11 — with the
+        // assignment served from FrameCache this post-processing WAS
+        // the query)
         val cell = asg.join(src, "doc_id")
           .groupBy(col("cluster_id"), col("source"))
           .agg(count(lit(1)).as("cnt"))
-          .transform(TransientCache.scopedDF)
-        val per = cell.groupBy(col("cluster_id"))
-          .agg(sum(col("cnt")).as("n_members"),
-            count(lit(1)).as("n_sources"), max(col("cnt")).as("top_cnt"))
-        val ent = cell
-          .join(per.select(col("cluster_id"), col("n_members")), "cluster_id")
-          .select(col("cluster_id"),
-            (col("cnt") * (length(bin(expr("n_members div cnt"))) - 1)
-              .cast("long")).as("wb"))
-          .groupBy(col("cluster_id")).agg(sum(col("wb")).as("ent_units"))
-        per.join(ent, "cluster_id")
+        val wTot = Window.partitionBy(col("cluster_id"))
+        cell.withColumn("n_members", sum(col("cnt")).over(wTot))
+          .withColumn("wb",
+            col("cnt") * (length(bin(expr("n_members div cnt"))) - 1)
+              .cast("long"))
+          .groupBy(col("cluster_id"))
+          .agg(max(col("n_members")).as("n_members"),
+            count(lit(1)).as("n_sources"), max(col("cnt")).as("top_cnt"),
+            sum(col("wb")).as("ent_units"))
           .select(col("cluster_id"), col("n_members"), col("n_sources"),
             expr("top_cnt * 10000 div n_members").as("top_source_bp"),
             expr("ent_units * 1000 div n_members").as("mix_bits_milli"))
