@@ -1006,6 +1006,74 @@ object Dedup {
            ORDER BY ag.da, ag.db"""
       }),
 
+    // ---- b-BIT MinHash audit (Li & König, "b-Bit Minwise Hashing",
+    //      WWW 2010): for every q33 candidate pair, the full 8×64-bit
+    //      signature agreement estimate next to the 1-BIT variant
+    //      (lowest bit of each minhash — an 8-bit sketch, 64× smaller).
+    //      For b=1 the per-position agreement expectation is (1+J)/2,
+    //      so the estimator is 2·A − 1 (clipped at 0); d_est is the
+    //      realized estimator gap per pair. The storage-for-accuracy
+    //      readout a pipeline consults before shrinking its dedup
+    //      sketches at 100 TB — the b-bit companion to q93's
+    //      estimate-vs-truth calibration. All estimator values are
+    //      dyadic rationals (n/8), so rounding sees bit-identical
+    //      inputs in both engines. Scale shape: pairs come from the
+    //      CACHED q33 candidate list; signatures are per-doc
+    //      aggregates; everything downstream is O(pairs). ----
+    "q189_bbit_minhash_audit" -> QueryDef(
+      (s, dir) => {
+        val pairs = lshCandidatePairsCached(s, dir)
+        val sigs = minhashSigs(Tables.load(s, dir, "documents"))
+          .transform(TransientCache.scopedDF)
+        val a = sigs.select(col("doc_id").as("da") +:
+          (0 until 8).map(j => col(s"m$j").as(s"a$j")): _*)
+        val b = sigs.select(col("doc_id").as("db") +:
+          (0 until 8).map(j => col(s"m$j").as(s"b$j")): _*)
+        val agreeFull = (0 until 8)
+          .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        val agree1 = (0 until 8)
+          .map(j => when(col(s"a$j") % 2 === col(s"b$j") % 2, 1L)
+            .otherwise(0L))
+          .reduce(_ + _)
+        val estFull = col("n_agree") * lit(1.0) / 8.0
+        val est1 = greatest(lit(0.0),
+          col("n_agree_1bit") * lit(2.0) / 8.0 - 1.0)
+        pairs.join(a, "da").join(b, "db")
+          .withColumn("n_agree", agreeFull)
+          .withColumn("n_agree_1bit", agree1)
+          .select(col("da"), col("db"), col("n_agree"),
+            col("n_agree_1bit"),
+            round(estFull, 3).as("est_full_j"),
+            round(est1, 3).as("est_1bit_j"),
+            round(est1 - estFull, 3).as("d_est"))
+          .orderBy(col("da"), col("db"))
+      },
+      Some {
+        val fullDuck = (0 until 8)
+          .map(j => s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val oneDuck = (0 until 8)
+          .map(j => s"(CASE WHEN a.m$j % 2 = b.m$j % 2 THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH ${duckCandPairsBody()},
+           ag AS (
+             SELECT p.da, p.db,
+               CAST($fullDuck AS BIGINT) AS n_agree,
+               CAST($oneDuck AS BIGINT) AS n_agree_1bit
+             FROM cand_pairs p
+             JOIN sigs a ON a.doc_id = p.da
+             JOIN sigs b ON b.doc_id = p.db)
+           SELECT da, db, n_agree, n_agree_1bit,
+             round(n_agree * 1.0 / 8.0, 3) AS est_full_j,
+             round(greatest(0.0, n_agree_1bit * 2.0 / 8.0 - 1.0), 3)
+               AS est_1bit_j,
+             round(greatest(0.0, n_agree_1bit * 2.0 / 8.0 - 1.0)
+               - n_agree * 1.0 / 8.0, 3) AS d_est
+           FROM ag
+           ORDER BY da, db"""
+      }),
+
     // ---- graph-centrality canonical scoring: [[dupGraphPageRank]] over
     //      the q33 candidate graph. The oracle replays the identical
     //      8-round int64 power iteration in a WITH RECURSIVE whose

@@ -1477,6 +1477,129 @@ object Similarity {
            ORDER BY method"""
       }),
 
+    // ---- SCALAR-QUANTIZED ANN + per-query recall: the q68
+    //      compression step actually SERVING. Per-vector symmetric
+    //      int8 (floor(x·127/amax), clipped to ±127 — symmetric
+    //      rather than q68's affine [0,255] so the quantized dot needs
+    //      no offset correction), top-3 per q35 query by quantized
+    //      cosine, then each query's hit count against the exact
+    //      float top-3 — the per-query read of what 4 bytes/dim → 1
+    //      byte/dim costs in ranking fidelity (q102's aggregate recall
+    //      row, refined to the query axis for the sq method). All
+    //      quantized components are integer-valued doubles, so the
+    //      dot folds are EXACT in both engines and ranking ties break
+    //      identically; recall_bp is int64 floor division. Scale
+    //      shape: one per-row quantization projection, the q35
+    //      inequality-broadcast (10-query O(1) build side), two
+    //      30-row joins. ----
+    "q188_sq_ann_recall" -> QueryDef(
+      (s, dir) => {
+        val qz = Tables.load(s, dir, "embeddings")
+          .withColumn("v", expr(toDouble))
+          .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+          .withColumn("qv", expr(
+            """transform(v, x -> if(amax = 0.0D, 0.0D,
+                 greatest(-127.0D, least(127.0D,
+                   floor(x * 127.0D / amax)))))"""))
+          .withColumn("qn", expr(s"sqrt(${dotExpr("qv", "qv")})"))
+          .filter(col("qn") > 0)
+          .select(col("vec_id"), col("qv"), col("qn"))
+          .transform(TransientCache.scopedDF)
+        val queries = qz.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("qv").as("qe"),
+            col("qn").as("qqn"))
+        val scored = qz
+          .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+          .withColumn("qcos",
+            expr(dotExpr("qe", "qv")) / (col("qqn") * col("qn")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("qcos").desc, col("vec_id"))
+        val sq3 = scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("rank"), round(col("qcos"), 4).as("qcos_sim"))
+          .transform(TransientCache.scopedDF)
+        val exact = bruteTopk(s, dir)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = sq3
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        sq3.filter(col("rank") === 1)
+          .select(col("query_id"), col("neighbor_id").as("top1_id"),
+            col("qcos_sim").as("top1_qcos"))
+          .join(hits, Seq("query_id"), "left")
+          .na.fill(0L, Seq("n_hits"))
+          .select(col("query_id"), col("n_hits"),
+            expr("n_hits * 10000 div 3").as("recall_bp"),
+            col("top1_id"), col("top1_qcos"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH t AS (
+               SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+             m AS (
+               SELECT vec_id, v,
+                 list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                   AS amax
+               FROM t),
+             qz0 AS (
+               SELECT vec_id,
+                 list_transform(v, x -> CASE WHEN amax = 0.0 THEN 0.0
+                   ELSE greatest(-127.0, least(127.0,
+                     floor(x * 127.0 / amax))) END) AS qv
+               FROM m),
+             qz1 AS (
+               SELECT vec_id, qv, sqrt(${duckDot("qv", "qv")}) AS qn
+               FROM qz0),
+             qz AS (SELECT * FROM qz1 WHERE qn > 0),
+             q AS (SELECT vec_id AS query_id, qv AS qe, qn AS qqn
+                   FROM qz WHERE vec_id < 10),
+             scored AS (
+               SELECT q.query_id, z.vec_id,
+                 ${duckDot("q.qe", "z.qv")} / (q.qqn * z.qn) AS qcos
+               FROM qz z JOIN q ON z.vec_id <> q.query_id),
+             ranked AS (
+               SELECT query_id, vec_id, qcos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY qcos DESC, vec_id) AS rank
+               FROM scored),
+             sq3 AS (
+               SELECT query_id, vec_id AS neighbor_id, rank,
+                 round(qcos, 4) AS qcos_sim
+               FROM ranked WHERE rank <= 3),
+             n AS (SELECT vec_id, embedding,
+                     ${duckNorm("embedding")} AS nrm
+                   FROM embeddings),
+             eq AS (SELECT vec_id AS query_id, embedding AS qe2,
+                      nrm AS qn2
+                    FROM n WHERE vec_id < 10),
+             escored AS (
+               SELECT eq.query_id, n.vec_id,
+                 ${duckDot("eq.qe2", "n.embedding")} / (eq.qn2 * n.nrm)
+                   AS cos
+               FROM n JOIN eq ON n.vec_id <> eq.query_id),
+             eranked AS (
+               SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id) AS rank
+               FROM escored),
+             e3 AS (SELECT query_id, vec_id AS neighbor_id
+                    FROM eranked WHERE rank <= 3),
+             hits AS (
+               SELECT s3.query_id, count(*) AS n_hits
+               FROM sq3 s3 JOIN e3
+                 ON e3.query_id = s3.query_id
+                AND e3.neighbor_id = s3.neighbor_id
+               GROUP BY s3.query_id)
+           SELECT t1.query_id,
+             COALESCE(h.n_hits, 0) AS n_hits,
+             COALESCE(h.n_hits, 0) * 10000 // 3 AS recall_bp,
+             t1.neighbor_id AS top1_id, t1.qcos_sim AS top1_qcos
+           FROM sq3 t1 LEFT JOIN hits h ON h.query_id = t1.query_id
+           WHERE t1.rank = 1
+           ORDER BY t1.query_id""")),
+
     // ---- product-quantization ANN ([[Clustering.pqEncode]]): per-query
     //      top-3 by ASYMMETRIC DISTANCE — the query's exact subvectors
     //      against each corpus vector's 4-byte code through the

@@ -239,6 +239,9 @@ class PlanGateSpec extends AnyFunSuite {
     // inequality — exactly q35's O(1)-build shape (hard negatives are
     // mined from the same exact ranking the positives come from)
     "q159_hard_negatives",
+    // q188: the quantized AND exact sides each ride q35's 10-query
+    // inequality broadcast — both build sides O(1) by the q35 argument
+    "q188_sq_ann_recall",
     // q163: rides assignClusters' K-row centroid broadcast (the
     // q70/q85 shape — build side is the cluster count, a constant)
     "q163_cluster_source_mix",
