@@ -448,27 +448,57 @@ object Similarity {
     * band join and a per-affected-node window over ≤ k + delta-cand
     * rows — never a full-graph rebuild. */
   def knnGraphIncremental(emb: DataFrame, k: Int = KnnGraphK): DataFrame = {
+    val (nAll, bandRows) = incrPrep(emb)
+    mergeDelta(nAll, bandRows, incrBasePairs(nAll, bandRows, k), k)
+  }
+
+  /** [[knnGraphIncremental]] over a data dir with the STORED base graph
+    * served from the fingerprint cache ([[FrameCache]]) — the q164
+    * serve path. With the base pair list read back from parquet, the
+    * per-run cost is exactly what a real ingest pays: the delta band
+    * rows joined against the full band table (delta-sized build side,
+    * never the all-pairs self-join) plus the affected-node merge
+    * windows. Bit-identical to the inline build (cosines are
+    * recomputed at merge time from the raw doubles, never read from a
+    * stored rounded float). */
+  def knnGraphIncrementalCached(s: SparkSession, dir: String,
+      k: Int = KnnGraphK): DataFrame = {
+    val (nAll, bandRows) = incrPrep(Tables.load(s, dir, "embeddings"))
+    val g0 = FrameCache.serve(s,
+        FrameCache.path(s"knnbase$k", KnnCacheV, corpusFingerprint(s, dir))) {
+      incrBasePairs(nAll, bandRows, k)
+    }
+    mergeDelta(nAll, bandRows, g0, k)
+  }
+
+  // band values depend only on the vector itself, so ONE banding pass
+  // serves both sides: the base chain filters its rows out (and
+  // re-caps on base counts), the delta chain caps on full counts —
+  // the bench caught the first cut computing graft_sign_bands twice
+  private def incrPrep(emb: DataFrame): (DataFrame, DataFrame) = {
     registerNeardupBands(emb.sparkSession)
-    // band values depend only on the vector itself, so ONE banding pass
-    // serves both sides: the base chain filters its rows out (and
-    // re-caps on base counts), the delta chain caps on full counts —
-    // the bench caught the first cut computing graft_sign_bands twice
     val nAll = normedFrom(emb)
       .withColumn("band_vals", expr("graft_sign_bands(embedding)"))
       .transform(TransientCache.scopedDF)
     val bandRows = nAll.select(col("vec_id"),
         posexplode(col("band_vals")).as(Seq("band_idx", "band_val")))
       .transform(TransientCache.scopedDF)
-    def candsOf(bands: DataFrame): DataFrame = bands.as("x")
-      .join(bands.as("y"),
+    (nAll, bandRows)
+  }
+
+  /** The stored artifact: the base graph's top-k PAIR LIST (base =
+    * vec_id % 5 ≠ 4, base-only candidates, base-only caps). */
+  private def incrBasePairs(nAll: DataFrame, bandRows: DataFrame,
+      k: Int): DataFrame = {
+    val baseBands = Dedup.coldBands(
+      bandRows.filter(pmod(col("vec_id"), lit(5)) =!= 4), NeardupBandCap)
+    val baseCands = baseBands.as("x")
+      .join(baseBands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
       .distinct()
-    // stored base graph: top-k per base node among base-only candidates
-    val baseCands = candsOf(Dedup.coldBands(
-      bandRows.filter(pmod(col("vec_id"), lit(5)) =!= 4), NeardupBandCap))
     val baseSym = baseCands
       .union(baseCands.select(col("vb").as("va"), col("va").as("vb")))
     val a = nAll.select(col("vec_id").as("va"), col("de").as("ea"),
@@ -477,13 +507,39 @@ object Similarity {
       col("nrm").as("nb"))
     val w = Window.partitionBy(col("va"))
       .orderBy(col("cos").desc, col("vb"))
-    val g0 = baseSym.join(a, "va").join(b, "vb")
+    baseSym.join(a, "va").join(b, "vb")
       .withColumn("cos", expr(dotExpr("ea", "eb")) / (col("na") * col("nb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("va"), col("vb"))
-    val dcands = candsOf(Dedup.coldBands(bandRows, NeardupBandCap))
-      .filter(pmod(col("va"), lit(5)) === 4 || pmod(col("vb"), lit(5)) === 4)
+  }
+
+  /** The per-ingest update: delta-touching candidates from a
+    * DELTA-ROWS × ALL-ROWS band equi-join (the delta is the build
+    * side — at scale this is the whole point: candidate generation
+    * costs |delta bands| × matches, never the full self-join; the
+    * normalized (min, max) pair set is identical to filtering the full
+    * candidate list for delta-touching pairs), then every affected
+    * node re-ranks over (stored top-k ∪ delta candidates). */
+  private def mergeDelta(nAll: DataFrame, bandRows: DataFrame,
+      g0: DataFrame, k: Int): DataFrame = {
+    val allCold = Dedup.coldBands(bandRows, NeardupBandCap)
+      .transform(TransientCache.scopedDF)
+    val deltaRows = allCold.filter(pmod(col("vec_id"), lit(5)) === 4)
+    val dcands = deltaRows.as("x")
+      .join(allCold.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("va"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("vb"))
+      .distinct()
+    val a = nAll.select(col("vec_id").as("va"), col("de").as("ea"),
+      col("nrm").as("na"))
+    val b = nAll.select(col("vec_id").as("vb"), col("de").as("eb"),
+      col("nrm").as("nb"))
+    val w = Window.partitionBy(col("va"))
+      .orderBy(col("cos").desc, col("vb"))
     val pool = g0
       .union(dcands)
       .union(dcands.select(col("vb").as("va"), col("va").as("vb")))
@@ -2096,7 +2152,7 @@ object Similarity {
     //      cap). The graph-pillar completion of the incremental story
     //      q98/q132/q136/q150 tell for indexes, dedup and cards. ----
     "q164_knn_graph_incremental" -> QueryDef(
-      (s, dir) => knnGraphIncremental(Tables.load(s, dir, "embeddings")),
+      (s, dir) => knnGraphIncrementalCached(s, dir),
       Some(s"""WITH baseemb AS (
                SELECT * FROM embeddings WHERE vec_id % 5 <> 4),
            ${knnGraphDuckCtesFrom("baseemb", "b")},
