@@ -24,6 +24,11 @@ object CorpusStats {
     * in the oracle. */
   val VocabSize = 1000
 
+  /** q190's global token budget in basis points of the corpus total
+    * (5000 = train on half the corpus). Declared before `defs` — the
+    * oracle SQL interpolates it at init. */
+  val WaterfillBudgetBp = 5000L
+
   /** Terms per source entering the q154 Zipf rank-frequency fit — the
     * head of the distribution, where the power law lives (the tail is
     * dominated by hapax counts whose whole-bit log is 0). Declared
@@ -430,6 +435,98 @@ object CorpusStats {
                round(round(w_raw / tot_w, 4) * tot_tokens / n_tokens, 4)
                  AS epochs
              FROM w CROSS JOIN t
+             ORDER BY source""")),
+
+    // ---- BUDGET WATER-FILL: q87 asks "what mixture"; a budgeted run
+    //      asks "how many tokens per source under a global cap". The
+    //      classic water-filling allocation: every source keeps all its
+    //      tokens up to a common level t, t chosen so the total equals
+    //      the budget ([[WaterfillBudgetBp]] of corpus tokens). Exact
+    //      integer construction: sources sorted by (n_tokens, source),
+    //      source i is UNCAPPED iff cum_i + n_tokens_i·(n−i) ≤ B (the
+    //      standard monotone feasibility test); the k uncapped sources
+    //      keep everything, the remaining m split B − cum_k as
+    //      floor-division base + one extra token for the first
+    //      (B − cum_k) mod m capped sources in the same order — so
+    //      allocations SUM EXACTLY to the budget, with no float level
+    //      to disagree on. One |sources|-row rollup, two window passes
+    //      over that grid-sized frame, two one-row crossJoins. ----
+    "q190_token_budget_waterfill" -> QueryDef(
+      (s, dir) => {
+        val ps = Tables.load(s, dir, "documents")
+          .select(col("source"), Quality.nWords(col("text")).as("nw"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nw").cast("long")).as("n_tokens"))
+        val tot = ps.agg(sum(col("n_tokens")).as("tot_tokens"),
+          count(lit(1)).as("n_all"))
+        val wOrd = Window.orderBy(col("n_tokens"), col("source"))
+        val o = ps
+          .withColumn("idx", row_number().over(wOrd).cast("long"))
+          .withColumn("cum", sum(col("n_tokens")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(tot))
+          .withColumn("budget",
+            expr(s"tot_tokens * $WaterfillBudgetBp div 10000"))
+          .withColumn("unc", when(
+            col("cum") + col("n_tokens") * (col("n_all") - col("idx"))
+              <= col("budget"), 1L).otherwise(0L))
+        val kk = o.agg(coalesce(sum(col("unc")), lit(0L)).as("k"),
+          coalesce(sum(when(col("unc") === 1, col("n_tokens"))), lit(0L))
+            .as("cum_k"))
+        o.crossJoin(broadcast(kk))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            when(col("unc") === 1, col("n_tokens")).otherwise(expr(
+              """(budget - cum_k) div (n_all - k)
+                 + if(idx - k <= (budget - cum_k) % (n_all - k), 1L, 0L)"""))
+              .as("alloc_tokens"),
+            (lit(1L) - col("unc")).as("capped"))
+          .withColumn("fill_bp", expr("alloc_tokens * 10000 div n_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH perdoc AS (
+               SELECT source, ${graft.ops.Quality.duckNWords("text")} AS nw
+               FROM documents),
+             ps AS (
+               SELECT source, count(*) AS n_docs,
+                 CAST(sum(nw) AS BIGINT) AS n_tokens
+               FROM perdoc GROUP BY source),
+             tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                       count(*) AS n_all
+                     FROM ps),
+             o AS (
+               SELECT ps.*,
+                 CAST(row_number() OVER (ORDER BY n_tokens, source)
+                   AS BIGINT) AS idx,
+                 CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+               FROM ps),
+             f AS (
+               SELECT o.*, tot.n_all,
+                 tot.tot_tokens * $WaterfillBudgetBp // 10000 AS budget,
+                 CASE WHEN cum + n_tokens * (tot.n_all - idx)
+                     <= tot.tot_tokens * $WaterfillBudgetBp // 10000
+                   THEN 1 ELSE 0 END AS unc
+               FROM o CROSS JOIN tot),
+             kk AS (
+               SELECT COALESCE(CAST(sum(unc) AS BIGINT), 0) AS k,
+                 COALESCE(CAST(sum(CASE WHEN unc = 1 THEN n_tokens END)
+                   AS BIGINT), 0) AS cum_k
+               FROM f),
+             sel AS (
+               SELECT f.source, f.n_docs, f.n_tokens,
+                 CASE WHEN f.unc = 1 THEN f.n_tokens
+                   ELSE (f.budget - kk.cum_k) // (f.n_all - kk.k)
+                     + CASE WHEN f.idx - kk.k
+                         <= (f.budget - kk.cum_k) % (f.n_all - kk.k)
+                       THEN 1 ELSE 0 END
+                 END AS alloc_tokens,
+                 CAST(1 - f.unc AS BIGINT) AS capped
+               FROM f CROSS JOIN kk)
+             SELECT source, n_docs, n_tokens, alloc_tokens, capped,
+               alloc_tokens * 10000 // n_tokens AS fill_bp
+             FROM sel
              ORDER BY source""")),
 
     // ---- two-level mixture grid: q87's √tokens temperature weighting

@@ -2866,6 +2866,77 @@ object TextOps {
              GROUP BY eval_doc
              ORDER BY eval_doc""")),
 
+    // ---- SPAN-LEVEL decontamination mask: q128 says "this doc is
+    //      contaminated"; at 100 TB the better remedy is often
+    //      SURGICAL — mask the leaked spans, keep the document. Per
+    //      training doc, the maximal merged intervals of eval-4-gram
+    //      hits (a hit at word p covers [p, p+3]; intervals that
+    //      overlap or abut — next start ≤ current end + 1 — coalesce),
+    //      as 1-based word positions a loss-masking step consumes
+    //      directly. Merging is the gaps-and-islands construction on
+    //      pure int64 (prev-end running max → island ids → per-island
+    //      min/max), so both engines agree bitwise. Scale shape: the
+    //      eval gram set is the broadcast side (q58's shape), hit rows
+    //      are bounded by matches, and the windows partition by
+    //      doc_id — never a global sort until the output. ----
+    "q191_decontam_span_mask" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val evalGrams = wordShingles(docs.filter(col("source") === "src0"), 4)
+          .select(col("s")).distinct()
+        val hits = positionalWordShingles(
+            docs.filter(col("source") =!= "src0"), 4)
+          .join(broadcast(evalGrams), "s")
+          .select(col("doc_id"), (col("i") + 1L).as("p"))  // 1-based
+        val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        val isl = hits
+          .withColumn("prev_end", max(col("p") + 3L).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("new_isl", when(
+            col("prev_end").isNull || col("p") > col("prev_end") + 1L,
+            1L).otherwise(0L))
+          .withColumn("island", sum(col("new_isl")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        isl.groupBy(col("doc_id"), col("island"))
+          .agg(min(col("p")).as("span_start"), max(col("p")).as("maxp"),
+            count(lit(1)).as("n_grams"))
+          .select(col("doc_id"), col("span_start"),
+            (col("maxp") + 3L).as("span_end"),
+            (col("maxp") + 3L - col("span_start") + 1L).as("span_words"),
+            col("n_grams"))
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some(s"""WITH $posGramDuckCtes,
+             ev AS (
+               SELECT DISTINCT pg.s FROM pg
+               JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
+             hits AS (
+               SELECT pg.doc_id, pg.i AS p FROM pg
+               JOIN documents d USING (doc_id)
+               JOIN ev ON ev.s = pg.s
+               WHERE d.source <> 'src0'),
+             pe AS (
+               SELECT doc_id, p,
+                 max(p + 3) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+               FROM hits),
+             isl AS (
+               SELECT doc_id, p,
+                 CAST(sum(CASE WHEN prev_end IS NULL OR p > prev_end + 1
+                     THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS island
+               FROM pe)
+             SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+               CAST(max(p) + 3 AS BIGINT) AS span_end,
+               CAST(max(p) + 3 - min(p) + 1 AS BIGINT) AS span_words,
+               count(*) AS n_grams
+             FROM isl GROUP BY doc_id, island
+             ORDER BY doc_id, span_start""")),
+
     // ---- contamination-THRESHOLD sweep: before q117 hard-codes the
     //      [[SpanRunGate]] policy, this measures what each candidate
     //      gate would do — per minimum-run threshold t ∈ 1..16 grams,

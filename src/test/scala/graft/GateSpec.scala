@@ -242,6 +242,9 @@ class PlanGateSpec extends AnyFunSuite {
     // q188: the quantized AND exact sides each ride q35's 10-query
     // inequality broadcast — both build sides O(1) by the q35 argument
     "q188_sq_ann_recall",
+    // q190: two ONE-ROW crossJoins (corpus totals, uncapped-prefix
+    // stats) onto the |sources|-row grid — the q87/q89 scalar shape
+    "q190_token_budget_waterfill",
     // q163: rides assignClusters' K-row centroid broadcast (the
     // q70/q85 shape — build side is the cluster count, a constant)
     "q163_cluster_source_mix",

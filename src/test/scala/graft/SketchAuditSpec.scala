@@ -36,6 +36,48 @@ class SketchAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q190: water-fill keeps small sources whole, levels the rest, and sums exactly to the budget") {
+    import spark.implicits._
+    // sources with 10 / 20 / 100 words → total 130, budget 65:
+    // a and b fit under the level (10 + 10·2 = 30 ≤ 65; 30 + 20·1 = 50
+    // ≤ 65), c is capped at the remaining 35
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(("a", words(10)), ("b", words(20)), ("c", words(100)))
+      .zipWithIndex
+      .map { case ((src, t), i) => (i.toLong, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestDirs.scratch("graft-wfill")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q190_token_budget_waterfill")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows("a") == ((10L, 10L, 0L)), s"a: ${rows("a")}")
+    assert(rows("b") == ((20L, 20L, 0L)), s"b: ${rows("b")}")
+    assert(rows("c") == ((100L, 35L, 1L)), s"c: ${rows("c")}")
+    assert(rows.values.map(_._2).sum == 65L, "allocations must sum to the budget")
+  }
+
+  test("q191: a planted verbatim quote masks exactly its span; distant quotes stay separate islands") {
+    import spark.implicits._
+    val evalText = (1 to 8).map(i => s"e$i").mkString(" ")  // 5 4-grams
+    // quote at words 4-11 (1-based), second quote at words 30-37
+    val pad = (1 to 3).map(i => s"x$i").mkString(" ")
+    val mid = (1 to 18).map(i => s"y$i").mkString(" ")
+    val tail = (1 to 5).map(i => s"z$i").mkString(" ")
+    val trainText = s"$pad $evalText $mid $evalText $tail"
+    val docs = Seq(
+      (0L, evalText, "en", "src0", evalText.length.toLong),
+      (1L, trainText, "en", "src1", trainText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestDirs.scratch("graft-mask")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = SparkEntry.queries("q191_decontam_span_mask")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans.toSeq == Seq((4L, 11L, 8L, 5L), (30L, 37L, 8L, 5L)),
+      s"spans: ${spans.toSeq}")
+  }
+
   test("q188: exact-copy neighbors survive int8 quantization as top-1 with qcos 1.0") {
     import spark.implicits._
     val rnd = new scala.util.Random(188)
