@@ -122,6 +122,16 @@ object ScaleSmoke {
       }),
       "cdc_build" -> ((s, dir) => {
         dropFrameCaches("cdc"); ops.TextOps.cdcChunksCached(s, dir)
+      }),
+      "bandsweep_build" -> ((s, dir) => {
+        dropFrameCaches("bandsweep"); ops.Dedup.bandingSweepCached(s, dir)
+      }),
+      "gt_build" -> ((s, dir) => {
+        dropFrameCaches("brutetop3"); ops.Similarity.bruteTopkCached(s, dir)
+      }),
+      "knnbase_build" -> ((s, dir) => {
+        dropFrameCaches(s"knnbase${ops.Similarity.KnnGraphK}")
+        ops.Similarity.knnGraphIncrementalCached(s, dir)
       }))
 
   def main(args: Array[String]): Unit = {

@@ -1025,14 +1025,14 @@ object Similarity {
     * ivf/lsh truth, q116's sweep truth, q188's sq truth) — built once
     * per corpus, read back in milliseconds. Order is NOT preserved by
     * the roundtrip; q35 re-sorts. */
-  private[ops] def bruteTopkCached(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bruteTopkCached(s: SparkSession, dir: String): DataFrame =
     FrameCache.serve(s,
         FrameCache.path("brutetop3", 1, corpusFingerprint(s, dir))) {
       bruteTopk(s, dir)
     }
 
   /** [[bruteL1Topk]] from the same cache (q102's pq truth). */
-  private[ops] def bruteL1TopkCached(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bruteL1TopkCached(s: SparkSession, dir: String): DataFrame =
     FrameCache.serve(s,
         FrameCache.path("brutel1top3", 1, corpusFingerprint(s, dir))) {
       bruteL1Topk(s, dir)
