@@ -204,6 +204,42 @@ object EventStreams {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_eval_fp"))
 
+  /** Streaming mirror of q191's span-level decontamination mask — the
+    * online ingest form of surgical decontamination: incoming docs
+    * explode positional 4-grams, stream-static equi-join against the
+    * frozen eval gram set, and per doc the hit positions collapse to
+    * maximal merged spans. The batch query's per-doc WINDOW (gaps-and-
+    * islands) is batch-only machinery, so the merge here is an IN-ROW
+    * fold over the doc's sorted hit positions (`aggregate` over
+    * `sort_array(collect_list(p))` — deterministic after the sort,
+    * identical overlap-or-abut rule: positions ≤ prev end + 1 extend
+    * the open span). Output is one row per FLAGGED doc with its spans
+    * array, span count and masked-word total — complete-mode state is
+    * bounded by the leaky docs, a vanishing corpus fraction (the q73 /
+    * winnow-gate shape). StreamingSpec pins per-doc equality with
+    * batch q191. */
+  def streamingSpanMask(docs: DataFrame, evalGrams: DataFrame): DataFrame =
+    graft.ops.TextOps.positionalWordShingles(docs, 4)
+      .withColumn("p", col("i") + lit(1L))
+      .join(evalGrams, "s")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .select(col("doc_id"), expr(
+        """aggregate(ps,
+             cast(array() as array<struct<s: bigint, e: bigint, n: bigint>>),
+             (acc, p) -> case
+               when size(acc) = 0 or p > element_at(acc, -1).e + 1L
+                 then concat(acc,
+                   array(named_struct('s', p, 'e', p + 3L, 'n', 1L)))
+               else concat(slice(acc, 1, size(acc) - 1),
+                 array(named_struct('s', element_at(acc, -1).s,
+                   'e', p + 3L, 'n', element_at(acc, -1).n + 1L)))
+             end)""").as("spans"))
+      .select(col("doc_id"), col("spans"),
+        expr("cast(size(spans) as bigint)").as("n_spans"),
+        expr("aggregate(spans, 0L, (a, x) -> a + x.e - x.s + 1L)")
+          .as("masked_words"))
+
   /** Stream-stream interval join — the unbounded form of q63's
     * view→purchase conversion: each purchase matches the same user's
     * views from the preceding hour. Both sides MUST carry watermarks and

@@ -556,4 +556,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(!streamed.contains(trainIds(1)), "clean doc must not flag")
     } finally q.stop()
   }
+
+  test("streaming span-mask merges planted quotes into exactly batch q191's spans") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the q191 fixture: quotes at 1-based word positions 4-11 and 30-37
+    val evalText = (1 to 8).map(i => s"e$i").mkString(" ")
+    val pad = (1 to 3).map(i => s"x$i").mkString(" ")
+    val mid = (1 to 18).map(i => s"y$i").mkString(" ")
+    val tail = (1 to 5).map(i => s"z$i").mkString(" ")
+    val trainText = s"$pad $evalText $mid $evalText $tail"
+    val clean = (1 to 9).map(i => s"c$i").mkString(" ")
+    // the frozen eval gram table a deployment ships to the gate
+    val evalGrams = graft.ops.TextOps
+      .wordShingles(Seq((0L, evalText)).toDF("doc_id", "text"), 4)
+      .select(col("s")).distinct()
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingSpanMask(
+        input.toDF().toDF("doc_id", "text"), evalGrams)
+      .writeStream.format("memory").queryName("span_mask")
+      .outputMode("complete").start()
+    try {
+      input.addData((1L, trainText), (2L, clean))
+      q.processAllAvailable()
+      val rows = spark.table("span_mask").collect()
+      assert(rows.length == 1 && rows.head.getLong(0) == 1L,
+        "only the quoting doc may flag")
+      val spans = rows.head.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // identical to the batch q191 spans for the same fixture
+      // (SketchAuditSpec): (start, end, n_grams)
+      assert(spans == Seq((4L, 11L, 5L), (30L, 37L, 5L)), s"spans $spans")
+      assert(rows.head.getLong(2) == 2L, "n_spans")
+      assert(rows.head.getLong(3) == 16L, "masked_words = 2 spans x 8")
+    } finally q.stop()
+  }
 }
