@@ -453,11 +453,16 @@ object CorpusStats {
     //      over that grid-sized frame, two one-row crossJoins. ----
     "q190_token_budget_waterfill" -> QueryDef(
       (s, dir) => {
+        // the |sources|-row rollup feeds the totals, the window pass
+        // AND the final projection — persist it so the corpus scan
+        // behind it runs ONCE (TransientCache releases it after the
+        // caller's action)
         val ps = Tables.load(s, dir, "documents")
           .select(col("source"), Quality.nWords(col("text")).as("nw"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("nw").cast("long")).as("n_tokens"))
+          .transform(TransientCache.scopedDF)
         val tot = ps.agg(sum(col("n_tokens")).as("tot_tokens"),
           count(lit(1)).as("n_all"))
         val wOrd = Window.orderBy(col("n_tokens"), col("source"))
