@@ -579,7 +579,7 @@ object Scrub {
         val imgDup = Multimodal.phashPairsCached(s, dir)
           .select(col("db").as("doc_id")).distinct()
           .withColumn("img_hit", lit(1))
-        val decontam = Similarity.semanticDecontam(emb)
+        val decontam = Similarity.semanticDecontamCached(s, dir)
           .select(col("vec_id").as("doc_id"), lit(1).as("dec_hit"))
         val ch = TextOps.cdcChunksCached(s, dir)
         val cnt = ch.groupBy(col("chunk_hash"))
@@ -592,7 +592,7 @@ object Scrub {
           .filter(col("dup") * 2 >= col("tot"))
           .select(col("doc_id"))
           .withColumn("chunk_hit", lit(1))
-        val spanContam = TextOps.contaminationSpans(docs)
+        val spanContam = TextOps.contaminationSpansCached(s, dir)
           .filter(col("max_run_grams") >= TextOps.SpanRunGate)
           .select(col("doc_id"))
           .withColumn("span_hit", lit(1))

@@ -907,6 +907,18 @@ object Similarity {
     * handful of vectors at every SF. */
   val SemContamMinCos = 0.42
 
+  /** [[semanticDecontam]] over a data dir's embeddings table, served
+    * from the fingerprint cache ([[FrameCache]]): the corpus-vs-eval
+    * broadcast scan is consumed by q110 AND the q117 ledger's decontam
+    * verdict — built once per corpus. Order is NOT preserved; q110
+    * re-sorts. v-bump with any change to the eval-window ids or the
+    * threshold. */
+  def semanticDecontamCached(s: SparkSession, dir: String): DataFrame =
+    FrameCache.serve(s, FrameCache.path("semdecon", 1,
+        corpusFingerprint(s, dir))) {
+      semanticDecontam(Tables.load(s, dir, "embeddings"))
+    }
+
   /** The q110 operator over a raw (vec_id, embedding) frame, exposed so
     * SimilaritySpec can plant an eval near-copy and assert it is
     * flagged. See the q110 entry for the scale/parity story. */
@@ -1725,7 +1737,7 @@ object Similarity {
     //      corpus-vs-eval cosine ≈ 0.46); a production run sets it from
     //      the q102-style recall/precision trade-off, not from here. ----
     "q110_semantic_decontam" -> QueryDef(
-      (s, dir) => semanticDecontam(Tables.load(s, dir, "embeddings")),
+      (s, dir) => semanticDecontamCached(s, dir).orderBy(col("vec_id")),
       Some(s"""WITH $semanticDecontamDuckCtes
            SELECT vec_id, eval_id, round(cos, 4) AS cos_sim, n_eval_hits
            FROM sdc_flagged WHERE rk = 1

@@ -440,6 +440,18 @@ object TextOps {
     * eval source's distinct gram set; hit positions collapse to maximal
     * consecutive runs (gaps-and-islands); a run of r grams spans r+3
     * words. */
+  /** [[contaminationSpans]] over a data dir's documents table, served
+    * from the fingerprint cache ([[FrameCache]]): the positional-gram
+    * hit collapse is consumed by THREE queries — q128, q139's
+    * threshold sweep and the q117 ledger's span verdict. Order is NOT
+    * preserved; q128 re-sorts. v-bump with any change to the gram
+    * size, run rule or eval-source convention. */
+  def contaminationSpansCached(s: SparkSession, dir: String): DataFrame =
+    FrameCache.serve(s, FrameCache.path("contspans", 1,
+        Similarity.corpusFingerprint(s, dir, "documents"))) {
+      contaminationSpans(graft.Tables.load(s, dir, "documents"))
+    }
+
   def contaminationSpans(docs: DataFrame,
       evalSource: String = "src0"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2756,7 +2768,7 @@ object TextOps {
     //      per-doc window over hit positions only — hits, not grams,
     //      shuffle. ----
     "q128_contamination_spans" -> QueryDef(
-      (s, dir) => contaminationSpans(Tables.load(s, dir, "documents")),
+      (s, dir) => contaminationSpansCached(s, dir).orderBy(col("doc_id")),
       Some(s"""WITH $posGramDuckCtes,
              ev AS (
                SELECT DISTINCT pg.s FROM pg
@@ -2952,7 +2964,7 @@ object TextOps {
         val docs = Tables.load(s, dir, "documents")
         val nTrain = docs.filter(col("source") =!= "src0")
           .agg(count(lit(1)).as("n_train"))
-        val capped = contaminationSpans(docs)
+        val capped = contaminationSpansCached(s, dir)
           .select(least(col("max_run_grams"), lit(16L)).as("t"))
           .groupBy(col("t")).agg(count(lit(1)).as("n_at"))
         val wCum = Window.orderBy(col("t").desc)
