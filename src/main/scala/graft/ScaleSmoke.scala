@@ -132,6 +132,18 @@ object ScaleSmoke {
       "knnbase_build" -> ((s, dir) => {
         dropFrameCaches(s"knnbase${ops.Similarity.KnnGraphK}")
         ops.Similarity.knnGraphIncrementalCached(s, dir)
+      }),
+      // these three ride other cached substrates (thumbs, the corpus
+      // scans), so dropping ONLY their own dirs times the incremental
+      // build cost a pipeline pays when just this stage's code changes
+      "phashpairs_build" -> ((s, dir) => {
+        dropFrameCaches("phashpairs"); ops.Multimodal.phashPairsCached(s, dir)
+      }),
+      "contspans_build" -> ((s, dir) => {
+        dropFrameCaches("contspans"); ops.TextOps.contaminationSpansCached(s, dir)
+      }),
+      "semdecon_build" -> ((s, dir) => {
+        dropFrameCaches("semdecon"); ops.Similarity.semanticDecontamCached(s, dir)
       }))
 
   def main(args: Array[String]): Unit = {
