@@ -144,6 +144,18 @@ object ScaleSmoke {
       }),
       "semdecon_build" -> ((s, dir) => {
         dropFrameCaches("semdecon"); ops.Similarity.semanticDecontamCached(s, dir)
+      }),
+      "winfp_build" -> ((s, dir) => {
+        dropFrameCaches("winfp"); dropFrameCaches("winmp")
+        ops.TextOps.winnowFpsCached(s, dir)._1
+      }),
+      "jacpairs_build" -> ((s, dir) => {
+        dropFrameCaches("jacpairs80")
+        ops.TextOps.jaccardPairsCached(s, dir, 0.8)
+      }),
+      "gtl1_build" -> ((s, dir) => {
+        dropFrameCaches("brutel1top3")
+        ops.Similarity.bruteL1TopkCached(s, dir)
       }))
 
   def main(args: Array[String]): Unit = {
@@ -187,6 +199,9 @@ object ScaleSmoke {
       def best(dir: String): (Double, Option[String]) = {
         val runs = (1 to 3).map { _ =>
           spark.catalog.clearCache()
+          // the toRdd timing path never fires the release listener —
+          // same hygiene as Bench's loop (r11)
+          ops.TransientCache.drainAll()
           Bench.timeOne(spark, dir, fn)
         }.drop(1)
         val ok = runs.collect { case (s, None) => s }

@@ -135,9 +135,10 @@ object Dedup {
     }
 
   /** Cache-format versions ([[FrameCache.path]]): bump with any
-    * semantic change to the shingle hash / banding pipeline. */
+    * semantic change to the shingle hash / banding / sweep pipeline. */
   private val ShinglesCacheV = 1
   private val LshPairsCacheV = 1
+  private val BandSweepCacheV = 1
 
   def shingleHashes(docsText: DataFrame): DataFrame =
     shingled(docsText).select(col("doc_id"), col("g")).distinct()
@@ -157,7 +158,7 @@ object Dedup {
     * to [[BandingConfigs]], the signature constants or the truth
     * threshold. */
   def bandingSweepCached(s: SparkSession, dir: String): DataFrame =
-    FrameCache.serve(s, FrameCache.path("bandsweep", 1,
+    FrameCache.serve(s, FrameCache.path("bandsweep", BandSweepCacheV,
         Similarity.corpusFingerprint(s, dir, "documents"))) {
       bandingSweep(Tables.load(s, dir, "documents"),
         Some(shingleHashesCached(s, dir)))

@@ -36,12 +36,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cleared before the rename. */
 object FrameCache {
 
-  /** Canonical versioned cache path under `java.io.tmpdir`:
-    * `graft_<name>_v<version>_<fingerprint>`. Bump a substrate's
-    * version constant with ANY semantic change to its builder — the
-    * fingerprint only tracks the input corpus, not the build code. */
-  def path(name: String, version: Int, fingerprint: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_v${version}_$fingerprint"
+  /** Canonical versioned cache path, `graft_<name>_v<version>_<fp>`,
+    * under the `graft.frameCacheDir` system property when set (the test
+    * harness points it at a session-scoped scratch root so spec
+    * fixtures' caches are deleted with the fixtures — their random
+    * paths make the fingerprints unreusable anyway), else
+    * `java.io.tmpdir` (the durable cross-session location). Bump a
+    * substrate's version constant with ANY semantic change to its
+    * builder — the fingerprint only tracks the input corpus, not the
+    * build code. */
+  def path(name: String, version: Int, fingerprint: String): String = {
+    val base = sys.props.getOrElse("graft.frameCacheDir",
+      System.getProperty("java.io.tmpdir"))
+    s"$base/graft_${name}_v${version}_$fingerprint"
+  }
 
   /** Serve the parquet cache at `cacheDir`, building it with `build`
     * on first use (or after the fingerprint-keyed path rotates). */
@@ -61,8 +69,16 @@ object FrameCache {
       } else {
         // a dest dir WITHOUT the marker is a crashed partial build:
         // clear it so the rename below lands at dest itself instead of
-        // nesting inside it
-        if (fs.exists(dest)) fs.delete(dest, true)
+        // nesting inside it. The marker is RE-checked immediately
+        // before the delete to shrink the window in which a winner
+        // landing between the checks could be deleted; the residual
+        // race is harmless to the CACHE (both builders produce
+        // identical content, and ours renames in right after) but can
+        // transiently fail a reader holding the deleted files — the
+        // cost of lock-free publish, acceptable because two processes
+        // building the same fingerprint simultaneously is already the
+        // rare double-build case.
+        if (fs.exists(dest) && !fs.exists(marker)) fs.delete(dest, true)
         if (fs.rename(tmp, dest)) {
           // rename onto a dest that (re)appeared between the checks
           // nests tmp INSIDE dest instead of failing — treat as a

@@ -31,6 +31,12 @@ import graft.{QueryDef, Tables}
   */
 object Multimodal {
 
+  /** Cache-format versions ([[FrameCache.path]]): bump with any
+    * semantic change to the decode/thumb pipeline or the signature/
+    * banding/threshold constants. */
+  private val ThumbsCacheV = 1
+  private val PhashPairsCacheV = 1
+
   final case class MediaRow(doc_id: Long, payload: Array[Byte],
       kind: String, n_bytes: Long)
   final case class MediaFeatures(doc_id: Long, n_bytes: Long,
@@ -365,7 +371,7 @@ object Multimodal {
     val fp = Similarity.corpusFingerprint(s, dir, "documents")
     // v-bump with any change to the decode/thumb pipeline (block-PNG
     // encoding, 8×8 thumb shape, grayscale weights)
-    FrameCache.serve(s, FrameCache.path("imgthumb", 1, fp)) {
+    FrameCache.serve(s, FrameCache.path("imgthumb", ThumbsCacheV, fp)) {
       val px = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), expr(blockPxSpark).as("px"))
@@ -478,7 +484,7 @@ object Multimodal {
     * constants. (The AUDIO pair list stays inline: q118 is its only
     * consumer, and the real decode is the work that query measures.) */
   def phashPairsCached(s: SparkSession, dir: String): DataFrame =
-    FrameCache.serve(s, FrameCache.path("phashpairs", 1,
+    FrameCache.serve(s, FrameCache.path("phashpairs", PhashPairsCacheV,
         Similarity.corpusFingerprint(s, dir, "documents"))) {
       phashPairs(thumbFeaturesCached(s, dir))
     }

@@ -555,7 +555,6 @@ object Scrub {
     "q117_curation_ledger_full" -> QueryDef(
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val emb = Tables.load(s, dir, "embeddings")
         val wDup = Window.partitionBy(col("h")).orderBy(col("doc_id"))
         val base = docs
           .withColumn("h", md5(col("text")))

@@ -241,10 +241,14 @@ object Similarity {
       knnGraph(Tables.load(s, dir, "embeddings"), k)
     }
 
-  /** Cache-format version ([[FrameCache.path]]): bump with any
-    * semantic change to the banded kNN build (sign-band constants,
-    * [[NeardupBandCap]], rank tie-breaks, rounding grid). */
+  /** Cache-format versions ([[FrameCache.path]]): bump with any
+    * semantic change to the owning builder (sign-band constants,
+    * [[NeardupBandCap]], rank tie-breaks, rounding grids, eval-window
+    * ids, thresholds, IVF build params). */
   private val KnnCacheV = 1
+  private val IvfCacheV = 1
+  private val SemDeconCacheV = 1
+  private val GroundTruthCacheV = 1
 
   def knnGraph(emb: DataFrame, k: Int = KnnGraphK): DataFrame = {
     registerNeardupBands(emb.sparkSession)
@@ -707,7 +711,7 @@ object Similarity {
     * path; the on-demand build keeps the query self-contained). */
   private def ivfIndexDirFor(s: SparkSession, dir: String): String =
     ivfIndexConf(s).getOrElse(
-      FrameCache.path("ivf", 1, corpusFingerprint(s, dir)))
+      FrameCache.path("ivf", IvfCacheV, corpusFingerprint(s, dir)))
 
   /** Ensure a valid persisted index at `idx`, building (or rebuilding)
     * if needed. Three production hazards are closed here:
@@ -914,7 +918,7 @@ object Similarity {
     * re-sorts. v-bump with any change to the eval-window ids or the
     * threshold. */
   def semanticDecontamCached(s: SparkSession, dir: String): DataFrame =
-    FrameCache.serve(s, FrameCache.path("semdecon", 1,
+    FrameCache.serve(s, FrameCache.path("semdecon", SemDeconCacheV,
         corpusFingerprint(s, dir))) {
       semanticDecontam(Tables.load(s, dir, "embeddings"))
     }
@@ -1039,14 +1043,14 @@ object Similarity {
     * the roundtrip; q35 re-sorts. */
   private[graft] def bruteTopkCached(s: SparkSession, dir: String): DataFrame =
     FrameCache.serve(s,
-        FrameCache.path("brutetop3", 1, corpusFingerprint(s, dir))) {
+        FrameCache.path("brutetop3", GroundTruthCacheV, corpusFingerprint(s, dir))) {
       bruteTopk(s, dir)
     }
 
   /** [[bruteL1Topk]] from the same cache (q102's pq truth). */
   private[graft] def bruteL1TopkCached(s: SparkSession, dir: String): DataFrame =
     FrameCache.serve(s,
-        FrameCache.path("brutel1top3", 1, corpusFingerprint(s, dir))) {
+        FrameCache.path("brutel1top3", GroundTruthCacheV, corpusFingerprint(s, dir))) {
       bruteL1Topk(s, dir)
     }
 

@@ -21,6 +21,15 @@ import graft.{QueryDef, Tables}
   */
 object TextOps {
 
+  /** Cache-format versions ([[FrameCache.path]]): bump with any
+    * semantic change to the owning builder (winnowing window/gram
+    * constants, span run rule, CDC gear-hash params, shingle hot-cap
+    * constants). */
+  private val WinnowCacheV = 1
+  private val ContSpansCacheV = 1
+  private val CdcCacheV = 1
+  private val JacPairsCacheV = 1
+
   /** n-word shingle set of the lowercased text, distinct, as a Column
     * expression over a `words` array column. */
   private def shingleExpr(n: Int) =
@@ -91,8 +100,8 @@ object TextOps {
     val cfp = Similarity.corpusFingerprint(s, dir, "documents")
     // v-bump with any change to the winnowing window/gram constants
     lazy val built = winnowFps(Tables.load(s, dir, "documents"))
-    (FrameCache.serve(s, FrameCache.path("winfp", 1, cfp)) { built._1 },
-      FrameCache.serve(s, FrameCache.path("winmp", 1, cfp)) { built._2 })
+    (FrameCache.serve(s, FrameCache.path("winfp", WinnowCacheV, cfp)) { built._1 },
+      FrameCache.serve(s, FrameCache.path("winmp", WinnowCacheV, cfp)) { built._2 })
   }
 
   private[graft] def winnowFps(docs: DataFrame): (DataFrame, DataFrame) = {
@@ -447,7 +456,7 @@ object TextOps {
     * preserved; q128 re-sorts. v-bump with any change to the gram
     * size, run rule or eval-source convention. */
   def contaminationSpansCached(s: SparkSession, dir: String): DataFrame =
-    FrameCache.serve(s, FrameCache.path("contspans", 1,
+    FrameCache.serve(s, FrameCache.path("contspans", ContSpansCacheV,
         Similarity.corpusFingerprint(s, dir, "documents"))) {
       contaminationSpans(graft.Tables.load(s, dir, "documents"))
     }
@@ -749,7 +758,7 @@ object TextOps {
     * and the q117 ledger's chunk-dup verdict. */
   def cdcChunksCached(s: SparkSession, dir: String): DataFrame =
     // v-bump with any change to the CDC gear-hash/chunk-bound params
-    FrameCache.serve(s, FrameCache.path("cdc", 1,
+    FrameCache.serve(s, FrameCache.path("cdc", CdcCacheV,
         Similarity.corpusFingerprint(s, dir, "documents"))) {
       cdcChunks(Tables.load(s, dir, "documents"))
     }
@@ -874,7 +883,7 @@ object TextOps {
       minJ: Double): DataFrame =
     // v-bump with any change to the shingle hash / hot-cap constants
     FrameCache.serve(s,
-        FrameCache.path(s"jacpairs${math.round(minJ * 100)}", 1,
+        FrameCache.path(s"jacpairs${math.round(minJ * 100)}", JacPairsCacheV,
           Similarity.corpusFingerprint(s, dir, "documents"))) {
       jaccardPairs(Tables.load(s, dir, "documents"), minJ)
     }

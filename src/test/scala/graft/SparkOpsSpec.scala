@@ -12,6 +12,13 @@ import graft.Tables
   * suites grab it lazily). */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // spec fixtures live at fresh random scratch paths, so the
+    // FrameCache dirs their fingerprints produce can never be re-hit
+    // by a later session — route them under the session scratch root
+    // (deleted on exit) instead of leaking one orphan set per test run
+    // into java.io.tmpdir. Real testdata caches (Verify/Bench JVMs)
+    // keep the durable tmpdir location.
+    System.setProperty("graft.frameCacheDir", TestDirs.scratch("framecache"))
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
