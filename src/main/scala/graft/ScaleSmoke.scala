@@ -156,6 +156,18 @@ object ScaleSmoke {
       "gtl1_build" -> ((s, dir) => {
         dropFrameCaches("brutel1top3")
         ops.Similarity.bruteL1TopkCached(s, dir)
+      }),
+      "pqtop3_build" -> ((s, dir) => {
+        dropFrameCaches("pqtop3")
+        ops.Similarity.pqTopkCached(s, dir)
+      }),
+      "kmedassign_build" -> ((s, dir) => {
+        dropFrameCaches("kmed8"); dropFrameCaches("kmedassign")
+        ops.Clustering.kmedAssignCached(s, dir)
+      }),
+      "simsig_build" -> ((s, dir) => {
+        dropFrameCaches("simsig")
+        ops.Dedup.simhashSignaturesCached(s, dir)
       }))
 
   def main(args: Array[String]): Unit = {

@@ -150,19 +150,23 @@ object Clustering {
   /** The full pipeline over a raw (vec_id, embedding) frame: seed →
     * assign → median update → assign, reporting per-cluster size and the
     * lower-median member distance (a dispersion read-out that is itself
-    * an exact element value). */
-  def kmediansProfile(emb: DataFrame): DataFrame = {
+    * an exact element value). `preAssign` substitutes the trained
+    * assignment ([[kmedAssignCached]] — identical values, so the
+    * readout is bitwise unchanged); the default path trains inline
+    * (specs, raw frames). */
+  def kmediansProfile(emb: DataFrame,
+      preAssign: Option[DataFrame] = None): DataFrame = {
     val spark = emb.sparkSession
-    val n = emb
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("de", expr(toDouble))
-      .select(col("vec_id"), col("de"))
-      .transform(TransientCache.scopedDF)
-    val cents0 = n.filter(col("vec_id") < K)
-      .select(col("vec_id").as("cid"), col("de").as("cde"))
-    val a1 = assign(n, cents0)
-    val cents1 = updateCentroids(a1)
-    val a2 = assign(n, cents1)
+    val a2 = preAssign.getOrElse {
+      val n = emb
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("de", expr(toDouble))
+        .select(col("vec_id"), col("de"))
+        .transform(TransientCache.scopedDF)
+      val cents0 = n.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("de").as("cde"))
+      assign(n, updateCentroids(assign(n, cents0)))
+    }
     val wSort = Window.partitionBy(col("cluster_id"))
       .orderBy(col("dist"), col("vec_id"))
     val wCnt = Window.partitionBy(col("cluster_id"))
@@ -180,16 +184,19 @@ object Clustering {
     * same seed→assign→median-update training as [[kmediansProfile]].
     * Exposed so CorpusOpsSpec can assert that planted well-separated
     * clusters score high and overlapping ones score near 1. */
-  def clusterQuality(emb: DataFrame): DataFrame = {
+  def clusterQuality(emb: DataFrame,
+      preCentroids: Option[DataFrame] = None): DataFrame = {
     val spark = emb.sparkSession
     val n = emb
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("de", expr(toDouble))
       .select(col("vec_id"), col("de"))
       .transform(TransientCache.scopedDF)
-    val cents0 = n.filter(col("vec_id") < K)
-      .select(col("vec_id").as("cid"), col("de").as("cde"))
-    val cents1 = updateCentroids(assign(n, cents0))
+    val cents1 = preCentroids.getOrElse {
+      val cents0 = n.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("de").as("cde"))
+      updateCentroids(assign(n, cents0))
+    }
     val wAll = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist"), col("cid"))
     val per = n.join(broadcast(cents1))
@@ -356,6 +363,48 @@ object Clustering {
     * change to the assignment (K derivation, seed choice, regime
     * threshold, tie-breaks). */
   private val ClustersCacheV = 1
+
+  /** Cache-format version for the q70-family k-medians substrates
+    * ([[FrameCache.path]]): the codebook and assignment caches version
+    * TOGETHER — bump with any change to the training (seed rule,
+    * lower-median update, the L1 fold, [[K]], tie-breaks). */
+  private val KMedCacheV = 1
+
+  /** The q70-family input normalization: (vec_id, de). */
+  private def kmedInput(emb: DataFrame): DataFrame =
+    emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("de", expr(toDouble))
+      .select(col("vec_id"), col("de"))
+
+  /** The trained K=[[K]] k-medians codebook (cid, cde) over a data
+    * dir's embeddings, served from the fingerprint cache
+    * ([[FrameCache]]): q70 (profile), q113 (quality) and q133
+    * (outliers) all train this IDENTICAL codebook — seed = the
+    * vec_id < K subvectors, one lower-median Lloyd update — before
+    * their own readouts, so a session retrained it three times.
+    * [[K]] rows; doubles roundtrip parquet bitwise. */
+  def kmedCentroidsCached(s: SparkSession, dir: String): DataFrame =
+    FrameCache.serve(s, FrameCache.path("kmed8", KMedCacheV,
+        Similarity.corpusFingerprint(s, dir))) {
+      val n = kmedInput(Tables.load(s, dir, "embeddings"))
+        .transform(TransientCache.scopedDF)
+      updateCentroids(assign(n, n.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("de").as("cde"))))
+    }
+
+  /** The final nearest-centroid assignment (vec_id, cluster_id, dist)
+    * under [[kmedCentroidsCached]] — q70's profile base and q133's
+    * outlier base. Built FROM the codebook cache, so a cold session
+    * pays exactly one training however many consumers run. Row order
+    * is not preserved; both consumers rank/aggregate with (dist,
+    * vec_id) tie-breaks and re-sort their output. */
+  def kmedAssignCached(s: SparkSession, dir: String): DataFrame =
+    FrameCache.serve(s, FrameCache.path("kmedassign", KMedCacheV,
+        Similarity.corpusFingerprint(s, dir))) {
+      assign(kmedInput(Tables.load(s, dir, "embeddings")),
+          kmedCentroidsCached(s, dir))
+        .select(col("vec_id"), col("cluster_id"), col("dist"))
+    }
 
   /** Flat assignment: every vector scored against all `k` broadcast
     * seed centroids (the K smallest vec_ids) — O(N·k), fine while k is
@@ -558,7 +607,8 @@ object Clustering {
     //      (provably the same (n+1) div 2 sorted element as the window
     //      formulation — an independent spelling of the same median). ----
     "q70_kmedians_clusters" -> QueryDef(
-      (s, dir) => kmediansProfile(Tables.load(s, dir, "embeddings")),
+      (s, dir) => kmediansProfile(Tables.load(s, dir, "embeddings"),
+        Some(kmedAssignCached(s, dir))),
       Some(s"""WITH n AS (
                SELECT vec_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
@@ -743,7 +793,8 @@ object Clustering {
     //      windows over K groups — no corpus-sized shuffle beyond the
     //      vec_id window. ----
     "q113_cluster_quality" -> QueryDef(
-      (s, dir) => clusterQuality(Tables.load(s, dir, "embeddings")),
+      (s, dir) => clusterQuality(Tables.load(s, dir, "embeddings"),
+        Some(kmedCentroidsCached(s, dir))),
       Some(s"""WITH n AS (
                SELECT vec_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
@@ -798,7 +849,8 @@ object Clustering {
     //      distances round. One broadcast assign + two cluster-keyed
     //      windows — the q70 scale shape unchanged. ----
     "q133_embedding_outliers" -> QueryDef(
-      (s, dir) => embeddingOutliers(Tables.load(s, dir, "embeddings")),
+      (s, dir) => embeddingOutliers(Tables.load(s, dir, "embeddings"),
+        Some(kmedAssignCached(s, dir))),
       Some(s"""WITH n AS (
                SELECT vec_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
@@ -922,22 +974,27 @@ object Clustering {
   /** q133's pipeline over a raw (vec_id, embedding) frame, exposed for
     * planted-outlier specs: train exactly as q70, then flag members
     * whose distance exceeds twice their cluster's lower-median. */
-  def embeddingOutliers(emb: DataFrame): DataFrame = {
+  def embeddingOutliers(emb: DataFrame,
+      preAssign: Option[DataFrame] = None): DataFrame = {
     val spark = emb.sparkSession
-    val n = emb
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("de", expr(toDouble))
-      .select(col("vec_id"), col("de"))
-      .transform(TransientCache.scopedDF)
-    val cents0 = n.filter(col("vec_id") < K)
-      .select(col("vec_id").as("cid"), col("de").as("cde"))
     // a2 feeds THREE consumers (profile, flag filter, top-outlier rank);
     // unpinned, the whole two-assign training recomputes per consumer
     // (measured 4.2 s steady vs 1.26 s for single-consumer q70) —
-    // session hygiene evicts it (Verify/Bench clearCache between queries)
-    val a2 = assign(n, updateCentroids(assign(n, cents0)))
-      .select(col("vec_id"), col("cluster_id"), col("dist"))
-      .transform(TransientCache.scopedDF)
+    // session hygiene evicts it (Verify/Bench clearCache between
+    // queries). The cached substrate ([[kmedAssignCached]]) replaces
+    // the training entirely; its parquet re-read per consumer is the
+    // cheap case, but the scope keeps the plan shape identical.
+    val a2 = preAssign.getOrElse {
+      val n = emb
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("de", expr(toDouble))
+        .select(col("vec_id"), col("de"))
+        .transform(TransientCache.scopedDF)
+      val cents0 = n.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("de").as("cde"))
+      assign(n, updateCentroids(assign(n, cents0)))
+        .select(col("vec_id"), col("cluster_id"), col("dist"))
+    }.transform(TransientCache.scopedDF)
     val wSort = Window.partitionBy(col("cluster_id"))
       .orderBy(col("dist"), col("vec_id"))
     val wCnt = Window.partitionBy(col("cluster_id"))

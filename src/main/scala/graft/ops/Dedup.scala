@@ -139,6 +139,7 @@ object Dedup {
   private val ShinglesCacheV = 1
   private val LshPairsCacheV = 1
   private val BandSweepCacheV = 1
+  private val SimSigCacheV = 1
 
   def shingleHashes(docsText: DataFrame): DataFrame =
     shingled(docsText).select(col("doc_id"), col("g")).distinct()
@@ -778,7 +779,7 @@ object Dedup {
     //      over two independent 56-bit shingle hashes (no arithmetic that
     //      could overflow in either engine) ----
     "q34_simhash_signatures" -> QueryDef(
-      (s, dir) => simhashSignatures(Tables.load(s, dir, "documents"))
+      (s, dir) => simhashSignaturesCached(s, dir)
         .orderBy(col("doc_id")),
       Some(s"""WITH $duckSimhashBody
              SELECT doc_id, sim0, sim1, sim2, sim3 FROM sim
@@ -797,7 +798,8 @@ object Dedup {
     //      Verification is a bit_count(xor) sum — both engines' native
     //      popcount over identical integers. ----
     "q62_simhash_neardup" -> QueryDef(
-      (s, dir) => simhashNeardupPairs(Tables.load(s, dir, "documents")),
+      (s, dir) => simhashNeardupPairs(Tables.load(s, dir, "documents"),
+        preSigs = Some(simhashSignaturesCached(s, dir))),
       Some(duckSimhashNeardupSql(SimhashMaxHamming, HotBandCap))),
 
     // ---- canonical-document selection: the step AFTER clustering — per
@@ -881,8 +883,9 @@ object Dedup {
             "paragraph_minhash"))
           .union(capRow(clusterCounts, "semantic_cluster"))
           .union(capRow(TextOps.shingleGroupCounts(docs), "shingle_join"))
-          .union(capRow(bandGroupCounts(simhashBands(docs), HotBandCap),
-            "simhash_lsh"))
+          .union(capRow(bandGroupCounts(
+            simhashBands(docs, Some(simhashSignaturesCached(s, dir))),
+            HotBandCap), "simhash_lsh"))
           .orderBy(col("path"))
       },
       Some {
@@ -1593,8 +1596,9 @@ object Dedup {
     * explode and both verify joins — so they are persisted once. */
   def simhashNeardupPairs(docsText: DataFrame,
       maxHamming: Int = SimhashMaxHamming,
-      cap: Int = HotBandCap): DataFrame = {
-    val sigs = simhashSignatures(docsText)
+      cap: Int = HotBandCap,
+      preSigs: Option[DataFrame] = None): DataFrame = {
+    val sigs = preSigs.getOrElse(simhashSignatures(docsText))
       .transform(TransientCache.scopedDF)
     val bands = coldBands(sigs.selectExpr("doc_id", simhashStack), cap)
     val cands = bands.as("x")
@@ -1665,9 +1669,25 @@ object Dedup {
        AS (band_idx, band_val)"""
 
   /** Pre-cap (doc_id, band_idx, band_val) SimHash word-band rows — the
-    * frame [[coldBands]] filters in q62; exposed for the q82 cap report. */
-  private[graft] def simhashBands(docsText: DataFrame): DataFrame =
-    simhashSignatures(docsText).selectExpr("doc_id", simhashStack)
+    * frame [[coldBands]] filters in q62; exposed for the q82 cap report.
+    * `preSigs` substitutes the cached signature frame. */
+  private[graft] def simhashBands(docsText: DataFrame,
+      preSigs: Option[DataFrame] = None): DataFrame =
+    preSigs.getOrElse(simhashSignatures(docsText))
+      .selectExpr("doc_id", simhashStack)
+
+  /** [[simhashSignatures]] over a data dir's documents table, served
+    * from the fingerprint cache ([[FrameCache]]): the 64 signed bit
+    * sums over the full shingle multiset are the expensive scan that
+    * q34 (display), q62 (near-dup pairs) and the q82 cap report each
+    * repeated per run. (doc_id, sim0..sim3) int64 words — exact in
+    * parquet; consumers re-sort or join. v-bump with any change to
+    * the shingle/hash constants or the bit/word assembly. */
+  def simhashSignaturesCached(s: SparkSession, dir: String): DataFrame =
+    FrameCache.serve(s, FrameCache.path("simsig", SimSigCacheV,
+        Similarity.corpusFingerprint(s, dir, "documents"))) {
+      simhashSignatures(Tables.load(s, dir, "documents"))
+    }
 
   /** (doc_id, sim0..sim3) — the q34 signature pipeline, shared with q62:
     * a 64-bit simhash as four 16-bit words (see [[SimWords]] for why four

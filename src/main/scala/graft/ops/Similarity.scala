@@ -249,6 +249,7 @@ object Similarity {
   private val IvfCacheV = 1
   private val SemDeconCacheV = 1
   private val GroundTruthCacheV = 1
+  private val PqTopkCacheV = 1
 
   def knnGraph(emb: DataFrame, k: Int = KnnGraphK): DataFrame = {
     registerNeardupBands(emb.sparkSession)
@@ -1054,6 +1055,21 @@ object Similarity {
       bruteL1Topk(s, dir)
     }
 
+  /** [[pqTopk]] served from the fingerprint cache: the PQ top-3 is a
+    * [[NumQueries]]×3-row frame whose build retrains all four k-medians
+    * codebooks and re-encodes the corpus — deterministic per corpus
+    * (seed = first-K subvectors, lower-median update, fixed-order ADC
+    * fold) and rebuilt identically by BOTH consumers (q109's display
+    * rows, q102's pq recall row). Doubles roundtrip parquet bitwise;
+    * q109 re-sorts, q102 joins. v-bump with any change to
+    * [[Clustering.PqSubspaces]]/[[Clustering.PqSubDim]]/[[Clustering.K]],
+    * the median rule, the L1 fold or the ADC tie-break. */
+  private[graft] def pqTopkCached(s: SparkSession, dir: String): DataFrame =
+    FrameCache.serve(s,
+        FrameCache.path("pqtop3", PqTopkCacheV, corpusFingerprint(s, dir))) {
+      pqTopk(s, dir)
+    }
+
   /** Exact brute-force cosine top-3 for queries vec_id < 10 — the q35
     * operator, factored out so q102's recall report can reuse it as the
     * ground-truth side. The query side is the broadcast (small) side;
@@ -1491,7 +1507,7 @@ object Similarity {
           .unionByName(methodRow("lsh", lshTopk(s, dir)))
           // pq approximates L1, so its ground truth is the exact L1
           // top-3 — recall measured under the method's own metric
-          .unionByName(methodRow("pq", pqTopk(s, dir), bruteL1TopkCached(s, dir)))
+          .unionByName(methodRow("pq", pqTopkCached(s, dir), bruteL1TopkCached(s, dir)))
           .orderBy(col("method"))
       },
       Some {
@@ -1707,7 +1723,7 @@ object Similarity {
     //      q102's pq row MEASURES what this configuration recalls
     //      instead of asserting it. ----
     "q109_pq_ann_topk" -> QueryDef(
-      (s, dir) => pqTopk(s, dir)
+      (s, dir) => pqTopkCached(s, dir)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("adc"), 4).as("adc"))
         .orderBy(col("query_id"), col("rank")),
