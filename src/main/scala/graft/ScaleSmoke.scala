@@ -168,6 +168,14 @@ object ScaleSmoke {
       "simsig_build" -> ((s, dir) => {
         dropFrameCaches("simsig")
         ops.Dedup.simhashSignaturesCached(s, dir)
+      }),
+      "dsirw_build" -> ((s, dir) => {
+        dropFrameCaches("dsirw")
+        ops.CorpusStats.dsirWeightsCached(s, dir)
+      }),
+      "parasig_build" -> ((s, dir) => {
+        dropFrameCaches("parasig")
+        ops.Dedup.paragraphMinhashSigsCached(s, dir)
       }))
 
   def main(args: Array[String]): Unit = {

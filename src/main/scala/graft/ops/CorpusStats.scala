@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -836,7 +836,7 @@ object CorpusStats {
     //      both corpus passes map-side-combinable; shuffles carry
     //      (doc_id, bucket, count), never text. ----
     "q178_dsir_weights" -> QueryDef(
-      (s, dir) => dsirWeights(Tables.load(s, dir, "documents")),
+      (s, dir) => dsirWeightsCached(s, dir).orderBy(col("doc_id")),
       Some(s"""WITH $dsirDuckCtes
              SELECT m.doc_id, m.source, CAST(m.is_target AS BIGINT)
                  AS is_target,
@@ -858,7 +858,8 @@ object CorpusStats {
     //      one per-row priority projection + a per-source top-k window
     //      (at corpus scale: the q66 two-pass range-partitioned rank). ----
     "q186_dsir_resample" -> QueryDef(
-      (s, dir) => dsirResample(Tables.load(s, dir, "documents")),
+      (s, dir) => dsirResample(Tables.load(s, dir, "documents"),
+        preWeights = Some(dsirWeightsCached(s, dir))),
       Some(s"""WITH $dsirDuckCtes,
              wp AS (
                SELECT m2.doc_id, m2.source,
@@ -893,7 +894,8 @@ object CorpusStats {
     //      projection and a ≤10-row rollup; sign-split division keeps
     //      Spark `div` and DuckDB `//` on non-negative operands. ----
     "q184_dsir_quality_agreement" -> QueryDef(
-      (s, dir) => dsirQualityAgreement(Tables.load(s, dir, "documents")),
+      (s, dir) => dsirQualityAgreement(Tables.load(s, dir, "documents"),
+        preWeights = Some(dsirWeightsCached(s, dir))),
       Some(s"""WITH $dsirDuckCtes,
              qd AS (
                SELECT doc_id,
@@ -1458,16 +1460,34 @@ object CorpusStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Cache-format version ([[FrameCache.path]]): bump with any
+    * semantic change to the DSIR pipeline ([[DsirBuckets]], the hash,
+    * the target predicate, the whole-bit LUT, the sign-split). */
+  private val DsirCacheV = 1
+
+  /** [[dsirWeights]] over a data dir's documents table, served from the
+    * fingerprint cache ([[FrameCache]]): q178 (display), q186
+    * (resample) and q184 (quality agreement) each re-ran both corpus
+    * passes. All-int64 columns — exact in parquet; row order is not
+    * preserved, so the q178 entry re-sorts and the other consumers
+    * window/aggregate. */
+  def dsirWeightsCached(s: SparkSession, dir: String): DataFrame =
+    FrameCache.serve(s, FrameCache.path("dsirw", DsirCacheV,
+        Similarity.corpusFingerprint(s, dir, "documents"))) {
+      dsirWeights(Tables.load(s, dir, "documents"))
+    }
+
   /** q186 over a (doc_id, source, text) frame: Efraimidis-Spirakis
     * weighted sampling (q107's integer-surrogate priority) driven by
     * q178's importance weights. Exposed for monotonicity specs (a
     * heavier doc with the same hash draw always outranks a lighter
-    * one). */
+    * one). `preWeights` substitutes the cached weight frame. */
   def dsirResample(docs: DataFrame,
-      k: Int = DsirSampleK): DataFrame = {
+      k: Int = DsirSampleK,
+      preWeights: Option[DataFrame] = None): DataFrame = {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("priority"), col("doc_id"))
-    dsirWeights(docs)
+    preWeights.getOrElse(dsirWeights(docs))
       .select(col("doc_id"), col("source"), col("wpt_milli"))
       .withColumn("weight",
         greatest(col("wpt_milli") + 1000L, lit(1L)))
@@ -1487,8 +1507,10 @@ object CorpusStats {
     * share in basis points, signed mean wpt in milli-units with
     * sign-split division). Exposed for monotone-trend specs on planted
     * corpora. */
-  def dsirQualityAgreement(docs: DataFrame): DataFrame = {
-    val w = dsirWeights(docs).select(col("doc_id"), col("wpt_milli"))
+  def dsirQualityAgreement(docs: DataFrame,
+      preWeights: Option[DataFrame] = None): DataFrame = {
+    val w = preWeights.getOrElse(dsirWeights(docs))
+      .select(col("doc_id"), col("wpt_milli"))
     val qd = docs
       .withColumn("qint",
         round(round(Quality.score(col("text")), 4) * 10000, 0).cast("long"))

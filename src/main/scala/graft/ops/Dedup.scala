@@ -140,6 +140,7 @@ object Dedup {
   private val LshPairsCacheV = 1
   private val BandSweepCacheV = 1
   private val SimSigCacheV = 1
+  private val ParaSigCacheV = 1
 
   def shingleHashes(docsText: DataFrame): DataFrame =
     shingled(docsText).select(col("doc_id"), col("g")).distinct()
@@ -263,9 +264,25 @@ object Dedup {
        AS (band_idx, band_val)"""
 
   /** Pre-cap (doc_id, band_idx, band_val) MinHash band rows — the frame
-    * [[coldBands]] filters in q33; exposed for the q82 cap report. */
-  private[graft] def minhashBands(docsText: DataFrame): DataFrame =
-    minhashSigs(docsText).selectExpr("doc_id", minhashStack)
+    * [[coldBands]] filters in q33; exposed for the q82 cap report.
+    * `preSigs` substitutes a cached signature frame. */
+  private[graft] def minhashBands(docsText: DataFrame,
+      preSigs: Option[DataFrame] = None): DataFrame =
+    preSigs.getOrElse(minhashSigs(docsText))
+      .selectExpr("doc_id", minhashStack)
+
+  /** Paragraph-unit MinHash signatures — [[minhashSigs]] over
+    * [[TextOps.paragraphDocs]], (pid, m0..m7) int64 — served from the
+    * fingerprint cache ([[FrameCache]]): q96's paragraph candidate
+    * join and the q82 cap report's paragraph_minhash row each re-ran
+    * the paragraph explode + shingle aggregation per run. v-bump with
+    * any change to the paragraph segmentation ([[TextOps.ParaWords]],
+    * [[TextOps.ParaCap]]) or the minhash constants. */
+  def paragraphMinhashSigsCached(s: SparkSession, dir: String): DataFrame =
+    FrameCache.serve(s, FrameCache.path("parasig", ParaSigCacheV,
+        Similarity.corpusFingerprint(s, dir, "documents"))) {
+      minhashSigs(TextOps.paragraphDocs(Tables.load(s, dir, "documents")))
+    }
 
   /** Per-ROW MinHash band rows — the SAME (doc_id, band_idx, band_val)
     * values as [[minhashBands]], but computed entirely with expressions
@@ -310,11 +327,13 @@ object Dedup {
     }
 
   /** MinHash → 4-band LSH candidate pairs over a (doc_id, text) frame
-    * (the full q33 pipeline, exposed for spec-level stress tests). */
-  def lshCandidatePairs(docsText: DataFrame): DataFrame = {
+    * (the full q33 pipeline, exposed for spec-level stress tests).
+    * `preSigs` substitutes a cached signature frame. */
+  def lshCandidatePairs(docsText: DataFrame,
+      preSigs: Option[DataFrame] = None): DataFrame = {
     // signatures are tiny (one row per doc); cache so the band
     // self-join doesn't recompute the shingle explode + md5 twice
-    val sigs = minhashSigs(docsText)
+    val sigs = preSigs.getOrElse(minhashSigs(docsText))
       .transform(TransientCache.scopedDF)
     val bands = coldBands(sigs.selectExpr("doc_id", minhashStack))
     bands.as("x")
@@ -705,7 +724,8 @@ object Dedup {
     "q96_paragraph_neardup" -> QueryDef(
       (s, dir) => {
         val pc = TextOps.ParaCap
-        lshCandidatePairs(TextOps.paragraphDocs(Tables.load(s, dir, "documents")))
+        lshCandidatePairs(TextOps.paragraphDocs(Tables.load(s, dir, "documents")),
+            preSigs = Some(paragraphMinhashSigsCached(s, dir)))
           .select(expr(s"da div $pc").as("doc_a"), expr(s"da % $pc").as("para_a"),
             expr(s"db div $pc").as("doc_b"), expr(s"db % $pc").as("para_b"))
           .orderBy(col("doc_a"), col("para_a"), col("doc_b"), col("para_b"))
@@ -879,7 +899,8 @@ object Dedup {
           .union(capRow(bandGroupCounts(minhashBands(docs), HotBandCap),
             "minhash_lsh"))
           .union(capRow(bandGroupCounts(
-            minhashBands(TextOps.paragraphDocs(docs)), HotBandCap),
+            minhashBands(TextOps.paragraphDocs(docs),
+              Some(paragraphMinhashSigsCached(s, dir))), HotBandCap),
             "paragraph_minhash"))
           .union(capRow(clusterCounts, "semantic_cluster"))
           .union(capRow(TextOps.shingleGroupCounts(docs), "shingle_join"))
