@@ -83,7 +83,11 @@ object ScaleSmoke {
       val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
       f.delete(); ()
     }
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    // resolve through FrameCache.baseDir, NOT java.io.tmpdir directly:
+    // under graft.frameCacheDir the two diverge, and deleting the wrong
+    // root would leave the marker in place — the timed "build" would
+    // silently measure a warm parquet read
+    val tmp = new java.io.File(ops.FrameCache.baseDir)
     val prefix = s"graft_${name}_v"
     val hits = tmp.listFiles()
     if (hits != null) hits.filter(_.getName.startsWith(prefix)).foreach(rm)
@@ -118,7 +122,15 @@ object ScaleSmoke {
         dropFrameCaches("shingles"); ops.Dedup.shingleHashesCached(s, dir)
       }),
       "lshpairs_build" -> ((s, dir) => {
-        dropFrameCaches("lshpairs"); ops.Dedup.lshCandidatePairsCached(s, dir)
+        // drop the signature substrate too so this stays the FULL
+        // build (signature agg + capped band join) the ledger row
+        // describes, not the mhsig-warm incremental
+        dropFrameCaches("lshpairs"); dropFrameCaches("mhsig")
+        ops.Dedup.lshCandidatePairsCached(s, dir)
+      }),
+      "mhsig_build" -> ((s, dir) => {
+        dropFrameCaches("mhsig")
+        ops.Dedup.minhashSigsCached(s, dir)
       }),
       "cdc_build" -> ((s, dir) => {
         dropFrameCaches("cdc"); ops.TextOps.cdcChunksCached(s, dir)

@@ -156,16 +156,9 @@ object Clustering {
     * (specs, raw frames). */
   def kmediansProfile(emb: DataFrame,
       preAssign: Option[DataFrame] = None): DataFrame = {
-    val spark = emb.sparkSession
     val a2 = preAssign.getOrElse {
-      val n = emb
-        .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("de", expr(toDouble))
-        .select(col("vec_id"), col("de"))
-        .transform(TransientCache.scopedDF)
-      val cents0 = n.filter(col("vec_id") < K)
-        .select(col("vec_id").as("cid"), col("de").as("cde"))
-      assign(n, updateCentroids(assign(n, cents0)))
+      val n = kmedInput(emb).transform(TransientCache.scopedDF)
+      assign(n, kmedTrain(n))
     }
     val wSort = Window.partitionBy(col("cluster_id"))
       .orderBy(col("dist"), col("vec_id"))
@@ -186,17 +179,8 @@ object Clustering {
     * clusters score high and overlapping ones score near 1. */
   def clusterQuality(emb: DataFrame,
       preCentroids: Option[DataFrame] = None): DataFrame = {
-    val spark = emb.sparkSession
-    val n = emb
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("de", expr(toDouble))
-      .select(col("vec_id"), col("de"))
-      .transform(TransientCache.scopedDF)
-    val cents1 = preCentroids.getOrElse {
-      val cents0 = n.filter(col("vec_id") < K)
-        .select(col("vec_id").as("cid"), col("de").as("cde"))
-      updateCentroids(assign(n, cents0))
-    }
+    val n = kmedInput(emb).transform(TransientCache.scopedDF)
+    val cents1 = preCentroids.getOrElse(kmedTrain(n))
     val wAll = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist"), col("cid"))
     val per = n.join(broadcast(cents1))
@@ -376,6 +360,16 @@ object Clustering {
       .withColumn("de", expr(toDouble))
       .select(col("vec_id"), col("de"))
 
+  /** The q70-family codebook off a normalized (vec_id, de) frame:
+    * seed = vec_id < [[K]] → assign → one lower-median Lloyd update.
+    * THE single spelling of the training — the cached builder and
+    * every inline fallback (q70/q113/q133 spec paths) call this, so a
+    * change to the seed or update rule has one home (plus the
+    * [[KMedCacheV]] bump it requires). */
+  private def kmedTrain(n: DataFrame): DataFrame =
+    updateCentroids(assign(n, n.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("de").as("cde"))))
+
   /** The trained K=[[K]] k-medians codebook (cid, cde) over a data
     * dir's embeddings, served from the fingerprint cache
     * ([[FrameCache]]): q70 (profile), q113 (quality) and q133
@@ -386,10 +380,8 @@ object Clustering {
   def kmedCentroidsCached(s: SparkSession, dir: String): DataFrame =
     FrameCache.serve(s, FrameCache.path("kmed8", KMedCacheV,
         Similarity.corpusFingerprint(s, dir))) {
-      val n = kmedInput(Tables.load(s, dir, "embeddings"))
-        .transform(TransientCache.scopedDF)
-      updateCentroids(assign(n, n.filter(col("vec_id") < K)
-        .select(col("vec_id").as("cid"), col("de").as("cde"))))
+      kmedTrain(kmedInput(Tables.load(s, dir, "embeddings"))
+        .transform(TransientCache.scopedDF))
     }
 
   /** The final nearest-centroid assignment (vec_id, cluster_id, dist)
@@ -976,7 +968,6 @@ object Clustering {
     * whose distance exceeds twice their cluster's lower-median. */
   def embeddingOutliers(emb: DataFrame,
       preAssign: Option[DataFrame] = None): DataFrame = {
-    val spark = emb.sparkSession
     // a2 feeds THREE consumers (profile, flag filter, top-outlier rank);
     // unpinned, the whole two-assign training recomputes per consumer
     // (measured 4.2 s steady vs 1.26 s for single-consumer q70) —
@@ -985,14 +976,8 @@ object Clustering {
     // the training entirely; its parquet re-read per consumer is the
     // cheap case, but the scope keeps the plan shape identical.
     val a2 = preAssign.getOrElse {
-      val n = emb
-        .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("de", expr(toDouble))
-        .select(col("vec_id"), col("de"))
-        .transform(TransientCache.scopedDF)
-      val cents0 = n.filter(col("vec_id") < K)
-        .select(col("vec_id").as("cid"), col("de").as("cde"))
-      assign(n, updateCentroids(assign(n, cents0)))
+      val n = kmedInput(emb).transform(TransientCache.scopedDF)
+      assign(n, kmedTrain(n))
         .select(col("vec_id"), col("cluster_id"), col("dist"))
     }.transform(TransientCache.scopedDF)
     val wSort = Window.partitionBy(col("cluster_id"))

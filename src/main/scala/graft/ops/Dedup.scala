@@ -141,6 +141,7 @@ object Dedup {
   private val BandSweepCacheV = 1
   private val SimSigCacheV = 1
   private val ParaSigCacheV = 1
+  private val MhSigCacheV = 1
 
   def shingleHashes(docsText: DataFrame): DataFrame =
     shingled(docsText).select(col("doc_id"), col("g")).distinct()
@@ -284,6 +285,18 @@ object Dedup {
       minhashSigs(TextOps.paragraphDocs(Tables.load(s, dir, "documents")))
     }
 
+  /** Document-level MinHash signatures (doc_id, m0..m7) from the
+    * fingerprint cache: the q82 cap report's minhash_lsh row re-ran the
+    * shingle explode + 8-hash min aggregation every run, and
+    * [[lshCandidatePairsCached]]'s cold build starts from the same
+    * frame — one signature aggregation per corpus however the session
+    * orders its consumers. All-int64; consumers band or count. */
+  def minhashSigsCached(s: SparkSession, dir: String): DataFrame =
+    FrameCache.serve(s, FrameCache.path("mhsig", MhSigCacheV,
+        Similarity.corpusFingerprint(s, dir, "documents"))) {
+      minhashSigs(Tables.load(s, dir, "documents"))
+    }
+
   /** Per-ROW MinHash band rows — the SAME (doc_id, band_idx, band_val)
     * values as [[minhashBands]], but computed entirely with expressions
     * (`array_min` over the in-row shingle transform) instead of
@@ -323,7 +336,8 @@ object Dedup {
   def lshCandidatePairsCached(s: SparkSession, dir: String): DataFrame =
     FrameCache.serve(s, FrameCache.path("lshpairs", LshPairsCacheV,
         Similarity.corpusFingerprint(s, dir, "documents"))) {
-      lshCandidatePairs(Tables.load(s, dir, "documents"))
+      lshCandidatePairs(Tables.load(s, dir, "documents"),
+        preSigs = Some(minhashSigsCached(s, dir)))
     }
 
   /** MinHash → 4-band LSH candidate pairs over a (doc_id, text) frame
@@ -896,8 +910,9 @@ object Dedup {
         val clusterCounts = Clustering.clusterGroupCountsCached(s, dir)
         capRow(bandGroupCounts(Similarity.neardupBandRows(emb),
             Similarity.NeardupBandCap), "embedding_sign_lsh")
-          .union(capRow(bandGroupCounts(minhashBands(docs), HotBandCap),
-            "minhash_lsh"))
+          .union(capRow(bandGroupCounts(
+            minhashBands(docs, Some(minhashSigsCached(s, dir))),
+            HotBandCap), "minhash_lsh"))
           .union(capRow(bandGroupCounts(
             minhashBands(TextOps.paragraphDocs(docs),
               Some(paragraphMinhashSigsCached(s, dir))), HotBandCap),

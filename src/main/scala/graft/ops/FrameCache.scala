@@ -45,11 +45,16 @@ object FrameCache {
     * substrate's version constant with ANY semantic change to its
     * builder — the fingerprint only tracks the input corpus, not the
     * build code. */
-  def path(name: String, version: Int, fingerprint: String): String = {
-    val base = sys.props.getOrElse("graft.frameCacheDir",
+  /** The directory [[path]] roots its cache dirs under — exposed so
+    * tooling that enumerates or deletes cache dirs (ScaleSmoke's
+    * `dropFrameCaches`) resolves the SAME location paths are built
+    * against, whatever `graft.frameCacheDir` says. */
+  def baseDir: String =
+    sys.props.getOrElse("graft.frameCacheDir",
       System.getProperty("java.io.tmpdir"))
-    s"$base/graft_${name}_v${version}_$fingerprint"
-  }
+
+  def path(name: String, version: Int, fingerprint: String): String =
+    s"$baseDir/graft_${name}_v${version}_$fingerprint"
 
   /** Serve the parquet cache at `cacheDir`, building it with `build`
     * on first use (or after the fingerprint-keyed path rotates). */

@@ -12,12 +12,15 @@ import graft.Tables
   * suites grab it lazily). */
 object TestSpark {
   lazy val spark: SparkSession = {
-    // spec fixtures live at fresh random scratch paths, so the
-    // FrameCache dirs their fingerprints produce can never be re-hit
-    // by a later session — route them under the session scratch root
-    // (deleted on exit) instead of leaking one orphan set per test run
-    // into java.io.tmpdir. Real testdata caches (Verify/Bench JVMs)
-    // keep the durable tmpdir location.
+    // spec FIXTURE caches live at fresh random scratch paths, so their
+    // fingerprint dirs can never be re-hit by a later session — route
+    // ALL test-JVM caches under the session scratch root (deleted on
+    // exit) instead of leaking one orphan set per test run into
+    // java.io.tmpdir. Deliberate trade: suites that query the stable
+    // /root/testdata/sf0.001 dirs COULD have reused durable caches and
+    // now rebuild them once per test run — seconds at that scale,
+    // accepted as the price of leak-free tmp. Verify/Bench JVMs keep
+    // the durable tmpdir location.
     System.setProperty("graft.frameCacheDir", TestDirs.scratch("framecache"))
     val s = SparkSession.builder()
       .master("local[4]")
