@@ -24,6 +24,24 @@ class FrameCacheSpec extends AnyFunSuite {
     assert(FrameCache.path("knn10", 4, "abc123") != p)
   }
 
+  test("path and baseDir both honor graft.frameCacheDir") {
+    // baseDir is the SINGLE root both path() and cache-enumerating
+    // tooling (ScaleSmoke.dropFrameCaches) resolve — if they diverged,
+    // a build smoke would delete under one root while serve reads the
+    // other and silently time a warm read
+    val prev = sys.props.get("graft.frameCacheDir")
+    try {
+      sys.props("graft.frameCacheDir") = "/custom/root"
+      assert(FrameCache.baseDir == "/custom/root")
+      assert(FrameCache.path("x", 1, "f") == "/custom/root/graft_x_v1_f")
+      sys.props.remove("graft.frameCacheDir")
+      assert(FrameCache.baseDir == System.getProperty("java.io.tmpdir"))
+    } finally prev match {
+      case Some(v) => sys.props("graft.frameCacheDir") = v
+      case None => sys.props.remove("graft.frameCacheDir"); ()
+    }
+  }
+
   test("build runs once; the second serve reads the cache") {
     val dir = freshDir()
     var builds = 0
