@@ -1413,25 +1413,32 @@ object CorpusStats {
     * through map-side; both corpus passes are map-side-combinable
     * groupBys; the shuffle carries (doc_id, bucket, count) triples,
     * never text. Exposed for sign/planted-fixture specs. */
-  def dsirWeights(docs: DataFrame): DataFrame = {
-    val meta = docs
-      .select(col("doc_id"), col("source"),
-        Quality.nWords(col("text")).cast("long").as("n_words"),
-        Quality.nStop(col("text")).cast("long").as("n_stop"),
-        split(lower(col("text")), " +").as("ws"))
-      .withColumn("is_target",
-        (col("n_stop") * 8 >= col("n_words")).cast("long"))
-      .transform(TransientCache.scopedDF)
-    // (doc, bucket) counts feed three consumers: raw stats, target
-    // stats, per-doc weights — persist once (jaccardPairs convention)
-    val feats = meta
-      .select(col("doc_id"), col("is_target"), explode(col("ws")).as("w"))
-      .select(col("doc_id"), col("is_target"),
-        expr(s"cast(conv(substring(md5(w), 1, 14), 16, 10) as long)" +
-          s" % $DsirBuckets").as("b"))
-      .groupBy(col("doc_id"), col("is_target"), col("b"))
-      .agg(count(lit(1)).as("c"))
-      .transform(TransientCache.scopedDF)
+  /** The (doc_id, source, is_target, ws) normalization of the DSIR
+    * pipeline — one spelling shared by the batch weights and the
+    * streaming LUT freeze. */
+  private def dsirMeta(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("source"),
+      Quality.nWords(col("text")).cast("long").as("n_words"),
+      Quality.nStop(col("text")).cast("long").as("n_stop"),
+      split(lower(col("text")), " +").as("ws"))
+    .withColumn("is_target",
+      (col("n_stop") * 8 >= col("n_words")).cast("long"))
+
+  /** Per-(doc, is_target, bucket) hashed-feature counts off
+    * [[dsirMeta]]. */
+  private def dsirFeatsOf(meta: DataFrame): DataFrame = meta
+    .select(col("doc_id"), col("is_target"), explode(col("ws")).as("w"))
+    .select(col("doc_id"), col("is_target"),
+      expr(s"cast(conv(substring(md5(w), 1, 14), 16, 10) as long)" +
+        s" % $DsirBuckets").as("b"))
+    .groupBy(col("doc_id"), col("is_target"), col("b"))
+    .agg(count(lit(1)).as("c"))
+
+  /** The trained whole-bit LUT (b, bits_r, bits_t) off the feature
+    * counts — THE single spelling of the q178 statistics table, used
+    * by [[dsirWeights]] and frozen for the streaming scorer by
+    * [[dsirLutRow]]. */
+  private def dsirLutOf(feats: DataFrame): DataFrame = {
     val raw = feats.groupBy(col("b")).agg(sum(col("c")).as("cr"))
     val tgt = feats.filter(col("is_target") === 1L)
       .groupBy(col("b")).agg(sum(col("c")).as("ct"))
@@ -1439,11 +1446,36 @@ object CorpusStats {
     // yield bits_t = 0 on both engines, not a null cascade
     val tots = raw.agg(sum(col("cr")).as("tr"))
       .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))
-    val lut = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
+    raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
       .crossJoin(tots)
       .select(col("b"),
         (length(bin(expr("tr div (cr + 1)"))) - 1).cast("long").as("bits_r"),
         (length(bin(expr("tt div (ct + 1)"))) - 1).cast("long").as("bits_t"))
+  }
+
+  /** The q178 LUT frozen to ONE row carrying a dense [[DsirBuckets]]-
+    * element array of per-bucket deltas (bits_r − bits_t): the form a
+    * streaming scorer broadcast-crossJoins onto arriving docs
+    * ([[graft.streaming.EventStreams.streamingDsirScore]]). Buckets
+    * absent from the training corpus carry 0, mirroring the batch
+    * inner join where absent buckets contribute nothing to w_units. */
+  def dsirLutRow(docs: DataFrame): DataFrame =
+    dsirLutOf(dsirFeatsOf(dsirMeta(docs))
+        .transform(TransientCache.scopedDF))
+      .select(col("b"), (col("bits_r") - col("bits_t")).as("delta"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("delta"))))
+        .as("m"))
+      .select(expr(
+        s"""transform(sequence(cast(0 as bigint),
+              cast(${DsirBuckets - 1} as bigint)),
+            i -> coalesce(element_at(m, i), 0L))""").as("lut"))
+
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    val meta = dsirMeta(docs).transform(TransientCache.scopedDF)
+    // (doc, bucket) counts feed three consumers: raw stats, target
+    // stats, per-doc weights — persist once (jaccardPairs convention)
+    val feats = dsirFeatsOf(meta).transform(TransientCache.scopedDF)
+    val lut = dsirLutOf(feats)
     val dw = feats.join(broadcast(lut), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("c") * (col("bits_r") - col("bits_t"))).as("w_units"))

@@ -240,6 +240,35 @@ object EventStreams {
         expr("aggregate(spans, 0L, (a, x) -> a + x.e - x.s + 1L)")
           .as("masked_words"))
 
+  /** Streaming DSIR scorer — the ingest-time form of q178 (data
+    * selection at the crawl frontier, Xie et al. 2023): arriving docs
+    * score against a FROZEN importance LUT (one broadcast row carrying
+    * the dense per-bucket whole-bit deltas,
+    * [[graft.ops.CorpusStats.dsirLutRow]]) as a PURE PER-ROW
+    * projection — zero streaming state, Append mode, no watermark
+    * needed, so selection-at-ingest runs at wire speed on any number
+    * of executors and the score of a doc never depends on what else is
+    * in its micro-batch. Same md5 bucketing, int64 word-delta sum and
+    * sign-split milli division as the batch weights, so a doc scored
+    * here equals its batch q178 row exactly (StreamingSpec pins
+    * (doc_id, n_tokens, w_units, wpt_milli) equality). */
+  def streamingDsirScore(docs: DataFrame, lutRow: DataFrame): DataFrame = {
+    import graft.ops.CorpusStats.DsirBuckets
+    docs
+      .withColumn("ws", split(lower(col("text")), " +"))
+      .crossJoin(broadcast(lutRow))
+      .select(col("doc_id"),
+        expr("cast(size(ws) as bigint)").as("n_tokens"),
+        expr(
+          s"""aggregate(ws, 0L, (acc, w) -> acc + element_at(lut,
+                cast(cast(conv(substring(md5(w), 1, 14), 16, 10) as long)
+                  % $DsirBuckets as int) + 1))""").as("w_units"))
+      .withColumn("wpt_milli", expr(
+        """CASE WHEN w_units < 0
+             THEN -((-w_units) * 1000 div n_tokens)
+             ELSE w_units * 1000 div n_tokens END"""))
+  }
+
   /** Stream-stream interval join — the unbounded form of q63's
     * view→purchase conversion: each purchase matches the same user's
     * views from the preceding hour. Both sides MUST carry watermarks and

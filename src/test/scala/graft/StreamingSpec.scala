@@ -591,4 +591,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.head.getLong(3) == 16L, "masked_words = 2 spans x 8")
     } finally q.stop()
   }
+
+  test("streaming DSIR scorer equals batch q178 per doc (stateless append projection)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // mixed stopword density so the target predicate splits the corpus
+    val docs = Seq(
+      (1L, "s0", "the cat sat on the mat and the dog slept by the door"),
+      (2L, "s0", "quantum flux capacitor misaligned torque vector payload"),
+      (3L, "s1", "a list of the best ways to cook rice and beans at home"),
+      (4L, "s1", "gradient descent converges when the learning rate is small"),
+      (5L, "s0", "zzz qqq vvv kkk jjj www uuu"),
+      (6L, "s1", "it is what it is and that is all that it is")
+    ).toDF("doc_id", "source", "text")
+    // the frozen LUT a deployment trains batch-side and ships
+    val lutRow = graft.ops.CorpusStats.dsirLutRow(docs)
+    val expected = graft.ops.CorpusStats.dsirWeights(docs)
+      .select("doc_id", "n_tokens", "w_units", "wpt_milli")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingDsirScore(
+        input.toDF().toDF("doc_id", "text"), lutRow)
+      .writeStream.format("memory").queryName("dsir_score")
+      .outputMode("append").start()
+    try {
+      input.addData(1L -> docs.filter(col("doc_id") === 1L).head.getString(2),
+        2L -> "quantum flux capacitor misaligned torque vector payload",
+        3L -> "a list of the best ways to cook rice and beans at home",
+        4L -> "gradient descent converges when the learning rate is small",
+        5L -> "zzz qqq vvv kkk jjj www uuu",
+        6L -> "it is what it is and that is all that it is")
+      q.processAllAvailable()
+      val got = spark.table("dsir_score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expected, s"streamed $got vs batch $expected")
+      assert(got.size == 6, "every arriving doc scores — no state, no dedup")
+    } finally q.stop()
+  }
 }
