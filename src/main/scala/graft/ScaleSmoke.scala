@@ -31,9 +31,13 @@ object ScaleSmoke {
 
   private def expand(spark: SparkSession, src: String, out: String,
       factor: Int): Unit = {
+    // _SUCCESS, not bare exists(): a kill mid-write leaves a partial
+    // parquet dir that bare exists() would silently reuse as a corpus
+    def complete(d: java.io.File) =
+      d.exists && new java.io.File(d, "_SUCCESS").exists
     val outDocs = new java.io.File(s"$out/documents.parquet")
     val outEmb = new java.io.File(s"$out/embeddings.parquet")
-    if (outDocs.exists && outEmb.exists) {
+    if (complete(outDocs) && complete(outEmb)) {
       println(s"[scale] reusing expanded corpus at $out")
       return
     }
