@@ -1387,35 +1387,9 @@ object CorpusStats {
       .orderBy(col("source"))
   }
 
-  /** q178 over a (doc_id, source, text) frame: DSIR importance weights
-    * (Xie et al. 2023, "Data Selection for Language Models via
-    * Importance Resampling") under the engine's whole-bit-log parity
-    * discipline. Features are words hashed into [[DsirBuckets]] buckets;
-    * the target distribution is the stopword-dense sub-corpus (the
-    * integer-exact proxy for "looks like curated text":
-    * 8·n_stop ≥ n_words — a pure int64 predicate, no float threshold;
-    * ~5% of this corpus, the small-target/big-raw shape DSIR assumes).
-    * Per document, the importance weight is
-    *
-    *   w_units = Σ_b c_doc(b) · (bits_raw(b) − bits_target(b))
-    *
-    * where bits_x(b) = floor(log2(tokens_x / (cnt_x(b)+1))) is the q89
-    * whole-bit surprisal with add-one smoothing (buckets absent from
-    * the target stay finite). Positive w_units ⇔ the doc's hashed
-    * feature profile is more probable under the target than under the
-    * raw corpus — exactly log(p_T/p_R) with whole-bit logs. wpt_milli
-    * divides by doc length with an explicit sign split so Spark `div`
-    * (trunc) and DuckDB `//` (floor) only ever see non-negative
-    * operands.
-    *
-    * Scale shape: the feature table is [[DsirBuckets]] rows whatever
-    * the corpus size — a broadcast LUT join the per-doc counts stream
-    * through map-side; both corpus passes are map-side-combinable
-    * groupBys; the shuffle carries (doc_id, bucket, count) triples,
-    * never text. Exposed for sign/planted-fixture specs. */
   /** The (doc_id, source, is_target, ws) normalization of the DSIR
-    * pipeline — one spelling shared by the batch weights and the
-    * streaming LUT freeze. */
+    * pipeline — one spelling shared by [[dsirWeights]] and the
+    * streaming LUT freeze ([[dsirLutRow]]). */
   private def dsirMeta(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), col("source"),
       Quality.nWords(col("text")).cast("long").as("n_words"),
@@ -1470,6 +1444,32 @@ object CorpusStats {
               cast(${DsirBuckets - 1} as bigint)),
             i -> coalesce(element_at(m, i), 0L))""").as("lut"))
 
+  /** q178 over a (doc_id, source, text) frame: DSIR importance weights
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling") under the engine's whole-bit-log parity
+    * discipline. Features are words hashed into [[DsirBuckets]] buckets;
+    * the target distribution is the stopword-dense sub-corpus (the
+    * integer-exact proxy for "looks like curated text":
+    * 8·n_stop ≥ n_words — a pure int64 predicate, no float threshold;
+    * ~5% of this corpus, the small-target/big-raw shape DSIR assumes).
+    * Per document, the importance weight is
+    *
+    *   w_units = Σ_b c_doc(b) · (bits_raw(b) − bits_target(b))
+    *
+    * where bits_x(b) = floor(log2(tokens_x / (cnt_x(b)+1))) is the q89
+    * whole-bit surprisal with add-one smoothing (buckets absent from
+    * the target stay finite). Positive w_units ⇔ the doc's hashed
+    * feature profile is more probable under the target than under the
+    * raw corpus — exactly log(p_T/p_R) with whole-bit logs. wpt_milli
+    * divides by doc length with an explicit sign split so Spark `div`
+    * (trunc) and DuckDB `//` (floor) only ever see non-negative
+    * operands.
+    *
+    * Scale shape: the feature table is [[DsirBuckets]] rows whatever
+    * the corpus size — a broadcast LUT join the per-doc counts stream
+    * through map-side; both corpus passes are map-side-combinable
+    * groupBys; the shuffle carries (doc_id, bucket, count) triples,
+    * never text. Exposed for sign/planted-fixture specs. */
   def dsirWeights(docs: DataFrame): DataFrame = {
     val meta = dsirMeta(docs).transform(TransientCache.scopedDF)
     // (doc, bucket) counts feed three consumers: raw stats, target

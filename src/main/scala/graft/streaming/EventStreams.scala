@@ -254,9 +254,22 @@ object EventStreams {
     * (doc_id, n_tokens, w_units, wpt_milli) equality). */
   def streamingDsirScore(docs: DataFrame, lutRow: DataFrame): DataFrame = {
     import graft.ops.CorpusStats.DsirBuckets
+    // FREEZE the LUT for real: a raw crossJoin against the trainer's
+    // plan would re-run both corpus passes EVERY micro-batch (static
+    // sides are re-evaluated per batch, and the trainer's internal
+    // persist is drained after the session's first action). Collecting
+    // here is one row holding one 1024-long array — the bounded
+    // checkpoint a deployment ships to its ingest gate — and the
+    // LocalRelation it becomes costs nothing per batch.
+    val frozen = lutRow.sparkSession.createDataFrame(
+      java.util.Arrays.asList(lutRow.collect(): _*), lutRow.schema)
     docs
+      // batch q178 drops null-text docs (their ws explodes to nothing,
+      // so the weight join never sees them) — mirror that, instead of
+      // emitting a null-scored row the batch side never produces
+      .filter(col("text").isNotNull)
       .withColumn("ws", split(lower(col("text")), " +"))
-      .crossJoin(broadcast(lutRow))
+      .crossJoin(broadcast(frozen))
       .select(col("doc_id"),
         expr("cast(size(ws) as bigint)").as("n_tokens"),
         expr(

@@ -617,12 +617,9 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("dsir_score")
       .outputMode("append").start()
     try {
-      input.addData(1L -> docs.filter(col("doc_id") === 1L).head.getString(2),
-        2L -> "quantum flux capacitor misaligned torque vector payload",
-        3L -> "a list of the best ways to cook rice and beans at home",
-        4L -> "gradient descent converges when the learning rate is small",
-        5L -> "zzz qqq vvv kkk jjj www uuu",
-        6L -> "it is what it is and that is all that it is")
+      // stream exactly the batch corpus — no re-typed literals to drift
+      input.addData(
+        docs.collect().map(r => r.getLong(0) -> r.getString(2)).toSeq: _*)
       q.processAllAvailable()
       val got = spark.table("dsir_score").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
