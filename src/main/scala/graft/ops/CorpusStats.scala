@@ -103,7 +103,7 @@ object CorpusStats {
     * ([[graft.streaming.EventStreams.streamingCountMin]]) must hash
     * identically to the batch one. */
   def bucketSpark(r: Int): String =
-    s"cast(conv(substring(md5(concat('cms$r:', term)), 1, 14), 16, 10) as long) % $CmsWidth"
+    s"graft_md5_56(concat('cms$r:', term)) % $CmsWidth"
   private def bucketDuck(r: Int) =
     s"CAST(('0x' || substr(md5('cms$r:' || term), 1, 14)) AS BIGINT) % $CmsWidth"
 
@@ -337,6 +337,7 @@ object CorpusStats {
     //      sketch is a broadcast of 80 (row, bucket) probes. ----
     "q73_cms_heavy_hitters" -> QueryDef(
       (s, dir) => {
+        graft.expr.Md5Hash56.register(s)
         // fed by both the sketch build and the true top-20 — persist once
         val w = words(Tables.load(s, dir, "documents")).select(col("term"))
           .transform(TransientCache.scopedDF)
@@ -1400,13 +1401,15 @@ object CorpusStats {
 
   /** Per-(doc, is_target, bucket) hashed-feature counts off
     * [[dsirMeta]]. */
-  private def dsirFeatsOf(meta: DataFrame): DataFrame = meta
+  private def dsirFeatsOf(meta: DataFrame): DataFrame = {
+    graft.expr.Md5Hash56.register(meta.sparkSession)
+    meta
     .select(col("doc_id"), col("is_target"), explode(col("ws")).as("w"))
     .select(col("doc_id"), col("is_target"),
-      expr(s"cast(conv(substring(md5(w), 1, 14), 16, 10) as long)" +
-        s" % $DsirBuckets").as("b"))
+      expr(s"graft_md5_56(w) % $DsirBuckets").as("b"))
     .groupBy(col("doc_id"), col("is_target"), col("b"))
     .agg(count(lit(1)).as("c"))
+  }
 
   /** The trained whole-bit LUT (b, bits_r, bits_t) off the feature
     * counts — THE single spelling of the q178 statistics table, used

@@ -43,14 +43,19 @@ object Dedup {
   private val BitsPerWord = 16
   private val SimBits = SimWords * BitsPerWord
 
-  /** 56-bit md5-derived hash reduced mod p — same text → same value in
-    * Spark (conv/md5) and DuckDB (hex cast/md5). */
-  private def hashExprSpark(e: String) =
-    s"cast(conv(substring(md5($e), 1, 14), 16, 10) as long)"
+  /** 56-bit md5-derived hash — same text → same value in Spark and
+    * DuckDB (hex cast/md5). The Spark side is the native
+    * [[graft.expr.Md5Hash56]] expression (bit-identical to the old
+    * conv/substring/md5 spelling, spec-pinned; skips the hex
+    * encode+parse in the engine's hottest scalar); the oracle keeps
+    * the portable hex-cast form. Builders that evaluate it register
+    * the function first. */
+  private def hashExprSpark(e: String) = s"graft_md5_56($e)"
   private def hashExprDuck(e: String) =
     s"CAST(('0x' || substr(md5($e), 1, 14)) AS BIGINT)"
 
-  private def shingled(docsText: DataFrame): DataFrame =
+  private def shingled(docsText: DataFrame): DataFrame = {
+    graft.expr.Md5Hash56.register(docsText.sparkSession)
     docsText
       .withColumn("words", split(lower(col("text")), " +"))
       .filter(size(col("words")) >= 3)
@@ -59,6 +64,7 @@ object Dedup {
              sequence(0, size(words) - 3),
              i -> concat_ws(' ', slice(words, i + 1, 3))))""")).as("s"))
       .withColumn("g", expr(hashExprSpark("s") + s" % ${P}L"))
+  }
 
   /** Band groups larger than this are dropped from the LSH self-join: a
     * band value shared by k documents contributes k·(k-1)/2 candidate
@@ -307,6 +313,7 @@ object Dedup {
     * one row in, four band rows out ([[graft.streaming.EventStreams
     * .streamingMinhashCandidates]]). */
   def rowMinhashBands(docsText: DataFrame): DataFrame = {
+    graft.expr.Md5Hash56.register(docsText.sparkSession)
     val sigCols = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
       expr(s"array_min(transform(g, x -> (x * $a + $b) % ${P}L))").as(s"m$j")
     }

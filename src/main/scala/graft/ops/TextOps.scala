@@ -106,6 +106,7 @@ object TextOps {
 
   private[graft] def winnowFps(docs: DataFrame): (DataFrame, DataFrame) = {
     val s = docs.sparkSession
+    graft.expr.Md5Hash56.register(s)
     val grams = docs
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(lower(col("text")), " +").as("ws"))
@@ -114,8 +115,7 @@ object TextOps {
         s"""transform(sequence(0, size(ws) - $WinnowK),
              i -> concat_ws(' ', slice(ws, i + 1, $WinnowK)))"""))
         .as(Seq("pos", "gram")))
-      .withColumn("h",
-        expr("cast(conv(substring(md5(gram), 1, 14), 16, 10) as long)"))
+      .withColumn("h", expr("graft_md5_56(gram)"))
       .drop("gram")
       .transform(TransientCache.scopedDF)
     val mp = grams.groupBy(col("doc_id"))
@@ -139,17 +139,19 @@ object TextOps {
     * cost is O(tokens · w) array arithmetic inside codegen — the form
     * a streaming ingest gate wants anyway, since each doc's sketch
     * depends on that doc alone. */
-  def rowWinnowFps(docs: DataFrame): DataFrame = docs
+  def rowWinnowFps(docs: DataFrame): DataFrame = {
+    graft.expr.Md5Hash56.register(docs.sparkSession)
+    docs
     .select(col("doc_id"), split(lower(col("text")), " +").as("ws"))
     .filter(size(col("ws")) >= WinnowK + WinnowW - 1)
     .withColumn("hs", expr(
       s"""transform(sequence(0, size(ws) - $WinnowK),
-           i -> cast(conv(substring(md5(
-             concat_ws(' ', slice(ws, i + 1, $WinnowK))), 1, 14), 16, 10)
-             as bigint))"""))
+           i -> graft_md5_56(
+             concat_ws(' ', slice(ws, i + 1, $WinnowK))))"""))
     .select(col("doc_id"), explode(expr(
       s"""array_distinct(transform(sequence(0, size(hs) - $WinnowW),
            i -> array_min(slice(hs, i + 1, $WinnowW))))""")).as("fp"))
+  }
 
   /** q169 over a (doc_id, text) frame — exposed for guarantee specs
     * (two docs sharing a ≥ k+w−1-token run share a fingerprint). */
@@ -764,6 +766,7 @@ object TextOps {
     }
 
   def cdcChunks(docs: DataFrame): DataFrame = {
+    graft.expr.Md5Hash56.register(docs.sparkSession)
     val d = docs
       .withColumn("ws", split(lower(col("text")), " +"))
       .select(col("doc_id"), col("ws"))
@@ -772,9 +775,9 @@ object TextOps {
       .select(col("doc_id"), col("ws"),
         posexplode(expr(s"sequence(${CdcHashWindow + 1}, size(ws))"))
           .as(Seq("pi", "i")))
-      .filter(expr(s"""cast(conv(substring(md5(concat_ws(' ',
-          slice(ws, i - $CdcHashWindow, $CdcHashWindow))), 1, 14), 16, 10)
-          as long) % $CdcBoundaryMod = 0"""))
+      .filter(expr(s"""graft_md5_56(concat_ws(' ',
+          slice(ws, i - $CdcHashWindow, $CdcHashWindow)))
+          % $CdcBoundaryMod = 0"""))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("i").cast("long"))).as("bpos"))
     d.join(bpos, Seq("doc_id"), "left")
@@ -834,15 +837,16 @@ object TextOps {
     * TEXT. Collisions between distinct shingles are ~|S|²/2⁵⁷ (≪ 1 for
     * any realistic distinct-shingle count) and the oracle computes the
     * identical hash, so both engines see the same keys either way. */
-  private val shingleKeySpark =
-    "cast(conv(substring(md5(s), 1, 14), 16, 10) as long)"
+  private val shingleKeySpark = "graft_md5_56(s)"
   private val shingleKeyDuck =
     "CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT)"
 
   /** Exploded (doc_id, g) HASHED 3-gram shingles — the inverted-index
     * rows the q32 join runs on. */
-  def hashedShingles(docs: DataFrame): DataFrame =
+  def hashedShingles(docs: DataFrame): DataFrame = {
+    graft.expr.Md5Hash56.register(docs.sparkSession)
     shingles(docs).select(col("doc_id"), expr(shingleKeySpark).as("g"))
+  }
 
   /** Hashed shingle keys whose document frequency makes the self-join
     * quadratic: df above the absolute [[HotShingleCap]], or df in more
@@ -2490,7 +2494,8 @@ object TextOps {
     //      over a 0-prepended list) and stays in [0, 1e9+7) so int64
     //      arithmetic cannot overflow in either. ----
     "q39_token_fingerprint" -> QueryDef(
-      (s, dir) =>
+      (s, dir) => {
+        graft.expr.Md5Hash56.register(s)
         Tables.load(s, dir, "documents")
           .withColumn("words", split(lower(col("text")), " +"))
           .select(col("doc_id"),
@@ -2499,9 +2504,10 @@ object TextOps {
               lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("bpe_ish_tokens"),
             expr("""aggregate(words, 0L,
                 (acc, w) -> (acc * 31 +
-                  cast(conv(substring(md5(w), 1, 14), 16, 10) as long)
-                    % 1000000007) % 1000000007)""").as("fingerprint"))
-          .orderBy(col("doc_id")),
+                  graft_md5_56(w) % 1000000007) % 1000000007)""")
+              .as("fingerprint"))
+          .orderBy(col("doc_id"))
+      },
       Some("""SELECT doc_id,
                len(string_split_regex(lower(text), ' +')) AS ws_tokens,
                len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,

@@ -254,6 +254,7 @@ object EventStreams {
     * (doc_id, n_tokens, w_units, wpt_milli) equality). */
   def streamingDsirScore(docs: DataFrame, lutRow: DataFrame): DataFrame = {
     import graft.ops.CorpusStats.DsirBuckets
+    graft.expr.Md5Hash56.register(docs.sparkSession)
     // FREEZE the LUT for real: a raw crossJoin against the trainer's
     // plan would re-run both corpus passes EVERY micro-batch (static
     // sides are re-evaluated per batch, and the trainer's internal
@@ -274,8 +275,8 @@ object EventStreams {
         expr("cast(size(ws) as bigint)").as("n_tokens"),
         expr(
           s"""aggregate(ws, 0L, (acc, w) -> acc + element_at(lut,
-                cast(cast(conv(substring(md5(w), 1, 14), 16, 10) as long)
-                  % $DsirBuckets as int) + 1))""").as("w_units"))
+                cast(graft_md5_56(w) % $DsirBuckets as int) + 1))""")
+          .as("w_units"))
       .withColumn("wpt_milli", expr(
         """CASE WHEN w_units < 0
              THEN -((-w_units) * 1000 div n_tokens)
@@ -317,6 +318,7 @@ object EventStreams {
     * (StreamingSpec pins this). */
   def streamingCountMin(docs: DataFrame): DataFrame = {
     import graft.ops.CorpusStats
+    graft.expr.Md5Hash56.register(docs.sparkSession)
     val buckets = (0 until CorpusStats.CmsDepth)
       .map(r => s"$r, ${CorpusStats.bucketSpark(r)}").mkString(", ")
     docs
