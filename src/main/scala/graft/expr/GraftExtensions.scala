@@ -21,6 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    reference routes per collection scan, Porter.php:300-339)
   *  - `graft_norm_key(key)` — normalized `_key` family ([[NormalizeKey]],
   *    the value the reference tallies, Porter.php:328-332)
+  *  - `graft_nfc(s)` — Unicode NFC normalization ([[NfcNormalize]])
+  *  - `graft_md5_56(s)` — 56-bit md5 hash ([[Md5Hash56]], the
+  *    shingle/bucket key)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -56,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "graft_nfc", classOf[NfcNormalize], exprs => {
       require(exprs.length == 1, "graft_nfc takes exactly 1 argument")
       NfcNormalize(exprs.head)
+    })
+    inject(e, "graft_md5_56", classOf[Md5Hash56], exprs => {
+      require(exprs.length == 1, "graft_md5_56 takes exactly 1 argument")
+      Md5Hash56(exprs.head)
     })
   }
 }
