@@ -24,6 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `graft_nfc(s)` — Unicode NFC normalization ([[NfcNormalize]])
   *  - `graft_md5_56(s)` — 56-bit md5 hash ([[Md5Hash56]], the
   *    shingle/bucket key)
+  *  - `graft_bloom_probe(s, bloom, m)` — packed-bit-array bloom
+  *    membership probe ([[BloomProbe]], the q75 decontamination filter)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -63,6 +65,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "graft_md5_56", classOf[Md5Hash56], exprs => {
       require(exprs.length == 1, "graft_md5_56 takes exactly 1 argument")
       Md5Hash56(exprs.head)
+    })
+    inject(e, "graft_bloom_probe", classOf[BloomProbe], exprs => {
+      require(exprs.length == 3,
+        "graft_bloom_probe takes exactly 3 arguments: s, bloom, m")
+      BloomProbe(exprs.head, exprs(1), exprs(2))
     })
   }
 }

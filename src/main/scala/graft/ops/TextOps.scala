@@ -917,42 +917,110 @@ object TextOps {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Fixed parameterization of the deterministic bloom filter below:
+    * 10 bits per eval gram and k = 7 salted hashes (the optimal k for
+    * 10 bits/element is ln 2 · 10 ≈ 6.9), giving a theoretical
+    * false-positive rate of (1 − e^(−7/10))^7 ≈ 0.82 %. INTEGER
+    * parameters by design — m = 10·n is exact int64 arithmetic in both
+    * engines, where the usual ⌈−n·ln p / ln²2⌉ sizing could flip at the
+    * ceil boundary between two float implementations. */
+  private[ops] val BloomBitsPerElem = 10L
+  /** K and word packing live on the native probe expression — the
+    * single source of truth both the build side here and the probe
+    * loop compile against. */
+  private[ops] val BloomK = graft.expr.BloomProbe.K
+  private[ops] val BloomWordBits = graft.expr.BloomProbe.WordBits.toLong
+
   /** Bloom-filter benchmark decontamination — the fixed-memory form of
     * q58's broadcast semi-join. q58 broadcasts the eval set's DISTINCT
     * n-grams verbatim; that is exact but the broadcast grows with the
     * eval corpus. The bloom variant compresses the eval grams into a
-    * ~1.2-bytes-per-element filter (at 1 % fpp), which is what a 100 TB
-    * decontamination run actually ships to every executor when the
-    * benchmark suite is itself large.
+    * fixed-size bit array ([[BloomBitsPerElem]] bits per gram), which is
+    * what a 100 TB decontamination run actually ships to every executor
+    * when the benchmark suite is itself large.
+    *
+    * The filter is built as DATA, not as a driver-side sketch: one md5
+    * per gram split into two 56-bit halves (h1 = hex digits 1-14,
+    * h2 = 15-28), and bit position i is `(h1 + i·(2·h2+1)) mod m` —
+    * Kirsch–Mitzenmacher double hashing ("Less Hashing, Same
+    * Performance", ESA 2006: two hash functions generate k with no
+    * asymptotic fpp loss), chosen here because k md5s per gram was the
+    * measured bottleneck and int64 stepping is free. The step is forced
+    * odd so a zero h2 cannot collapse the k probes onto one bit; all
+    * arithmetic stays under 2^61, no overflow in either engine. The
+    * m-bit array is a (word_index → int64 word) map packed with a
+    * `bit_or` aggregation at [[BloomWordBits]] bits per word and folded
+    * into ONE broadcast row (~2.6 bytes per eval gram — ≈2× Guava's 1.2
+    * at the same fpp, bought back many times over by what it enables).
+    * The probe is a map lookup plus bitwise-AND test per salt over that
+    * one-row broadcast — whole-stage-codegen expressions end to end, no
+    * UDF, and every step (md5, mod, shift, OR, AND) is replayable in
+    * ANSI SQL, so q75 carries a full DuckDB hash oracle instead of the
+    * rows-only check the earlier Guava `mightContain` UDF forced.
     *
     * Guarantee: NO FALSE NEGATIVES — every truly contaminated doc is
-    * flagged (BloomSpec pins flagged ⊇ q58's exact doc set, and
+    * flagged (CorpusOpsSpec pins flagged ⊇ q58's exact doc set and
     * per-doc counts ≥ exact counts); false positives inflate counts by
-    * at most the configured fpp. The probe UDF is the one deliberate
-    * non-codegen call in the repo's text path: Spark's BloomFilter is a
-    * driver-built sketch broadcast once, and its `mightContain` has no
-    * expression form in the public function registry. Deterministic for
-    * a fixed Spark version (the filter's hash seeds are fixed), but not
-    * engine-portable — hence a spec-pinned operator, not an
-    * oracle-checked query. */
-  def bloomDecontam(docs: DataFrame, evalSource: String = "src0",
-      fpp: Double = 0.01): DataFrame = {
-    val spark = docs.sparkSession
-    // the eval-gram pipeline feeds two jobs (sizing count + filter
-    // build); persist so the shingle explode over the eval corpus runs
-    // once, then release — the filter itself is the only survivor
+    * ≈0.8 % of probes (the fp-rate contract the Guava version had at
+    * fpp = 1 % is spec-pinned against the q58 exact semi-join). */
+  /** h1/step double-hash columns from ONE md5 of the gram column `s` —
+    * shared by the filter build and the probe so the position formula
+    * exists once (the oracle mirrors it with the '0x' hex cast). */
+  private def bloomHashed(grams: DataFrame): DataFrame =
+    grams.withColumn("hx", md5(col("s")))
+      .withColumn("h1",
+        expr("cast(conv(substring(hx, 1, 14), 16, 10) as bigint)"))
+      .withColumn("step",
+        expr("2 * cast(conv(substring(hx, 15, 14), 16, 10) as bigint) + 1"))
+
+  def bloomDecontam(docs: DataFrame, evalSource: String = "src0")
+      : DataFrame = {
+    graft.expr.BloomProbe.register(docs.sparkSession)
+    // the eval-gram frame feeds two plan branches (the one-row sizing
+    // aggregate and the bit-array build); scoped-persist so the shingle
+    // explode over the eval corpus runs once
     val evalGrams = wordShingles(docs.filter(col("source") === evalSource), 4)
       .select(col("s")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // sizing count: one long back to the driver, same bounded-metadata
-    // pattern as the percentile/sharding collects
-    val n = math.max(evalGrams.count(), 1L)
-    val bloom = evalGrams.stat.bloomFilter("s", n, fpp)
-    evalGrams.unpersist()
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => bc.value.mightContain(s))
+      .transform(TransientCache.scopedDF)
+    // m rides the plan as a one-row broadcast, so filter sizing needs no
+    // driver round-trip and the oracle recomputes the identical m
+    val params = evalGrams.agg(
+      greatest(count(lit(1)) * lit(BloomBitsPerElem), lit(64L)).as("m"))
+    // the whole filter folds to ONE row: the DENSE int64 word array + m
+    // — the same broadcast-once shape the Guava filter had, but built as
+    // an aggregation INSIDE the plan (no driver round-trip). Dense array
+    // rather than a (wi → word) map because Spark's map element_at is a
+    // LINEAR scan of ArrayBasedMapData — O(words) per probe — while the
+    // array lookup is O(1): sequence out every word index, left-join the
+    // sparse bit_or words (absent index = all-zero word), fold in wi
+    // order
+    val sparse = bloomHashed(evalGrams).crossJoin(broadcast(params))
+      .withColumn("salt", explode(array((0 until BloomK).map(lit): _*)))
+      .withColumn("pos", expr("(h1 + salt * step) % m"))
+      .groupBy(expr(s"pos div $BloomWordBits").as("wi"))
+      .agg(expr(
+        s"bit_or(shiftleft(cast(1 as bigint), cast(pos % $BloomWordBits as int)))")
+        .as("word"))
+    val filterRow = params
+      .select(col("m"), expr(s"""explode(sequence(cast(0 as bigint),
+          (m + ${BloomWordBits - 1}) div $BloomWordBits - 1))""").as("wi"))
+      .join(sparse, Seq("wi"), "left")
+      .na.fill(0L, Seq("word"))
+      .groupBy(col("m"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(wi, word))), x -> x.word)")
+        .as("bloom"))
+    // probe: all BloomK salted positions must be set — the native
+    // [[graft.expr.BloomProbe]] expression over the one-row broadcast
+    // (one md5 per gram, early-exit bit loop), no joins, one
+    // whole-stage-codegen span. NOT spelled inline with the h1/step
+    // columns: CollapseProject + PushPredicateThroughProject re-expand
+    // every column reference into its md5+conv definition, so a
+    // 7-conjunct filter pays 14-28 md5s per gram (measured +2 s at
+    // sf0.1) — see the BloomProbe Scaladoc
     wordShingles(docs.filter(col("source") =!= evalSource), 4)
-      .filter(mightContain(col("s")))
+      .crossJoin(broadcast(filterRow))
+      .filter(expr("graft_bloom_probe(s, bloom, m)"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_flagged"))
       .orderBy(col("doc_id"))
@@ -1805,14 +1873,55 @@ object TextOps {
              LEFT JOIN nn USING (source)
              ORDER BY source""")),
 
-    // ---- bloom decontamination under the driver gate. Rows-only like
-    //      q15's HLL: the BloomFilter's hash functions are
-    //      Spark-specific, so DuckDB cannot replay them; the
-    //      no-false-negatives guarantee vs the exact q58 semi-join is
-    //      pinned by BloomSpec instead. ----
+    // ---- bloom decontamination under the driver gate, with a FULL
+    //      oracle: the filter is an explicit md5-salted bit array
+    //      (build AND probe are integer expressions), so DuckDB replays
+    //      the exact construction — word size 62 because 1 << 63
+    //      overflows there (see [[BloomWordBits]]). ----
     "q75_bloom_decontam" -> QueryDef(
       (s, dir) => bloomDecontam(Tables.load(s, dir, "documents")),
-      None),
+      Some(s"""WITH $fourGramDuckCtes,
+             ev AS (
+               SELECT DISTINCT g.s FROM g
+               JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
+             p AS (
+               SELECT greatest(count(*) * $BloomBitsPerElem, 64) AS m
+               FROM ev),
+             salts AS (SELECT unnest(range($BloomK)) AS salt),
+             eh AS (
+               SELECT CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT) AS h1,
+                 2 * CAST(('0x' || substr(md5(s), 15, 14)) AS BIGINT) + 1
+                   AS step
+               FROM ev),
+             epos AS (
+               SELECT (h1 + salt * step) % m AS pos
+               FROM eh, salts, p),
+             bits AS (
+               SELECT pos // $BloomWordBits AS wi,
+                 bit_or(1::BIGINT << CAST(pos % $BloomWordBits AS INT))
+                   AS word
+               FROM epos GROUP BY 1),
+             tr AS (
+               SELECT g.doc_id, g.s,
+                 CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT) AS h1,
+                 2 * CAST(('0x' || substr(md5(s), 15, 14)) AS BIGINT) + 1
+                   AS step
+               FROM g
+               JOIN documents d USING (doc_id) WHERE d.source <> 'src0'),
+             ppos AS (
+               SELECT doc_id, s, (h1 + salt * step) % m AS pos
+               FROM tr, salts, p),
+             hg AS (
+               SELECT doc_id, s, count(*) AS n_hits
+               FROM ppos JOIN bits ON ppos.pos // $BloomWordBits = bits.wi
+                 AND (bits.word &
+                   (1::BIGINT << CAST(ppos.pos % $BloomWordBits AS INT)))
+                   != 0
+               GROUP BY doc_id, s)
+             SELECT doc_id, count(*) AS n_flagged
+             FROM hg WHERE n_hits = $BloomK
+             GROUP BY doc_id
+             ORDER BY doc_id""")),
 
     // ---- language ID: stopword-hit scoring, deterministic argmax
     //      (predictor defined ONCE in [[predLang]]/[[predLangDuck]],

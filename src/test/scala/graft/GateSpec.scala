@@ -276,7 +276,12 @@ class PlanGateSpec extends AnyFunSuite {
     // q187: the 3-row recall-target relation crossJoined onto the 4-row
     // q142 sweep frame under an inequality — both sides O(1) by
     // construction (q171's budget-pick shape on the banding axis)
-    "q187_banding_operating_point")
+    "q187_banding_operating_point",
+    // q75: two ONE-ROW crossJoins by construction — the sizing
+    // aggregate m and the folded bloom bit-array row the native probe
+    // reads (the whole filter is a single broadcast row; the gram
+    // stream itself never joins)
+    "q75_bloom_decontam")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

