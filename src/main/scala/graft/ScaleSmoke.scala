@@ -83,18 +83,19 @@ object ScaleSmoke {
     * item 7: build cost is corpus-linear and must be smoked like any
     * other operator). */
   private def dropFrameCaches(name: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-      f.delete(); ()
-    }
-    // resolve through FrameCache.baseDir, NOT java.io.tmpdir directly:
-    // under graft.frameCacheDir the two diverge, and deleting the wrong
-    // root would leave the marker in place — the timed "build" would
-    // silently measure a warm parquet read
-    val tmp = new java.io.File(ops.FrameCache.baseDir)
+    // resolve through FrameCache.baseDir AND the Hadoop FileSystem the
+    // cache itself writes with, NOT java.io.File: under a
+    // graft.frameCacheDir pointing at a non-local FS a java.io delete
+    // would remove nothing and leave the marker in place — the timed
+    // "build" would silently measure a warm parquet read
+    val spark = SparkSession.active
+    val base = new org.apache.hadoop.fs.Path(ops.FrameCache.baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
     val prefix = s"graft_${name}_v"
-    val hits = tmp.listFiles()
-    if (hits != null) hits.filter(_.getName.startsWith(prefix)).foreach(rm)
+    fs.listStatus(base).toSeq
+      .filter(_.getPath.getName.startsWith(prefix))
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   private def extraTasks: Map[String, (SparkSession, String) => DataFrame] =
@@ -256,6 +257,16 @@ object ScaleSmoke {
     val errs = rows.collect { case (n, _, _, Some(e)) => s""""$n":"${esc(e)}"""" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","factor":$factor,"src":"$src","queries":$qjson,"errors":$errs}""")
+    // teardown: the expanded corpus is one-shot, so any FrameCache dirs
+    // keyed on ITS fingerprints are orphans the moment this run ends —
+    // reclaim them here instead of leaving them for CacheAdmin's
+    // retention window
+    val smokeFps = Seq("documents", "embeddings").flatMap { t =>
+      try Some(ops.Similarity.corpusFingerprint(spark, out, t))
+      catch { case _: java.io.FileNotFoundException => None }
+    }.toSet
+    val reclaimed = ops.FrameCache.drop(spark, smokeFps)
+    println(s"[scale] teardown reclaimed ${reclaimed.size} smoke-corpus cache dir(s)")
     spark.stop()
   }
 }

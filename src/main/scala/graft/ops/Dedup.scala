@@ -1086,7 +1086,10 @@ object Dedup {
     "q189_bbit_minhash_audit" -> QueryDef(
       (s, dir) => {
         val pairs = lshCandidatePairsCached(s, dir)
-        val sigs = minhashSigs(Tables.load(s, dir, "documents"))
+        // the FrameCache substrate, not an inline rebuild: the pair list
+        // above already rides the same cached signatures, so q189 adds
+        // zero corpus scans (r11 ADVICE)
+        val sigs = minhashSigsCached(s, dir)
           .transform(TransientCache.scopedDF)
         val a = sigs.select(col("doc_id").as("da") +:
           (0 until 8).map(j => col(s"m$j").as(s"a$j")): _*)

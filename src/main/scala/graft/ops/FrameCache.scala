@@ -59,12 +59,18 @@ object FrameCache {
   /** Serve the parquet cache at `cacheDir`, building it with `build`
     * on first use (or after the fingerprint-keyed path rotates). */
   def serve(s: SparkSession, cacheDir: String)(build: => DataFrame)
-      : DataFrame = {
+      : DataFrame = serveHooked(s, cacheDir)(build)(() => ())
+
+  /** [[serve]] with a test seam fired between the publish check and the
+    * read — FrameCacheSpec injects the concurrent-builder delete there
+    * to pin the lost-race reader retry. Production calls pass a no-op. */
+  private[graft] def serveHooked(s: SparkSession, cacheDir: String)(
+      build: => DataFrame)(beforeRead: () => Unit): DataFrame = {
     val conf = s.sparkContext.hadoopConfiguration
     val dest = new Path(cacheDir)
     val fs = dest.getFileSystem(conf)
     val marker = new Path(s"$cacheDir/_SUCCESS")
-    if (!fs.exists(marker)) {
+    def ensureBuilt(): Unit = if (!fs.exists(marker)) {
       val tmp = new Path(
         s"${cacheDir}_build_${java.util.UUID.randomUUID()}")
       build.write.mode("overwrite").parquet(tmp.toString)
@@ -79,10 +85,8 @@ object FrameCache {
         // landing between the checks could be deleted; the residual
         // race is harmless to the CACHE (both builders produce
         // identical content, and ours renames in right after) but can
-        // transiently fail a reader holding the deleted files — the
-        // cost of lock-free publish, acceptable because two processes
-        // building the same fingerprint simultaneously is already the
-        // rare double-build case.
+        // transiently fail a reader holding the deleted files — closed
+        // for the READ path below by one bounded retry.
         if (fs.exists(dest) && !fs.exists(marker)) fs.delete(dest, true)
         if (fs.rename(tmp, dest)) {
           // rename onto a dest that (re)appeared between the checks
@@ -93,6 +97,81 @@ object FrameCache {
         } else fs.delete(tmp, true)
       }
     }
-    s.read.parquet(cacheDir)
+    ensureBuilt()
+    beforeRead()
+    try s.read.parquet(cacheDir)
+    catch {
+      // lost-race reader: a concurrent double-build judged our dir
+      // marker-less between its checks and deleted it mid-read. The
+      // content is deterministic (any winner's frames are identical),
+      // so one bounded re-read — rebuilding first if the racer hasn't
+      // republished yet — closes the multi-session window
+      case e: Throwable if isMissingFiles(e) =>
+        ensureBuilt()
+        s.read.parquet(cacheDir)
+    }
+  }
+
+  /** True when the exception chain is a missing-path/missing-file
+    * failure — the signature of reading a cache dir a concurrent
+    * builder deleted between our marker check and the read. */
+  private def isMissingFiles(e: Throwable): Boolean = {
+    val seen = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+    seen.exists {
+      case _: java.io.FileNotFoundException => true
+      case t => Option(t.getMessage)
+        .exists(m => m.contains("PATH_NOT_FOUND") ||
+          m.contains("Path does not exist"))
+    }
+  }
+
+  /** Remove cache dirs under [[baseDir]] that no live corpus owns:
+    * a `graft_<name>_v<version>_<fp>` dir (or an orphaned
+    * `..._build_<uuid>` temp of one) is deleted when its fingerprint is
+    * NOT in `keepFingerprints` AND its modification time is at least
+    * `maxAgeDays` old. Live fingerprints are never touched whatever
+    * their age — the age window only grace-protects OTHER sessions'
+    * recent corpora (their fingerprints are unknown to this process),
+    * so `maxAgeDays = 0` reclaims every non-live dir immediately.
+    * Returns the deleted paths. Fingerprint-keyed dirs orphan on every
+    * corpus rewrite or builder-version bump, so a long-lived host runs
+    * this periodically via [[graft.CacheAdmin]] (ScaleSmoke's teardown
+    * [[drop]]s its one-shot smoke-corpus dirs itself). Deleting a dir
+    * another session is actively reading is safe-if-rude: its reader
+    * retries once through [[serve]]'s rebuild path. */
+  def gc(s: SparkSession, keepFingerprints: Set[String],
+      maxAgeDays: Int = 7): Seq[String] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(conf)
+    if (!fs.exists(base)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - maxAgeDays * 86400000L
+    val CacheDir = """graft_.+_v\d+_([0-9a-f]{32})(_build_.*)?""".r
+    fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && (st.getPath.getName match {
+        case CacheDir(fp, _) =>
+          !keepFingerprints.contains(fp) && st.getModificationTime <= cutoff
+        case _ => false
+      }))
+      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+  }
+
+  /** Delete every cache dir (and orphaned build temp) belonging to the
+    * given fingerprints, immediately — the targeted inverse of [[gc]]
+    * for corpora KNOWN to be one-shot (ScaleSmoke's expanded smoke
+    * corpora clean up after themselves this way). Returns the deleted
+    * paths. */
+  def drop(s: SparkSession, fingerprints: Set[String]): Seq[String] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(conf)
+    if (!fs.exists(base) || fingerprints.isEmpty) return Seq.empty
+    val CacheDir = """graft_.+_v\d+_([0-9a-f]{32})(_build_.*)?""".r
+    fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && (st.getPath.getName match {
+        case CacheDir(fp, _) => fingerprints.contains(fp)
+        case _ => false
+      }))
+      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
   }
 }
