@@ -24,13 +24,18 @@ import org.apache.spark.sql.functions._
   *     direction cluster is exactly the degenerate case the caps exist
   *     to bound).
   *
-  * Usage: runMain graft.ScaleSmoke <srcSfDir> <outDir> <factor> <q1> [q2 ...]
+  * Usage: runMain graft.ScaleSmoke [--decorrelate] <srcSfDir> <outDir> <factor> <q1> [q2 ...]
   * The expanded corpus is built once and reused if already present.
+  * `--decorrelate` switches the EMBEDDING expansion from
+  * similarity-preserving copies (adversarial for banding: every band
+  * group packs `factor` near-identical members) to per-copy sign-flipped
+  * vectors (realistic duplication: cross-copy cosine ~0) — both regimes
+  * are informative, so heavy embedding tasks get probed under each.
   */
 object ScaleSmoke {
 
   private def expand(spark: SparkSession, src: String, out: String,
-      factor: Int): Unit = {
+      factor: Int, decorrelate: Boolean = false): Unit = {
     // _SUCCESS, not bare exists(): a kill mid-write leaves a partial
     // parquet dir that bare exists() would silently reuse as a corpus
     def complete(d: java.io.File) =
@@ -58,6 +63,20 @@ object ScaleSmoke {
     val nVecs = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     val embCopies = (0 until factor).map { i =>
       if (i == 0) emb
+      else if (decorrelate)
+        // realistic-duplication regime: per-(copy, dim) deterministic
+        // sign flips (multiplicative-hash parity, ~50% flipped) keep
+        // every copy's norms and WITHIN-copy pair structure but drive
+        // expected cross-copy cosine to ~0 — band groups stay
+        // corpus-representative instead of packing `factor`
+        // near-identical members into the capped quadratic pocket
+        emb
+          .withColumn("vec_id", col("vec_id") + lit(i * nVecs))
+          .withColumn("embedding", expr(
+            s"""transform(embedding, (x, j) -> cast(
+                case when pmod((${i}L * 2654435761L + (j + 1) * 40503L)
+                    div 1024, 2) = 0
+                then x else -x end as float))"""))
       else emb
         .withColumn("vec_id", col("vec_id") + lit(i * nVecs))
         .withColumn("embedding", expr(
@@ -196,10 +215,12 @@ object ScaleSmoke {
       }))
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 4,
-      "usage: ScaleSmoke <srcSfDir> <outDir> <factor> <query> [query ...]")
-    val (src, out, factor) = (args(0), args(1), args(2).toInt)
-    val queries = args.drop(3).toSeq
+    val decorrelate = args.headOption.contains("--decorrelate")
+    val rest = if (decorrelate) args.tail else args
+    require(rest.length >= 4,
+      "usage: ScaleSmoke [--decorrelate] <srcSfDir> <outDir> <factor> <query> [query ...]")
+    val (src, out, factor) = (rest(0), rest(1), rest(2).toInt)
+    val queries = rest.drop(3).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -208,7 +229,7 @@ object ScaleSmoke {
       .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    expand(spark, src, out, factor)
+    expand(spark, src, out, factor, decorrelate)
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // The artifact line must stay machine-parseable no matter what the

@@ -973,27 +973,29 @@ object TextOps {
       .withColumn("step",
         expr("2 * cast(conv(substring(hx, 15, 14), 16, 10) as bigint) + 1"))
 
-  def bloomDecontam(docs: DataFrame, evalSource: String = "src0")
-      : DataFrame = {
-    graft.expr.BloomProbe.register(docs.sparkSession)
-    // the eval-gram frame feeds two plan branches (the one-row sizing
-    // aggregate and the bit-array build); scoped-persist so the shingle
-    // explode over the eval corpus runs once
-    val evalGrams = wordShingles(docs.filter(col("source") === evalSource), 4)
+  /** The eval-side DISTINCT gram set, scoped-persisted — it feeds the
+    * sizing aggregate and the bit-array build (and the q192/q193
+    * ground-truth semi-joins) in one plan. */
+  private def bloomEvalGrams(docs: DataFrame, evalSource: String)
+      : DataFrame =
+    wordShingles(docs.filter(col("source") === evalSource), 4)
       .select(col("s")).distinct()
       .transform(TransientCache.scopedDF)
-    // m rides the plan as a one-row broadcast, so filter sizing needs no
-    // driver round-trip and the oracle recomputes the identical m
+
+  /** The whole bloom filter folded to ONE row (m, bloom: array<bigint>)
+    * at `bitsPerElem` bits per eval gram — the same broadcast-once shape
+    * the Guava filter had, but built as an aggregation INSIDE the plan
+    * (no driver round-trip; m = greatest(bitsPerElem·|ev|, 64) rides the
+    * plan as a one-row broadcast, so the oracle recomputes the identical
+    * sizing). Dense array rather than a (wi → word) map because Spark's
+    * map element_at is a LINEAR scan of ArrayBasedMapData — O(words) per
+    * probe — while the array lookup is O(1): sequence out every word
+    * index, left-join the sparse bit_or words (absent index = all-zero
+    * word), fold in wi order. */
+  private def bloomFilterRow(evalGrams: DataFrame, bitsPerElem: Long)
+      : DataFrame = {
     val params = evalGrams.agg(
-      greatest(count(lit(1)) * lit(BloomBitsPerElem), lit(64L)).as("m"))
-    // the whole filter folds to ONE row: the DENSE int64 word array + m
-    // — the same broadcast-once shape the Guava filter had, but built as
-    // an aggregation INSIDE the plan (no driver round-trip). Dense array
-    // rather than a (wi → word) map because Spark's map element_at is a
-    // LINEAR scan of ArrayBasedMapData — O(words) per probe — while the
-    // array lookup is O(1): sequence out every word index, left-join the
-    // sparse bit_or words (absent index = all-zero word), fold in wi
-    // order
+      greatest(count(lit(1)) * lit(bitsPerElem), lit(64L)).as("m"))
     val sparse = bloomHashed(evalGrams).crossJoin(broadcast(params))
       .withColumn("salt", explode(array((0 until BloomK).map(lit): _*)))
       .withColumn("pos", expr("(h1 + salt * step) % m"))
@@ -1001,7 +1003,7 @@ object TextOps {
       .agg(expr(
         s"bit_or(shiftleft(cast(1 as bigint), cast(pos % $BloomWordBits as int)))")
         .as("word"))
-    val filterRow = params
+    params
       .select(col("m"), expr(s"""explode(sequence(cast(0 as bigint),
           (m + ${BloomWordBits - 1}) div $BloomWordBits - 1))""").as("wi"))
       .join(sparse, Seq("wi"), "left")
@@ -1010,6 +1012,13 @@ object TextOps {
       .agg(expr(
         "transform(array_sort(collect_list(struct(wi, word))), x -> x.word)")
         .as("bloom"))
+  }
+
+  def bloomDecontam(docs: DataFrame, evalSource: String = "src0")
+      : DataFrame = {
+    graft.expr.BloomProbe.register(docs.sparkSession)
+    val filterRow =
+      bloomFilterRow(bloomEvalGrams(docs, evalSource), BloomBitsPerElem)
     // probe: all BloomK salted positions must be set — the native
     // [[graft.expr.BloomProbe]] expression over the one-row broadcast
     // (one md5 per gram, early-exit bit loop), no joins, one
@@ -1025,6 +1034,144 @@ object TextOps {
       .agg(count(lit(1)).as("n_flagged"))
       .orderBy(col("doc_id"))
   }
+
+  /** q192: per-source realized bloom false-positive rate — the sizing
+    * audit a deployment consults before trusting the q75 filter at the
+    * configured 10 bits/element (theory: fpp ≈ 0.82 %, so fp_bp ≈ 82).
+    * For every probed training gram occurrence the bloom verdict is
+    * compared against the exact q58 semi-join's: n_flagged − n_true is
+    * PURE false positives (the filter has no false negatives, which the
+    * CorpusOpsSpec contract pins), reported in integer basis points of
+    * the probe volume. Scale shape: the probe stream is the q75 probe
+    * plus the q58 broadcast semi-join, both map-side over one cached
+    * gram explode; outputs are |sources| rows. */
+  def bloomFpAudit(docs: DataFrame, evalSource: String = "src0")
+      : DataFrame = {
+    graft.expr.BloomProbe.register(docs.sparkSession)
+    val evalGrams = bloomEvalGrams(docs, evalSource)
+    val filterRow = bloomFilterRow(evalGrams, BloomBitsPerElem)
+    val probe = docs.filter(col("source") =!= evalSource)
+      .withColumn("words", split(lower(col("text")), " +"))
+      .filter(size(col("words")) >= 4)
+      .select(col("doc_id"), col("source"), explode(shingleExpr(4)).as("s"))
+      .transform(TransientCache.scopedDF)
+    val probes = probe.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_probes"))
+    val flagged = probe.crossJoin(broadcast(filterRow))
+      .filter(expr("graft_bloom_probe(s, bloom, m)"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_flagged"))
+    val trueHits = probe.join(broadcast(evalGrams), Seq("s"), "leftsemi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_true"))
+    probes
+      .join(flagged, Seq("source"), "left")
+      .join(trueHits, Seq("source"), "left")
+      .na.fill(0L, Seq("n_flagged", "n_true"))
+      .withColumn("fp_bp",
+        expr("((n_flagged - n_true) * 10000) div n_probes"))
+      .orderBy(col("source"))
+  }
+
+  /** Bits-per-element grid for q193's sizing sweep — brackets the
+    * deployed [[BloomBitsPerElem]] both ways at the fixed probe count
+    * [[BloomK]] (so the sweep isolates the memory-budget axis: k = 7 is
+    * what the native probe ships). */
+  private val BloomSweepBits = Seq(6L, 8L, 10L, 12L, 14L)
+
+  /** q193: bloom sizing sweep — realized false-positive mass per
+    * bits-per-element budget, measured BEFORE a deployment hard-codes
+    * q75's 10 bits/element. One row per budget: the filter size m, the
+    * probe volume, flagged and truly-contaminated gram counts, and the
+    * realized fp basis points (the q139 threshold-sweep shape pointed at
+    * the bloom's memory axis). All five budgets' filters fold into ONE
+    * combined broadcast row and the gram stream is probed in a SINGLE
+    * pass (five conditional sums in one aggregate — the per-budget
+    * filter-then-count alternative re-pays the shingle explode per
+    * budget, measured 4.2 s vs ~1.5 s at sf0.1); the one-row result
+    * unpivots to the sweep grid via `stack`. */
+  def bloomSizingSweep(docs: DataFrame, evalSource: String = "src0")
+      : DataFrame = {
+    graft.expr.BloomProbe.register(docs.sparkSession)
+    val evalGrams = bloomEvalGrams(docs, evalSource)
+    val probe = wordShingles(docs.filter(col("source") =!= evalSource), 4)
+      .transform(TransientCache.scopedDF)
+    val totals = probe.agg(count(lit(1)).as("n_probes"))
+      .crossJoin(broadcast(
+        probe.join(broadcast(evalGrams), Seq("s"), "leftsemi")
+          .agg(count(lit(1)).as("n_true"))))
+    val combined = BloomSweepBits.map { b =>
+      bloomFilterRow(evalGrams, b)
+        .select(col("m").as(s"m$b"), col("bloom").as(s"bloom$b"))
+    }.reduce(_ crossJoin _)
+    // conditional sums, not filter-then-count: a global aggregate
+    // always yields its one row even when nothing is flagged, so every
+    // budget keeps its sweep row
+    val aggs = BloomSweepBits.flatMap { b =>
+      Seq(max(col(s"m$b")).as(s"m$b"),
+        sum(when(expr(s"graft_bloom_probe(s, bloom$b, m$b)"), 1L)
+          .otherwise(0L)).as(s"f$b"))
+    }
+    val stacked = BloomSweepBits
+      .map(b => s"cast($b as bigint), m$b, f$b").mkString(", ")
+    probe.crossJoin(broadcast(combined))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${BloomSweepBits.size}, $stacked)")
+        .as(Seq("bits_per_elem", "m", "n_flagged")))
+      .crossJoin(broadcast(totals))
+      .withColumn("fp_bp",
+        expr("((n_flagged - n_true) * 10000) div n_probes"))
+      .select(col("bits_per_elem"), col("m"), col("n_probes"),
+        col("n_flagged"), col("n_true"), col("fp_bp"))
+      .orderBy(col("bits_per_elem"))
+  }
+
+  /** Shared DuckDB CTEs for the bloom family (q75/q192/q193), built
+    * over [[fourGramDuckCtes]]' `g`: the distinct eval gram set `ev`,
+    * its double-hash halves `eh`, the salt grid, and the hashed
+    * training grams with source `trh` — so the gram/hash definitions
+    * exist once per engine. */
+  private def bloomBaseDuck: String =
+    s"""ev AS (
+               SELECT DISTINCT g.s FROM g
+               JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
+             eh AS (
+               SELECT CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT) AS h1,
+                 2 * CAST(('0x' || substr(md5(s), 15, 14)) AS BIGINT) + 1
+                   AS step
+               FROM ev),
+             salts AS (SELECT unnest(range($BloomK)) AS salt),
+             trh AS (
+               SELECT g.doc_id, g.s, d.source,
+                 CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT) AS h1,
+                 2 * CAST(('0x' || substr(md5(s), 15, 14)) AS BIGINT) + 1
+                   AS step
+               FROM g
+               JOIN documents d USING (doc_id) WHERE d.source <> 'src0')"""
+
+  /** One bloom arm at `b` bits per element: sizing `p{b}`, packed words
+    * `bits{b}`, probe positions and the flagged gram set `fl{b}` —
+    * suffixed so q193's sweep instantiates several arms in one query. */
+  private def bloomArmDuck(b: Long): String =
+    s"""p$b AS (SELECT greatest(count(*) * $b, 64) AS m FROM ev),
+             epos$b AS (
+               SELECT (h1 + salt * step) % m AS pos FROM eh, salts, p$b),
+             bits$b AS (
+               SELECT pos // $BloomWordBits AS wi,
+                 bit_or(1::BIGINT << CAST(pos % $BloomWordBits AS INT))
+                   AS word
+               FROM epos$b GROUP BY 1),
+             ppos$b AS (
+               SELECT doc_id, s, source, (h1 + salt * step) % m AS pos
+               FROM trh, salts, p$b),
+             hg$b AS (
+               SELECT doc_id, s, source, count(*) AS n_hits
+               FROM ppos$b JOIN bits$b
+                 ON ppos$b.pos // $BloomWordBits = bits$b.wi
+                 AND (bits$b.word &
+                   (1::BIGINT << CAST(ppos$b.pos % $BloomWordBits AS INT)))
+                   != 0
+               GROUP BY doc_id, s, source),
+             fl$b AS (
+               SELECT doc_id, s, source FROM hg$b WHERE n_hits = $BloomK)"""
 
   /** DuckDB CTE chain mirroring [[jaccardPairs]] at threshold `minJ`,
     * ending at `jp` (da, db, n_shared, jac) — shared by the q32 oracle
@@ -1881,47 +2028,58 @@ object TextOps {
     "q75_bloom_decontam" -> QueryDef(
       (s, dir) => bloomDecontam(Tables.load(s, dir, "documents")),
       Some(s"""WITH $fourGramDuckCtes,
-             ev AS (
-               SELECT DISTINCT g.s FROM g
-               JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
-             p AS (
-               SELECT greatest(count(*) * $BloomBitsPerElem, 64) AS m
-               FROM ev),
-             salts AS (SELECT unnest(range($BloomK)) AS salt),
-             eh AS (
-               SELECT CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT) AS h1,
-                 2 * CAST(('0x' || substr(md5(s), 15, 14)) AS BIGINT) + 1
-                   AS step
-               FROM ev),
-             epos AS (
-               SELECT (h1 + salt * step) % m AS pos
-               FROM eh, salts, p),
-             bits AS (
-               SELECT pos // $BloomWordBits AS wi,
-                 bit_or(1::BIGINT << CAST(pos % $BloomWordBits AS INT))
-                   AS word
-               FROM epos GROUP BY 1),
-             tr AS (
-               SELECT g.doc_id, g.s,
-                 CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT) AS h1,
-                 2 * CAST(('0x' || substr(md5(s), 15, 14)) AS BIGINT) + 1
-                   AS step
-               FROM g
-               JOIN documents d USING (doc_id) WHERE d.source <> 'src0'),
-             ppos AS (
-               SELECT doc_id, s, (h1 + salt * step) % m AS pos
-               FROM tr, salts, p),
-             hg AS (
-               SELECT doc_id, s, count(*) AS n_hits
-               FROM ppos JOIN bits ON ppos.pos // $BloomWordBits = bits.wi
-                 AND (bits.word &
-                   (1::BIGINT << CAST(ppos.pos % $BloomWordBits AS INT)))
-                   != 0
-               GROUP BY doc_id, s)
+             $bloomBaseDuck,
+             ${bloomArmDuck(BloomBitsPerElem)}
              SELECT doc_id, count(*) AS n_flagged
-             FROM hg WHERE n_hits = $BloomK
+             FROM fl$BloomBitsPerElem
              GROUP BY doc_id
              ORDER BY doc_id""")),
+
+    // ---- q192: the q75 filter's realized false-positive rate per
+    //      source, against the exact q58 ground truth — integer basis
+    //      points, flagged ⊇ true by the no-false-negative contract ----
+    "q192_bloom_fp_audit" -> QueryDef(
+      (s, dir) => bloomFpAudit(Tables.load(s, dir, "documents")),
+      Some(s"""WITH $fourGramDuckCtes,
+             $bloomBaseDuck,
+             ${bloomArmDuck(BloomBitsPerElem)},
+             probes AS (
+               SELECT source, count(*) AS n_probes FROM trh GROUP BY 1),
+             flg AS (
+               SELECT source, count(*) AS n_flagged
+               FROM fl$BloomBitsPerElem GROUP BY 1),
+             tru AS (
+               SELECT source, count(*) AS n_true
+               FROM trh JOIN ev USING (s) GROUP BY 1)
+             SELECT p.source, p.n_probes,
+               coalesce(f.n_flagged, 0) AS n_flagged,
+               coalesce(t.n_true, 0) AS n_true,
+               ((coalesce(f.n_flagged, 0) - coalesce(t.n_true, 0)) * 10000)
+                 // p.n_probes AS fp_bp
+             FROM probes p
+             LEFT JOIN flg f USING (source)
+             LEFT JOIN tru t USING (source)
+             ORDER BY p.source""")),
+
+    // ---- q193: bloom sizing sweep over the bits-per-element grid,
+    //      k fixed at the shipped 7 probes — one arm per budget ----
+    "q193_bloom_sizing_sweep" -> QueryDef(
+      (s, dir) => bloomSizingSweep(Tables.load(s, dir, "documents")),
+      Some(s"""WITH $fourGramDuckCtes,
+             $bloomBaseDuck,
+             ${BloomSweepBits.map(bloomArmDuck).mkString(",\n             ")},
+             pr AS (SELECT count(*) AS n_probes FROM trh),
+             tru AS (
+               SELECT count(*) AS n_true FROM trh JOIN ev USING (s))
+             SELECT * FROM (${BloomSweepBits.map { b =>
+        s"""SELECT CAST($b AS BIGINT) AS bits_per_elem,
+               (SELECT m FROM p$b) AS m, n_probes,
+               (SELECT count(*) FROM fl$b) AS n_flagged, n_true,
+               (((SELECT count(*) FROM fl$b) - n_true) * 10000)
+                 // n_probes AS fp_bp
+             FROM pr, tru"""
+      }.mkString("\n             UNION ALL\n             ")})
+             ORDER BY bits_per_elem""")),
 
     // ---- language ID: stopword-hit scoring, deterministic argmax
     //      (predictor defined ONCE in [[predLang]]/[[predLangDuck]],

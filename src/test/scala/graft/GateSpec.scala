@@ -281,7 +281,12 @@ class PlanGateSpec extends AnyFunSuite {
     // aggregate m and the folded bloom bit-array row the native probe
     // reads (the whole filter is a single broadcast row; the gram
     // stream itself never joins)
-    "q75_bloom_decontam")
+    "q75_bloom_decontam",
+    // q192/q193: the same one-row filter rows (one per swept budget in
+    // q193) plus the one-row probe/true totals — every crossJoin build
+    // side is a single row by construction
+    "q192_bloom_fp_audit",
+    "q193_bloom_sizing_sweep")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -958,6 +958,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q193 bloom sizing sweep: no false negatives at any budget; more bits never hurt") {
+    val rows = SparkEntry.queries("q193_bloom_sizing_sweep")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("bits_per_elem") ->
+        (r.getAs[Long]("n_flagged"), r.getAs[Long]("n_true"),
+          r.getAs[Long]("fp_bp")))
+    assert(rows.map(_._1).toSeq == Seq(6L, 8L, 10L, 12L, 14L))
+    rows.foreach { case (b, (flagged, tru, fpBp)) =>
+      assert(flagged >= tru, s"b=$b: flagged $flagged < true $tru")
+      assert(fpBp >= 0, s"b=$b: negative fp_bp $fpBp")
+    }
+    // endpoint monotonicity: the 14-bit filter may not realize MORE
+    // false positives than the 6-bit one (adjacent budgets can tie on
+    // a small corpus, the endpoints cannot invert)
+    assert(rows.last._2._3 <= rows.head._2._3,
+      s"fp_bp grew with budget: ${rows.map(_._2._3).mkString(",")}")
+  }
+
+  test("q192 fp audit: per-source flagged ⊇ true and fp_bp consistent") {
+    val rows = SparkEntry.queries("q192_bloom_fp_audit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, f, t, bp) = (r.getAs[Long]("n_probes"),
+        r.getAs[Long]("n_flagged"), r.getAs[Long]("n_true"),
+        r.getAs[Long]("fp_bp"))
+      assert(f >= t, s"${r.getString(0)}: flagged $f < true $t")
+      assert(bp == (f - t) * 10000 / p)
+    }
+  }
+
   test("bloom decontamination false-positive rate honors the 1% contract") {
     // the Guava-era filter was sized at fpp = 1%; the deterministic
     // bit-array replacement (10 bits/elem, k = 7) has theoretical
