@@ -31,8 +31,9 @@ object TextOps {
   private val JacPairsCacheV = 1
 
   /** n-word shingle set of the lowercased text, distinct, as a Column
-    * expression over a `words` array column. */
-  private def shingleExpr(n: Int) =
+    * expression over a `words` array column. `private[graft]` so the
+    * streaming bloom gate computes the IDENTICAL gram set in-row. */
+  private[graft] def shingleExpr(n: Int) =
     expr(s"""array_distinct(transform(
               sequence(0, size(words) - $n),
               i -> concat_ws(' ', slice(words, i + 1, $n))))""")
@@ -1014,11 +1015,18 @@ object TextOps {
         .as("bloom"))
   }
 
+  /** The deployed-parameter q75 filter row (m, bloom) for a corpus —
+    * public so the streaming ingest gate
+    * ([[graft.streaming.EventStreams.streamingBloomGate]]) trains the
+    * IDENTICAL filter once and freezes it. */
+  def bloomFilterRowFor(docs: DataFrame, evalSource: String = "src0")
+      : DataFrame =
+    bloomFilterRow(bloomEvalGrams(docs, evalSource), BloomBitsPerElem)
+
   def bloomDecontam(docs: DataFrame, evalSource: String = "src0")
       : DataFrame = {
     graft.expr.BloomProbe.register(docs.sparkSession)
-    val filterRow =
-      bloomFilterRow(bloomEvalGrams(docs, evalSource), BloomBitsPerElem)
+    val filterRow = bloomFilterRowFor(docs, evalSource)
     // probe: all BloomK salted positions must be set — the native
     // [[graft.expr.BloomProbe]] expression over the one-row broadcast
     // (one md5 per gram, early-exit bit loop), no joins, one

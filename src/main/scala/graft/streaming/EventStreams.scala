@@ -283,6 +283,39 @@ object EventStreams {
              ELSE w_units * 1000 div n_tokens END"""))
   }
 
+  /** Streaming bloom decontamination gate — the ingest-time form of
+    * q75: arriving docs count their distinct 4-grams that hit the
+    * FROZEN eval bloom filter (one collect'd row: m + the dense packed
+    * word array, trained once by
+    * [[graft.ops.TextOps.bloomFilterRowFor]]) and pass through with
+    * their contamination count when any gram hits. Same freeze
+    * rationale as the DSIR scorer above — a raw crossJoin against the
+    * trainer's plan re-runs the eval shingle explode and filter build
+    * EVERY micro-batch; the frozen row is the bounded artifact a crawl
+    * frontier ships to its gate. The per-doc count is an IN-ROW
+    * `aggregate` over the doc's own distinct-shingle array probing
+    * [[graft.expr.BloomProbe]] per gram — a PURE PER-ROW projection:
+    * zero streaming state, Append mode, no watermark, a doc's verdict
+    * never depends on its micro-batch. Docs with no flagged gram emit
+    * nothing, exactly like batch q75's post-filter groupBy
+    * (StreamingSpec pins per-doc (doc_id, n_flagged) equality). */
+  def streamingBloomGate(docs: DataFrame, filterRow: DataFrame): DataFrame = {
+    graft.expr.BloomProbe.register(docs.sparkSession)
+    val frozen = filterRow.sparkSession.createDataFrame(
+      java.util.Arrays.asList(filterRow.collect(): _*), filterRow.schema)
+    docs
+      .filter(col("text").isNotNull)
+      .withColumn("words", split(lower(col("text")), " +"))
+      .filter(size(col("words")) >= 4)
+      .withColumn("grams", graft.ops.TextOps.shingleExpr(4))
+      .crossJoin(broadcast(frozen))
+      .select(col("doc_id"), expr(
+        """aggregate(grams, 0L, (acc, s) ->
+             acc + if(graft_bloom_probe(s, bloom, m), 1L, 0L))""")
+        .as("n_flagged"))
+      .filter(col("n_flagged") > 0)
+  }
+
   /** Stream-stream interval join — the unbounded form of q63's
     * view→purchase conversion: each purchase matches the same user's
     * views from the preceding hour. Both sides MUST carry watermarks and

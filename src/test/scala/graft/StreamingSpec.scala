@@ -592,6 +592,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming bloom gate equals batch q75 per doc (stateless append projection)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real corpus so the filter carries realistic density and the
+    // stream exercises both flagged and clean docs
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // the frozen filter a deployment trains batch-side and ships
+    val filterRow = graft.ops.TextOps.bloomFilterRowFor(docs)
+    val expected = graft.ops.TextOps.bloomDecontam(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val training = docs.filter(col("source") =!= "src0")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingBloomGate(
+        input.toDF().toDF("doc_id", "text"), filterRow)
+      .writeStream.format("memory").queryName("bloom_gate")
+      .outputMode("append").start()
+    try {
+      input.addData(training: _*)
+      q.processAllAvailable()
+      val got = spark.table("bloom_gate").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"streamed ${got.size} vs batch ${expected.size}")
+      assert(got.nonEmpty, "fixture must flag at least one doc")
+      assert(got.size < training.size,
+        "clean docs must emit nothing — the gate filters, not annotates")
+    } finally q.stop()
+  }
+
   test("streaming DSIR scorer equals batch q178 per doc (stateless append projection)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
