@@ -86,6 +86,10 @@ object Sharding {
     out
   }
 
+  /** Candidate context lengths for q194's pad-vs-pack forecast —
+    * brackets q84's deployed [[PackCapacity]] both ways. */
+  private val PackForecastLengths = Seq(256L, 512L, 1024L, 2048L)
+
   /** Context-window capacity (tokens) for q84's sequence packing. */
   val PackCapacity = 512L
 
@@ -287,6 +291,63 @@ object Sharding {
              FROM wins
              GROUP BY shard_id
              ORDER BY shard_id""")),
+
+    // ---- context-length forecast: the pad-vs-pack readout a run
+    //      consults BEFORE committing to a context length — q149 audits
+    //      the realized 512-token packing; this forecasts the whole
+    //      grid. Per candidate length L: the sequence count under
+    //      pad-to-L (every doc independently split, final fragments
+    //      padded — ceil(tokens/L) per doc), the padding share of the
+    //      compute bill that implies (integer basis points), and the
+    //      perfect-concatenation lower bound ceil(total/L) a packer is
+    //      judged against. All integer ceil-division, so both engines
+    //      agree exactly. Scale shape: ONE corpus scan — the per-doc
+    //      token count explodes onto the 4-length grid map-side and
+    //      everything after is a 4-group combinable rollup. ----
+    "q194_packing_length_forecast" -> QueryDef(
+      (s, dir) => {
+        val ls = PackForecastLengths
+        Tables.load(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .withColumn("n_tokens",
+            expr("cast(size(split(lower(text), ' +')) as bigint)"))
+          .select(col("n_tokens"),
+            explode(array(ls.map(lit): _*)).as("context_len"))
+          .groupBy(col("context_len"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(expr("(n_tokens + context_len - 1) div context_len"))
+              .as("n_seqs_padded"))
+          .withColumn("pad_waste_bp", expr(
+            """((n_seqs_padded * context_len - total_tokens) * 10000)
+               div (n_seqs_padded * context_len)"""))
+          .withColumn("n_seqs_packed_lb",
+            expr("(total_tokens + context_len - 1) div context_len"))
+          .select(col("context_len"), col("n_docs"), col("total_tokens"),
+            col("n_seqs_padded"), col("pad_waste_bp"),
+            col("n_seqs_packed_lb"))
+          .orderBy(col("context_len"))
+      },
+      Some(s"""WITH d AS (
+               SELECT CAST(len(string_split_regex(lower(text), ' +'))
+                 AS BIGINT) AS n_tokens
+               FROM documents WHERE text IS NOT NULL),
+             ls AS (
+               SELECT CAST(unnest([${PackForecastLengths.mkString(", ")}])
+                 AS BIGINT) AS context_len),
+             ag AS (
+               SELECT context_len, count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                 CAST(sum((n_tokens + context_len - 1) // context_len)
+                   AS BIGINT) AS n_seqs_padded
+               FROM d, ls GROUP BY 1)
+             SELECT context_len, n_docs, total_tokens, n_seqs_padded,
+               ((n_seqs_padded * context_len - total_tokens) * 10000)
+                 // (n_seqs_padded * context_len) AS pad_waste_bp,
+               (total_tokens + context_len - 1) // context_len
+                 AS n_seqs_packed_lb
+             FROM ag
+             ORDER BY context_len""")),
 
     // ---- per-shard integrity manifest: the reproducibility artifact a
     //      real training-data run writes alongside each shard — doc and

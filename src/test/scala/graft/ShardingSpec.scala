@@ -108,4 +108,24 @@ class ShardingSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(rows.map(_._3).sum == corpusTokens, "every corpus token lands in a window")
   }
+
+  test("q194: packed lower bound never exceeds pad-to-L; waste grows with L") {
+    val rows = SparkEntry.queries("q194_packing_length_forecast")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq(256L, 512L, 1024L, 2048L))
+    // the corpus is the same whatever the candidate length
+    assert(rows.map(t => (t._2, t._3)).distinct.size == 1,
+      "n_docs/total_tokens must not vary with context_len")
+    rows.foreach { case (l, _, total, padded, wasteBp, packedLb) =>
+      assert(packedLb <= padded, s"L=$l: lower bound $packedLb > padded $padded")
+      assert(wasteBp >= 0 && wasteBp < 10000, s"L=$l: waste $wasteBp")
+      assert(padded * l >= total, s"L=$l: capacity under corpus")
+    }
+    // pad-to-L waste is monotone in L at the endpoints: bigger windows
+    // burn more pad on each doc's final fragment
+    assert(rows.last._5 >= rows.head._5,
+      s"waste shrank with L: ${rows.map(_._5).mkString(",")}")
+  }
 }
