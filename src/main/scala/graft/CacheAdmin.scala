@@ -3,16 +3,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** FrameCache retention tool: enumerates `graft_<name>_v<N>_<fp>` dirs
-  * under [[ops.FrameCache.baseDir]] and deletes the ones no live corpus
-  * owns — every corpus rewrite and builder-version bump orphans the
-  * previous fingerprint's dirs forever otherwise (at 100 TB those are
+  * under [[ops.FrameCache.baseDir]] and deletes the ones no live
+  * corpus+builder owns — every corpus rewrite and builder-version bump
+  * orphans the previous dirs forever otherwise (at 100 TB those are
   * not kilobytes). "Live" = the fingerprints of the documents +
-  * embeddings tables of each sfDir argument; anything else older than
-  * the retention window goes. Live-fingerprint dirs are never deleted,
-  * whatever their age.
+  * embeddings tables of each sfDir argument; a dir older than the
+  * retention window goes when its fingerprint is not live OR a
+  * published higher version of the same substrate supersedes it
+  * (r13 — version-bump orphans of a stable live corpus are reclaimed
+  * too). Current-version live dirs are never deleted, whatever their
+  * age.
   *
   * Usage: runMain graft.CacheAdmin <maxAgeDays> <sfDir> [sfDir ...]
-  *   maxAgeDays = 0 reclaims every non-live dir immediately.
+  *   maxAgeDays = 0 reclaims every non-live dir immediately — only
+  *   safe when NO other session is live (gc's delete is retried by a
+  *   reader only at serve time, not on frames already handed out); on
+  *   shared hosts keep at least a session-length retention.
   */
 object CacheAdmin {
   def main(args: Array[String]): Unit = {

@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions._
   *     to bound).
   *
   * Usage: runMain graft.ScaleSmoke [--decorrelate] <srcSfDir> <outDir> <factor> <q1> [q2 ...]
-  * The expanded corpus is built once and reused if already present.
+  * The expanded corpus is built once and reused only when already
+  * present AND built under the SAME embedding regime (a `_REGIME`
+  * marker in outDir carries which one; the artifact line carries a
+  * `decorrelate` field) — the two regimes measure different corpora,
+  * so silent cross-regime reuse would be a wrong measurement.
   * `--decorrelate` switches the EMBEDDING expansion from
   * similarity-preserving copies (adversarial for banding: every band
   * group packs `factor` near-identical members) to per-copy sign-flipped
@@ -42,23 +46,39 @@ object ScaleSmoke {
       d.exists && new java.io.File(d, "_SUCCESS").exists
     val outDocs = new java.io.File(s"$out/documents.parquet")
     val outEmb = new java.io.File(s"$out/embeddings.parquet")
-    if (complete(outDocs) && complete(outEmb)) {
-      println(s"[scale] reusing expanded corpus at $out")
+    // the EMBEDDING expansion differs by regime, so the regime is part
+    // of the reuse key (r12 ADVICE: a --decorrelate run against an
+    // outDir built correlated silently measured the wrong corpus): a
+    // _REGIME marker written after the embedding write must match, or
+    // the embeddings are rebuilt under the requested regime. The doc
+    // expansion is regime-independent and reusable either way.
+    val regime = if (decorrelate) "decorrelate" else "correlated"
+    val markerFile = java.nio.file.Path.of(out, "_REGIME")
+    val markerOk =
+      try java.nio.file.Files.readString(markerFile).trim == regime
+      catch { case _: Exception => false }
+    if (complete(outDocs) && complete(outEmb) && markerOk) {
+      println(s"[scale] reusing expanded corpus at $out (regime=$regime)")
       return
     }
-    val docs = spark.read.parquet(s"$src/documents.parquet")
-    val nDocs = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
-    val docCopies = (0 until factor).map { i =>
-      if (i == 0) docs
-      else docs
-        .withColumn("doc_id", col("doc_id") + lit(i * nDocs))
-        .withColumn("text", expr(
-          s"array_join(transform(split(text, ' '), w -> concat(w, '_$i')), ' ')"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-    }
-    docCopies.reduce(_ unionByName _)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // drop a stale marker BEFORE any rebuild: a kill mid-rebuild must
+    // not leave the old regime's marker next to new partial embeddings
+    java.nio.file.Files.deleteIfExists(markerFile)
+    if (!complete(outDocs)) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val nDocs = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val docCopies = (0 until factor).map { i =>
+        if (i == 0) docs
+        else docs
+          .withColumn("doc_id", col("doc_id") + lit(i * nDocs))
+          .withColumn("text", expr(
+            s"array_join(transform(split(text, ' '), w -> concat(w, '_$i')), ' ')"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+      docCopies.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    } else println(s"[scale] reusing regime-independent documents at $out")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val nVecs = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     val embCopies = (0 until factor).map { i =>
@@ -85,8 +105,9 @@ object ScaleSmoke {
     embCopies.reduce(_ unionByName _)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    java.nio.file.Files.writeString(markerFile, regime)
     println(s"[scale] built ${factor}x corpus at $out " +
-      s"(${nDocs * factor} docs, ${nVecs * factor} vectors)")
+      s"(regime=$regime, ${nVecs * factor} vectors)")
   }
 
   /** Bench-only pseudo-queries: operations worth timing at scale that
@@ -277,7 +298,7 @@ object ScaleSmoke {
     }.mkString("{", ",", "}")
     val errs = rows.collect { case (n, _, _, Some(e)) => s""""$n":"${esc(e)}"""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scale_smoke","factor":$factor,"src":"$src","queries":$qjson,"errors":$errs}""")
+    println(s"""{"metric":"scale_smoke","factor":$factor,"src":"$src","decorrelate":$decorrelate,"queries":$qjson,"errors":$errs}""")
     // teardown: the expanded corpus is one-shot, so any FrameCache dirs
     // keyed on ITS fingerprints are orphans the moment this run ends —
     // reclaim them here instead of leaving them for CacheAdmin's

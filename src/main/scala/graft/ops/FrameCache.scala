@@ -53,8 +53,14 @@ object FrameCache {
     sys.props.getOrElse("graft.frameCacheDir",
       System.getProperty("java.io.tmpdir"))
 
-  def path(name: String, version: Int, fingerprint: String): String =
-    s"$baseDir/graft_${name}_v${version}_$fingerprint"
+  /** `base` is injectable so specs exercise path/gc/drop against a
+    * scratch root WITHOUT mutating the global `graft.frameCacheDir`
+    * property (r12 verdict: the mutate-and-restore pattern was safe
+    * only under sequential forked suites); production callers take the
+    * default. */
+  def path(name: String, version: Int, fingerprint: String,
+      base: String = baseDir): String =
+    s"$base/graft_${name}_v${version}_$fingerprint"
 
   /** Serve the parquet cache at `cacheDir`, building it with `build`
     * on first use (or after the fingerprint-keyed path rotates). */
@@ -125,34 +131,61 @@ object FrameCache {
     }
   }
 
-  /** Remove cache dirs under [[baseDir]] that no live corpus owns:
-    * a `graft_<name>_v<version>_<fp>` dir (or an orphaned
-    * `..._build_<uuid>` temp of one) is deleted when its fingerprint is
-    * NOT in `keepFingerprints` AND its modification time is at least
-    * `maxAgeDays` old. Live fingerprints are never touched whatever
-    * their age — the age window only grace-protects OTHER sessions'
-    * recent corpora (their fingerprints are unknown to this process),
-    * so `maxAgeDays = 0` reclaims every non-live dir immediately.
+  /** Remove cache dirs under the base root that no live corpus+builder
+    * owns. A `graft_<name>_v<version>_<fp>` dir (or an orphaned
+    * `..._build_<uuid>` temp of one) is deleted when it is at least
+    * `maxAgeDays` old AND either
+    *   - its fingerprint is NOT in `keepFingerprints` (corpus orphan:
+    *     the input was rewritten or was a one-shot corpus), or
+    *   - a PUBLISHED (`_SUCCESS`-marked) dir for the same
+    *     `(name, fingerprint)` exists at a HIGHER version (builder
+    *     orphan: a version bump superseded it — without this rule,
+    *     superseded dirs of a stable live corpus were protected
+    *     forever, r12 ADVICE). The witness must be published so a
+    *     v(N+1) build still in flight cannot retire the vN dir its
+    *     readers may be mid-serve on.
+    * Current-version live fingerprints are never touched whatever
+    * their age; the age window grace-protects OTHER sessions' recent
+    * corpora AND concurrent sessions still running pre-bump code.
     * Returns the deleted paths. Fingerprint-keyed dirs orphan on every
     * corpus rewrite or builder-version bump, so a long-lived host runs
     * this periodically via [[graft.CacheAdmin]] (ScaleSmoke's teardown
-    * [[drop]]s its one-shot smoke-corpus dirs itself). Deleting a dir
-    * another session is actively reading is safe-if-rude: its reader
-    * retries once through [[serve]]'s rebuild path. */
+    * [[drop]]s its one-shot smoke-corpus dirs itself).
+    *
+    * Deleting a dir another session is actively reading is mostly-safe:
+    * [[serve]]'s bounded retry covers a delete landing between the
+    * marker check and the SERVE-TIME read, but a DataFrame handed out
+    * earlier and executed after the delete still fails unretried — so
+    * `maxAgeDays = 0` is NOT safe on hosts with concurrent live
+    * sessions; keep at least a session-length retention (the default 7
+    * days) there and reserve 0 for single-session hosts or teardown. */
   def gc(s: SparkSession, keepFingerprints: Set[String],
-      maxAgeDays: Int = 7): Seq[String] = {
+      maxAgeDays: Int = 7, base: String = baseDir): Seq[String] = {
     val conf = s.sparkContext.hadoopConfiguration
-    val base = new Path(baseDir)
-    val fs = base.getFileSystem(conf)
-    if (!fs.exists(base)) return Seq.empty
+    val basePath = new Path(base)
+    val fs = basePath.getFileSystem(conf)
+    if (!fs.exists(basePath)) return Seq.empty
     val cutoff = System.currentTimeMillis() - maxAgeDays * 86400000L
-    val CacheDir = """graft_.+_v\d+_([0-9a-f]{32})(_build_.*)?""".r
-    fs.listStatus(base).toSeq
-      .filter(st => st.isDirectory && (st.getPath.getName match {
-        case CacheDir(fp, _) =>
-          !keepFingerprints.contains(fp) && st.getModificationTime <= cutoff
+    val CacheDir = """graft_(.+)_v(\d+)_([0-9a-f]{32})(_build_.*)?""".r
+    val all = fs.listStatus(basePath).toSeq.filter(_.isDirectory)
+    // highest PUBLISHED version per (name, fp) — the supersede witnesses
+    val published: Map[(String, String), Int] = all
+      .flatMap(st => st.getPath.getName match {
+        case CacheDir(name, v, fp, null)
+            if fs.exists(new Path(st.getPath, "_SUCCESS")) =>
+          Some(((name, fp), v.toInt))
+        case _ => None
+      })
+      .groupMapReduce(_._1)(_._2)(math.max)
+    all
+      .filter(st => st.getPath.getName match {
+        case CacheDir(name, v, fp, _) =>
+          val superseded =
+            published.getOrElse((name, fp), Int.MinValue) > v.toInt
+          (!keepFingerprints.contains(fp) || superseded) &&
+            st.getModificationTime <= cutoff
         case _ => false
-      }))
+      })
       .map { st => fs.delete(st.getPath, true); st.getPath.toString }
   }
 
@@ -161,13 +194,14 @@ object FrameCache {
     * for corpora KNOWN to be one-shot (ScaleSmoke's expanded smoke
     * corpora clean up after themselves this way). Returns the deleted
     * paths. */
-  def drop(s: SparkSession, fingerprints: Set[String]): Seq[String] = {
+  def drop(s: SparkSession, fingerprints: Set[String],
+      base: String = baseDir): Seq[String] = {
     val conf = s.sparkContext.hadoopConfiguration
-    val base = new Path(baseDir)
-    val fs = base.getFileSystem(conf)
-    if (!fs.exists(base) || fingerprints.isEmpty) return Seq.empty
+    val basePath = new Path(base)
+    val fs = basePath.getFileSystem(conf)
+    if (!fs.exists(basePath) || fingerprints.isEmpty) return Seq.empty
     val CacheDir = """graft_.+_v\d+_([0-9a-f]{32})(_build_.*)?""".r
-    fs.listStatus(base).toSeq
+    fs.listStatus(basePath).toSeq
       .filter(st => st.isDirectory && (st.getPath.getName match {
         case CacheDir(fp, _) => fingerprints.contains(fp)
         case _ => false

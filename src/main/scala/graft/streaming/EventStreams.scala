@@ -204,6 +204,17 @@ object EventStreams {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_eval_fp"))
 
+  /** Per-doc ceiling on hit positions entering [[streamingSpanMask]]'s
+    * in-row span fold. The fold rebuilds its accumulator array per hit
+    * (interpreted HOF), i.e. O(hits²) per doc worst-case — fine for
+    * real contamination (tens of hits) but quadratic for a
+    * pathological fully-contaminated doc at ingest (r12 verdict item
+    * 6). Docs over the cap fold only their first [[SpanMaskHitCap]]
+    * positions (a PREFIX of the true mask) and carry `capped = true`,
+    * which routes them to quarantine wholesale — a doc with 1024+
+    * eval-set hits is not a mask-and-keep candidate, it IS the leak. */
+  val SpanMaskHitCap = 1024
+
   /** Streaming mirror of q191's span-level decontamination mask — the
     * online ingest form of surgical decontamination: incoming docs
     * explode positional 4-grams, stream-static equi-join against the
@@ -213,17 +224,22 @@ object EventStreams {
     * fold over the doc's sorted hit positions (`aggregate` over
     * `sort_array(collect_list(p))` — deterministic after the sort,
     * identical overlap-or-abut rule: positions ≤ prev end + 1 extend
-    * the open span). Output is one row per FLAGGED doc with its spans
-    * array, span count and masked-word total — complete-mode state is
-    * bounded by the leaky docs, a vanishing corpus fraction (the q73 /
-    * winnow-gate shape). StreamingSpec pins per-doc equality with
-    * batch q191. */
+    * the open span), bounded per doc by [[SpanMaskHitCap]]. Output is
+    * one row per FLAGGED doc with its spans array, span count,
+    * masked-word total and the `capped` route flag — complete-mode
+    * state is bounded by the leaky docs, a vanishing corpus fraction
+    * (the q73 / winnow-gate shape). StreamingSpec pins per-doc
+    * equality with batch q191 (uncapped docs) and the bounded
+    * pathological path. */
   def streamingSpanMask(docs: DataFrame, evalGrams: DataFrame): DataFrame =
     graft.ops.TextOps.positionalWordShingles(docs, 4)
       .withColumn("p", col("i") + lit(1L))
       .join(evalGrams, "s")
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .agg(sort_array(collect_list(col("p"))).as("ps_all"))
+      .select(col("doc_id"),
+        expr(s"slice(ps_all, 1, $SpanMaskHitCap)").as("ps"),
+        (size(col("ps_all")) > SpanMaskHitCap).as("capped"))
       .select(col("doc_id"), expr(
         """aggregate(ps,
              cast(array() as array<struct<s: bigint, e: bigint, n: bigint>>),
@@ -234,11 +250,11 @@ object EventStreams {
                else concat(slice(acc, 1, size(acc) - 1),
                  array(named_struct('s', element_at(acc, -1).s,
                    'e', p + 3L, 'n', element_at(acc, -1).n + 1L)))
-             end)""").as("spans"))
+             end)""").as("spans"), col("capped"))
       .select(col("doc_id"), col("spans"),
         expr("cast(size(spans) as bigint)").as("n_spans"),
         expr("aggregate(spans, 0L, (a, x) -> a + x.e - x.s + 1L)")
-          .as("masked_words"))
+          .as("masked_words"), col("capped"))
 
   /** Streaming DSIR scorer — the ingest-time form of q178 (data
     * selection at the crawl frontier, Xie et al. 2023): arriving docs

@@ -24,27 +24,23 @@ class FrameCacheSpec extends AnyFunSuite {
     assert(FrameCache.path("knn10", 4, "abc123") != p)
   }
 
-  test("path and baseDir both honor graft.frameCacheDir") {
-    // baseDir is the SINGLE root both path() and cache-enumerating
-    // tooling (ScaleSmoke.dropFrameCaches) resolve — if they diverged,
-    // a build smoke would delete under one root while serve reads the
-    // other and silently time a warm read.
-    // NOTE: this test (and the gc/drop tests below) mutate the GLOBAL
-    // graft.frameCacheDir property under try/finally — safe only while
-    // suites run sequentially in one forked JVM (the build does not set
-    // testForkedParallel); flipping that flag requires routing the root
-    // through an injected parameter instead
-    val prev = sys.props.get("graft.frameCacheDir")
-    try {
-      sys.props("graft.frameCacheDir") = "/custom/root"
-      assert(FrameCache.baseDir == "/custom/root")
-      assert(FrameCache.path("x", 1, "f") == "/custom/root/graft_x_v1_f")
-      sys.props.remove("graft.frameCacheDir")
-      assert(FrameCache.baseDir == System.getProperty("java.io.tmpdir"))
-    } finally prev match {
-      case Some(v) => sys.props("graft.frameCacheDir") = v
-      case None => sys.props.remove("graft.frameCacheDir"); ()
-    }
+  test("path defaults to baseDir and honors an injected base") {
+    // baseDir is the SINGLE root path() and cache-enumerating tooling
+    // (ScaleSmoke.dropFrameCaches) resolve by default — if they
+    // diverged, a build smoke would delete under one root while serve
+    // reads the other and silently time a warm read. The spec pins the
+    // resolution READ-ONLY (no sys.props mutation — r12 verdict: the
+    // mutate-and-restore pattern was only safe under sequential forked
+    // suites); override behavior is exercised via the injected base.
+    assert(FrameCache.baseDir == sys.props.getOrElse(
+      "graft.frameCacheDir", System.getProperty("java.io.tmpdir")))
+    assert(FrameCache.path("x", 1, "f") ==
+      s"${FrameCache.baseDir}/graft_x_v1_f")
+    assert(FrameCache.path("x", 1, "f", base = "/custom/root") ==
+      "/custom/root/graft_x_v1_f")
+    // a version bump rotates the path even for an identical corpus
+    assert(FrameCache.path("x", 2, "f", base = "/custom/root") !=
+      FrameCache.path("x", 1, "f", base = "/custom/root"))
   }
 
   test("build runs once; the second serve reads the cache") {
@@ -114,60 +110,86 @@ class FrameCacheSpec extends AnyFunSuite {
     val root = TestDirs.scratch("graft_fcgc_")
     val liveFp = "a" * 32
     val orphanFp = "b" * 32
-    val prev = sys.props.get("graft.frameCacheDir")
-    try {
-      sys.props("graft.frameCacheDir") = root
-      val live = mkCacheDir(root, s"graft_knn4_v2_$liveFp")
-      val liveOld = mkCacheDir(root, s"graft_sweep_v1_$liveFp")
-      assert(liveOld.setLastModified(
-        System.currentTimeMillis() - 30L * 86400000))
-      val orphanOld = mkCacheDir(root, s"graft_knn4_v1_$orphanFp")
-      assert(orphanOld.setLastModified(
-        System.currentTimeMillis() - 2L * 86400000))
-      val orphanNew = mkCacheDir(root, s"graft_knn4_v2_$orphanFp")
-      val orphanTmp = mkCacheDir(root,
-        s"graft_knn4_v2_${orphanFp}_build_dead-beef")
-      assert(orphanTmp.setLastModified(
-        System.currentTimeMillis() - 2L * 86400000))
-      val foreign = mkCacheDir(root, "not_a_cache_dir")
-      // 1-day retention: the old orphan (and its build temp) go, the
-      // recent orphan is grace-protected, live dirs survive ANY age
-      val deleted = FrameCache.gc(spark, Set(liveFp), maxAgeDays = 1)
-      assert(deleted.map(new java.io.File(_).getName).toSet ==
-        Set(orphanOld.getName, orphanTmp.getName))
-      assert(live.exists && liveOld.exists && orphanNew.exists
-        && foreign.exists)
-      // 0-day retention reclaims the remaining orphan immediately;
-      // live dirs still survive
-      val deleted0 = FrameCache.gc(spark, Set(liveFp), maxAgeDays = 0)
-      assert(deleted0.map(new java.io.File(_).getName) ==
-        Seq(orphanNew.getName))
-      assert(live.exists && liveOld.exists && foreign.exists)
-    } finally prev match {
-      case Some(v) => sys.props("graft.frameCacheDir") = v
-      case None => sys.props.remove("graft.frameCacheDir"); ()
-    }
+    val live = mkCacheDir(root, s"graft_knn4_v2_$liveFp")
+    val liveOld = mkCacheDir(root, s"graft_sweep_v1_$liveFp")
+    assert(liveOld.setLastModified(
+      System.currentTimeMillis() - 30L * 86400000))
+    val orphanOld = mkCacheDir(root, s"graft_knn4_v1_$orphanFp")
+    assert(orphanOld.setLastModified(
+      System.currentTimeMillis() - 2L * 86400000))
+    val orphanNew = mkCacheDir(root, s"graft_knn4_v2_$orphanFp")
+    val orphanTmp = mkCacheDir(root,
+      s"graft_knn4_v2_${orphanFp}_build_dead-beef")
+    assert(orphanTmp.setLastModified(
+      System.currentTimeMillis() - 2L * 86400000))
+    val foreign = mkCacheDir(root, "not_a_cache_dir")
+    // 1-day retention: the old orphan (and its build temp) go, the
+    // recent orphan is grace-protected, live dirs survive ANY age
+    val deleted = FrameCache.gc(spark, Set(liveFp), maxAgeDays = 1,
+      base = root)
+    assert(deleted.map(new java.io.File(_).getName).toSet ==
+      Set(orphanOld.getName, orphanTmp.getName))
+    assert(live.exists && liveOld.exists && orphanNew.exists
+      && foreign.exists)
+    // 0-day retention reclaims the remaining orphan immediately;
+    // live dirs still survive
+    val deleted0 = FrameCache.gc(spark, Set(liveFp), maxAgeDays = 0,
+      base = root)
+    assert(deleted0.map(new java.io.File(_).getName) ==
+      Seq(orphanNew.getName))
+    assert(live.exists && liveOld.exists && foreign.exists)
+  }
+
+  test("gc retires superseded-version dirs of a LIVE corpus") {
+    // r12 ADVICE: a builder-version bump orphans the previous dir, but
+    // keeping by fingerprint alone protected it forever on a host with
+    // a stable live corpus — gc must retire a dir when a PUBLISHED
+    // higher version of the same (name, fingerprint) exists and the
+    // dir has aged past the grace window (which protects concurrent
+    // sessions still running pre-bump code).
+    val root = TestDirs.scratch("graft_fcgcv_")
+    val liveFp = "e" * 32
+    val old = System.currentTimeMillis() - 2L * 86400000
+    val v1Old = mkCacheDir(root, s"graft_knn4_v1_$liveFp")
+    assert(v1Old.setLastModified(old))
+    val v1Tmp = mkCacheDir(root, s"graft_knn4_v1_${liveFp}_build_x")
+    assert(v1Tmp.setLastModified(old))
+    val v2 = mkCacheDir(root, s"graft_knn4_v2_$liveFp")
+    // a DIFFERENT substrate of the same corpus at v1 is NOT superseded
+    // by knn4's v2 — supersede is per (name, fingerprint)
+    val sweepV1 = mkCacheDir(root, s"graft_sweep_v1_$liveFp")
+    assert(sweepV1.setLastModified(old))
+    // an UNPUBLISHED higher version must not retire its predecessor:
+    // cdc v2 exists but has no _SUCCESS yet (build in flight)
+    val cdcV1 = mkCacheDir(root, s"graft_cdc_v1_$liveFp")
+    assert(cdcV1.setLastModified(old))
+    val cdcV2Partial = new java.io.File(root, s"graft_cdc_v2_$liveFp")
+    assert(cdcV2Partial.mkdirs())  // no _SUCCESS marker
+    val deleted = FrameCache.gc(spark, Set(liveFp), maxAgeDays = 1,
+      base = root)
+    assert(deleted.map(new java.io.File(_).getName).toSet ==
+      Set(v1Old.getName, v1Tmp.getName))
+    assert(v2.exists && sweepV1.exists && cdcV1.exists
+      && cdcV2Partial.exists)
+    // a fresh (inside-grace) superseded dir survives until it ages out
+    val freshV1 = mkCacheDir(root, s"graft_mhsig_v1_$liveFp")
+    mkCacheDir(root, s"graft_mhsig_v2_$liveFp")
+    assert(!FrameCache.gc(spark, Set(liveFp), maxAgeDays = 1, base = root)
+      .map(new java.io.File(_).getName).contains(freshV1.getName))
   }
 
   test("drop deletes exactly the given fingerprints' dirs, any age") {
     val root = TestDirs.scratch("graft_fcdrop_")
     val smokeFp = "c" * 32
     val otherFp = "d" * 32
-    val prev = sys.props.get("graft.frameCacheDir")
-    try {
-      sys.props("graft.frameCacheDir") = root
-      val smoke1 = mkCacheDir(root, s"graft_lshpairs_v3_$smokeFp")
-      val smoke2 = mkCacheDir(root, s"graft_mhsig_v1_$smokeFp")
-      val other = mkCacheDir(root, s"graft_lshpairs_v3_$otherFp")
-      val deleted = FrameCache.drop(spark, Set(smokeFp))
-      assert(deleted.map(new java.io.File(_).getName).toSet ==
-        Set(smoke1.getName, smoke2.getName))
-      assert(!smoke1.exists && !smoke2.exists && other.exists)
-      assert(FrameCache.drop(spark, Set.empty).isEmpty)
-    } finally prev match {
-      case Some(v) => sys.props("graft.frameCacheDir") = v
-      case None => sys.props.remove("graft.frameCacheDir"); ()
-    }
+    val smoke1 = mkCacheDir(root, s"graft_lshpairs_v3_$smokeFp")
+    val smoke2 = mkCacheDir(root, s"graft_mhsig_v1_$smokeFp")
+    val other = mkCacheDir(root, s"graft_lshpairs_v3_$otherFp")
+    val deleted = FrameCache.drop(spark, Set(smokeFp), base = root)
+    assert(deleted.map(new java.io.File(_).getName).toSet ==
+      Set(smoke1.getName, smoke2.getName))
+    assert(!smoke1.exists && !smoke2.exists && other.exists)
+    assert(FrameCache.drop(spark, Set.empty, base = root).isEmpty)
   }
 
   test("drainAll empties the pending release queue immediately") {

@@ -589,6 +589,51 @@ class StreamingSpec extends AnyFunSuite {
       assert(spans == Seq((4L, 11L, 5L), (30L, 37L, 5L)), s"spans $spans")
       assert(rows.head.getLong(2) == 2L, "n_spans")
       assert(rows.head.getLong(3) == 16L, "masked_words = 2 spans x 8")
+      assert(!rows.head.getBoolean(4), "a normal doc must not be capped")
+    } finally q.stop()
+  }
+
+  test("streaming span-mask caps a pathological fully-contaminated doc") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a doc that is ~90% verbatim eval text: the in-row span fold is
+    // O(hits²) per doc, so hits are capped at SpanMaskHitCap and the
+    // doc routes to quarantine via `capped` with a PREFIX mask — a doc
+    // with 1000+ eval hits is not a mask-and-keep candidate
+    val evalWords = (1 to 30).map(i => s"q$i")
+    val evalText = evalWords.mkString(" ")
+    val rep = 50  // 50 × 27 in-rep gram hits = 1350 > the 1024 cap
+    val pathological = Seq.fill(rep)(evalText).mkString(" ")
+    val evalGrams = graft.ops.TextOps
+      .wordShingles(Seq((0L, evalText)).toDF("doc_id", "text"), 4)
+      .select(col("s")).distinct()
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingSpanMask(
+        input.toDF().toDF("doc_id", "text"), evalGrams)
+      .writeStream.format("memory").queryName("span_mask_cap")
+      .outputMode("complete").start()
+    try {
+      input.addData((7L, pathological))
+      q.processAllAvailable()
+      val rows = spark.table("span_mask_cap").collect()
+      assert(rows.length == 1 && rows.head.getLong(0) == 7L)
+      assert(rows.head.getBoolean(4), "the pathological doc must cap")
+      // expected prefix mask: only IN-REP 4-grams hit (positions
+      // 30k + j, j ∈ 1..27 — boundary grams mix reps and miss), the
+      // first SpanMaskHitCap of them merged under overlap-or-abut
+      val hits = (for (k <- 0 until rep; j <- 1 to 27)
+        yield 30L * k + j).sorted.take(EventStreams.SpanMaskHitCap)
+      val expSpans = hits.foldLeft(Vector.empty[(Long, Long, Long)]) {
+        case (acc, p) if acc.nonEmpty && p <= acc.last._2 + 1 =>
+          acc.init :+ ((acc.last._1, p + 3, acc.last._3 + 1))
+        case (acc, p) => acc :+ ((p, p + 3, 1L))
+      }
+      val spans = rows.head.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(spans == expSpans, s"prefix spans $spans")
+      assert(rows.head.getLong(2) == expSpans.size.toLong, "n_spans")
+      assert(rows.head.getLong(3) ==
+        expSpans.map(s => s._2 - s._1 + 1).sum, "masked_words")
     } finally q.stop()
   }
 
