@@ -15,6 +15,68 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, err)
   }
 
+  /** 1-minute load average from /proc/loadavg, or -1 where unreadable
+    * (non-Linux). Sampled before every timed query so a loaded driver
+    * machine is visible IN the artifact instead of requiring a judge
+    * re-time (r12: ambient load survived min-of-3 and inflated
+    * per-query entries up to 10× with nothing in the JSON to show it). */
+  def loadavg1(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Path.of("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Exception => -1.0 }
+
+  /** The noise canary: a FIXED amount of data-independent CPU work
+    * (xxhash64 over a constant range, one partition per core) whose
+    * wall time moves only with machine contention — timed at suite
+    * start and end, so a loaded run self-reports. The work is
+    * deterministic and touches no input tables, so start-vs-end drift
+    * and round-over-round comparison both isolate MACHINE state from
+    * data/plan changes. */
+  val CanaryRows = 32L * 1000 * 1000
+
+  def canaryOnce(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    // pmod keeps the running sum bounded (32M × 2^20 « 2^63) — a raw
+    // sum of full-range xxhash64 values overflows under ANSI mode
+    spark.range(CanaryRows)
+      .select(sum(pmod(xxhash64(col("id")), lit(1048576L))))
+      .queryExecution.toRdd.foreach(_ => ())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Three timed canary runs (after one untimed warm). */
+  def canaryRuns(spark: SparkSession): Seq[Double] = {
+    canaryOnce(spark)
+    (1 to 3).map(_ => canaryOnce(spark))
+  }
+
+  /** Per-query minima of the previous bench_full.json when it exists
+    * AND was taken at the same sf dir — the history baseline behind the
+    * `suspect` field (a timed min > 3× its prior min is flagged; a real
+    * regression flags too, which is the point: either way the entry
+    * deserves a look rather than silent trust). */
+  def priorTimes(path: String, sfDir: String): Map[String, Double] =
+    try {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(java.nio.file.Path.of(path)))
+      val sameSf = (j \ "sf") match {
+        case JString(s) => s == sfDir
+        case _ => false
+      }
+      if (!sameSf) Map.empty
+      else (j \ "queries") match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+          case (k, JLong(v)) => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Exception => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -91,9 +153,22 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
+    val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_full.json")
+    // noise instrumentation (r12 verdict item 1): the previous run's
+    // per-query minima (read BEFORE this run overwrites the file), a
+    // start-of-suite canary, and a loadavg sample per timed query
+    val prior = priorTimes(benchFile, sfDir)
+    val loadStart = loadavg1()
+    var loadMax = loadStart
+    val canaryStart = canaryRuns(spark)
+    val loadPerQuery = scala.collection.mutable.Map.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => selected(name) }
       .map { case (name, fn) =>
+      val la = loadavg1()
+      loadMax = math.max(loadMax, la)
+      loadPerQuery(name) = la
       val runs = (1 to benchRuns).map { _ =>
         spark.catalog.clearCache()
         ops.TransientCache.drainAll()
@@ -122,6 +197,9 @@ object Bench {
     }
     spark.catalog.clearCache()
     ops.TransientCache.drainAll()
+    val canaryEnd = canaryRuns(spark)
+    val loadEnd = loadavg1()
+    loadMax = math.max(loadMax, loadEnd)
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e), _) => s"\"" + k + "\":\"" + e + "\"" }
@@ -156,10 +234,33 @@ object Bench {
     // these lines into invalid JSON and break the artifact parse
     def fmt(v: Double, prec: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
-    val fullLine = s"""{"metric":"queries_full","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flakies,"bench_runs":$benchRuns,"protocol":"$proto","sf":"$sfDir"}"""
+    // Noise self-report (r12 verdict item 1 — BENCH_r12 carried 10×
+    // load-inflated entries invisible in the artifact):
+    //   canary  — 3 timed runs of the fixed data-independent work at
+    //             suite start and end; a loaded machine shows as
+    //             canary times far above the ledger's documented
+    //             steady state, or start≪end drift;
+    //   loadavg — 1-min /proc/loadavg at start/end + the max sampled
+    //             before any timed query;
+    //   suspect — queries whose min exceeded 3× their minimum in the
+    //             PREVIOUS bench_full.json at the same sf (empty when
+    //             no comparable history): load noise and real
+    //             regressions both land here, by design.
+    def arr(xs: Seq[Double]) = xs.map(fmt(_, 3)).mkString("[", ",", "]")
+    val canaryJson =
+      s"""{"start":${arr(canaryStart)},"end":${arr(canaryEnd)}}"""
+    val loadJson = s"""{"start":${fmt(loadStart, 2)},"max":${fmt(loadMax, 2)},"end":${fmt(loadEnd, 2)}}"""
+    val suspects = results.flatMap { case (name, sec, _, _) =>
+      prior.get(name).collect {
+        case p if p > 0.05 && sec > 3 * p => (name, sec / p, loadPerQuery(name))
+      }
+    }.sortBy(-_._2)
+    val suspectJson = suspects
+      .map { case (n, r, la) =>
+        s""""$n":{"x":${fmt(r, 1)},"loadavg":${fmt(la, 2)}}""" }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"queries_full","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flakies,"bench_runs":$benchRuns,"protocol":"$proto","sf":"$sfDir","canary":$canaryJson,"loadavg":$loadJson,"suspect":$suspectJson}"""
     println(fullLine)
-    val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_full.json")
     try {
       val w = new java.io.PrintWriter(benchFile, "UTF-8")
       try w.println(fullLine) finally w.close()
@@ -170,6 +271,7 @@ object Bench {
       .map { case (k, v, _, _) => s"${k.takeWhile(_ != '_')}:" + fmt(v, 2) }
       .mkString(",")
     println(s"[bench] total=${fmt(total, 2)}s n=${results.size} runs=$benchRuns errors=${results.count(_._3.isDefined)} flaky=${results.count(_._4.isDefined)} slowest10=$slowest")
+    println(s"[bench] noise: canary_start=${arr(canaryStart)} canary_end=${arr(canaryEnd)} loadavg=$loadJson suspects=${suspects.size}${if (suspects.nonEmpty) " " + suspects.take(5).map { case (n, r, _) => s"$n(${fmt(r, 1)}x)" }.mkString(",") else ""}")
     val slow20 = results.sortBy(-_._2).take(20)
       .map { case (k, v, _, _) =>
         s"\"${k.takeWhile(_ != '_')}\":" + fmt(v, 2) }
@@ -180,7 +282,16 @@ object Bench {
       .take(5)
       .map { case (k, e) => s"\"${k.takeWhile(_ != '_')}\":\"$e\"" }
       .mkString("{", ",", "}")
-    val finalLine = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n":${results.size},"n_errors":${results.count(_._3.isDefined)},"n_flaky":${results.count(_._4.isDefined)},"bench_runs":$benchRuns,"protocol":"$proto","sf":"$sfDir","file":"$benchFile","queries":$slow20,"t_ds_order":"name-sorted","t_ds":$tds,"errors":$errsTail}"""
+    // tail-budget accounting for the noise fields: canary is 6 fixed
+    // numbers (~60 chars), loadavg 3 (~40), suspect is CAPPED at 5
+    // short-key entries (~20 chars each) with the full map on the
+    // queries_full line and in bench_full.json — ~200 chars total,
+    // constant in suite size, so the sub-linear-tail invariant holds
+    val suspectTail = suspects.take(5)
+      .map { case (n, r, _) =>
+        s""""${n.takeWhile(_ != '_')}":${fmt(r, 1)}""" }
+      .mkString("{", ",", "}")
+    val finalLine = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n":${results.size},"n_errors":${results.count(_._3.isDefined)},"n_flaky":${results.count(_._4.isDefined)},"bench_runs":$benchRuns,"protocol":"$proto","sf":"$sfDir","file":"$benchFile","canary":$canaryJson,"loadavg":$loadJson,"n_suspect":${suspects.size},"suspect":$suspectTail,"queries":$slow20,"t_ds_order":"name-sorted","t_ds":$tds,"errors":$errsTail}"""
     // stop BEFORE the final print so nothing Spark writes during
     // shutdown can land after the line the driver parses as JSON (the
     // build's StdoutOutput strategy already keeps the sbt logger's
