@@ -26,6 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    shingle/bucket key)
   *  - `graft_bloom_probe(s, bloom, m)` — packed-bit-array bloom
   *    membership probe ([[BloomProbe]], the q75 decontamination filter)
+  *  - `graft_kmin(h, k)` — bounded bottom-k distinct aggregate
+  *    ([[KMinDistinct]], the q195 KMV distinct-count sketch)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -71,5 +73,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bloom_probe takes exactly 3 arguments: s, bloom, m")
       BloomProbe(exprs.head, exprs(1), exprs(2))
     })
+    inject(e, "graft_kmin", classOf[KMinDistinct], KMinDistinct.fromArgs)
   }
 }

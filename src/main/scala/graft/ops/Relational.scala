@@ -507,6 +507,79 @@ object Relational {
           .orderBy(col("l_returnflag")),
       None),
 
+    // ---- approximate distinct, DETERMINISTIC sketch (KMV / bottom-k,
+    //      Bar-Yossef et al. 2002) — the full-oracle companion to q15
+    //      (r12 verdict item 5): q15 keeps exercising Spark's built-in
+    //      HLL (engine-specific bit-for-bit, rows-only by design); this
+    //      query estimates the same distinct counts from the k = 128
+    //      smallest graft_md5_56 values per group via the native
+    //      bounded-buffer aggregate graft_kmin (KMinDistinct: O(k)
+    //      state, map-side mergeable — never collect-the-group, never
+    //      window-sort the corpus), so DuckDB replays the identical
+    //      arithmetic (same md5 spelling, row_number over DISTINCT
+    //      hashes) and the estimate hash-matches exactly. Estimate =
+    //      (k−1)·2^56 div h_(k) int64 throughout ((k−1)·2^56 =
+    //      9151314442816847872 < 2^63 exactly because k = 128 = the
+    //      largest power of two that fits); groups with fewer than k
+    //      distinct hashes report their EXACT count (the sketch holds
+    //      every value). guard greatest(h,1): h_(k) = 0 has
+    //      probability ~k·2^-56 but would divide by zero. ----
+    "q195_kmv_distinct" -> QueryDef(
+      (s, dir) => {
+        graft.expr.Md5Hash56.register(s)
+        graft.expr.KMinDistinct.register(s)
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            expr("graft_md5_56(concat('kmv:', cast(l_orderkey as string)))")
+              .as("ho"),
+            expr("graft_md5_56(concat('kmvp:', cast(l_partkey as string)))")
+              .as("hp"))
+          .groupBy(col("l_returnflag"))
+          .agg(expr("graft_kmin(ho, 128)").as("so"),
+            expr("graft_kmin(hp, 128)").as("sp"))
+          .select(col("l_returnflag"),
+            expr("cast(size(so) as bigint)").as("n_kept_orders"),
+            expr("""if(size(so) < 128, cast(size(so) as bigint),
+                      9151314442816847872L div greatest(element_at(so, 128), 1L))""")
+              .as("est_orders"),
+            expr("cast(size(sp) as bigint)").as("n_kept_parts"),
+            expr("""if(size(sp) < 128, cast(size(sp) as bigint),
+                      9151314442816847872L div greatest(element_at(sp, 128), 1L))""")
+              .as("est_parts"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH ho AS (
+               SELECT DISTINCT l_returnflag,
+                 CAST(('0x' || substr(md5('kmv:' || CAST(l_orderkey AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+               FROM lineitem
+             ), ro AS (
+               SELECT l_returnflag, h,
+                 row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+               FROM ho
+             ), eo AS (
+               SELECT l_returnflag, count(*) AS n_kept_orders,
+                 CASE WHEN count(*) < 128 THEN count(*)
+                      ELSE 9151314442816847872 // greatest(max(h), 1) END AS est_orders
+               FROM ro WHERE rn <= 128 GROUP BY l_returnflag
+             ), hp AS (
+               SELECT DISTINCT l_returnflag,
+                 CAST(('0x' || substr(md5('kmvp:' || CAST(l_partkey AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+               FROM lineitem
+             ), rp AS (
+               SELECT l_returnflag, h,
+                 row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+               FROM hp
+             ), ep AS (
+               SELECT l_returnflag, count(*) AS n_kept_parts,
+                 CASE WHEN count(*) < 128 THEN count(*)
+                      ELSE 9151314442816847872 // greatest(max(h), 1) END AS est_parts
+               FROM rp WHERE rn <= 128 GROUP BY l_returnflag
+             )
+             SELECT eo.l_returnflag, n_kept_orders, est_orders,
+                    n_kept_parts, est_parts
+             FROM eo JOIN ep USING (l_returnflag)
+             ORDER BY l_returnflag""")),
+
     // ---- global top-k: TakeOrderedAndProject, no full sort ----
     "q16_top_orders_global" -> QueryDef(
       (s, dir) =>
