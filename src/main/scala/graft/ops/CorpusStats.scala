@@ -1147,7 +1147,126 @@ object CorpusStats {
                (sy * sxx - sx * sxy) * 1000
                  // (n_terms * sxx - sx * sx) AS intercept_milli
              FROM f ORDER BY source""")),
+
+    // ---- CROSS-SOURCE VOCABULARY OVERLAP via mergeable KMV sketches
+    //      (q195's substrate applied where it actually scales): the
+    //      exact pairwise vocabulary Jaccard (q56/q174 measure DOC and
+    //      top-k overlap) needs the full per-source vocabularies in one
+    //      place — corpus-sized state at 100 TB. KMV sketches are
+    //      MERGEABLE on a shared hash domain (Bar-Yossef et al. 2002 /
+    //      Beyer et al. SIGMOD 2007): one bounded graft_kmin pass gives
+    //      k=128 smallest distinct token hashes per source, and every
+    //      pairwise union/Jaccard/intersection estimate is then
+    //      arithmetic over |sources|·k rows — per-pair work is O(k),
+    //      never a vocabulary join. ρ = |S_k(A∪B) ∩ A ∩ B| / |S_k(A∪B)|
+    //      estimates J(A,B); union_est = (k−1)·2^56 div h_(k) (exact
+    //      below k); inter_est spelled (union_est div n_union) ·
+    //      n_shared IN THAT ORDER in both engines — the div-first form
+    //      is what keeps every intermediate under 2^63 (n_shared ≤ k
+    //      = 128 and union_est div n_union ≤ 2^56 when n_union = k).
+    //      DuckDB replays the identical hashes and window arithmetic. ----
+    "q196_vocab_overlap_kmv" -> QueryDef(
+      (s, dir) => kmvVocabOverlap(Tables.load(s, dir, "documents")),
+      Some("""WITH tok AS (
+               SELECT DISTINCT source,
+                 CAST(('0x' || substr(md5('vkmv:' || term), 1, 14)) AS BIGINT) AS h
+               FROM (SELECT source,
+                       unnest(string_split_regex(lower(text), ' +')) AS term
+                     FROM documents)
+             ), sk AS (
+               SELECT source, h FROM (
+                 SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                 FROM tok)
+               WHERE rn <= 128
+             ), pr AS (
+               SELECT a.source AS sa, b.source AS sb
+               FROM (SELECT DISTINCT source FROM sk) a
+               JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+             ), memb AS (
+               SELECT pr.sa, pr.sb, s.h,
+                 max(CASE WHEN s.source = pr.sa THEN 1 ELSE 0 END) AS ina,
+                 max(CASE WHEN s.source = pr.sb THEN 1 ELSE 0 END) AS inb
+               FROM pr JOIN sk s ON s.source = pr.sa OR s.source = pr.sb
+               GROUP BY pr.sa, pr.sb, s.h
+             ), ru AS (
+               SELECT sa, sb, h, ina, inb,
+                 row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+               FROM memb
+             ), ag AS (
+               SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_union_kept,
+                 CAST(sum(CASE WHEN ina + inb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+                 max(h) AS hk
+               FROM ru WHERE rn <= 128 GROUP BY sa, sb
+             ), est AS (
+               SELECT sa, sb, n_union_kept, n_shared,
+                 CASE WHEN n_union_kept < 128 THEN n_union_kept
+                      ELSE 9151314442816847872 // greatest(hk, 1) END AS union_est
+               FROM ag
+             )
+             SELECT sa AS source_a, sb AS source_b, n_union_kept,
+               union_est, n_shared,
+               n_shared * 1000 // n_union_kept AS jac_milli,
+               (union_est // n_union_kept) * n_shared AS inter_est
+             FROM est ORDER BY source_a, source_b""")),
   )
+
+  /** q196's pipeline: ONE bounded-sketch corpus pass, then pure
+    * arithmetic over |sources|·k rows. The exploded sketch frame is
+    * scoped-cached because the pair-membership union consumes it twice
+    * (once per pair side) — without the pin the corpus tokenize+sketch
+    * pass would run twice. */
+  def kmvVocabOverlap(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    graft.expr.Md5Hash56.register(s)
+    graft.expr.KMinDistinct.register(s)
+    val K = 128
+    val sk = docs
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("source"),
+        explode(split(lower(col("text")), " +")).as("term"))
+      .select(col("source"),
+        expr("graft_md5_56(concat('vkmv:', term))").as("h"))
+      .groupBy(col("source")).agg(expr(s"graft_kmin(h, $K)").as("sk"))
+      .select(col("source"), explode(col("sk")).as("h"))
+      .transform(TransientCache.scopedDF)
+    val srcs = sk.select(col("source")).distinct()
+    // |sources|² candidate pairs under sa < sb — both sides are
+    // source-count-sized, a constant (the q79/q174 affinity shape)
+    val pairs = srcs.toDF("sa")
+      .join(srcs.toDF("sb"), col("sa") < col("sb"))
+    // union membership via TWO broadcast equi-joins (an OR-join would
+    // plan as a nested loop): each sketch row lands under every pair
+    // its source participates in, with a side flag
+    val memb = pairs
+      .join(sk.toDF("sa", "h"), "sa")
+      .select(col("sa"), col("sb"), col("h"),
+        lit(1).as("ina"), lit(0).as("inb"))
+      .unionByName(pairs
+        .join(sk.toDF("sb", "h"), "sb")
+        .select(col("sa"), col("sb"), col("h"),
+          lit(0).as("ina"), lit(1).as("inb")))
+      .groupBy(col("sa"), col("sb"), col("h"))
+      .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+    memb
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))))
+      .filter(col("rn") <= K)
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_union_kept"),
+        sum(when(col("ina") + col("inb") === 2, 1L).otherwise(0L))
+          .as("n_shared"),
+        max(col("h")).as("hk"))
+      .select(col("sa"), col("sb"), col("n_union_kept"), col("n_shared"),
+        expr(s"""CASE WHEN n_union_kept < $K THEN n_union_kept
+                  ELSE 9151314442816847872L div greatest(hk, 1L) END""")
+          .as("union_est"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_union_kept"), col("union_est"), col("n_shared"),
+        expr("n_shared * 1000 div n_union_kept").as("jac_milli"),
+        expr("(union_est div n_union_kept) * n_shared").as("inter_est"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 
   /** q127's pipeline over a (doc_id, source, text) frame, exposed for
     * growth-invariant specs (monotone curve; final point = exact totals). */

@@ -286,7 +286,12 @@ class PlanGateSpec extends AnyFunSuite {
     // q193) plus the one-row probe/true totals — every crossJoin build
     // side is a single row by construction
     "q192_bloom_fp_audit",
-    "q193_bloom_sizing_sweep")
+    "q193_bloom_sizing_sweep",
+    // q196: the |sources|-row sketch-source relation self-joined under
+    // source_a < source_b (the q79/q174 affinity shape — both sides are
+    // source-count-sized, a constant; every sketch-carrying join is a
+    // broadcast EQUI-join on the pair key)
+    "q196_vocab_overlap_kmv")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -65,6 +65,55 @@ class KMinDistinctSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("q195 KMV estimates land near the exact distinct counts") {
+    // the oracle hash pins CROSS-ENGINE parity; this pins the
+    // ESTIMATOR against ground truth: at k = 128 the KMV relative
+    // error is ~1/sqrt(k-2) ≈ 9% per draw — 30% is a ±3σ+ bound that
+    // a wrong formula (off-by-one rank, wrong numerator, missed dedup)
+    // blows through while honest sampling noise never does
+    val dir = "/root/testdata/sf0.001"
+    val est = SparkEntry.queries("q195_kmv_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(4)))
+      .toMap
+    val exact = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("o"),
+        countDistinct(col("l_partkey")).as("p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(est.keySet == exact.keySet)
+    for ((flag, (eo, ep)) <- est) {
+      val (xo, xp) = exact(flag)
+      assert(math.abs(eo - xo).toDouble / xo < 0.30,
+        s"$flag orders: est $eo vs exact $xo")
+      assert(math.abs(ep - xp).toDouble / xp < 0.30,
+        s"$flag parts: est $ep vs exact $xp")
+    }
+  }
+
+  test("q196 KMV Jaccard lands near the exact vocabulary Jaccard") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val est = SparkEntry.queries("q196_vocab_overlap_kmv")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(5)).toMap
+    // exact pairwise vocabulary Jaccard over the same token spelling
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        explode(split(lower(col("text")), " +")).as("term"))
+      .distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+    assert(est.nonEmpty)
+    for (((sa, sb), jacMilli) <- est) {
+      val (a, b) = (vocab(sa), vocab(sb))
+      val exact = (a & b).size.toDouble / (a | b).size
+      // σ = sqrt(J(1-J)/k) ≤ 0.045 at k = 128 — ±0.15 is > 3σ
+      assert(math.abs(jacMilli / 1000.0 - exact) < 0.15,
+        s"($sa,$sb): est ${jacMilli / 1000.0} vs exact $exact")
+    }
+  }
+
   test("k must be an int literal") {
     val e = intercept[IllegalArgumentException] {
       KMinDistinct.fromArgs(Seq(
