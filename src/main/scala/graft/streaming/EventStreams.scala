@@ -472,6 +472,39 @@ object EventStreams {
       min(col("nw")).as("min_tokens"), max(col("nw")).as("max_tokens"),
       expr("bit_xor(h)").as("xor_sig"))
 
+  /** Streaming KMV vocabulary cardinality per source — the online form
+    * of the q195/q196 sketch family: arriving docs explode to token
+    * hashes and fold into the SAME bounded bottom-k aggregate
+    * ([[graft.expr.KMinDistinct]], `graft_kmin`) the batch queries use.
+    * The aggregate is MERGEABLE by construction (its buffer merge is
+    * the identical capped insert), so it runs UNCHANGED in Complete
+    * mode: the state Spark keeps per source between micro-batches is
+    * the serialized k-capped set — O(k) longs per group, NEVER the
+    * token stream or the vocabulary — and after any stream prefix the
+    * stored sketch is bit-identical to the batch sketch over the same
+    * prefix (order-insensitive: a set of minima). Emits per source the
+    * sketch, kept count and the (k−1)·2^56 div h_(k) distinct estimate
+    * (exact below k) — the online vocabulary-size monitor a crawl
+    * dashboard reads next to the q108 data card. StreamingSpec pins
+    * sketch-array equality with the batch aggregate. */
+  def streamingVocabCard(docs: DataFrame): DataFrame = {
+    graft.expr.Md5Hash56.register(docs.sparkSession)
+    graft.expr.KMinDistinct.register(docs.sparkSession)
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        explode(split(lower(col("text")), " +")).as("term"))
+      .select(col("source"),
+        expr("graft_md5_56(concat('vkmv:', term))").as("h"))
+      .groupBy(col("source"))
+      .agg(expr("graft_kmin(h, 128)").as("sk"))
+      .select(col("source"), col("sk"),
+        expr("cast(size(sk) as bigint)").as("n_kept"),
+        expr("""if(size(sk) < 128, cast(size(sk) as bigint),
+                  9151314442816847872L div greatest(element_at(sk, 128), 1L))""")
+          .as("est_vocab"))
+  }
+
   final case class SourceDoc(doc_id: Long, source: String, text: String)
   final case class Kept(doc_id: Long, weight: Long, priority: Long)
   final case class Reservoir(source: String, kept: Seq[Kept])

@@ -637,6 +637,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KMV vocab card equals the batch sketch per source (mergeable O(k) state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // synthetic fixture spanning BOTH regimes (the testdata corpus has a
+    // ~31-term templated vocabulary per source at every SF, so it never
+    // saturates k = 128): "big" carries 400 distinct tokens with heavy
+    // cross-doc repetition (estimator path + in-buffer dedup), "small"
+    // stays under k (exact path)
+    val rows: Array[(Long, String, String)] =
+      (0 until 10).map { d =>
+        (d.toLong, "big",
+          ((0 until 40).map(j => s"w${d * 40 + j}") ++
+            (0 until 10).map(j => s"common$j")).mkString(" "))
+      }.toArray :+ ((99L, "small", "a few tiny words"))
+    val docs = spark.createDataFrame(rows.toSeq)
+      .toDF("doc_id", "source", "text")
+    val expected = EventStreams.streamingVocabCard(docs).collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1), r.getLong(2),
+        r.getLong(3))).toMap
+    val input = MemoryStream[(Long, String, String)]
+    val q = EventStreams.streamingVocabCard(
+        input.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("vocab_card")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches: the sketch must MERGE across batches, not
+      // recompute — the stored state is the k-capped set itself
+      input.addData(rows.take(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("vocab_card").collect()
+        .map(r => r.getString(0) -> (r.getSeq[Long](1), r.getLong(2),
+          r.getLong(3))).toMap
+      assert(got == expected,
+        s"streamed sketches must equal batch (got ${got.size} sources)")
+      // the sf0.001 corpus covers BOTH regimes: large sources saturate
+      // the sketch (estimator path), small ones stay under k (exact
+      // path) — require each so both branches are pinned
+      assert(expected.values.exists(_._2 == 128L),
+        "some source must saturate the sketch (estimator regime)")
+      assert(expected.values.exists(_._2 < 128L),
+        "some source must stay under k (exact-count regime)")
+    } finally q.stop()
+  }
+
   test("streaming bloom gate equals batch q75 per doc (stateless append projection)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
