@@ -240,5 +240,66 @@ object Temporal {
                round(r.n_active * 1.0 / s.cohort_users, 4) AS retention
              FROM ret r JOIN sizes s USING (cohort_wk)
              ORDER BY cohort_week, week_offset""")),
+
+    // ---- DAILY ACTIVE USERS via the KMV sketch, exact count and
+    //      realized error alongside — the q195/q196 sketch pointed at
+    //      the time axis (per-window distinct is THE cardinality
+    //      problem event pipelines pay for daily: q23's exact
+    //      countDistinct shuffles every (window, user) pair, while the
+    //      bounded graft_kmin shuffles ≤ k longs per window whatever
+    //      the user count). The exact count rides alongside at test
+    //      scale as the q93/q102-style ground-truth audit: err_bp is
+    //      the realized estimator error a deployment reads before
+    //      trusting the sketch column alone. The sf0.01 data straddles
+    //      k = 128 (daily distinct users 125-141), so BOTH the
+    //      exact-window and estimator branches execute in one result;
+    //      sf0.1 (1.3k/day) runs pure-estimator. Same int64 estimator
+    //      discipline as q195; greatest(...,1) guards both divisions.
+    //      ----
+    "q197_daily_users_kmv" -> QueryDef(
+      (s, dir) => {
+        graft.expr.Md5Hash56.register(s)
+        graft.expr.KMinDistinct.register(s)
+        Tables.load(s, dir, "events")
+          .groupBy(col("ts").cast("date").as("event_date"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_exact_users"),
+            expr("""graft_kmin(
+                 graft_md5_56(concat('dau:', cast(user_id as string))), 128)""")
+              .as("sk"))
+          .select(col("event_date"), col("n_events"), col("n_exact_users"),
+            expr("cast(size(sk) as bigint)").as("n_kept"),
+            expr("""if(size(sk) < 128, cast(size(sk) as bigint),
+                      9151314442816847872L div greatest(element_at(sk, 128), 1L))""")
+              .as("est_users"))
+          .withColumn("err_bp", expr(
+            "abs(est_users - n_exact_users) * 10000 div greatest(n_exact_users, 1)"))
+          .orderBy(col("event_date"))
+      },
+      Some("""WITH h AS (
+               SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+                 user_id,
+                 CAST(('0x' || substr(md5('dau:' || CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+               FROM events
+             ), base AS (
+               SELECT event_date, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_users
+               FROM h GROUP BY event_date
+             ), r AS (
+               SELECT event_date, h,
+                 row_number() OVER (PARTITION BY event_date ORDER BY h) AS rn
+               FROM (SELECT DISTINCT event_date, h FROM h)
+             ), sk AS (
+               SELECT event_date, CAST(count(*) AS BIGINT) AS n_kept,
+                 CASE WHEN count(*) < 128 THEN count(*)
+                      ELSE 9151314442816847872 // greatest(max(h), 1) END AS est_users
+               FROM r WHERE rn <= 128 GROUP BY event_date
+             )
+             SELECT base.event_date, n_events, n_exact_users, n_kept,
+               est_users,
+               abs(est_users - n_exact_users) * 10000
+                 // greatest(n_exact_users, 1) AS err_bp
+             FROM base JOIN sk USING (event_date)
+             ORDER BY event_date""")),
   )
 }
