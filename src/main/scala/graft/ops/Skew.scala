@@ -90,5 +90,81 @@ object Skew {
              FROM events e JOIN customer c ON e.user_id = c.c_custkey
              GROUP BY c_nationkey
              ORDER BY c_nationkey""")),
+
+    // ---- JOIN-KEY SKEW AUDIT: the pre-flight a 100 TB join runs
+    //      BEFORE choosing between plain shuffle, AQE skew-split,
+    //      broadcast, and the q67 salting lever. For each join key the
+    //      suite actually shuffles on (lineitem.l_orderkey,
+    //      orders.o_custkey, events.user_id): per-key row counts →
+    //      power-of-two group-size histogram with each bucket's share
+    //      of keys and of rows in int64 basis points. Heavy skew reads
+    //      directly off the tail: a top bucket holding few keys_bp but
+    //      large rows_bp is the hot-key signature that sinks a shuffle
+    //      join. Scale: per audit TWO map-side-combinable aggregations
+    //      (key counts, then the ≤22-bucket rollup) — no sort, no
+    //      driver state, no order statistics; the normalizing window
+    //      runs on the ≤22-rows-per-audit histogram frame. Exact by
+    //      construction (no sampling), the same observability
+    //      discipline as q82/q102: measure before committing a plan. ----
+    "q200_key_skew_audit" -> QueryDef(
+      (s, dir) => {
+        def audit(name: String, table: String, key: String): DataFrame =
+          Tables.load(s, dir, table)
+            .groupBy(col(key)).agg(count(lit(1)).as("c"))
+            .withColumn("bucket_lo", expr(GroupBucketCase))
+            .groupBy(col("bucket_lo"))
+            .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"))
+            .withColumn("audit", lit(name))
+        audit("events.user_id", "events", "user_id")
+          .unionByName(audit("lineitem.l_orderkey", "lineitem",
+            "l_orderkey"))
+          .unionByName(audit("orders.o_custkey", "orders", "o_custkey"))
+          .select(col("audit"), col("bucket_lo"), col("n_keys"),
+            col("n_rows"),
+            expr("n_keys * 10000L div sum(n_keys) OVER (PARTITION BY audit)")
+              .as("keys_bp"),
+            expr("n_rows * 10000L div sum(n_rows) OVER (PARTITION BY audit)")
+              .as("rows_bp"))
+          .orderBy(col("audit"), col("bucket_lo"))
+      },
+      Some(s"""WITH ks AS (
+               SELECT 'events.user_id' AS audit, ${duckBucket("user_id",
+                 "events")}
+               UNION ALL
+               SELECT 'lineitem.l_orderkey', ${duckBucket("l_orderkey",
+                 "lineitem")}
+               UNION ALL
+               SELECT 'orders.o_custkey', ${duckBucket("o_custkey",
+                 "orders")}),
+             h AS (
+               SELECT audit, bucket_lo, CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(c) AS BIGINT) AS n_rows
+               FROM ks GROUP BY audit, bucket_lo)
+             SELECT audit, bucket_lo, n_keys, n_rows,
+               n_keys * 10000
+                 // CAST(sum(n_keys) OVER (PARTITION BY audit) AS BIGINT)
+                 AS keys_bp,
+               n_rows * 10000
+                 // CAST(sum(n_rows) OVER (PARTITION BY audit) AS BIGINT)
+                 AS rows_bp
+             FROM h ORDER BY audit, bucket_lo""")),
   )
+
+  /** Power-of-two bucket floor for per-key group sizes (≥ 1): 1, 2, 4,
+    * …, 2^20, else 2^21 — the q126 histogram discipline on the join-key
+    * axis. Integer compares only; no float log anywhere. */
+  private def GroupBucketCase: String =
+    "CASE " + (0 to 20).map(1L << _)
+      .map(b => s"WHEN c < ${b * 2}L THEN CAST(${b}L AS BIGINT)")
+      .mkString(" ") + s" ELSE CAST(${1L << 21}L AS BIGINT) END"
+
+  /** The per-key count + bucket subquery for one DuckDB audit leg
+    * (DuckDB spells int64 literals bare). */
+  private def duckBucket(key: String, table: String): String = {
+    val kase = "CASE " + (0 to 20).map(1L << _)
+      .map(b => s"WHEN c < ${b * 2} THEN CAST($b AS BIGINT)")
+      .mkString(" ") + s" ELSE CAST(${1L << 21} AS BIGINT) END"
+    s"""$kase AS bucket_lo, c FROM (
+       SELECT CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY $key)"""
+  }
 }

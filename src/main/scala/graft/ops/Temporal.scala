@@ -241,6 +241,51 @@ object Temporal {
              FROM ret r JOIN sizes s USING (cohort_wk)
              ORDER BY cohort_week, week_offset""")),
 
+    // ---- EVENT-TYPE TRANSITION MATRIX: per user, events in (ts,
+    //      event_id) order — the id tie-break makes the row stream
+    //      deterministic even under equal timestamps — and every
+    //      consecutive pair counts one (from_type → to_type)
+    //      transition; the row-normalized probabilities (int64 basis
+    //      points) are the first-order Markov readout of user journeys
+    //      (which step follows which, the sequence-level structure the
+    //      funnel collapses). Scale: ONE scan → a user_id-keyed window
+    //      (per-user sort is the declared cost of sequence analytics —
+    //      partitioned, never a global sort) → a map-side-combinable
+    //      (from, to) rollup whose output is ≤ |types|² rows; the
+    //      normalizing window runs on that constant-size frame. ----
+    "q199_event_transitions" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n_transitions"))
+          .withColumn("p_bp", expr(
+            """n_transitions * 10000L div
+               sum(n_transitions) OVER (PARTITION BY from_type)"""))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH o AS (
+               SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+               FROM events),
+             t AS (
+               SELECT event_type AS from_type, next_type AS to_type,
+                 CAST(count(*) AS BIGINT) AS n_transitions
+               FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2)
+             SELECT from_type, to_type, n_transitions,
+               n_transitions * 10000
+                 // CAST(sum(n_transitions) OVER (PARTITION BY from_type)
+                        AS BIGINT) AS p_bp
+             FROM t ORDER BY from_type, to_type""")),
+
     // ---- DAILY ACTIVE USERS via the KMV sketch, exact count and
     //      realized error alongside — the q195/q196 sketch pointed at
     //      the time axis (per-window distinct is THE cardinality
@@ -256,6 +301,97 @@ object Temporal {
     //      sf0.1 (1.3k/day) runs pure-estimator. Same int64 estimator
     //      discipline as q195; greatest(...,1) guards both divisions.
     //      ----
+    // ---- K-STEP GREEDY FUNNEL: view → click → purchase, each stage
+    //      strictly after the user's EARLIEST completion of the
+    //      previous one (the standard product-analytics funnel; q63 is
+    //      the 2-step special case). Spelled as CHAINED MINS — stage k
+    //      is one type-filtered scan equi-joined to the 1-row-per-user
+    //      stage-(k−1) frame, then min-aggregated — NOT as a per-user
+    //      collect_list fold: the fold's state is the user's whole
+    //      event history (unbounded for a power user at corpus scale),
+    //      while the chained form carries O(1) state per user through
+    //      every shuffle and pushes the event_type filter to the scan.
+    //      Greedy-min semantics make the result order-independent, so
+    //      no sort anywhere. Stage-to-stage gaps are int64 MICROSECOND
+    //      sums (ts carries µs; unix_micros ↔ epoch_us agree exactly),
+    //      averaged by floor division; conversions are int64 basis
+    //      points. greatest(n,1) guards an empty stage. ----
+    "q198_funnel" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        def typed(t: String) = ev.filter(col("event_type") === t)
+          .select(col("user_id"), col("ts"))
+        val s1 = typed("view").groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t1"))
+        val s2 = typed("click").join(s1, "user_id")
+          .filter(col("ts") > col("t1"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+        val s3 = typed("purchase").join(s2, "user_id")
+          .filter(col("ts") > col("t2"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t3"), min(col("t2")).as("t2"))
+        s1.agg(count(lit(1)).as("n1"))
+          .crossJoin(s2.agg(count(lit(1)).as("n2"),
+            coalesce(sum(expr("unix_micros(t2) - unix_micros(t1)")), lit(0L))
+              .as("d2")))
+          .crossJoin(s3.agg(count(lit(1)).as("n3"),
+            coalesce(sum(expr("unix_micros(t3) - unix_micros(t2)")), lit(0L))
+              .as("d3")))
+          .selectExpr(
+            """stack(3,
+                 1, 'view',     n1, 10000L, 10000L, 0L,
+                 2, 'click',    n2, n2 * 10000L div greatest(n1, 1L),
+                                    n2 * 10000L div greatest(n1, 1L),
+                                    d2 div greatest(n2, 1L),
+                 3, 'purchase', n3, n3 * 10000L div greatest(n2, 1L),
+                                    n3 * 10000L div greatest(n1, 1L),
+                                    d3 div greatest(n3, 1L))
+               AS (stage, stage_name, n_users, conv_prev_bp, conv_s1_bp,
+                   avg_us_from_prev)""")
+          .orderBy(col("stage"))
+      },
+      Some("""WITH s1 AS (
+               SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+             s2 AS (
+               SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2,
+                 min(s1.t1) AS t1
+               FROM events e JOIN s1 USING (user_id)
+               WHERE e.event_type = 'click'
+                 AND CAST(e.ts AS TIMESTAMP) > s1.t1
+               GROUP BY e.user_id),
+             s3 AS (
+               SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3,
+                 min(s2.t2) AS t2
+               FROM events e JOIN s2 USING (user_id)
+               WHERE e.event_type = 'purchase'
+                 AND CAST(e.ts AS TIMESTAMP) > s2.t2
+               GROUP BY e.user_id),
+             agg AS (
+               SELECT
+                 (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+                 (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+                 (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3,
+                 (SELECT CAST(coalesce(sum(epoch_us(t2) - epoch_us(t1)), 0)
+                    AS BIGINT) FROM s2) AS d2,
+                 (SELECT CAST(coalesce(sum(epoch_us(t3) - epoch_us(t2)), 0)
+                    AS BIGINT) FROM s3) AS d3)
+             SELECT * FROM (
+               SELECT 1 AS stage, 'view' AS stage_name, n1 AS n_users,
+                 CAST(10000 AS BIGINT) AS conv_prev_bp,
+                 CAST(10000 AS BIGINT) AS conv_s1_bp,
+                 CAST(0 AS BIGINT) AS avg_us_from_prev FROM agg
+               UNION ALL
+               SELECT 2, 'click', n2, n2 * 10000 // greatest(n1, 1),
+                 n2 * 10000 // greatest(n1, 1), d2 // greatest(n2, 1)
+               FROM agg
+               UNION ALL
+               SELECT 3, 'purchase', n3, n3 * 10000 // greatest(n2, 1),
+                 n3 * 10000 // greatest(n1, 1), d3 // greatest(n3, 1)
+               FROM agg)
+             ORDER BY stage""")),
+
     "q197_daily_users_kmv" -> QueryDef(
       (s, dir) => {
         graft.expr.Md5Hash56.register(s)

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins q198's GREEDY strictly-after funnel semantics on planted
+  * journeys — the oracle SQL replays whatever semantics the query
+  * spells, so a semantics bug would be mirrored in both engines and
+  * invisible to the hash gate. The fixture covers the cases that
+  * distinguish a greedy funnel from a naive per-type min:
+  *
+  *   - A: clean view → click → purchase (all three stages);
+  *   - B: a click BEFORE the first view (no click strictly after the
+  *     view ⇒ stage 1 only — a naive min-per-type would count it);
+  *   - C: a purchase before the first qualifying click ⇒ stage 2 only;
+  *   - D: view only ⇒ stage 1;
+  *   - E: purchase@+5s, click@+10s, purchase@+20s — the stage-3 min
+  *     must be the +20s purchase (strictly after the +10s click), NOT
+  *     the user's global min purchase.
+  */
+class FunnelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def at(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+
+  test("q198: greedy strictly-after staging on out-of-order journeys") {
+    import spark.implicits._
+    val rows = Seq(
+      // (user, type, t-offset seconds)
+      (1L, "view", 0), (1L, "click", 10), (1L, "purchase", 30),
+      (2L, "click", -5), (2L, "view", 0),
+      (3L, "purchase", 5), (3L, "view", 0), (3L, "click", 20),
+      (4L, "view", 0),
+      (5L, "view", 0), (5L, "purchase", 5), (5L, "click", 10),
+      (5L, "purchase", 20))
+    val dir = TestDirs.scratch("funnel")
+    rows.zipWithIndex.map { case ((u, t, off), i) =>
+      (i.toLong, at(off), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = SparkEntry.queries("q198_funnel")(spark, dir)
+      .orderBy(col("stage"))
+      .select("stage", "n_users", "conv_prev_bp", "conv_s1_bp",
+        "avg_us_from_prev")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+
+    // stage 1: A,B,C,D,E viewed. stage 2: A (+10s), C (+20s), E (+10s).
+    // stage 3: A (30-10=20s), E (20-10=10s).
+    assert(out == Seq(
+      (1, 5L, 10000L, 10000L, 0L),
+      (2, 3L, 6000L, 6000L, (10L + 20L + 10L) * 1000000L / 3L),
+      (3, 2L, 6666L, 4000L, 15000000L)))
+  }
+}

@@ -291,7 +291,11 @@ class PlanGateSpec extends AnyFunSuite {
     // source_a < source_b (the q79/q174 affinity shape — both sides are
     // source-count-sized, a constant; every sketch-carrying join is a
     // broadcast EQUI-join on the pair key)
-    "q196_vocab_overlap_kmv")
+    "q196_vocab_overlap_kmv",
+    // q198: three ONE-ROW per-stage aggregates crossJoined to assemble
+    // the funnel report (q63's scalar shape; every stage join on the
+    // event stream is a user_id EQUI-join)
+    "q198_funnel")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
