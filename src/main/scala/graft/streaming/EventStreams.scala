@@ -541,6 +541,64 @@ object EventStreams {
       }
   }
 
+  final case class FunnelEvent(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String)
+  final case class FunnelStage(user_id: Long, stage: Int,
+      t1: Option[java.sql.Timestamp], t2: Option[java.sql.Timestamp],
+      t3: Option[java.sql.Timestamp])
+
+  /** Streaming greedy funnel — q198's mirror with O(1) state per user.
+    *
+    * State is exactly the user's (t1, t2, t3) stage times; each batch's
+    * events for the user are sorted by (ts, event_id) — so a jumbled
+    * BATCH costs nothing — and folded through the same greedy
+    * strictly-after rules as the batch query: the first view fixes t1,
+    * the first click strictly after t1 fixes t2, the first purchase
+    * strictly after t2 fixes t3. Update mode: each batch emits the
+    * refreshed stage row for the users it touched.
+    *
+    * Equality contract (StreamingSpec pins it): the streamed stage
+    * equals batch q198's staging over the same rows whenever each
+    * user's events arrive in nondecreasing (ts, event_id) order ACROSS
+    * batches — the warm-ingest contract q74's mirror documents. A view
+    * arriving in a LATER batch than a click it would have enabled
+    * cannot retro-stage the user (the click was already folded); batch
+    * q198 re-reads the corpus and would. That is the inherent
+    * batch/stream gap for retroactive minima, not a state-size trade:
+    * closing it would mean every user retaining their full click
+    * history, which is exactly the unbounded state this mirror refuses
+    * to carry. */
+  def streamingFunnel(spark: SparkSession, events: Dataset[FunnelEvent])
+      : Dataset[FunnelStage] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[FunnelEvent],
+            state: GroupState[FunnelStage]) =>
+          val prev = state.getOption.getOrElse(
+            FunnelStage(uid, 0, None, None, None))
+          var (t1, t2, t3) = (prev.t1, prev.t2, prev.t3)
+          batch.toSeq
+            .sortWith((a, b) => a.ts.before(b.ts) ||
+              (a.ts.equals(b.ts) && a.event_id < b.event_id))
+            .foreach { e =>
+              e.event_type match {
+                case "view" if t1.isEmpty => t1 = Some(e.ts)
+                case "click" if t1.nonEmpty && t2.isEmpty &&
+                  e.ts.after(t1.get) => t2 = Some(e.ts)
+                case "purchase" if t2.nonEmpty && t3.isEmpty &&
+                  e.ts.after(t2.get) => t3 = Some(e.ts)
+                case _ => ()
+              }
+            }
+          val stage = Seq(t1, t2, t3).takeWhile(_.nonEmpty).size
+          val next = FunnelStage(uid, stage, t1, t2, t3)
+          state.update(next)
+          next
+      }
+  }
+
   /** State-store configuration for running [[streamingDedup]] against a
     * corpus-scale stream. The state is deliberately tiny per key (one
     * boolean per content md5) but the KEY COUNT is the corpus

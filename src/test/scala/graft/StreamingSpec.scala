@@ -439,6 +439,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel equals batch q198 staging under in-order arrival; jumbled batches cost nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    // FunnelSpec's journeys: u1 clean 3-stage; u2 click BEFORE its view;
+    // u3 purchase before its qualifying click; u4 view only; u5's
+    // stage-3 purchase must be the one AFTER its click, not its global
+    // min purchase
+    val all = Seq(
+      (1L, "view", 0), (1L, "click", 10), (1L, "purchase", 30),
+      (2L, "click", -5), (2L, "view", 0),
+      (3L, "purchase", 5), (3L, "view", 0), (3L, "click", 20),
+      (4L, "view", 0),
+      (5L, "view", 0), (5L, "purchase", 5), (5L, "click", 10),
+      (5L, "purchase", 20)
+    ).zipWithIndex.map { case ((u, t, off), i) =>
+      EventStreams.FunnelEvent(i.toLong, at(off), u, t) }
+    // split by time so each user's events arrive in ts order ACROSS
+    // batches (the documented equality contract); REVERSE each batch —
+    // the per-batch sort restores order, so a jumbled batch costs nothing
+    val batch1 = all.filter(_.ts.getTime <= at(5).getTime).reverse
+    val batch2 = all.filter(_.ts.getTime > at(5).getTime).reverse
+    val input = MemoryStream[EventStreams.FunnelEvent]
+    val q = EventStreams.streamingFunnel(spark, input.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // update mode: state is monotone (stage only grows), so the final
+      // state per user is its max-stage row
+      val fin = spark.table("funnel").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).max }
+      assert(fin == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 3))
+      // aggregate mirror: streamed stage counts equal batch q198 over
+      // the same rows
+      val dir = TestDirs.scratch("sfunnel")
+      all.map(e => (e.event_id, e.ts, e.user_id, e.event_type, 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batchCounts = SparkEntry.queries("q198_funnel")(spark, dir)
+        .orderBy(col("stage")).select("n_users")
+        .collect().map(_.getLong(0)).toSeq
+      val streamCounts = (1 to 3).map(k => fin.values.count(_ >= k).toLong)
+      assert(streamCounts == batchCounts)
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup over initial base-key state reproduces batch q74 for every prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
