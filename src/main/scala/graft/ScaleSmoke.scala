@@ -22,7 +22,14 @@ import org.apache.spark.sql.functions._
   *     per coordinate; vectors stay near their originals in direction,
   *     which deliberately stresses the hot-band caps (a 10× same-
   *     direction cluster is exactly the degenerate case the caps exist
-  *     to bound).
+  *     to bound);
+  *   - events: copy i ≥ 1 offsets user_id and event_id — the USER axis
+  *     grows by `factor` while the date span stays fixed, which is how
+  *     an event stream actually scales (more users in the same window,
+  *     not a longer calendar). Per-day distinct users grow ×factor
+  *     (q197's pure-estimator regime), funnel/transition user counts
+  *     grow ×factor, per-user activity stays constant. Regime-
+  *     independent, like documents.
   *
   * Usage: runMain graft.ScaleSmoke [--decorrelate] <srcSfDir> <outDir> <factor> <q1> [q2 ...]
   * The expanded corpus is built once and reused only when already
@@ -46,6 +53,7 @@ object ScaleSmoke {
       d.exists && new java.io.File(d, "_SUCCESS").exists
     val outDocs = new java.io.File(s"$out/documents.parquet")
     val outEmb = new java.io.File(s"$out/embeddings.parquet")
+    val outEvents = new java.io.File(s"$out/events.parquet")
     // the EMBEDDING expansion differs by regime, so the regime is part
     // of the reuse key (r12 ADVICE: a --decorrelate run against an
     // outDir built correlated silently measured the wrong corpus): a
@@ -57,10 +65,40 @@ object ScaleSmoke {
     val markerOk =
       try java.nio.file.Files.readString(markerFile).trim == regime
       catch { case _: Exception => false }
-    if (complete(outDocs) && complete(outEmb) && markerOk) {
+    if (complete(outDocs) && complete(outEmb) && complete(outEvents) &&
+        markerOk) {
       println(s"[scale] reusing expanded corpus at $out (regime=$regime)")
       return
     }
+    if (!complete(outEvents)) {
+      // through Tables.load, not a raw read — it normalizes the ts
+      // physical type, so the expanded corpus is micros whatever the
+      // source generation
+      val ev = Tables.load(spark, src, "events")
+      val ids = ev.agg(max(col("user_id")), max(col("event_id"))).head()
+      val (nUsers, nEvents) = (ids.getLong(0) + 1, ids.getLong(1) + 1)
+      (0 until factor).map { i =>
+        if (i == 0) ev
+        else ev
+          .withColumn("user_id", col("user_id") + lit(i * nUsers))
+          .withColumn("event_id", col("event_id") + lit(i * nEvents))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      println(s"[scale] built ${factor}x events at $out " +
+        s"(${nUsers * factor} users, same date span)")
+    } else println(s"[scale] reusing regime-independent events at $out")
+    // the remaining tables copy verbatim so a smoke dir serves EVERY
+    // query (q200 audits lineitem/orders next to the expanded events;
+    // dimension tables ride along for the relational queries) — the
+    // un-expanded legs are constant across factors and read as such in
+    // any ratio
+    Tables.names.filterNot(Set("documents", "embeddings", "events"))
+      .foreach { t =>
+        if (!complete(new java.io.File(s"$out/$t.parquet")))
+          spark.read.parquet(s"$src/$t.parquet")
+            .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
     // drop a stale marker BEFORE any rebuild: a kill mid-rebuild must
     // not leave the old regime's marker next to new partial embeddings
     java.nio.file.Files.deleteIfExists(markerFile)
