@@ -286,6 +286,75 @@ object Temporal {
                         AS BIGINT) AS p_bp
              FROM t ORDER BY from_type, to_type""")),
 
+    // ---- LAST-TOUCH ATTRIBUTION: each purchase credits the user's
+    //      most recent STRICTLY-PRIOR non-purchase event (earlier
+    //      purchases are transparent — attribution looks through them
+    //      to the last real touch; a purchase with no prior touch
+    //      lands in 'none'). The marketing-analytics counterpart of
+    //      q198's funnel: which channel the conversion is credited to,
+    //      with the credited share in basis points and the mean
+    //      touch→purchase gap in int64 microseconds. Scale: ONE
+    //      user-partitioned window over the event stream (the q199
+    //      shape — last(ignoreNulls) over an unbounded-preceding rows
+    //      frame is streaming-evaluable in one pass per user, no self
+    //      join, no per-user state beyond the running last touch),
+    //      then a map-side ≤|types|-row rollup; the share window runs
+    //      on that constant-size frame. ----
+    "q201_last_touch_attribution" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("touch_type",
+            when(col("event_type") =!= "purchase", col("event_type")))
+          .withColumn("touch_ts",
+            when(col("event_type") =!= "purchase", col("ts")))
+          .withColumn("attr_type",
+            last(col("touch_type"), ignoreNulls = true).over(w))
+          .withColumn("attr_ts",
+            last(col("touch_ts"), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("attr_type"), lit("none")).as("attributed"))
+          .agg(count(lit(1)).as("n_purchases"),
+            coalesce(sum(expr("unix_micros(ts) - unix_micros(attr_ts)")),
+              lit(0L)).as("d"))
+          .select(col("attributed"), col("n_purchases"),
+            expr("n_purchases * 10000L div sum(n_purchases) OVER ()")
+              .as("share_bp"),
+            expr("d div greatest(n_purchases, 1L)")
+              .as("avg_us_to_convert"))
+          .orderBy(col("attributed"))
+      },
+      Some("""WITH o AS (
+               SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id,
+                 event_type,
+                 CASE WHEN event_type <> 'purchase' THEN event_type END
+                   AS touch_type,
+                 CASE WHEN event_type <> 'purchase'
+                   THEN CAST(ts AS TIMESTAMP) END AS touch_ts
+               FROM events),
+             a AS (
+               SELECT user_id, t, event_type,
+                 last_value(touch_type IGNORE NULLS) OVER w AS attr_type,
+                 last_value(touch_ts IGNORE NULLS) OVER w AS attr_ts
+               FROM o
+               WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             SELECT coalesce(attr_type, 'none') AS attributed,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(count(*) AS BIGINT) * 10000
+                 // CAST(sum(count(*)) OVER () AS BIGINT) AS share_bp,
+               CAST(coalesce(sum(epoch_us(t) - epoch_us(attr_ts)), 0)
+                 AS BIGINT) // greatest(CAST(count(*) AS BIGINT), 1)
+                 AS avg_us_to_convert
+             FROM a WHERE event_type = 'purchase'
+             GROUP BY 1 ORDER BY 1""")),
+
     // ---- DAILY ACTIVE USERS via the KMV sketch, exact count and
     //      realized error alongside — the q195/q196 sketch pointed at
     //      the time axis (per-window distinct is THE cardinality

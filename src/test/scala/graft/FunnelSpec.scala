@@ -55,4 +55,29 @@ class FunnelSpec extends AnyFunSuite {
       (2, 3L, 6000L, 6000L, (10L + 20L + 10L) * 1000000L / 3L),
       (3, 2L, 6666L, 4000L, 15000000L)))
   }
+
+  test("q201: LAST touch wins, purchases are transparent, untouched purchases land in 'none'") {
+    import spark.implicits._
+    val rows = Seq(
+      // u1: the click (latest touch) gets the credit, not the view
+      (1L, "view", 0), (1L, "click", 10), (1L, "purchase", 20),
+      // u2: purchase with no prior touch → 'none'
+      (2L, "purchase", 0),
+      // u3: BOTH purchases credit the view — the first purchase does
+      // not reset attribution for the second
+      (3L, "view", 0), (3L, "purchase", 10), (3L, "purchase", 20))
+    val dir = TestDirs.scratch("attrib")
+    rows.zipWithIndex.map { case ((u, t, off), i) =>
+      (i.toLong, at(off), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = SparkEntry.queries("q201_last_touch_attribution")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq(
+      ("click", 1L, 2500L, 10000000L),
+      ("none", 1L, 2500L, 0L),
+      ("view", 2L, 5000L, 15000000L)))
+  }
 }
