@@ -261,7 +261,16 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine = s"""{"metric":"queries_full","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flakies,"bench_runs":$benchRuns,"protocol":"$proto","sf":"$sfDir","canary":$canaryJson,"loadavg":$loadJson,"suspect":$suspectJson}"""
     println(fullLine)
-    try {
+    // bench_full.json always describes a FULL suite run: a
+    // SPARK_GRAFT_BENCH_ONLY-restricted run must not overwrite it, or
+    // the subset wipes the per-query minima priorTimes() feeds the
+    // suspect gate — the next full run on a loaded machine would pass
+    // with "suspect":{} for every query missing from the history
+    // (exactly the r12 blindness this feature exists to surface)
+    if (only.isDefined)
+      println(s"[bench] BENCH_ONLY set — $benchFile untouched " +
+        "(history stays the last full run)")
+    else try {
       val w = new java.io.PrintWriter(benchFile, "UTF-8")
       try w.println(fullLine) finally w.close()
     } catch { case e: Exception =>

@@ -33,11 +33,11 @@ object GraphStats {
     val cap = ops.Dedup.SmallGraphEdgeCap
     dirs.foreach { dir =>
       val p54 = ops.Dedup.lshCandidatePairsCached(spark, dir).count()
-      val g = ops.Similarity.knnGraphCached(spark, dir)
-        .select(col("vec_id").as("a"), col("neighbor").as("b"))
-      val m = g.as("x").join(g.as("y"),
-        col("x.a") === col("y.b") && col("x.b") === col("y.a") &&
-          col("x.a") < col("x.b")).count()
+      // the SAME symmetrization q157 runs (Similarity.mutualEdges), so
+      // the printed regime call is about the pillar's actual graph
+      val m = ops.Similarity.mutualEdges(
+        ops.Similarity.knnGraphCached(spark, dir)
+          .select(col("vec_id").as("a"), col("neighbor").as("b"))).count()
       def regime(pairs: Long) =
         if (pairs <= cap) s"endgame (${fmtX(cap, pairs)}x headroom)"
         else s"loop (${fmtX(pairs, cap)}x over cap)"

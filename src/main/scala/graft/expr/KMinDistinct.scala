@@ -140,4 +140,34 @@ object KMinDistinct {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmin", fromArgs, "built-in")
+
+  /** Largest int64-safe sketch size: the estimator numerator
+    * (k−1)·2⁵⁶ must stay under 2⁶³, so k ≤ 128. */
+  val MaxK = 128
+
+  private def numerator(k: Int): Long = {
+    require(k >= 2 && k <= MaxK,
+      s"KMV estimator needs 2 <= k <= $MaxK (got $k): (k-1)*2^56 must fit int64")
+    (k - 1).toLong << 56
+  }
+
+  /** SQL for the KMV distinct estimate over a `graft_kmin(h, k)` sketch
+    * column: groups under k distinct hashes report their EXACT count
+    * (the sketch holds every value); saturated sketches report
+    * (k−1)·2⁵⁶ div h_(k), int64 throughout, with greatest(h,1) guarding
+    * the ~k·2⁻⁵⁶ zero-hash divide. The numerator is COMPUTED from k so
+    * the pair can never drift apart at a call site — a drift the DuckDB
+    * hash gate cannot catch, because each oracle replays its own
+    * query's (equally wrong) arithmetic. Every Spark-side consumer
+    * (q195/q197/the streaming vocab card; q196 via
+    * [[estimateFromKthSql]]) goes through here. */
+  def estimateSql(sk: String, k: Int): String =
+    s"""if(size($sk) < $k, cast(size($sk) as bigint),
+        ${numerator(k)}L div greatest(element_at($sk, $k), 1L))"""
+
+  /** The estimate when the sketch was already reduced to its size and
+    * k-th minimum (q196's merged-union shape): same arithmetic over a
+    * pre-aggregated (count, kth-min) pair. */
+  def estimateFromKthSql(n: String, hk: String, k: Int): String =
+    s"CASE WHEN $n < $k THEN $n ELSE ${numerator(k)}L div greatest($hk, 1L) END"
 }

@@ -1258,8 +1258,8 @@ object CorpusStats {
           .as("n_shared"),
         max(col("h")).as("hk"))
       .select(col("sa"), col("sb"), col("n_union_kept"), col("n_shared"),
-        expr(s"""CASE WHEN n_union_kept < $K THEN n_union_kept
-                  ELSE 9151314442816847872L div greatest(hk, 1L) END""")
+        expr(graft.expr.KMinDistinct
+            .estimateFromKthSql("n_union_kept", "hk", K))
           .as("union_est"))
       .select(col("sa").as("source_a"), col("sb").as("source_b"),
         col("n_union_kept"), col("union_est"), col("n_shared"),

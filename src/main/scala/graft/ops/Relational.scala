@@ -539,12 +539,10 @@ object Relational {
             expr("graft_kmin(hp, 128)").as("sp"))
           .select(col("l_returnflag"),
             expr("cast(size(so) as bigint)").as("n_kept_orders"),
-            expr("""if(size(so) < 128, cast(size(so) as bigint),
-                      9151314442816847872L div greatest(element_at(so, 128), 1L))""")
+            expr(graft.expr.KMinDistinct.estimateSql("so", 128))
               .as("est_orders"),
             expr("cast(size(sp) as bigint)").as("n_kept_parts"),
-            expr("""if(size(sp) < 128, cast(size(sp) as bigint),
-                      9151314442816847872L div greatest(element_at(sp, 128), 1L))""")
+            expr(graft.expr.KMinDistinct.estimateSql("sp", 128))
               .as("est_parts"))
           .orderBy(col("l_returnflag"))
       },

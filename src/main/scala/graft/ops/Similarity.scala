@@ -615,16 +615,25 @@ object Similarity {
         .select(col("vec_id").as("a"), col("neighbor").as("b"))
         .transform(TransientCache.scopedDF)
     }
-    val mutual = g.as("x")
-      .join(g.as("y"),
-        col("x.a") === col("y.b") && col("x.b") === col("y.a") &&
-          col("x.a") < col("x.b"))
-      .select(col("x.a").as("da"), col("x.b").as("db"))
-    Dedup.connectedComponents(mutual)
+    Dedup.connectedComponents(mutualEdges(g))
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
         col("cluster_size"))
       .orderBy(col("vec_id"))
   }
+
+  /** q157's symmetrization, exposed as THE definition of a mutual edge
+    * (each endpoint ranks the other in its top-k, deduped by a < b):
+    * both the semantic-components query and the `graft.GraphStats`
+    * endgame-crossover diagnostic go through here, so the diagnostic
+    * can never drift onto a different graph than the pillar it probes.
+    * Input: a directed (a, b) neighbor-edge frame; output: undirected
+    * (da, db) mutual pairs. */
+  def mutualEdges(g: DataFrame): DataFrame =
+    g.as("x")
+      .join(g.as("y"),
+        col("x.a") === col("y.b") && col("x.b") === col("y.a") &&
+          col("x.a") < col("x.b"))
+      .select(col("x.a").as("da"), col("x.b").as("db"))
 
   /** Number of IVF cells for q43/q97 (deterministic centroids = the 16
     * smallest-id vectors, the q43 convention). */

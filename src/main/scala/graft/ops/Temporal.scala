@@ -355,21 +355,6 @@ object Temporal {
              FROM a WHERE event_type = 'purchase'
              GROUP BY 1 ORDER BY 1""")),
 
-    // ---- DAILY ACTIVE USERS via the KMV sketch, exact count and
-    //      realized error alongside — the q195/q196 sketch pointed at
-    //      the time axis (per-window distinct is THE cardinality
-    //      problem event pipelines pay for daily: q23's exact
-    //      countDistinct shuffles every (window, user) pair, while the
-    //      bounded graft_kmin shuffles ≤ k longs per window whatever
-    //      the user count). The exact count rides alongside at test
-    //      scale as the q93/q102-style ground-truth audit: err_bp is
-    //      the realized estimator error a deployment reads before
-    //      trusting the sketch column alone. The sf0.01 data straddles
-    //      k = 128 (daily distinct users 125-141), so BOTH the
-    //      exact-window and estimator branches execute in one result;
-    //      sf0.1 (1.3k/day) runs pure-estimator. Same int64 estimator
-    //      discipline as q195; greatest(...,1) guards both divisions.
-    //      ----
     // ---- K-STEP GREEDY FUNNEL: view → click → purchase, each stage
     //      strictly after the user's EARLIEST completion of the
     //      previous one (the standard product-analytics funnel; q63 is
@@ -461,6 +446,21 @@ object Temporal {
                FROM agg)
              ORDER BY stage""")),
 
+    // ---- DAILY ACTIVE USERS via the KMV sketch, exact count and
+    //      realized error alongside — the q195/q196 sketch pointed at
+    //      the time axis (per-window distinct is THE cardinality
+    //      problem event pipelines pay for daily: q23's exact
+    //      countDistinct shuffles every (window, user) pair, while the
+    //      bounded graft_kmin shuffles ≤ k longs per window whatever
+    //      the user count). The exact count rides alongside at test
+    //      scale as the q93/q102-style ground-truth audit: err_bp is
+    //      the realized estimator error a deployment reads before
+    //      trusting the sketch column alone. The sf0.01 data straddles
+    //      k = 128 (daily distinct users 125-141), so BOTH the
+    //      exact-window and estimator branches execute in one result;
+    //      sf0.1 (1.3k/day) runs pure-estimator. Same int64 estimator
+    //      discipline as q195; greatest(...,1) guards both divisions.
+    //      ----
     "q197_daily_users_kmv" -> QueryDef(
       (s, dir) => {
         graft.expr.Md5Hash56.register(s)
@@ -474,8 +474,7 @@ object Temporal {
               .as("sk"))
           .select(col("event_date"), col("n_events"), col("n_exact_users"),
             expr("cast(size(sk) as bigint)").as("n_kept"),
-            expr("""if(size(sk) < 128, cast(size(sk) as bigint),
-                      9151314442816847872L div greatest(element_at(sk, 128), 1L))""")
+            expr(graft.expr.KMinDistinct.estimateSql("sk", 128))
               .as("est_users"))
           .withColumn("err_bp", expr(
             "abs(est_users - n_exact_users) * 10000 div greatest(n_exact_users, 1)"))

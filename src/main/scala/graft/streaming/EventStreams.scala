@@ -500,8 +500,7 @@ object EventStreams {
       .agg(expr("graft_kmin(h, 128)").as("sk"))
       .select(col("source"), col("sk"),
         expr("cast(size(sk) as bigint)").as("n_kept"),
-        expr("""if(size(sk) < 128, cast(size(sk) as bigint),
-                  9151314442816847872L div greatest(element_at(sk, 128), 1L))""")
+        expr(graft.expr.KMinDistinct.estimateSql("sk", 128))
           .as("est_vocab"))
   }
 
