@@ -504,6 +504,38 @@ object EventStreams {
           .as("est_vocab"))
   }
 
+  /** Streaming daily-active-users — q197's mirror on the EVENT-TIME
+    * axis: the same `graft_kmin` bounded sketch keyed by a 1-day
+    * event-time window under a watermark, Append mode. Each day's row
+    * emits exactly once, when the watermark passes the window end —
+    * the finalize-and-publish shape a daily dashboard ingests, where
+    * the vocab-card mirror is the revise-forever Complete-mode shape.
+    * State per open window is the O(k=128)-long sketch buffer, bounded
+    * whatever the user count, and the watermark retires it — this is
+    * the production form q197's comment points at: the exact
+    * countDistinct audit column is BATCH-side only (distinct
+    * aggregation is unsupported in streaming anyway — the sketch is
+    * what a stream can afford, which is the point of the sketch).
+    * StreamingSpec pins per-closed-day equality (n_events, n_kept,
+    * est_users) with batch q197 over the same rows. */
+  def streamingDailyUsers(events: DataFrame, watermark: String = "1 day")
+      : DataFrame = {
+    graft.expr.Md5Hash56.register(events.sparkSession)
+    graft.expr.KMinDistinct.register(events.sparkSession)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("""graft_kmin(
+             graft_md5_56(concat('dau:', cast(user_id as string))), 128)""")
+          .as("sk"))
+      .select(col("w.start").cast("date").as("event_date"),
+        col("n_events"),
+        expr("cast(size(sk) as bigint)").as("n_kept"),
+        expr(graft.expr.KMinDistinct.estimateSql("sk", 128))
+          .as("est_users"))
+  }
+
   final case class SourceDoc(doc_id: Long, source: String, text: String)
   final case class Kept(doc_id: Long, weight: Long, priority: Long)
   final case class Reservoir(source: String, kept: Seq[Kept])

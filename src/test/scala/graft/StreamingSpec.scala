@@ -439,6 +439,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming DAU emits each closed day exactly once, equal to batch q197 over the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, day: Int, hour: Int, user: Long) =
+      EventStreams.FunnelEvent(id,
+        Timestamp.valueOf(f"2024-01-0$day $hour%02d:00:00"), user, "view")
+    // two complete days (user 1 twice on day 1 — distinct must not
+    // double-count), then a day-4 arrival whose watermark (1 day lag)
+    // passes both window ends and closes them
+    val closed = Seq(ev(0, 1, 9, 1L), ev(1, 1, 12, 1L), ev(2, 1, 15, 2L),
+      ev(3, 2, 10, 2L), ev(4, 2, 11, 3L))
+    val input = MemoryStream[EventStreams.FunnelEvent]
+    val q = EventStreams.streamingDailyUsers(input.toDF())
+      .writeStream.format("memory").queryName("dau")
+      .outputMode("append").start()
+    try {
+      input.addData(closed: _*)
+      q.processAllAvailable()
+      assert(spark.table("dau").count() == 0,
+        "no window emits before the watermark passes its end")
+      input.addData(ev(5, 4, 1, 9L))
+      q.processAllAvailable()
+      val streamed = spark.table("dau").collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+      // batch q197 over the SAME closed-day rows (its extra exact-audit
+      // columns are batch-only by design — distinct aggregation is
+      // unsupported in streaming, which is why the sketch exists)
+      val dir = TestDirs.scratch("sdau")
+      closed.map(e => (e.event_id, e.ts, e.user_id, e.event_type, 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("q197_daily_users_kmv")(spark, dir)
+        .select("event_date", "n_events", "n_kept", "est_users")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+          r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+      assert(streamed == batch,
+        "closed windows equal the batch per-day sketch rows")
+      assert(streamed.map(_._1) == Seq("2024-01-01", "2024-01-02"))
+      assert(streamed.map(_._4) == Seq(2L, 2L),
+        "duplicate user events within a day do not double-count")
+    } finally q.stop()
+  }
+
   test("streaming funnel equals batch q198 staging under in-order arrival; jumbled batches cost nothing") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
