@@ -446,6 +446,58 @@ object Temporal {
                FROM agg)
              ORDER BY stage""")),
 
+    // ---- DAILY ERROR-SPIKE DETECTION: each day's error count against
+    //      the mean of the 7 PRIOR observed days (a rows-frame over
+    //      the dense daily series — strictly-prior, so a spike never
+    //      dampens its own baseline), ratio in int64 basis points,
+    //      spike flag at ≥ 2× — the trailing-baseline anomaly readout
+    //      an ops dashboard runs on every counter, in pure integer
+    //      arithmetic (no stddev/float σ: a z-score needs a sqrt no
+    //      rounding grid makes cross-engine-exact; the ratio rule is
+    //      what int64 parity can certify). Days without a full 7-day
+    //      history are withheld, not zero-padded. Scale: the heavy
+    //      lift is the map-side-combinable date rollup; the trailing
+    //      window runs UNPARTITIONED on the per-day frame, bounded by
+    //      calendar days (3.7k rows per decade), never event volume. ----
+    "q202_error_spikes" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("event_date")).rowsBetween(-7, -1)
+        Tables.load(s, dir, "events")
+          .filter(col("event_type") === "error")
+          .groupBy(col("ts").cast("date").as("event_date"))
+          .agg(count(lit(1)).as("n_errors"))
+          .withColumn("n_prior", count(lit(1)).over(w))
+          .withColumn("trail_sum",
+            coalesce(sum(col("n_errors")).over(w), lit(0L)))
+          .filter(col("n_prior") === 7)
+          .withColumn("trail_mean", expr("trail_sum div 7"))
+          .withColumn("ratio_bp",
+            expr("n_errors * 10000L div greatest(trail_mean, 1L)"))
+          .select(col("event_date"), col("n_errors"), col("trail_mean"),
+            col("ratio_bp"),
+            expr("if(ratio_bp >= 20000, 1L, 0L)").as("is_spike"))
+          .orderBy(col("event_date"))
+      },
+      Some("""WITH d AS (
+               SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+                 CAST(count(*) AS BIGINT) AS n_errors
+               FROM events WHERE event_type = 'error' GROUP BY 1),
+             t AS (
+               SELECT event_date, n_errors,
+                 CAST(count(*) OVER w AS BIGINT) AS n_prior,
+                 coalesce(CAST(sum(n_errors) OVER w AS BIGINT), 0)
+                   AS trail_sum
+               FROM d
+               WINDOW w AS (ORDER BY event_date
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+             SELECT event_date, n_errors, trail_sum // 7 AS trail_mean,
+               n_errors * 10000 // greatest(trail_sum // 7, 1) AS ratio_bp,
+               CAST(CASE WHEN n_errors * 10000
+                   // greatest(trail_sum // 7, 1) >= 20000
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+             FROM t WHERE n_prior = 7 ORDER BY event_date""")),
+
     // ---- DAILY ACTIVE USERS via the KMV sketch, exact count and
     //      realized error alongside — the q195/q196 sketch pointed at
     //      the time axis (per-window distinct is THE cardinality

@@ -80,4 +80,30 @@ class FunnelSpec extends AnyFunSuite {
       ("none", 1L, 2500L, 0L),
       ("view", 2L, 5000L, 15000000L)))
   }
+
+  test("q202: a planted 2.5x day flags; baseline days and short-history days do not") {
+    import spark.implicits._
+    // 10 observed days: days 1-8 at 10 errors, day 9 at 25 (the spike),
+    // day 10 back at 10 — but day 10's trailing window now CONTAINS the
+    // spike (mean (7*10+25) div 7 = 13), so its ratio dips below 10000
+    // without flagging. Days 1-7 are withheld (no full 7-day history).
+    val perDay = Map(9 -> 25).withDefaultValue(10)
+    val rows = for {
+      day <- 1 to 10
+      i <- 0 until perDay(day)
+    } yield (day.toLong * 1000 + i,
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d 12:00:00"),
+      1L, "error", 1.0, "{}")
+    val dir = TestDirs.scratch("spikes")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = SparkEntry.queries("q202_error_spikes")(spark, dir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      ("2024-03-08", 10L, 10L, 10000L, 0L),
+      ("2024-03-09", 25L, 10L, 25000L, 1L),
+      ("2024-03-10", 10L, 12L, 8333L, 0L)))
+  }
 }
