@@ -5,11 +5,13 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins q198's GREEDY strictly-after funnel semantics on planted
-  * journeys — the oracle SQL replays whatever semantics the query
+/** Planted-fixture semantics pins for the event-analytics queries
+  * (q198 funnel, q199 transitions, q200 skew audit, q201 attribution,
+  * q202 spikes) — the oracle SQL replays whatever semantics each query
   * spells, so a semantics bug would be mirrored in both engines and
-  * invisible to the hash gate. The fixture covers the cases that
-  * distinguish a greedy funnel from a naive per-type min:
+  * invisible to the hash gate; these fixtures pin the INTENT.
+  * The q198 journeys cover the cases that distinguish a greedy funnel
+  * from a naive per-type min:
   *
   *   - A: clean view → click → purchase (all three stages);
   *   - B: a click BEFORE the first view (no click strictly after the
@@ -105,5 +107,55 @@ class FunnelSpec extends AnyFunSuite {
       ("2024-03-08", 10L, 10L, 10000L, 0L),
       ("2024-03-09", 25L, 10L, 25000L, 1L),
       ("2024-03-10", 10L, 12L, 8333L, 0L)))
+  }
+
+  test("q199: equal timestamps order by event_id; transitions count per consecutive pair") {
+    import spark.implicits._
+    // user 1: view→click→purchase with the MIDDLE pair at an identical
+    // timestamp — (ts, event_id) tie-break decides which transition
+    // exists, so a nondeterministic order would flip the matrix
+    val rows = Seq(
+      (10L, at(0), 1L, "view", 1.0, "{}"),
+      (11L, at(5), 1L, "click", 1.0, "{}"),
+      (12L, at(5), 1L, "purchase", 1.0, "{}"),
+      (20L, at(0), 2L, "view", 1.0, "{}"))
+    val dir = TestDirs.scratch("transitions")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q199_event_transitions")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // id 11 (click) precedes id 12 (purchase) at the tied instant:
+    // view→click and click→purchase, never view→purchase
+    assert(out == Seq(
+      ("click", "purchase", 1L, 10000L),
+      ("view", "click", 1L, 10000L)))
+  }
+
+  test("q200: planted key distributions land in their power-of-two buckets with exact shares") {
+    import spark.implicits._
+    val dir = TestDirs.scratch("skew")
+    // events.user_id: sizes 1,1,2,3,8 → buckets 1 (2 keys/2 rows),
+    // 2 (2 keys/5 rows), 8 (1 key/8 rows); 5 keys / 15 rows total
+    val ev = for {
+      (u, n) <- Seq((1L, 1), (2L, 1), (3L, 2), (4L, 3), (5L, 8))
+      i <- 0 until n
+    } yield (u * 100 + i, at(i), u, "view", 1.0, "{}")
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // one uniform key each for the other two audits
+    Seq.fill(4)(7L).toDF("l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq.fill(2)(9L).toDF("o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val out = SparkEntry.queries("q200_key_skew_audit")(spark, dir)
+      .filter(col("audit") === "events.user_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, 4000L, 1333L),
+      (2L, 2L, 5L, 4000L, 3333L),
+      (8L, 1L, 8L, 2000L, 5333L)))
   }
 }

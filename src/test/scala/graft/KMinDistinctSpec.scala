@@ -122,4 +122,30 @@ class KMinDistinctSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("int literal"))
   }
+
+  test("estimateSql computes the numerator FROM k and rejects int64-unsafe sizes") {
+    // the (k−1)·2⁵⁶ pairing is the helper's whole point: pinned here so
+    // a future k change cannot silently keep a stale numerator (a drift
+    // the oracle hash gate cannot see — each oracle replays its own
+    // query's arithmetic)
+    assert(KMinDistinct.estimateSql("sk", 128)
+      .contains("9151314442816847872L"))
+    assert(KMinDistinct.estimateSql("sk", 64)
+      .contains(((63L << 56).toString + "L")))
+    assert(KMinDistinct.estimateFromKthSql("n", "hk", 128)
+      .contains("9151314442816847872L"))
+    // k = 129 would need 128·2⁵⁶ = 2⁶³ — overflow; k < 2 is degenerate
+    intercept[IllegalArgumentException](KMinDistinct.estimateSql("sk", 129))
+    intercept[IllegalArgumentException](KMinDistinct.estimateSql("sk", 1))
+    // the generated expression actually evaluates: exact under k,
+    // saturated at k (sketch of size 2 with k = 2 → 1·2⁵⁶ div h₂)
+    KMinDistinct.register(spark)
+    import spark.implicits._
+    val r = Seq((1, 100L), (1, 1L << 55), (2, 7L)).toDF("g", "h")
+      .groupBy("g").agg(expr("graft_kmin(h, 2)").as("sk"))
+      .select(col("g"), expr(KMinDistinct.estimateSql("sk", 2)).as("est"))
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r(2) == 1L, "under-k group reports its exact count")
+    assert(r(1) == (1L << 56) / (1L << 55), "saturated estimate = 2^56 div h_(2)")
+  }
 }
