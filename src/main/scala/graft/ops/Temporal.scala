@@ -446,6 +446,64 @@ object Temporal {
                FROM agg)
              ORDER BY stage""")),
 
+    // ---- INTER-EVENT DWELL-TIME DISTRIBUTION: per user in (ts,
+    //      event_id) order, the gap to the NEXT event, grouped by the
+    //      event the user was dwelling on — the time-on-page /
+    //      engagement readout, reported as exact interpolated
+    //      p50/p90/p99 seconds per event type (q47's discipline:
+    //      [[Percentiles]]' rank-based two-pass path stays distributed
+    //      where Spark's built-in exact percentile would funnel each
+    //      group's full gap set into one final-merge task; |types| = 5
+    //      groups satisfies its low-cardinality guard). Gaps convert
+    //      int64 µs → double seconds with one exact division — values
+    //      under 2^53 µs convert losslessly, and both engines run the
+    //      identical interpolation formula, so the 4-digit rounding is
+    //      the same belt-and-suspenders as q47's. Scale: ONE
+    //      user-partitioned window pass (the q199 shape), then the
+    //      distributed percentile machinery; the 5-row percentile
+    //      frame broadcasts back onto the counts. ----
+    "q203_event_gap_percentiles" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gaps = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("next_ts", lead(col("ts"), 1).over(w))
+          .filter(col("next_ts").isNotNull)
+          .select(col("event_type").as("after_type"),
+            expr("""(unix_micros(next_ts) - unix_micros(ts))
+                    / cast(1000000 as double)""").as("gap_s"))
+        val pct = graft.ops.Percentiles.exactPercentiles(s, gaps,
+          "after_type", "gap_s",
+          Seq("median_gap_s" -> 0.5, "p90_gap_s" -> 0.9,
+            "p99_gap_s" -> 0.99))
+        gaps.groupBy(col("after_type"))
+          .agg(count(lit(1)).as("n_gaps"))
+          .join(broadcast(pct), "after_type")
+          .select(col("after_type"), col("n_gaps"),
+            round(col("median_gap_s"), 4).as("median_gap_s"),
+            round(col("p90_gap_s"), 4).as("p90_gap_s"),
+            round(col("p99_gap_s"), 4).as("p99_gap_s"))
+          .orderBy(col("after_type"))
+      },
+      Some("""WITH o AS (
+               SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+                 event_id,
+                 lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_t
+               FROM events),
+             g AS (
+               SELECT event_type AS after_type,
+                 (epoch_us(next_t) - epoch_us(t)) / 1000000.0 AS gap_s
+               FROM o WHERE next_t IS NOT NULL)
+             SELECT after_type, CAST(count(*) AS BIGINT) AS n_gaps,
+               round(quantile_cont(gap_s, 0.5), 4) AS median_gap_s,
+               round(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s,
+               round(quantile_cont(gap_s, 0.99), 4) AS p99_gap_s
+             FROM g GROUP BY after_type ORDER BY after_type""")),
+
     // ---- DAILY ERROR-SPIKE DETECTION: each day's error count against
     //      the mean of the 7 PRIOR observed days (a rows-frame over
     //      the dense daily series — strictly-prior, so a spike never
