@@ -719,6 +719,91 @@ object Dedup {
     }
   }
 
+  /** Triangle census over the near-dup candidate graph — the local-
+    * clustering companion to [[dupGraphPageRank]]'s centrality: a node
+    * whose neighbors also near-match EACH OTHER sits inside a dense
+    * duplication clique (a template/boilerplate family), while a hub
+    * with mutually-disconnected neighbors is a promiscuous band
+    * collision — the two need different curation responses (drop the
+    * clique wholesale vs audit the band), and neither is visible from
+    * degree alone. Per node: degree over the symmetrized graph, the
+    * triangle count through it, and the local clustering coefficient
+    * in basis points — 2T·10⁴ div d(d−1), int64 floor division end to
+    * end so the DuckDB gate certifies it bitwise.
+    *
+    * Scale shape: triangles enumerate ONCE each as a<b<c from the
+    * ORIENTED pair list (da<db by construction): one self-equi-join on
+    * the shared min endpoint builds wedges, one equi-join on (b,c)
+    * closes them. Wedge fan-out is Σₐ deg⁺(a)² — bounded, because the
+    * LSH hot-band cap ([[HotBandCap]]) already caps every band group,
+    * which caps graph degree; no vertex salting needed on top. The
+    * per-node rollup is a 3-way stack + map-side-combinable count;
+    * zero-triangle nodes re-enter via a left join on the degree frame.
+    */
+  def dupGraphTriangles(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("da").as("v"))
+      .union(pairs.select(col("db").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+    val tri = pairs.as("e1")
+      .join(pairs.as("e2"),
+        col("e1.da") === col("e2.da") && col("e1.db") < col("e2.db"))
+      .select(col("e1.da").as("a"), col("e1.db").as("b"),
+        col("e2.db").as("c"))
+      .join(pairs.as("e3"),
+        col("b") === col("e3.da") && col("c") === col("e3.db"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri.selectExpr("stack(3, a, b, c) AS (v)")
+      .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("""CASE WHEN degree >= 2
+                THEN coalesce(n_triangles, 0L) * 20000L
+                       div (degree * (degree - 1))
+                ELSE 0L END""").as("cc_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Missing-link candidates over the near-dup graph: non-adjacent doc
+    * pairs sharing at least one common neighbor, scored by
+    * common-neighbor count and neighborhood Jaccard (basis points).
+    * This is the dedup QA probe for banding recall: two docs that
+    * near-match the same third documents but never landed in a common
+    * cold band are exactly where the 4-band sketch is most likely to
+    * have MISSED a true near-dup pair (the q142 S-curve's false-
+    * negative region, localized to concrete candidates a reviewer can
+    * re-verify with the exact Jaccard of q32).
+    *
+    * Scale shape: wedges enumerate via one self-equi-join of the
+    * symmetrized edge list on the shared apex (x<y kills mirror
+    * duplicates), grouped map-side to common-neighbor counts; existing
+    * edges leave via one anti equi-join on the oriented pair list, and
+    * degrees arrive by two broadcast-size equi-joins. Fan-out is the
+    * same Σ deg² as [[dupGraphTriangles]], bounded by the hot-band
+    * degree cap. Pure int64: jacc_bp = cn·10⁴ div (dₓ+d_y−cn).
+    */
+  def dupGraphLinkCandidates(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val wedges = edges.as("n1")
+      .join(edges.as("n2"),
+        col("n1.src") === col("n2.src") && col("n1.dst") < col("n2.dst"))
+      .select(col("n1.dst").as("doc_a"), col("n2.dst").as("doc_b"))
+    val cn = wedges.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    cn.join(pairs,
+        cn("doc_a") === pairs("da") && cn("doc_b") === pairs("db"),
+        "left_anti")
+      .join(deg.as("ga"), col("doc_a") === col("ga.src"))
+      .join(deg.as("gb"), col("doc_b") === col("gb.src"))
+      .select(col("doc_a"), col("doc_b"), col("common_neighbors"),
+        expr("""common_neighbors * 10000L
+                div (ga.deg + gb.deg - common_neighbors)""")
+          .as("jaccard_bp"))
+      .orderBy(col("jaccard_bp").desc, col("doc_a"), col("doc_b"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- MinHash signatures + LSH banding → candidate near-dup pairs
@@ -1184,6 +1269,66 @@ object Dedup {
                  WHERE it = $PageRankIters) z
            JOIN pdeg d ON z.u.v = d.src
            ORDER BY doc_id""")),
+
+    // ---- triangle census / local clustering over the candidate graph:
+    //      clique-dense duplication families vs promiscuous band-collision
+    //      hubs (see [[dupGraphTriangles]]). The oracle re-enumerates the
+    //      oriented a<b<c triangles with two plain joins — no recursion,
+    //      so the CTE chain is the one the pair queries share. ----
+    "q204_dupgraph_triangles" -> QueryDef(
+      (s, dir) => dupGraphTriangles(lshCandidatePairsCached(s, dir)),
+      Some(s"""WITH ${duckCandPairsBody()},
+             edges AS (SELECT da AS src, db AS dst FROM cand_pairs
+                       UNION ALL SELECT db, da FROM cand_pairs),
+             deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS degree
+                     FROM edges GROUP BY src),
+             tri AS (
+               SELECT e1.da AS a, e1.db AS b, e2.db AS c
+               FROM cand_pairs e1
+               JOIN cand_pairs e2 ON e2.da = e1.da AND e2.db > e1.db
+               JOIN cand_pairs e3 ON e3.da = e1.db AND e3.db = e2.db),
+             pn AS (
+               SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
+               FROM (SELECT a AS v FROM tri
+                     UNION ALL SELECT b FROM tri
+                     UNION ALL SELECT c FROM tri)
+               GROUP BY v)
+             SELECT d.v AS doc_id, d.degree,
+               coalesce(pn.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+               CASE WHEN d.degree >= 2
+                 THEN coalesce(pn.n_triangles, CAST(0 AS BIGINT)) * 20000
+                        // (d.degree * (d.degree - 1))
+                 ELSE CAST(0 AS BIGINT) END AS cc_bp
+             FROM deg d LEFT JOIN pn ON pn.v = d.v
+             ORDER BY doc_id""")),
+
+    // ---- missing-link candidates: non-adjacent pairs with common
+    //      near-dup neighbors — the localized banding false-negative
+    //      probe (see [[dupGraphLinkCandidates]]). ----
+    "q205_dupgraph_link_candidates" -> QueryDef(
+      (s, dir) => dupGraphLinkCandidates(lshCandidatePairsCached(s, dir)),
+      Some(s"""WITH ${duckCandPairsBody()},
+             edges AS (SELECT da AS src, db AS dst FROM cand_pairs
+                       UNION ALL SELECT db, da FROM cand_pairs),
+             deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                     FROM edges GROUP BY src),
+             cn AS (
+               SELECT n1.dst AS doc_a, n2.dst AS doc_b,
+                 CAST(count(*) AS BIGINT) AS common_neighbors
+               FROM edges n1
+               JOIN edges n2 ON n1.src = n2.src AND n1.dst < n2.dst
+               GROUP BY 1, 2),
+             missing AS (
+               SELECT cn.* FROM cn
+               ANTI JOIN cand_pairs p
+                 ON cn.doc_a = p.da AND cn.doc_b = p.db)
+             SELECT m.doc_a, m.doc_b, m.common_neighbors,
+               m.common_neighbors * 10000
+                 // (ga.deg + gb.deg - m.common_neighbors) AS jaccard_bp
+             FROM missing m
+             JOIN deg ga ON m.doc_a = ga.src
+             JOIN deg gb ON m.doc_b = gb.src
+             ORDER BY jaccard_bp DESC, doc_a, doc_b""")),
 
     // ---- dedup cluster-size distribution: power-of-two histogram over
     //      q54's connected components plus the singleton mass (docs in no

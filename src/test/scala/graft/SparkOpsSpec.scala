@@ -2215,6 +2215,48 @@ class PageRankSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("doc_id", "degree", "rank_fp"))
     assert(out.count() == 0L)
   }
+
+  test("q204: K4 is all-triangles (cc 10000); a chain has none; counts check by hand") {
+    import spark.implicits._
+    // K4 on 0-3, chain 10-11-12, isolated pair 20-21
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val pairs = (k4 ++ Seq((10L, 11L), (11L, 12L), (20L, 21L)))
+      .toDF("da", "db")
+    val got = graft.ops.Dedup.dupGraphTriangles(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // K4: each node deg 3, sits in C(3,2)=3 triangles, cc = 3*20000/6
+    (0L to 3L).foreach { v => assert(got(v) == ((3L, 3L, 10000L)), s"node $v") }
+    // chain: middle deg 2 but open wedge → 0 triangles, cc 0
+    assert(got(11L) == ((2L, 0L, 0L)))
+    assert(got(10L) == ((1L, 0L, 0L)) && got(12L) == ((1L, 0L, 0L)))
+    // deg-1 nodes divide by max(d(d-1),·) guard: cc is 0, not an error
+    assert(got(20L) == ((1L, 0L, 0L)) && got(21L) == ((1L, 0L, 0L)))
+    // global count: 4 triangles in K4, each counted at 3 nodes
+    assert(got.values.map(_._2).sum == 12L)
+  }
+
+  test("q205: an open wedge is the only link candidate; closed graphs propose nothing") {
+    import spark.implicits._
+    // chain 0-1-2 (open wedge at 1), triangle 10-11-12 (closed)
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L), (10L, 12L),
+      (11L, 12L)).toDF("da", "db")
+    val got = graft.ops.Dedup.dupGraphLinkCandidates(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // only (0,2): cn=1 via apex 1; deg(0)=deg(2)=1 → jacc = 1/(1+1-1)
+    assert(got.toSeq == Seq((0L, 2L, 1L, 10000L)))
+  }
+
+  test("q205: candidates never duplicate an existing edge and never mirror") {
+    import spark.implicits._
+    // K4 minus edge (2,3): the missing edge must surface exactly once
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L))
+      .toDF("da", "db")
+    val got = graft.ops.Dedup.dupGraphLinkCandidates(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // (2,3): common neighbors {0,1}; deg(2)=deg(3)=2 → jacc = 2/(2+2-2)
+    assert(got.toSeq == Seq((2L, 3L, 2L, 10000L)))
+  }
 }
 
 /** q105 held-out bigram LM: every scoring class — seen bigram, unseen
