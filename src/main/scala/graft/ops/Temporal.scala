@@ -615,5 +615,161 @@ object Temporal {
                  // greatest(n_exact_users, 1) AS err_bp
              FROM base JOIN sk USING (event_date)
              ORDER BY event_date""")),
+
+    // ---- EVENT-TYPE CO-OCCURRENCE LIFT: market-basket analysis over
+    //      (user, day) baskets — which event types co-occur in a user's
+    //      day MORE than their independent frequencies predict
+    //      (lift > 1, i.e. > 10⁴ bp) and which avoid each other. The
+    //      association readout behind "users who error also contact
+    //      support" product questions; q199 reads ordered ADJACENCY,
+    //      this reads unordered co-presence. All arithmetic int64: lift
+    //      is STAGED floor division — ((n_ab·10⁴ div n_a)·NB) div n_b —
+    //      spelled identically in both engines; the staging keeps every
+    //      intermediate ≤ 10⁴·NB (safe to NB ~ 10¹⁴ baskets) where the
+    //      naive n_ab·NB·10⁴ numerator overflows int64 at NB ~ 10⁹·√10.
+    //      Scale: the distinct projects events to ≤ |types| rows per
+    //      basket, so the self-join fans out ≤ C(|types|,2) = 10 rows
+    //      per basket on the (user, day) key — one composite-key
+    //      shuffle, never an all-pairs; the per-type and pair rollups
+    //      are map-side-combinable with ≤ |types|² output rows, and the
+    //      one-row basket total crossJoins on (the GateSpec-audited
+    //      one-row pattern). ----
+    "q206_event_type_lift" -> QueryDef(
+      (s, dir) => {
+        val b = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts").cast("date").as("d"),
+            col("event_type"))
+          .distinct()
+        val nb = b.select(col("user_id"), col("d")).distinct()
+          .agg(count(lit(1)).as("n_baskets"))
+        val nt = b.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+        b.as("x")
+          .join(b.as("y"),
+            col("x.user_id") === col("y.user_id") &&
+              col("x.d") === col("y.d") &&
+              col("x.event_type") < col("y.event_type"))
+          .groupBy(col("x.event_type").as("type_a"),
+            col("y.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_both"))
+          .join(broadcast(nt.select(col("event_type").as("type_a"),
+            col("n_t").as("n_a"))), "type_a")
+          .join(broadcast(nt.select(col("event_type").as("type_b"),
+            col("n_t").as("n_b"))), "type_b")
+          .crossJoin(nb)
+          .select(col("type_a"), col("type_b"), col("n_both"),
+            expr("n_both * 10000L div n_baskets").as("support_bp"),
+            expr("(((n_both * 10000L) div n_a) * n_baskets) div n_b")
+              .as("lift_bp"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH b AS (
+               SELECT DISTINCT user_id,
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, event_type
+               FROM events),
+             nb AS (
+               SELECT CAST(count(*) AS BIGINT) AS n_baskets
+               FROM (SELECT DISTINCT user_id, d FROM b)),
+             nt AS (
+               SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+               FROM b GROUP BY event_type),
+             p AS (
+               SELECT x.event_type AS type_a, y.event_type AS type_b,
+                 CAST(count(*) AS BIGINT) AS n_both
+               FROM b x JOIN b y
+                 ON x.user_id = y.user_id AND x.d = y.d
+                AND x.event_type < y.event_type
+               GROUP BY 1, 2)
+             SELECT type_a, type_b, n_both,
+               n_both * 10000 // n_baskets AS support_bp,
+               (((n_both * 10000) // na.n_t) * n_baskets) // nbt.n_t
+                 AS lift_bp
+             FROM p
+             JOIN nt na ON na.event_type = type_a
+             JOIN nt nbt ON nbt.event_type = type_b
+             CROSS JOIN nb
+             ORDER BY type_a, type_b""")),
+
+    // ---- WEEKLY GROWTH ACCOUNTING: every active (user, week) is NEW
+    //      (first week ever), RETAINED (also active the prior week) or
+    //      RESURRECTED (returning after a gap); a user CHURNS into the
+    //      week after their last activity (or after any gap > 1 week).
+    //      The new+resurrected−churned decomposition is the standard
+    //      growth ledger — net change per week explained by its three
+    //      components, with the identity net = Δactive holding by
+    //      construction. The churn row for the final active week lands
+    //      one week PAST the last data week (that user base is churned
+    //      AS OF then unless new data arrives) — deliberately kept.
+    //      Scale: one distinct shuffle to (user, week), ONE
+    //      user-partitioned window pass (lag+lead in the same frame),
+    //      then two map-side-combinable week rollups full-outer-joined
+    //      on the tiny calendar axis (52 rows/year whatever the event
+    //      volume). No driver state, no self-join. ----
+    "q207_growth_accounting" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+        val o = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("wk"))
+          .distinct()
+          .withColumn("prev", lag(col("wk"), 1).over(w))
+          .withColumn("nxt", lead(col("wk"), 1).over(w))
+        val act = o.groupBy(col("wk").as("week"))
+          .agg(
+            sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+            sum(when(col("prev").isNotNull &&
+              datediff(col("wk"), col("prev")) === 7, 1L).otherwise(0L))
+              .as("n_retained"),
+            sum(when(col("prev").isNotNull &&
+              datediff(col("wk"), col("prev")) > 7, 1L).otherwise(0L))
+              .as("n_resurrected"))
+        val chn = o
+          .filter(col("nxt").isNull || datediff(col("nxt"), col("wk")) > 7)
+          .groupBy(date_add(col("wk"), 7).as("week"))
+          .agg(count(lit(1)).as("n_churned"))
+        act.join(chn, Seq("week"), "full_outer")
+          .select(col("week"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"),
+            coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+            coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+            coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+          .withColumn("net_growth",
+            expr("n_new + n_resurrected - n_churned"))
+          .orderBy(col("week"))
+      },
+      Some("""WITH uw AS (
+               SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS wk
+               FROM events),
+             o AS (
+               SELECT user_id, wk,
+                 lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+                 lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nxt
+               FROM uw),
+             act AS (
+               SELECT wk AS week,
+                 CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_new,
+                 CAST(sum(CASE WHEN prev IS NOT NULL
+                     AND date_diff('day', prev, wk) = 7
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+                 CAST(sum(CASE WHEN prev IS NOT NULL
+                     AND date_diff('day', prev, wk) > 7
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+               FROM o GROUP BY wk),
+             chn AS (
+               SELECT wk + 7 AS week, CAST(count(*) AS BIGINT) AS n_churned
+               FROM o
+               WHERE nxt IS NULL OR date_diff('day', wk, nxt) > 7
+               GROUP BY 1)
+             SELECT coalesce(a.week, c.week) AS week,
+               coalesce(a.n_new, 0) AS n_new,
+               coalesce(a.n_retained, 0) AS n_retained,
+               coalesce(a.n_resurrected, 0) AS n_resurrected,
+               coalesce(c.n_churned, 0) AS n_churned,
+               coalesce(a.n_new, 0) + coalesce(a.n_resurrected, 0)
+                 - coalesce(c.n_churned, 0) AS net_growth
+             FROM act a FULL OUTER JOIN chn c ON a.week = c.week
+             ORDER BY week""")),
   )
 }

@@ -158,4 +158,70 @@ class FunnelSpec extends AnyFunSuite {
       (2L, 2L, 5L, 4000L, 3333L),
       (8L, 1L, 8L, 2000L, 5333L)))
   }
+
+  test("q206: repeat events collapse into one basket; lift runs the staged int64 formula") {
+    import spark.implicits._
+    val rows = Seq(
+      // u1 day1: TWO views + a click — the distinct collapses to one
+      // {view, click} basket, so n_view counts this basket once
+      (1L, "view", 0), (1L, "view", 60), (1L, "click", 120),
+      // u1 day2: view only (singleton basket contributes no pair)
+      (1L, "view", 86400),
+      // u2 day1: view + error
+      (2L, "view", 0), (2L, "error", 30),
+      // u3 day1: click only
+      (3L, "click", 0))
+    val dir = TestDirs.scratch("lift")
+    rows.zipWithIndex.map { case ((u, t, off), i) =>
+      (i.toLong, at(off), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = SparkEntry.queries("q206_event_type_lift")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // NB=4 baskets; n_view=3, n_click=2, n_error=1
+    // (click,view): support 1*1e4/4=2500, lift ((1e4 div 2)*4) div 3 = 6666
+    // (error,view): support 2500, lift ((1e4 div 1)*4) div 3 = 13333
+    assert(out == Seq(
+      ("click", "view", 1L, 2500L, 6666L),
+      ("error", "view", 1L, 2500L, 13333L)))
+  }
+
+  test("q207: new/retained/resurrected/churned decompose the weekly actives; net equals delta-active") {
+    import spark.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 10:00:00")
+    // Mondays: w1=03-04, w2=03-11, w3=03-18, w4=03-25 (2024)
+    val rows = Seq(
+      // u1: w1 (twice — collapses), w2, w3 → new, retained, retained
+      (1L, "2024-03-04"), (1L, "2024-03-05"), (1L, "2024-03-11"),
+      (1L, "2024-03-18"),
+      // u2: w1, w3 → new; churn into w2; resurrected at w3
+      (2L, "2024-03-06"), (2L, "2024-03-20"),
+      // u3: w2 only → new at w2; churn into w3
+      (3L, "2024-03-13"))
+    val dir = TestDirs.scratch("growth")
+    rows.zipWithIndex.map { case ((u, d), i) =>
+      (i.toLong, ts(d), u, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = SparkEntry.queries("q207_growth_accounting")(spark, dir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      ("2024-03-04", 2L, 0L, 0L, 0L, 2L),
+      ("2024-03-11", 1L, 1L, 0L, 1L, 0L),
+      ("2024-03-18", 0L, 1L, 1L, 1L, 0L),
+      // the week PAST the data: everyone still active at w3 churns
+      ("2024-03-25", 0L, 0L, 0L, 2L, -2L)))
+    // growth-ledger identity: net(w) = active(w) − active(w−1)
+    val actives = Map("2024-03-04" -> 2L, "2024-03-11" -> 2L,
+      "2024-03-18" -> 2L, "2024-03-25" -> 0L)
+    val weeks = out.map(_._1)
+    weeks.zip("" +: weeks).foreach { case (w, pw) =>
+      assert(out.find(_._1 == w).get._6 ==
+        actives(w) - actives.getOrElse(pw, 0L), s"identity at $w")
+    }
+  }
 }
