@@ -771,5 +771,91 @@ object Temporal {
                  - coalesce(c.n_churned, 0) AS net_growth
              FROM act a FULL OUTER JOIN chn c ON a.week = c.week
              ORDER BY week""")),
+
+    // ---- TOP SESSION JOURNEYS: q25's 30-minute-gap sessionization,
+    //      each session rendered as its ordered event-type path (first
+    //      8 events — the prefix that distinguishes journey SHAPES;
+    //      longer sessions truncate, deliberately) and the 20 most
+    //      common paths reported with exact share. The sequence-mining
+    //      readout ("view>click>purchase beats view>view>view") that
+    //      q199's first-order matrix cannot see — paths are whole
+    //      journeys, transitions are memoryless steps. Scale: the
+    //      sessionize + rank windows are the declared per-user sort
+    //      (q199 shape); the rn ≤ 8 filter runs BEFORE collect_list, so
+    //      per-session state is ≤ 8 structs by construction; the path
+    //      domain is ≤ |types|⁸ (390k for 5 types) whatever the event
+    //      volume, so the final count + top-20 (TakeOrdered, no global
+    //      sort of data rows) stay bounded; the one-row session total
+    //      crossJoins. ----
+    "q208_session_paths" -> QueryDef(
+      (s, dir) => {
+        val byTime = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gapUs = 30L * 60 * 1000 * 1000
+        val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val paths = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev_us",
+            lag(unix_micros(col("ts")), 1).over(byTime))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > gapUs, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum(col("new_sess"))
+            .over(byTime.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .withColumn("rn", row_number().over(bySess))
+          .filter(col("rn") <= 8)
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(expr("""array_join(transform(
+                 array_sort(collect_list(struct(ts, event_id, event_type))),
+                 x -> x.event_type), '>')""").as("path"))
+          .transform(TransientCache.scopedDF)
+        val ns = paths.agg(count(lit(1)).as("n_total"))
+        paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+          .crossJoin(ns)
+          .select(col("path"), col("n_sessions"),
+            expr("n_sessions * 10000L div n_total").as("share_bp"))
+          .orderBy(col("n_sessions").desc, col("path"))
+          .limit(20)
+      },
+      Some("""WITH marked AS (
+               SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id,
+                 event_type,
+                 CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w
+                        IS NULL
+                       OR epoch_us(CAST(ts AS TIMESTAMP))
+                          - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w
+                          > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+               FROM events
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+             sessioned AS (
+               SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+                 ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id
+               FROM marked),
+             ranked AS (
+               SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                 ORDER BY t, event_id) AS rn
+               FROM sessioned),
+             paths AS (
+               SELECT user_id, session_id,
+                 string_agg(event_type, '>' ORDER BY t, event_id) AS path
+               FROM ranked WHERE rn <= 8
+               GROUP BY user_id, session_id),
+             ns AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM paths),
+             agg AS (
+               SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+               FROM paths GROUP BY path)
+             SELECT path, n_sessions,
+               n_sessions * 10000 // n_total AS share_bp
+             FROM agg CROSS JOIN ns
+             ORDER BY n_sessions DESC, path
+             LIMIT 20""")),
   )
 }

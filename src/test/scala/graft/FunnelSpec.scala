@@ -224,4 +224,31 @@ class FunnelSpec extends AnyFunSuite {
         actives(w) - actives.getOrElse(pw, 0L), s"identity at $w")
     }
   }
+
+  test("q208: gaps split sessions, long sessions truncate at 8, top-20 tie-breaks on path") {
+    import spark.implicits._
+    val rows = Seq(
+      // u1 session 1: the full journey; session 2 (2h later): lone view
+      (1L, "view", 0), (1L, "click", 10), (1L, "purchase", 20),
+      (1L, "view", 7200),
+      // u2: lone view
+      (2L, "view", 0),
+      // u3: 9 views 1s apart — the path truncates to the first 8
+      ) ++ (0 until 9).map(i => (3L, "view", 100 + i))
+    val dir = TestDirs.scratch("paths")
+    rows.zipWithIndex.map { case ((u, t, off), i) =>
+      (i.toLong, at(off), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = SparkEntry.queries("q208_session_paths")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val eightViews = Seq.fill(8)("view").mkString(">")
+    // 4 sessions total; ties at n=1 order by path ('c' < 'v')
+    assert(out == Seq(
+      ("view", 2L, 5000L),
+      ("view>click>purchase", 1L, 2500L),
+      (eightViews, 1L, 2500L)))
+  }
 }
