@@ -630,6 +630,50 @@ object EventStreams {
       }
   }
 
+  final case class LastEvent(ts: java.sql.Timestamp, event_id: Long,
+      event_type: String)
+  final case class Transition(from_type: String, to_type: String)
+
+  /** Streaming mirror of q199's event-type transition matrix: per user,
+    * every consecutive (ts, event_id)-ordered pair emits one
+    * from→to transition row, with state = the user's LAST event only —
+    * O(1) per user through any stream length (the funnel's state
+    * discipline; the downstream matrix is a plain streaming count over
+    * the emitted rows). Each batch sorts ITS OWN rows per user before
+    * folding, so jumbled intra-batch order costs nothing.
+    *
+    * Equality contract (the [[streamingFunnel]] caveat, here made
+    * sharper because transitions are order-SENSITIVE, not monotone):
+    * emitted transitions equal batch q199 only while each user's events
+    * arrive in (ts, event_id) order ACROSS batches. A late event that
+    * precedes the stored last event appends as if it came next —
+    * producing one transition the batch matrix doesn't have and missing
+    * the one it interrupted; repairing that retroactively would mean
+    * keeping each user's full event history, exactly the unbounded
+    * state this mirror refuses. At ingest the fix is upstream (log
+    * streams are per-user ordered by construction); the batch query
+    * stays the oracle-checked truth. */
+  def streamingTransitions(spark: SparkSession, events: Dataset[FunnelEvent])
+      : Dataset[Transition] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[FunnelEvent], state: GroupState[LastEvent]) =>
+          var last = state.getOption
+          val out = Seq.newBuilder[Transition]
+          batch.toSeq
+            .sortWith((a, b) => a.ts.before(b.ts) ||
+              (a.ts.equals(b.ts) && a.event_id < b.event_id))
+            .foreach { e =>
+              last.foreach(l => out += Transition(l.event_type, e.event_type))
+              last = Some(LastEvent(e.ts, e.event_id, e.event_type))
+            }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** State-store configuration for running [[streamingDedup]] against a
     * corpus-scale stream. The state is deliberately tiny per key (one
     * boolean per content md5) but the KEY COUNT is the corpus

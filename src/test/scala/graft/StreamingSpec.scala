@@ -534,6 +534,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transitions equal batch q199 counts under in-order arrival, tied instants included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    // q199's tie fixture (ids 11/12 share an instant — the event_id
+    // tie-break decides the transition) plus a cross-batch chain for u2
+    val all = Seq(
+      EventStreams.FunnelEvent(10L, at(0), 1L, "view"),
+      EventStreams.FunnelEvent(11L, at(5), 1L, "click"),
+      EventStreams.FunnelEvent(12L, at(5), 1L, "purchase"),
+      EventStreams.FunnelEvent(20L, at(0), 2L, "view"),
+      EventStreams.FunnelEvent(21L, at(60), 2L, "error"),
+      EventStreams.FunnelEvent(22L, at(120), 2L, "view"))
+    // split mid-chain for u2: the stored last event must bridge batches;
+    // reverse each batch — the per-batch sort restores order
+    val batch1 = all.filter(_.ts.getTime <= at(5).getTime).reverse
+    val batch2 = all.filter(_.ts.getTime > at(5).getTime).reverse
+    val input = MemoryStream[EventStreams.FunnelEvent]
+    val q = EventStreams.streamingTransitions(spark, input.toDS())
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("transitions").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val dir = TestDirs.scratch("stransitions")
+      all.map(e => (e.event_id, e.ts, e.user_id, e.event_type, 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("q199_event_transitions")(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        "per-pair transition counts equal the batch matrix")
+      // the u2 error→view transition only exists if state bridged batches
+      assert(streamed(("error", "view")) == 1L)
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup over initial base-key state reproduces batch q74 for every prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
