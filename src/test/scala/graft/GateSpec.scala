@@ -295,7 +295,15 @@ class PlanGateSpec extends AnyFunSuite {
     // q198: three ONE-ROW per-stage aggregates crossJoined to assemble
     // the funnel report (q63's scalar shape; every stage join on the
     // event stream is a user_id EQUI-join)
-    "q198_funnel")
+    "q198_funnel",
+    // q206: the ONE-ROW basket total crossJoined onto the ≤|types|²-row
+    // lift matrix (the q168 scalar shape; the basket self-join and both
+    // type-count joins are EQUI-joins)
+    "q206_event_type_lift",
+    // q208: the ONE-ROW session total crossJoined onto the ≤|types|⁸-
+    // bounded path counts (the q206 scalar shape; sessionization itself
+    // is windows, no join)
+    "q208_session_paths")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
