@@ -1150,6 +1150,73 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Per-cluster member cap for [[clusterMedoids]]: medoid scoring is an
+    * all-pairs within the cluster, so a degenerate giant cluster (the
+    * q126 "one cluster ate the corpus" failure) must not turn the query
+    * quadratic — only the cap smallest doc_ids of each cluster are
+    * scored (deterministic, mirrored in the oracle), bounding per-
+    * cluster work at cap² whatever the corpus does. 256² = 64k cosine
+    * evaluations per degenerate cluster — a bounded constant. */
+  val MedoidMemberCap = 256
+
+  /** Embedding MEDOID per near-dup cluster: among a cluster's members
+    * (doc_id ≡ vec_id), the one maximizing total cosine to the others —
+    * the semantic "most representative member", the third canonical-
+    * selection signal next to q81's quality keeper and q106's graph
+    * centrality (those read TEXT quality and GRAPH position; this reads
+    * the embedding geometry, robust to one member having drifted text).
+    *
+    * Determinism: each pairwise cosine is the bitwise-identical
+    * sequential fold (graft_dot ≡ DuckDB's 0-prepended list_reduce),
+    * quantized to int64 by floor(cos·10⁴) BEFORE summation, so the
+    * per-member totals are exact integers in both engines. Sums carry a
+    * +10⁴ per-pair offset keeping them non-negative (cosines can be
+    * negative; Spark `div` truncates while DuckDB `//` floors, so the
+    * floor-div parity discipline requires non-negative operands — the
+    * q185 offset trick, cancelled in the reported mean). Every member
+    * scores the same pair count, so the offset never flips the argmax;
+    * ties break to the min doc_id.
+    *
+    * Scale shape: members cap at [[MedoidMemberCap]] per cluster (rank
+    * by doc_id — deterministic), so the cluster-keyed self-join fans
+    * out ≤ cap² rows per cluster and the argmax window runs per
+    * cluster — no all-pairs against the corpus anywhere; embeddings
+    * join members by doc_id equi-key. */
+  def clusterMedoids(clusters: DataFrame, emb: DataFrame): DataFrame = {
+    val s = clusters.sparkSession
+    graft.expr.VectorExpressions.register(s)
+    val e = emb.select(col("vec_id").as("doc_id"), expr(toDouble).as("de"))
+      .withColumn("nrm", expr(s"sqrt(${dotExpr("de", "de")})"))
+    val rkw = Window.partitionBy(col("cluster_id")).orderBy(col("doc_id"))
+    val m = clusters.join(e, "doc_id")
+      .withColumn("rk", row_number().over(rkw))
+      .filter(col("rk") <= MedoidMemberCap)
+      .select(col("cluster_id"), col("doc_id"), col("de"), col("nrm"))
+      .transform(TransientCache.scopedDF)
+    val scored = m.as("a")
+      .join(m.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.cluster_id").as("cluster_id"),
+        col("a.doc_id").as("doc_id"),
+        (expr(s"""cast(floor(${dotExpr("a.de", "b.de")}
+                / (a.nrm * b.nrm) * 10000) as bigint)""") + lit(10000L))
+          .as("cos_off"))
+      .groupBy(col("cluster_id"), col("doc_id"))
+      .agg(sum(col("cos_off")).as("s_off"),
+        count(lit(1)).as("n_scored_others"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("s_off").desc, col("doc_id"))
+    scored.withColumn("mrk", row_number().over(w))
+      .filter(col("mrk") === 1)
+      .join(clusters.groupBy(col("cluster_id"))
+        .agg(max(col("cluster_size")).as("cluster_size")), "cluster_id")
+      .select(col("cluster_id"), col("cluster_size"),
+        col("doc_id").as("medoid_id"), col("n_scored_others"),
+        expr("s_off div n_scored_others - 10000L").as("mean_cos_fp"))
+      .orderBy(col("cluster_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- ANN over the PERSISTED IVF index: centroids + cell-partitioned
@@ -2405,6 +2472,63 @@ object Similarity {
            SELECT l.vid AS vec_id, l.cluster_id, s.cluster_size
            FROM labels l JOIN sizes s USING (cluster_id)
            ORDER BY vec_id""")),
+
+    // ---- per-dup-cluster embedding MEDOID: the semantic canonical-
+    //      selection signal (see [[clusterMedoids]]) next to q81's
+    //      quality keeper and q106's graph centrality — three
+    //      independent answers to "which member represents the
+    //      cluster". Oracle re-derives the q54 components via the
+    //      recursive reachability CTE, then replays the capped
+    //      all-pairs fixed-point cosine argmax. ----
+    "q209_cluster_medoids" -> QueryDef(
+      (s, dir) => clusterMedoids(
+        Dedup.connectedComponents(Dedup.lshCandidatePairsCached(s, dir)),
+        Tables.load(s, dir, "embeddings")),
+      Some(s"""WITH RECURSIVE ${Dedup.duckCandPairsBody()},
+           edges AS (SELECT da AS src, db AS dst FROM cand_pairs
+                     UNION ALL
+                     SELECT db AS src, da AS dst FROM cand_pairs),
+           reach(doc_id, r) AS (
+             SELECT DISTINCT src AS doc_id, src AS r FROM edges
+             UNION
+             SELECT e.dst AS doc_id, reach.r
+             FROM reach JOIN edges e ON e.src = reach.doc_id),
+           labels AS (
+             SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+           sizes AS (
+             SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+             FROM labels GROUP BY cluster_id),
+           en AS (
+             SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+             FROM embeddings),
+           en2 AS (SELECT vec_id, de, ${duckNorm("de")} AS nrm FROM en),
+           memb0 AS (
+             SELECT l.doc_id, l.cluster_id, e.de, e.nrm,
+               row_number() OVER (PARTITION BY l.cluster_id
+                 ORDER BY l.doc_id) AS rk
+             FROM labels l JOIN en2 e ON e.vec_id = l.doc_id),
+           memb AS (SELECT * FROM memb0 WHERE rk <= $MedoidMemberCap),
+           p AS (
+             SELECT a.cluster_id, a.doc_id,
+               CAST(floor(${duckDot("a.de", "b.de")}
+                 / (a.nrm * b.nrm) * 10000) AS BIGINT) + 10000 AS cos_off
+             FROM memb a JOIN memb b
+               ON a.cluster_id = b.cluster_id AND a.doc_id <> b.doc_id),
+           sums AS (
+             SELECT cluster_id, doc_id, CAST(sum(cos_off) AS BIGINT) AS s_off,
+               CAST(count(*) AS BIGINT) AS n_scored_others
+             FROM p GROUP BY 1, 2),
+           med AS (
+             SELECT *, row_number() OVER (PARTITION BY cluster_id
+               ORDER BY s_off DESC, doc_id) AS mrk
+             FROM sums)
+           SELECT m.cluster_id, z.cluster_size, m.doc_id AS medoid_id,
+             m.n_scored_others,
+             m.s_off // m.n_scored_others - 10000 AS mean_cos_fp
+           FROM med m JOIN sizes z USING (cluster_id)
+           WHERE m.mrk = 1
+           ORDER BY cluster_id""")),
   )
 
   /** q143's per-dimension health card over a (vec_id, embedding) frame —

@@ -2259,6 +2259,40 @@ class PageRankSpec extends AnyFunSuite {
   }
 }
 
+/** q209 cluster medoids: the fixed-point argmax must pick the geometric
+  * center (not the first member), negative cosines must survive the
+  * floor-div offset discipline exactly, singleton clusters produce no
+  * row, and ties break to the min doc_id. */
+class ClusterMedoidSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("the between-vector wins; antipodal pair ties to min id at mean -10000; singletons vanish") {
+    import spark.implicits._
+    val clusters = Seq(
+      // cluster 10: v2 sits BETWEEN v1 and v3 (cos(2,·) > 0 to both),
+      // so its total beats v1's (whose cos to v3 is 0) — the medoid is
+      // the center, not the min id
+      (1L, 10L, 3L), (2L, 10L, 3L), (3L, 10L, 3L),
+      // cluster 20: antipodal pair, cos = −1 exactly → both members sum
+      // to offset 0; the tie breaks to doc 4 and the mean is −10000
+      (4L, 20L, 2L), (5L, 20L, 2L),
+      // cluster 30: singleton — no pairs, no medoid row
+      (9L, 30L, 1L)).toDF("doc_id", "cluster_id", "cluster_size")
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f)),
+      (4L, Array(1f, 0f)), (5L, Array(-1f, 0f)),
+      (9L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.clusterMedoids(clusters, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.map(t => (t._1, t._3)).toSeq == Seq((10L, 2L), (20L, 4L)))
+    val c20 = out.find(_._1 == 20L).get
+    assert(c20 == ((20L, 2L, 4L, 1L, -10000L)))
+    val c10 = out.find(_._1 == 10L).get
+    assert(c10._2 == 3L && c10._4 == 2L && c10._5 > 0L)
+  }
+}
+
 /** q105 held-out bigram LM: every scoring class — seen bigram, unseen
   * bigram between seen words, unseen second word — must produce exactly
   * the documented whole-bit surprisal on a planted corpus where the
