@@ -857,5 +857,163 @@ object Temporal {
              FROM agg CROSS JOIN ns
              ORDER BY n_sessions DESC, path
              LIMIT 20""")),
+
+    // ---- ROBUST DAILY-VALUE OUTLIERS (median / MAD): per event type,
+    //      days whose value total deviates from the type's median by
+    //      more than 3× the median absolute deviation — the robust
+    //      complement to q202's trailing-mean COUNT spikes (a mean
+    //      baseline is dragged by the very outliers it hunts; the
+    //      median/MAD pair is not). Float discipline: day totals are
+    //      the established round(sum, 2) grid read; medians come from
+    //      [[Percentiles]]' exact interpolated path (≡ quantile_cont,
+    //      the q203 correspondence) over 2dp values, so they live on
+    //      the 4dp grid ((a+b)/2 of 2dp values) and round cleanly; the
+    //      FLAG compares the raw unrounded doubles with the identical
+    //      expression in both engines — never a rounded-vs-raw mix.
+    //      Scale: one map-side (type, date) rollup (calendar-bounded
+    //      frame), two runs of the distributed percentile machinery
+    //      over \|types\| groups, broadcast joins back. ----
+    "q210_value_outliers_mad" -> QueryDef(
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), col("ts").cast("date").as("event_date"))
+          .agg(round(sum(col("value")), 2).as("day_value"))
+          .transform(TransientCache.scopedDF)
+        val med = graft.ops.Percentiles.exactPercentiles(s, daily,
+          "event_type", "day_value", Seq("med_raw" -> 0.5))
+        val dev = daily.join(broadcast(med), "event_type")
+          .withColumn("adev", abs(col("day_value") - col("med_raw")))
+          .transform(TransientCache.scopedDF)
+        val mad = graft.ops.Percentiles.exactPercentiles(s, dev,
+          "event_type", "adev", Seq("mad_raw" -> 0.5))
+        dev.join(broadcast(mad), "event_type")
+          .select(col("event_type"), col("event_date"), col("day_value"),
+            round(col("med_raw"), 4).as("med_value"),
+            round(col("mad_raw"), 4).as("mad_value"),
+            when(col("adev") > col("mad_raw") * 3, 1L).otherwise(0L)
+              .as("is_outlier"))
+          .orderBy(col("event_type"), col("event_date"))
+      },
+      Some("""WITH d AS (
+               SELECT event_type,
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+                 round(sum(value), 2) AS day_value
+               FROM events GROUP BY 1, 2),
+             med AS (
+               SELECT event_type, quantile_cont(day_value, 0.5) AS med_raw
+               FROM d GROUP BY event_type),
+             dev AS (
+               SELECT d.*, m.med_raw,
+                 abs(d.day_value - m.med_raw) AS adev
+               FROM d JOIN med m USING (event_type)),
+             mad AS (
+               SELECT event_type, quantile_cont(adev, 0.5) AS mad_raw
+               FROM dev GROUP BY event_type)
+             SELECT v.event_type, v.event_date, v.day_value,
+               round(v.med_raw, 4) AS med_value,
+               round(a.mad_raw, 4) AS mad_value,
+               CAST(CASE WHEN v.adev > a.mad_raw * 3 THEN 1 ELSE 0 END
+                 AS BIGINT) AS is_outlier
+             FROM dev v JOIN mad a USING (event_type)
+             ORDER BY event_type, event_date""")),
+
+    // ---- RFM SEGMENTATION: users bucketed into quartiles of Recency
+    //      (days since last event), Frequency (event count) and
+    //      Monetary (value total) — the classic CRM segmentation grid,
+    //      reported as per-(r,f,m)-segment user counts and shares.
+    //      Spelled SCALE-FIRST: quartile boundaries come from
+    //      [[Percentiles]]' distributed exact path over the per-user
+    //      frame (one constant-size threshold row per metric), and
+    //      assignment is a map-side comparison 1+(v>p25)+(v>p50)+(v>p75)
+    //      — NOT a global ntile window, which would total-sort every
+    //      user through one ordering (and whose tie handling splits
+    //      equal values arbitrarily; the threshold form gives equal
+    //      values equal segments, deterministic in both engines).
+    //      Scale: one user_id rollup, three percentile runs over the
+    //      single-group frame, then one-row threshold crossJoins and a
+    //      ≤4³-row rollup. ----
+    "q211_rfm_segments" -> QueryDef(
+      (s, dir) => {
+        val user = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(max(col("ts")).as("last_ts"),
+            count(lit(1)).as("frequency"),
+            round(sum(col("value")), 2).as("monetary"))
+        val ur = user.crossJoin(
+            user.agg(max(col("last_ts")).as("corpus_max")))
+          .withColumn("recency_days", datediff(
+            col("corpus_max").cast("date"), col("last_ts").cast("date")))
+          .transform(TransientCache.scopedDF)
+        // ONE percentile run over the melted (metric, value) frame —
+        // three metrics as three groups through a single distributed
+        // sort — then the 3-row result pivots to a one-row threshold
+        // frame (the three-separate-runs formulation measured 2.5 s vs
+        // 1.5 s: each run pays its own range-partitioned sort)
+        val melted = ur.selectExpr(
+          """stack(3, 'r', cast(recency_days as double),
+                      'f', cast(frequency as double),
+                      'm', monetary) AS (metric, v)""")
+        val cuts3 = graft.ops.Percentiles.exactPercentiles(s, melted,
+          "metric", "v", Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+        val cutCols = for {
+          m <- Seq("r", "f", "m")
+          n <- Seq("25", "50", "75")
+        } yield max(when(col("metric") === m, col(s"p$n"))).as(s"$m$n")
+        val cutsRow = cuts3.agg(cutCols.head, cutCols.tail: _*)
+        def seg(v: String, p: String) = expr(
+          s"""cast(1 + if($v > ${p}25, 1, 0) + if($v > ${p}50, 1, 0)
+              + if($v > ${p}75, 1, 0) as bigint)""")
+        ur.crossJoin(cutsRow)
+          .select(seg("recency_days", "r").as("r_seg"),
+            seg("frequency", "f").as("f_seg"),
+            seg("monetary", "m").as("m_seg"))
+          .groupBy(col("r_seg"), col("f_seg"), col("m_seg"))
+          .agg(count(lit(1)).as("n_users"))
+          .crossJoin(user.agg(count(lit(1)).as("n_total")))
+          .select(col("r_seg"), col("f_seg"), col("m_seg"), col("n_users"),
+            expr("n_users * 10000L div n_total").as("share_bp"))
+          .orderBy(col("r_seg"), col("f_seg"), col("m_seg"))
+      },
+      Some("""WITH u AS (
+               SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS last_ts,
+                 CAST(count(*) AS BIGINT) AS frequency,
+                 round(sum(value), 2) AS monetary
+               FROM events GROUP BY user_id),
+             mx AS (SELECT max(last_ts) AS corpus_max FROM u),
+             ur AS (
+               SELECT u.*, date_diff('day', CAST(last_ts AS DATE),
+                 CAST(corpus_max AS DATE)) AS recency_days
+               FROM u CROSS JOIN mx),
+             rp AS (SELECT quantile_cont(recency_days, 0.25) AS r25,
+                      quantile_cont(recency_days, 0.5) AS r50,
+                      quantile_cont(recency_days, 0.75) AS r75 FROM ur),
+             fp AS (SELECT quantile_cont(frequency, 0.25) AS f25,
+                      quantile_cont(frequency, 0.5) AS f50,
+                      quantile_cont(frequency, 0.75) AS f75 FROM ur),
+             mp AS (SELECT quantile_cont(monetary, 0.25) AS m25,
+                      quantile_cont(monetary, 0.5) AS m50,
+                      quantile_cont(monetary, 0.75) AS m75 FROM ur),
+             seg AS (
+               SELECT
+                 CAST(1 + (CASE WHEN recency_days > r25 THEN 1 ELSE 0 END)
+                   + (CASE WHEN recency_days > r50 THEN 1 ELSE 0 END)
+                   + (CASE WHEN recency_days > r75 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS r_seg,
+                 CAST(1 + (CASE WHEN frequency > f25 THEN 1 ELSE 0 END)
+                   + (CASE WHEN frequency > f50 THEN 1 ELSE 0 END)
+                   + (CASE WHEN frequency > f75 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS f_seg,
+                 CAST(1 + (CASE WHEN monetary > m25 THEN 1 ELSE 0 END)
+                   + (CASE WHEN monetary > m50 THEN 1 ELSE 0 END)
+                   + (CASE WHEN monetary > m75 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS m_seg
+               FROM ur CROSS JOIN rp CROSS JOIN fp CROSS JOIN mp),
+             tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM u)
+             SELECT r_seg, f_seg, m_seg,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(count(*) AS BIGINT) * 10000 // n_total AS share_bp
+             FROM seg CROSS JOIN tot
+             GROUP BY r_seg, f_seg, m_seg, n_total
+             ORDER BY r_seg, f_seg, m_seg""")),
   )
 }

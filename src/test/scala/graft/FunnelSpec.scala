@@ -251,4 +251,61 @@ class FunnelSpec extends AnyFunSuite {
       ("view>click>purchase", 1L, 2500L),
       (eightViews, 1L, 2500L)))
   }
+
+  test("q210: a planted 10x day flags; a symmetric-spread type flags nothing; MAD 0 only flags real deviation") {
+    import spark.implicits._
+    // 'error': 10.0 on 7 days + one 100.0 day → median 10, MAD 0 —
+    // only the 100.0 day deviates (adev 90 > 0); the exact-10 days have
+    // adev exactly 0, NOT > 0. 'view': 10/20/30 → med 20, MAD 10,
+    // threshold 30 → nothing flags.
+    val rows =
+      (1 to 7).map(d => ("error", d, 10.0)) ++ Seq(("error", 8, 100.0)) ++
+        Seq(("view", 1, 10.0), ("view", 2, 20.0), ("view", 3, 30.0))
+    val dir = TestDirs.scratch("mad")
+    rows.zipWithIndex.map { case ((t, day, v), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-03-$day%02d 12:00:00"),
+        1L, t, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = SparkEntry.queries("q210_value_outliers_mad")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDouble(2), r.getLong(5))).toSeq
+    assert(out.filter(_._4 == 1L) ==
+      Seq(("error", "2024-03-08", 100.0, 1L)))
+    assert(out.count(_._1 == "view") == 3 &&
+      out.filter(_._1 == "view").forall(_._4 == 0L))
+  }
+
+  test("q211: planted diagonal users land on the segment diagonal with exact shares") {
+    import spark.implicits._
+    // u_k (k=1..4): k events of value 10 with the last k-1 days back →
+    // recency {3,2,1,0}... u1 last day-0? Build: u_k's events all on
+    // day (10 - (k-1)) → recency_days = k-1; frequency k; monetary 10k.
+    // Quartile thresholds of {0..3}/{1..4}/{10..40} interpolate strictly
+    // inside the gaps, so segments are the clean diagonal.
+    val rows = for {
+      k <- 1 to 4
+      i <- 0 until k
+    } yield (k.toLong,
+      java.sql.Timestamp.valueOf(f"2024-03-${10 - (k - 1)}%02d 0$i:00:00"),
+      10.0)
+    val dir = TestDirs.scratch("rfm")
+    rows.zipWithIndex.map { case ((u, t, v), i) =>
+      (i.toLong, t, u, "view", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = SparkEntry.queries("q211_rfm_segments")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // u1: 1 event, most RECENT? no — u1 is on day 10, u4 on day 7:
+    // u1 recency 0 → r_seg 1, freq 1 → f_seg 1, monetary 10 → m_seg 1;
+    // u4 recency 3, freq 4, monetary 40 → (4,4,4)
+    assert(out == Seq(
+      (1L, 1L, 1L, 1L, 2500L),
+      (2L, 2L, 2L, 1L, 2500L),
+      (3L, 3L, 3L, 1L, 2500L),
+      (4L, 4L, 4L, 1L, 2500L)))
+  }
 }

@@ -303,7 +303,12 @@ class PlanGateSpec extends AnyFunSuite {
     // q208: the ONE-ROW session total crossJoined onto the ≤|types|⁸-
     // bounded path counts (the q206 scalar shape; sessionization itself
     // is windows, no join)
-    "q208_session_paths")
+    "q208_session_paths",
+    // q211: three ONE-ROW crossJoins by construction — the corpus-max
+    // timestamp, the pivoted 1-row quartile-threshold frame from the
+    // single melted percentile run, and the user total (the q198
+    // scalar-assembly shape; segment assignment itself is map-side)
+    "q211_rfm_segments")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
