@@ -544,6 +544,89 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Gram width for q212's novelty attribution — 8 words, the scale
+    * where a match means shared phrasing rather than shared vocabulary
+    * (the q58/q128 contamination family uses 4; novelty wants the
+    * stricter width so boilerplate function-word runs don't mask
+    * genuinely new content). */
+  val NoveltyWords = 8
+
+  /** Per-document n-gram NOVELTY: the share of a doc's distinct
+    * [[NoveltyWords]]-grams whose FIRST corpus occurrence (min doc_id —
+    * ingest order's deterministic proxy) is the doc itself. The
+    * marginal-contribution read behind dedup-threshold debates (Lee et
+    * al. 2022): a doc can be no exact or near dup of any single other
+    * doc and still be ~0 novel because every phrase of it appeared
+    * scattered across earlier docs — invisible to q31/q33/q99, which
+    * test pairwise or count recurrences without attributing firsts.
+    *
+    * Scale shape: one explode with per-doc `array_distinct` (so a
+    * doc's internal repetition doesn't inflate its own novelty), ONE
+    * gram-keyed window for the corpus-wide min (the q99 shape — no
+    * self-join, no broadcast), then a map-side doc rollup. Pure int64
+    * basis points. */
+  def ngramNoveltyReport(docs: DataFrame, w: Int = NoveltyWords): DataFrame = {
+    val wnd = org.apache.spark.sql.expressions.Window
+    val keyed = docs
+      .withColumn("words", split(lower(col("text")), " +"))
+      .filter(size(col("words")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(
+              sequence(0, size(words) - $w),
+              i -> md5(concat_ws(' ', slice(words, i + 1, $w)))))"""))
+        .as("wkey"))
+    keyed
+      .withColumn("first_doc",
+        min(col("doc_id")).over(wnd.partitionBy(col("wkey"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_bp", expr("n_novel * 10000L div n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-SOURCE novelty attribution — [[ngramNoveltyReport]]'s rollup
+    * axis for mixture weighting: of each source's distinct-gram
+    * instances, how many are corpus firsts (novel_bp), and how many of
+    * the non-first instances repeat content whose first occurrence
+    * lives in a DIFFERENT source (xsource_bp) vs earlier docs of the
+    * same source. A source can be internally clean (q31/q33 find
+    * nothing) yet contribute almost nothing the rest of the corpus
+    * hasn't already said — its weight in q87/q172's mixture math
+    * should see that. Same scale shape as q212 plus one broadcast-size
+    * doc→source join on the window's first_doc. */
+  def sourceNoveltyReport(docs: DataFrame, w: Int = NoveltyWords)
+      : DataFrame = {
+    val wnd = org.apache.spark.sql.expressions.Window
+    val src = docs.select(col("doc_id"), col("source"))
+    val keyed = docs
+      .withColumn("words", split(lower(col("text")), " +"))
+      .filter(size(col("words")) >= w)
+      .select(col("doc_id"), col("source"), explode(expr(
+        s"""array_distinct(transform(
+              sequence(0, size(words) - $w),
+              i -> md5(concat_ws(' ', slice(words, i + 1, $w)))))"""))
+        .as("wkey"))
+    keyed
+      .withColumn("first_doc",
+        min(col("doc_id")).over(wnd.partitionBy(col("wkey"))))
+      .join(src.select(col("doc_id").as("first_doc"),
+        col("source").as("first_source")), "first_doc")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"),
+        sum(when(col("first_doc") =!= col("doc_id") &&
+          col("first_source") =!= col("source"), 1L).otherwise(0L))
+          .as("n_xsource_repeat"))
+      .select(col("source"), col("n_grams"), col("n_novel"),
+        expr("n_novel * 10000L div n_grams").as("novel_bp"),
+        col("n_xsource_repeat"),
+        expr("n_xsource_repeat * 10000L div n_grams").as("xsource_bp"))
+      .orderBy(col("source"))
+  }
+
   /** Merge rounds for q100's BPE TRAINER — true iterative training
     * (argmax pair → apply merge → RECOUNT), unlike q95 which applies a
     * static table. Small and fixed so both engines replay the identical
@@ -1689,6 +1772,81 @@ object TextOps {
              FROM occs
              GROUP BY doc_id
              ORDER BY doc_id""")),
+
+    // ---- per-doc n-gram novelty: share of a doc's distinct 8-grams
+    //      first seen (min doc_id) in the doc itself — the marginal-
+    //      contribution read q31/q33/q99 can't give (see
+    //      [[ngramNoveltyReport]]). ----
+    "q212_ngram_novelty" -> QueryDef(
+      (s, dir) => ngramNoveltyReport(Tables.load(s, dir, "documents")),
+      Some(s"""WITH wds AS (
+               SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
+               FROM documents),
+             gr AS (
+               SELECT DISTINCT doc_id,
+                 md5(array_to_string(
+                   ws[pos + 1 : pos + $NoveltyWords], ' ')) AS wkey
+               FROM (
+                 SELECT doc_id,
+                   unnest(generate_series(0, len(ws) - $NoveltyWords)) AS pos,
+                   ws
+                 FROM wds WHERE len(ws) >= $NoveltyWords)),
+             f AS (
+               SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY wkey) AS first_doc
+               FROM gr)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_novel,
+               CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                 AS BIGINT) * 10000
+                 // CAST(count(*) AS BIGINT) AS novelty_bp
+             FROM f
+             GROUP BY doc_id
+             ORDER BY doc_id""")),
+
+    // ---- per-source novelty attribution: q212 rolled to the mixture
+    //      axis, with cross-source repetition split out (see
+    //      [[sourceNoveltyReport]]). ----
+    "q213_source_novelty" -> QueryDef(
+      (s, dir) => sourceNoveltyReport(Tables.load(s, dir, "documents")),
+      Some(s"""WITH wds AS (
+               SELECT doc_id, source,
+                 string_split_regex(lower(text), ' +') AS ws
+               FROM documents),
+             gr AS (
+               SELECT DISTINCT doc_id, source,
+                 md5(array_to_string(
+                   ws[pos + 1 : pos + $NoveltyWords], ' ')) AS wkey
+               FROM (
+                 SELECT doc_id, source,
+                   unnest(generate_series(0, len(ws) - $NoveltyWords)) AS pos,
+                   ws
+                 FROM wds WHERE len(ws) >= $NoveltyWords)),
+             f AS (
+               SELECT doc_id, source,
+                 min(doc_id) OVER (PARTITION BY wkey) AS first_doc
+               FROM gr),
+             j AS (
+               SELECT f.source, f.doc_id, f.first_doc,
+                 d.source AS first_source
+               FROM f JOIN documents d ON f.first_doc = d.doc_id)
+             SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_novel,
+               CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                 AS BIGINT) * 10000
+                 // CAST(count(*) AS BIGINT) AS novel_bp,
+               CAST(sum(CASE WHEN first_doc <> doc_id
+                   AND first_source <> source THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_xsource_repeat,
+               CAST(sum(CASE WHEN first_doc <> doc_id
+                   AND first_source <> source THEN 1 ELSE 0 END)
+                 AS BIGINT) * 10000
+                 // CAST(count(*) AS BIGINT) AS xsource_bp
+             FROM j
+             GROUP BY source
+             ORDER BY source""")),
 
     // ---- WINNOWING fingerprints (Schleimer/Wilkerson/Aiken 2003 — the
     //      MOSS algorithm): per position the md5 of the [[WinnowK]]-gram,

@@ -2259,6 +2259,48 @@ class PageRankSpec extends AnyFunSuite {
   }
 }
 
+/** q212 n-gram novelty: first-occurrence attribution must zero a
+  * verbatim copy, split a half-overlap exactly, and dedup a doc's own
+  * internal repetition before counting. */
+class NgramNoveltySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("a copy is 0-novel, half-overlap is 5000, internal repetition doesn't inflate") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g h i"), // grams abcdefgh + bcdefghi, both first here
+      (1L, "a b c d e f g h i"), // verbatim copy of d0 → nothing novel
+      (2L, "a b c d e f g h x"), // one gram seen in d0, one new → 5000
+      // 17 words of a repeating 8-cycle: 10 windows but only 8 DISTINCT
+      // rotations — array_distinct must collapse them before counting
+      (3L, "p q r s t u v w p q r s t u v w p")).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.ngramNoveltyReport(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq(
+      (0L, 2L, 2L, 10000L),
+      (1L, 2L, 0L, 0L),
+      (2L, 2L, 1L, 5000L),
+      (3L, 8L, 8L, 10000L)))
+  }
+
+  test("q213: within-source repeats are not cross-source; a copying source shows high xsource_bp") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "srcA", "a b c d e f g h i"), // 2 novel grams
+      (1L, "srcA", "a b c d e f g h i"), // repeats WITHIN srcA
+      (2L, "srcB", "a b c d e f g h i"), // repeats srcA's firsts → xsource
+      (3L, "srcB", "m n o p q r s t")    // 1 gram, novel
+    ).toDF("doc_id", "source", "text")
+    val out = graft.ops.TextOps.sourceNoveltyReport(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      ("srcA", 4L, 2L, 5000L, 0L, 0L),
+      ("srcB", 3L, 1L, 3333L, 2L, 6666L)))
+  }
+}
+
 /** q209 cluster medoids: the fixed-point argmax must pick the geometric
   * center (not the first member), negative cosines must survive the
   * floor-div offset discipline exactly, singleton clusters produce no
