@@ -804,6 +804,52 @@ object Dedup {
       .orderBy(col("jaccard_bp").desc, col("doc_a"), col("doc_b"))
   }
 
+  /** Degree assortativity (Newman 2002) of the near-dup candidate
+    * graph, plus the one-row shape card (nodes, edges, max/mean
+    * degree). Assortative mixing (r > 0: hubs match hubs) means
+    * duplication concentrates in dense template families — band caps
+    * and clique handling dominate; disassortative (r < 0: hubs match
+    * leaves) means star-shaped boilerplate radiating into otherwise
+    * clean docs — keeper selection dominates. The one number says
+    * which regime the corpus is in before q204/q205 are read per node.
+    *
+    * Arithmetic: over the SYMMETRIZED edge list the two endpoint-degree
+    * marginals are identical, so Pearson r collapses to
+    * (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²). All sums are exact int64
+    * (addends bounded by the hot-band degree cap squared); the final
+    * combination casts the sums to double — one fixed expression tree
+    * over identical integers, so both engines produce the identical
+    * double — and a degree-regular graph (denominator 0, r undefined)
+    * reports 0.0 by convention. Scale shape: two broadcast-size degree
+    * equi-joins + one map-side-combinable aggregate; no window, no
+    * self-join beyond the degree lookups. */
+  def dupGraphAssortativity(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val ed = edges
+      .join(deg.select(col("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("dy")), "dst")
+    val stats = ed.agg(count(lit(1)).as("n"), sum(col("dx")).as("sx"),
+      sum(expr("dx * dy")).as("sxy"), sum(expr("dx * dx")).as("sx2"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      max(col("d")).as("max_degree"))
+    stats.crossJoin(nodes)
+      .select(col("n_nodes"),
+        expr("n div 2").as("n_edges"),
+        col("max_degree"),
+        expr("n * 10000L div greatest(n_nodes, 1L)").as("avg_degree_bp"),
+        expr(
+          """CASE WHEN cast(n as double) * cast(sx2 as double)
+                    - cast(sx as double) * cast(sx as double) = 0.0D
+             THEN 0.0D
+             ELSE round((cast(n as double) * cast(sxy as double)
+                    - cast(sx as double) * cast(sx as double))
+                  / (cast(n as double) * cast(sx2 as double)
+                    - cast(sx as double) * cast(sx as double)), 4)
+             END""").as("assortativity"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- MinHash signatures + LSH banding → candidate near-dup pairs
@@ -1329,6 +1375,42 @@ object Dedup {
              JOIN deg ga ON m.doc_a = ga.src
              JOIN deg gb ON m.doc_b = gb.src
              ORDER BY jaccard_bp DESC, doc_a, doc_b""")),
+
+    // ---- one-row graph shape card + degree assortativity: which dedup
+    //      regime the corpus is in — dense template families (r > 0) vs
+    //      star boilerplate (r < 0) — before the per-node q204/q205
+    //      readouts (see [[dupGraphAssortativity]]). ----
+    "q215_dupgraph_assortativity" -> QueryDef(
+      (s, dir) => dupGraphAssortativity(lshCandidatePairsCached(s, dir)),
+      Some(s"""WITH ${duckCandPairsBody()},
+             edges AS (SELECT da AS src, db AS dst FROM cand_pairs
+                       UNION ALL SELECT db, da FROM cand_pairs),
+             deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+                     FROM edges GROUP BY src),
+             ed AS (
+               SELECT ga.d AS dx, gb.d AS dy
+               FROM edges e
+               JOIN deg ga ON e.src = ga.src
+               JOIN deg gb ON e.dst = gb.src),
+             st AS (
+               SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dx) AS BIGINT) AS sx,
+                 CAST(sum(dx * dy) AS BIGINT) AS sxy,
+                 CAST(sum(dx * dx) AS BIGINT) AS sx2
+               FROM ed),
+             nd AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                      max(d) AS max_degree FROM deg)
+             SELECT n_nodes, n // 2 AS n_edges, max_degree,
+               n * 10000 // greatest(n_nodes, 1) AS avg_degree_bp,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+                 THEN 0.0
+                 ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+                 END AS assortativity
+             FROM st CROSS JOIN nd""")),
 
     // ---- dedup cluster-size distribution: power-of-two histogram over
     //      q54's connected components plus the singleton mass (docs in no

@@ -1015,5 +1015,73 @@ object Temporal {
              FROM seg CROSS JOIN tot
              GROUP BY r_seg, f_seg, m_seg, n_total
              ORDER BY r_seg, f_seg, m_seg""")),
+
+    // ---- ACTIVITY CONCENTRATION: how much of the event volume the
+    //      heaviest users carry — the power-user readout behind both
+    //      capacity planning and the q67/q200 skew decisions (a stream
+    //      whose top 1% of users carry half the rows salts its joins;
+    //      one whose volume is flat does not). Tiers are percentile
+    //      CUTS (the q211 discipline: distributed exact percentiles +
+    //      map-side comparison, no global user sort), reported as
+    //      exact int64 user/event shares per tier. The tier assembly
+    //      runs on ONE aggregated row stacked to three tiers (the q86
+    //      unpivot-on-one-row shape). ----
+    "q214_user_concentration" -> QueryDef(
+      (s, dir) => {
+        val user = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_ev"))
+          .withColumn("g", lit(1))
+          .transform(TransientCache.scopedDF)
+        val cuts = graft.ops.Percentiles.exactPercentiles(s,
+          user.selectExpr("g", "cast(n_ev as double) as v"), "g", "v",
+          Seq("p90" -> 0.90, "p99" -> 0.99)).drop("g")
+        user.crossJoin(cuts)
+          .agg(count(lit(1)).as("nu"), sum(col("n_ev")).as("ne"),
+            sum(when(col("n_ev") > col("p90"), 1L).otherwise(0L)).as("u90"),
+            sum(when(col("n_ev") > col("p90"), col("n_ev")).otherwise(0L))
+              .as("e90"),
+            sum(when(col("n_ev") > col("p99"), 1L).otherwise(0L)).as("u99"),
+            sum(when(col("n_ev") > col("p99"), col("n_ev")).otherwise(0L))
+              .as("e99"))
+          .selectExpr(
+            """stack(3,
+                 'all',    nu,  ne,  10000L, 10000L,
+                 'top10',  u90, e90, u90 * 10000L div nu,
+                                     e90 * 10000L div ne,
+                 'top1',   u99, e99, u99 * 10000L div nu,
+                                     e99 * 10000L div ne)
+               AS (tier, n_users, n_events, user_share_bp,
+                   event_share_bp)""")
+          .orderBy(col("tier"))
+      },
+      Some("""WITH u AS (
+               SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev
+               FROM events GROUP BY user_id),
+             c AS (SELECT quantile_cont(n_ev, 0.90) AS p90,
+                     quantile_cont(n_ev, 0.99) AS p99 FROM u),
+             a AS (
+               SELECT CAST(count(*) AS BIGINT) AS nu,
+                 CAST(sum(n_ev) AS BIGINT) AS ne,
+                 CAST(sum(CASE WHEN n_ev > p90 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS u90,
+                 CAST(sum(CASE WHEN n_ev > p90 THEN n_ev ELSE 0 END)
+                   AS BIGINT) AS e90,
+                 CAST(sum(CASE WHEN n_ev > p99 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS u99,
+                 CAST(sum(CASE WHEN n_ev > p99 THEN n_ev ELSE 0 END)
+                   AS BIGINT) AS e99
+               FROM u CROSS JOIN c)
+             SELECT * FROM (
+               SELECT 'all' AS tier, nu AS n_users, ne AS n_events,
+                 CAST(10000 AS BIGINT) AS user_share_bp,
+                 CAST(10000 AS BIGINT) AS event_share_bp FROM a
+               UNION ALL
+               SELECT 'top10', u90, e90, u90 * 10000 // nu,
+                 e90 * 10000 // ne FROM a
+               UNION ALL
+               SELECT 'top1', u99, e99, u99 * 10000 // nu,
+                 e99 * 10000 // ne FROM a)
+             ORDER BY tier""")),
   )
 }

@@ -308,4 +308,25 @@ class FunnelSpec extends AnyFunSuite {
       (3L, 3L, 3L, 1L, 2500L),
       (4L, 4L, 4L, 1L, 2500L)))
   }
+
+  test("q214: one 91-event whale among nine singletons carries 91% of volume in both tiers") {
+    import spark.implicits._
+    // users 1..9 with one event each; user 10 with 91 → p90 cut 10.0,
+    // p99 cut 82.9 (interpolated) — only the whale clears either
+    val rows = (1 to 9).map(u => (u.toLong, 1)) :+ (10L, 91)
+    val ev = rows.flatMap { case (u, n) =>
+      (0 until n).map(i => (u * 1000 + i, at(i), u, "view", 1.0, "{}"))
+    }
+    val dir = TestDirs.scratch("conc")
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = SparkEntry.queries("q214_user_concentration")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      ("all", 10L, 100L, 10000L, 10000L),
+      ("top1", 1L, 91L, 1000L, 9100L),
+      ("top10", 1L, 91L, 1000L, 9100L)))
+  }
 }

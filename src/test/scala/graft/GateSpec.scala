@@ -308,7 +308,14 @@ class PlanGateSpec extends AnyFunSuite {
     // timestamp, the pivoted 1-row quartile-threshold frame from the
     // single melted percentile run, and the user total (the q198
     // scalar-assembly shape; segment assignment itself is map-side)
-    "q211_rfm_segments")
+    "q211_rfm_segments",
+    // q214: the ONE-ROW percentile-cut frame crossJoined onto the
+    // per-user counts before a single aggregate (q211's threshold
+    // shape); the stacked tier report runs on one row
+    "q214_user_concentration",
+    // q215: two ONE-ROW aggregates (edge sums, node card) crossJoined
+    // into the one-row graph shape card
+    "q215_dupgraph_assortativity")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -2257,6 +2257,22 @@ class PageRankSpec extends AnyFunSuite {
     // (2,3): common neighbors {0,1}; deg(2)=deg(3)=2 → jacc = 2/(2+2-2)
     assert(got.toSeq == Seq((2L, 3L, 2L, 10000L)))
   }
+
+  test("q215: a chain is perfectly disassortative, a clique is regular (0 by convention)") {
+    import spark.implicits._
+    def run(pairs: Seq[(Long, Long)]) = {
+      val r = graft.ops.Dedup
+        .dupGraphAssortativity(pairs.toDF("da", "db")).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))
+    }
+    // chain 0-1-2: degrees (1,2,1) → hand sums n=4, sx=6, sxy=8,
+    // sx2=10 → r = (32−36)/(40−36) = −1
+    assert(run(Seq((0L, 1L), (1L, 2L))) == ((3L, 2L, 2L, 13333L, -1.0)))
+    // K4: degree-regular → denominator 0 → 0.0 by convention
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    assert(run(k4) == ((4L, 6L, 3L, 30000L, 0.0)))
+  }
 }
 
 /** q212 n-gram novelty: first-occurrence attribution must zero a
