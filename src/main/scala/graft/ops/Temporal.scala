@@ -1083,5 +1083,82 @@ object Temporal {
                SELECT 'top1', u99, e99, u99 * 10000 // nu,
                  e99 * 10000 // ne FROM a)
              ORDER BY tier""")),
+
+    // ---- SESSION-DEPTH HISTOGRAM: q25's 30-minute-gap sessions rolled
+    //      into power-of-two depth buckets (the q126/q200 histogram
+    //      discipline on the session axis) with each bucket's share of
+    //      sessions AND of event volume — the one-glance shape read
+    //      (bounce-heavy vs marathon-heavy) that q208's top paths and
+    //      q25's per-session rows don't aggregate. Scale: the
+    //      sessionize window is the declared per-user sort; the
+    //      histogram is a map-side rollup to ≤ 22 rows, and the share
+    //      windows run on that constant-size frame. ----
+    "q217_session_depth_histogram" -> QueryDef(
+      (s, dir) => {
+        val byTime = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gapUs = 30L * 60 * 1000 * 1000
+        val bucketCase = "CASE " + (0 to 20).map(1L << _)
+          .map(b => s"WHEN c < ${b * 2}L THEN CAST(${b}L AS BIGINT)")
+          .mkString(" ") + s" ELSE CAST(${1L << 21}L AS BIGINT) END"
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("prev_us",
+            lag(unix_micros(col("ts")), 1).over(byTime))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > gapUs, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum(col("new_sess"))
+            .over(byTime.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("bucket_lo", expr(bucketCase))
+          .groupBy(col("bucket_lo"))
+          .agg(count(lit(1)).as("n_sessions"), sum(col("c")).as("n_events"))
+          .select(col("bucket_lo"), col("n_sessions"), col("n_events"),
+            expr("n_sessions * 10000L div sum(n_sessions) OVER ()")
+              .as("sessions_bp"),
+            expr("n_events * 10000L div sum(n_events) OVER ()")
+              .as("events_bp"))
+          .orderBy(col("bucket_lo"))
+      },
+      Some {
+        val kase = "CASE " + (0 to 20).map(1L << _)
+          .map(b => s"WHEN c < ${b * 2} THEN CAST($b AS BIGINT)")
+          .mkString(" ") + s" ELSE CAST(${1L << 21} AS BIGINT) END"
+        s"""WITH marked AS (
+             SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id,
+               CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w
+                      IS NULL
+                     OR epoch_us(CAST(ts AS TIMESTAMP))
+                        - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w
+                        > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+             FROM events
+             WINDOW w AS (PARTITION BY user_id
+                          ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+           sessioned AS (
+             SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+               ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_id
+             FROM marked),
+           sc AS (
+             SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS c
+             FROM sessioned GROUP BY user_id, session_id),
+           h AS (
+             SELECT $kase AS bucket_lo,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(c) AS BIGINT) AS n_events
+             FROM sc GROUP BY 1)
+           SELECT bucket_lo, n_sessions, n_events,
+             n_sessions * 10000
+               // CAST(sum(n_sessions) OVER () AS BIGINT) AS sessions_bp,
+             n_events * 10000
+               // CAST(sum(n_events) OVER () AS BIGINT) AS events_bp
+           FROM h ORDER BY bucket_lo"""
+      }),
   )
 }

@@ -1848,6 +1848,78 @@ object TextOps {
              GROUP BY source
              ORDER BY source""")),
 
+    // ---- NOVELTY × DEDUP cross-signal audit (the q137/q161/q184
+    //      discipline pointed at q212): per novelty decile, how many
+    //      docs sit in a q54 near-dup cluster. The two signals measure
+    //      different things — pairwise resemblance vs scattered
+    //      first-occurrence attribution — and a healthy corpus shows
+    //      cluster membership CONCENTRATED in the low-novelty deciles;
+    //      high-novelty docs inside clusters are banding false
+    //      positives (or templated docs with fresh slots), low-novelty
+    //      docs OUTSIDE clusters are exactly the scattered-phrase
+    //      repetition dedup cannot catch pairwise — each corner is an
+    //      actionable review queue. Deciles are int64 novelty_bp div
+    //      1000 (no float comparison); one left join of the novelty
+    //      frame against the CC labels + a ≤10-row rollup. ----
+    "q216_novelty_dedup_agreement" -> QueryDef(
+      (s, dir) => {
+        val nov = ngramNoveltyReport(Tables.load(s, dir, "documents"))
+        val clustered = Dedup.connectedComponents(
+            Dedup.lshCandidatePairsCached(s, dir))
+          .select(col("doc_id"), lit(1L).as("in_cluster"))
+        nov.join(clustered, Seq("doc_id"), "left")
+          .withColumn("decile", expr("least(novelty_bp div 1000, 9L)"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("in_cluster"), lit(0L))).as("n_clustered"))
+          .withColumn("clustered_bp",
+            expr("n_clustered * 10000L div n_docs"))
+          .orderBy(col("decile"))
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.duckCandPairsBody()},
+             cedges AS (SELECT da AS src, db AS dst FROM cand_pairs
+                        UNION ALL SELECT db, da FROM cand_pairs),
+             reach(doc_id, r) AS (
+               SELECT DISTINCT src AS doc_id, src AS r FROM cedges
+               UNION
+               SELECT e.dst AS doc_id, reach.r
+               FROM reach JOIN cedges e ON e.src = reach.doc_id),
+             clustered AS (SELECT DISTINCT doc_id FROM reach),
+             nwds AS (
+               SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
+               FROM documents),
+             ngr AS (
+               SELECT DISTINCT doc_id,
+                 md5(array_to_string(
+                   ws[pos + 1 : pos + $NoveltyWords], ' ')) AS wkey
+               FROM (
+                 SELECT doc_id,
+                   unnest(generate_series(0, len(ws) - $NoveltyWords)) AS pos,
+                   ws
+                 FROM nwds WHERE len(ws) >= $NoveltyWords)),
+             nf AS (
+               SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY wkey) AS first_doc
+               FROM ngr),
+             nov AS (
+               SELECT doc_id,
+                 CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                   AS BIGINT) * 10000
+                   // CAST(count(*) AS BIGINT) AS novelty_bp
+               FROM nf GROUP BY doc_id),
+             dd AS (
+               SELECT least(n.novelty_bp // 1000, 9) AS decile,
+                 CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS in_cluster
+               FROM nov n LEFT JOIN clustered c ON n.doc_id = c.doc_id)
+             SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(in_cluster) AS BIGINT) AS n_clustered,
+               CAST(sum(in_cluster) AS BIGINT) * 10000
+                 // CAST(count(*) AS BIGINT) AS clustered_bp
+             FROM dd
+             GROUP BY decile
+             ORDER BY decile""")),
+
     // ---- WINNOWING fingerprints (Schleimer/Wilkerson/Aiken 2003 — the
     //      MOSS algorithm): per position the md5 of the [[WinnowK]]-gram,
     //      then the MINIMUM hash of each [[WinnowW]]-wide window is a

@@ -329,4 +329,28 @@ class FunnelSpec extends AnyFunSuite {
       ("top1", 1L, 91L, 1000L, 9100L),
       ("top10", 1L, 91L, 1000L, 9100L)))
   }
+
+  test("q217: session depths land in power-of-two buckets with exact session and event shares") {
+    import spark.implicits._
+    // u1: 3 events inside 30 min (one depth-3 session), then a 2h gap
+    // and 1 more (a depth-1 session); u2: 5 events (depth-5 session)
+    val rows = Seq(
+      (1L, 0), (1L, 60), (1L, 120), (1L, 7800),
+      (2L, 0), (2L, 30), (2L, 60), (2L, 90), (2L, 120))
+    val dir = TestDirs.scratch("depth")
+    rows.zipWithIndex.map { case ((u, off), i) =>
+      (i.toLong, at(off), u, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = SparkEntry.queries("q217_session_depth_histogram")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // 3 sessions / 9 events: depth 1 → bucket 1, depth 3 → bucket 2,
+    // depth 5 → bucket 4
+    assert(out == Seq(
+      (1L, 1L, 1L, 3333L, 1111L),
+      (2L, 1L, 3L, 3333L, 3333L),
+      (4L, 1L, 5L, 3333L, 5555L)))
+  }
 }

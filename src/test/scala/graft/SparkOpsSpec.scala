@@ -2300,6 +2300,26 @@ class NgramNoveltySpec extends AnyFunSuite {
       (3L, 8L, 8L, 10000L)))
   }
 
+  test("q216: a verbatim pair lands clustered at both novelty extremes; a unique doc stays out") {
+    import spark.implicits._
+    val textA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (0L, textA), // first copy: all grams first here → decile 9, clustered
+      (1L, textA), // verbatim copy: novelty 0 → decile 0, clustered
+      (2L, textB)  // unique: decile 9, NOT clustered
+    ).map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestDirs.scratch("novdedup")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q216_novelty_dedup_agreement")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq(
+      (0L, 1L, 1L, 10000L),   // the copy: 0-novel AND clustered
+      (9L, 2L, 1L, 5000L)))   // the two originals: one is the cluster seed
+  }
+
   test("q213: within-source repeats are not cross-source; a copying source shows high xsource_bp") {
     import spark.implicits._
     val docs = Seq(
