@@ -795,6 +795,83 @@ object Scrub {
              GROUP BY decile
              ORDER BY decile""")),
 
+    // ---- QUALITY–LENGTH BIAS audit: per source, the OLS slope and
+    //      Pearson correlation of the quality score (1e-4-unit integer
+    //      surrogate, the q137 idiom) against whole-bit log₂ token
+    //      count — the "is the score just measuring length?" check run
+    //      before a length-correlated score silently starves every
+    //      long-form source through q78/q123-style thresholds. All five
+    //      sums are exact int64 (per-row terms bounded: x ≤ ~40 bits,
+    //      y ≤ 10⁴); the OLS closed form combines them in ONE fixed
+    //      double expression tree (the q215 discipline — identical
+    //      int64 inputs give identical doubles in both engines), NOT in
+    //      int64: the closed form's n·Σxy products grow as n², which
+    //      overflows int64 near 10⁷ docs per source, while the double
+    //      combination holds to Σ bounds of ~9·10¹³ docs. Zero-variance
+    //      degenerate sources report 0.0 by convention. One map-side
+    //      rollup per source; no joins at all. ----
+    "q219_quality_length_bias" -> QueryDef(
+      (s, dir) => {
+        val pts = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            expr("""cast(length(bin(greatest(
+                    size(split(lower(text), ' +')), 1))) - 1 as bigint)""")
+              .as("x"),
+            round(round(Quality.score(col("text")), 4) * 10000, 0)
+              .cast("long").as("y"))
+        val den =
+          """(cast(n_docs as double) * cast(sxx as double)
+              - cast(sx as double) * cast(sx as double))"""
+        val deny =
+          """(cast(n_docs as double) * cast(syy as double)
+              - cast(sy as double) * cast(sy as double))"""
+        val num =
+          """(cast(n_docs as double) * cast(sxy as double)
+              - cast(sx as double) * cast(sy as double))"""
+        pts.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+            sum(expr("y * y")).as("syy"))
+          .select(col("source"), col("n_docs"),
+            expr(s"""CASE WHEN $den = 0.0D THEN 0.0D
+                     ELSE round($num / $den, 4) END""").as("slope_e4_per_bit"),
+            expr(s"""CASE WHEN $den = 0.0D OR $deny = 0.0D THEN 0.0D
+                     ELSE round($num / (sqrt($den) * sqrt($deny)), 4) END""")
+              .as("pearson_r"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val den = """(CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""
+        val deny = """(CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"""
+        val num = """(CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"""
+        s"""WITH pts AS (
+             SELECT source,
+               CAST(length(bin(greatest(
+                 len(string_split_regex(lower(text), ' +')), 1))) - 1
+                 AS BIGINT) AS x,
+               CAST(round(round(${Quality.duckScore("text")}, 4)
+                 * 10000, 0) AS BIGINT) AS y
+             FROM documents),
+           f AS (
+             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+             FROM pts GROUP BY source)
+           SELECT source, n_docs,
+             CASE WHEN $den = 0.0 THEN 0.0
+               ELSE round($num / $den, 4) END AS slope_e4_per_bit,
+             CASE WHEN $den = 0.0 OR $deny = 0.0 THEN 0.0
+               ELSE round($num / (sqrt($den) * sqrt($deny)), 4)
+               END AS pearson_r
+           FROM f ORDER BY source"""
+      }),
+
     // ---- LICENSE / COPYRIGHT notice detection — the provenance-
     //      compliance stage every permissively-licensed-data pipeline
     //      runs (The Stack's license filter, C4's boilerplate notices):

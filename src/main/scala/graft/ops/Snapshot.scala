@@ -107,6 +107,16 @@ object Snapshot {
            coalesce(c.n_chars, p.n_chars) AS n_chars
          FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id)"""
 
+  /** Previous snapshot's raw TEXT (doc_id, text) — the textual side of
+    * [[previousSnapshot]] for phrase-level delta analysis (q218). */
+  def previousSnapshotText(docs: DataFrame): DataFrame = docs
+    .filter(col("doc_id") % SnapMod =!= AddedRes)
+    .select(col("doc_id"),
+      when(col("doc_id") % SnapMod === ChangedRes,
+        expr("""array_join(slice(split(text, ' +'), 1,
+                greatest(size(split(text, ' +')) - 1, 1)), ' ')"""))
+        .otherwise(col("text")).as("text"))
+
   val defs: Map[String, QueryDef] = Map(
     // ---- corpus snapshot diff rollup: per (source, status) the doc
     //      count and byte mass, plus the re-process mass (added+changed
@@ -338,6 +348,79 @@ object Snapshot {
              FROM cur
              GROUP BY source
              ORDER BY source""")),
+
+    // ---- PHRASE-level snapshot novelty: of the current snapshot's
+    //      distinct per-doc 8-grams, how many exist NOWHERE in the
+    //      previous snapshot — per source, the q212 novelty idea on the
+    //      crawl-refresh axis. q125 counts changed DOCUMENTS; this
+    //      measures how much genuinely new CONTENT the refresh bought
+    //      (a crawl can churn thousands of doc ids while adding zero
+    //      new phrases — template rotations, date stamps — and its
+    //      sources should not earn mixture weight for that). Scale:
+    //      both sides explode once; the only join is gram-keyed
+    //      (left + seen flag, one pass); rollup is per source. ----
+    "q218_snapshot_gram_novelty" -> QueryDef(
+      (s, dir) => {
+        val w = TextOps.NoveltyWords
+        val docs = Tables.load(s, dir, "documents")
+        def grams(df: DataFrame, keep: Seq[String]): DataFrame = df
+          .withColumn("words", split(lower(col("text")), " +"))
+          .filter(size(col("words")) >= w)
+          .select(keep.map(col) :+ explode(expr(
+            s"""array_distinct(transform(sequence(0, size(words) - $w),
+                i -> md5(concat_ws(' ', slice(words, i + 1, $w)))))"""))
+            .as("wkey"): _*)
+        val prevG = grams(previousSnapshotText(docs), Seq())
+          .distinct().withColumn("seen", lit(1L))
+        val currG = grams(
+          docs.filter(col("doc_id") % SnapMod =!= RemovedRes)
+            .select(col("doc_id"), col("source"), col("text")),
+          Seq("doc_id", "source"))
+        currG.join(prevG, Seq("wkey"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_gram_instances"),
+            sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_new"))
+          .withColumn("new_bp", expr("n_new * 10000L div n_gram_instances"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val w = TextOps.NoveltyWords
+        s"""WITH pt AS (
+             SELECT doc_id,
+               CASE WHEN doc_id % $SnapMod = $ChangedRes THEN
+                 array_to_string(
+                   (string_split_regex(text, ' +'))[1:greatest(
+                     len(string_split_regex(text, ' +')) - 1, 1)], ' ')
+               ELSE text END AS text
+             FROM documents
+             WHERE doc_id % $SnapMod <> $AddedRes),
+           pw AS (SELECT doc_id,
+                    string_split_regex(lower(text), ' +') AS ws FROM pt),
+           pg AS (
+             SELECT DISTINCT
+               md5(array_to_string(ws[pos + 1 : pos + $w], ' ')) AS wkey
+             FROM (SELECT doc_id,
+                     unnest(generate_series(0, len(ws) - $w)) AS pos, ws
+                   FROM pw WHERE len(ws) >= $w)),
+           cw AS (SELECT doc_id, source,
+                    string_split_regex(lower(text), ' +') AS ws
+                  FROM documents WHERE doc_id % $SnapMod <> $RemovedRes),
+           cg AS (
+             SELECT DISTINCT doc_id, source,
+               md5(array_to_string(ws[pos + 1 : pos + $w], ' ')) AS wkey
+             FROM (SELECT doc_id, source,
+                     unnest(generate_series(0, len(ws) - $w)) AS pos, ws
+                   FROM cw WHERE len(ws) >= $w))
+           SELECT source, CAST(count(*) AS BIGINT) AS n_gram_instances,
+             CAST(sum(CASE WHEN p.wkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN p.wkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) * 10000
+               // CAST(count(*) AS BIGINT) AS new_bp
+           FROM cg c LEFT JOIN pg p ON c.wkey = p.wkey
+           GROUP BY source
+           ORDER BY source"""
+      }),
   )
 
   /** 56-bit per-document content key for the q150 signature: doc id and

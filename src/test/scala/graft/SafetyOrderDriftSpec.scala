@@ -12,6 +12,28 @@ class SafetyOrderDriftSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("q219: a length-driven score shows the hand-computed slope and r; zero-variance sources report 0") {
+    // srcP: all-stopword docs of 2/4/8 words → y = 5100/5200/5400 at
+    // x = 1/2/3 whole bits → slope 900/6 = 150.0, r = 900/√840000 = .982
+    // srcC: two identical-length docs → x-variance 0 → both 0.0
+    val docs = Seq(
+      (0L, "srcP", "the and"),
+      (1L, "srcP", "the and of to"),
+      (2L, "srcP", "the and of to in is a the"),
+      (3L, "srcC", "the and of"),
+      (4L, "srcC", "the and is"))
+      .map { case (id, src, t) => (id, t, "en", src, t.length.toLong) }
+    val dir = TestDirs.scratch("qlbias")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q219_quality_length_bias")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(out == Seq(
+      ("srcC", 2L, 0.0, 0.0),
+      ("srcP", 3L, 150.0, 0.982)))
+  }
+
   test("q129: per-category thresholds flag exactly the offending docs") {
     val t = Scrub.BlocklistThreshold
     val docs = Seq(

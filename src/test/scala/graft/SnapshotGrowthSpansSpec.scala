@@ -45,6 +45,27 @@ class SnapshotGrowthSpansSpec extends AnyFunSuite {
       byStatus("changed") == 4 && byStatus("unchanged") == 32)
   }
 
+  test("q218: an added doc is all-new, a changed doc's tail gram is new, a stable doc adds nothing") {
+    val docs = Seq(
+      // res 0: identical in both snapshots → 0 new grams
+      (0L, "sA", (1 to 9).map(i => s"a$i").mkString(" ")),
+      // res 3 (changed): prev drops the last word → the tail gram is new
+      (3L, "sB", (1 to 9).map(i => s"b$i").mkString(" ")),
+      // res 7 (added): absent from prev → both grams new
+      (7L, "sC", (1 to 9).map(i => s"c$i").mkString(" ")))
+      .map { case (id, src, t) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestDirs.scratch("snapnovel")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q218_snapshot_gram_novelty")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq(
+      ("sA", 2L, 0L, 0L),
+      ("sB", 2L, 1L, 5000L),
+      ("sC", 2L, 2L, 10000L)))
+  }
+
   test("q126: planted dup clusters land in size buckets; doc mass is conserved") {
     val words = (1 to 30).map(i => s"w$i").mkString(" ")
     val other = (1 to 30).map(i => s"v$i").mkString(" ")
