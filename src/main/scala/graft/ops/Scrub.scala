@@ -795,6 +795,94 @@ object Scrub {
              GROUP BY decile
              ORDER BY decile""")),
 
+    // ---- SAMPLE REPRESENTATIVENESS audit: the q107 weighted sample's
+    //      token-length distribution against the full corpus's, per
+    //      source — L1 and max gaps over power-of-two length buckets in
+    //      basis points (the discrete total-variation readout ×2). A
+    //      QUALITY-weighted sample is SUPPOSED to tilt (toward whatever
+    //      the score likes — with q219's caveat that may mean length);
+    //      this measures how far, per source, before anyone treats the
+    //      sample as a corpus stand-in for eval or calibration. Scale:
+    //      the corpus side is one map-side (source, bucket) rollup; the
+    //      sample side joins the K·|sources|-row sample back on doc_id;
+    //      shares window over per-source bucket frames (≤22 rows each).
+    //      Pure int64. ----
+    "q220_sample_representativeness" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val bucketCase = "CASE " + (0 to 20).map(1L << _)
+          .map(b => s"WHEN c < ${b * 2}L THEN CAST(${b}L AS BIGINT)")
+          .mkString(" ") + s" ELSE CAST(${1L << 21}L AS BIGINT) END"
+        val lens = docs.select(col("source"), col("doc_id"),
+            expr("cast(size(split(lower(text), ' +')) as long)").as("c"))
+          .withColumn("bucket_lo", expr(bucketCase))
+          .transform(TransientCache.scopedDF)
+        def dist(df: DataFrame, share: String) = df
+          .groupBy(col("source"), col("bucket_lo"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("source"), col("bucket_lo"),
+            expr("n * 10000L div sum(n) OVER (PARTITION BY source)")
+              .as(share))
+        val corp = dist(lens, "corp_bp")
+        val samp = dist(weightedSample(docs).select(col("doc_id"))
+          .join(lens, "doc_id"), "samp_bp")
+        corp.join(samp, Seq("source", "bucket_lo"), "full_outer")
+          .select(col("source"),
+            coalesce(col("corp_bp"), lit(0L)).as("cb"),
+            coalesce(col("samp_bp"), lit(0L)).as("sb"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(abs(col("cb") - col("sb"))).as("l1_gap_bp"),
+            max(abs(col("cb") - col("sb"))).as("max_gap_bp"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val kase = "CASE " + (0 to 20).map(1L << _)
+          .map(b => s"WHEN c < ${b * 2} THEN CAST($b AS BIGINT)")
+          .mkString(" ") + s" ELSE CAST(${1L << 21} AS BIGINT) END"
+        s"""WITH lens AS (
+             SELECT source, doc_id, $kase AS bucket_lo FROM (
+               SELECT source, doc_id,
+                 len(string_split_regex(lower(text), ' +')) AS c
+               FROM documents)),
+           corp AS (
+             SELECT source, bucket_lo,
+               CAST(count(*) AS BIGINT) * 10000
+                 // CAST(sum(count(*)) OVER (PARTITION BY source)
+                      AS BIGINT) AS corp_bp
+             FROM lens GROUP BY source, bucket_lo),
+           wsd AS (
+             SELECT source, doc_id,
+               1 + CAST(floor((${Quality.duckScore("text")}) * 10)
+                 AS BIGINT) AS weight,
+               CAST(('0x' || substr(md5('wsamp:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+             FROM documents),
+           ws AS (
+             SELECT doc_id FROM (
+               SELECT doc_id, row_number() OVER (PARTITION BY source
+                 ORDER BY h // weight, doc_id) AS rk
+               FROM wsd)
+             WHERE rk <= $WeightedSampleK),
+           samp AS (
+             SELECT l.source, l.bucket_lo,
+               CAST(count(*) AS BIGINT) * 10000
+                 // CAST(sum(count(*)) OVER (PARTITION BY l.source)
+                      AS BIGINT) AS samp_bp
+             FROM lens l JOIN ws USING (doc_id)
+             GROUP BY l.source, l.bucket_lo),
+           f AS (
+             SELECT coalesce(c.source, sa.source) AS source,
+               coalesce(c.corp_bp, 0) AS cb,
+               coalesce(sa.samp_bp, 0) AS sb
+             FROM corp c FULL OUTER JOIN samp sa
+               ON c.source = sa.source AND c.bucket_lo = sa.bucket_lo)
+           SELECT source, CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(abs(cb - sb)) AS BIGINT) AS l1_gap_bp,
+             CAST(max(abs(cb - sb)) AS BIGINT) AS max_gap_bp
+           FROM f GROUP BY source ORDER BY source"""
+      }),
+
     // ---- QUALITY–LENGTH BIAS audit: per source, the OLS slope and
     //      Pearson correlation of the quality score (1e-4-unit integer
     //      surrogate, the q137 idiom) against whole-bit log₂ token

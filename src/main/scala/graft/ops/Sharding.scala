@@ -210,6 +210,87 @@ object Sharding {
              GROUP BY shard_id
              ORDER BY shard_id""")),
 
+    // ---- SHARD-CHURN audit under a snapshot delta: of the docs present
+    //      in BOTH snapshots, how many land in a different q66 shard
+    //      after the refresh. Contiguous running-total sharding is
+    //      deliberately NOT delta-stable — any token added or removed
+    //      upstream in the md5 order shifts every later cumulative sum —
+    //      and this query MEASURES that recomputation cost instead of
+    //      assuming it: moved_bp near 10⁴ past first_moved_shard says a
+    //      recurring pipeline should either re-shard from the first
+    //      touched shard (everything before it is byte-stable, which the
+    //      q91 manifests can certify cheaply) or accept ragged shards
+    //      from a stable doc_id-hash assignment. Scale: two q66 runs
+    //      (each the two-pass range-partitioned running total) + one
+    //      doc_id equi-join + a one-row rollup. ----
+    "q221_shard_churn" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        def keyed(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("k",
+            md5(concat(lit("shard:"), col("doc_id").cast("string"))))
+          .withColumn("n_tokens", size(split(lower(col("text")), " +")))
+        val prev = assignShards(keyed(Snapshot.previousSnapshotText(docs)),
+            ShardBudget, 32)
+          .select(col("doc_id"), col("shard_id").as("prev_shard"))
+        val cur = assignShards(keyed(docs
+            .filter(col("doc_id") % Snapshot.SnapMod
+              =!= Snapshot.RemovedRes)
+            .select(col("doc_id"), col("text"))), ShardBudget, 32)
+          .select(col("doc_id"), col("shard_id").as("cur_shard"))
+        prev.join(cur, "doc_id")
+          .select(when(col("prev_shard") === col("cur_shard"), 0L)
+            .otherwise(1L).as("moved"), col("prev_shard"))
+          .agg(count(lit(1)).as("n_common"), sum(col("moved")).as("n_moved"),
+            coalesce(min(when(col("moved") === 1L, col("prev_shard"))),
+              lit(-1L)).as("first_moved_shard"))
+          .select(col("n_common"), col("n_moved"),
+            expr("n_moved * 10000L div n_common").as("moved_bp"),
+            col("first_moved_shard"))
+      },
+      Some(s"""WITH pt AS (
+             SELECT doc_id,
+               CASE WHEN doc_id % ${Snapshot.SnapMod}
+                   = ${Snapshot.ChangedRes} THEN
+                 array_to_string(
+                   (string_split_regex(text, ' +'))[1:greatest(
+                     len(string_split_regex(text, ' +')) - 1, 1)], ' ')
+               ELSE text END AS text
+             FROM documents
+             WHERE doc_id % ${Snapshot.SnapMod} <> ${Snapshot.AddedRes}),
+           p1 AS (
+             SELECT doc_id, md5('shard:' || CAST(doc_id AS VARCHAR)) AS k,
+               len(string_split_regex(lower(text), ' +')) AS n_tokens
+             FROM pt),
+           p2 AS (
+             SELECT doc_id,
+               COALESCE(CAST(sum(n_tokens) OVER (ORDER BY k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) // $ShardBudget AS prev_shard
+             FROM p1),
+           c1 AS (
+             SELECT doc_id, md5('shard:' || CAST(doc_id AS VARCHAR)) AS k,
+               len(string_split_regex(lower(text), ' +')) AS n_tokens
+             FROM documents
+             WHERE doc_id % ${Snapshot.SnapMod} <> ${Snapshot.RemovedRes}),
+           c2 AS (
+             SELECT doc_id,
+               COALESCE(CAST(sum(n_tokens) OVER (ORDER BY k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) // $ShardBudget AS cur_shard
+             FROM c1),
+           j AS (
+             SELECT CASE WHEN prev_shard = cur_shard THEN 0 ELSE 1 END
+               AS moved, prev_shard
+             FROM p2 JOIN c2 USING (doc_id))
+           SELECT CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(moved) AS BIGINT) AS n_moved,
+             CAST(sum(moved) AS BIGINT) * 10000
+               // CAST(count(*) AS BIGINT) AS moved_bp,
+             coalesce(min(CASE WHEN moved = 1 THEN prev_shard END),
+               CAST(-1 AS BIGINT)) AS first_moved_shard
+           FROM j""")),
+
     // ---- per-window fill manifest of the first-fit packing: how many
     //      chunks and tokens each fixed 512-token context window holds.
     //      The oracle replays the identical first-fit walk with a

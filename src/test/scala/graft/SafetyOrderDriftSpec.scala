@@ -34,6 +34,33 @@ class SafetyOrderDriftSpec extends AnyFunSuite {
       ("srcP", 3L, 150.0, 0.982)))
   }
 
+  test("q220: a fully-sampled source gaps 0; weight skew tilts the sample measurably") {
+    // srcF: 6 docs ≤ K=10 → the sample IS the corpus → every gap 0.
+    // srcS: 15 weight-1 short docs vs 15 weight-7 long all-stopword
+    // docs → the 10-doc sample over-draws the long bucket → L1 gap > 0.
+    val short = Seq.fill(5)("zz").mkString(" ")
+    val long = Seq.fill(32)("the").mkString(" ")
+    val docs =
+      (0 until 6).map(i => (i.toLong, "srcF",
+        Seq.fill(5 + 4 * (i % 3))("qq").mkString(" "))) ++
+      (0 until 15).map(i => (100L + i, "srcS", short)) ++
+      (0 until 15).map(i => (200L + i, "srcS", long))
+    val dir = TestDirs.scratch("samprep")
+    docs.map { case (id, src, t) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q220_sample_representativeness")(
+      spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out("srcF")._2 == 0L && out("srcF")._3 == 0L,
+      "a fully-sampled source must show zero distribution gap")
+    assert(out("srcS")._1 == 2L && out("srcS")._2 > 0L,
+      "a weight-skewed source must show a measurable gap")
+    // L1 over bp shares is bounded by 2×10⁴
+    assert(out("srcS")._2 <= 20000L)
+  }
+
   test("q129: per-category thresholds flag exactly the offending docs") {
     val t = Scrub.BlocklistThreshold
     val docs = Seq(

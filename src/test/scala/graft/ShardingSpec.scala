@@ -20,6 +20,48 @@ class ShardingSpec extends AnyFunSuite {
       .withColumn("n_tokens", (col("doc_id") % 37 + 3).cast("long"))
   }
 
+  test("q221: churn equals a driver-side mirror of both running-total walks") {
+    import spark.implicits._
+    // 22 ids = two full mod-11 cycles at 300 tokens each (~6k tokens →
+    // 2 shards at the 4096 budget): removed docs free budget upstream,
+    // changed docs shrink by one token — later cum sums shift
+    val dir = TestDirs.scratch("churn")
+    (0L until 22L).map { id =>
+      val t = Seq.fill(300)("tok").mkString(" ")
+      (id, t, "en", "s", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def mirror(docs: Seq[(Long, Long)]): Map[Long, Long] = {
+      var cum = 0L
+      docs.map { case (id, n) => (md5hex(s"shard:$id"), id, n) }
+        .sortBy(_._1)
+        .map { case (_, id, n) =>
+          val sh = cum / Sharding.ShardBudget; cum += n; id -> sh
+        }.toMap
+    }
+    val prev = mirror((0L until 22L).filter(_ % 11 != 7)
+      .map(id => id -> (if (id % 11 == 3) 299L else 300L)))
+    val cur = mirror((0L until 22L).filter(_ % 11 != 5)
+      .map(id => id -> 300L))
+    val common = prev.keySet.intersect(cur.keySet)
+    val movedIds = common.filter(id => prev(id) != cur(id))
+    val expFirst =
+      if (movedIds.isEmpty) -1L else movedIds.map(prev).min
+
+    val r = SparkEntry.queries("q221_shard_churn")(spark, dir)
+      .collect().head
+    assert(r.getLong(0) == common.size.toLong)
+    assert(r.getLong(1) == movedIds.size.toLong)
+    assert(r.getLong(2) == movedIds.size.toLong * 10000L / common.size)
+    assert(r.getLong(3) == expFirst)
+    // the fixture must actually exercise churn, not vacuously pass
+    assert(movedIds.nonEmpty && movedIds.size < common.size)
+  }
+
   test("shard assignment is identical across partition counts") {
     def assignment(parts: Int): Map[Long, Long] =
       Sharding.assignShards(corpus, 100L, parts)
