@@ -1160,5 +1160,78 @@ object Temporal {
                // CAST(sum(n_events) OVER () AS BIGINT) AS events_bp
            FROM h ORDER BY bucket_lo"""
       }),
+
+    // ---- EVENT-MIX DRIFT: week-over-week L1 shift of the event-type
+    //      share vector, with the top-moving type — the q162/q168
+    //      drift-alarm discipline on the EVENT axis (an instrumentation
+    //      change, a bot flood or a product launch shows up as a mix
+    //      shift before any per-metric threshold fires). Shares live on
+    //      a DENSE week×type grid (a type absent one week reads 0 bp,
+    //      not a skipped lag row); the grid is |weeks|·|types| — weeks
+    //      are calendar-bounded and the types frame is ≤|types| rows by
+    //      construction, so its crossJoin build side is O(1). Top mover
+    //      = rank-1 of (gap DESC, type) — deterministic ties in both
+    //      engines, never max_by (tie order undefined). Pure int64. ----
+    "q222_event_mix_drift" -> QueryDef(
+      (s, dir) => {
+        val counts = Tables.load(s, dir, "events")
+          .groupBy(date_trunc("week", col("ts")).cast("date").as("wk"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .transform(TransientCache.scopedDF)
+        val grid = counts.select(col("wk")).distinct()
+          .crossJoin(broadcast(counts.select(col("event_type")).distinct()))
+        val byType = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+        val gaps = grid.join(counts, Seq("wk", "event_type"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+          .withColumn("bp", expr(
+            "n * 10000L div sum(n) OVER (PARTITION BY wk)"))
+          .withColumn("prev_bp", lag(col("bp"), 1).over(byType))
+          .filter(col("prev_bp").isNotNull)
+          .withColumn("gap", abs(col("bp") - col("prev_bp")))
+          .transform(TransientCache.scopedDF)
+        val topw = Window.partitionBy(col("wk"))
+          .orderBy(col("gap").desc, col("event_type"))
+        gaps.withColumn("rk", row_number().over(topw))
+          .withColumn("l1_bp", sum(col("gap"))
+            .over(Window.partitionBy(col("wk"))))
+          .filter(col("rk") === 1)
+          .select(col("wk").as("week"), col("l1_bp"),
+            col("event_type").as("top_mover"),
+            col("gap").as("top_mover_gap_bp"))
+          .orderBy(col("week"))
+      },
+      Some("""WITH counts AS (
+               SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+                 AS DATE) AS wk, event_type, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+             grid AS (
+               SELECT w.wk, t.event_type
+               FROM (SELECT DISTINCT wk FROM counts) w
+               CROSS JOIN (SELECT DISTINCT event_type FROM counts) t),
+             shares AS (
+               SELECT g.wk, g.event_type,
+                 coalesce(c.n, 0) * 10000
+                   // CAST(sum(coalesce(c.n, 0)) OVER (PARTITION BY g.wk)
+                        AS BIGINT) AS bp
+               FROM grid g LEFT JOIN counts c
+                 ON g.wk = c.wk AND g.event_type = c.event_type),
+             gaps AS (
+               SELECT wk, event_type, bp,
+                 abs(bp - lag(bp) OVER (PARTITION BY event_type
+                   ORDER BY wk)) AS gap
+               FROM shares
+               QUALIFY lag(bp) OVER (PARTITION BY event_type ORDER BY wk)
+                 IS NOT NULL),
+             ranked AS (
+               SELECT wk, event_type, gap,
+                 CAST(sum(gap) OVER (PARTITION BY wk) AS BIGINT) AS l1_bp,
+                 row_number() OVER (PARTITION BY wk
+                   ORDER BY gap DESC, event_type) AS rk
+               FROM gaps)
+             SELECT wk AS week, l1_bp, event_type AS top_mover,
+               gap AS top_mover_gap_bp
+             FROM ranked WHERE rk = 1
+             ORDER BY week""")),
   )
 }

@@ -353,4 +353,31 @@ class FunnelSpec extends AnyFunSuite {
       (2L, 1L, 3L, 3333L, 3333L),
       (4L, 1L, 5L, 3333L, 5555L)))
   }
+
+  test("q222: a mix flip shows the exact L1; absent types read 0 bp; ties break on type") {
+    import spark.implicits._
+    def ts(d: String, i: Int) =
+      java.sql.Timestamp.valueOf(f"$d 0$i:00:00")
+    // w1: all view; w2: 50/50 view/click (click was ABSENT in w1 — the
+    // dense grid must read it as 0 bp, not skip the lag); w3 repeats w2
+    val rows =
+      (0 until 10).map(i => ("view", "2024-03-04", i)) ++
+        (0 until 5).map(i => ("view", "2024-03-11", i)) ++
+        (0 until 5).map(i => ("click", "2024-03-11", i)) ++
+        (0 until 5).map(i => ("view", "2024-03-18", i)) ++
+        (0 until 5).map(i => ("click", "2024-03-18", i))
+    val dir = TestDirs.scratch("mixdrift")
+    rows.zipWithIndex.map { case ((t, d, h), i) =>
+      (i.toLong, ts(d, h), 1L, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = SparkEntry.queries("q222_event_mix_drift")(spark, dir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getString(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      // view 10000→5000, click 0→5000: L1 = 10000; tie → 'click'
+      ("2024-03-11", 10000L, "click", 5000L),
+      ("2024-03-18", 0L, "click", 0L)))
+  }
 }

@@ -315,7 +315,11 @@ class PlanGateSpec extends AnyFunSuite {
     "q214_user_concentration",
     // q215: two ONE-ROW aggregates (edge sums, node card) crossJoined
     // into the one-row graph shape card
-    "q215_dupgraph_assortativity")
+    "q215_dupgraph_assortativity",
+    // q222: the dense week×type grid — the broadcast build side is the
+    // ≤|types|-row distinct-type frame by construction; weeks are
+    // calendar-bounded
+    "q222_event_mix_drift")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
