@@ -197,6 +197,48 @@ object Bench {
     }
     spark.catalog.clearCache()
     ops.TransientCache.drainAll()
+    // Suspects: queries whose timed min exceeded 3× their minimum in the
+    // PREVIOUS bench_full.json at the same sf. Load noise and real
+    // regressions both land here, by design — which is why the artifact
+    // must ADJUDICATE, not just flag (below).
+    val suspects = results.flatMap { case (name, sec, _, _) =>
+      prior.get(name).collect {
+        case p if p > 0.05 && sec > 3 * p => (name, sec / p, loadPerQuery(name))
+      }
+    }.sortBy(-_._2)
+    // Self-adjudication (r13 verdict item 1): r13's artifact flagged 18
+    // suspects and every one was driver-machine load — proving that
+    // still took a judge re-time session. By the time the main loop
+    // finishes, the suite's own contention has drained (the judge's
+    // sequential re-run minutes later reproduced ledger steady states on
+    // the same machine), so ONE extra min-of-2 pass over JUST the
+    // suspect set turns the flag into a verdict: a suspect whose
+    // re-time ALSO exceeds 3× history is a real regression signal
+    // (n_suspect_still counts them); one whose re-time returns to its
+    // ledger claim was load. The stderr marker line prints BEFORE the
+    // pass so a synthetic loaded run (busy sibling killed at the marker)
+    // can demonstrate flag-then-clear end to end (BASELINE.md records
+    // one). Cost: ~2× the suspect set's steady-state seconds, zero when
+    // the run is clean.
+    val retimeLoad = loadavg1()
+    val suspectRetimed: Seq[(String, Double)] =
+      if (suspects.isEmpty) Seq.empty
+      else {
+        System.err.println(
+          s"[bench] re-timing ${suspects.size} suspect(s) after suite drain")
+        suspects.map { case (name, _, _) =>
+          val fn = SparkEntry.queries(name)
+          val runs = (1 to 2).map { _ =>
+            spark.catalog.clearCache()
+            ops.TransientCache.drainAll()
+            timeOne(spark, sfDir, fn)
+          }
+          val ok = runs.collect { case (sec, None) => sec }
+          name -> (if (ok.nonEmpty) ok.min else runs.map(_._1).min)
+        }
+      }
+    val stillHot = suspectRetimed.count { case (n, sec) =>
+      prior.get(n).exists(p => sec > 3 * p) }
     val canaryEnd = canaryRuns(spark)
     val loadEnd = loadavg1()
     loadMax = math.max(loadMax, loadEnd)
@@ -250,16 +292,18 @@ object Bench {
     val canaryJson =
       s"""{"start":${arr(canaryStart)},"end":${arr(canaryEnd)}}"""
     val loadJson = s"""{"start":${fmt(loadStart, 2)},"max":${fmt(loadMax, 2)},"end":${fmt(loadEnd, 2)}}"""
-    val suspects = results.flatMap { case (name, sec, _, _) =>
-      prior.get(name).collect {
-        case p if p > 0.05 && sec > 3 * p => (name, sec / p, loadPerQuery(name))
-      }
-    }.sortBy(-_._2)
     val suspectJson = suspects
       .map { case (n, r, la) =>
         s""""$n":{"x":${fmt(r, 1)},"loadavg":${fmt(la, 2)}}""" }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"queries_full","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flakies,"bench_runs":$benchRuns,"protocol":"$proto","sf":"$sfDir","canary":$canaryJson,"loadavg":$loadJson,"suspect":$suspectJson}"""
+    // suspect_retimed: the adjudication pass's per-suspect min-of-2, in
+    // seconds — read it against `queries` (the flagged time) and the
+    // prior history; n_suspect_still counts re-times STILL > 3× history
+    // (the real-regression signal; 0 = all flags were load noise).
+    val suspectRetimedJson = suspectRetimed
+      .map { case (n, sec) => s""""$n":${fmt(sec, 3)}""" }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"queries_full","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flakies,"bench_runs":$benchRuns,"protocol":"$proto","sf":"$sfDir","canary":$canaryJson,"loadavg":$loadJson,"suspect":$suspectJson,"suspect_retimed":$suspectRetimedJson,"retime_loadavg":${fmt(retimeLoad, 2)},"n_suspect_still":$stillHot}"""
     println(fullLine)
     // bench_full.json always describes a FULL suite run: a
     // SPARK_GRAFT_BENCH_ONLY-restricted run must not overwrite it, or
@@ -280,7 +324,7 @@ object Bench {
       .map { case (k, v, _, _) => s"${k.takeWhile(_ != '_')}:" + fmt(v, 2) }
       .mkString(",")
     println(s"[bench] total=${fmt(total, 2)}s n=${results.size} runs=$benchRuns errors=${results.count(_._3.isDefined)} flaky=${results.count(_._4.isDefined)} slowest10=$slowest")
-    println(s"[bench] noise: canary_start=${arr(canaryStart)} canary_end=${arr(canaryEnd)} loadavg=$loadJson suspects=${suspects.size}${if (suspects.nonEmpty) " " + suspects.take(5).map { case (n, r, _) => s"$n(${fmt(r, 1)}x)" }.mkString(",") else ""}")
+    println(s"[bench] noise: canary_start=${arr(canaryStart)} canary_end=${arr(canaryEnd)} loadavg=$loadJson suspects=${suspects.size}${if (suspects.nonEmpty) " " + suspects.take(5).map { case (n, r, _) => s"$n(${fmt(r, 1)}x)" }.mkString(",") else ""}${if (suspects.nonEmpty) s" retimed_still_hot=$stillHot" else ""}")
     val slow20 = results.sortBy(-_._2).take(20)
       .map { case (k, v, _, _) =>
         s"\"${k.takeWhile(_ != '_')}\":" + fmt(v, 2) }
@@ -292,15 +336,20 @@ object Bench {
       .map { case (k, e) => s"\"${k.takeWhile(_ != '_')}\":\"$e\"" }
       .mkString("{", ",", "}")
     // tail-budget accounting for the noise fields: canary is 6 fixed
-    // numbers (~60 chars), loadavg 3 (~40), suspect is CAPPED at 5
-    // short-key entries (~20 chars each) with the full map on the
-    // queries_full line and in bench_full.json — ~200 chars total,
-    // constant in suite size, so the sub-linear-tail invariant holds
+    // numbers (~60 chars), loadavg 3 (~40), suspect AND suspect_retimed
+    // are each CAPPED at 5 short-key entries (~20 chars each) with the
+    // full maps on the queries_full line and in bench_full.json —
+    // ~300 chars total, constant in suite size, so the sub-linear-tail
+    // invariant holds
     val suspectTail = suspects.take(5)
       .map { case (n, r, _) =>
         s""""${n.takeWhile(_ != '_')}":${fmt(r, 1)}""" }
       .mkString("{", ",", "}")
-    val finalLine = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n":${results.size},"n_errors":${results.count(_._3.isDefined)},"n_flaky":${results.count(_._4.isDefined)},"bench_runs":$benchRuns,"protocol":"$proto","sf":"$sfDir","file":"$benchFile","canary":$canaryJson,"loadavg":$loadJson,"n_suspect":${suspects.size},"suspect":$suspectTail,"queries":$slow20,"t_ds_order":"name-sorted","t_ds":$tds,"errors":$errsTail}"""
+    val retimedTail = suspectRetimed.take(5)
+      .map { case (n, sec) =>
+        s""""${n.takeWhile(_ != '_')}":${fmt(sec, 2)}""" }
+      .mkString("{", ",", "}")
+    val finalLine = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n":${results.size},"n_errors":${results.count(_._3.isDefined)},"n_flaky":${results.count(_._4.isDefined)},"bench_runs":$benchRuns,"protocol":"$proto","sf":"$sfDir","file":"$benchFile","canary":$canaryJson,"loadavg":$loadJson,"n_suspect":${suspects.size},"suspect":$suspectTail,"suspect_retimed":$retimedTail,"n_suspect_still":$stillHot,"queries":$slow20,"t_ds_order":"name-sorted","t_ds":$tds,"errors":$errsTail}"""
     // stop BEFORE the final print so nothing Spark writes during
     // shutdown can land after the line the driver parses as JSON (the
     // build's StdoutOutput strategy already keeps the sbt logger's

@@ -15,13 +15,26 @@ import org.apache.spark.sql.functions._
   * to reclaim the probed corpora's cache dirs afterwards (for one-shot
   * smoke corpora — mirrors ScaleSmoke's teardown).
   *
-  * Usage: runMain graft.GraphStats <sfDir> [sfDir ...] [--drop]
+  * With `--cc` (r13 verdict item 2), each graph is ALSO solved by BOTH
+  * CC regimes — the union-find endgame (default cap) and the
+  * checkpointed label-prop loop (cap forced to 0) — timing each,
+  * reporting the loop's round count, and asserting the two labelings
+  * bit-identical ON THAT GRAPH (`cc_label_mismatches` must print 0):
+  * the past-cap path is thereby exercised and timed on a real corpus
+  * (e.g. the 100× smoke corpus) instead of only at spec scale, and the
+  * crossover story in BASELINE.md rests on a measured loop, not on
+  * extrapolated pre-endgame numbers.
+  *
+  * Usage: runMain graft.GraphStats <sfDir> [sfDir ...] [--cc] [--drop]
   */
 object GraphStats {
   def main(args: Array[String]): Unit = {
-    val drop = args.lastOption.contains("--drop")
-    val dirs = (if (drop) args.dropRight(1) else args).toSeq
-    require(dirs.nonEmpty, "usage: GraphStats <sfDir> [sfDir ...] [--drop]")
+    val flags = args.filter(_.startsWith("--")).toSet
+    val drop = flags("--drop")
+    val ccBoth = flags("--cc")
+    val dirs = args.filterNot(_.startsWith("--")).toSeq
+    require(dirs.nonEmpty,
+      "usage: GraphStats <sfDir> [sfDir ...] [--cc] [--drop]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,16 +45,40 @@ object GraphStats {
     spark.sparkContext.setLogLevel("WARN")
     val cap = ops.Dedup.SmallGraphEdgeCap
     dirs.foreach { dir =>
-      val p54 = ops.Dedup.lshCandidatePairsCached(spark, dir).count()
+      val pairs54 = ops.Dedup.lshCandidatePairsCached(spark, dir)
+      val p54 = pairs54.count()
       // the SAME symmetrization q157 runs (Similarity.mutualEdges), so
       // the printed regime call is about the pillar's actual graph
-      val m = ops.Similarity.mutualEdges(
+      val mutual = ops.Similarity.mutualEdges(
         ops.Similarity.knnGraphCached(spark, dir)
-          .select(col("vec_id").as("a"), col("neighbor").as("b"))).count()
+          .select(col("vec_id").as("a"), col("neighbor").as("b")))
+      val m = mutual.count()
       def regime(pairs: Long) =
         if (pairs <= cap) s"endgame (${fmtX(cap, pairs)}x headroom)"
         else s"loop (${fmtX(pairs, cap)}x over cap)"
       println(s"""{"metric":"graph_stats","dir":"$dir","q54_pairs":$p54,"q157_mutual_pairs":$m,"endgame_cap_pairs":$cap,"q54_path":"${regime(p54)}","q157_path":"${regime(m)}"}""")
+      if (ccBoth) Seq(("q54", pairs54), ("q157", mutual)).foreach {
+        case (tag, pairs) =>
+          // both regimes on the SAME graph: default cap (endgame unless
+          // genuinely over it) vs cap=0 (label-prop loop forced). The
+          // loop executes eagerly (each round is a checkpoint job), so
+          // the timed span covers the rounds; count() flushes the tail.
+          def run(capOverride: Long): (org.apache.spark.sql.DataFrame,
+              Long, Double, Int) = {
+            val t0 = System.nanoTime()
+            val df = ops.Dedup.connectedComponents(pairs,
+              smallGraphCap = capOverride)
+            val n = df.count()
+            (df, n, (System.nanoTime() - t0) / 1e9, ops.Dedup.lastCcRounds)
+          }
+          val (fastDf, fastN, fastSec, fastRounds) = run(cap)
+          val (loopDf, loopN, loopSec, loopRounds) = run(0L)
+          // bit-identical labeling check on the real graph — the spec
+          // pins this at test scale, this pins it at corpus scale
+          val mism = fastDf.except(loopDf)
+            .union(loopDf.except(fastDf)).count()
+          println(s"""{"metric":"cc_both_regimes","dir":"$dir","graph":"$tag","labeled_nodes":$fastN,"endgame_sec":${fmtS(fastSec)},"endgame_rounds":$fastRounds,"loop_sec":${fmtS(loopSec)},"loop_rounds":$loopRounds,"loop_nodes":$loopN,"cc_label_mismatches":$mism}""")
+      }
     }
     if (drop) {
       val fps = dirs.flatMap { d =>
@@ -58,4 +95,7 @@ object GraphStats {
 
   private def fmtX(a: Long, b: Long): String =
     String.format(java.util.Locale.ROOT, "%.1f", Double.box(a.toDouble / b))
+
+  private def fmtS(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 }

@@ -518,6 +518,13 @@ object Dedup {
     * cluster set `spark.graft.checkpointDir` so rounds use reliable
     * `checkpoint` (executor loss kills local checkpoints) — see
     * [[Checkpoints]]. */
+  /** Diagnostic only (read by `graft.GraphStats --cc` and specs): the
+    * round count of the LAST [[connectedComponents]] call in this JVM —
+    * 0 when the union-find endgame answered, the loop's observed round
+    * count otherwise. Plain volatile scalar, set once per call at the
+    * point the labeling is final; not meant for concurrent CC calls. */
+  @volatile var lastCcRounds: Int = -1
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
       jumpsPerRound: Int = 1,
       smallGraphCap: Long = SmallGraphEdgeCap): DataFrame = {
@@ -540,8 +547,10 @@ object Dedup {
     // graph exceeds the cap and the checkpointed loop below runs
     // unchanged; the count() probe is one cheap job over the already
     // materialized edges.
-    if (integralIds && edges.count() <= 2 * smallGraphCap)
+    if (integralIds && edges.count() <= 2 * smallGraphCap) {
+      lastCcRounds = 0
       return withClusterSizes(smallGraphLabels(edges, idType))
+    }
     // the first propagation round is fused into initialization: lbl starts
     // at min(own id, min neighbor) — one aggregation instead of a full
     // join+union+agg round
@@ -597,6 +606,7 @@ object Dedup {
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    lastCcRounds = iter
     withClusterSizes(labels)
   }
 
@@ -764,6 +774,10 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-endpoint keep count for [[dupGraphLinkCandidates]]' readout:
+    * output ≤ 2·8·|nodes| — scale-proof however hubby the graph. */
+  val LinkCandidateTopK = 8
+
   /** Missing-link candidates over the near-dup graph: non-adjacent doc
     * pairs sharing at least one common neighbor, scored by
     * common-neighbor count and neighborhood Jaccard (basis points).
@@ -781,6 +795,17 @@ object Dedup {
     * degrees arrive by two broadcast-size equi-joins. Fan-out is the
     * same Σ deg² as [[dupGraphTriangles]], bounded by the hot-band
     * degree cap. Pure int64: jacc_bp = cn·10⁴ div (dₓ+d_y−cn).
+    *
+    * OUTPUT bound (r13 verdict item 3): the compute shape was always
+    * Σ deg²-bounded, but the raw readout was pair-shaped — a corpus
+    * with thousands of capped-degree hubs could emit tens of millions
+    * of candidate rows. The emitted set is therefore ranked per node:
+    * a pair survives only if it sits in either endpoint's
+    * [[LinkCandidateTopK]] best candidates (jaccard_bp desc, partner id
+    * asc — deterministic), so output ≤ 2·K·|nodes| rows whatever the
+    * wedge fan-out, while every node still sees its strongest missing
+    * links. Both row_number windows partition on a node id with ≤ its
+    * wedge-pair count rows — no unpartitioned window.
     */
   def dupGraphLinkCandidates(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
@@ -792,7 +817,7 @@ object Dedup {
       .select(col("n1.dst").as("doc_a"), col("n2.dst").as("doc_b"))
     val cn = wedges.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common_neighbors"))
-    cn.join(pairs,
+    val scored = cn.join(pairs,
         cn("doc_a") === pairs("da") && cn("doc_b") === pairs("db"),
         "left_anti")
       .join(deg.as("ga"), col("doc_a") === col("ga.src"))
@@ -801,6 +826,16 @@ object Dedup {
         expr("""common_neighbors * 10000L
                 div (ga.deg + gb.deg - common_neighbors)""")
           .as("jaccard_bp"))
+    val wa = Window.partitionBy(col("doc_a"))
+      .orderBy(col("jaccard_bp").desc, col("doc_b"))
+    val wb = Window.partitionBy(col("doc_b"))
+      .orderBy(col("jaccard_bp").desc, col("doc_a"))
+    scored
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+      .filter(col("ra") <= LinkCandidateTopK ||
+        col("rb") <= LinkCandidateTopK)
+      .drop("ra", "rb")
       .orderBy(col("jaccard_bp").desc, col("doc_a"), col("doc_b"))
   }
 
@@ -1367,13 +1402,24 @@ object Dedup {
              missing AS (
                SELECT cn.* FROM cn
                ANTI JOIN cand_pairs p
-                 ON cn.doc_a = p.da AND cn.doc_b = p.db)
-             SELECT m.doc_a, m.doc_b, m.common_neighbors,
-               m.common_neighbors * 10000
-                 // (ga.deg + gb.deg - m.common_neighbors) AS jaccard_bp
-             FROM missing m
-             JOIN deg ga ON m.doc_a = ga.src
-             JOIN deg gb ON m.doc_b = gb.src
+                 ON cn.doc_a = p.da AND cn.doc_b = p.db),
+             scored AS (
+               SELECT m.doc_a, m.doc_b, m.common_neighbors,
+                 m.common_neighbors * 10000
+                   // (ga.deg + gb.deg - m.common_neighbors) AS jaccard_bp
+               FROM missing m
+               JOIN deg ga ON m.doc_a = ga.src
+               JOIN deg gb ON m.doc_b = gb.src),
+             ranked AS (
+               SELECT *,
+                 row_number() OVER (PARTITION BY doc_a
+                   ORDER BY jaccard_bp DESC, doc_b) AS ra,
+                 row_number() OVER (PARTITION BY doc_b
+                   ORDER BY jaccard_bp DESC, doc_a) AS rb
+               FROM scored)
+             SELECT doc_a, doc_b, common_neighbors, jaccard_bp
+             FROM ranked
+             WHERE ra <= $LinkCandidateTopK OR rb <= $LinkCandidateTopK
              ORDER BY jaccard_bp DESC, doc_a, doc_b""")),
 
     // ---- one-row graph shape card + degree assortativity: which dedup

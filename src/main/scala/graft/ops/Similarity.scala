@@ -1175,7 +1175,11 @@ object Similarity {
     * floor-div parity discipline requires non-negative operands — the
     * q185 offset trick, cancelled in the reported mean). Every member
     * scores the same pair count, so the offset never flips the argmax;
-    * ties break to the min doc_id.
+    * ties break to the min doc_id. The quantized cosine is clamped to
+    * ≥ −10⁴ before the offset (both engines): float cosine of
+    * near-antipodal vectors can evaluate 1 ulp below −1, where
+    * floor(cos·10⁴) = −10001 would leave cos_off = −1 and truncating
+    * Spark `div` vs flooring DuckDB `//` would disagree on the mean.
     *
     * Scale shape: members cap at [[MedoidMemberCap]] per cluster (rank
     * by doc_id — deterministic), so the cluster-keyed self-join fans
@@ -1199,8 +1203,9 @@ object Similarity {
           col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.cluster_id").as("cluster_id"),
         col("a.doc_id").as("doc_id"),
-        (expr(s"""cast(floor(${dotExpr("a.de", "b.de")}
-                / (a.nrm * b.nrm) * 10000) as bigint)""") + lit(10000L))
+        (expr(s"""greatest(cast(floor(${dotExpr("a.de", "b.de")}
+                / (a.nrm * b.nrm) * 10000) as bigint),
+                cast(-10000 as bigint))""") + lit(10000L))
           .as("cos_off"))
       .groupBy(col("cluster_id"), col("doc_id"))
       .agg(sum(col("cos_off")).as("s_off"),
@@ -2511,8 +2516,9 @@ object Similarity {
            memb AS (SELECT * FROM memb0 WHERE rk <= $MedoidMemberCap),
            p AS (
              SELECT a.cluster_id, a.doc_id,
-               CAST(floor(${duckDot("a.de", "b.de")}
-                 / (a.nrm * b.nrm) * 10000) AS BIGINT) + 10000 AS cos_off
+               greatest(CAST(floor(${duckDot("a.de", "b.de")}
+                 / (a.nrm * b.nrm) * 10000) AS BIGINT), -10000) + 10000
+                 AS cos_off
              FROM memb a JOIN memb b
                ON a.cluster_id = b.cluster_id AND a.doc_id <> b.doc_id),
            sums AS (

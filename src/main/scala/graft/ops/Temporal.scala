@@ -16,6 +16,45 @@ import graft.{QueryDef, Tables}
   */
 object Temporal {
 
+  /** q208's sessionization + path rendering, factored to object scope so
+    * the streaming mirror's batch-equivalence spec
+    * (StreamingSpec ↔ [[graft.streaming.EventStreams.streamingSessionPaths]])
+    * pins against THE batch definition instead of a re-derivation:
+    * 30-minute-gap sessions per user (q25's rule, (ts, event_id)
+    * ordering), each rendered as the '>'-joined event-type path of its
+    * first [[SessionPathPrefix]] events. Output one row per
+    * (user_id, session_id) with the path string. The rn ≤ prefix filter
+    * runs BEFORE collect_list, so per-session state is ≤ 8 structs by
+    * construction. Input needs (user_id, ts, event_id, event_type). */
+  val SessionPathPrefix = 8
+
+  def sessionPaths(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_us",
+        lag(unix_micros(col("ts")), 1).over(byTime))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_sess"))
+        .over(byTime.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("rn", row_number().over(bySess))
+      .filter(col("rn") <= SessionPathPrefix)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(expr("""array_join(transform(
+             array_sort(collect_list(struct(ts, event_id, event_type))),
+             x -> x.event_type), '>')""").as("path"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- tumbling window over event time (window() → 1h buckets) ----
@@ -789,29 +828,7 @@ object Temporal {
     //      crossJoins. ----
     "q208_session_paths" -> QueryDef(
       (s, dir) => {
-        val byTime = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
-        val gapUs = 30L * 60 * 1000 * 1000
-        val bySess = Window.partitionBy(col("user_id"), col("session_id"))
-          .orderBy(col("ts"), col("event_id"))
-        val paths = Tables.load(s, dir, "events")
-          .select(col("user_id"), col("ts"), col("event_id"),
-            col("event_type"))
-          .withColumn("prev_us",
-            lag(unix_micros(col("ts")), 1).over(byTime))
-          .withColumn("new_sess",
-            when(col("prev_us").isNull ||
-              unix_micros(col("ts")) - col("prev_us") > gapUs, 1)
-              .otherwise(0))
-          .withColumn("session_id", sum(col("new_sess"))
-            .over(byTime.rowsBetween(Window.unboundedPreceding,
-              Window.currentRow)))
-          .withColumn("rn", row_number().over(bySess))
-          .filter(col("rn") <= 8)
-          .groupBy(col("user_id"), col("session_id"))
-          .agg(expr("""array_join(transform(
-                 array_sort(collect_list(struct(ts, event_id, event_type))),
-                 x -> x.event_type), '>')""").as("path"))
+        val paths = sessionPaths(Tables.load(s, dir, "events"))
           .transform(TransientCache.scopedDF)
         val ns = paths.agg(count(lit(1)).as("n_total"))
         paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))

@@ -674,6 +674,93 @@ object EventStreams {
       }
   }
 
+  final case class SessionState(last_us: Long, prefix: List[String])
+  final case class SessionPath(user_id: Long, path: String,
+      n_prefix_events: Int)
+
+  /** Streaming mirror of q208's sessionized journeys: per user, events
+    * fold into the CURRENT session's first-[[graft.ops.Temporal.SessionPathPrefix]]
+    * event-type path; a ≥30-minute gap CLOSES the session and emits its
+    * path (append mode), and the event-time timeout closes the trailing
+    * open session once the WATERMARK passes its gap horizon — so every
+    * session eventually emits exactly once, without an end-of-stream
+    * flush. State per user is bounded by construction: the ≤ 8-element
+    * type prefix plus the last event time — the q198/q199 state
+    * discipline applied to the one event readout that previously had no
+    * online form (r13 verdict item 6).
+    *
+    * Equality contract (StreamingSpec pins it): emitted (user, path)
+    * rows equal batch [[graft.ops.Temporal.sessionPaths]] over the same
+    * rows whenever each user's events arrive in nondecreasing
+    * (ts, event_id) order across batches — the funnel/transition
+    * contract verbatim. A late event older than the stored last event
+    * would extend the wrong session (and one older than the watermark
+    * is dropped by the state timeout already having fired); the batch
+    * query stays the oracle-checked truth.
+    *
+    * The mirror applies its own watermark on `ts` (delay = the gap
+    * itself) — EventTimeTimeout requires one, and the timeout is armed
+    * at last_event + gap, clamped one ms past the current watermark so
+    * a batch that arrives exactly at the horizon cannot arm a timeout
+    * in the past. */
+  def streamingSessionPaths(spark: SparkSession,
+      events: Dataset[FunnelEvent], gapMinutes: Int = 30)
+      : Dataset[SessionPath] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    val gapUs = gapMs * 1000L
+    val prefixCap = graft.ops.Temporal.SessionPathPrefix
+    // the gap compares MICROseconds, exactly the batch rule
+    // (unix_micros diff > gapUs opens a session); Timestamp carries the
+    // sub-ms part in nanos, getTime only ms
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[FunnelEvent],
+            state: GroupState[SessionState]) =>
+          def render(s: SessionState) =
+            SessionPath(uid, s.prefix.reverse.mkString(">"), s.prefix.size)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(render)
+            state.remove()
+            out.iterator
+          } else {
+            val out = Seq.newBuilder[SessionPath]
+            var cur = state.getOption
+            batch.toSeq
+              .sortWith((a, b) => a.ts.before(b.ts) ||
+                (a.ts.equals(b.ts) && a.event_id < b.event_id))
+              .foreach { e =>
+                val us = micros(e.ts)
+                cur match {
+                  case Some(s) if us - s.last_us <= gapUs =>
+                    // prefix is stored reversed (cons = O(1)); only the
+                    // first prefixCap types are kept, like batch rn ≤ 8
+                    cur = Some(SessionState(us,
+                      if (s.prefix.size < prefixCap) e.event_type :: s.prefix
+                      else s.prefix))
+                  case Some(s) =>
+                    out += render(s)
+                    cur = Some(SessionState(us, List(e.event_type)))
+                  case None =>
+                    cur = Some(SessionState(us, List(e.event_type)))
+                }
+              }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1,
+                  s.last_us / 1000L + gapMs))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** State-store configuration for running [[streamingDedup]] against a
     * corpus-scale stream. The state is deliberately tiny per key (one
     * boolean per content md5) but the KEY COUNT is the corpus

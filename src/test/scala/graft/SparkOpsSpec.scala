@@ -766,7 +766,11 @@ class ConnectedComponentsSpec extends AnyFunSuite {
           smallGraphCap = cap)
         .orderBy("doc_id").collect().map(_.toSeq).toSeq
     val fast = run(1, graft.ops.Dedup.SmallGraphEdgeCap)
+    // the lastCcRounds diagnostic pins WHICH path answered: 0 = endgame,
+    // > 0 = the checkpointed loop (what GraphStats --cc reports per run)
+    assert(graft.ops.Dedup.lastCcRounds == 0)
     assert(fast == run(1, 0L))
+    assert(graft.ops.Dedup.lastCcRounds > 0)
     assert(fast == run(3, 0L))
   }
 

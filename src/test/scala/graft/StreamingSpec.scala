@@ -577,6 +577,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session paths equal batch sessionPaths on closed sessions; watermark expiry closes the trailing session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    // u1: two sessions (gap 45 min > 30) then a long session whose 9th+
+    // events must truncate out of the path; u2: one session with a tied
+    // instant (ids 31/32 — event_id breaks the order inside the path)
+    val all = Seq(
+      EventStreams.FunnelEvent(10L, at(0), 1L, "view"),
+      EventStreams.FunnelEvent(11L, at(5), 1L, "click"),
+      // 45-min gap: closes session 1 = view>click
+      EventStreams.FunnelEvent(12L, at(50), 1L, "view"),
+      EventStreams.FunnelEvent(13L, at(55), 1L, "purchase"),
+      // 40-min gap: closes session 2; session 3 has 9 events → 8 kept
+      EventStreams.FunnelEvent(14L, at(95), 1L, "view")) ++
+      (0 until 8).map(i => EventStreams.FunnelEvent(15L + i,
+        at(96 + i), 1L, if (i % 2 == 0) "click" else "view")) ++ Seq(
+      EventStreams.FunnelEvent(30L, at(0), 2L, "view"),
+      EventStreams.FunnelEvent(32L, at(10), 2L, "error"),
+      EventStreams.FunnelEvent(31L, at(10), 2L, "click"))
+    // split mid-session for u1 (state must bridge batches), then a far-
+    // future tick advances the watermark past every open session's gap
+    // horizon so the trailing sessions emit via EventTimeTimeout
+    val batch1 = all.filter(_.ts.getTime <= at(50).getTime).reverse
+    val batch2 = all.filter(_.ts.getTime > at(50).getTime).reverse
+    // two ticks: a batch's timeouts fire against the PREVIOUS batch's
+    // watermark, so tick1 (watermark → 73 min) fires u2's 40-min
+    // horizon, and tick2 (watermark → ~9970 min from tick1) fires u1's
+    // trailing 133-min horizon
+    val tick1 = EventStreams.FunnelEvent(99L, at(10000), 9L, "view")
+    val tick2 = EventStreams.FunnelEvent(100L, at(10001), 9L, "view")
+    val input = MemoryStream[EventStreams.FunnelEvent]
+    val q = EventStreams.streamingSessionPaths(spark, input.toDS())
+      .writeStream.format("memory").queryName("sesspaths")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      input.addData(tick1)
+      q.processAllAvailable()
+      input.addData(tick2)
+      q.processAllAvailable()
+      val streamed = spark.table("sesspaths").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .filter(_._1 != 9L) // the watermark tick's own session stays open
+        .groupBy(identity).view.mapValues(_.size).toMap
+      // batch truth: Temporal.sessionPaths over the same rows
+      val batchPaths = graft.ops.Temporal.sessionPaths(
+          all.map(e => (e.event_id, e.ts, e.user_id, e.event_type))
+            .toDF("event_id", "ts", "user_id", "event_type"))
+        .collect().map(r => (r.getLong(0), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(streamed == batchPaths,
+        "closed-session (user, path) multiset equals batch sessionPaths")
+      // the 9-event session truncated to its first 8 types
+      assert(streamed.keySet.exists { case (u, p) =>
+        u == 1L && p.split(">").length == 8 && p.startsWith("view>click") })
+      // the tied instant ordered by event_id: click (31) before error (32)
+      assert(streamed.contains((2L, "view>click>error")))
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup over initial base-key state reproduces batch q74 for every prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
