@@ -2262,6 +2262,28 @@ class PageRankSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((2L, 3L, 2L, 10000L)))
   }
 
+  test("q205: per-endpoint top-k bounds a hub's readout; kept set follows the (jaccard, partner-id) rank") {
+    import spark.implicits._
+    // star: hub 0 with leaves 1..20 — every leaf pair is a wedge
+    // candidate through the hub with identical jacc (1/(1+1-1)), so the
+    // rank order is purely the partner-id tie-break and the kept set is
+    // computable by hand: for contiguous leaf ids, (a,b) has
+    // ra = b - a (partition doc_a, order doc_b) and rb = a (partition
+    // doc_b, order doc_a); it is dropped iff BOTH exceed K=8
+    val pairs = (1L to 20L).map(l => (0L, l)).toDF("da", "db")
+    val got = graft.ops.Dedup.dupGraphLinkCandidates(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val k = graft.ops.Dedup.LinkCandidateTopK
+    val all = (for (a <- 1L to 20L; b <- (a + 1) to 20L) yield (a, b)).toSet
+    val dropped = all.filter { case (a, b) => (b - a) > k && a > k }
+    assert(dropped.nonEmpty, "fixture must actually exercise the bound")
+    assert(got == all -- dropped)
+    assert(dropped == Set((9L, 18L), (9L, 19L), (9L, 20L), (10L, 19L),
+      (10L, 20L), (11L, 20L)))
+    // the structural output bound the scaladoc states: ≤ 2·K·|nodes|
+    assert(got.size <= 2 * k * 21)
+  }
+
   test("q215: a chain is perfectly disassortative, a clique is regular (0 by convention)") {
     import spark.implicits._
     def run(pairs: Seq[(Long, Long)]) = {
