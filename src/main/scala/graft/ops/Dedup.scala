@@ -778,6 +778,21 @@ object Dedup {
     * output ≤ 2·8·|nodes| — scale-proof however hubby the graph. */
   val LinkCandidateTopK = 8
 
+  /** Distinct-name cap per blocking key for [[fuzzyNameMatches]] — the
+    * [[graft.ops.Similarity.MedoidMemberCap]] discipline: the block
+    * self-join fans out ≤ cap² pairs per key whatever the corpus, so a
+    * degenerate hot noun cannot turn the query quadratic. Rank by name
+    * (deterministic), mirrored in the oracle. Declared before `defs`,
+    * whose q224 oracle string interpolates it eagerly at object init. */
+  val FuzzyBlockCap = 256
+
+  /** Maximum levenshtein distance a blocked name pair may carry into
+    * the q224 readout — 3 covers the single-typo / dropped-prefix /
+    * OCR-substitution class without admitting the distance-4+ mass
+    * where unrelated short names collide. Pre-`defs` like
+    * [[FuzzyBlockCap]]. */
+  val FuzzyMaxEdits = 3
+
   /** Missing-link candidates over the near-dup graph: non-adjacent doc
     * pairs sharing at least one common neighbor, scored by
     * common-neighbor count and neighborhood Jaccard (basis points).
@@ -1842,7 +1857,77 @@ object Dedup {
            JOIN szs sa ON sa.doc_id = p.da
            JOIN szs sb ON sb.doc_id = p.db
            ORDER BY p.da, p.db""")),
+
+    // ---- EDIT-DISTANCE entity resolution: the dedup modality the
+    //      token/shingle sketches cannot see. MinHash/SimHash/winnowing
+    //      key on shared TOKEN content — "cold anvil" vs "old anvil"
+    //      (one char apart, the vendor-typo / OCR-drop archetype over
+    //      catalog names, authors, titles) share NO word token on the
+    //      changed word, so every sketch in q33-q182 scores them
+    //      unrelated. This query resolves them: distinct part names,
+    //      blocked on the LAST token (the head noun), pairwise
+    //      levenshtein ≤ [[FuzzyMaxEdits]] within a block.
+    //      See [[fuzzyNameMatches]] for the scale derivation. ----
+    "q224_fuzzy_name_match" -> QueryDef(
+      (s, dir) => fuzzyNameMatches(Tables.load(s, dir, "part")),
+      Some(s"""WITH names AS (
+               SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+               FROM part GROUP BY p_name),
+             blk AS (
+               SELECT p_name, n_parts,
+                 regexp_extract(p_name, '([^ ]+)$$', 1) AS blk
+               FROM names),
+             capped AS (
+               SELECT * FROM (
+                 SELECT *, row_number() OVER (PARTITION BY blk
+                   ORDER BY p_name) AS rk
+                 FROM blk)
+               WHERE rk <= $FuzzyBlockCap)
+             SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)
+                 AS edit_distance,
+               a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+             FROM capped a
+             JOIN capped b ON a.blk = b.blk AND a.p_name < b.p_name
+             WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxEdits
+             ORDER BY name_a, name_b""")),
   )
+
+  /** q224's blocked fuzzy self-join over a (p_name, …) frame: distinct
+    * names (exact duplicates collapse FIRST — the quadratic term runs
+    * on the name domain, not the row count), blocked on the last
+    * whitespace token, per-block rank capped at [[FuzzyBlockCap]],
+    * pairwise `levenshtein` (codegen'd built-in, identical unit-cost
+    * Wagner-Fischer in DuckDB) kept at ≤ [[FuzzyMaxEdits]].
+    *
+    * Scale shape: ONE distinct-name aggregate (map-side combinable on
+    * p_name), then a block-keyed EQUI-join — the quadratic work is
+    * per-block and bounded by cap² · O(len²) per pair; no all-pairs
+    * join exists anywhere in the plan. Blocking recall is the standard
+    * trade-off: a typo in the BLOCKING token itself ("anvil"→"anvi1")
+    * lands the name in another block and is missed — production runs
+    * the same pass once per blocking key choice (first token, last
+    * token, length bucket) and unions; this query ships the
+    * head-noun pass, and the scaladoc'd miss class is exactly what the
+    * multi-pass would add. */
+  def fuzzyNameMatches(parts: DataFrame): DataFrame = {
+    val names = parts.groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    val wBlk = Window.partitionBy(col("blk")).orderBy(col("p_name"))
+    val capped = names.withColumn("rk", row_number().over(wBlk))
+      .filter(col("rk") <= FuzzyBlockCap)
+      .select(col("blk"), col("p_name"), col("n_parts"))
+      .transform(TransientCache.scopedDF)
+    capped.as("a").join(capped.as("b"),
+        col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        levenshtein(col("a.p_name"), col("b.p_name")).cast("long")
+          .as("edit_distance"),
+        col("a.n_parts").as("n_parts_a"), col("b.n_parts").as("n_parts_b"))
+      .filter(col("edit_distance") <= FuzzyMaxEdits)
+      .orderBy(col("name_a"), col("name_b"))
+  }
 
   /** q126's pipeline over a (doc_id, text) frame: q54 components →
     * per-cluster sizes → power-of-two histogram, with the singleton mass

@@ -28,6 +28,14 @@ object Temporal {
     * construction. Input needs (user_id, ts, event_id, event_type). */
   val SessionPathPrefix = 8
 
+  /** The q223 candidate session gaps, in seconds — 5 m, 15 m, the
+    * shipped 30 m (q25/q208), 1 h, 2 h. One constant feeds BOTH the
+    * Spark conditional aggregate and the generated oracle SQL (the
+    * q195 estimateSql discipline: grid drift between engines is
+    * impossible by construction). Declared BEFORE `defs`, whose oracle
+    * strings interpolate it eagerly at object init. */
+  val SessionGapSweepSeconds: Seq[Long] = Seq(300L, 900L, 1800L, 3600L, 7200L)
+
   def sessionPaths(events: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val byTime = Window.partitionBy(col("user_id"))
@@ -1250,5 +1258,73 @@ object Temporal {
                gap AS top_mover_gap_bp
              FROM ranked WHERE rk = 1
              ORDER BY week""")),
+
+    // ---- SESSION-GAP SENSITIVITY SWEEP: before q25/q208/the q208
+    //      streaming mirror hard-code the 30-minute session gap, this
+    //      measures what each candidate gap would do — per gap g in
+    //      {5m, 15m, 30m, 1h, 2h}: the session count (every user's
+    //      first event opens one + every inter-event gap > g opens
+    //      one) and mean events/session in centi-events. The same
+    //      authoring-time-measurement discipline as q139's threshold
+    //      sweep and q193's bloom sizing: the constant the pipeline
+    //      ships is justified by a query, not a guess. A flat
+    //      n_sessions curve around the shipped gap = robust choice; a
+    //      steep one = session analytics are artifacts of the constant.
+    //      Scale: ONE lag window per user (the q25 ordering) + one
+    //      one-row conditional aggregate; the grid costs |grid|
+    //      conditional sums in the SAME map-side pass (no per-gap
+    //      rescan, no crossJoin — stack() unpivots the one-row frame).
+    //      Both engines spell the grid from [[SessionGapSweepSeconds]]
+    //      via one generator each, so Spark and oracle can never
+    //      disagree on the grid. ----
+    "q223_session_gap_sweep" -> QueryDef(
+      (s, dir) => {
+        val byTime = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gaps = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("gap_us", unix_micros(col("ts"))
+            - lag(unix_micros(col("ts")), 1).over(byTime))
+        val aggCols =
+          count(lit(1)).as("n_events") +:
+          sum(when(col("gap_us").isNull, 1L).otherwise(0L)).as("n_users") +:
+          SessionGapSweepSeconds.map(g =>
+            sum(when(col("gap_us") > g * 1000000L, 1L).otherwise(0L))
+              .as(s"b_$g"))
+        val one = gaps.agg(aggCols.head, aggCols.tail: _*)
+        val stackExpr = s"stack(${SessionGapSweepSeconds.size}, " +
+          SessionGapSweepSeconds.map(g =>
+            s"${g / 60}L, n_users + b_$g").mkString(", ") +
+          ") AS (gap_minutes, n_sessions)"
+        one.selectExpr(stackExpr, "n_events")
+          .select(col("gap_minutes"), col("n_sessions"),
+            expr("n_events * 100 div n_sessions")
+              .as("events_per_session_x100"))
+          .orderBy(col("gap_minutes"))
+      },
+      Some(s"""WITH g AS (
+               SELECT epoch_us(CAST(ts AS TIMESTAMP))
+                 - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                     PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+               FROM events),
+             t AS (
+               SELECT CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CASE WHEN gap_us IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_users,
+                 ${SessionGapSweepSeconds.map(g =>
+                   s"""CAST(sum(CASE WHEN gap_us > CAST(${g * 1000000L}
+                      AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS b_$g""")
+                   .mkString(",\n                 ")}
+               FROM g)
+             SELECT gap_minutes, n_sessions,
+               n_events * 100 // n_sessions AS events_per_session_x100
+             FROM (
+               ${SessionGapSweepSeconds.map(g =>
+                 s"""SELECT CAST(${g / 60} AS BIGINT) AS gap_minutes,
+                    n_users + b_$g AS n_sessions, n_events FROM t""")
+                 .mkString("\n               UNION ALL\n               ")}
+             )
+             ORDER BY gap_minutes""")),
   )
 }

@@ -2284,6 +2284,47 @@ class PageRankSpec extends AnyFunSuite {
     assert(got.size <= 2 * k * 21)
   }
 
+  test("q224: the vendor-typo pair resolves; blocking misses are exactly the documented classes; the block cap holds") {
+    import spark.implicits._
+    // "cold anvil"×2 / "old anvil": the distance-1 typo pair the token
+    // sketches can't see — kept, with exact-dup counts carried.
+    // "blue bolt"/"blue rod" (distance 3, different noun) and
+    // "cold anvi1" (typo IN the blocking token) are the two scaladoc'd
+    // miss classes — both absent.
+    val parts = Seq("cold anvil", "cold anvil", "old anvil",
+      "blue bolt", "blue rod", "cold anvi1").toDF("p_name")
+    val got = graft.ops.Dedup.fuzzyNameMatches(parts).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("cold anvil", "old anvil", 1L, 2L, 1L)))
+    // cap: 300 names in one block, rank > FuzzyBlockCap never pairs
+    val cap = graft.ops.Dedup.FuzzyBlockCap
+    val many = (1 to 300).map(i => f"n$i%03d widget").toDF("p_name")
+    val capped = graft.ops.Dedup.fuzzyNameMatches(many).collect()
+      .flatMap(r => Seq(r.getString(0), r.getString(1)))
+    assert(capped.nonEmpty && capped.max == f"n$cap%03d widget")
+  }
+
+  test("q223: session counts per gap are exact on a hand fixture, with strict-> at the boundary") {
+    import spark.implicits._
+    def at(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val dir = TestDirs.scratch("gapsweep")
+    // u1 gaps: 10m, 30m, 60m; u2 single event (one session at every gap)
+    Seq((1L, at(0), 1L, "view", 1.0, "{}"),
+      (2L, at(10), 1L, "view", 1.0, "{}"),
+      (3L, at(40), 1L, "view", 1.0, "{}"),
+      (4L, at(100), 1L, "view", 1.0, "{}"),
+      (5L, at(0), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q223_session_gap_sweep")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a 30 m gap does NOT split at the 30 m setting (strict >), nor
+    // does the 60 m gap at 1 h — the q25 boundary convention
+    assert(got.toSeq == Seq((5L, 5L, 100L), (15L, 4L, 125L),
+      (30L, 3L, 166L), (60L, 2L, 250L), (120L, 2L, 250L)))
+  }
+
   test("q215: a chain is perfectly disassortative, a clique is regular (0 by convention)") {
     import spark.implicits._
     def run(pairs: Seq[(Long, Long)]) = {
