@@ -1584,8 +1584,9 @@ object CorpusStats {
     * feature profile is more probable under the target than under the
     * raw corpus — exactly log(p_T/p_R) with whole-bit logs. wpt_milli
     * divides by doc length with an explicit sign split so Spark `div`
-    * (trunc) and DuckDB `//` (floor) only ever see non-negative
-    * operands.
+    * and DuckDB `//` only ever see non-negative operands (measured:
+    * both TRUNCATE on BIGINT — DESIGN.md round-14 — but the invariant
+    * keeps parity independent of that engine detail).
     *
     * Scale shape: the feature table is [[DsirBuckets]] rows whatever
     * the corpus size — a broadcast LUT join the per-doc counts stream

@@ -1171,15 +1171,20 @@ object Similarity {
     * quantized to int64 by floor(cos·10⁴) BEFORE summation, so the
     * per-member totals are exact integers in both engines. Sums carry a
     * +10⁴ per-pair offset keeping them non-negative (cosines can be
-    * negative; Spark `div` truncates while DuckDB `//` floors, so the
-    * floor-div parity discipline requires non-negative operands — the
-    * q185 offset trick, cancelled in the reported mean). Every member
+    * negative; the house int64-division discipline keeps `div`/`//`
+    * operands non-negative so parity never rests on either engine's
+    * negative-division convention (measured: both truncate on BIGINT —
+    * DESIGN.md round-14) — the q185 offset trick, cancelled in the
+    * reported mean). Every member
     * scores the same pair count, so the offset never flips the argmax;
     * ties break to the min doc_id. The quantized cosine is clamped to
     * ≥ −10⁴ before the offset (both engines): float cosine of
     * near-antipodal vectors can evaluate 1 ulp below −1, where
-    * floor(cos·10⁴) = −10001 would leave cos_off = −1 and truncating
-    * Spark `div` vs flooring DuckDB `//` would disagree on the mean.
+    * floor(cos·10⁴) = −10001 would leave cos_off = −1 — violating the
+    * non-negativity invariant this pipeline documents (the engines
+    * happen to agree on negative BIGINT division — both truncate,
+    * DESIGN.md round-14 — but the invariant, not that engine detail,
+    * is what parity rests on).
     *
     * Scale shape: members cap at [[MedoidMemberCap]] per cluster (rank
     * by doc_id — deterministic), so the cluster-keyed self-join fans

@@ -479,8 +479,9 @@ object Snapshot {
     * added residue, current lacks the removed one). Centroids are
     * computed entirely in int64: each coordinate is floor-micro-
     * quantized (the q143 idiom) and OFFSET by +1,000,000 so every
-    * later division sees non-negative operands (Spark `div` = trunc,
-    * DuckDB `//` = floor — they agree only there); the offset cancels
+    * later division sees non-negative operands (measured: `div` and
+    * `//` both truncate on BIGINT — DESIGN.md round-14 — but
+    * non-negativity keeps parity engine-detail-free); the offset cancels
     * in the drift difference. Drift = Σ_dims |c_prev − c_cur| in micro
     * units, plus the worst single dimension — the semantic-axis
     * companion to q162's quality drift (an embedding-model change or a
