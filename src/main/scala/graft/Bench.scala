@@ -55,7 +55,17 @@ object Bench {
     * AND was taken at the same sf dir — the history baseline behind the
     * `suspect` field (a timed min > 3× its prior min is flagged; a real
     * regression flags too, which is the point: either way the entry
-    * deserves a look rather than silent trust). */
+    * deserves a look rather than silent trust).
+    *
+    * When the previous run carried a `suspect_retimed` map, each entry
+    * FOLDS IN (min) over the stored main-loop time: a suspect the
+    * adjudication pass measured clean still wrote its load-inflated
+    * main-loop minimum into `queries` (the artifact reports what was
+    * measured, honestly), and reading THAT as the baseline would let
+    * the next run's gate compare against an inflated prior — a real
+    * regression up to 3× the inflation would sail through unflagged.
+    * The re-timed value is the steadier of the two by construction, so
+    * the history consumer, not the artifact, takes the min. */
   def priorTimes(path: String, sfDir: String): Map[String, Double] =
     try {
       import org.json4s._
@@ -65,15 +75,21 @@ object Bench {
         case JString(s) => s == sfDir
         case _ => false
       }
-      if (!sameSf) Map.empty
-      else (j \ "queries") match {
+      def numMap(v: JValue): Map[String, Double] = v match {
         case JObject(fields) => fields.collect {
-          case (k, JDouble(v)) => k -> v
-          case (k, JInt(v)) => k -> v.toDouble
-          case (k, JLong(v)) => k -> v.toDouble
-          case (k, JDecimal(v)) => k -> v.toDouble
+          case (k, JDouble(x)) => k -> x
+          case (k, JInt(x)) => k -> x.toDouble
+          case (k, JLong(x)) => k -> x.toDouble
+          case (k, JDecimal(x)) => k -> x.toDouble
         }.toMap
         case _ => Map.empty
+      }
+      if (!sameSf) Map.empty
+      else {
+        val qs = numMap(j \ "queries")
+        val retimed = numMap(j \ "suspect_retimed")
+        qs.map { case (k, v) =>
+          k -> retimed.get(k).fold(v)(math.min(v, _)) }
       }
     } catch { case _: Exception => Map.empty }
 
@@ -220,8 +236,14 @@ object Bench {
     // can demonstrate flag-then-clear end to end (BASELINE.md records
     // one). Cost: ~2× the suspect set's steady-state seconds, zero when
     // the run is clean.
-    val retimeLoad = loadavg1()
-    val suspectRetimed: Seq[(String, Double)] =
+    val retimeLoadStart = loadavg1()
+    // per suspect: (name, best successful re-time OR best elapsed,
+    // error marker when EVERY re-run failed). A failed run's elapsed
+    // time is NOT a measurement (the main loop's own discipline): a
+    // suspect whose re-runs all fail must stay still-hot — fast
+    // failures would otherwise adjudicate a real intermittent
+    // regression away as "load noise".
+    val suspectRetimed: Seq[(String, Double, Option[String])] =
       if (suspects.isEmpty) Seq.empty
       else {
         System.err.println(
@@ -234,11 +256,13 @@ object Bench {
             timeOne(spark, sfDir, fn)
           }
           val ok = runs.collect { case (sec, None) => sec }
-          name -> (if (ok.nonEmpty) ok.min else runs.map(_._1).min)
+          if (ok.nonEmpty) (name, ok.min, None)
+          else (name, runs.map(_._1).min, runs.flatMap(_._2).headOption)
         }
       }
-    val stillHot = suspectRetimed.count { case (n, sec) =>
-      prior.get(n).exists(p => sec > 3 * p) }
+    val retimeLoadEnd = loadavg1()
+    val stillHot = suspectRetimed.count { case (n, sec, err) =>
+      err.isDefined || prior.get(n).exists(p => sec > 3 * p) }
     val canaryEnd = canaryRuns(spark)
     val loadEnd = loadavg1()
     loadMax = math.max(loadMax, loadEnd)
@@ -299,11 +323,21 @@ object Bench {
     // suspect_retimed: the adjudication pass's per-suspect min-of-2, in
     // seconds — read it against `queries` (the flagged time) and the
     // prior history; n_suspect_still counts re-times STILL > 3× history
-    // (the real-regression signal; 0 = all flags were load noise).
+    // PLUS any suspect whose re-runs all failed (the real-regression
+    // signal; 0 = all flags were load noise). Failed re-times also
+    // carry their exception class in suspect_retime_errors.
+    // retime_loadavg samples BOTH sides of the pass: `start` is still
+    // the suite's own 1-min tail; `end` covers the adjudication window
+    // itself, which is what a judge should read.
     val suspectRetimedJson = suspectRetimed
-      .map { case (n, sec) => s""""$n":${fmt(sec, 3)}""" }
+      .map { case (n, sec, _) => s""""$n":${fmt(sec, 3)}""" }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"queries_full","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flakies,"bench_runs":$benchRuns,"protocol":"$proto","sf":"$sfDir","canary":$canaryJson,"loadavg":$loadJson,"suspect":$suspectJson,"suspect_retimed":$suspectRetimedJson,"retime_loadavg":${fmt(retimeLoad, 2)},"n_suspect_still":$stillHot}"""
+    val retimeErrsJson = suspectRetimed
+      .collect { case (n, _, Some(e)) => s""""$n":"$e"""" }
+      .mkString("{", ",", "}")
+    val retimeLoadJson =
+      s"""{"start":${fmt(retimeLoadStart, 2)},"end":${fmt(retimeLoadEnd, 2)}}"""
+    val fullLine = s"""{"metric":"queries_full","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flakies,"bench_runs":$benchRuns,"protocol":"$proto","sf":"$sfDir","canary":$canaryJson,"loadavg":$loadJson,"suspect":$suspectJson,"suspect_retimed":$suspectRetimedJson,"suspect_retime_errors":$retimeErrsJson,"retime_loadavg":$retimeLoadJson,"n_suspect_still":$stillHot}"""
     println(fullLine)
     // bench_full.json always describes a FULL suite run: a
     // SPARK_GRAFT_BENCH_ONLY-restricted run must not overwrite it, or
@@ -346,7 +380,7 @@ object Bench {
         s""""${n.takeWhile(_ != '_')}":${fmt(r, 1)}""" }
       .mkString("{", ",", "}")
     val retimedTail = suspectRetimed.take(5)
-      .map { case (n, sec) =>
+      .map { case (n, sec, _) =>
         s""""${n.takeWhile(_ != '_')}":${fmt(sec, 2)}""" }
       .mkString("{", ",", "}")
     val finalLine = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n":${results.size},"n_errors":${results.count(_._3.isDefined)},"n_flaky":${results.count(_._4.isDefined)},"bench_runs":$benchRuns,"protocol":"$proto","sf":"$sfDir","file":"$benchFile","canary":$canaryJson,"loadavg":$loadJson,"n_suspect":${suspects.size},"suspect":$suspectTail,"suspect_retimed":$retimedTail,"n_suspect_still":$stillHot,"queries":$slow20,"t_ds_order":"name-sorted","t_ds":$tds,"errors":$errsTail}"""

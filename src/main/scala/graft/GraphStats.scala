@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
 object GraphStats {
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).toSet
+    // reject unknown flags loudly: a typo'd --ccc silently skipping the
+    // dual-regime pass would let a measurement session believe it ran
+    val unknown = flags -- Set("--cc", "--drop")
+    require(unknown.isEmpty,
+      s"unknown flag(s) ${unknown.mkString(", ")} — " +
+        "usage: GraphStats <sfDir> [sfDir ...] [--cc] [--drop]")
     val drop = flags("--drop")
     val ccBoth = flags("--cc")
     val dirs = args.filterNot(_.startsWith("--")).toSeq
@@ -49,9 +55,14 @@ object GraphStats {
       val p54 = pairs54.count()
       // the SAME symmetrization q157 runs (Similarity.mutualEdges), so
       // the printed regime call is about the pillar's actual graph
+      // persisted: the mutual self-join otherwise re-executes for the
+      // count, inside each CC regime's symmetrize, and again in the
+      // label-equality except() — recompute cost that would inflate
+      // the reported regime seconds with work that belongs to neither
       val mutual = ops.Similarity.mutualEdges(
         ops.Similarity.knnGraphCached(spark, dir)
           .select(col("vec_id").as("a"), col("neighbor").as("b")))
+        .persist()
       val m = mutual.count()
       def regime(pairs: Long) =
         if (pairs <= cap) s"endgame (${fmtX(cap, pairs)}x headroom)"
@@ -78,7 +89,13 @@ object GraphStats {
           val mism = fastDf.except(loopDf)
             .union(loopDf.except(fastDf)).count()
           println(s"""{"metric":"cc_both_regimes","dir":"$dir","graph":"$tag","labeled_nodes":$fastN,"endgame_sec":${fmtS(fastSec)},"endgame_rounds":$fastRounds,"loop_sec":${fmtS(loopSec)},"loop_rounds":$loopRounds,"loop_nodes":$loopN,"cc_label_mismatches":$mism}""")
+          // the scaladoc says ASSERTING, so a divergence fails the run
+          // (after the JSON line prints, so the evidence survives) —
+          // a scripted --cc invocation must not exit green on mismatch
+          require(mism == 0L,
+            s"$tag: $mism label mismatches between CC regimes at $dir")
       }
+      mutual.unpersist()
     }
     if (drop) {
       val fps = dirs.flatMap { d =>

@@ -16,16 +16,9 @@ import graft.{QueryDef, Tables}
   */
 object Temporal {
 
-  /** q208's sessionization + path rendering, factored to object scope so
-    * the streaming mirror's batch-equivalence spec
-    * (StreamingSpec ↔ [[graft.streaming.EventStreams.streamingSessionPaths]])
-    * pins against THE batch definition instead of a re-derivation:
-    * 30-minute-gap sessions per user (q25's rule, (ts, event_id)
-    * ordering), each rendered as the '>'-joined event-type path of its
-    * first [[SessionPathPrefix]] events. Output one row per
-    * (user_id, session_id) with the path string. The rn ≤ prefix filter
-    * runs BEFORE collect_list, so per-session state is ≤ 8 structs by
-    * construction. Input needs (user_id, ts, event_id, event_type). */
+  /** Path prefix cap for [[sessionPaths]]/q208: only a session's first
+    * 8 events render into its path — the prefix that distinguishes
+    * journey SHAPES; longer sessions truncate, deliberately. */
   val SessionPathPrefix = 8
 
   /** The q223 candidate session gaps, in seconds — 5 m, 15 m, the
@@ -36,6 +29,16 @@ object Temporal {
     * strings interpolate it eagerly at object init. */
   val SessionGapSweepSeconds: Seq[Long] = Seq(300L, 900L, 1800L, 3600L, 7200L)
 
+  /** q208's sessionization + path rendering, factored to object scope so
+    * the streaming mirror's batch-equivalence spec
+    * (StreamingSpec ↔ [[graft.streaming.EventStreams.streamingSessionPaths]])
+    * pins against THE batch definition instead of a re-derivation:
+    * 30-minute-gap sessions per user (q25's rule, (ts, event_id)
+    * ordering), each rendered as the '>'-joined event-type path of its
+    * first [[SessionPathPrefix]] events. Output one row per
+    * (user_id, session_id) with the path string. The rn ≤ prefix filter
+    * runs BEFORE collect_list, so per-session state is ≤ 8 structs by
+    * construction. Input needs (user_id, ts, event_id, event_type). */
   def sessionPaths(events: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val byTime = Window.partitionBy(col("user_id"))

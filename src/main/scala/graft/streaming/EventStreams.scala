@@ -693,10 +693,18 @@ object EventStreams {
     * rows equal batch [[graft.ops.Temporal.sessionPaths]] over the same
     * rows whenever each user's events arrive in nondecreasing
     * (ts, event_id) order across batches — the funnel/transition
-    * contract verbatim. A late event older than the stored last event
-    * would extend the wrong session (and one older than the watermark
-    * is dropped by the state timeout already having fired); the batch
-    * query stays the oracle-checked truth.
+    * contract — AND no user's arrival lags the stream's watermark past
+    * its own gap horizon. The second condition is new here because,
+    * unlike the funnel/transition mirrors, this one carries an
+    * event-TIME timeout: cross-user skew (a far-future event from user
+    * B advancing the watermark while user A's in-order events are
+    * still in flight) can fire A's timeout early, emitting a truncated
+    * session and late-dropping A's remaining in-order events. That is
+    * inherent to any watermarked session close, not a state trade:
+    * per-user watermarks don't exist, so the bound on cross-user
+    * arrival skew IS the watermark delay (= the gap). A late event
+    * older than the stored last event would likewise extend the wrong
+    * session; the batch query stays the oracle-checked truth.
     *
     * The mirror applies its own watermark on `ts` (delay = the gap
     * itself) — EventTimeTimeout requires one, and the timeout is armed

@@ -346,4 +346,17 @@ class BenchErrorSpec extends AnyFunSuite {
       (s, dir) => SparkEntry.queries("q16_top_orders_global")(s, dir))
     assert(ok.isEmpty)
   }
+
+  test("priorTimes folds suspect_retimed minima so a cleared suspect's inflated time never becomes the next gate's prior") {
+    val dir = TestDirs.scratch("benchhist")
+    val f = s"$dir/hist.json"
+    // qA was flagged at 9.0 s and re-timed clean at 0.4 s; qB unflagged
+    java.nio.file.Files.writeString(java.nio.file.Path.of(f),
+      """{"metric":"queries_full","sf":"/sf","queries":{"qA":9.0,"qB":0.7},"suspect_retimed":{"qA":0.4}}""")
+    assert(Bench.priorTimes(f, "/sf") == Map("qA" -> 0.4, "qB" -> 0.7))
+    // a different sf dir yields no comparable history at all
+    assert(Bench.priorTimes(f, "/other") == Map.empty[String, Double])
+    // and a missing/garbled file degrades to empty, never throws
+    assert(Bench.priorTimes(s"$dir/nope.json", "/sf").isEmpty)
+  }
 }
