@@ -65,7 +65,13 @@ object Bench {
     * the next run's gate compare against an inflated prior — a real
     * regression up to 3× the inflation would sail through unflagged.
     * The re-timed value is the steadier of the two by construction, so
-    * the history consumer, not the artifact, takes the min. */
+    * the history consumer, not the artifact, takes the min. A retimed
+    * entry whose key ALSO appears in `suspect_retime_errors` is skipped
+    * (r14 ADVICE): when every re-run of a suspect failed, the stored
+    * value is the failures' min ELAPSED — explicitly not a measurement —
+    * and folding a fast failure (e.g. 0.03 s) in as the baseline would
+    * either drop the query out of the gate (below the 0.05 s guard) or
+    * manufacture persistent false suspects. */
   def priorTimes(path: String, sfDir: String): Map[String, Double] =
     try {
       import org.json4s._
@@ -84,14 +90,58 @@ object Bench {
         }.toMap
         case _ => Map.empty
       }
+      def keySet(v: JValue): Set[String] = v match {
+        case JObject(fields) => fields.map(_._1).toSet
+        case _ => Set.empty
+      }
       if (!sameSf) Map.empty
       else {
-        val qs = numMap(j \ "queries")
-        val retimed = numMap(j \ "suspect_retimed")
-        qs.map { case (k, v) =>
-          k -> retimed.get(k).fold(v)(math.min(v, _)) }
+        // a file with a "history" map (written by foldHistory since r15)
+        // already carries the running-min fold — read it directly;
+        // otherwise reconstruct the r14-era fold from the measured map
+        val hist = numMap(j \ "history")
+        if (hist.nonEmpty) hist
+        else {
+          val qs = numMap(j \ "queries")
+          val retimeFailed = keySet(j \ "suspect_retime_errors")
+          val retimed = numMap(j \ "suspect_retimed") -- retimeFailed
+          qs.map { case (k, v) =>
+            k -> retimed.get(k).fold(v)(math.min(v, _)) }
+        }
       }
     } catch { case _: Exception => Map.empty }
+
+  /** Running-min fold for the HISTORY the 3× suspect gate reads (r14
+    * verdict item 1): the self-adjudication loop re-times FLAGGED
+    * entries, but sub-3× load inflation enters `queries` silently —
+    * r14's loaded driver run wrote ~190 minima inflated 1.5-2.5× into
+    * `bench_full.json`, so the next run's gate would only fire at 3×
+    * THE INFLATION (up to ~7× true steady state). The file therefore
+    * stores, per query, min(this run's measurement, this run's clean
+    * re-time, the prior running min): steady states only improve unless
+    * code changes, and a real regression still surfaces because the
+    * CURRENT run's time is compared against this running-min prior.
+    *
+    * Not-a-measurement discipline (the main loop's own rule): a query
+    * whose every timed run failed (err set) contributes NO new minimum —
+    * its prior carries forward when one exists, else the key is absent
+    * (an unmeasured query must not be gated against a failure's elapsed
+    * time). A suspect whose re-runs all failed likewise folds nothing.
+    * Stale keys drop out: the fold is built from the CURRENT suite. */
+  def foldHistory(
+      measured: Seq[(String, Double, Option[String])],
+      retimed: Seq[(String, Double, Option[String])],
+      prior: Map[String, Double]): Map[String, Double] = {
+    val cleanRetime = retimed.collect { case (n, s, None) => n -> s }.toMap
+    measured.flatMap { case (name, sec, err) =>
+      // a clean re-time is a real measurement even when the main loop's
+      // runs failed (transient failure, adjudicated successfully)
+      val candidates =
+        (if (err.isEmpty) Seq(sec) else Seq.empty) ++
+          cleanRetime.get(name) ++ prior.get(name)
+      if (candidates.isEmpty) None else Some(name -> candidates.min)
+    }.toMap
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -344,13 +394,32 @@ object Bench {
     // the subset wipes the per-query minima priorTimes() feeds the
     // suspect gate — the next full run on a loaded machine would pass
     // with "suspect":{} for every query missing from the history
-    // (exactly the r12 blindness this feature exists to surface)
+    // (exactly the r12 blindness this feature exists to surface).
+    //
+    // The file carries TWO per-query maps (r14 verdict item 1):
+    //   "queries" — what THIS run measured (the artifact never rewrites
+    //     its own observations; judges read per-query full precision
+    //     here when stdout truncates);
+    //   "history" — the running-min fold (foldHistory) the next run's
+    //     3× gate reads via priorTimes. Without it, a loaded full run
+    //     wrote sub-3×-inflated minima straight into the gate's
+    //     baseline (r14: ~190 entries 1.5-2.5× high), degrading the
+    //     gate to 3×-of-inflation sensitivity. history_basis stamps the
+    //     format so a reader never mistakes the fold for a measurement.
     if (only.isDefined)
       println(s"[bench] BENCH_ONLY set — $benchFile untouched " +
         "(history stays the last full run)")
     else try {
+      val hist = foldHistory(
+        results.map { case (n, s, e, _) => (n, s, e) },
+        suspectRetimed, prior)
+      val histJson = hist.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":${fmt(v, 3)}""" }
+        .mkString("{", ",", "}")
+      val fileLine = fullLine.stripSuffix("}") +
+        s""","history_basis":"running-min","history":$histJson}"""
       val w = new java.io.PrintWriter(benchFile, "UTF-8")
-      try w.println(fullLine) finally w.close()
+      try w.println(fileLine) finally w.close()
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write $benchFile: $e")
     }

@@ -77,8 +77,16 @@ object GraphStats {
           def run(capOverride: Long): (org.apache.spark.sql.DataFrame,
               Long, Double, Int) = {
             val t0 = System.nanoTime()
+            // persisted before count() materializes it (r14 ADVICE):
+            // the except()-based mismatch check below would otherwise
+            // re-execute BOTH labelings — the endgame side re-running
+            // its full union-find path, the loop side re-reading its
+            // checkpoints — roughly doubling --cc wall on the large
+            // smoke corpora this flag exists for. The cache write rides
+            // inside the timed span; it is a per-row copy, small next
+            // to the labeling it avoids recomputing.
             val df = ops.Dedup.connectedComponents(pairs,
-              smallGraphCap = capOverride)
+              smallGraphCap = capOverride).persist()
             val n = df.count()
             (df, n, (System.nanoTime() - t0) / 1e9, ops.Dedup.lastCcRounds)
           }
@@ -88,6 +96,8 @@ object GraphStats {
           // pins this at test scale, this pins it at corpus scale
           val mism = fastDf.except(loopDf)
             .union(loopDf.except(fastDf)).count()
+          fastDf.unpersist()
+          loopDf.unpersist()
           println(s"""{"metric":"cc_both_regimes","dir":"$dir","graph":"$tag","labeled_nodes":$fastN,"endgame_sec":${fmtS(fastSec)},"endgame_rounds":$fastRounds,"loop_sec":${fmtS(loopSec)},"loop_rounds":$loopRounds,"loop_nodes":$loopN,"cc_label_mismatches":$mism}""")
           // the scaladoc says ASSERTING, so a divergence fails the run
           // (after the JSON line prints, so the evidence survives) —

@@ -359,4 +359,44 @@ class BenchErrorSpec extends AnyFunSuite {
     // and a missing/garbled file degrades to empty, never throws
     assert(Bench.priorTimes(s"$dir/nope.json", "/sf").isEmpty)
   }
+
+  test("priorTimes skips error-marked re-times and prefers a history map when the file carries one") {
+    val dir = TestDirs.scratch("benchhist2")
+    val f = s"$dir/hist.json"
+    // a suspect whose re-runs ALL failed stores the failures' min
+    // ELAPSED (0.03 s) — explicitly not a measurement; folding it would
+    // sink qA below the 0.05 s gate guard and un-gate it forever
+    java.nio.file.Files.writeString(java.nio.file.Path.of(f),
+      """{"sf":"/sf","queries":{"qA":9.0,"qB":0.7},"suspect_retimed":{"qA":0.03},"suspect_retime_errors":{"qA":"OutOfMemoryError"}}""")
+    assert(Bench.priorTimes(f, "/sf") == Map("qA" -> 9.0, "qB" -> 0.7))
+    // a running-min "history" map (written since r15) wins over the
+    // measured map — that IS the fold, done at write time
+    java.nio.file.Files.writeString(java.nio.file.Path.of(f),
+      """{"sf":"/sf","queries":{"qA":9.0,"qB":0.7},"history":{"qA":0.4,"qB":0.6}}""")
+    assert(Bench.priorTimes(f, "/sf") == Map("qA" -> 0.4, "qB" -> 0.6))
+  }
+
+  test("foldHistory anchors the gate to pre-load minima: a loaded run can confirm or improve history, never inflate it") {
+    val prior = Map("qA" -> 0.4, "qB" -> 0.7, "qGone" -> 1.0)
+    // loaded run: qA at 1.0 s is the silent sub-3× inflation class the
+    // r14 gate absorbed; qB flagged at 9.0 and re-timed clean at 0.65;
+    // qC is new this suite; qD failed every timed run (0.03 s elapsed
+    // is not a measurement)
+    val measured = Seq(("qA", 1.0, None), ("qB", 9.0, None),
+      ("qC", 0.5, None), ("qD", 0.03, Some("OutOfMemoryError")))
+    val retimed = Seq[(String, Double, Option[String])](("qB", 0.65, None))
+    val hist = Bench.foldHistory(measured, retimed, prior)
+    // qA keeps its idle prior; qB takes the clean re-time; qC enters at
+    // its first measurement; qD has no valid basis and no prior → absent
+    // (never gated against a failure's elapsed); qGone left the suite
+    assert(hist == Map("qA" -> 0.4, "qB" -> 0.65, "qC" -> 0.5))
+  }
+
+  test("foldHistory: an all-failed re-time folds nothing; a failed query carries its prior forward") {
+    val hist = Bench.foldHistory(
+      Seq(("qA", 0.03, Some("Boom")), ("qB", 9.0, None)),
+      Seq[(String, Double, Option[String])](("qB", 0.02, Some("Boom"))),
+      Map("qA" -> 0.4, "qB" -> 0.7))
+    assert(hist == Map("qA" -> 0.4, "qB" -> 0.7))
+  }
 }
