@@ -1891,6 +1891,67 @@ object Dedup {
              JOIN capped b ON a.blk = b.blk AND a.p_name < b.p_name
              WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxEdits
              ORDER BY name_a, name_b""")),
+
+    // ---- q224's multi-pass production form (r14 verdict item 2): the
+    //      same blocked pass run once per blocking key — LAST token
+    //      (q224's head noun) and FIRST token — then unioned, so a typo
+    //      in EITHER blocking token alone no longer hides a pair
+    //      ("cold anvil"/"cold anvi1" share no last token but block
+    //      together on "cold"). n_passes carries how many passes found
+    //      each pair. The residual miss class shrinks to names typo'd
+    //      in BOTH blocking tokens at once. ----
+    "q225_fuzzy_name_multipass" -> QueryDef(
+      (s, dir) => fuzzyNameMatchesMultiPass(Tables.load(s, dir, "part")),
+      Some(s"""WITH names AS (
+               SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+               FROM part GROUP BY p_name),
+             blk_last AS (
+               SELECT p_name, n_parts,
+                 regexp_extract(p_name, '([^ ]+)$$', 1) AS blk
+               FROM names),
+             blk_first AS (
+               SELECT p_name, n_parts,
+                 regexp_extract(p_name, '^([^ ]+)', 1) AS blk
+               FROM names),
+             capped_last AS (
+               SELECT * FROM (
+                 SELECT *, row_number() OVER (PARTITION BY blk
+                   ORDER BY p_name) AS rk
+                 FROM blk_last)
+               WHERE rk <= $FuzzyBlockCap),
+             capped_first AS (
+               SELECT * FROM (
+                 SELECT *, row_number() OVER (PARTITION BY blk
+                   ORDER BY p_name) AS rk
+                 FROM blk_first)
+               WHERE rk <= $FuzzyBlockCap),
+             pairs_last AS (
+               SELECT a.p_name AS name_a, b.p_name AS name_b,
+                 CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)
+                   AS edit_distance,
+                 a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+               FROM capped_last a
+               JOIN capped_last b
+                 ON a.blk = b.blk AND a.p_name < b.p_name
+               WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxEdits),
+             pairs_first AS (
+               SELECT a.p_name AS name_a, b.p_name AS name_b,
+                 CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)
+                   AS edit_distance,
+                 a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+               FROM capped_first a
+               JOIN capped_first b
+                 ON a.blk = b.blk AND a.p_name < b.p_name
+               WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxEdits)
+             SELECT name_a, name_b,
+               min(edit_distance) AS edit_distance,
+               min(n_parts_a) AS n_parts_a,
+               min(n_parts_b) AS n_parts_b,
+               CAST(count(*) AS BIGINT) AS n_passes
+             FROM (SELECT * FROM pairs_last
+                   UNION ALL SELECT * FROM pairs_first)
+             GROUP BY name_a, name_b
+             ORDER BY name_a, name_b""")),
   )
 
   /** q224's blocked fuzzy self-join over a (p_name, …) frame: distinct
@@ -1908,8 +1969,9 @@ object Dedup {
     * lands the name in another block and is missed — production runs
     * the same pass once per blocking key choice (first token, last
     * token, length bucket) and unions; this query ships the
-    * head-noun pass, and the scaladoc'd miss class is exactly what the
-    * multi-pass would add. */
+    * head-noun pass alone (the single-pass baseline a recall
+    * comparison needs), and [[fuzzyNameMatchesMultiPass]] (q225) ships
+    * the union. */
   def fuzzyNameMatches(parts: DataFrame): DataFrame = {
     val names = parts.groupBy(col("p_name"))
       .agg(count(lit(1)).as("n_parts"))
@@ -1926,6 +1988,62 @@ object Dedup {
           .as("edit_distance"),
         col("a.n_parts").as("n_parts_a"), col("b.n_parts").as("n_parts_b"))
       .filter(col("edit_distance") <= FuzzyMaxEdits)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  /** q225: [[fuzzyNameMatches]]' documented multi-pass production form.
+    * The same capped blocked pass runs once per blocking key — LAST
+    * whitespace token (q224's head noun) and FIRST token — and the pass
+    * outputs union: a typo confined to one blocking token can no longer
+    * hide a pair, because the other pass still blocks it together
+    * ("cold anvil"/"cold anvi1" miss on the last token but meet on
+    * "cold"). Pairs found by both passes collapse in ONE group-by on
+    * the (name_a, name_b) key with `n_passes` carrying the pass count
+    * (2 ⇔ the pair survives either typo class; single-token names make
+    * the two keys coincide and legitimately count 2). edit_distance /
+    * n_parts are functions of the pair, so min() is just the
+    * deterministic pick of equal values.
+    *
+    * Scale shape: the distinct-name aggregate is computed ONCE and
+    * scope-cached; each pass is the q224 shape — a per-block rank
+    * window (block-partitioned) + a block-keyed EQUI-join bounded at
+    * [[FuzzyBlockCap]]² pairs per block — so the union costs exactly
+    * 2× the single pass, and the final rollup is map-side combinable
+    * on the pair key. No all-pairs join exists in the plan (the r14
+    * cap probe's bounded growth carries over pass-by-pass; re-measured
+    * via ScaleSmoke's --names axis this round).
+    *
+    * Residual miss class: a name typo'd in BOTH blocking tokens at
+    * once (e.g. "cold anvil" → "col anvi1") — the double-typo class
+    * the scaladoc'd single-pass miss shrank to; a third pass on a
+    * structural key (length bucket) would catch most of those at the
+    * same bounded cost. */
+  def fuzzyNameMatchesMultiPass(parts: DataFrame): DataFrame = {
+    val names = parts.groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_parts"))
+      .transform(TransientCache.scopedDF)
+    def pass(blk: Column): DataFrame = {
+      val wBlk = Window.partitionBy(col("blk")).orderBy(col("p_name"))
+      val capped = names.withColumn("blk", blk)
+        .withColumn("rk", row_number().over(wBlk))
+        .filter(col("rk") <= FuzzyBlockCap)
+        .select(col("blk"), col("p_name"), col("n_parts"))
+      capped.as("a").join(capped.as("b"),
+          col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          levenshtein(col("a.p_name"), col("b.p_name")).cast("long")
+            .as("edit_distance"),
+          col("a.n_parts").as("n_parts_a"),
+          col("b.n_parts").as("n_parts_b"))
+        .filter(col("edit_distance") <= FuzzyMaxEdits)
+    }
+    pass(element_at(split(col("p_name"), " "), -1))
+      .unionByName(pass(element_at(split(col("p_name"), " "), 1)))
+      .groupBy(col("name_a"), col("name_b"))
+      .agg(min(col("edit_distance")).as("edit_distance"),
+        min(col("n_parts_a")).as("n_parts_a"),
+        min(col("n_parts_b")).as("n_parts_b"),
+        count(lit(1)).as("n_passes"))
       .orderBy(col("name_a"), col("name_b"))
   }
 

@@ -2305,6 +2305,34 @@ class PageRankSpec extends AnyFunSuite {
     assert(capped.nonEmpty && capped.max == f"n$cap%03d widget")
   }
 
+  test("q225: the blocking-token typo resolves via the second pass; n_passes counts pass agreement") {
+    import spark.implicits._
+    // same fixture as q224 plus a pair matched by BOTH passes:
+    //  - "cold anvi1" (typo IN the last token — q224's documented miss)
+    //    now pairs with "cold anvil" through the first-token pass;
+    //  - "blue bolt"/"blue rod" (distance 3, same adjective) surfaces
+    //    through the first-token pass — the precision cost the scaladoc
+    //    names, visible as n_passes = 1;
+    //  - "big red anvil"/"big ted anvil" share first AND last token →
+    //    found twice, collapsed to one row with n_passes = 2.
+    val parts = Seq("cold anvil", "cold anvil", "old anvil",
+      "blue bolt", "blue rod", "cold anvi1",
+      "big red anvil", "big ted anvil").toDF("p_name")
+    val got = graft.ops.Dedup.fuzzyNameMatchesMultiPass(parts).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("big red anvil", "big ted anvil", 1L, 1L, 1L, 2L),
+      ("blue bolt", "blue rod", 3L, 1L, 1L, 1L),
+      ("cold anvi1", "cold anvil", 1L, 1L, 2L, 1L),
+      ("cold anvil", "old anvil", 1L, 2L, 1L, 1L)))
+    // the q224 single pass on the same fixture still misses the
+    // blocking-token typo — the recall delta IS the second pass
+    val single = graft.ops.Dedup.fuzzyNameMatches(parts).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!single.contains(("cold anvi1", "cold anvil")))
+  }
+
   test("q223: session counts per gap are exact on a hand fixture, with strict-> at the boundary") {
     import spark.implicits._
     def at(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
