@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   *     grow ×factor, per-user activity stays constant. Regime-
   *     independent, like documents.
   *
-  * Usage: runMain graft.ScaleSmoke [--decorrelate] <srcSfDir> <outDir> <factor> <q1> [q2 ...]
+  * Usage: runMain graft.ScaleSmoke [--decorrelate|--names] <srcSfDir> <outDir> <factor> <q1> [q2 ...]
   * The expanded corpus is built once and reused only when already
   * present AND built under the SAME embedding regime (a `_REGIME`
   * marker in outDir carries which one; the artifact line carries a
@@ -42,8 +42,56 @@ import org.apache.spark.sql.functions._
   * group packs `factor` near-identical members) to per-copy sign-flipped
   * vectors (realistic duplication: cross-copy cosine ~0) — both regimes
   * are informative, so heavy embedding tasks get probed under each.
+  *
+  * `--names` (r14 verdict item 4) switches the axis entirely: the
+  * testdata's part-NAME domain is SF-invariant (64 templated names at
+  * every sf — the r13 "templated vocabulary" pattern), so the honest
+  * scale axis for the q224/q225 fuzzy-match family is a SYNTHETIC name
+  * domain. The small corpus gets [[NamesBlocks]] noun blocks ×
+  * [[NamesBaseAdjectives]] adjectives (8k names), the big corpus
+  * `factor`× the adjectives per block — the r14 cap-probe recipe, now
+  * in-tree and reproducible instead of a one-off. Only `part.parquet`
+  * is synthesized (the fuzzy family reads nothing else); pass only
+  * part-name queries with this flag.
   */
 object ScaleSmoke {
+
+  /** The `--names` axis recipe (r14 cap probe, BASELINE.md round-14
+    * smoke): names are "adjNNNNN nounNNN" — every name in a block
+    * shares its noun (q224's blocking key), and adjacent adjective
+    * labels sit within levenshtein ≤ 3 of each other, so per-block
+    * match density is high and the [[ops.Dedup.FuzzyBlockCap]] is the
+    * binding constraint exactly as on a degenerate hot catalog. */
+  val NamesBlocks = 100
+  val NamesBaseAdjectives = 80
+
+  /** Builds the synthetic name-domain pair for `--names`: returns the
+    * small dir (base adjectives) and writes the big domain into `out`.
+    * One row per name — the fuzzy family collapses duplicate names
+    * first, so row multiplicity is not the axis. */
+  private def expandNames(spark: SparkSession, out: String, factor: Int)
+      : String = {
+    val base = s"${out}_nbase"
+    def build(dir: String, nAdj: Int): Unit = {
+      val f = new java.io.File(s"$dir/part.parquet")
+      if (f.exists && new java.io.File(f, "_SUCCESS").exists) {
+        println(s"[scale] reusing synthetic name domain at $dir")
+        return
+      }
+      spark.range(NamesBlocks.toLong * nAdj)
+        .select(expr(
+          s"""concat('adj', lpad(cast(id % $nAdj as string), 5, '0'),
+              ' noun', lpad(cast(id div $nAdj as string), 3, '0'))""")
+          .as("p_name"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      println(s"[scale] built synthetic name domain at $dir " +
+        s"($NamesBlocks blocks x $nAdj adjectives = ${NamesBlocks * nAdj} names)")
+    }
+    build(base, NamesBaseAdjectives)
+    build(out, NamesBaseAdjectives * factor)
+    base
+  }
 
   private def expand(spark: SparkSession, src: String, out: String,
       factor: Int, decorrelate: Boolean = false): Unit = {
@@ -274,10 +322,18 @@ object ScaleSmoke {
       }))
 
   def main(args: Array[String]): Unit = {
-    val decorrelate = args.headOption.contains("--decorrelate")
-    val rest = if (decorrelate) args.tail else args
+    val flags = args.takeWhile(_.startsWith("--")).toSet
+    val unknown = flags -- Set("--decorrelate", "--names")
+    require(unknown.isEmpty,
+      s"unknown flag(s) ${unknown.mkString(", ")} — " +
+        "usage: ScaleSmoke [--decorrelate|--names] <srcSfDir> <outDir> <factor> <query> [query ...]")
+    val decorrelate = flags("--decorrelate")
+    val namesAxis = flags("--names")
+    require(!(decorrelate && namesAxis),
+      "--decorrelate and --names are different axes; pick one")
+    val rest = args.dropWhile(_.startsWith("--"))
     require(rest.length >= 4,
-      "usage: ScaleSmoke [--decorrelate] <srcSfDir> <outDir> <factor> <query> [query ...]")
+      "usage: ScaleSmoke [--decorrelate|--names] <srcSfDir> <outDir> <factor> <query> [query ...]")
     val (src, out, factor) = (rest(0), rest(1), rest(2).toInt)
     val queries = rest.drop(3).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -288,7 +344,12 @@ object ScaleSmoke {
       .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    expand(spark, src, out, factor, decorrelate)
+    // the names axis replaces the corpus expansion AND the small-side
+    // dir: the comparison is synthetic-8k vs synthetic-8k·factor names,
+    // not testdata vs expansion (the testdata name domain is SF-fixed)
+    val smallDir =
+      if (namesAxis) expandNames(spark, out, factor)
+      else { expand(spark, src, out, factor, decorrelate); src }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // The artifact line must stay machine-parseable no matter what the
@@ -325,10 +386,10 @@ object ScaleSmoke {
         (if (ok.nonEmpty) ok.min else runs.map(_._1).min,
           if (ok.nonEmpty) None else runs.flatMap(_._2).headOption)
       }
-      val (small, errS) = best(src)
+      val (small, errS) = best(smallDir)
       val (big, errB) = best(out)
       val err = errS.orElse(errB)
-      println(s"""[scale] $name: sf0.1=${fmt(small)}s ${factor}x=${fmt(big)}s ratio=${ratio(big, small)}${err.map(e => s" ERROR=$e").getOrElse("")}""")
+      println(s"""[scale] $name: small=${fmt(small)}s ${factor}x=${fmt(big)}s ratio=${ratio(big, small)}${err.map(e => s" ERROR=$e").getOrElse("")}""")
       (name, small, big, err)
     }
     val qjson = rows.map { case (n, s, b, _) =>
@@ -336,15 +397,20 @@ object ScaleSmoke {
     }.mkString("{", ",", "}")
     val errs = rows.collect { case (n, _, _, Some(e)) => s""""$n":"${esc(e)}"""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scale_smoke","factor":$factor,"src":"$src","decorrelate":$decorrelate,"queries":$qjson,"errors":$errs}""")
+    val axis = if (namesAxis) "names" else "corpus"
+    println(s"""{"metric":"scale_smoke","factor":$factor,"src":"$smallDir","axis":"$axis","decorrelate":$decorrelate,"queries":$qjson,"errors":$errs}""")
     // teardown: the expanded corpus is one-shot, so any FrameCache dirs
     // keyed on ITS fingerprints are orphans the moment this run ends —
     // reclaim them here instead of leaving them for CacheAdmin's
     // retention window
-    val smokeFps = Seq("documents", "embeddings").flatMap { t =>
-      try Some(ops.Similarity.corpusFingerprint(spark, out, t))
-      catch { case _: java.io.FileNotFoundException => None }
-    }.toSet
+    // names-axis dirs carry only part.parquet and no FrameCache
+    // substrate keys on them — nothing to reclaim
+    val smokeFps =
+      if (namesAxis) Set.empty[String]
+      else Seq("documents", "embeddings").flatMap { t =>
+        try Some(ops.Similarity.corpusFingerprint(spark, out, t))
+        catch { case _: java.io.FileNotFoundException => None }
+      }.toSet
     val reclaimed = ops.FrameCache.drop(spark, smokeFps)
     println(s"[scale] teardown reclaimed ${reclaimed.size} smoke-corpus cache dir(s)")
     spark.stop()
