@@ -33,12 +33,22 @@ import org.apache.spark.sql.streaming.Trigger
   * session emitted, and everything emitted beyond those is a final
   * session. A violation fails the run after the JSON line prints.
   *
-  * Usage: runMain graft.streaming.SessionMirrorSmoke [sfDir] [chunks]
+  * With `--rocksdb` the run applies [[EventStreams.rocksDbStateStoreConf]]
+  * (RocksDB provider + changelog checkpointing) — the state-store
+  * configuration DESIGN'd for billion-key streaming dedup, here pinned
+  * working at corpus scale on the session mirror (StreamingSpec pins
+  * it at fixture scale on the dedup). Note the provider's
+  * `memoryUsedBytes` counts native RocksDB memory, not per-key heap —
+  * compare row counts across providers, byte counts only within one.
+  *
+  * Usage: runMain graft.streaming.SessionMirrorSmoke [--rocksdb] [sfDir] [chunks]
   */
 object SessionMirrorSmoke {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val chunks = args.lift(1).map(_.toInt).getOrElse(20)
+    val rocksdb = args.contains("--rocksdb")
+    val rest = args.filterNot(_ == "--rocksdb")
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+    val chunks = rest.lift(1).map(_.toInt).getOrElse(20)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,6 +57,10 @@ object SessionMirrorSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-query-run conf, read at query start — set before start()
+    if (rocksdb) EventStreams.rocksDbStateStoreConf.foreach {
+      case (k, v) => spark.conf.set(k, v)
+    }
     import spark.implicits._
 
     val ev = graft.Tables.load(spark, sfDir, "events")
@@ -126,7 +140,8 @@ object SessionMirrorSmoke {
 
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    println(s"""{"metric":"session_mirror_smoke","sf":"$sfDir","chunks":$chunks,"batches_with_rows":$nBatches,"rows":$nRows,"stream_input_rows":$inputRows,"wall_sec":${fmt(wall)},"rows_per_sec":${fmt(nRows / wall)},"peak_state_rows":${if (stateRows.nonEmpty) stateRows.max else -1},"peak_state_bytes":${if (stateBytes.nonEmpty) stateBytes.max else -1},"n_batch_sessions":$nBatchSessions,"n_emitted":$nEmitted,"n_final_open":$nFinalOpen,"n_missing_closed":${missing.size},"n_excess":${excess.size}}""")
+    val provider = if (rocksdb) "rocksdb" else "hdfs"
+    println(s"""{"metric":"session_mirror_smoke","sf":"$sfDir","provider":"$provider","chunks":$chunks,"batches_with_rows":$nBatches,"rows":$nRows,"stream_input_rows":$inputRows,"wall_sec":${fmt(wall)},"rows_per_sec":${fmt(nRows / wall)},"peak_state_rows":${if (stateRows.nonEmpty) stateRows.max else -1},"peak_state_bytes":${if (stateBytes.nonEmpty) stateBytes.max else -1},"n_batch_sessions":$nBatchSessions,"n_emitted":$nEmitted,"n_final_open":$nFinalOpen,"n_missing_closed":${missing.size},"n_excess":${excess.size}}""")
     // assertions AFTER the JSON so the evidence survives a failure
     require(missing.isEmpty,
       s"${missing.size} closed sessions missing from the mirror: ${missing.take(5)}")
