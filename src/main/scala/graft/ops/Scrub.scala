@@ -191,7 +191,99 @@ object Scrub {
             s"WHEN doc_id % 3 = $i THEN repeat('$b ', 4)" }.mkString(" ")} END
         ELSE text END"""
 
+  /** q226's k grid — the disclosure-risk thresholds a release review
+    * actually quotes (k≥2 "not unique", k≥5/10/20 common publication
+    * bars). ONE constant feeds the Spark conditional aggregate and the
+    * generated oracle SQL (the q195/q223 discipline: grid drift between
+    * engines impossible by construction). Declared before `defs`, whose
+    * oracle string interpolates it eagerly at object init. */
+  val KAnonymityGrid: Seq[Long] = Seq(2L, 5L, 10L, 20L)
+
+  /** q226's account-balance generalization width: balances are binned
+    * to 2000-wide buckets before joining the quasi-identifier tuple —
+    * k-anonymity is always measured on GENERALIZED attributes (raw
+    * doubles would make every record its own class). The +1000 offset
+    * keeps the dividend non-negative over the TPC-H acctbal domain
+    * [-999.99, 9999.99] (the DESIGN.md non-negative-division rule), and
+    * floor() precedes the BIGINT cast because Spark truncates
+    * double→long while DuckDB ROUNDS — floor is the cross-engine-exact
+    * spelling. */
+  val KAnonBalBucket = 2000L
+
+  /** q226: k-anonymity audit over the customer microdata. The
+    * quasi-identifier tuple is (nation, market segment, generalized
+    * balance bucket) — attributes an adversary could plausibly know
+    * from the outside; rows sharing a tuple form an equivalence class,
+    * and a class smaller than k re-identifies its members at 1/size.
+    * For each k in [[KAnonymityGrid]]: how many classes are below k,
+    * how many ROWS sit in those classes, and their share in basis
+    * points — the release-gate readout (q77 scrubs PII PATTERNS; this
+    * measures STRUCTURAL re-identification risk, which survives
+    * pattern scrubbing untouched).
+    *
+    * Scale shape: ONE map-side-combinable groupBy on the QI tuple
+    * (cardinality = |nations|·|segments|·|buckets|, corpus-independent)
+    * then ONE one-row conditional aggregate carrying the whole k grid
+    * (the q223 shape — no per-k rescan), stack-unpivoted to |grid|
+    * rows. No window, no join; at any corpus size the shuffle is the
+    * class histogram. Pure int64 arithmetic; risk share is
+    * `rows·10⁴ div n_rows` on non-negative operands. */
+  def kAnonymityAudit(customers: DataFrame): DataFrame = {
+    val grid = KAnonymityGrid
+    val classes = customers.groupBy(
+        col("c_nationkey"), col("c_mktsegment"),
+        expr(s"(cast(floor(c_acctbal) as bigint) + 1000) div $KAnonBalBucket")
+          .as("bal_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+    val gridAggs = Seq(
+      sum(col("class_size")).as("n_rows"),
+      min(col("class_size")).as("min_class")) ++
+      grid.flatMap { k => Seq(
+        sum(when(col("class_size") < k, 1L).otherwise(0L)).as(s"c_$k"),
+        sum(when(col("class_size") < k, col("class_size"))
+          .otherwise(0L)).as(s"r_$k"))
+      }
+    val one = classes.agg(count(lit(1)).as("n_classes"), gridAggs: _*)
+    one.select(
+        expr(s"stack(${grid.size}, ${grid.map(k => s"${k}L, c_$k, r_$k")
+          .mkString(", ")}) as (k, small_classes, at_risk_rows)"),
+        col("n_classes"), col("n_rows"), col("min_class"))
+      .select(col("k"), col("n_classes"), col("small_classes"),
+        col("at_risk_rows"),
+        expr("at_risk_rows * 10000L div n_rows").as("at_risk_bp"),
+        col("min_class").as("min_class_size"))
+      .orderBy(col("k"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+
+    // ---- k-anonymity release audit (see [[kAnonymityAudit]]): the
+    //      privacy-risk modality q77's pattern scrub cannot see —
+    //      structural re-identification via quasi-identifier classes. ----
+    "q226_k_anonymity" -> QueryDef(
+      (s, dir) => kAnonymityAudit(Tables.load(s, dir, "customer")),
+      Some(s"""WITH classes AS (
+               SELECT c_nationkey, c_mktsegment,
+                 (CAST(floor(c_acctbal) AS BIGINT) + 1000) // $KAnonBalBucket
+                   AS bal_bucket,
+                 CAST(count(*) AS BIGINT) AS class_size
+               FROM customer GROUP BY 1, 2, 3),
+             agg AS (
+               SELECT CAST(count(*) AS BIGINT) AS n_classes,
+                 CAST(sum(class_size) AS BIGINT) AS n_rows,
+                 CAST(min(class_size) AS BIGINT) AS min_class,
+                 ${KAnonymityGrid.map(k =>
+                   s"""CAST(sum(CASE WHEN class_size < $k THEN 1 ELSE 0 END) AS BIGINT) AS c_$k,
+                 CAST(sum(CASE WHEN class_size < $k THEN class_size ELSE 0 END) AS BIGINT) AS r_$k""")
+                   .mkString(",\n                 ")}
+               FROM classes)
+             ${KAnonymityGrid.map(k =>
+               s"""SELECT CAST($k AS BIGINT) AS k, n_classes,
+                 c_$k AS small_classes, r_$k AS at_risk_rows,
+                 r_$k * 10000 // n_rows AS at_risk_bp,
+                 min_class AS min_class_size FROM agg""")
+               .mkString("\n             UNION ALL\n             ")}
+             ORDER BY k""")),
 
     // ---- PII-style scrub report: per source, how many documents and
     //      occurrences each pattern hit, plus two exact checksums of the

@@ -1652,6 +1652,35 @@ class CurationOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("q226 k-anonymity: hand-built classes produce the exact k profile; bucket edges pin floor semantics") {
+    import spark.implicits._
+    // classes by (nation, segment, (floor(bal)+1000) div 2000):
+    //  - nation 1/BUILDING/bal 100       ×3 → bucket 0, size 3
+    //  - nation 1/BUILDING/bal 3500      ×1 → bucket 2, size 1
+    //  - nation 2/AUTO/bal −999.99       ×2 → floor −1000 → bucket 0,
+    //    size 2 (the negative-domain edge the +1000 offset absorbs)
+    //  - nation 3/MACH/bal 999 vs 1000   → buckets 0 vs 1 (the exact
+    //    boundary: 1999 div 2000 = 0, 2000 div 2000 = 1) → two size-1
+    //    classes — a round-instead-of-floor cast would merge them
+    val rows = Seq(
+      (1, "BUILDING", 100.0), (1, "BUILDING", 100.0), (1, "BUILDING", 100.0),
+      (1, "BUILDING", 3500.0),
+      (2, "AUTO", -999.99), (2, "AUTO", -999.99),
+      (3, "MACH", 999.0), (3, "MACH", 1000.0))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = graft.ops.Scrub.kAnonymityAudit(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // 5 classes over 8 rows, sizes [3,1,2,1,1]:
+    //  k=2 → 3 singleton classes, 3 rows at risk = 3750 bp
+    //  k=5+ → every class below k, all 8 rows = 10000 bp
+    assert(got.toSeq == Seq(
+      (2L, 5L, 3L, 3L, 3750L, 1L),
+      (5L, 5L, 5L, 8L, 10000L, 1L),
+      (10L, 5L, 5L, 8L, 10000L, 1L),
+      (20L, 5L, 5L, 8L, 10000L, 1L)))
+  }
+
   test("q85 semantic dedup: planted duplicates drop toward the lowest id") {
     import spark.implicits._
     // 8 orthogonal one-hot seeds (vec 0-7 are the centroids) + 2 planted
