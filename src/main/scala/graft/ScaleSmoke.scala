@@ -74,10 +74,21 @@ object ScaleSmoke {
     val base = s"${out}_nbase"
     def build(dir: String, nAdj: Int): Unit = {
       val f = new java.io.File(s"$dir/part.parquet")
-      if (f.exists && new java.io.File(f, "_SUCCESS").exists) {
-        println(s"[scale] reusing synthetic name domain at $dir")
+      // the domain SIZE is part of the reuse key (the corpus expand()'s
+      // _REGIME lesson): a factor-30 run reusing a factor-10 dir would
+      // silently measure the wrong domain. The marker carries nAdj and
+      // is dropped before any rebuild so a kill mid-write can't leave a
+      // stale marker next to partial data.
+      val marker = java.nio.file.Path.of(dir, "_NAMES")
+      val markerOk =
+        try java.nio.file.Files.readString(marker).trim == nAdj.toString
+        catch { case _: Exception => false }
+      if (f.exists && new java.io.File(f, "_SUCCESS").exists && markerOk) {
+        println(s"[scale] reusing synthetic name domain at $dir ($nAdj adjectives)")
         return
       }
+      java.nio.file.Files.createDirectories(java.nio.file.Path.of(dir))
+      java.nio.file.Files.deleteIfExists(marker)
       spark.range(NamesBlocks.toLong * nAdj)
         .select(expr(
           s"""concat('adj', lpad(cast(id % $nAdj as string), 5, '0'),
@@ -85,6 +96,7 @@ object ScaleSmoke {
           .as("p_name"))
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      java.nio.file.Files.writeString(marker, nAdj.toString)
       println(s"[scale] built synthetic name domain at $dir " +
         s"($NamesBlocks blocks x $nAdj adjectives = ${NamesBlocks * nAdj} names)")
     }

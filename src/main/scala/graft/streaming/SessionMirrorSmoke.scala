@@ -55,6 +55,10 @@ object SessionMirrorSmoke {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // recentProgress retains 100 entries by default — a >100-chunk
+      // run would silently undercount stream_input_rows / peak state
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        (chunks + 10).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // per-query-run conf, read at query start — set before start()
