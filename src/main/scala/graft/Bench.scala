@@ -102,7 +102,14 @@ object Bench {
         val hist = numMap(j \ "history")
         if (hist.nonEmpty) hist
         else {
-          val qs = numMap(j \ "queries")
+          // drop keys in `errors` too: an all-runs-failed query stores
+          // its failures' min ELAPSED in `queries` — not a measurement
+          // (the same discipline foldHistory applies at write time);
+          // folding it in would both un-gate the query (below the
+          // 0.05 s guard) and, worse, let the running-min lock the
+          // non-measurement in as a floor the real steady state can
+          // never reach, manufacturing a permanent false still-hot
+          val qs = numMap(j \ "queries") -- keySet(j \ "errors")
           val retimeFailed = keySet(j \ "suspect_retime_errors")
           val retimed = numMap(j \ "suspect_retimed") -- retimeFailed
           qs.map { case (k, v) =>

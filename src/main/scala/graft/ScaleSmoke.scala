@@ -73,6 +73,11 @@ object ScaleSmoke {
       : String = {
     val base = s"${out}_nbase"
     def build(dir: String, nAdj: Int): Unit = {
+      // lpad TRUNCATES beyond the pad width — past 99999 adjectives the
+      // domain would silently collapse distinct names and the ratio
+      // would measure the wrong corpus (factor ≤ 1249 of the 80 base)
+      require(nAdj <= 99999,
+        s"--names factor too large: $nAdj adjectives exceeds the 5-digit name encoding")
       val f = new java.io.File(s"$dir/part.parquet")
       // the domain SIZE is part of the reuse key (the corpus expand()'s
       // _REGIME lesson): a factor-30 run reusing a factor-10 dir would

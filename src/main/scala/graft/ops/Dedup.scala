@@ -2024,10 +2024,15 @@ object Dedup {
       .transform(TransientCache.scopedDF)
     def pass(blk: Column): DataFrame = {
       val wBlk = Window.partitionBy(col("blk")).orderBy(col("p_name"))
+      // scope-cached like q224's single pass: the a/b self-join puts
+      // this rank-window subtree on BOTH sides — without the cache the
+      // "union costs exactly 2× one pass" claim rests on ReuseExchange
+      // luck instead of the stated cost model
       val capped = names.withColumn("blk", blk)
         .withColumn("rk", row_number().over(wBlk))
         .filter(col("rk") <= FuzzyBlockCap)
         .select(col("blk"), col("p_name"), col("n_parts"))
+        .transform(TransientCache.scopedDF)
       capped.as("a").join(capped.as("b"),
           col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
         .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),

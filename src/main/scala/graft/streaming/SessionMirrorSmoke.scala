@@ -33,6 +33,17 @@ import org.apache.spark.sql.streaming.Trigger
   * session emitted, and everything emitted beyond those is a final
   * session. A violation fails the run after the JSON line prints.
   *
+  * Known blind spot of the multiset check (named rather than
+  * overclaimed): if the mirror dropped a non-final session whose
+  * (user, path) coincides with that user's FINAL session AND the
+  * final's timeout emitted, the counts cancel and the check passes.
+  * The emitted rows carry no per-session discriminator beyond the
+  * path (adding one would change the mirror's public shape, which is
+  * pinned by batch parity), so a corpus-scale check cannot separate
+  * that pair; StreamingSpec's fixture-scale test pins EXACT equality
+  * including trailing sessions, which covers the fold logic the
+  * masking class would hide.
+  *
   * With `--rocksdb` the run applies [[EventStreams.rocksDbStateStoreConf]]
   * (RocksDB provider + changelog checkpointing) — the state-store
   * configuration DESIGN'd for billion-key streaming dedup, here pinned

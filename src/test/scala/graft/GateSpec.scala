@@ -374,6 +374,13 @@ class BenchErrorSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(java.nio.file.Path.of(f),
       """{"sf":"/sf","queries":{"qA":9.0,"qB":0.7},"history":{"qA":0.4,"qB":0.6}}""")
     assert(Bench.priorTimes(f, "/sf") == Map("qA" -> 0.4, "qB" -> 0.6))
+    // an all-runs-failed query (key in `errors`) stores its failures'
+    // min ELAPSED in `queries` — dropped from the legacy fold, or a
+    // 0.07 s failure becomes a floor the real 0.25 s steady state can
+    // never reach (permanent false still-hot via the running min)
+    java.nio.file.Files.writeString(java.nio.file.Path.of(f),
+      """{"sf":"/sf","queries":{"qA":0.07,"qB":0.7},"errors":{"qA":"OutOfMemoryError"}}""")
+    assert(Bench.priorTimes(f, "/sf") == Map("qB" -> 0.7))
   }
 
   test("foldHistory anchors the gate to pre-load minima: a loaded run can confirm or improve history, never inflate it") {
