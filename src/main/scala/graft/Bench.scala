@@ -118,6 +118,47 @@ object Bench {
       }
     } catch { case _: Exception => Map.empty }
 
+  /** History rebase escape hatch (r15 ADVICE): the running-min history
+    * has no organic reset path — after an intentional code change that
+    * legitimately slows a query, its stale minimum flags it as a
+    * suspect (and n_suspect_still > 0) on every run until the file is
+    * hand-edited. `SPARK_GRAFT_BENCH_REBASE=q118,q193` drops the named
+    * prefixes (BENCH_ONLY's prefix-match convention) from the prior map
+    * BEFORE the gate and the fold read it, so this run's measurement
+    * becomes the query's new history floor. Scoped by construction:
+    * only the named keys rebase, everything else keeps its running min;
+    * under BENCH_ONLY the file is not rewritten, so a rebase there only
+    * un-flags this run (document intent is a FULL run). The alternative
+    * reset is deleting bench_full.json (all history) or one query's
+    * `history` key (that query). */
+  def applyRebase(prior: Map[String, Double], rebase: Option[String])
+      : Map[String, Double] = rebase match {
+    case None => prior
+    case Some(spec) =>
+      val prefixes = spec.split(",").map(_.trim).filter(_.nonEmpty)
+      prior.filter { case (k, _) => !prefixes.exists(k.startsWith) }
+  }
+
+  /** Adjudication re-time of ONE suspect under the SAME protocol as the
+    * main loop (r15 verdict item 4: the pass was a fixed min-of-2 where
+    * the main loop runs min-of-runs-2..N): `benchRuns` runs via `one`,
+    * run 1 dropped in steady mode (it absorbs residual first-use cost),
+    * min over the successful TIMED runs; when every timed run failed the
+    * elapsed min is returned with the error marker — explicitly not a
+    * measurement, and the caller keeps such a suspect still-hot. The
+    * run discipline (clearCache + TransientCache drain before each run)
+    * lives in `one`, shared with the main loop's call site, so the
+    * re-timed value is protocol-identical to the number it replaces in
+    * history. */
+  def retimeSuspect(one: () => (Double, Option[String]), benchRuns: Int,
+      steady: Boolean): (Double, Option[String]) = {
+    val runs = (1 to benchRuns).map(_ => one())
+    val timed = if (steady) runs.drop(1) else runs
+    val ok = timed.collect { case (sec, None) => sec }
+    if (ok.nonEmpty) (ok.min, None)
+    else (timed.map(_._1).min, timed.flatMap(_._2).headOption)
+  }
+
   /** Running-min fold for the HISTORY the 3× suspect gate reads (r14
     * verdict item 1): the self-adjudication loop re-times FLAGGED
     * entries, but sub-3× load inflation enters `queries` silently —
@@ -128,6 +169,11 @@ object Bench {
     * re-time, the prior running min): steady states only improve unless
     * code changes, and a real regression still surfaces because the
     * CURRENT run's time is compared against this running-min prior.
+    *
+    * When code changes make a query LEGITIMATELY slower, the stale min
+    * would flag it forever — the reset path is [[applyRebase]]
+    * (`SPARK_GRAFT_BENCH_REBASE=<prefixes>` on one full run), or
+    * deleting the query's `history` key / the whole bench_full.json.
     *
     * Not-a-measurement discipline (the main loop's own rule): a query
     * whose every timed run failed (err set) contributes NO new minimum —
@@ -231,7 +277,10 @@ object Bench {
     // noise instrumentation (r12 verdict item 1): the previous run's
     // per-query minima (read BEFORE this run overwrites the file), a
     // start-of-suite canary, and a loadavg sample per timed query
-    val prior = priorTimes(benchFile, sfDir)
+    val rebase = sys.env.get("SPARK_GRAFT_BENCH_REBASE")
+    rebase.foreach(r => System.err.println(
+      s"[bench] SPARK_GRAFT_BENCH_REBASE=$r — dropping matching history keys; this run's measurements rebase them"))
+    val prior = applyRebase(priorTimes(benchFile, sfDir), rebase)
     val loadStart = loadavg1()
     var loadMax = loadStart
     val canaryStart = canaryRuns(spark)
@@ -284,8 +333,9 @@ object Bench {
     // still took a judge re-time session. By the time the main loop
     // finishes, the suite's own contention has drained (the judge's
     // sequential re-run minutes later reproduced ledger steady states on
-    // the same machine), so ONE extra min-of-2 pass over JUST the
-    // suspect set turns the flag into a verdict: a suspect whose
+    // the same machine), so ONE extra pass over JUST the suspect set —
+    // under the main loop's own steady protocol (retimeSuspect, r15
+    // verdict item 4) — turns the flag into a verdict: a suspect whose
     // re-time ALSO exceeds 3× history is a real regression signal
     // (n_suspect_still counts them); one whose re-time returns to its
     // ledger claim was load. The stderr marker line prints BEFORE the
@@ -307,14 +357,12 @@ object Bench {
           s"[bench] re-timing ${suspects.size} suspect(s) after suite drain")
         suspects.map { case (name, _, _) =>
           val fn = SparkEntry.queries(name)
-          val runs = (1 to 2).map { _ =>
+          val (sec, err) = retimeSuspect(() => {
             spark.catalog.clearCache()
             ops.TransientCache.drainAll()
             timeOne(spark, sfDir, fn)
-          }
-          val ok = runs.collect { case (sec, None) => sec }
-          if (ok.nonEmpty) (name, ok.min, None)
-          else (name, runs.map(_._1).min, runs.flatMap(_._2).headOption)
+          }, benchRuns, steady)
+          (name, sec, err)
         }
       }
     val retimeLoadEnd = loadavg1()
@@ -377,7 +425,8 @@ object Bench {
       .map { case (n, r, la) =>
         s""""$n":{"x":${fmt(r, 1)},"loadavg":${fmt(la, 2)}}""" }
       .mkString("{", ",", "}")
-    // suspect_retimed: the adjudication pass's per-suspect min-of-2, in
+    // suspect_retimed: the adjudication pass's per-suspect re-time under
+    // the main loop's protocol (retimeSuspect — min of runs 2..N), in
     // seconds — read it against `queries` (the flagged time) and the
     // prior history; n_suspect_still counts re-times STILL > 3× history
     // PLUS any suspect whose re-runs all failed (the real-regression
@@ -394,7 +443,7 @@ object Bench {
       .mkString("{", ",", "}")
     val retimeLoadJson =
       s"""{"start":${fmt(retimeLoadStart, 2)},"end":${fmt(retimeLoadEnd, 2)}}"""
-    val fullLine = s"""{"metric":"queries_full","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flakies,"bench_runs":$benchRuns,"protocol":"$proto","sf":"$sfDir","canary":$canaryJson,"loadavg":$loadJson,"suspect":$suspectJson,"suspect_retimed":$suspectRetimedJson,"suspect_retime_errors":$retimeErrsJson,"retime_loadavg":$retimeLoadJson,"n_suspect_still":$stillHot}"""
+    val fullLine = s"""{"metric":"queries_full","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flakies,"bench_runs":$benchRuns,"protocol":"$proto","sf":"$sfDir","canary":$canaryJson,"loadavg":$loadJson,"suspect":$suspectJson,"suspect_retimed":$suspectRetimedJson,"suspect_retime_errors":$retimeErrsJson,"retime_loadavg":$retimeLoadJson,"retime_protocol":"$proto","n_suspect_still":$stillHot}"""
     println(fullLine)
     // bench_full.json always describes a FULL suite run: a
     // SPARK_GRAFT_BENCH_ONLY-restricted run must not overwrite it, or

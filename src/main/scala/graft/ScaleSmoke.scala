@@ -367,6 +367,13 @@ object ScaleSmoke {
     val smallDir =
       if (namesAxis) expandNames(spark, out, factor)
       else { expand(spark, src, out, factor, decorrelate); src }
+    // r15 ADVICE: with --names the positional <srcSfDir> is a
+    // placeholder (both sides of the comparison are synthetic) — say
+    // so, or a user pointing it at a real corpus silently measures
+    // nothing of it
+    if (namesAxis)
+      println(s"[scale] --names: <srcSfDir> '$src' is unused — " +
+        "both corpora are synthetic name domains")
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // The artifact line must stay machine-parseable no matter what the

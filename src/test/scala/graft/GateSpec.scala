@@ -406,4 +406,40 @@ class BenchErrorSpec extends AnyFunSuite {
       Map("qA" -> 0.4, "qB" -> 0.7))
     assert(hist == Map("qA" -> 0.4, "qB" -> 0.7))
   }
+
+  test("retimeSuspect runs the main loop's protocol: benchRuns runs, run 1 dropped when steady (r15 verdict item 4)") {
+    // steady min-of-runs-2..3: run 1 (the fastest here, 0.1 s) must be
+    // EXCLUDED — the old fixed min-of-2 would have reported it
+    var calls = 0
+    val timings = Seq(0.1, 0.9, 0.5)
+    val (sec, err) = Bench.retimeSuspect(() => {
+      calls += 1; (timings(calls - 1), None)
+    }, benchRuns = 3, steady = true)
+    assert(calls == 3 && sec == 0.5 && err.isEmpty)
+    // legacy min-of-2 mode times every run
+    calls = 0
+    val (sec2, _) = Bench.retimeSuspect(() => {
+      calls += 1; (timings(calls - 1), None)
+    }, benchRuns = 2, steady = false)
+    assert(calls == 2 && sec2 == 0.1)
+    // a clean run 1 must not adjudicate a suspect whose TIMED runs all
+    // failed: the error marker survives (still-hot, not load noise)
+    calls = 0
+    val (_, errAll) = Bench.retimeSuspect(() => {
+      calls += 1
+      if (calls == 1) (0.2, None) else (0.01, Some("OutOfMemoryError"))
+    }, benchRuns = 3, steady = true)
+    assert(errAll.contains("OutOfMemoryError"))
+  }
+
+  test("applyRebase drops only the named history prefixes (r15 ADVICE reset path)") {
+    val prior = Map("q118_audio" -> 4.9, "q118b_x" -> 1.0, "q193_sweep" -> 3.1)
+    assert(Bench.applyRebase(prior, None) == prior)
+    // prefix-match, BENCH_ONLY's convention: q118 drops both q118 keys
+    assert(Bench.applyRebase(prior, Some("q118")) == Map("q193_sweep" -> 3.1))
+    assert(Bench.applyRebase(prior, Some("q118_audio, q193")) ==
+      Map("q118b_x" -> 1.0))
+    // empty/garbage specs degrade to no-op, never throw
+    assert(Bench.applyRebase(prior, Some(" , ")) == prior)
+  }
 }
