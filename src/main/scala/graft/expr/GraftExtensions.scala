@@ -28,6 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    membership probe ([[BloomProbe]], the q75 decontamination filter)
   *  - `graft_kmin(h, k)` — bounded bottom-k distinct aggregate
   *    ([[KMinDistinct]], the q195 KMV distinct-count sketch)
+  *  - `graft_kmin_str(s, k)` — bounded bottom-k distinct STRING
+  *    aggregate ([[KMinStrings]], the q225 low-cardinality block cap)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -74,5 +76,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BloomProbe(exprs.head, exprs(1), exprs(2))
     })
     inject(e, "graft_kmin", classOf[KMinDistinct], KMinDistinct.fromArgs)
+    inject(e, "graft_kmin_str", classOf[KMinStrings], KMinStrings.fromArgs)
   }
 }

@@ -793,6 +793,18 @@ object Dedup {
     * [[FuzzyBlockCap]]. */
   val FuzzyMaxEdits = 3
 
+  /** Length-bucket width for q225's third blocking pass (r15 verdict
+    * item 2): names block together when floor(len/width) agrees. Any
+    * pair within [[FuzzyMaxEdits]] edits differs ≤ [[FuzzyMaxEdits]] in
+    * length, so width = FuzzyMaxEdits + 1 is the smallest bucket in
+    * which a co-bucketed pair can differ by the full edit budget;
+    * pairs straddling a bucket boundary are the pass's documented miss
+    * class (an |Δlen| ≤ 3 pair lands split for ≤ 3 of the 4 boundary
+    * offsets — the standard fixed-bucket trade-off; dual-assignment
+    * multi-probe would close it at 2× the pass cost). Pre-`defs` like
+    * [[FuzzyBlockCap]]. */
+  val FuzzyLenBucketWidth = FuzzyMaxEdits + 1
+
   /** Missing-link candidates over the near-dup graph: non-adjacent doc
     * pairs sharing at least one common neighbor, scored by
     * common-neighbor count and neighborhood Jaccard (basis points).
@@ -1894,12 +1906,13 @@ object Dedup {
 
     // ---- q224's multi-pass production form (r14 verdict item 2): the
     //      same blocked pass run once per blocking key — LAST token
-    //      (q224's head noun) and FIRST token — then unioned, so a typo
-    //      in EITHER blocking token alone no longer hides a pair
+    //      (q224's head noun), FIRST token, and (r16, r15 verdict
+    //      item 2) the LENGTH BUCKET — then unioned, so a typo in
+    //      EITHER blocking token alone no longer hides a pair
     //      ("cold anvil"/"cold anvi1" share no last token but block
-    //      together on "cold"). n_passes carries how many passes found
-    //      each pair. The residual miss class shrinks to names typo'd
-    //      in BOTH blocking tokens at once. ----
+    //      together on "cold"), and a name typo'd in BOTH tokens
+    //      still co-buckets by length. n_passes carries how many
+    //      passes found each pair. ----
     "q225_fuzzy_name_multipass" -> QueryDef(
       (s, dir) => fuzzyNameMatchesMultiPass(Tables.load(s, dir, "part")),
       Some(s"""WITH names AS (
@@ -1942,6 +1955,26 @@ object Dedup {
                FROM capped_first a
                JOIN capped_first b
                  ON a.blk = b.blk AND a.p_name < b.p_name
+               WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxEdits),
+             blk_len AS (
+               SELECT p_name, n_parts,
+                 CAST(floor(length(p_name) / $FuzzyLenBucketWidth)
+                   AS BIGINT) AS blk
+               FROM names),
+             capped_len AS (
+               SELECT * FROM (
+                 SELECT *, row_number() OVER (PARTITION BY blk
+                   ORDER BY p_name) AS rk
+                 FROM blk_len)
+               WHERE rk <= $FuzzyBlockCap),
+             pairs_len AS (
+               SELECT a.p_name AS name_a, b.p_name AS name_b,
+                 CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)
+                   AS edit_distance,
+                 a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+               FROM capped_len a
+               JOIN capped_len b
+                 ON a.blk = b.blk AND a.p_name < b.p_name
                WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxEdits)
              SELECT name_a, name_b,
                min(edit_distance) AS edit_distance,
@@ -1949,7 +1982,8 @@ object Dedup {
                min(n_parts_b) AS n_parts_b,
                CAST(count(*) AS BIGINT) AS n_passes
              FROM (SELECT * FROM pairs_last
-                   UNION ALL SELECT * FROM pairs_first)
+                   UNION ALL SELECT * FROM pairs_first
+                   UNION ALL SELECT * FROM pairs_len)
              GROUP BY name_a, name_b
              ORDER BY name_a, name_b""")),
   )
@@ -1993,46 +2027,57 @@ object Dedup {
 
   /** q225: [[fuzzyNameMatches]]' documented multi-pass production form.
     * The same capped blocked pass runs once per blocking key — LAST
-    * whitespace token (q224's head noun) and FIRST token — and the pass
-    * outputs union: a typo confined to one blocking token can no longer
-    * hide a pair, because the other pass still blocks it together
-    * ("cold anvil"/"cold anvi1" miss on the last token but meet on
-    * "cold"). Pairs found by both passes collapse in ONE group-by on
-    * the (name_a, name_b) key with `n_passes` carrying the pass count
-    * (2 ⇔ the pair survives either typo class; single-token names make
-    * the two keys coincide and legitimately count 2). edit_distance /
+    * whitespace token (q224's head noun), FIRST token, and (since r16)
+    * the LENGTH BUCKET floor(len/[[FuzzyLenBucketWidth]]) — and the
+    * pass outputs union: a typo confined to one blocking token can no
+    * longer hide a pair ("cold anvil"/"cold anvi1" miss on the last
+    * token but meet on "cold"), and a name typo'd in BOTH tokens at
+    * once ("old anvil" → "cold anvi1", the double-typo class the
+    * two-pass form scaladoc'd as its residual miss) still co-buckets
+    * by length, because ≤ [[FuzzyMaxEdits]] edits move the length by
+    * at most the bucket width − 1. Pairs found by several passes
+    * collapse in ONE group-by on the (name_a, name_b) key with
+    * `n_passes` carrying the pass count (3 ⇔ same first token, same
+    * last token, AND co-bucketed; single-token names make the two
+    * token keys coincide and legitimately count both). edit_distance /
     * n_parts are functions of the pair, so min() is just the
     * deterministic pick of equal values.
     *
     * Scale shape: the distinct-name aggregate is computed ONCE and
-    * scope-cached; each pass is the q224 shape — a per-block rank
-    * window (block-partitioned) + a block-keyed EQUI-join bounded at
-    * [[FuzzyBlockCap]]² pairs per block — so the union costs exactly
-    * 2× the single pass, and the final rollup is map-side combinable
-    * on the pair key. No all-pairs join exists in the plan (the r14
-    * cap probe's bounded growth carries over pass-by-pass; re-measured
-    * via ScaleSmoke's --names axis this round).
+    * scope-cached; each token pass is the q224 shape — a per-block
+    * rank window (block-partitioned; fine there, the token domain IS
+    * the parallelism) + a block-keyed EQUI-join bounded at
+    * [[FuzzyBlockCap]]² pairs per block. The length pass CANNOT use
+    * the rank window: its key has ~tens of distinct values over any
+    * corpus, so the window would sort the whole name domain in a
+    * handful of single-partition tasks — instead the cap runs as the
+    * native bounded aggregate [[graft.expr.KMinStrings]] (O(cap)
+    * state, map-side partials, scan-shaped parallelism), whose result
+    * is the SAME alphabetical first-cap set the window spelling picks,
+    * then a broadcast rejoin (≤ buckets·cap rows) recovers n_parts.
+    * The final rollup is map-side combinable on the pair key. No
+    * all-pairs join exists in the plan (the r14 cap probe's bounded
+    * growth carries over pass-by-pass; ScaleSmoke's --names axis
+    * re-measures it).
     *
-    * Residual miss class: a name typo'd in BOTH blocking tokens at
-    * once (e.g. "cold anvil" → "col anvi1") — the double-typo class
-    * the scaladoc'd single-pass miss shrank to; a third pass on a
-    * structural key (length bucket) would catch most of those at the
-    * same bounded cost. */
+    * Residual miss classes, honestly: (a) a pair straddling a length-
+    * bucket boundary whose tokens both changed — fixed-bucket
+    * geometry, closable by dual-assignment multi-probe at 2× the pass
+    * cost ([[FuzzyLenBucketWidth]]); (b) at corpus scale the length
+    * pass's per-bucket cap keeps only [[FuzzyBlockCap]] names per
+    * bucket, so its recall is a bounded-cost sample there — the token
+    * passes, whose block cardinality grows with the corpus, stay the
+    * recall workhorses; the structural pass exists to catch what they
+    * CANNOT see at all. */
   def fuzzyNameMatchesMultiPass(parts: DataFrame): DataFrame = {
     val names = parts.groupBy(col("p_name"))
       .agg(count(lit(1)).as("n_parts"))
       .transform(TransientCache.scopedDF)
-    def pass(blk: Column): DataFrame = {
-      val wBlk = Window.partitionBy(col("blk")).orderBy(col("p_name"))
-      // scope-cached like q224's single pass: the a/b self-join puts
-      // this rank-window subtree on BOTH sides — without the cache the
-      // "union costs exactly 2× one pass" claim rests on ReuseExchange
-      // luck instead of the stated cost model
-      val capped = names.withColumn("blk", blk)
-        .withColumn("rk", row_number().over(wBlk))
-        .filter(col("rk") <= FuzzyBlockCap)
-        .select(col("blk"), col("p_name"), col("n_parts"))
-        .transform(TransientCache.scopedDF)
+    // the capped frame is scope-cached in EVERY pass: the a/b
+    // self-join puts its subtree on both sides — without the cache the
+    // "union costs pass-additive" claim rests on ReuseExchange luck
+    // instead of the stated cost model
+    def pairsFrom(capped: DataFrame): DataFrame =
       capped.as("a").join(capped.as("b"),
           col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
         .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
@@ -2041,9 +2086,31 @@ object Dedup {
           col("a.n_parts").as("n_parts_a"),
           col("b.n_parts").as("n_parts_b"))
         .filter(col("edit_distance") <= FuzzyMaxEdits)
+    def tokenPass(blk: Column): DataFrame = {
+      val wBlk = Window.partitionBy(col("blk")).orderBy(col("p_name"))
+      val capped = names.withColumn("blk", blk)
+        .withColumn("rk", row_number().over(wBlk))
+        .filter(col("rk") <= FuzzyBlockCap)
+        .select(col("blk"), col("p_name"), col("n_parts"))
+        .transform(TransientCache.scopedDF)
+      pairsFrom(capped)
     }
-    pass(element_at(split(col("p_name"), " "), -1))
-      .unionByName(pass(element_at(split(col("p_name"), " "), 1)))
+    val lenPass: DataFrame = {
+      graft.expr.KMinStrings.register(parts.sparkSession)
+      val keep = names
+        .withColumn("blk",
+          floor(length(col("p_name")) / FuzzyLenBucketWidth))
+        .groupBy(col("blk"))
+        .agg(expr(s"graft_kmin_str(p_name, $FuzzyBlockCap)").as("keep"))
+        .select(col("blk"), explode(col("keep")).as("p_name"))
+      val capped = names.join(broadcast(keep), Seq("p_name"))
+        .select(col("blk"), col("p_name"), col("n_parts"))
+        .transform(TransientCache.scopedDF)
+      pairsFrom(capped)
+    }
+    tokenPass(element_at(split(col("p_name"), " "), -1))
+      .unionByName(tokenPass(element_at(split(col("p_name"), " "), 1)))
+      .unionByName(lenPass)
       .groupBy(col("name_a"), col("name_b"))
       .agg(min(col("edit_distance")).as("edit_distance"),
         min(col("n_parts_a")).as("n_parts_a"),

@@ -2334,16 +2334,20 @@ class PageRankSpec extends AnyFunSuite {
     assert(capped.nonEmpty && capped.max == f"n$cap%03d widget")
   }
 
-  test("q225: the blocking-token typo resolves via the second pass; n_passes counts pass agreement") {
+  test("q225: the blocking-token typo resolves via the second pass, the DOUBLE-token typo via the length pass; n_passes counts pass agreement") {
     import spark.implicits._
-    // same fixture as q224 plus a pair matched by BOTH passes:
+    // same fixture as q224 plus the multi-pass recall ladder:
     //  - "cold anvi1" (typo IN the last token — q224's documented miss)
-    //    now pairs with "cold anvil" through the first-token pass;
+    //    pairs with "cold anvil" through the first-token pass AND the
+    //    length pass (10 vs 10 chars → same bucket) → n_passes 2;
+    //  - "cold anvi1"/"old anvil" (BOTH tokens typo'd, distance 2 —
+    //    the two-pass form's scaladoc'd residual miss) co-bucket by
+    //    length (10 vs 9, floor/4 = 2 both) → found ONLY by the third
+    //    pass, n_passes 1;
     //  - "blue bolt"/"blue rod" (distance 3, same adjective) surfaces
-    //    through the first-token pass — the precision cost the scaladoc
-    //    names, visible as n_passes = 1;
-    //  - "big red anvil"/"big ted anvil" share first AND last token →
-    //    found twice, collapsed to one row with n_passes = 2.
+    //    through first-token AND length (9/8 → bucket 2) → 2;
+    //  - "big red anvil"/"big ted anvil" share first token, last
+    //    token, and bucket (13/13 → 3) → n_passes 3.
     val parts = Seq("cold anvil", "cold anvil", "old anvil",
       "blue bolt", "blue rod", "cold anvi1",
       "big red anvil", "big ted anvil").toDF("p_name")
@@ -2351,15 +2355,38 @@ class PageRankSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(got.toSeq == Seq(
-      ("big red anvil", "big ted anvil", 1L, 1L, 1L, 2L),
-      ("blue bolt", "blue rod", 3L, 1L, 1L, 1L),
-      ("cold anvi1", "cold anvil", 1L, 1L, 2L, 1L),
-      ("cold anvil", "old anvil", 1L, 2L, 1L, 1L)))
+      ("big red anvil", "big ted anvil", 1L, 1L, 1L, 3L),
+      ("blue bolt", "blue rod", 3L, 1L, 1L, 2L),
+      ("cold anvi1", "cold anvil", 1L, 1L, 2L, 2L),
+      ("cold anvi1", "old anvil", 2L, 1L, 1L, 1L),
+      ("cold anvil", "old anvil", 1L, 2L, 1L, 2L)))
     // the q224 single pass on the same fixture still misses the
-    // blocking-token typo — the recall delta IS the second pass
+    // blocking-token typo — the recall delta IS the later passes
     val single = graft.ops.Dedup.fuzzyNameMatches(parts).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(!single.contains(("cold anvi1", "cold anvil")))
+    assert(!single.contains(("cold anvi1", "old anvil")))
+  }
+
+  test("q225 length pass: the KMinStrings cap equals the rank-window cap, and boundary-straddling pairs are the documented miss") {
+    import spark.implicits._
+    // cap semantics: >cap names in ONE length bucket — the kept set
+    // must be the alphabetical first cap, exactly what the oracle's
+    // row_number() <= cap picks (all "nNNN widget" = 11 chars,
+    // levenshtein ≤ 3 between numeric labels → pairs exist only among
+    // kept names)
+    val cap = graft.ops.Dedup.FuzzyBlockCap
+    val many = (1 to cap + 44).map(i => f"n$i%03d widget").toDF("p_name")
+    val kept = graft.ops.Dedup.fuzzyNameMatchesMultiPass(many).collect()
+      .flatMap(r => Seq(r.getString(0), r.getString(1)))
+    assert(kept.nonEmpty && kept.max == f"n$cap%03d widget")
+    // boundary straddle: lengths 11 and 13 sit in different /4 buckets,
+    // so a distance-2 double-token-typo pair across that boundary is
+    // missed by ALL THREE passes — the fixed-bucket geometry the
+    // FuzzyLenBucketWidth scaladoc documents (closable by multi-probe)
+    val straddle = Seq("zz aaabbbcc", "azz aaabbbcca").toDF("p_name")
+    assert(graft.ops.Dedup.fuzzyNameMatchesMultiPass(straddle)
+      .collect().isEmpty)
   }
 
   test("q223: session counts per gap are exact on a hand fixture, with strict-> at the boundary") {
