@@ -1,37 +1,95 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /** Corpus-scale smoke for [[EventStreams.streamingSessionPaths]] (r14
-  * verdict item 3): StreamingSpec pins the mirror's batch equivalence at
-  * fixture scale, but the per-user state bound (≤ 8-element type prefix
-  * + one long) and the throughput were derived, not measured. This main
-  * drives the mirror over a REAL events corpus as rate-limited
-  * micro-batches and prints one JSON line with rows/s, the peak
-  * state-store row/byte counts (from `StreamingQueryProgress
-  * .stateOperators` — the engine's own accounting), and a
-  * batch-equivalence verdict at corpus scale.
+  * verdict item 3; `--disorder` is r15 verdict item 1): StreamingSpec
+  * pins the mirror's batch equivalence at fixture scale, but the
+  * per-user state bound and the throughput were derived, not measured.
+  * This main drives the mirror over a REAL events corpus as
+  * rate-limited micro-batches and prints one JSON line with rows/s,
+  * the peak state-store row/byte counts (from `StreamingQueryProgress
+  * .stateOperators` — the engine's own accounting), and an
+  * equivalence verdict at corpus scale.
   *
   * Micro-batching: the corpus is staged into `chunks` TIME-SLICED
   * parquet files (ntile over global (ts, event_id) order — a one-off
   * harness sort, not a pipeline pattern) with strictly increasing
   * modification times, then streamed with `maxFilesPerTrigger=1` +
   * `Trigger.AvailableNow` — so the mirror sees `chunks` ordered
-  * micro-batches, exactly the arrival discipline its equality contract
-  * names (per-user in-order follows from global time-slicing).
+  * micro-batches.
   *
-  * Equivalence at corpus scale: under globally ordered arrival no
-  * timeout can fire EARLY (when an in-gap successor event is processed,
-  * every prior processed event has ts ≤ its own, so the watermark sits
-  * ≤ last_event — short of the last+gap horizon), hence the emitted
-  * rows are exactly batch [[graft.ops.Temporal.sessionPaths]] minus
-  * trailing sessions whose timeout the bounded stream never reached.
-  * The check asserts, as (user, path) multisets: every non-final batch
-  * session emitted, and everything emitted beyond those is a final
-  * session. A violation fails the run after the JSON line prints.
+  * ORDERED regime (default): per-user in-order arrival follows from
+  * global time-slicing, and no event is ever late (each chunk's rows
+  * sit above every earlier chunk's max, which trails the watermark by
+  * the gap), so no timeout can fire EARLY — emitted rows are exactly
+  * batch [[graft.ops.Temporal.sessionPaths]] minus trailing sessions
+  * whose timeout the bounded stream never reached.
+  *
+  * DISORDERED regime (`--disorder`): every [[LagMod]]-th user becomes a
+  * LAGGARD whose events are withheld and delivered in bursts every
+  * [[BurstEvery]] chunks (chunk i's laggard rows ride chunk
+  * ceil(i/B)·B), while the on-time majority keeps driving the
+  * watermark — so laggard rows arrive up to B·(span/chunks) behind it.
+  * At sf0.1 that is ~7.5 days of skew against a 30-minute gap: most
+  * withheld rows are LATE (below the watermark at delivery → filtered
+  * before the state fold), and a laggard's open session times out
+  * MID-stream batches before its next burst lands. This exercises
+  * exactly the two paths the ordered regime excludes by construction:
+  * the watermark late-filter and the early (truncating) event-time
+  * timeout.
+  *
+  * Equivalence contract under disorder — the survivor-fold theorem
+  * (pinned at fixture scale by StreamingSpec's DISORDERED test): with
+  * per-user arrival order preserved (burst delivery preserves it), an
+  * in-session successor event either (a) arrives while the session
+  * state is live — before any timeout, since a timeout needs
+  * watermark > last+gap while a non-late successor needs
+  * ts₂ > watermark with ts₂ ≤ last+gap — or (b) is itself late and
+  * filtered. So the mirror's output is EXACTLY the 30-minute gap-fold
+  * over each user's SURVIVING events: the r15 scaladoc's anticipated
+  * "prefix-consistent truncation" materializes as tail-drop →
+  * survivor-fold prefix, and holes/splits are survivor-fold artifacts
+  * too, all captured by one exact check. Survivors are computable
+  * post-hoc: the staging schedule gives each event's delivery batch,
+  * the engine's own progress gives each batch's watermark W_b (ms),
+  * and a row in batch b survives iff unix_micros(ts) > W_{b-1}·1000 —
+  * the engine's `≤ watermark` late predicate against the PREVIOUS
+  * batch's watermark (`watermarkForLateEvents`, SPARK-39931: late
+  * filtering lags one batch behind eviction; verified empirically
+  * here — the per-burst drop counts match the lagged attribution
+  * exactly, 2128/2142/2159/2147 at sf0.1, and are 25% over-predicted
+  * by same-batch attribution). The cross-check against the engine's
+  * summed numRowsDroppedByWatermark is EXACT, so a drift in the
+  * predicate, the lag, or the batch→file mapping fails loudly. The check
+  * then asserts, as (user, path) multisets over
+  * sessionPaths(survivors): every non-final survivor session emitted,
+  * everything beyond those is a final survivor session — the ordered
+  * check's exact shape, on the survivor frame (ordered = the
+  * degenerate case where survivors are all rows).
+  *
+  * Disorder accounting in the JSON line: `n_dropped` (= engine count),
+  * `n_timeout_mid_min` — a STRUCTURAL lower bound on mid-stream
+  * timeout fires: every (laggard, burst) with surviving rows and a
+  * later surviving burst leaves an open session whose horizon the
+  * watermark passes chunks before the next burst (1.5-day slices vs a
+  * 30-minute gap), while the user has no data in between — and the
+  * affected-session split vs full-corpus truth: `n_truncated_prefix`
+  * (survivor-only NOVEL shapes that are a prefix of a same-user true
+  * path — the verdict's prefix-consistency measure), `n_other_shape`
+  * (novel hole/suffix shapes from mid-sequence drops),
+  * `n_lost_sessions` (true shapes missing from survivor truth). The
+  * novel-shape counters can legitimately read 0 at sf0.1: the late
+  * cutoff is a time instant, so per (laggard, burst) it deletes whole
+  * sessions and truncates at most the ONE session straddling it — and
+  * with short sparse sessions over a small event-type alphabet, the
+  * rare truncated shape collides with an existing (user, path) key
+  * and shows up as a count shift inside `n_lost_sessions` instead.
+  * They stay as detectors for corpora where truncation produces
+  * genuinely new shapes.
   *
   * Known blind spot of the multiset check (named rather than
   * overclaimed): if the mirror dropped a non-final session whose
@@ -39,25 +97,33 @@ import org.apache.spark.sql.streaming.Trigger
   * final's timeout emitted, the counts cancel and the check passes.
   * The emitted rows carry no per-session discriminator beyond the
   * path (adding one would change the mirror's public shape, which is
-  * pinned by batch parity), so a corpus-scale check cannot separate
-  * that pair; StreamingSpec's fixture-scale test pins EXACT equality
-  * including trailing sessions, which covers the fold logic the
-  * masking class would hide.
+  * pinned by batch parity); StreamingSpec's fixture-scale tests pin
+  * EXACT equality including trailing sessions.
   *
   * With `--rocksdb` the run applies [[EventStreams.rocksDbStateStoreConf]]
   * (RocksDB provider + changelog checkpointing) — the state-store
-  * configuration DESIGN'd for billion-key streaming dedup, here pinned
-  * working at corpus scale on the session mirror (StreamingSpec pins
-  * it at fixture scale on the dedup). Note the provider's
-  * `memoryUsedBytes` counts native RocksDB memory, not per-key heap —
-  * compare row counts across providers, byte counts only within one.
+  * configuration DESIGN'd for billion-key streaming dedup. Note the
+  * provider's `memoryUsedBytes` counts native RocksDB memory, not
+  * per-key heap — compare row counts across providers, byte counts
+  * only within one.
   *
-  * Usage: runMain graft.streaming.SessionMirrorSmoke [--rocksdb] [sfDir] [chunks]
+  * Usage: runMain graft.streaming.SessionMirrorSmoke [--rocksdb] [--disorder] [sfDir] [chunks]
   */
 object SessionMirrorSmoke {
+
+  /** Every LagMod-th user lags under `--disorder` (~14% of users —
+    * enough sessions to truncate, while the on-time majority keeps the
+    * ordered-regime equivalence meaningful in the same run). */
+  val LagMod = 7
+
+  /** Laggard burst period, in chunks: chunk i's laggard rows deliver
+    * with chunk ceil(i/B)·B. At 20 chunks → bursts at 5/10/15/20. */
+  val BurstEvery = 5
+
   def main(args: Array[String]): Unit = {
     val rocksdb = args.contains("--rocksdb")
-    val rest = args.filterNot(_ == "--rocksdb")
+    val disorder = args.contains("--disorder")
+    val rest = args.filterNot(a => a == "--rocksdb" || a == "--disorder")
     val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
     val chunks = rest.lift(1).map(_.toInt).getOrElse(20)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -81,20 +147,38 @@ object SessionMirrorSmoke {
     val ev = graft.Tables.load(spark, sfDir, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
 
-    // ---- stage: time-sliced chunk files with increasing mod times ----
-    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_sessmirror_stage"
-    val streamDir = s"${System.getProperty("java.io.tmpdir")}/graft_sessmirror_in"
-    Seq(stage, streamDir).foreach { d =>
+    // ---- stage: chunk files with increasing mod times. PID-suffixed
+    //      scratch (r15 ADVICE: fixed paths let concurrent runs clobber
+    //      each other and leaked a corpus copy per run), deleted on
+    //      success below. ----
+    val runTag = ProcessHandle.current().pid()
+    val stage =
+      s"${System.getProperty("java.io.tmpdir")}/graft_sessmirror_stage_$runTag"
+    val streamDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_sessmirror_in_$runTag"
+    def rmdirs(): Unit = Seq(stage, streamDir).foreach { d =>
       val p = new org.apache.hadoop.fs.Path(d)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
+    rmdirs()
     java.nio.file.Files.createDirectories(java.nio.file.Path.of(streamDir))
     val wAll = Window.orderBy(col("ts"), col("event_id"))
+    // `chunk` = the event's time slice; `delivery` = the batch that
+    // carries it (== chunk when ordered; laggards ride their burst)
+    val laggard = col("user_id") % LagMod === 0
+    val deliveryCol =
+      if (!disorder) col("chunk")
+      else when(laggard,
+          least(lit(chunks),
+            (ceil(col("chunk").cast("double") / BurstEvery) * BurstEvery)
+              .cast("int")))
+        .otherwise(col("chunk"))
     val sliced = ev.withColumn("chunk", ntile(chunks).over(wAll))
+      .withColumn("delivery", deliveryCol)
       .persist()
     val nRows = sliced.count()
     (1 to chunks).foreach { i =>
-      sliced.filter(col("chunk") === i).drop("chunk")
+      sliced.filter(col("delivery") === i).drop("chunk", "delivery")
         .coalesce(1).write.mode("overwrite").parquet(s"$stage/c$i")
       val part = new java.io.File(s"$stage/c$i").listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
@@ -102,11 +186,10 @@ object SessionMirrorSmoke {
       val dst = java.nio.file.Path.of(streamDir, f"chunk_$i%03d.parquet")
       java.nio.file.Files.move(part.toPath, dst)
       // strictly increasing mod times pin the file source's oldest-first
-      // processing order to the time-slice order
+      // processing order to the delivery order
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
     }
-    sliced.unpersist()
 
     // ---- drive the mirror: one chunk per micro-batch ----
     val stream = spark.readStream.schema(ev.schema)
@@ -125,27 +208,71 @@ object SessionMirrorSmoke {
     val inputRows = progress.map(_.numInputRows).sum
     val stateRows = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
     val stateBytes = progress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
-    val nBatches = progress.count(_.numInputRows > 0)
+    val withRows = progress.filter(_.numInputRows > 0)
+    val nBatches = withRows.size
+    require(nBatches == chunks,
+      s"expected $chunks one-file batches, saw $nBatches — batch→chunk mapping broken")
+    val engineDropped = progress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    val engineRemoved = progress
+      .flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
 
-    // ---- corpus-scale equivalence on (user, path) multisets ----
-    def multiset(df: org.apache.spark.sql.DataFrame): Map[(Long, String), Long] =
+    // ---- survivor frame: the late filter in delivery batch k drops
+    //      rows with event-time ≤ the PREVIOUS batch's watermark
+    //      W_{k-1} (watermarkForLateEvents — late filtering lags one
+    //      batch behind eviction; batches 1 and 2 effectively run
+    //      unfiltered since W_0 = epoch 0 and W_1 derives from no
+    //      prior data) ----
+    val wmReported = withRows.map { p =>
+      val iso = Option(p.eventTime.get("watermark"))
+        .getOrElse(sys.error(s"batch ${p.batchId} carries no watermark"))
+      java.time.Instant.parse(iso).toEpochMilli
+    }
+    val wmByDelivery = (1 to chunks).map { k =>
+      (k, if (k >= 2) wmReported(k - 2) else 0L)
+    }
+    // per-batch diagnostic (stderr): the attribution evidence behind the
+    // model cross-check below — batchId, rows, planning watermark, and
+    // the engine's per-batch late-drop count
+    progress.foreach { p =>
+      val d = p.stateOperators.map(_.numRowsDroppedByWatermark).sum
+      System.err.println(s"[mirror] batch=${p.batchId} rows=${p.numInputRows} " +
+        s"wm=${Option(p.eventTime.get("watermark")).getOrElse("-")} dropped=$d")
+    }
+    val wmDf = wmByDelivery.toDF("delivery", "wm_ms")
+    val survivors = sliced.join(broadcast(wmDf), Seq("delivery"))
+      .filter(unix_micros(col("ts")) > col("wm_ms") * 1000L)
+      .persist()
+    val nSurvivors = survivors.count()
+    val modelDropped = nRows - nSurvivors
+
+    // ---- equivalence on (user, path) multisets over the survivor fold ----
+    def multiset(df: DataFrame): Map[(Long, String), Long] =
       df.groupBy(col("user_id"), col("path"))
         .agg(count(lit(1)).as("n")).collect()
         .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
-    val batch = graft.ops.Temporal.sessionPaths(ev).persist()
-    val lastSess = batch.groupBy(col("user_id"))
-      .agg(max(col("session_id")).as("last_sid"))
-    val nonFinal = multiset(batch.join(lastSess, Seq("user_id"))
-      .filter(col("session_id") < col("last_sid")))
-    val all = multiset(batch)
-    batch.unpersist()
+    def truthOf(frame: DataFrame)
+        : (Map[(Long, String), Long], Map[(Long, String), Long]) = {
+      val batch = graft.ops.Temporal.sessionPaths(
+        frame.select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))).persist()
+      val lastSess = batch.groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("last_sid"))
+      val nonFinal = multiset(batch.join(lastSess, Seq("user_id"))
+        .filter(col("session_id") < col("last_sid")))
+      val all = multiset(batch)
+      batch.unpersist()
+      (nonFinal, all)
+    }
+    val (nonFinal, all) = truthOf(survivors)
     val emitted = multiset(spark.table("mirror_sessions"))
-    // every non-final session emitted (gap-closure needs no watermark)…
+    // every non-final survivor session emitted (gap-close or timeout —
+    // either path emits it exactly once under per-user order)…
     val missing = nonFinal.collect {
       case (k, n) if emitted.getOrElse(k, 0L) < n =>
         (k, n - emitted.getOrElse(k, 0L))
     }
-    // …and nothing emitted beyond the batch truth
+    // …and nothing emitted beyond the survivor truth
     val excess = emitted.collect {
       case (k, n) if n > all.getOrElse(k, 0L) => (k, n - all.getOrElse(k, 0L))
     }
@@ -153,15 +280,54 @@ object SessionMirrorSmoke {
     val nEmitted = emitted.values.sum
     val nFinalOpen = nBatchSessions - nonFinal.values.sum
 
+    // ---- disorder accounting vs the FULL-corpus truth ----
+    val (nTruncPrefix, nOtherShape, nLost, nTimeoutMidMin) =
+      if (!disorder) (0L, 0L, 0L, 0L)
+      else {
+        val (_, allTrue) = truthOf(sliced)
+        val truePathsByUser = allTrue.keys.toSeq.groupMap(_._1)(_._2)
+        var trunc = 0L; var other = 0L
+        for ((k @ (u, p), n) <- all; d = n - allTrue.getOrElse(k, 0L); if d > 0) {
+          val prefixOfTruth = truePathsByUser.getOrElse(u, Seq.empty)
+            .exists(t => t == p || t.startsWith(p + ">"))
+          if (prefixOfTruth) trunc += d else other += d
+        }
+        val lost = allTrue.collect {
+          case (k, n) if n > all.getOrElse(k, 0L) => n - all.getOrElse(k, 0L)
+        }.sum
+        // structural lower bound on mid-stream timeouts: each laggard
+        // burst-with-survivors followed by a later one leaves an open
+        // session whose horizon (last+30min) the watermark passes
+        // ~chunks before the next burst, with no data in between
+        val mid = survivors.filter(laggard)
+          .groupBy(col("user_id"))
+          .agg(countDistinct(col("delivery")).as("nb"))
+          .agg(coalesce(sum(col("nb") - 1), lit(0L))).collect()(0).getLong(0)
+        (trunc, other, lost, mid)
+      }
+    survivors.unpersist()
+    sliced.unpersist()
+
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val provider = if (rocksdb) "rocksdb" else "hdfs"
-    println(s"""{"metric":"session_mirror_smoke","sf":"$sfDir","provider":"$provider","chunks":$chunks,"batches_with_rows":$nBatches,"rows":$nRows,"stream_input_rows":$inputRows,"wall_sec":${fmt(wall)},"rows_per_sec":${fmt(nRows / wall)},"peak_state_rows":${if (stateRows.nonEmpty) stateRows.max else -1},"peak_state_bytes":${if (stateBytes.nonEmpty) stateBytes.max else -1},"n_batch_sessions":$nBatchSessions,"n_emitted":$nEmitted,"n_final_open":$nFinalOpen,"n_missing_closed":${missing.size},"n_excess":${excess.size}}""")
+    val regime = if (disorder) "disorder" else "ordered"
+    println(s"""{"metric":"session_mirror_smoke","sf":"$sfDir","provider":"$provider","regime":"$regime","chunks":$chunks,"batches_with_rows":$nBatches,"rows":$nRows,"stream_input_rows":$inputRows,"wall_sec":${fmt(wall)},"rows_per_sec":${fmt(nRows / wall)},"peak_state_rows":${if (stateRows.nonEmpty) stateRows.max else -1},"peak_state_bytes":${if (stateBytes.nonEmpty) stateBytes.max else -1},"n_dropped":$engineDropped,"n_dropped_model":$modelDropped,"n_state_removals":$engineRemoved,"n_batch_sessions":$nBatchSessions,"n_emitted":$nEmitted,"n_final_open":$nFinalOpen,"n_missing_closed":${missing.size},"n_excess":${excess.size},"n_timeout_mid_min":$nTimeoutMidMin,"n_truncated_prefix":$nTruncPrefix,"n_other_shape":$nOtherShape,"n_lost_sessions":$nLost}""")
     // assertions AFTER the JSON so the evidence survives a failure
+    require(modelDropped == engineDropped,
+      s"survivor model predicts $modelDropped late drops, engine counted " +
+        s"$engineDropped — watermark predicate or batch mapping drifted")
     require(missing.isEmpty,
-      s"${missing.size} closed sessions missing from the mirror: ${missing.take(5)}")
+      s"${missing.size} closed survivor sessions missing from the mirror: ${missing.take(5)}")
     require(excess.isEmpty,
-      s"${excess.size} emitted sessions exceed batch truth: ${excess.take(5)}")
+      s"${excess.size} emitted sessions exceed survivor truth: ${excess.take(5)}")
+    if (disorder) {
+      require(engineDropped > 0, "disorder regime produced no late drops")
+      require(nTimeoutMidMin > 0, "disorder regime armed no mid-stream timeouts")
+      require(nTruncPrefix + nOtherShape + nLost > 0,
+        "disorder regime left the session truth unchanged")
+    }
+    rmdirs()
     spark.stop()
   }
 }

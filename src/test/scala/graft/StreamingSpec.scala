@@ -641,6 +641,67 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session mirror under DISORDERED arrival: late events drop (never append), the timeout truncates mid-stream, and output equals the gap-fold over SURVIVORS") {
+    // Pins the three engine semantics the corpus-scale disorder smoke's
+    // survivor model rests on (SessionMirrorSmoke --disorder):
+    //  (1) a row below the watermark is FILTERED before the state fold
+    //      (not appended out of order) and counted in
+    //      numRowsDroppedByWatermark;
+    //  (2) with the late row gone the group has no data, so the armed
+    //      event-time timeout fires MID-stream against the previous
+    //      batch's watermark, emitting the truncated session;
+    //  (3) a later in-time event reopens a fresh session — so emitted
+    //      output is exactly Temporal.sessionPaths over the SURVIVING
+    //      events, the equality the smoke asserts at corpus scale.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val input = MemoryStream[EventStreams.FunnelEvent]
+    val q = EventStreams.streamingSessionPaths(spark, input.toDS())
+      .writeStream.format("memory").queryName("sessdisorder")
+      .outputMode("append").start()
+    try {
+      // b1: u1 opens at minute 0; u9's far-future tick drives the
+      // watermark to 150 min
+      input.addData(
+        EventStreams.FunnelEvent(1L, at(0), 1L, "view"),
+        EventStreams.FunnelEvent(90L, at(180), 9L, "view"))
+      q.processAllAvailable()
+      // processAllAvailable runs a no-data batch after b1 (watermark
+      // propagation): u1's timeout horizon (minute 30) < 150 fires
+      // THERE, emitting "view" truncated. b2's late filter then runs
+      // against that previous batch's watermark (150 —
+      // watermarkForLateEvents lags eviction by one batch,
+      // SPARK-39931), so the minute-10 click is LATE → dropped, and
+      // "view>click" can never appear
+      input.addData(
+        EventStreams.FunnelEvent(2L, at(10), 1L, "click"),
+        EventStreams.FunnelEvent(91L, at(181), 9L, "view"))
+      q.processAllAvailable()
+      // b3: u1 reopens in-time (minute 200 > watermark 151); b4's tick
+      // advances the watermark past its horizon → second "view" emits
+      input.addData(EventStreams.FunnelEvent(3L, at(200), 1L, "view"))
+      q.processAllAvailable()
+      input.addData(EventStreams.FunnelEvent(92L, at(400), 9L, "view"))
+      q.processAllAvailable()
+      val u1 = spark.table("sessdisorder").collect()
+        .map(r => (r.getLong(0), r.getString(1))).filter(_._1 == 1L).toSeq
+      assert(u1.sorted == Seq((1L, "view"), (1L, "view")),
+        "truncated session + reopened session; the late click never appends")
+      // survivor-fold equality: batch sessionPaths over events MINUS
+      // the dropped one reproduces the emitted multiset for u1
+      val surv = Seq((1L, at(0), 1L, "view"), (3L, at(200), 1L, "view"))
+        .toDF("event_id", "ts", "user_id", "event_type")
+      val expect = graft.ops.Temporal.sessionPaths(surv).collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSeq
+      assert(u1.sorted == expect.sorted)
+      // the engine's own accounting saw exactly the one late row
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped == 1L, s"numRowsDroppedByWatermark = $dropped")
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup over initial base-key state reproduces batch q74 for every prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
