@@ -544,6 +544,65 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q227's pipeline over a (doc_id, text) frame, exposed for planted
+    * span specs: MAXIMAL token spans shared VERBATIM with at least one
+    * OTHER document — the exact-substring extraction the sketch family
+    * cannot give. q33's winnowing SAMPLES fingerprints (a 50-token
+    * verbatim run between two docs can fall between anchors), q99
+    * COUNTS repeated windows without extracting spans (and counts
+    * same-doc repeats), q212 attributes firsts; this query walks every
+    * stride-1 [[SpanWords]]-gram (every position of a shared run ≥ w
+    * IS a shared gram — exhaustive, not sampled), keeps grams whose
+    * key occurs in ≥ 2 DISTINCT docs, and extends consecutive shared
+    * positions into maximal runs per doc (gaps-and-islands).
+    *
+    * Output per (doc, island): 1-based word start, window count, span
+    * length in words (= windows + w − 1), and `witness_doc` — the
+    * smallest other doc sharing one of the span's grams. Gram-level
+    * semantics, stated honestly: each GRAM of the span is shared with
+    * some other doc; a long span may be stitched from different
+    * partners ("covered by other corpus content"), which is the
+    * contamination readout a rewrite/mask pass needs — per-pair whole-
+    * span agreement would put a doc-pair join on hot grams (quadratic
+    * in sharers) for no extra masking power.
+    *
+    * Scale shape (q99/q212's): ONE stride-1 explode (rows ≈ corpus
+    * tokens, shuffle carries (doc_id, pos, 32-byte key)), ONE
+    * gram-keyed window computing min/max doc_id (cross-doc ⇔
+    * min ≠ max — no count-distinct, no self-join; a span shared by a
+    * million docs costs a million-row window group, never a pair
+    * set), one per-doc islands window (bounded by doc length), one
+    * map-side island rollup. Pure int64 output. */
+  def crossDocSpansReport(docs: DataFrame, w: Int = SpanWords): DataFrame = {
+    val wnd = org.apache.spark.sql.expressions.Window
+    val keyed = docs
+      .withColumn("words", split(lower(col("text")), " +"))
+      .filter(size(col("words")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+              sequence(0, size(words) - $w),
+              i -> md5(concat_ws(' ', slice(words, i + 1, $w))))"""))
+        .as(Seq("pos", "wkey")))
+    val byKey = wnd.partitionBy(col("wkey"))
+    val shared = keyed
+      .withColumn("mn", min(col("doc_id")).over(byKey))
+      .withColumn("mx", max(col("doc_id")).over(byKey))
+      .filter(col("mn") =!= col("mx"))
+      .withColumn("witness",
+        when(col("mn") =!= col("doc_id"), col("mn")).otherwise(col("mx")))
+    val byDocPos = wnd.partitionBy(col("doc_id")).orderBy(col("pos"))
+    shared
+      .withColumn("grp", col("pos") - row_number().over(byDocPos))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg((min(col("pos")) + 1).cast("long").as("span_start"),
+        count(lit(1)).as("n_windows"),
+        (count(lit(1)) + (w - 1)).cast("long").as("span_words"),
+        min(col("witness")).as("witness_doc"))
+      .select(col("doc_id"), col("span_start"), col("n_windows"),
+        col("span_words"), col("witness_doc"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** Gram width for q212's novelty attribution — 8 words, the scale
     * where a match means shared phrasing rather than shared vocabulary
     * (the q58/q128 contamination family uses 4; novelty wants the
@@ -1772,6 +1831,49 @@ object TextOps {
              FROM occs
              GROUP BY doc_id
              ORDER BY doc_id""")),
+
+    // ---- exact cross-document substring spans: MAXIMAL verbatim
+    //      token runs shared with at least one OTHER document — the
+    //      extraction the sketch family samples past (q33 winnowing
+    //      anchors) and q99 only counts (see [[crossDocSpansReport]]).
+    //      The masking feed for a substring-level decontamination
+    //      rewrite. ----
+    "q227_crossdoc_substring_spans" -> QueryDef(
+      (s, dir) => crossDocSpansReport(Tables.load(s, dir, "documents")),
+      Some(s"""WITH wds AS (
+               SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
+               FROM documents),
+             sp AS (
+               SELECT doc_id,
+                 unnest(generate_series(0, len(ws) - $SpanWords)) AS pos, ws
+               FROM wds WHERE len(ws) >= $SpanWords),
+             keyed AS (
+               SELECT doc_id, pos,
+                 md5(array_to_string(
+                   ws[pos + 1 : pos + $SpanWords], ' ')) AS wkey
+               FROM sp),
+             mm AS (
+               SELECT doc_id, pos,
+                 min(doc_id) OVER (PARTITION BY wkey) AS mn,
+                 max(doc_id) OVER (PARTITION BY wkey) AS mx
+               FROM keyed),
+             sh AS (
+               SELECT doc_id, pos,
+                 CASE WHEN mn <> doc_id THEN mn ELSE mx END AS witness
+               FROM mm WHERE mn <> mx),
+             isl AS (
+               SELECT doc_id, pos, witness,
+                 pos - row_number() OVER (PARTITION BY doc_id
+                   ORDER BY pos) AS grp
+               FROM sh)
+             SELECT doc_id,
+               CAST(min(pos) + 1 AS BIGINT) AS span_start,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(count(*) + $SpanWords - 1 AS BIGINT) AS span_words,
+               CAST(min(witness) AS BIGINT) AS witness_doc
+             FROM isl
+             GROUP BY doc_id, grp
+             ORDER BY doc_id, span_start""")),
 
     // ---- per-doc n-gram novelty: share of a doc's distinct 8-grams
     //      first seen (min doc_id) in the doc itself — the marginal-

@@ -2488,6 +2488,46 @@ class NgramNoveltySpec extends AnyFunSuite {
   }
 }
 
+/** q227 exact cross-document substring spans: planted verbatim runs
+  * must extract MAXIMALLY (exact start, exact length, one island per
+  * run), a run below the gram width must not surface, same-doc-only
+  * repetition must not count as cross-doc, and two runs in one doc
+  * must stay two islands. */
+class CrossDocSpansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("planted 20-word runs extract exactly; sub-width and internal-only repeats stay out; two runs = two islands") {
+    import spark.implicits._
+    val w = graft.ops.TextOps.SpanWords
+    assert(w == 16, "fixture positions below are derived for w = 16")
+    def ws(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i")
+    // d0/d1 share the 20-word run s1..s20 (d0 carries it mid-doc);
+    // d2 carries only a 15-word prefix (< w → invisible);
+    // d3 repeats its own 20-word run twice (internal only → invisible);
+    // d4/d5 share TWO runs each, in swapped order → two islands per doc
+    val docs = Seq(
+      (0L, (ws("f", 1, 10) ++ ws("s", 1, 20) ++ ws("g", 1, 10)).mkString(" ")),
+      (1L, (ws("s", 1, 20) ++ ws("h", 1, 20)).mkString(" ")),
+      (2L, (ws("s", 1, 15) ++ ws("k", 1, 25)).mkString(" ")),
+      (3L, (ws("r", 1, 20) ++ ws("r", 1, 20)).mkString(" ")),
+      (4L, (ws("a", 1, 20) ++ ws("u", 1, 10) ++ ws("b", 1, 20)).mkString(" ")),
+      (5L, (ws("b", 1, 20) ++ ws("y", 1, 10) ++ ws("a", 1, 20)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.crossDocSpansReport(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // a 20-word run holds 20-16+1 = 5 windows; spans report 1-based
+    // word starts and full widths — maximal, not fragmented
+    assert(out == Seq(
+      (0L, 11L, 5L, 20L, 1L),
+      (1L, 1L, 5L, 20L, 0L),
+      (4L, 1L, 5L, 20L, 5L),
+      (4L, 31L, 5L, 20L, 5L),
+      (5L, 1L, 5L, 20L, 4L),
+      (5L, 31L, 5L, 20L, 4L)))
+  }
+}
+
 /** q209 cluster medoids: the fixed-point argmax must pick the geometric
   * center (not the first member), negative cosines must survive the
   * floor-div offset discipline exactly, singleton clusters produce no
