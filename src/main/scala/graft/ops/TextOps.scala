@@ -573,9 +573,12 @@ object TextOps {
     * million docs costs a million-row window group, never a pair
     * set), one per-doc islands window (bounded by doc length), one
     * map-side island rollup. Pure int64 output. */
-  def crossDocSpansReport(docs: DataFrame, w: Int = SpanWords): DataFrame = {
-    val wnd = org.apache.spark.sql.expressions.Window
-    val keyed = docs
+  /** (doc_id, pos, wkey) for every stride-1 `w`-word window — the
+    * shared substrate of q227 (span extraction) and q228 (rewrite
+    * ledger). pos is 0-based; wkey is the md5 of the space-joined
+    * lowercased window. */
+  private def posKeyedGrams(docs: DataFrame, w: Int): DataFrame =
+    docs
       .withColumn("words", split(lower(col("text")), " +"))
       .filter(size(col("words")) >= w)
       .select(col("doc_id"), posexplode(expr(
@@ -583,6 +586,10 @@ object TextOps {
               sequence(0, size(words) - $w),
               i -> md5(concat_ws(' ', slice(words, i + 1, $w))))"""))
         .as(Seq("pos", "wkey")))
+
+  def crossDocSpansReport(docs: DataFrame, w: Int = SpanWords): DataFrame = {
+    val wnd = org.apache.spark.sql.expressions.Window
+    val keyed = posKeyedGrams(docs, w)
     val byKey = wnd.partitionBy(col("wkey"))
     val shared = keyed
       .withColumn("mn", min(col("doc_id")).over(byKey))
@@ -601,6 +608,65 @@ object TextOps {
       .select(col("doc_id"), col("span_start"), col("n_windows"),
         col("span_words"), col("witness_doc"))
       .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** q228's pipeline over a (doc_id, text) frame, exposed for planted
+    * specs: the keep-one-copy substring-dedup REWRITE ledger — the
+    * actionable form of [[crossDocSpansReport]]'s extraction, with the
+    * Lee et al. 2022 ExactSubstr policy ("Deduplicating Training Data
+    * Makes Language Models Better": remove every LATER copy of a
+    * duplicated span, keep the first). A window at (doc, pos) is a DUP
+    * iff its gram's corpus-first occurrence (min doc_id — ingest
+    * order's deterministic proxy, q212's rule) is an EARLIER doc; dup
+    * windows cover [p, p+w−1] and overlapping/abutting intervals
+    * coalesce (q191's running-max gaps-and-islands construction, so
+    * both engines agree bitwise on pure int64). Per affected doc: word
+    * count, merged masked-span count, masked word total, and
+    * retained_bp — what a loss-masking or rewrite step consumes
+    * directly, and the per-doc cost sheet a dedup-policy debate needs
+    * (q227 says WHERE the shared text is; this says what the
+    * keep-first policy would DO to each doc). The keeper copy and
+    * purely-internal repetition are untouched by construction
+    * (mn = doc_id fails the strict <): within-doc repetition is q99's
+    * domain, deliberately not this policy's.
+    *
+    * Scale shape: [[posKeyedGrams]] (one stride-1 explode, linear in
+    * corpus tokens), ONE gram-keyed min window (no self-join — a span
+    * duplicated by a million docs costs a million-row window group),
+    * one per-doc ordered window pair for interval merge (bounded by
+    * doc length), map-side rollups, one doc-keyed equi-join to pick up
+    * word counts. Pure int64 output. */
+  def crossDocRewriteLedger(docs: DataFrame, w: Int = SpanWords)
+      : DataFrame = {
+    val wnd = org.apache.spark.sql.expressions.Window
+    val nWords = docs
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " +")).cast("long").as("n_words"))
+    val dup = posKeyedGrams(docs, w)
+      .withColumn("mn",
+        min(col("doc_id")).over(wnd.partitionBy(col("wkey"))))
+      .filter(col("mn") < col("doc_id"))
+      .select(col("doc_id"), (col("pos") + 1L).as("p"))
+    val wOrd = wnd.partitionBy(col("doc_id")).orderBy(col("p"))
+    val isl = dup
+      .withColumn("prev_end", max(col("p") + (w - 1)).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_isl", when(
+        col("prev_end").isNull || col("p") > col("prev_end") + 1L,
+        1L).otherwise(0L))
+      .withColumn("island", sum(col("new_isl")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + (w - 1)).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1L).as("n_masked_words"))
+      .join(nWords, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_spans"),
+        col("n_masked_words"),
+        expr("(n_words - n_masked_words) * 10000 div n_words")
+          .as("retained_bp"))
+      .orderBy(col("doc_id"))
   }
 
   /** Gram width for q212's novelty attribution — 8 words, the scale
@@ -1874,6 +1940,63 @@ object TextOps {
              FROM isl
              GROUP BY doc_id, grp
              ORDER BY doc_id, span_start""")),
+
+    // ---- keep-one-copy substring-dedup rewrite ledger: q227 says
+    //      WHERE cross-doc verbatim text lives; this applies the
+    //      Lee et al. ExactSubstr policy (later copies masked, first
+    //      occurrence keeps) and reports, per affected doc, the merged
+    //      masked spans and the retained share — the per-doc cost
+    //      sheet of the dedup policy (see [[crossDocRewriteLedger]]). ----
+    "q228_substring_dedup_ledger" -> QueryDef(
+      (s, dir) => crossDocRewriteLedger(Tables.load(s, dir, "documents")),
+      Some(s"""WITH wds AS (
+               SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
+               FROM documents),
+             sp AS (
+               SELECT doc_id,
+                 unnest(generate_series(0, len(ws) - $SpanWords)) AS pos, ws
+               FROM wds WHERE len(ws) >= $SpanWords),
+             keyed AS (
+               SELECT doc_id, pos,
+                 md5(array_to_string(
+                   ws[pos + 1 : pos + $SpanWords], ' ')) AS wkey
+               FROM sp),
+             dup AS (
+               SELECT doc_id, pos + 1 AS p
+               FROM (
+                 SELECT doc_id, pos,
+                   min(doc_id) OVER (PARTITION BY wkey) AS mn
+                 FROM keyed)
+               WHERE mn < doc_id),
+             pe AS (
+               SELECT doc_id, p,
+                 max(p + $SpanWords - 1) OVER (PARTITION BY doc_id
+                   ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+               FROM dup),
+             isl AS (
+               SELECT doc_id, p,
+                 CAST(sum(CASE WHEN prev_end IS NULL OR p > prev_end + 1
+                     THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS island
+               FROM pe),
+             spans AS (
+               SELECT doc_id, island, min(p) AS s,
+                 max(p) + $SpanWords - 1 AS e
+               FROM isl GROUP BY doc_id, island),
+             perdoc AS (
+               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                 CAST(sum(e - s + 1) AS BIGINT) AS n_masked_words
+               FROM spans GROUP BY doc_id)
+             SELECT d.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+               d.n_spans, d.n_masked_words,
+               (CAST(len(w.ws) AS BIGINT) - d.n_masked_words) * 10000
+                 // CAST(len(w.ws) AS BIGINT) AS retained_bp
+             FROM perdoc d JOIN wds w USING (doc_id)
+             ORDER BY d.doc_id""")),
 
     // ---- per-doc n-gram novelty: share of a doc's distinct 8-grams
     //      first seen (min doc_id) in the doc itself — the marginal-

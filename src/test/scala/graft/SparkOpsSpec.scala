@@ -2526,6 +2526,36 @@ class CrossDocSpansSpec extends AnyFunSuite {
       (5L, 1L, 5L, 20L, 4L),
       (5L, 31L, 5L, 20L, 4L)))
   }
+
+  test("q228: keep-first masks only LATER copies, abutting dup spans coalesce, keeper and internal-only docs stay out") {
+    import spark.implicits._
+    assert(graft.ops.TextOps.SpanWords == 16,
+      "fixture positions below are derived for w = 16")
+    def ws(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i")
+    // d0 first carries runs A (a1..a20) and B (b1..b20) → the keeper,
+    // NO ledger row even though its grams are shared;
+    // d1 copies run A mid-doc → one 20-word masked span of 40 words;
+    // d2 is A immediately followed by B → the two dup spans ABUT
+    //    (A covers 1..20, B covers 21..40) and must coalesce into ONE
+    //    fully-masked span, retained_bp 0;
+    // d3 repeats its own run twice → internal-only, no row;
+    // d4 copies only A's first 16 words → exactly one window, 16
+    //    masked of 40.
+    val docs = Seq(
+      (0L, (ws("a", 1, 20) ++ ws("x", 1, 10) ++ ws("b", 1, 20)).mkString(" ")),
+      (1L, (ws("c", 1, 10) ++ ws("a", 1, 20) ++ ws("c", 11, 20)).mkString(" ")),
+      (2L, (ws("a", 1, 20) ++ ws("b", 1, 20)).mkString(" ")),
+      (3L, (ws("r", 1, 20) ++ ws("r", 1, 20)).mkString(" ")),
+      (4L, (ws("a", 1, 16) ++ ws("z", 1, 24)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.crossDocRewriteLedger(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, 40L, 1L, 20L, 5000L),
+      (2L, 40L, 1L, 40L, 0L),
+      (4L, 40L, 1L, 16L, 6000L)))
+  }
 }
 
 /** q209 cluster medoids: the fixed-point argmax must pick the geometric
