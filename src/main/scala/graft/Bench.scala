@@ -152,6 +152,10 @@ object Bench {
     * history. */
   def retimeSuspect(one: () => (Double, Option[String]), benchRuns: Int,
       steady: Boolean): (Double, Option[String]) = {
+    // steady mode drops run 1, so it needs ≥ 2 runs to have a timed set
+    // (the main loop guarantees this: benchRuns = max(2, env), steady ⇔ ≥ 3)
+    require(benchRuns >= (if (steady) 2 else 1),
+      s"retimeSuspect needs >= 2 runs in steady mode, got $benchRuns")
     val runs = (1 to benchRuns).map(_ => one())
     val timed = if (steady) runs.drop(1) else runs
     val ok = timed.collect { case (sec, None) => sec }
@@ -341,8 +345,8 @@ object Bench {
     // ledger claim was load. The stderr marker line prints BEFORE the
     // pass so a synthetic loaded run (busy sibling killed at the marker)
     // can demonstrate flag-then-clear end to end (BASELINE.md records
-    // one). Cost: ~2× the suspect set's steady-state seconds, zero when
-    // the run is clean.
+    // one). Cost: ~benchRuns× the suspect set's steady-state seconds,
+    // zero when the run is clean.
     val retimeLoadStart = loadavg1()
     // per suspect: (name, best successful re-time OR best elapsed,
     // error marker when EVERY re-run failed). A failed run's elapsed

@@ -527,14 +527,7 @@ object TextOps {
     * repeats count too, matching the substring-dedup semantic. */
   def repeatedSpansReport(docs: DataFrame, w: Int = SpanWords): DataFrame = {
     val wnd = org.apache.spark.sql.expressions.Window
-    val keyed = docs
-      .withColumn("words", split(lower(col("text")), " +"))
-      .filter(size(col("words")) >= w)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(
-              sequence(0, size(words) - $w),
-              i -> md5(concat_ws(' ', slice(words, i + 1, $w))))"""))
-        .as(Seq("pos", "wkey")))
+    val keyed = posKeyedGrams(docs, w)
     keyed.withColumn("occ", count(lit(1)).over(wnd.partitionBy(col("wkey"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
@@ -543,6 +536,15 @@ object TextOps {
         round(col("n_repeated") / col("n_windows"), 4))
       .orderBy(col("doc_id"))
   }
+
+  /** (doc_id, pos, wkey) for every stride-1 `w`-word window — the
+    * shared substrate of q99 (repeat counting), q227 (span extraction)
+    * and q228 (rewrite ledger): [[positionalWordShingles]]' grams,
+    * md5-keyed. One definition so the tokenization can never diverge
+    * between the three and their shared oracle spelling. */
+  private def posKeyedGrams(docs: DataFrame, w: Int): DataFrame =
+    positionalWordShingles(docs, w)
+      .select(col("doc_id"), col("i").as("pos"), md5(col("s")).as("wkey"))
 
   /** q227's pipeline over a (doc_id, text) frame, exposed for planted
     * span specs: MAXIMAL token spans shared VERBATIM with at least one
@@ -573,20 +575,6 @@ object TextOps {
     * million docs costs a million-row window group, never a pair
     * set), one per-doc islands window (bounded by doc length), one
     * map-side island rollup. Pure int64 output. */
-  /** (doc_id, pos, wkey) for every stride-1 `w`-word window — the
-    * shared substrate of q227 (span extraction) and q228 (rewrite
-    * ledger). pos is 0-based; wkey is the md5 of the space-joined
-    * lowercased window. */
-  private def posKeyedGrams(docs: DataFrame, w: Int): DataFrame =
-    docs
-      .withColumn("words", split(lower(col("text")), " +"))
-      .filter(size(col("words")) >= w)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(
-              sequence(0, size(words) - $w),
-              i -> md5(concat_ws(' ', slice(words, i + 1, $w))))"""))
-        .as(Seq("pos", "wkey")))
-
   def crossDocSpansReport(docs: DataFrame, w: Int = SpanWords): DataFrame = {
     val wnd = org.apache.spark.sql.expressions.Window
     val keyed = posKeyedGrams(docs, w)

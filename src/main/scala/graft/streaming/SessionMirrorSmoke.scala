@@ -132,10 +132,14 @@ object SessionMirrorSmoke {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      // recentProgress retains 100 entries by default — a >100-chunk
-      // run would silently undercount stream_input_rows / peak state
+      // recentProgress retains 100 entries by default, and EVERY batch
+      // consumes a slot — including the no-data watermark-propagation
+      // batches the engine may interleave between file batches — so
+      // the buffer must hold ~2× chunks or early entries silently
+      // evict and the batch→chunk mapping (and peak-state readout)
+      // loses its head
       .config("spark.sql.streaming.numRecentProgressUpdates",
-        (chunks + 10).toString)
+        (2 * chunks + 20).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // per-query-run conf, read at query start — set before start()
@@ -210,8 +214,17 @@ object SessionMirrorSmoke {
     val stateBytes = progress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
     val withRows = progress.filter(_.numInputRows > 0)
     val nBatches = withRows.size
+    // per-batch diagnostic FIRST (the file's evidence-before-assertion
+    // discipline): batchId, rows, planning watermark, engine late-drops
+    // — the attribution table the model cross-check below rests on
+    progress.foreach { p =>
+      val d = p.stateOperators.map(_.numRowsDroppedByWatermark).sum
+      System.err.println(s"[mirror] batch=${p.batchId} rows=${p.numInputRows} " +
+        s"wm=${Option(p.eventTime.get("watermark")).getOrElse("-")} dropped=$d")
+    }
     require(nBatches == chunks,
-      s"expected $chunks one-file batches, saw $nBatches — batch→chunk mapping broken")
+      s"expected $chunks one-file batches, saw $nBatches — progress buffer " +
+        "overflowed (raise numRecentProgressUpdates) or batch→chunk mapping broken")
     val engineDropped = progress
       .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
     val engineRemoved = progress
@@ -230,14 +243,6 @@ object SessionMirrorSmoke {
     }
     val wmByDelivery = (1 to chunks).map { k =>
       (k, if (k >= 2) wmReported(k - 2) else 0L)
-    }
-    // per-batch diagnostic (stderr): the attribution evidence behind the
-    // model cross-check below — batchId, rows, planning watermark, and
-    // the engine's per-batch late-drop count
-    progress.foreach { p =>
-      val d = p.stateOperators.map(_.numRowsDroppedByWatermark).sum
-      System.err.println(s"[mirror] batch=${p.batchId} rows=${p.numInputRows} " +
-        s"wm=${Option(p.eventTime.get("watermark")).getOrElse("-")} dropped=$d")
     }
     val wmDf = wmByDelivery.toDF("delivery", "wm_ms")
     val survivors = sliced.join(broadcast(wmDf), Seq("delivery"))
