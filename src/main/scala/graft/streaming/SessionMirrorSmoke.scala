@@ -91,6 +91,11 @@ import org.apache.spark.sql.streaming.Trigger
   * They stay as detectors for corpora where truncation produces
   * genuinely new shapes.
   *
+  * Harness scope note (the r15-accepted caveat, still true): the
+  * multiset compare and the disorder-affected classification collect
+  * distinct (user, path) counts to the driver — fine for a smoke at
+  * sf0.1 (≤ ~35k keys); a sf10 run would need a join-based compare.
+  *
   * Known blind spot of the multiset check (named rather than
   * overclaimed): if the mirror dropped a non-final session whose
   * (user, path) coincides with that user's FINAL session AND the
