@@ -521,6 +521,15 @@ object TextOps {
     * production setting is 50 BPE tokens, the same order of text. */
   val SpanWords = 16
 
+  /** q229's candidate minimum-span floors (words) for the keep-first
+    * rewrite policy — [[SpanWords]] itself (mask everything detected)
+    * up to the Lee et al. 50-token order and beyond. ONE constant
+    * feeds the Spark conditional aggregate and the generated oracle
+    * SQL (the q226/q223 discipline: grid drift between engines
+    * impossible by construction). Declared before `defs`, whose
+    * oracle string interpolates it eagerly at object init. */
+  val SubstringSweepGrid: Seq[Long] = Seq(16L, 24L, 32L, 48L, 64L)
+
   /** q99's pipeline over a (doc_id, text) frame, exposed for planted
     * span specs: sliding `w`-word windows (stride 1) md5-keyed, a window
     * repeated iff its key occurs in any other (doc, pos) slot — same-doc
@@ -624,12 +633,12 @@ object TextOps {
     * one per-doc ordered window pair for interval merge (bounded by
     * doc length), map-side rollups, one doc-keyed equi-join to pick up
     * word counts. Pure int64 output. */
-  def crossDocRewriteLedger(docs: DataFrame, w: Int = SpanWords)
-      : DataFrame = {
+  /** The merged keep-first dup spans (doc_id, s, e) behind q228's
+    * ledger and q229's policy sweep: dup windows (corpus-first
+    * occurrence elsewhere) coalesced into maximal 1-based word
+    * intervals per doc — q191's running-max gaps-and-islands. */
+  private def crossDocDupSpans(docs: DataFrame, w: Int): DataFrame = {
     val wnd = org.apache.spark.sql.expressions.Window
-    val nWords = docs
-      .select(col("doc_id"),
-        size(split(lower(col("text")), " +")).cast("long").as("n_words"))
     val dup = posKeyedGrams(docs, w)
       .withColumn("mn",
         min(col("doc_id")).over(wnd.partitionBy(col("wkey"))))
@@ -646,6 +655,15 @@ object TextOps {
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     isl.groupBy(col("doc_id"), col("island"))
       .agg(min(col("p")).as("s"), (max(col("p")) + (w - 1)).as("e"))
+      .select(col("doc_id"), col("s"), col("e"))
+  }
+
+  def crossDocRewriteLedger(docs: DataFrame, w: Int = SpanWords)
+      : DataFrame = {
+    val nWords = docs
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " +")).cast("long").as("n_words"))
+    crossDocDupSpans(docs, w)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1L).as("n_masked_words"))
@@ -655,6 +673,51 @@ object TextOps {
         expr("(n_words - n_masked_words) * 10000 div n_words")
           .as("retained_bp"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q229: the policy sweep over q228's rewrite — before a production
+    * run hard-codes a minimum masked-span floor, measure what each
+    * candidate floor t in [[SubstringSweepGrid]] would do: spans are
+    * detected and MERGED exactly as shipped ([[crossDocDupSpans]], the
+    * q139 convention — the gate applies to the measured statistic, not
+    * inside the detector), then a floor keeps only merged spans of
+    * ≥ t words. Per t: affected docs, kept spans, masked words, and
+    * the masked share of the whole corpus in basis points — the
+    * cost/aggressiveness curve that separates "mask every 16-word
+    * echo" from "only rewrite wholesale copies". Grid points with no
+    * qualifying spans report zeros (the otherwise-0 arms); an entirely
+    * span-free corpus reports nulls, identically in both engines.
+    *
+    * Scale shape: the span frame is already bounded (merged spans ≪
+    * corpus rows); the sweep is ONE one-row conditional aggregate over
+    * it carrying the whole grid (q226's shape — no per-t rescan),
+    * one-row-cross-joined with the corpus word total and
+    * stack-unpivoted to |grid| rows. Empty-grid rows report zeros via
+    * the conditional sums. Pure int64. */
+  def substringPolicySweep(docs: DataFrame, w: Int = SpanWords)
+      : DataFrame = {
+    val grid = SubstringSweepGrid
+    val spans = crossDocDupSpans(docs, w)
+      .withColumn("width", col("e") - col("s") + 1L)
+    val totalWords = docs.agg(
+      sum(size(split(lower(col("text")), " +")).cast("long"))
+        .as("total_words"))
+    val gridAggs = grid.flatMap { t => Seq(
+      countDistinct(when(col("width") >= t, col("doc_id"))).as(s"d_$t"),
+      sum(when(col("width") >= t, 1L).otherwise(0L)).as(s"s_$t"),
+      sum(when(col("width") >= t, col("width")).otherwise(0L)).as(s"m_$t"))
+    }
+    spans.agg(gridAggs.head, gridAggs.tail: _*)
+      .crossJoin(totalWords)
+      .select(
+        expr(s"stack(${grid.size}, ${grid.map(t =>
+            s"${t}L, d_$t, s_$t, m_$t").mkString(", ")}) " +
+          "as (min_span_words, n_docs, n_spans, masked_words)"),
+        col("total_words"))
+      .select(col("min_span_words"), col("n_docs"), col("n_spans"),
+        col("masked_words"),
+        expr("masked_words * 10000L div total_words").as("masked_bp"))
+      .orderBy(col("min_span_words"))
   }
 
   /** Gram width for q212's novelty attribution — 8 words, the scale
@@ -1985,6 +2048,69 @@ object TextOps {
                  // CAST(len(w.ws) AS BIGINT) AS retained_bp
              FROM perdoc d JOIN wds w USING (doc_id)
              ORDER BY d.doc_id""")),
+
+    // ---- minimum-span-floor policy sweep over q228's rewrite: per
+    //      candidate floor t, affected docs / kept spans / masked words
+    //      and the corpus masked share — measured BEFORE a production
+    //      run hard-codes the floor (see [[substringPolicySweep]]). ----
+    "q229_substring_policy_sweep" -> QueryDef(
+      (s, dir) => substringPolicySweep(Tables.load(s, dir, "documents")),
+      Some(s"""WITH wds AS (
+               SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
+               FROM documents),
+             sp AS (
+               SELECT doc_id,
+                 unnest(generate_series(0, len(ws) - $SpanWords)) AS pos, ws
+               FROM wds WHERE len(ws) >= $SpanWords),
+             keyed AS (
+               SELECT doc_id, pos,
+                 md5(array_to_string(
+                   ws[pos + 1 : pos + $SpanWords], ' ')) AS wkey
+               FROM sp),
+             dup AS (
+               SELECT doc_id, pos + 1 AS p
+               FROM (
+                 SELECT doc_id, pos,
+                   min(doc_id) OVER (PARTITION BY wkey) AS mn
+                 FROM keyed)
+               WHERE mn < doc_id),
+             pe AS (
+               SELECT doc_id, p,
+                 max(p + $SpanWords - 1) OVER (PARTITION BY doc_id
+                   ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+               FROM dup),
+             isl AS (
+               SELECT doc_id, p,
+                 CAST(sum(CASE WHEN prev_end IS NULL OR p > prev_end + 1
+                     THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS island
+               FROM pe),
+             wspans AS (
+               SELECT doc_id,
+                 max(p) + $SpanWords - 1 - min(p) + 1 AS width
+               FROM isl GROUP BY doc_id, island),
+             tot AS (
+               SELECT CAST(sum(len(ws)) AS BIGINT) AS total_words
+               FROM wds),
+             agg AS (
+               SELECT
+                 ${SubstringSweepGrid.map(t =>
+                   s"""CAST(count(DISTINCT CASE WHEN width >= $t THEN doc_id END) AS BIGINT) AS d_$t,
+                 CAST(sum(CASE WHEN width >= $t THEN 1 ELSE 0 END) AS BIGINT) AS s_$t,
+                 CAST(sum(CASE WHEN width >= $t THEN width ELSE 0 END) AS BIGINT) AS m_$t""")
+                   .mkString(",\n                 ")}
+               FROM wspans)
+             ${SubstringSweepGrid.map(t =>
+               s"""SELECT CAST($t AS BIGINT) AS min_span_words,
+                 d_$t AS n_docs, s_$t AS n_spans, m_$t AS masked_words,
+                 m_$t * 10000 // total_words AS masked_bp
+               FROM agg CROSS JOIN tot""")
+               .mkString("\n             UNION ALL\n             ")}
+             ORDER BY min_span_words""")),
 
     // ---- per-doc n-gram novelty: share of a doc's distinct 8-grams
     //      first seen (min doc_id) in the doc itself — the marginal-

@@ -319,7 +319,11 @@ class PlanGateSpec extends AnyFunSuite {
     // q222: the dense week×type grid — the broadcast build side is the
     // ≤|types|-row distinct-type frame by construction; weeks are
     // calendar-bounded
-    "q222_event_mix_drift")
+    "q222_event_mix_drift",
+    // q229: the ONE-ROW corpus word total crossJoined onto the one-row
+    // grid aggregate before the stack unpivot (the q198/q208 scalar-
+    // assembly shape; the span machinery itself is windows + groupBys)
+    "q229_substring_policy_sweep")
 
   test("no cartesian products; nested-loop joins only on O(1)-row build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -2555,6 +2555,19 @@ class CrossDocSpansSpec extends AnyFunSuite {
       (1L, 40L, 1L, 20L, 5000L),
       (2L, 40L, 1L, 40L, 0L),
       (4L, 40L, 1L, 16L, 6000L)))
+    // q229 on the same fixture: spans have widths {20, 40, 16} over a
+    // 210-word corpus — the floor keeps exactly the ≥ t merged spans
+    // (q139 convention: gate AFTER the shipped merge), zeros past the
+    // largest width
+    val sweep = graft.ops.TextOps.substringPolicySweep(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(sweep == Seq(
+      (16L, 3L, 3L, 76L, 76L * 10000 / 210),
+      (24L, 1L, 1L, 40L, 40L * 10000 / 210),
+      (32L, 1L, 1L, 40L, 40L * 10000 / 210),
+      (48L, 0L, 0L, 0L, 0L),
+      (64L, 0L, 0L, 0L, 0L)))
   }
 }
 
