@@ -1857,16 +1857,19 @@ object Similarity {
     //      (the q102 int64 floor-division discipline). The centroid
     //      assignment is computed ONCE (the same broadcast-centroids
     //      join + per-vector window q43 runs); each candidate carries
-    //      the probe rank of its cell, so the four sweep points are
-    //      four filters over ONE candidate frame — the sweep costs one
+    //      the probe rank of its cell, so the four sweep points fold
+    //      into ONE window pass over ONE candidate frame (since r16:
+    //      per-np subset ranks are running conditional counts sharing a
+    //      single (cos DESC, vec_id) sort, and the four hit/cost pairs
+    //      are one conditional aggregate) — the sweep costs one
     //      assignment pass plus the widest (nprobe=8) candidate join,
     //      not four independent IVF runs. cand_rows is reported per
     //      sweep point (the COST axis of the curve: candidates scored
     //      per query grows with nprobe while recall saturates — exactly
     //      the knee a production config reads off this table). At 100 TB
     //      the shape is unchanged: centroids stay broadcast, the
-    //      candidate join is cell-keyed, and the per-nprobe windows
-    //      partition by query_id. ----
+    //      candidate join is cell-keyed, and the one sweep window
+    //      partitions by query_id. ----
     "q116_ivf_nprobe_sweep" -> QueryDef(
       (s, dir) => {
         // cached 30-row ground truth (re-read beats persist churn)
@@ -1897,23 +1900,45 @@ object Similarity {
             expr(dotExpr("qe", "de")) / (col("qn") * col("nrm")))
           .select(col("query_id"), col("vec_id"), col("cos"),
             col("probe_rank"))
-          .transform(TransientCache.scopedDF)
-        val wTop = Window.partitionBy(col("query_id"))
+        // r16 optimization (guide §2.4): the per-nprobe branches used to
+        // be four independent (filter → row_number window → exact join →
+        // aggregate) pipelines unioned — four query_id exchanges + sorts
+        // over the SAME candidate frame. A row's rank within the
+        // probe_rank ≤ np subset equals the running conditional count
+        // over ONE (cos DESC, vec_id) ordering, so all four sweep points
+        // fold into ONE window pass (4 running sums share a single sort)
+        // feeding ONE conditional aggregate; the exact-top-3 membership
+        // becomes a broadcast left join ahead of the window. Same rows,
+        // one exchange where there were four (plus no candidate-frame
+        // re-scan, so the scoped persist is gone too).
+        val hit = exact
+          .withColumnRenamed("neighbor_id", "vec_id")
+          .withColumn("is_hit", lit(1L))
+        val wRun = Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("vec_id"))
-        IvfSweepProbes.map { np =>
-          val sub = cands.filter(col("probe_rank") <= np)
-          val hits = sub
-            .withColumn("rank", row_number().over(wTop))
-            .filter(col("rank") <= 3)
-            .select(col("query_id"), col("vec_id").as("neighbor_id"))
-            .join(exact, Seq("query_id", "neighbor_id"))
-            .agg(count(lit(1)).as("hits_at_3"))
-          val cost = sub.agg(count(lit(1)).as("cand_rows"))
-          hits.crossJoin(cost).crossJoin(nq)
-            .select(lit("ivf").as("method"), lit(np).as("nprobe"),
-              col("n_queries"), col("cand_rows"), col("hits_at_3"),
-              expr("hits_at_3 * 10000L div (3 * n_queries)").as("recall_bp"))
-        }.reduce(_ unionByName _).orderBy(col("nprobe"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val runCols = IvfSweepProbes.map { np =>
+          sum(when(col("probe_rank") <= np, 1L).otherwise(0L)).over(wRun)
+            .as(s"rk$np")
+        }
+        val ranked = cands.join(broadcast(hit), Seq("query_id", "vec_id"),
+            "left")
+          .select(col("*") +: runCols: _*)
+        val sweepAggs = IvfSweepProbes.flatMap { np => Seq(
+          count(when(col("probe_rank") <= np, 1)).as(s"cand$np"),
+          count(when(col("probe_rank") <= np && col(s"rk$np") <= 3 &&
+            col("is_hit") === 1L, 1)).as(s"hit$np"))
+        }
+        val stacked = IvfSweepProbes
+          .map(np => s"cast($np as int), cand$np, hit$np").mkString(", ")
+        ranked.agg(sweepAggs.head, sweepAggs.tail: _*)
+          .select(expr(s"stack(${IvfSweepProbes.size}, $stacked) " +
+            "as (nprobe, cand_rows, hits_at_3)"))
+          .crossJoin(broadcast(nq))
+          .select(lit("ivf").as("method"), col("nprobe"),
+            col("n_queries"), col("cand_rows"), col("hits_at_3"),
+            expr("hits_at_3 * 10000L div (3 * n_queries)").as("recall_bp"))
+          .orderBy(col("nprobe"))
       },
       Some {
         val maxProbe = IvfSweepProbes.max

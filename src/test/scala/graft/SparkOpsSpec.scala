@@ -1266,6 +1266,17 @@ class SimilaritySpec extends AnyFunSuite {
       .filter(col("method") === "ivf").head().getAs[Long]("recall_bp")
     assert(sweep.find(_._1 == 2).get._3 == q102Ivf,
       "sweep@2 and q102 ivf measure the same configuration")
+    // r16 plan shape: the whole sweep rides ONE query_id window pass
+    // (running conditional counts share a single sort); the other two
+    // Window nodes are the per-vector assignment subtree, which appears
+    // once under each consumer (corpusCells and probes — a plan tree,
+    // not a DAG). The pre-r16 per-np branches would reappear here as
+    // extra Windows re-sorting the candidate frame (6 nodes total).
+    val planStr = SparkEntry.queries("q116_ivf_nprobe_sweep")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nWin = "Window \\[".r.findAllIn(planStr).size
+    assert(nWin == 3,
+      s"q116 must keep exactly 3 Window nodes (1 sweep + 2 assign copies), got $nWin")
   }
 
   test("q98 incremental ingest: the delta is appended without touching persisted base lists") {
