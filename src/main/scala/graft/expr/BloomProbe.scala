@@ -57,6 +57,42 @@ case class BloomProbe(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Multi-filter variant of [[BloomProbe]] for q193's sizing sweep: ONE
+  * md5 of the probe string, then the K double-hashed positions are
+  * tested against EVERY filter of a (blooms, ms) family — budget j's
+  * verdict lands in bit j of the returned int64 mask. Bit-identical to
+  * `graft_bloom_probe(s, blooms[j], ms[j])` per budget (the h1/step
+  * derivation is byte-for-byte [[BloomProbe.probe]]'s); exists because
+  * the sweep's five per-budget probes each re-hashed the same gram —
+  * five md5s per probe row where one suffices (guide §1.2 step 2:
+  * per-task work, measured ~600 ns per md5 on the sf0.1 probe stream). */
+case class BloomProbeMulti(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, ArrayType(ArrayType(LongType, _), _),
+          ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_probe_multi expects (string, array<array<bigint>>, array<bigint>), got $other")
+    }
+
+  override def nullSafeEval(s: Any, blooms: Any, ms: Any): Any =
+    BloomProbe.probeMulti(s.asInstanceOf[UTF8String],
+      blooms.asInstanceOf[ArrayData], ms.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, b, m) =>
+      s"${ev.value} = graft.expr.BloomProbe.probeMulti($s, $b, $m);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): BloomProbeMulti =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object BloomProbe {
 
   /** Salted probes per element — ln 2 · bits-per-element rounded for the
@@ -104,9 +140,48 @@ object BloomProbe {
     true
   }
 
+  /** [[BloomProbeMulti]]'s kernel: one digest, every filter of the
+    * family tested with [[probe]]'s exact position arithmetic; budget
+    * j's verdict is bit j of the mask. Called from generated code. */
+  def probeMulti(s: UTF8String, blooms: ArrayData, ms: ArrayData): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h1 = 0L
+    var h2 = 0L
+    var b = 0
+    while (b < 7) {
+      h1 = (h1 << 8) | (d(b) & 0xffL)
+      h2 = (h2 << 8) | (d(b + 7) & 0xffL)
+      b += 1
+    }
+    val step = 2L * h2 + 1L
+    val nb = ms.numElements()
+    var mask = 0L
+    var j = 0
+    while (j < nb) {
+      val m = ms.getLong(j)
+      val words = blooms.getArray(j)
+      val n = words.numElements()
+      var ok = true
+      var i = 0
+      while (ok && i < K) {
+        val pos = (h1 + i * step) % m
+        val wi = (pos / WordBits).toInt
+        if (wi >= n ||
+          (words.getLong(wi) & (1L << (pos % WordBits).toInt)) == 0L)
+          ok = false
+        i += 1
+      }
+      if (ok) mask |= (1L << j)
+      j += 1
+    }
+    mask
+  }
+
   /** Defensive per-session registration, mirroring
     * [[Md5Hash56.register]]. Idempotent. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_probe",
       { exprs =>
@@ -115,4 +190,13 @@ object BloomProbe {
         BloomProbe(exprs.head, exprs(1), exprs(2))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_probe_multi",
+      { exprs =>
+        require(exprs.length == 3,
+          "graft_bloom_probe_multi takes exactly 3 arguments: s, blooms, ms")
+        BloomProbeMulti(exprs.head, exprs(1), exprs(2))
+      },
+      "built-in")
+  }
 }

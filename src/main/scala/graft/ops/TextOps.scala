@@ -1344,14 +1344,62 @@ object TextOps {
     * what the native probe ships). */
   private val BloomSweepBits = Seq(6L, 8L, 10L, 12L, 14L)
 
+  /** All `budgets` filters built in ONE pass (r16, guide §2.4/§2.3):
+    * the pre-r16 sweep ran [[bloomFilterRow]] once per budget — five
+    * independent hash+explode+bit_or+dense-fold pipelines crossJoined
+    * (~15 exchanges, 10 one-row broadcasts). The budget is just one
+    * more explode axis over the SAME hashed gram stream, so one
+    * (budget × salt) explode, one (budget, word-index) `bit_or`, one
+    * dense-grid fold and a |budgets|-row → one-row pivot build the
+    * whole family. Position arithmetic and sizing are bit-identical to
+    * [[bloomFilterRow]] (m_b = greatest(b·|ev|, 64)); the pivot's
+    * `first(when(...))` is deterministic because the groupBy leaves
+    * exactly one row per budget. */
+  private def bloomFilterRowMulti(evalGrams: DataFrame, budgets: Seq[Long])
+      : DataFrame = {
+    val params = evalGrams.agg(count(lit(1)).as("n_ev"))
+    val budgetArr = array(budgets.map(lit): _*)
+    val sparse = bloomHashed(evalGrams).crossJoin(broadcast(params))
+      .withColumn("b", explode(budgetArr))
+      .withColumn("m", expr("greatest(b * n_ev, 64L)"))
+      .withColumn("salt", explode(array((0 until BloomK).map(lit): _*)))
+      .withColumn("pos", expr("(h1 + salt * step) % m"))
+      .groupBy(col("b"), expr(s"pos div $BloomWordBits").as("wi"))
+      .agg(expr(
+        s"bit_or(shiftleft(cast(1 as bigint), cast(pos % $BloomWordBits as int)))")
+        .as("word"))
+    val grid = params
+      .select(explode(budgetArr).as("b"), col("n_ev"))
+      .withColumn("m", expr("greatest(b * n_ev, 64L)"))
+      .select(col("b"), col("m"), expr(s"""explode(sequence(cast(0 as bigint),
+          (m + ${BloomWordBits - 1}) div $BloomWordBits - 1))""").as("wi"))
+    val perBudget = grid.join(sparse, Seq("b", "wi"), "left")
+      .na.fill(0L, Seq("word"))
+      .groupBy(col("b"), col("m"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(wi, word))), x -> x.word)")
+        .as("bloom"))
+    val pivotCols = budgets.flatMap { b => Seq(
+      max(when(col("b") === b, col("m"))).as(s"m$b"),
+      first(when(col("b") === b, col("bloom")), ignoreNulls = true)
+        .as(s"bloom$b"))
+    }
+    perBudget.agg(pivotCols.head, pivotCols.tail: _*)
+  }
+
   /** q193: bloom sizing sweep — realized false-positive mass per
     * bits-per-element budget, measured BEFORE a deployment hard-codes
     * q75's 10 bits/element. One row per budget: the filter size m, the
     * probe volume, flagged and truly-contaminated gram counts, and the
     * realized fp basis points (the q139 threshold-sweep shape pointed at
-    * the bloom's memory axis). All five budgets' filters fold into ONE
-    * combined broadcast row and the gram stream is probed in a SINGLE
-    * pass (five conditional sums in one aggregate — the per-budget
+    * the bloom's memory axis). All five budgets' filters build in ONE
+    * pass over the hashed eval grams ([[bloomFilterRowMulti]] — r16;
+    * previously five independent bloomFilterRow pipelines) and fold
+    * into ONE combined broadcast row; the gram stream is probed in a
+    * SINGLE pass with ONE md5 per gram ([[graft.expr.BloomProbeMulti]]
+    * — the five per-budget `graft_bloom_probe` calls each re-hashed
+    * the gram; the per-budget verdicts are the mask's bits, summed as
+    * five conditional sums in one aggregate — the per-budget
     * filter-then-count alternative re-pays the shingle explode per
     * budget, measured 4.2 s vs ~1.5 s at sf0.1); the one-row result
     * unpivots to the sweep grid via `stack`. */
@@ -1365,21 +1413,24 @@ object TextOps {
       .crossJoin(broadcast(
         probe.join(broadcast(evalGrams), Seq("s"), "leftsemi")
           .agg(count(lit(1)).as("n_true"))))
-    val combined = BloomSweepBits.map { b =>
-      bloomFilterRow(evalGrams, b)
-        .select(col("m").as(s"m$b"), col("bloom").as(s"bloom$b"))
-    }.reduce(_ crossJoin _)
+    val combined = bloomFilterRowMulti(evalGrams, BloomSweepBits)
+    val bloomsArr =
+      s"array(${BloomSweepBits.map(b => s"bloom$b").mkString(", ")})"
+    val msArr = s"array(${BloomSweepBits.map(b => s"m$b").mkString(", ")})"
     // conditional sums, not filter-then-count: a global aggregate
     // always yields its one row even when nothing is flagged, so every
-    // budget keeps its sweep row
-    val aggs = BloomSweepBits.flatMap { b =>
+    // budget keeps its sweep row. `flags` is a plain column from the
+    // projection below the aggregate, so the five bit reads share the
+    // ONE probe evaluation instead of re-running it.
+    val aggs = BloomSweepBits.zipWithIndex.flatMap { case (b, j) =>
       Seq(max(col(s"m$b")).as(s"m$b"),
-        sum(when(expr(s"graft_bloom_probe(s, bloom$b, m$b)"), 1L)
-          .otherwise(0L)).as(s"f$b"))
+        sum(expr(s"shiftright(flags, $j) & 1L")).as(s"f$b"))
     }
     val stacked = BloomSweepBits
       .map(b => s"cast($b as bigint), m$b, f$b").mkString(", ")
     probe.crossJoin(broadcast(combined))
+      .withColumn("flags",
+        expr(s"graft_bloom_probe_multi(s, $bloomsArr, $msArr)"))
       .agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${BloomSweepBits.size}, $stacked)")
         .as(Seq("bits_per_elem", "m", "n_flagged")))

@@ -73,6 +73,39 @@ class BloomProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe bit j == single probe against filter j, on adversarial families") {
+    import spark.implicits._
+    BloomProbe.register(spark)
+    val rnd = new scala.util.Random(7)
+    val ms = Seq(64L, 620L, 997L, 12800L, 65536L)
+    // mix of all-ones (bit j always set), all-zero (never set) and
+    // sparse random filters so every verdict combination is exercised
+    val families: Seq[Seq[Long]] = ms.zipWithIndex.map { case (m, i) =>
+      (i % 3 match {
+        case 0 => Array.fill(nWords(m))(-1L)
+        case 1 => new Array[Long](nWords(m))
+        case _ => Array.fill(nWords(m))(
+          if (rnd.nextInt(3) == 0) rnd.nextLong() else 0L)
+      }).toSeq
+    }
+    val df = strings.toDF("s")
+      .withColumn("blooms", typedLit(families))
+      .withColumn("ms", typedLit(ms))
+    val perBudget = ms.indices.map { j =>
+      (expr(s"shiftright(graft_bloom_probe_multi(s, blooms, ms), $j) & 1L")
+        === 1L) ===
+        expr(s"graft_bloom_probe(s, element_at(blooms, ${j + 1}), " +
+          s"element_at(ms, ${j + 1}))")
+    }
+    val bad = df.filter(!perBudget.reduce(_ && _)).count()
+    assert(bad == 0L, s"$bad strings disagreed between multi and single probe")
+    // bits above the family size must stay clear
+    val high = df.filter(
+      expr(s"shiftright(graft_bloom_probe_multi(s, blooms, ms), ${ms.size})")
+        =!= 0L).count()
+    assert(high == 0L, "mask bits past the last budget must be zero")
+  }
+
   test("interpreted eval equals codegen (the non-codegen path)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
