@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch stage profiler (guide §1: measure first). Times named
+  * sub-pipelines of a query under investigation via the noop sink,
+  * min/median over SPARK_GRAFT_TIME runs (default 3). The stage list is
+  * edited in place per investigation — this is measurement scaffolding,
+  * not a stable surface.
+  *
+  * Usage: graft.Prof <sfDir> <profile>
+  */
+object Prof {
+  def noop(df: DataFrame): Double = {
+    val t0 = System.nanoTime
+    df.write.format("noop").mode("overwrite").save()
+    (System.nanoTime - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val profile = args.lift(1).getOrElse("q118")
+    val runs = sys.env.get("SPARK_GRAFT_TIME").map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val stages: Seq[(String, () => DataFrame)] = profile match {
+      case "q118" =>
+        import graft.ops.Multimodal
+        def samples = Tables.load(spark, dir, "documents")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"), expr(Multimodal.audioSamplesSpark).as("px"))
+        def media = Multimodal.encodeWavPcm16(spark, samples)
+        def decoded = Multimodal.decodeAudioWindows(spark, media)
+        Seq(
+          "full" -> (() =>
+            SparkEntry.queries("q118_audio_fingerprint_neardup")(spark, dir)),
+          "synth" -> (() => samples),
+          "synth+enc" -> (() => media),
+          "synth+enc+dec" -> (() => decoded),
+          "pairs-only(from-dec)" -> (() => Multimodal.phashPairs(decoded,
+            Multimodal.AudioFpMaxHamming))
+        )
+      case "q118enc" =>
+        import graft.ops.Multimodal
+        def samples = Tables.load(spark, dir, "documents")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"), expr(Multimodal.audioSamplesSpark).as("px"))
+        def mediaDirect = {
+          import spark.implicits._
+          samples.as[Multimodal.PxRow].mapPartitions { rows =>
+            val writer = {
+              val it = java.util.ServiceLoader
+                .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+                .iterator()
+              var w: javax.sound.sampled.spi.AudioFileWriter = null
+              while (it.hasNext && w == null) {
+                val c = it.next()
+                if (c.isFileTypeSupported(
+                    javax.sound.sampled.AudioFileFormat.Type.WAVE)) w = c
+              }
+              w
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+              true, false)
+            rows.map { r =>
+              val n = r.px.length
+              val bytes = new Array[Byte](n * 2)
+              var i = 0
+              while (i < n) {
+                val s = r.px(i).toShort
+                bytes(2 * i) = s.toByte
+                bytes(2 * i + 1) = (s >> 8).toByte
+                i += 1
+              }
+              val in = new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+              val bos = new java.io.ByteArrayOutputStream()
+              try writer.write(in,
+                javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+              finally in.close()
+              val payload = bos.toByteArray
+              Multimodal.MediaRow(r.doc_id, payload, "audio/wav",
+                payload.length.toLong)
+            }
+          }.toDF()
+        }
+        Seq(
+          "enc-audiosystem" -> (() => Multimodal.encodeWavPcm16(spark, samples)),
+          "enc-direct" -> (() => mediaDirect),
+          "enc-audiosystem2" -> (() => Multimodal.encodeWavPcm16(spark, samples)),
+          "enc-direct2" -> (() => mediaDirect)
+        )
+      case "q118dec" =>
+        import graft.ops.Multimodal
+        import spark.implicits._
+        def samples = Tables.load(spark, dir, "documents")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"), expr(Multimodal.audioSamplesSpark).as("px"))
+        def media = Multimodal.encodeWavPcm16(spark, samples)
+        // timed variant: per-task wall time for the decode loop alone
+        def decTimed = {
+          media.as[Multimodal.MediaRow].mapPartitions { rows =>
+            val t0 = System.nanoTime
+            val buf = rows.toArray
+            val tMat = System.nanoTime
+            val readers = {
+              val b = Array.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+              val it = java.util.ServiceLoader
+                .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+              while (it.hasNext) b += it.next()
+              b.result()
+            }
+            val tSl = System.nanoTime
+            val out = buf.flatMap { r =>
+              try {
+                var k = 0
+                var in: javax.sound.sampled.AudioInputStream = null
+                while (k < readers.length && in == null) {
+                  try in = readers(k).getAudioInputStream(
+                    new java.io.ByteArrayInputStream(r.payload))
+                  catch {
+                    case _: javax.sound.sampled.UnsupportedAudioFileException =>
+                      k += 1
+                  }
+                }
+                val bytes = in.readAllBytes(); in.close()
+                val n = bytes.length / 2
+                val nw = n / 16
+                val e = new Array[Long](nw)
+                var i = 0
+                while (i < nw * 16) {
+                  val v: Int =
+                    ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+                  e(i / 16) += v.toLong * v
+                  i += 1
+                }
+                Some(Multimodal.PxRow(r.doc_id, e))
+              } catch { case _: Exception => None }
+            }
+            val tDec = System.nanoTime
+            System.err.println(f"[task] mat ${(tMat - t0) / 1e6}%.0f sl ${(tSl - tMat) / 1e6}%.0f dec ${(tDec - tSl) / 1e6}%.0f ms rows=${buf.length}")
+            out.iterator
+          }.toDF()
+        }
+        Seq(
+          "dec-timed" -> (() => decTimed),
+          "dec-timed2" -> (() => decTimed)
+        )
+      case "q118raw" =>
+        // driver-side tight loop: raw per-clip encode/decode cost without
+        // Spark, to separate real codec work from stage overhead
+        val n = 5000
+        val rnd = new java.util.Random(42)
+        val clips = Array.fill(n)(Array.fill(1024)(rnd.nextInt(30000).toLong))
+        val writer = {
+          val it = java.util.ServiceLoader
+            .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+          var w: javax.sound.sampled.spi.AudioFileWriter = null
+          while (it.hasNext && w == null) {
+            val c = it.next()
+            if (c.isFileTypeSupported(
+                javax.sound.sampled.AudioFileFormat.Type.WAVE)) w = c
+          }
+          w
+        }
+        val readers = {
+          val b = Array.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+          val it = java.util.ServiceLoader
+            .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+          while (it.hasNext) b += it.next()
+          b.result()
+        }
+        println(s"[prof] readers: ${readers.map(_.getClass.getSimpleName).mkString(",")}")
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        def encodeAll(): Array[Array[Byte]] = clips.map { px =>
+          val bytes = new Array[Byte](px.length * 2)
+          var i = 0
+          while (i < px.length) {
+            val s = px(i).toShort
+            bytes(2 * i) = s.toByte; bytes(2 * i + 1) = (s >> 8).toByte
+            i += 1
+          }
+          val in = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(bytes), fmt, px.length.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          try writer.write(in, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          finally in.close()
+          bos.toByteArray
+        }
+        def decodeAll(payloads: Array[Array[Byte]]): Long = {
+          var acc = 0L
+          payloads.foreach { p =>
+            var k = 0
+            var in: javax.sound.sampled.AudioInputStream = null
+            while (k < readers.length && in == null) {
+              try in = readers(k).getAudioInputStream(
+                new java.io.ByteArrayInputStream(p))
+              catch { case _: javax.sound.sampled.UnsupportedAudioFileException => k += 1 }
+            }
+            val bytes = in.readAllBytes(); in.close()
+            acc += bytes.length
+          }
+          acc
+        }
+        (1 to 3).foreach { r =>
+          var t0 = System.nanoTime
+          val ps = encodeAll()
+          val tEnc = (System.nanoTime - t0) / 1e6
+          t0 = System.nanoTime
+          val acc = decodeAll(ps)
+          val tDec = (System.nanoTime - t0) / 1e6
+          println(f"[prof] raw run $r: enc $tEnc%.0f ms, dec $tDec%.0f ms (acc=$acc)")
+        }
+        Seq.empty
+      case other =>
+        sys.error(s"unknown profile $other")
+    }
+
+    stages.foreach { case (label, mk) =>
+      spark.sparkContext.setJobDescription(s"prof:$profile:$label")
+      val times = (1 to runs).map(_ => noop(mk()))
+      println(f"[prof] $label%-24s ${times.map(x => f"$x%7.2f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}

