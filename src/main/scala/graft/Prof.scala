@@ -99,6 +99,51 @@ object Prof {
           "enc-audiosystem2" -> (() => Multimodal.encodeWavPcm16(spark, samples)),
           "enc-direct2" -> (() => mediaDirect)
         )
+      case "q117" =>
+        import graft.ops._
+        def docs = Tables.load(spark, dir, "documents")
+        def base = {
+          import org.apache.spark.sql.expressions.Window
+          val wDup = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+          docs.withColumn("h", md5(col("text")))
+            .withColumn("quality_score", round(Quality.score(col("text")), 4))
+            .withColumn("dup_rank", row_number().over(wDup))
+            .select(col("doc_id"), col("source"), col("quality_score"),
+              when(col("dup_rank") > 1, 1).otherwise(0).as("is_exact_dup"))
+        }
+        def evalGrams = TextOps
+          .wordShingles(docs.filter(col("source") === "src0"), 4)
+          .select(col("s")).distinct()
+        def contaminated = TextOps
+          .wordShingles(docs.filter(col("source") =!= "src0"), 4)
+          .join(broadcast(evalGrams), "s")
+          .select(col("doc_id")).distinct()
+        def chunkDup = {
+          val ch = TextOps.cdcChunksCached(spark, dir)
+          val cnt = ch.groupBy(col("chunk_hash"))
+            .agg(countDistinct(col("doc_id")).as("nd"))
+          ch.join(cnt, "chunk_hash")
+            .groupBy(col("doc_id"))
+            .agg(sum(col("chunk_tokens")).as("tot"),
+              sum(when(col("nd") >= 2, col("chunk_tokens")).otherwise(0L)).as("dup"))
+            .filter(col("dup") * 2 >= col("tot"))
+            .select(col("doc_id"))
+        }
+        Seq(
+          "full" -> (() =>
+            SparkEntry.queries("q117_curation_ledger_full")(spark, dir)),
+          "base(quality+dup)" -> (() => base),
+          "semDropped" -> (() => Clustering.semanticDedupCached(spark, dir)),
+          "contaminated(4gram)" -> (() => contaminated),
+          "imgDup" -> (() => Multimodal.phashPairsCached(spark, dir)),
+          "decontam" -> (() => Similarity.semanticDecontamCached(spark, dir)),
+          "chunkDup" -> (() => chunkDup),
+          "spanContam" -> (() => TextOps.contaminationSpansCached(spark, dir)),
+          "blocked" -> (() => Scrub.blocklistDocVerdicts(docs)),
+          "secretRisk" -> (() => TextOps.rareTokenRuns(docs)),
+          "winnowLeak" -> (() => TextOps.winnowDecontam(docs,
+            Some(TextOps.winnowFpsCached(spark, dir))))
+        )
       case "q118dec" =>
         import graft.ops.Multimodal
         import spark.implicits._

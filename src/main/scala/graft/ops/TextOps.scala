@@ -203,7 +203,8 @@ object TextOps {
     * islands pass (pos − row_number over the rare positions) groups
     * consecutive rare tokens into runs; runs ≥ [[RareRunMin]] flag the
     * document. Scale shape: one posexplode (persisted — feeds the
-    * frequency table, the rare join and the per-doc totals), one
+    * frequency table and the rare join; per-doc totals are a plain
+    * projection over docs), one
     * map-side-combinable vocabulary groupBy, one word-keyed equi-join
     * (the vocabulary is corpus-sized — never broadcast), and doc-keyed
     * windows; shuffles carry (doc_id, pos) pairs, never text. */
@@ -215,7 +216,12 @@ object TextOps {
         posexplode(split(lower(col("text")), " +")).as(Seq("pos", "w")))
       .transform(TransientCache.scopedDF)
     val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cf"))
-    val nt = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    // per-doc token count = the split array's size — a projection on
+    // docs, not an aggregate over the exploded token table (the oracle
+    // already computes it as len(ws)); saves one token-table pass and
+    // its doc-keyed exchange (guide §2.4)
+    val nt = docs.select(col("doc_id"),
+      size(split(lower(col("text")), " +")).cast("long").as("n_tokens"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val runs = toks.join(freq, "w")
       .filter(col("cf") <= RareFreqMax)
@@ -246,17 +252,27 @@ object TextOps {
   def winnowDecontam(docs: DataFrame,
       pre: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val (fps, _) = pre.getOrElse(winnowFps(docs))
-    val sp = docs.select(col("doc_id"),
+    // The q65 split bucket is a pure function of doc_id, so it is a
+    // projection on the fingerprint frame — the former docs⋈fps join
+    // shuffled the whole fingerprint table by doc_id just to attach a
+    // hash of the join key (guide §2.4).
+    val fb = fps.withColumn("b",
       expr("""cast(conv(substring(md5(concat('split:',
-           cast(doc_id as string))), 1, 14), 16, 10) as long) % 10""")
-        .as("b"))
-    val fb = fps.join(sp, "doc_id")
+           cast(doc_id as string))), 1, 14), 16, 10) as long) % 10"""))
     val evalFps = fb.filter(col("b") >= 8).select(col("fp")).distinct()
-    val trainFps = fb.filter(col("b") < 8)
-    val nfp = trainFps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
-    trainFps.join(evalFps, "fp")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_eval_fp"))
-      .join(nfp, "doc_id")
+    // LEFT join against the (distinct) eval set keeps every train row,
+    // so the sketch size n_fp and the eval-shared count fold into ONE
+    // doc-keyed aggregate — the former shape paid a separate n_fp
+    // aggregate, a separate shared-count aggregate, and a doc-keyed
+    // join to glue them (guide §2.3 aggregate before you shuffle).
+    // The inner-join semantics (only docs sharing ≥ 1 fp) return as
+    // the n_eval_fp > 0 filter.
+    fb.filter(col("b") < 8)
+      .join(evalFps.withColumn("he", lit(1L)), Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(coalesce(col("he"), lit(0L))).as("n_eval_fp"))
+      .filter(col("n_eval_fp") > 0)
       .select(col("doc_id"), col("n_fp"), col("n_eval_fp"),
         expr("n_eval_fp * 10000 div n_fp").as("eval_bp"))
       .orderBy(col("doc_id"))
