@@ -99,6 +99,23 @@ object Prof {
           "enc-audiosystem2" -> (() => Multimodal.encodeWavPcm16(spark, samples)),
           "enc-direct2" -> (() => mediaDirect)
         )
+      case "q101" =>
+        import graft.ops._
+        graft.expr.VectorExpressions.register(spark)
+        def emb = Tables.load(spark, dir, "embeddings")
+        def n = emb.repartition(spark.sparkContext.defaultParallelism)
+          .withColumn("de", expr(
+            "transform(embedding, x -> cast(x as double))"))
+          .withColumn("nrm", expr("sqrt(graft_dot(de, de))"))
+          .select(col("vec_id"), col("de"), col("nrm"))
+        Seq(
+          "full" -> (() =>
+            SparkEntry.queries("q101_semantic_dedup_hier")(spark, dir)),
+          "n(norm)" -> (() => n),
+          "assign(hier)" -> (() => Clustering.assignClusters(emb, 4, 4)),
+          "full2" -> (() =>
+            SparkEntry.queries("q101_semantic_dedup_hier")(spark, dir))
+        )
       case "q117" =>
         import graft.ops._
         def docs = Tables.load(spark, dir, "documents")

@@ -405,14 +405,30 @@ object Clustering {
     val cents = n.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("de").as("cde"),
         col("nrm").as("cnrm"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
     n.join(broadcast(cents))
       .withColumn("ccos", expr("graft_dot(de, cde)") / (col("nrm") * col("cnrm")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("de"), col("nrm"), col("cid").as("cluster_id"))
+      .transform(nearestSeed("cid"))
   }
+
+  /** Per-vector argmax over the exploded (vector × candidate-seed)
+    * frame: highest cosine, smallest seed id on ties — as ONE
+    * partially-aggregable groupBy instead of a row_number window
+    * (guide §2.3): the window shuffled k rows per vector and sorted
+    * them; the aggregate's map-side combine collapses the k candidates
+    * of a vector (emitted together by the broadcast join) to one row
+    * BEFORE the exchange, and no sort happens at all. The struct max
+    * orders by (cos, -seed): Spark's struct ordering is
+    * lexicographic and seed ids are unique within a vector's
+    * candidates, so the pick — including NaN-cosine behavior, NaN
+    * sorting greatest in both the window and the aggregate ordering —
+    * is identical to the window's (cos DESC, seed ASC) rank-1 row. */
+  private def nearestSeed(seedCol: String, cosCol: String = "ccos")(
+      cands: DataFrame): DataFrame =
+    cands.groupBy(col("vec_id"))
+      .agg(max(struct(col(cosCol), (-col(seedCol)).as("nseed"),
+        col(seedCol).as("seed"), col("de"), col("nrm"))).as("m"))
+      .select(col("vec_id"), col("m.de").as("de"), col("m.nrm").as("nrm"),
+        col("m.seed").as("cluster_id"))
 
   /** Hierarchical assignment for large K: (1) assign every vector to
     * one of ceil(k/[[FinePerCoarse]]) COARSE seeds (broadcast, O(N·k/64));
@@ -429,26 +445,19 @@ object Clustering {
     val coarse = n.orderBy(col("vec_id")).limit(k1)
       .select(col("vec_id").as("ccid"), col("de").as("cde"),
         col("nrm").as("cnrm"))
-    val wCoarse = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("ccid"))
     val atCoarse = n.join(broadcast(coarse))
       .withColumn("ccos", expr("graft_dot(de, cde)") / (col("nrm") * col("cnrm")))
-      .withColumn("crank", row_number().over(wCoarse))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("de"), col("nrm"), col("ccid").as("coarse_id"))
+      .transform(nearestSeed("ccid"))
+      .withColumnRenamed("cluster_id", "coarse_id")
       .transform(TransientCache.scopedDF)
     val wSeed = Window.partitionBy(col("coarse_id")).orderBy(col("vec_id"))
     val fine = atCoarse.withColumn("srank", row_number().over(wSeed))
       .filter(col("srank") <= finePerCoarse)
       .select(col("coarse_id"), col("vec_id").as("cid"),
         col("de").as("fde"), col("nrm").as("fnrm"))
-    val wFine = Window.partitionBy(col("vec_id"))
-      .orderBy(col("fcos").desc, col("cid"))
     atCoarse.join(broadcast(fine), "coarse_id")
       .withColumn("fcos", expr("graft_dot(de, fde)") / (col("nrm") * col("fnrm")))
-      .withColumn("frank", row_number().over(wFine))
-      .filter(col("frank") === 1)
-      .select(col("vec_id"), col("de"), col("nrm"), col("cid").as("cluster_id"))
+      .transform(nearestSeed("cid", "fcos"))
   }
 
   /** Per-cluster (cnt, hot, drop_cnt) under the [[MaxClusterMembers]]
@@ -506,11 +515,14 @@ object Clustering {
       .filter(col("va") < col("vb"))
       .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
       .filter(col("cos") >= minCos)
-    val wKeep = Window.partitionBy(col("vb")).orderBy(col("va"))
-    pairs.withColumn("krank", row_number().over(wKeep))
-      .filter(col("krank") === 1)
-      .select(col("cluster_id"), col("vb").as("dropped_id"),
-        col("va").as("keeper_id"), round(col("cos"), 4).as("cos_sim"))
+    // keeper = smallest near-dup va per vb: a partially-aggregable
+    // struct-min (va is unique within a vb group, and cluster_id is
+    // constant over it), not a per-vb rank window — same pick, no
+    // sort, k-to-1 map-side collapse before the exchange (guide §2.3)
+    pairs.groupBy(col("vb"))
+      .agg(min(struct(col("va"), col("cluster_id"), col("cos"))).as("m"))
+      .select(col("m.cluster_id").as("cluster_id"), col("vb").as("dropped_id"),
+        col("m.va").as("keeper_id"), round(col("m.cos"), 4).as("cos_sim"))
       .orderBy(col("cluster_id"), col("dropped_id"))
   }
 

@@ -1215,15 +1215,19 @@ object Similarity {
       .groupBy(col("cluster_id"), col("doc_id"))
       .agg(sum(col("cos_off")).as("s_off"),
         count(lit(1)).as("n_scored_others"))
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("s_off").desc, col("doc_id"))
-    scored.withColumn("mrk", row_number().over(w))
-      .filter(col("mrk") === 1)
+    // medoid = (s_off DESC, doc_id ASC) argmax per cluster as a
+    // partially-aggregable struct-max (doc_id unique per cluster), not
+    // a rank window — same pick, no sort, map-side collapse before the
+    // exchange (guide §2.3)
+    scored.groupBy(col("cluster_id"))
+      .agg(max(struct(col("s_off"), (-col("doc_id")).as("nd"),
+        col("doc_id"), col("n_scored_others"))).as("m"))
       .join(clusters.groupBy(col("cluster_id"))
         .agg(max(col("cluster_size")).as("cluster_size")), "cluster_id")
       .select(col("cluster_id"), col("cluster_size"),
-        col("doc_id").as("medoid_id"), col("n_scored_others"),
-        expr("s_off div n_scored_others - 10000L").as("mean_cos_fp"))
+        col("m.doc_id").as("medoid_id"),
+        col("m.n_scored_others").as("n_scored_others"),
+        expr("m.s_off div m.n_scored_others - 10000L").as("mean_cos_fp"))
       .orderBy(col("cluster_id"))
   }
 
