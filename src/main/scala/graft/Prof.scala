@@ -99,6 +99,13 @@ object Prof {
           "enc-audiosystem2" -> (() => Multimodal.encodeWavPcm16(spark, samples)),
           "enc-direct2" -> (() => mediaDirect)
         )
+      case "q93" =>
+        Seq(
+          "full" -> (() =>
+            SparkEntry.queries("q93_minhash_calibration")(spark, dir)),
+          "full2" -> (() =>
+            SparkEntry.queries("q93_minhash_calibration")(spark, dir))
+        )
       case "q101" =>
         import graft.ops._
         graft.expr.VectorExpressions.register(spark)

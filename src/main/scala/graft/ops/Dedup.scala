@@ -1192,38 +1192,38 @@ object Dedup {
         val sh = shingleHashesCached(s, dir)
         val sigAggs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
           min(expr(s"(g * $a + $b) % ${P}L")).as(s"m$j")
-        }
+        } :+ count(lit(1)).as("n") // = the former separate sizes agg:
+        // same groupBy over the same sh rows, folded into the signature
+        // pass (guide §2.4 — one exchange instead of two)
         val sigs = sh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
           .transform(TransientCache.scopedDF)
-        val bands = coldBands(sigs.selectExpr("doc_id", minhashStack))
+        // band rows CARRY the eight minhashes and the shingle count, so
+        // the band self-join emits n_agree/na/nb in place — no pair
+        // join-backs against the signature table (2 joins) or the size
+        // table (2 joins); the phashPairs shape (guide §2.4)
+        val bands = coldBands(sigs.selectExpr(
+          Seq("doc_id") ++ (0 until 8).map(j => s"m$j") ++
+            Seq("n", minhashStack): _*))
+        val agree = (0 until 8)
+          .map(j => when(col(s"x.m$j") === col(s"y.m$j"), 1).otherwise(0))
+          .reduce(_ + _)
         val pairs = bands.as("x")
           .join(bands.as("y"),
             col("x.band_idx") === col("y.band_idx") &&
               col("x.band_val") === col("y.band_val") &&
               col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+            agree.as("n_agree"), col("x.n").as("na"), col("y.n").as("nb"))
           .distinct()
-        val a = sigs.select(col("doc_id").as("da") +:
-          (0 until 8).map(j => col(s"m$j").as(s"a$j")): _*)
-        val b = sigs.select(col("doc_id").as("db") +:
-          (0 until 8).map(j => col(s"m$j").as(s"b$j")): _*)
-        val agree = (0 until 8)
-          .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
-          .reduce(_ + _)
-        val inter = pairs
+        val inter = pairs.select(col("da"), col("db"))
           .join(sh.select(col("doc_id").as("da"), col("g")), "da")
           .join(sh.select(col("doc_id").as("db"), col("g")), Seq("db", "g"))
           .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val estCol = col("n_agree") * lit(1.0) / 8.0
         val trueCol = col("c") * lit(1.0) / (col("na") + col("nb") - col("c"))
         pairs
-          .join(a, "da").join(b, "db")
-          .withColumn("n_agree", agree)
           .join(inter, Seq("da", "db"), "left")
           .na.fill(0L, Seq("c"))
-          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
           .select(col("da"), col("db"), col("n_agree"),
             round(estCol, 3).as("est_j"),
             round(trueCol, 3).as("true_j"),

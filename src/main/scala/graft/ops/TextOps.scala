@@ -962,6 +962,51 @@ object TextOps {
              WHERE length(word) >= 1)"""
   }
 
+  /** [[trainBpe]] over a DRIVER-LOCAL bounded vocabulary — the q103
+    * path, whose vocabulary is top-[[DeepVocab]] (= 64) words by
+    * construction. The distributed loop costs 2 Spark jobs per round
+    * (a vocab aggregation + a 1-row argmax collect) — 32 scheduled
+    * jobs to merge-train 64 words; the local loop runs the identical
+    * argmax (cnt DESC, ta, tb) and identical left-associative greedy
+    * fold in plain Scala. Driver traffic is ONE bounded collect of the
+    * 64-word vocabulary instead of 16 argmax collects — strictly less
+    * than before, and the same bounded-artifact class (a tokenizer
+    * merge table) as the per-round tuples trainBpe already collected.
+    * Semantics pinned bitwise against [[trainBpe]] by BpeTrainSpec.
+    * Unbounded vocabularies (q100) stay on the distributed loop. */
+  private[graft] def trainBpeLocal(words: Seq[(String, Long)], rounds: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    var toks: Seq[(Vector[String], Long)] =
+      words.map { case (w, c) => w.map(_.toString).toVector -> c }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((v, c) <- toks; i <- 0 until v.length - 1)
+        counts((v(i), v(i + 1))) = counts.getOrElse((v(i), v(i + 1)), 0L) + c
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((ta, tb), cnt) =
+          counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        val m = ta + tb
+        out += ((r, ta, tb, m, cnt))
+        toks = toks.map { case (v, c) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          v.foreach { t =>
+            if (acc.nonEmpty && acc.last == ta && t == tb) {
+              acc.remove(acc.length - 1); acc += m
+            } else acc += t
+          }
+          acc.toVector -> c
+        }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
   private[graft] def trainBpe(vocab0: DataFrame, rounds: Int)
       : Seq[(Int, String, String, String, Long)] = {
     val chars =
@@ -2526,13 +2571,18 @@ object TextOps {
     "q103_bpe_train_deep" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        // the distributed vocabulary selection (combinable groupBy +
+        // TakeOrdered top-64) stays in Spark; the 16 merge rounds run
+        // driver-local over the 64 collected words ([[trainBpeLocal]] —
+        // one bounded collect instead of 32 vocab-sized Spark jobs)
         val vocab = Tables.load(s, dir, "documents")
           .filter(col("doc_id") < 50)
           .select(explode(split(lower(col("text")), " +")).as("word"))
           .filter(col("word").rlike("^[a-z]+$"))
           .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
           .orderBy(col("wcnt").desc, col("word")).limit(DeepVocab)
-        trainBpe(vocab, TrainMergesDeep)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        trainBpeLocal(vocab, TrainMergesDeep)
           .toDF("rank", "token_a", "token_b", "merged", "pair_count")
           .orderBy(col("rank"))
       },

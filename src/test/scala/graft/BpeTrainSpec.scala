@@ -81,4 +81,24 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(graft.ops.TextOps.trainBpe(vocab, graft.ops.TextOps.TrainMerges)
       == refTrain(words, graft.ops.TextOps.TrainMerges))
   }
+
+  test("driver-local trainer (q103's bounded-vocab path) matches the distributed trainer bitwise") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val alpha = "abcde"
+    val words = (0 until 40).map { i =>
+      val w = (0 until (4 + rnd.nextInt(8)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      w -> (1L + rnd.nextInt(9))
+    }.toMap ++ Map("o'er" -> 5L, "don't" -> 3L)
+    val vocab = words.toSeq.toDF("word", "wcnt")
+    val dist = graft.ops.TextOps.trainBpe(vocab, 64)
+    val local = graft.ops.TextOps.trainBpeLocal(words.toSeq, 64)
+    assert(local == dist)
+    assert(local == refTrain(words, 64))
+    // exhaustion parity on a vocabulary that runs dry mid-budget
+    val tiny = Map("ab" -> 2L, "ba" -> 1L)
+    assert(graft.ops.TextOps.trainBpeLocal(tiny.toSeq, 16)
+      == refTrain(tiny, 16))
+  }
 }
