@@ -99,6 +99,31 @@ object Prof {
           "enc-audiosystem2" -> (() => Multimodal.encodeWavPcm16(spark, samples)),
           "enc-direct2" -> (() => mediaDirect)
         )
+      case "q218" =>
+        import graft.ops._
+        val w = TextOps.NoveltyWords
+        def docs = Tables.load(spark, dir, "documents")
+        def grams(df: DataFrame, keep: Seq[String]): DataFrame = df
+          .withColumn("words", split(lower(col("text")), " +"))
+          .filter(size(col("words")) >= w)
+          .select(keep.map(col) :+ explode(expr(
+            s"""array_distinct(transform(sequence(0, size(words) - $w),
+                i -> md5(concat_ws(' ', slice(words, i + 1, $w)))))"""))
+            .as("wkey"): _*)
+        def prevG = grams(Snapshot.previousSnapshotText(docs), Seq())
+          .distinct().withColumn("seen", lit(1L))
+        def currG = grams(
+          docs.filter(col("doc_id") % Snapshot.SnapMod =!= Snapshot.RemovedRes)
+            .select(col("doc_id"), col("source"), col("text")),
+          Seq("doc_id", "source"))
+        Seq(
+          "full" -> (() =>
+            SparkEntry.queries("q218_snapshot_gram_novelty")(spark, dir)),
+          "currG" -> (() => currG),
+          "prevG(distinct)" -> (() => prevG),
+          "full2" -> (() =>
+            SparkEntry.queries("q218_snapshot_gram_novelty")(spark, dir))
+        )
       case "q93" =>
         Seq(
           "full" -> (() =>

@@ -372,10 +372,14 @@ object Snapshot {
             .as("wkey"): _*)
         val prevG = grams(previousSnapshotText(docs), Seq())
           .distinct().withColumn("seen", lit(1L))
+        // keep only `source` past the explode: doc_id would otherwise
+        // ride the gram-keyed join exchange unused (guide §2.3 —
+        // project before the exchange); the per-doc array_distinct
+        // upstream already happened on the un-exploded row
         val currG = grams(
           docs.filter(col("doc_id") % SnapMod =!= RemovedRes)
             .select(col("doc_id"), col("source"), col("text")),
-          Seq("doc_id", "source"))
+          Seq("source"))
         currG.join(prevG, Seq("wkey"), "left")
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_gram_instances"),

@@ -962,11 +962,15 @@ object Temporal {
     //      ≤4³-row rollup. ----
     "q211_rfm_segments" -> QueryDef(
       (s, dir) => {
+        // persisted: the frame is consumed THREE times (both sides of
+        // the corpus-max crossJoin and the n_total rollup) — without it
+        // the events-table groupBy runs once per consumer (guide §2.4)
         val user = Tables.load(s, dir, "events")
           .groupBy(col("user_id"))
           .agg(max(col("ts")).as("last_ts"),
             count(lit(1)).as("frequency"),
             round(sum(col("value")), 2).as("monetary"))
+          .transform(TransientCache.scopedDF)
         val ur = user.crossJoin(
             user.agg(max(col("last_ts")).as("corpus_max")))
           .withColumn("recency_days", datediff(
