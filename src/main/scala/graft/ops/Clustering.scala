@@ -312,7 +312,13 @@ object Clustering {
       .withColumn("nrm", expr("sqrt(graft_dot(de, de))"))
       .select(col("vec_id"), col("de"), col("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val k = clusterCount(n.count())
+    // K derives from the row COUNT, which repartition+projection cannot
+    // change — count the SOURCE frame, not `n`: counting n forced a
+    // full compute+persist pass as a separate construction-time job,
+    // while a plain-scan count is answered from parquet footers
+    // (guide §2.4: don't pay a pass for metadata); n still materializes
+    // lazily inside the caller's first real action.
+    val k = clusterCount(emb.count())
     val assigned =
       if (k <= twoLevelThreshold) flatAssign(n, k)
       else twoLevelAssign(n, k, finePerCoarse)
