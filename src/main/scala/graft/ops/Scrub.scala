@@ -655,7 +655,7 @@ object Scrub {
           .select(col("doc_id"), col("source"), col("quality_score"),
             when(col("dup_rank") > 1, 1).otherwise(0).as("is_exact_dup"))
         val semDropped = Clustering.semanticDedupCached(s, dir)
-          .select(col("dropped_id").as("doc_id"), lit(1).as("sem_hit"))
+          .select(col("dropped_id").as("doc_id"))
         val evalGrams = TextOps
           .wordShingles(docs.filter(col("source") === "src0"), 4)
           .select(col("s")).distinct()
@@ -663,15 +663,13 @@ object Scrub {
           .wordShingles(docs.filter(col("source") =!= "src0"), 4)
           .join(broadcast(evalGrams), "s")
           .select(col("doc_id")).distinct()
-          .withColumn("cont_hit", lit(1))
         // the whole image pair list is shared with q104/q140 through
         // the fingerprint-keyed parquet cache — the ledger re-runs
         // neither the codec pass nor the banded signature join
         val imgDup = Multimodal.phashPairsCached(s, dir)
           .select(col("db").as("doc_id")).distinct()
-          .withColumn("img_hit", lit(1))
         val decontam = Similarity.semanticDecontamCached(s, dir)
-          .select(col("vec_id").as("doc_id"), lit(1).as("dec_hit"))
+          .select(col("vec_id").as("doc_id"))
         val ch = TextOps.cdcChunksCached(s, dir)
         val cnt = ch.groupBy(col("chunk_hash"))
           .agg(countDistinct(col("doc_id")).as("nd"))
@@ -682,34 +680,40 @@ object Scrub {
               .as("dup"))
           .filter(col("dup") * 2 >= col("tot"))
           .select(col("doc_id"))
-          .withColumn("chunk_hit", lit(1))
         val spanContam = TextOps.contaminationSpansCached(s, dir)
           .filter(col("max_run_grams") >= TextOps.SpanRunGate)
           .select(col("doc_id"))
-          .withColumn("span_hit", lit(1))
         val blocked = blocklistDocVerdicts(docs)
           .filter(col("latency_hits") >= BlocklistThreshold or
             col("scanheavy_hits") >= BlocklistThreshold)
           .select(col("doc_id"))
-          .withColumn("bl_hit", lit(1))
         val secretRisk = TextOps.rareTokenRuns(docs)
           .filter(col("n_runs") > 0)
           .select(col("doc_id"))
-          .withColumn("sr_hit", lit(1))
         val winnowLeak = TextOps.winnowDecontam(docs,
             Some(TextOps.winnowFpsCached(s, dir)))
           .select(col("doc_id"))
-          .withColumn("wl_hit", lit(1))
+        // ONE flag frame instead of nine per-verdict left joins: each
+        // branch emits (doc_id, verdict-kind), the union aggregates to
+        // one row per flagged doc, and the spine pays a single join —
+        // the nine separate joins each built their own broadcast
+        // exchange (guide §2.4). Each branch emits distinct doc_ids by
+        // construction; the max() makes the fold insensitive to that.
+        val verdicts = Seq(
+          semDropped -> "sem", contaminated -> "cont", imgDup -> "img",
+          decontam -> "dec", chunkDup -> "chunk", spanContam -> "span",
+          blocked -> "bl", secretRisk -> "sr", winnowLeak -> "wl")
+        val flags = verdicts
+          .map { case (df, k) => df.select(col("doc_id"), lit(k).as("k")) }
+          .reduce(_ unionByName _)
+          .groupBy(col("doc_id"))
+          .agg(verdicts.map { case (_, k) =>
+            max(when(col("k") === k, 1).otherwise(0)).as(s"${k}_hit")
+          }.head, verdicts.tail.map { case (_, k) =>
+            max(when(col("k") === k, 1).otherwise(0)).as(s"${k}_hit")
+          }: _*)
         base
-          .join(semDropped, Seq("doc_id"), "left")
-          .join(contaminated, Seq("doc_id"), "left")
-          .join(imgDup, Seq("doc_id"), "left")
-          .join(decontam, Seq("doc_id"), "left")
-          .join(chunkDup, Seq("doc_id"), "left")
-          .join(spanContam, Seq("doc_id"), "left")
-          .join(blocked, Seq("doc_id"), "left")
-          .join(secretRisk, Seq("doc_id"), "left")
-          .join(winnowLeak, Seq("doc_id"), "left")
+          .join(flags, Seq("doc_id"), "left")
           .withColumn("is_sem_dropped", coalesce(col("sem_hit"), lit(0)))
           .withColumn("is_contaminated", coalesce(col("cont_hit"), lit(0)))
           .withColumn("is_image_dup", coalesce(col("img_hit"), lit(0)))
