@@ -1547,29 +1547,34 @@ object Dedup {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val sh = shingleHashesCached(s, dir)
+        // the q93 shape (see its defs entry): the per-doc shingle count
+        // folds into the signature groupBy and rides the band rows, so
+        // the band self-join emits na/nb in place — no separate sizes
+        // aggregate and no pair join-backs against it (guide §2.4)
         val sigAggs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
           min(expr(s"(g * $a + $b) % ${P}L")).as(s"m$j")
-        }
+        } :+ count(lit(1)).as("n")
         val sigs = sh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-        val bands = coldBands(sigs.selectExpr("doc_id", minhashStack))
+        val bands = coldBands(sigs.selectExpr("doc_id", "n", minhashStack))
         val pairs = bands.as("x")
           .join(bands.as("y"),
             col("x.band_idx") === col("y.band_idx") &&
               col("x.band_val") === col("y.band_val") &&
               col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+            col("x.n").as("na"), col("y.n").as("nb"))
           .distinct()
-        val inter = pairs
+        val inter = pairs.select(col("da"), col("db"))
           .join(sh.select(col("doc_id").as("da"), col("g")), "da")
           .join(sh.select(col("doc_id").as("db"), col("g")), Seq("db", "g"))
           .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        // persisted: BOTH histograms fold the same scored pair frame —
+        // unpersisted, the whole band/verify pipeline ran twice
         val pj = pairs
           .join(inter, Seq("da", "db"), "left").na.fill(0L, Seq("c"))
-          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
           .withColumn("j_bp",
             expr("((c * 10000L) div (na + nb - c)) div 500 * 500"))
+          .transform(TransientCache.scopedDF)
         val pairHist = pj.groupBy(col("j_bp"))
           .agg(count(lit(1)).as("n_pairs_at"))
         val docHist = pj.groupBy(col("db"))

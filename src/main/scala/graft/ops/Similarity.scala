@@ -2021,35 +2021,47 @@ object Similarity {
     //      reported fields are int64 (floor-division basis points). ----
     "q121_matryoshka_recall" -> QueryDef(
       (s, dir) => {
+        // ONE candidate×query pass for the whole dim sweep (the q116
+        // fold, guide §2.4): every prefix-dim cosine is computed on the
+        // same joined row — the per-dim expressions (slice, sequential
+        // dot fold, norm) are verbatim the old per-pass ones, so each
+        // cosine is bit-identical — and the four rank windows share one
+        // query_id exchange. Truth (top-3 at the full dim) is the last
+        // dim's rank on the SAME frame, so the per-dim truth join
+        // becomes a rank conjunction: hits@3(d) = #(rk_d ≤ 3 ∧
+        // rk_last ≤ 3) — set-identical to joining the two top-3 lists.
         val n = normed(s, dir)
-          .transform(TransientCache.scopedDF)
-        def topkAt(d: Int): DataFrame = {
-          val nd = n.select(col("vec_id"),
-              expr(s"slice(de, 1, $d)").as("dd"))
-            .withColumn("nr", expr(s"sqrt(${dotExpr("dd", "dd")})"))
-          val q = nd.filter(col("vec_id") < NumQueries)
-            .select(col("vec_id").as("query_id"), col("dd").as("qe"),
-              col("nr").as("qn"))
-          val w = Window.partitionBy(col("query_id"))
-            .orderBy(col("cos").desc, col("vec_id"))
-          nd.join(broadcast(q), col("vec_id") =!= col("query_id"))
-            .withColumn("cos",
-              expr(dotExpr("qe", "dd")) / (col("qn") * col("nr")))
-            .withColumn("rk", row_number().over(w))
-            .filter(col("rk") <= 3)
-            .select(col("query_id"), col("vec_id"))
+        val q = n.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("de").as("qe"))
+        def cosAt(d: Int) = {
+          val dd = s"slice(de, 1, $d)"
+          val qd = s"slice(qe, 1, $d)"
+          expr(s"${dotExpr(qd, dd)} / (sqrt(${dotExpr(qd, qd)}) " +
+            s"* sqrt(${dotExpr(dd, dd)}))")
         }
-        val truth = topkAt(MatryoshkaDims.last)
-          .transform(TransientCache.scopedDF)
-        val out = MatryoshkaDims.map { d =>
-          topkAt(d).join(truth, Seq("query_id", "vec_id"))
-            .agg(count(lit(1)).as("hits_at_3"))
-            .select(lit(d.toLong).as("dim"),
-              lit(NumQueries.toLong).as("n_queries"), col("hits_at_3"),
-              expr(s"hits_at_3 * 10000L div ${3L * NumQueries}")
-                .as("recall_bp"))
-        }.reduce(_ unionByName _).orderBy(col("dim"))
-        out
+        val scored = n.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(Seq(col("query_id"), col("vec_id")) ++
+            MatryoshkaDims.map(d => cosAt(d).as(s"cos_$d")): _*)
+        val ranked = MatryoshkaDims.foldLeft(scored) { (df, d) =>
+          df.withColumn(s"rk_$d", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col(s"cos_$d").desc, col("vec_id"))))
+        }
+        val last = MatryoshkaDims.last
+        val hitAggs = MatryoshkaDims.map { d =>
+          sum(when(col(s"rk_$d") <= 3 && col(s"rk_$last") <= 3, 1L)
+            .otherwise(0L)).as(s"hits_$d")
+        }
+        ranked.agg(hitAggs.head, hitAggs.tail: _*)
+          .select(explode(expr(s"array(${MatryoshkaDims.map(d =>
+            s"struct(${d}L AS dim, hits_$d AS hits_at_3)").mkString(", ")})"))
+            .as("r"))
+          .select(col("r.dim").as("dim"),
+            lit(NumQueries.toLong).as("n_queries"),
+            col("r.hits_at_3").as("hits_at_3"),
+            expr(s"r.hits_at_3 * 10000L div ${3L * NumQueries}")
+              .as("recall_bp"))
+          .orderBy(col("dim"))
       },
       Some {
         val perDim = MatryoshkaDims.map { d =>
