@@ -125,9 +125,42 @@ object Prof {
             SparkEntry.queries("q218_snapshot_gram_novelty")(spark, dir))
         )
       case "q93" =>
+        import graft.ops.Dedup
+        // mirrors of q93's internals (constants copied — scratch probe)
+        val A93 = Seq(37L, 101L, 193L, 271L, 359L, 433L, 509L, 601L)
+        val B93 = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+        val P93 = 1000003L
+        def sh = Dedup.shingleHashesCached(spark, dir)
+        def sigs = sh.groupBy(col("doc_id")).agg(
+          (A93.zip(B93).zipWithIndex.map { case ((a, b), j) =>
+            min(expr(s"(g * $a + $b) % ${P93}L")).as(s"m$j")
+          } :+ count(lit(1)).as("n")).head,
+          (A93.zip(B93).zipWithIndex.map { case ((a, b), j) =>
+            min(expr(s"(g * $a + $b) % ${P93}L")).as(s"m$j")
+          } :+ count(lit(1)).as("n")).tail: _*)
+        def bands = Dedup.coldBands(sigs.selectExpr(
+          Seq("doc_id") ++ (0 until 8).map(j => s"m$j") ++ Seq("n",
+            """stack(4, 0, concat_ws(':', m0, m1), 1, concat_ws(':', m2, m3),
+                2, concat_ws(':', m4, m5), 3, concat_ws(':', m6, m7))
+               AS (band_idx, band_val)"""): _*))
+        def pairs = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band_val") === col("y.band_val") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .distinct()
+        def inter = pairs
+          .join(sh.select(col("doc_id").as("da"), col("g")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("g")), Seq("db", "g"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
         Seq(
           "full" -> (() =>
             SparkEntry.queries("q93_minhash_calibration")(spark, dir)),
+          "sh(cacheread)" -> (() => sh),
+          "sigs" -> (() => sigs),
+          "pairs" -> (() => pairs),
+          "inter" -> (() => inter),
           "full2" -> (() =>
             SparkEntry.queries("q93_minhash_calibration")(spark, dir))
         )

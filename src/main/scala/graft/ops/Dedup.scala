@@ -1215,6 +1215,10 @@ object Dedup {
           .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
             agree.as("n_agree"), col("x.n").as("na"), col("y.n").as("nb"))
           .distinct()
+          // persisted: consumed by the intersection join AND the final
+          // report join — unpersisted, the band self-join + distinct
+          // ran twice (the q141 lesson)
+          .transform(TransientCache.scopedDF)
         val inter = pairs.select(col("da"), col("db"))
           .join(sh.select(col("doc_id").as("da"), col("g")), "da")
           .join(sh.select(col("doc_id").as("db"), col("g")), Seq("db", "g"))
