@@ -695,8 +695,12 @@ object CorpusStats {
     //      corpus (the q78 rule). ----
     "q123_lm_filter_sweep" -> QueryDef(
       (s, dir) => {
+        // persisted: the histogram AND the totals both fold the scored
+        // frame — unpersisted, the whole LM scoring chain (train-pair
+        // aggregation + both scoring joins) ran twice (guide §2.4)
         val db = bigramLmScore(Tables.load(s, dir, "documents"))
           .withColumn("bpw", expr("bits_total div n_trans"))
+          .transform(TransientCache.scopedDF)
         val h = db.groupBy(col("bpw"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_trans")).as("n_trans"))

@@ -367,11 +367,15 @@ object Similarity {
       col("nrm").as("na"))
     val b = n.select(col("vec_id").as("vb"), col("de").as("eb"),
       col("nrm").as("nb"))
+    // persisted: both histograms fold the same scored pair frame —
+    // unpersisted, the candidate+verify pipeline ran twice per cache
+    // build (the q141 lesson)
     val pj = cands.join(a, "va").join(b, "vb")
       .withColumn("cos",
         expr(dotExpr("ea", "eb")) / (col("na") * col("nb")))
       .withColumn("c_bp", expr(
         "CAST(floor(cos * 10000) AS BIGINT) div 500 * 500"))
+      .transform(TransientCache.scopedDF)
     val pairHist = pj.groupBy(col("c_bp"))
       .agg(count(lit(1)).as("n_pairs_at"))
     val docHist = pj.groupBy(col("vb"))
