@@ -99,6 +99,18 @@ object Prof {
           "enc-audiosystem2" -> (() => Multimodal.encodeWavPcm16(spark, samples)),
           "enc-direct2" -> (() => mediaDirect)
         )
+      case "q102" =>
+        import graft.ops.Similarity
+        Seq(
+          "full" -> (() =>
+            SparkEntry.queries("q102_ann_recall")(spark, dir)),
+          "ivfTopk" -> (() => Similarity.ivfTopk(spark, dir)),
+          "lshTopk" -> (() => Similarity.lshTopk(spark, dir)),
+          "pq(cache)" -> (() => Similarity.pqTopkCached(spark, dir)),
+          "truth(cache)" -> (() => Similarity.bruteTopkCached(spark, dir)),
+          "full2" -> (() =>
+            SparkEntry.queries("q102_ann_recall")(spark, dir))
+        )
       case "q218" =>
         import graft.ops._
         val w = TextOps.NoveltyWords

@@ -1106,7 +1106,7 @@ object Similarity {
   /** Sign-bucket LSH approximate top-3 — the q36 operator, factored out
     * for q102. Candidates share the 4-bit sign bucket; exact cosine
     * within candidates. */
-  private[ops] def lshTopk(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def lshTopk(s: SparkSession, dir: String): DataFrame = {
     val bucketed = normed(s, dir)
       .withColumn("bucket", expr(bucketExprSpark("embedding")))
     val queries = bucketed.filter(col("vec_id") < 10)
@@ -1126,17 +1126,23 @@ object Similarity {
 
   /** IVF (2-of-16-cell probe) approximate top-3 — the q43 operator,
     * factored out for q102. Same math the persisted q97 index serves. */
-  private[ops] def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfTopk(s: SparkSession, dir: String): DataFrame = {
     val n = normed(s, dir)
     val cents = n.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cid"), col("de").as("cde"),
         col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
+    // persisted at crank ≤ 2 (2 rows/vector): corpus cells and query
+    // probes BOTH filter this frame — unpersisted, the 16-centroid
+    // broadcast join + assignment window ran once per consumer
     val assigned = n.join(broadcast(cents))
       .withColumn("ccos",
         expr(dotExpr("de", "cde")) / (col("nrm") * col("cnrm")))
       .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") <= 2)
+      .select(col("vec_id"), col("de"), col("nrm"), col("cid"), col("crank"))
+      .transform(TransientCache.scopedDF)
     val corpusCells = assigned.filter(col("crank") === 1)
       .select(col("vec_id"), col("de"), col("nrm"), col("cid").as("cell"))
     val queryProbes = assigned.filter(col("vec_id") < 10 && col("crank") <= 2)
