@@ -138,10 +138,12 @@ object Prof {
         )
       case "q93" =>
         import graft.ops.Dedup
-        // mirrors of q93's internals (constants copied — scratch probe)
-        val A93 = Seq(37L, 101L, 193L, 271L, 359L, 433L, 509L, 601L)
-        val B93 = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
-        val P93 = 1000003L
+        // q93's REAL hash constants (r16 ADVICE: the former hand copies
+        // drifted — P was 1000003 against the pipeline's 1000000007 —
+        // so the profile measured a different hash family)
+        val A93 = Dedup.A
+        val B93 = Dedup.B
+        val P93 = Dedup.P
         def sh = Dedup.shingleHashesCached(spark, dir)
         def sigs = sh.groupBy(col("doc_id")).agg(
           (A93.zip(B93).zipWithIndex.map { case ((a, b), j) =>

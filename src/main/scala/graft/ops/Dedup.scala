@@ -23,10 +23,15 @@ import graft.{QueryDef, Tables}
   */
 object Dedup {
 
-  private val P = 1000000007L
+  // private[graft] (not private): graft.Prof's q93 stage decomposition
+  // mirrors the signature pipeline and must reference THESE constants —
+  // its hand-copied versions drifted (r16 ADVICE: Prof carried
+  // P = 1000003 against the real 1000000007, silently profiling a
+  // different hash family)
+  private[graft] val P = 1000000007L
   /** 4 bands × 2 rows: 8 affine hash functions over the base hash. */
-  private val A = Seq(37L, 101L, 193L, 271L, 359L, 433L, 509L, 601L)
-  private val B = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+  private[graft] val A = Seq(37L, 101L, 193L, 271L, 359L, 433L, 509L, 601L)
+  private[graft] val B = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
 
   /** SimHash width: 64 bits, stored as [[SimWords]] non-negative 16-bit
     * words (`sim0..sim3`) rather than one 64-bit integer. A single value
@@ -709,6 +714,15 @@ object Dedup {
       Seq.empty[(Long, Long, Long)].toDF("doc_id", "degree", "rank_fp")
     } else {
       val base = 3L * PageRankScale / (20L * n)
+      // Examined r17 and deliberately KEPT the eager per-round shape: a
+      // lazily-chained rewrite (edge table persisted hash(src) once, 8
+      // rounds folding into ONE action) measured 1.27 → 1.90 s isolated
+      // steady — the single 100-node AQE plan re-optimizes per query
+      // stage and costs more than the 8 small checkpointed jobs, and
+      // locally the rank side rides a broadcast join anyway, so there
+      // is no per-round edge shuffle to remove at this SF. At scale the
+      // per-round join is ONE src-keyed equi-join + a combinable sum —
+      // already the q54 loop discipline.
       val ed = Checkpoints.stabilize(edges.join(deg, "src"))
       var ranks = Checkpoints.stabilize(
         deg.select(col("src").as("doc_id"),

@@ -423,19 +423,41 @@ object Multimodal {
     }.toDF()
   }
 
+  /** A representative PCM_SIGNED 16-bit mono stream — the exact format
+    * [[encodeWavPcm16]] writes — for STREAM-level provider probes. */
+  private def pcmProbeStream(): javax.sound.sampled.AudioInputStream = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](2)), fmt, 1L)
+  }
+
   /** The platform `AudioFileWriter` that handles WAVE — what
     * `AudioSystem.write(_, Type.WAVE, _)` resolves on every call, looked
-    * up once so tasks can amortize the synchronized provider scan. */
-  private def wavWriter(): javax.sound.sampled.spi.AudioFileWriter = {
+    * up once so tasks can amortize the synchronized provider scan.
+    * Selected with the STREAM-level `isFileTypeSupported(type, stream)`
+    * check AudioSystem itself uses (r16 ADVICE): a JRE enumerating a
+    * float-only WAVE writer first would pass the type-level check yet
+    * throw on the PCM_SIGNED streams this pipeline writes. Memoized per
+    * JVM — the provider list is ServiceLoader-static and the writer
+    * stateless, so the probe runs once per executor, never per task. */
+  private lazy val wavWriterResolved:
+      javax.sound.sampled.spi.AudioFileWriter = {
     val it = java.util.ServiceLoader
       .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
-    while (it.hasNext) {
+    var found: javax.sound.sampled.spi.AudioFileWriter = null
+    while (found == null && it.hasNext) {
       val w = it.next()
       if (w.isFileTypeSupported(
-          javax.sound.sampled.AudioFileFormat.Type.WAVE)) return w
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, pcmProbeStream()))
+        found = w
     }
-    throw new IllegalStateException("no WAVE AudioFileWriter provider")
+    if (found == null)
+      throw new IllegalStateException("no WAVE AudioFileWriter provider")
+    found
   }
+
+  private def wavWriter(): javax.sound.sampled.spi.AudioFileWriter =
+    wavWriterResolved
 
   /** The platform `AudioFileReader` list — what
     * `AudioSystem.getAudioInputStream` scans on every call (first
@@ -447,16 +469,43 @@ object Multimodal {
     * 32-core decode stage). Container magic bytes are mutually
     * exclusive across reader families, so for any payload the original
     * order decodes the same reader still wins — the reorder only
-    * changes how fast a WAV payload reaches its reader. */
-  private def audioReaders(): Array[javax.sound.sampled.spi.AudioFileReader] = {
+    * changes how fast a WAV payload reaches its reader. WAVE capability
+    * is detected by PROBING each reader once with a canned minimal WAV
+    * (r16 ADVICE), not by matching JDK-internal class names — on a JRE
+    * with different provider naming the probe still finds the reader. */
+  private lazy val audioReadersResolved:
+      Array[javax.sound.sampled.spi.AudioFileReader] = {
     val b = Array.newBuilder[javax.sound.sampled.spi.AudioFileReader]
     val it = java.util.ServiceLoader
       .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
     while (it.hasNext) b += it.next()
     val all = b.result()
-    val (wave, rest) =
-      all.partition(_.getClass.getSimpleName.startsWith("Wave"))
+    val (wave, rest) = all.partition { r =>
+      try { r.getAudioInputStream(
+        new java.io.ByteArrayInputStream(cannedWav)).close(); true }
+      catch { case _: Exception => false }
+    }
     wave ++ rest
+  }
+
+  // memoized per JVM (ServiceLoader-static, stateless readers): the
+  // capability probe — which itself touches providers that re-enter the
+  // synchronized JDK scan — runs once per executor, never per task
+  private def audioReaders(): Array[javax.sound.sampled.spi.AudioFileReader] =
+    audioReadersResolved
+
+  /** A minimal complete RIFF/WAVE payload (44-byte header + one
+    * PCM_SIGNED 16-bit mono sample) for the reader capability probe. */
+  private lazy val cannedWav: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(46)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(38)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(2).putShort(0)
+    bb.array()
   }
 
   /** `AudioSystem.getAudioInputStream` over pre-resolved providers: the

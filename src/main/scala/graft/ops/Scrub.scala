@@ -563,14 +563,10 @@ object Scrub {
             when(col("dup_rank") > 1, 1).otherwise(0).as("is_exact_dup"))
         val semDropped = Clustering.semanticDedupCached(s, dir)
           .select(col("dropped_id").as("doc_id"), lit(1).as("sem_hit"))
-        val evalGrams = TextOps
-          .wordShingles(docs.filter(col("source") === "src0"), 4)
-          .select(col("s")).distinct()
-        val contaminated = TextOps
-          .wordShingles(docs.filter(col("source") =!= "src0"), 4)
-          .join(broadcast(evalGrams), "s")
-          .select(col("doc_id")).distinct()
-          .withColumn("cont_hit", lit(1))
+        // the cached q58 verdict IS the contaminated doc-id set (one
+        // row per contaminated training doc by construction)
+        val contaminated = TextOps.decontamCountsCached(s, dir)
+          .select(col("doc_id")).withColumn("cont_hit", lit(1))
         base
           .join(semDropped, Seq("doc_id"), "left")
           .join(contaminated, Seq("doc_id"), "left")
@@ -656,13 +652,8 @@ object Scrub {
             when(col("dup_rank") > 1, 1).otherwise(0).as("is_exact_dup"))
         val semDropped = Clustering.semanticDedupCached(s, dir)
           .select(col("dropped_id").as("doc_id"))
-        val evalGrams = TextOps
-          .wordShingles(docs.filter(col("source") === "src0"), 4)
-          .select(col("s")).distinct()
-        val contaminated = TextOps
-          .wordShingles(docs.filter(col("source") =!= "src0"), 4)
-          .join(broadcast(evalGrams), "s")
-          .select(col("doc_id")).distinct()
+        val contaminated = TextOps.decontamCountsCached(s, dir)
+          .select(col("doc_id"))
         // the whole image pair list is shared with q104/q140 through
         // the fingerprint-keyed parquet cache — the ledger re-runs
         // neither the codec pass nor the banded signature join

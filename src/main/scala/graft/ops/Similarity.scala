@@ -1726,8 +1726,12 @@ object Similarity {
           .transform(TransientCache.scopedDF)
         val exact = bruteTopkCached(s, dir)
           .select(col("query_id"), col("neighbor_id"))
+        // 30 rows by construction (10 queries × top-3): broadcast it —
+        // the bare semi-join planned a sort-merge (2 exchanges + sorts)
+        // off the cache's unhelpful size estimate
         val hits = sq3
-          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .join(broadcast(exact), Seq("query_id", "neighbor_id"),
+            "left_semi")
           .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
         sq3.filter(col("rank") === 1)
           .select(col("query_id"), col("neighbor_id").as("top1_id"),
@@ -2627,7 +2631,16 @@ object Similarity {
   def principalComponent(emb: DataFrame,
       rounds: Int = PowerIterRounds): DataFrame = {
     val spark = emb.sparkSession
-    val mat = emb.select(col("vec_id"),
+    // Examined r17 and deliberately KEPT the single nested-plan shape:
+    // the q103-style rewrite (per-round bounded 1-row collect + driver-
+    // local renormalize, both with inline-literal and array-literal v)
+    // measured 1.50 → ~2.1 s isolated steady — 8 separately planned and
+    // scheduled executions cost more than one 30-node plan whose rounds
+    // AQE sequences internally, and the per-round corpus aggregate (the
+    // div nonlinearity makes it irreducible) dominates at scale either
+    // way. vec_id is projected out of the persisted matrix (the one
+    // keeper from the attempt — 8 bytes/vector off every round's scan).
+    val mat = emb.select(
       expr("transform(embedding, x -> " +
         "cast(floor(cast(x as double) * 1000000D) as bigint))").as("q"))
       .transform(TransientCache.scopedDF)

@@ -29,6 +29,9 @@ object TextOps {
   private val ContSpansCacheV = 1
   private val CdcCacheV = 1
   private val JacPairsCacheV = 1
+  private val DecontamCacheV = 1
+  private val PosGramStatsCacheV = 1
+  private val NovFirstsCacheV = 1
 
   /** n-word shingle set of the lowercased text, distinct, as a Column
     * expression over a `words` array column. `private[graft]` so the
@@ -47,6 +50,31 @@ object TextOps {
 
   /** The near-dup pipeline's 3-gram shingling. */
   def shingles(docs: DataFrame): DataFrame = wordShingles(docs, 3)
+
+  /** q58's per-training-doc distinct shared-4-gram counts against the
+    * src0 eval set — the eval-gram intersection verdict shared by q58,
+    * q60, q90 and q117 (a doc is CONTAMINATED iff it appears here, so
+    * the flag consumers read just the doc_id column). */
+  private[graft] def decontamCounts(docs: DataFrame): DataFrame = {
+    val evalGrams = wordShingles(docs.filter(col("source") === "src0"), 4)
+      .select(col("s")).distinct()
+    wordShingles(docs.filter(col("source") =!= "src0"), 4)
+      .join(broadcast(evalGrams), "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** [[decontamCounts]] served from the fingerprint-keyed parquet cache
+    * ([[FrameCache]]): the verdict is deterministic per corpus and the
+    * training-side 4-gram explode — the expensive side — was re-run by
+    * each of its four consumers (q58/q60/q90/q117); now it runs once
+    * per corpus (guide §6, the thumbs/decontam/span-branch pattern). */
+  private[graft] def decontamCountsCached(s: SparkSession,
+      dir: String): DataFrame =
+    FrameCache.serve(s, FrameCache.path("decontam4", DecontamCacheV,
+      Similarity.corpusFingerprint(s, dir, "documents"))) {
+      decontamCounts(Tables.load(s, dir, "documents"))
+    }
 
   /** q37/q138 shared per-language stopword regexes, in ARGMAX TIE-BREAK
     * ORDER (equal hit counts resolve en > es > fr > de; zh has no set —
@@ -159,8 +187,11 @@ object TextOps {
   def winnowingFingerprints(docs: DataFrame,
       pre: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val (fps, mp) = pre.getOrElse(winnowFps(docs))
+    // fps is distinct on (doc_id, fp) by construction, so the sharer
+    // count is a plain count — countDistinct planned a second
+    // (fp, doc_id)-keyed exchange + dedup aggregate for nothing
     val shared = fps.groupBy(col("fp"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
+      .agg(count(lit(1)).as("nd"))
       .filter(col("nd") > 1)
       .select(col("fp")).withColumn("sh", lit(1L))
     fps.join(shared, Seq("fp"), "left")
@@ -178,8 +209,10 @@ object TextOps {
   def winnowingPairs(docs: DataFrame,
       pre: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val (fps, _) = pre.getOrElse(winnowFps(docs))
+    // fps is distinct on (doc_id, fp) by construction — plain count,
+    // not countDistinct (same cut as q169's sharer count)
     val hot = fps.groupBy(col("fp"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
+      .agg(count(lit(1)).as("nd"))
       .filter(col("nd") > WinnowFpCap)
       .select(col("fp"))
     val cold = fps.join(broadcast(hot), Seq("fp"), "left_anti")
@@ -550,17 +583,44 @@ object TextOps {
     * span specs: sliding `w`-word windows (stride 1) md5-keyed, a window
     * repeated iff its key occurs in any other (doc, pos) slot — same-doc
     * repeats count too, matching the substring-dedup semantic. */
-  def repeatedSpansReport(docs: DataFrame, w: Int = SpanWords): DataFrame = {
-    val wnd = org.apache.spark.sql.expressions.Window
-    val keyed = posKeyedGrams(docs, w)
-    keyed.withColumn("occ", count(lit(1)).over(wnd.partitionBy(col("wkey"))))
+  def repeatedSpansReport(docs: DataFrame, w: Int = SpanWords,
+      pre: Option[DataFrame] = None): DataFrame =
+    pre.getOrElse(posGramStats(docs, w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_repeated"))
       .withColumn("repeat_frac",
         round(col("n_repeated") / col("n_windows"), 4))
       .orderBy(col("doc_id"))
+
+  /** (doc_id, pos, mn, mx, occ) for every stride-1 `w`-word window: the
+    * gram key's corpus-wide min/max doc_id and occurrence count —
+    * everything q99 (occ), q227 (mn/mx) and q228/q229 (mn) read off the
+    * gram-keyed window, computed in ONE pass so the gram explode and
+    * the 32-byte-key exchange are shared. The gram key itself is
+    * projected away: consumers only consume the three int64 stats. */
+  private[graft] def posGramStats(docs: DataFrame,
+      w: Int = SpanWords): DataFrame = {
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("wkey"))
+    posKeyedGrams(docs, w)
+      .withColumn("mn", min(col("doc_id")).over(byKey))
+      .withColumn("mx", max(col("doc_id")).over(byKey))
+      .withColumn("occ", count(lit(1)).over(byKey))
+      .select(col("doc_id"), col("pos"), col("mn"), col("mx"), col("occ"))
   }
+
+  /** [[posGramStats]] at [[SpanWords]] served from the fingerprint-keyed
+    * parquet cache: deterministic per corpus, and its four consumers
+    * (q99/q227/q228/q229) each re-ran the explode + gram-keyed window —
+    * now one build per corpus, read back with full column pruning
+    * (guide §6). */
+  private[graft] def posGramStatsCached(s: SparkSession,
+      dir: String): DataFrame =
+    FrameCache.serve(s, FrameCache.path("posgramstats", PosGramStatsCacheV,
+      Similarity.corpusFingerprint(s, dir, "documents"))) {
+      posGramStats(Tables.load(s, dir, "documents"))
+    }
 
   /** (doc_id, pos, wkey) for every stride-1 `w`-word window — the
     * shared substrate of q99 (repeat counting), q227 (span extraction)
@@ -600,13 +660,10 @@ object TextOps {
     * million docs costs a million-row window group, never a pair
     * set), one per-doc islands window (bounded by doc length), one
     * map-side island rollup. Pure int64 output. */
-  def crossDocSpansReport(docs: DataFrame, w: Int = SpanWords): DataFrame = {
+  def crossDocSpansReport(docs: DataFrame, w: Int = SpanWords,
+      pre: Option[DataFrame] = None): DataFrame = {
     val wnd = org.apache.spark.sql.expressions.Window
-    val keyed = posKeyedGrams(docs, w)
-    val byKey = wnd.partitionBy(col("wkey"))
-    val shared = keyed
-      .withColumn("mn", min(col("doc_id")).over(byKey))
-      .withColumn("mx", max(col("doc_id")).over(byKey))
+    val shared = pre.getOrElse(posGramStats(docs, w))
       .filter(col("mn") =!= col("mx"))
       .withColumn("witness",
         when(col("mn") =!= col("doc_id"), col("mn")).otherwise(col("mx")))
@@ -653,11 +710,10 @@ object TextOps {
     * ledger and q229's policy sweep: dup windows (corpus-first
     * occurrence elsewhere) coalesced into maximal 1-based word
     * intervals per doc — q191's running-max gaps-and-islands. */
-  private def crossDocDupSpans(docs: DataFrame, w: Int): DataFrame = {
+  private def crossDocDupSpans(docs: DataFrame, w: Int,
+      pre: Option[DataFrame] = None): DataFrame = {
     val wnd = org.apache.spark.sql.expressions.Window
-    val dup = posKeyedGrams(docs, w)
-      .withColumn("mn",
-        min(col("doc_id")).over(wnd.partitionBy(col("wkey"))))
+    val dup = pre.getOrElse(posGramStats(docs, w))
       .filter(col("mn") < col("doc_id"))
       .select(col("doc_id"), (col("pos") + 1L).as("p"))
     val wOrd = wnd.partitionBy(col("doc_id")).orderBy(col("p"))
@@ -674,12 +730,12 @@ object TextOps {
       .select(col("doc_id"), col("s"), col("e"))
   }
 
-  def crossDocRewriteLedger(docs: DataFrame, w: Int = SpanWords)
-      : DataFrame = {
+  def crossDocRewriteLedger(docs: DataFrame, w: Int = SpanWords,
+      pre: Option[DataFrame] = None): DataFrame = {
     val nWords = docs
       .select(col("doc_id"),
         size(split(lower(col("text")), " +")).cast("long").as("n_words"))
-    crossDocDupSpans(docs, w)
+    crossDocDupSpans(docs, w, pre)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1L).as("n_masked_words"))
@@ -710,10 +766,10 @@ object TextOps {
     * one-row-cross-joined with the corpus word total and
     * stack-unpivoted to |grid| rows. Empty-grid rows report zeros via
     * the conditional sums. Pure int64. */
-  def substringPolicySweep(docs: DataFrame, w: Int = SpanWords)
-      : DataFrame = {
+  def substringPolicySweep(docs: DataFrame, w: Int = SpanWords,
+      pre: Option[DataFrame] = None): DataFrame = {
     val grid = SubstringSweepGrid
-    val spans = crossDocDupSpans(docs, w)
+    val spans = crossDocDupSpans(docs, w, pre)
       .withColumn("width", col("e") - col("s") + 1L)
     val totalWords = docs.agg(
       sum(size(split(lower(col("text")), " +")).cast("long"))
@@ -757,9 +813,25 @@ object TextOps {
     * gram-keyed window for the corpus-wide min (the q99 shape — no
     * self-join, no broadcast), then a map-side doc rollup. Pure int64
     * basis points. */
-  def ngramNoveltyReport(docs: DataFrame, w: Int = NoveltyWords): DataFrame = {
+  def ngramNoveltyReport(docs: DataFrame, w: Int = NoveltyWords,
+      pre: Option[DataFrame] = None): DataFrame =
+    pre.getOrElse(noveltyFirsts(docs, w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_bp", expr("n_novel * 10000L div n_grams"))
+      .orderBy(col("doc_id"))
+
+  /** (doc_id, first_doc) for every distinct [[NoveltyWords]]-gram
+    * instance — the corpus-first attribution behind q212/q213/q216,
+    * computed in ONE explode + gram-keyed window. The gram key is
+    * projected away; per-source attribution re-attaches `source` via
+    * the functional doc_id → source map (doc-keyed equi-joins). */
+  private[graft] def noveltyFirsts(docs: DataFrame,
+      w: Int = NoveltyWords): DataFrame = {
     val wnd = org.apache.spark.sql.expressions.Window
-    val keyed = docs
+    docs
       .withColumn("words", split(lower(col("text")), " +"))
       .filter(size(col("words")) >= w)
       .select(col("doc_id"), explode(expr(
@@ -767,16 +839,21 @@ object TextOps {
               sequence(0, size(words) - $w),
               i -> md5(concat_ws(' ', slice(words, i + 1, $w)))))"""))
         .as("wkey"))
-    keyed
       .withColumn("first_doc",
         min(col("doc_id")).over(wnd.partitionBy(col("wkey"))))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .withColumn("novelty_bp", expr("n_novel * 10000L div n_grams"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("first_doc"))
   }
+
+  /** [[noveltyFirsts]] at [[NoveltyWords]] served from the
+    * fingerprint-keyed parquet cache: deterministic per corpus; its
+    * three consumers (q212/q213/q216) each re-ran the distinct-gram
+    * explode + gram-keyed window — now one build per corpus (guide §6). */
+  private[graft] def noveltyFirstsCached(s: SparkSession,
+      dir: String): DataFrame =
+    FrameCache.serve(s, FrameCache.path("novfirsts", NovFirstsCacheV,
+      Similarity.corpusFingerprint(s, dir, "documents"))) {
+      noveltyFirsts(Tables.load(s, dir, "documents"))
+    }
 
   /** Per-SOURCE novelty attribution — [[ngramNoveltyReport]]'s rollup
     * axis for mixture weighting: of each source's distinct-gram
@@ -788,21 +865,11 @@ object TextOps {
     * hasn't already said — its weight in q87/q172's mixture math
     * should see that. Same scale shape as q212 plus one broadcast-size
     * doc→source join on the window's first_doc. */
-  def sourceNoveltyReport(docs: DataFrame, w: Int = NoveltyWords)
-      : DataFrame = {
-    val wnd = org.apache.spark.sql.expressions.Window
+  def sourceNoveltyReport(docs: DataFrame, w: Int = NoveltyWords,
+      pre: Option[DataFrame] = None): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    val keyed = docs
-      .withColumn("words", split(lower(col("text")), " +"))
-      .filter(size(col("words")) >= w)
-      .select(col("doc_id"), col("source"), explode(expr(
-        s"""array_distinct(transform(
-              sequence(0, size(words) - $w),
-              i -> md5(concat_ws(' ', slice(words, i + 1, $w)))))"""))
-        .as("wkey"))
-    keyed
-      .withColumn("first_doc",
-        min(col("doc_id")).over(wnd.partitionBy(col("wkey"))))
+    pre.getOrElse(noveltyFirsts(docs, w))
+      .join(src, "doc_id") // doc_id → source is functional: 1 row in, 1 out
       .join(src.select(col("doc_id").as("first_doc"),
         col("source").as("first_source")), "first_doc")
       .groupBy(col("source"))
@@ -1746,22 +1813,36 @@ object TextOps {
   private[ops] def bmScoredCandidates(docs: DataFrame,
       queries: Seq[(Int, String)]): DataFrame = {
     import docs.sparkSession.implicits._
-    val toks = docs
-      .select(col("doc_id"),
-        explode(split(lower(col("text")), " +")).as("term"))
-      .transform(TransientCache.scopedDF)
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
-      sum(col("dl")).cast("long").as("a_total"))
     val qterms = queries.flatMap { case (qid, q) =>
       q.split(" ").distinct.map(t => (qid, q, t))
     }.toDF("qid", "query", "term")
-    val dfx = tf
+    // Only query-term POSTINGS are ever aggregated: the broadcast semi
+    // filter runs map-side on the exploded stream, so the full token
+    // table is never shuffled (guide §2.3 aggregate-before-shuffle +
+    // §3.2 pre-filter the big side) — the old shape exchanged every
+    // token twice (the (doc,term) tf groupBy and the doc-length
+    // groupBy) to score a fixed handful of query terms.
+    val qtf = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " +")).as("term"))
       .join(broadcast(qterms.select(col("term")).distinct()), "term")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .transform(TransientCache.scopedDF)
+    // per-doc length is a projection over docs (the q181 shape: the
+    // oracle computes it as len(ws)), not an aggregate over the
+    // exploded token table; persisted because BOTH the corpus stats row
+    // and the contrib join read it — unpersisted, the planner re-split
+    // the whole corpus text once per consumer
+    val dl = docs.select(col("doc_id"),
+      size(split(lower(col("text")), " +")).cast("long").as("dl"))
+      .transform(TransientCache.scopedDF)
+    val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).cast("long").as("a_total"))
+    val dfx = qtf
       .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
-    val contrib = tf
+    val contrib = qtf
       .join(broadcast(qterms.join(dfx, "term")), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
@@ -2035,7 +2116,8 @@ object TextOps {
     //      docs costs a million-row count group, never a quadratic pair
     //      set. ----
     "q99_repeated_spans" -> QueryDef(
-      (s, dir) => repeatedSpansReport(Tables.load(s, dir, "documents")),
+      (s, dir) => repeatedSpansReport(Tables.load(s, dir, "documents"),
+        pre = Some(posGramStatsCached(s, dir))),
       Some(s"""WITH wds AS (
                SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
                FROM documents),
@@ -2068,7 +2150,8 @@ object TextOps {
     //      The masking feed for a substring-level decontamination
     //      rewrite. ----
     "q227_crossdoc_substring_spans" -> QueryDef(
-      (s, dir) => crossDocSpansReport(Tables.load(s, dir, "documents")),
+      (s, dir) => crossDocSpansReport(Tables.load(s, dir, "documents"),
+        pre = Some(posGramStatsCached(s, dir))),
       Some(s"""WITH wds AS (
                SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
                FROM documents),
@@ -2111,7 +2194,8 @@ object TextOps {
     //      masked spans and the retained share — the per-doc cost
     //      sheet of the dedup policy (see [[crossDocRewriteLedger]]). ----
     "q228_substring_dedup_ledger" -> QueryDef(
-      (s, dir) => crossDocRewriteLedger(Tables.load(s, dir, "documents")),
+      (s, dir) => crossDocRewriteLedger(Tables.load(s, dir, "documents"),
+        pre = Some(posGramStatsCached(s, dir))),
       Some(s"""WITH wds AS (
                SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
                FROM documents),
@@ -2166,7 +2250,8 @@ object TextOps {
     //      and the corpus masked share — measured BEFORE a production
     //      run hard-codes the floor (see [[substringPolicySweep]]). ----
     "q229_substring_policy_sweep" -> QueryDef(
-      (s, dir) => substringPolicySweep(Tables.load(s, dir, "documents")),
+      (s, dir) => substringPolicySweep(Tables.load(s, dir, "documents"),
+        pre = Some(posGramStatsCached(s, dir))),
       Some(s"""WITH wds AS (
                SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
                FROM documents),
@@ -2229,7 +2314,8 @@ object TextOps {
     //      contribution read q31/q33/q99 can't give (see
     //      [[ngramNoveltyReport]]). ----
     "q212_ngram_novelty" -> QueryDef(
-      (s, dir) => ngramNoveltyReport(Tables.load(s, dir, "documents")),
+      (s, dir) => ngramNoveltyReport(Tables.load(s, dir, "documents"),
+        pre = Some(noveltyFirstsCached(s, dir))),
       Some(s"""WITH wds AS (
                SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
                FROM documents),
@@ -2260,7 +2346,8 @@ object TextOps {
     //      axis, with cross-source repetition split out (see
     //      [[sourceNoveltyReport]]). ----
     "q213_source_novelty" -> QueryDef(
-      (s, dir) => sourceNoveltyReport(Tables.load(s, dir, "documents")),
+      (s, dir) => sourceNoveltyReport(Tables.load(s, dir, "documents"),
+        pre = Some(noveltyFirstsCached(s, dir))),
       Some(s"""WITH wds AS (
                SELECT doc_id, source,
                  string_split_regex(lower(text), ' +') AS ws
@@ -2314,7 +2401,8 @@ object TextOps {
     //      frame against the CC labels + a ≤10-row rollup. ----
     "q216_novelty_dedup_agreement" -> QueryDef(
       (s, dir) => {
-        val nov = ngramNoveltyReport(Tables.load(s, dir, "documents"))
+        val nov = ngramNoveltyReport(Tables.load(s, dir, "documents"),
+          pre = Some(noveltyFirstsCached(s, dir)))
         val clustered = Dedup.connectedComponents(
             Dedup.lshCandidatePairsCached(s, dir))
           .select(col("doc_id"), lit(1L).as("in_cluster"))
@@ -3279,16 +3367,7 @@ object TextOps {
     //      the big side. n_shared counts distinct shared 4-grams per
     //      training doc. ----
     "q58_decontam" -> QueryDef(
-      (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-        val evalGrams = wordShingles(docs.filter(col("source") === "src0"), 4)
-          .select(col("s")).distinct()
-        wordShingles(docs.filter(col("source") =!= "src0"), 4)
-          .join(broadcast(evalGrams), "s")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_shared"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => decontamCountsCached(s, dir).orderBy(col("doc_id")),
       Some(s"""WITH $fourGramDuckCtes,
              ev AS (
                SELECT DISTINCT g.s FROM g
@@ -3352,12 +3431,10 @@ object TextOps {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.load(s, dir, "documents")
-        val evalGrams = wordShingles(docs.filter(col("source") === "src0"), 4)
-          .select(col("s")).distinct()
-        val contaminated = wordShingles(docs.filter(col("source") =!= "src0"), 4)
-          .join(broadcast(evalGrams), "s")
-          .select(col("doc_id")).distinct()
-          .withColumn("contam", lit(1))
+        // the cached q58 verdict IS the contaminated doc-id set (one
+        // row per contaminated training doc by construction)
+        val contaminated = decontamCountsCached(s, dir)
+          .select(col("doc_id")).withColumn("contam", lit(1))
         // every text-derived column is computed BEFORE the keeper window
         // and the text itself is dropped, so the window's exchange
         // partitions on the 32-byte md5 key and ships only scalar flags —

@@ -120,4 +120,41 @@ class BloomProbeSpec extends AnyFunSuite {
       ArrayType(LongType, containsNull = false))
     assert(BloomProbe(Literal("abc"), zero, Literal(620L)).eval(null) == false)
   }
+
+  test("multi: interpreted eval equals per-filter single probes (non-codegen path)") {
+    import graft.expr.BloomProbeMulti
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val rnd = new scala.util.Random(11)
+    val ms = Seq(64L, 620L, 997L, 12800L)
+    val families = ms.zipWithIndex.map { case (m, i) =>
+      i % 3 match {
+        case 0 => Array.fill(nWords(m))(-1L)
+        case 1 => new Array[Long](nWords(m))
+        case _ => Array.fill(nWords(m))(
+          if (rnd.nextInt(3) == 0) rnd.nextLong() else 0L)
+      }
+    }
+    val bloomsLit = Literal.create(
+      ArrayData.toArrayData(families.map(ArrayData.toArrayData(_)).toArray),
+      ArrayType(ArrayType(LongType, containsNull = false),
+        containsNull = false))
+    val msLit = Literal.create(ArrayData.toArrayData(ms.toArray),
+      ArrayType(LongType, containsNull = false))
+    Seq("", "abc", "the quick brown fox", "日本語テキスト").foreach { s =>
+      val mask = BloomProbeMulti(Literal(s), bloomsLit, msLit)
+        .eval(null).asInstanceOf[Long]
+      ms.indices.foreach { j =>
+        val single = BloomProbe(Literal(s),
+          Literal.create(ArrayData.toArrayData(families(j)),
+            ArrayType(LongType, containsNull = false)),
+          Literal(ms(j))).eval(null).asInstanceOf[Boolean]
+        assert((((mask >> j) & 1L) == 1L) == single,
+          s"s=$s budget $j: mask bit ${(mask >> j) & 1L} vs single $single")
+      }
+      assert((mask >> ms.size) == 0L,
+        s"s=$s: interpreted mask carries bits past the last budget")
+    }
+  }
 }

@@ -1275,8 +1275,12 @@ class SimilaritySpec extends AnyFunSuite {
     val planStr = SparkEntry.queries("q116_ivf_nprobe_sweep")(spark, sf)
       .queryExecution.executedPlan.toString
     val nWin = "Window \\[".r.findAllIn(planStr).size
-    assert(nWin == 3,
-      s"q116 must keep exactly 3 Window nodes (1 sweep + 2 assign copies), got $nWin")
+    // upper bound, not equality (r16 ADVICE): the count pins the fold —
+    // one shared sweep window instead of four per-nprobe passes — but a
+    // Spark upgrade or an unrelated assignment-subtree refactor may
+    // legitimately shave a copy, which must not fail the suite
+    assert(nWin <= 3,
+      s"q116 regrew per-nprobe Window passes (1 sweep + ≤2 assign copies allowed), got $nWin")
   }
 
   test("q98 incremental ingest: the delta is appended without touching persisted base lists") {
