@@ -178,6 +178,29 @@ object Prof {
           "full2" -> (() =>
             SparkEntry.queries("q93_minhash_calibration")(spark, dir))
         )
+      case "q144" =>
+        import graft.ops.TextOps
+        def docs = Tables.load(spark, dir, "documents")
+        def toks = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), " +")).as("term"))
+        def qset = {
+          import spark.implicits._
+          TextOps.BmQueries.flatMap(_._2.split(" ")).distinct.toDF("term")
+        }
+        def probed = toks.join(broadcast(qset), "term")
+        def qtf = probed.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        def dl = docs.select(col("doc_id"),
+          size(split(lower(col("text")), " +")).cast("long").as("dl"))
+        Seq(
+          "full" -> (() => SparkEntry.queries("q144_bm25_retrieval")(spark, dir)),
+          "explode" -> (() => toks),
+          "explode+probe" -> (() => probed),
+          "qtf" -> (() => qtf),
+          "dl" -> (() => dl),
+          "scored" -> (() => TextOps.bmScoredCandidates(docs, TextOps.BmQueries)),
+          "full2" -> (() => SparkEntry.queries("q144_bm25_retrieval")(spark, dir))
+        )
       case "q101" =>
         import graft.ops._
         graft.expr.VectorExpressions.register(spark)

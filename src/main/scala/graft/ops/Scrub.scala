@@ -678,11 +678,14 @@ object Scrub {
           .filter(col("latency_hits") >= BlocklistThreshold or
             col("scanheavy_hits") >= BlocklistThreshold)
           .select(col("doc_id"))
-        val secretRisk = TextOps.rareTokenRuns(docs)
+        // both verdicts serve from the fingerprint-keyed caches shared
+        // with their standalone queries (q181/q182) — the ledger's two
+        // most expensive branches (1.01 + 0.79 s of its 3.6 s) no
+        // longer re-run the token/fingerprint pipelines per consumer
+        val secretRisk = TextOps.rareTokenRunsCached(s, dir)
           .filter(col("n_runs") > 0)
           .select(col("doc_id"))
-        val winnowLeak = TextOps.winnowDecontam(docs,
-            Some(TextOps.winnowFpsCached(s, dir)))
+        val winnowLeak = TextOps.winnowDecontamCached(s, dir)
           .select(col("doc_id"))
         // ONE flag frame instead of nine per-verdict left joins: each
         // branch emits (doc_id, verdict-kind), the union aggregates to
