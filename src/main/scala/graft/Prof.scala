@@ -259,9 +259,12 @@ object Prof {
           "chunkDup" -> (() => chunkDup),
           "spanContam" -> (() => TextOps.contaminationSpansCached(spark, dir)),
           "blocked" -> (() => Scrub.blocklistDocVerdicts(docs)),
-          "secretRisk" -> (() => TextOps.rareTokenRuns(docs)),
-          "winnowLeak" -> (() => TextOps.winnowDecontam(docs,
-            Some(TextOps.winnowFpsCached(spark, dir))))
+          "secretRisk(cached)" -> (() => TextOps.rareTokenRunsCached(spark, dir)
+            .filter(col("n_runs") > 0).select(col("doc_id"))),
+          "winnowLeak(cached)" -> (() => TextOps.winnowDecontamCached(spark, dir)
+            .select(col("doc_id"))),
+          "contaminated(cached)" -> (() => TextOps.decontamCountsCached(spark, dir)
+            .select(col("doc_id")))
         )
       case "q118dec" =>
         import graft.ops.Multimodal

@@ -493,15 +493,31 @@ object Clustering {
     semanticDedupFrom(assignClusters(emb, twoLevelThreshold, finePerCoarse),
       minCos)
 
-  /** [[semanticDedup]] (default assignment regime) riding the
-    * fingerprint-cached assignment — the q85/q90/q117 serve path.
-    * Bitwise-identical to the inline computation: the cached frame's
-    * doubles roundtrip parquet exactly, and every rank window
-    * tie-breaks by id, so order lost in the roundtrip cannot leak into
-    * the output. */
+  /** [[semanticDedup]] (default assignment regime) served from the
+    * fingerprint-keyed parquet cache — the q85/q90/q117 serve path.
+    * r17: the RESULT frame is cached, not just the assignment — the
+    * member-cap window + within-cluster pair join + keeper aggregate
+    * ran inline per consumer (~0.5 s each at sf0.1, pair-join-sized at
+    * scale) though the report is deterministic per corpus. The minCos
+    * threshold is folded into the cache name so a non-default caller
+    * can never read a default-threshold frame. Bitwise-identical to
+    * the inline computation (doubles roundtrip parquet exactly; every
+    * pick tie-breaks by id); consumers re-apply their own ORDER BY. */
   def semanticDedupCached(s: SparkSession, dir: String,
       minCos: Double = SemDedupMinCos): DataFrame =
-    semanticDedupFrom(assignClustersCached(s, dir), minCos)
+    FrameCache.serve(s, FrameCache.path(
+        s"semdedup${math.round(minCos * 100)}",
+        SemDedupResCacheV * 100 + ClustersCacheV,
+        Similarity.corpusFingerprint(s, dir))) {
+      semanticDedupFrom(assignClustersCached(s, dir), minCos)
+    }
+
+  /** Cache-format version for the cached [[semanticDedupCached]] result
+    * ([[FrameCache.path]]): bump with any change to the dedup pick
+    * (member cap, keeper rule, rounding). [[ClustersCacheV]] is folded
+    * into the effective version so an assignment-semantics bump rotates
+    * this dir too — the result is a pure function of the assignment. */
+  private val SemDedupResCacheV = 1
 
   private def semanticDedupFrom(assigned0: DataFrame,
       minCos: Double): DataFrame = {
@@ -722,7 +738,8 @@ object Clustering {
     //      to the first-K seed centroids, within-cluster pairs, keeper =
     //      smallest near-dup id (see [[semanticDedup]]). ----
     "q85_semantic_dedup" -> QueryDef(
-      (s, dir) => semanticDedupCached(s, dir),
+      (s, dir) => semanticDedupCached(s, dir)
+        .orderBy(col("cluster_id"), col("dropped_id")),
       Some(s"""WITH ${semanticDedupDuckCtes()}
              SELECT cluster_id, vb AS dropped_id, va AS keeper_id,
                round(cos, 4) AS cos_sim

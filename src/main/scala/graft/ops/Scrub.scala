@@ -661,15 +661,10 @@ object Scrub {
           .select(col("db").as("doc_id")).distinct()
         val decontam = Similarity.semanticDecontamCached(s, dir)
           .select(col("vec_id").as("doc_id"))
-        val ch = TextOps.cdcChunksCached(s, dir)
-        val cnt = ch.groupBy(col("chunk_hash"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-        val chunkDup = ch.join(cnt, "chunk_hash")
-          .groupBy(col("doc_id"))
-          .agg(sum(col("chunk_tokens")).as("tot"),
-            sum(when(col("nd") >= 2, col("chunk_tokens")).otherwise(0L))
-              .as("dup"))
-          .filter(col("dup") * 2 >= col("tot"))
+        // the cached per-doc CDC rollup (shared with q111) carries
+        // tot_tokens, so the >= half-the-doc gate is a filter on it
+        val chunkDup = TextOps.cdcDocRollupCached(s, dir)
+          .filter(col("dup_tokens") * 2 >= col("tot_tokens"))
           .select(col("doc_id"))
         val spanContam = TextOps.contaminationSpansCached(s, dir)
           .filter(col("max_run_grams") >= TextOps.SpanRunGate)

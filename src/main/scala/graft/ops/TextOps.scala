@@ -34,6 +34,7 @@ object TextOps {
   private val NovFirstsCacheV = 1
   private val RareRunsCacheV = 1
   private val WinnowLeakCacheV = 1
+  private val CdcDocCacheV = 1
 
   /** n-word shingle set of the lowercased text, distinct, as a Column
     * expression over a `words` array column. `private[graft]` so the
@@ -1178,6 +1179,27 @@ object TextOps {
     FrameCache.serve(s, FrameCache.path("cdc", CdcCacheV,
         Similarity.corpusFingerprint(s, dir, "documents"))) {
       cdcChunks(Tables.load(s, dir, "documents"))
+    }
+
+  /** Per-doc CDC chunk-duplication rollup — ONE chunk-hash groupBy +
+    * join-back over the cached chunk table, serving BOTH q111's report
+    * and q117's chunk-dup verdict from the fingerprint-keyed parquet
+    * cache (each re-ran the rollup inline). tot_tokens rides along so
+    * the ledger's dup*2 >= tot gate needs no second pass. */
+  private[graft] def cdcDocRollupCached(s: SparkSession,
+      dir: String): DataFrame =
+    FrameCache.serve(s, FrameCache.path("cdcdoc", CdcDocCacheV,
+      Similarity.corpusFingerprint(s, dir, "documents"))) {
+      val ch = cdcChunksCached(s, dir)
+      val cnt = ch.groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      ch.join(cnt, "chunk_hash")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(col("chunk_tokens")).as("tot_tokens"),
+          sum(when(col("nd") >= 2, col("chunk_tokens")).otherwise(0L))
+            .as("dup_tokens"))
     }
 
   def cdcChunks(docs: DataFrame): DataFrame = {
@@ -2578,18 +2600,10 @@ object TextOps {
     //      engines fold the identical md5 arithmetic, so boundaries,
     //      hashes and counts agree bitwise. ----
     "q111_cdc_chunks" -> QueryDef(
-      (s, dir) => {
-        val ch = cdcChunksCached(s, dir)
-        val cnt = ch.groupBy(col("chunk_hash"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-        ch.join(cnt, "chunk_hash")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_chunks"),
-            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
-            sum(when(col("nd") >= 2, col("chunk_tokens")).otherwise(0L))
-              .as("dup_tokens"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => cdcDocRollupCached(s, dir)
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          col("dup_tokens"))
+        .orderBy(col("doc_id")),
       Some(s"""WITH $cdcDuckCtes
              SELECT doc_id, count(*) AS n_chunks,
                CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
