@@ -191,6 +191,22 @@ object Similarity {
       .orderBy(col("va"), col("vb"))
   }
 
+  /** [[embeddingNeardupPairs]] served from the fingerprint-keyed
+    * parquet cache: the banded self-join + exact verify is
+    * deterministic per (corpus, threshold) and was re-run inline by
+    * each of its three consumers (q41, q161, q176). The threshold is
+    * folded into the cache name so a different-threshold caller can
+    * never read this frame; consumers re-apply their own ORDER BY. */
+  def embeddingNeardupPairsCached(s: SparkSession, dir: String,
+      minCos: Double): DataFrame =
+    FrameCache.serve(s, FrameCache.path(
+        s"ndpairs${math.round(minCos * 100)}", NeardupPairsCacheV,
+        corpusFingerprint(s, dir))) {
+      embeddingNeardupPairs(Tables.load(s, dir, "embeddings"), minCos)
+    }
+
+  private val NeardupPairsCacheV = 1
+
   /** q159 hard-negative band: exact ranks [[HardNegFrom]]..[[HardNegTo]]
     * per query after the near-dup ceiling drop — the slice just below
     * q35's top-3 positives. */
@@ -1435,7 +1451,8 @@ object Similarity {
     //      the persisted frame (a 32-element array column), so neither
     //      join side re-evaluates them.
     "q41_embedding_neardup" -> QueryDef(
-      (s, dir) => embeddingNeardupPairs(Tables.load(s, dir, "embeddings"), 0.45),
+      (s, dir) => embeddingNeardupPairsCached(s, dir, 0.45)
+        .orderBy(col("va"), col("vb")),
       Some {
         s"""WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
                     FROM embeddings),
@@ -2379,8 +2396,7 @@ object Similarity {
     //      negatives. ----
     "q176_contrastive_pairs" -> QueryDef(
       (s, dir) => {
-        val pairs = embeddingNeardupPairs(
-          Tables.load(s, dir, "embeddings"), 0.45)
+        val pairs = embeddingNeardupPairsCached(s, dir, 0.45)
         pairs
           .withColumn("b", expr(
             """cast(conv(substring(md5(concat('cp:', cast(va as string),
@@ -2440,7 +2456,7 @@ object Similarity {
       (s, dir) => {
         val lex = Dedup.lshCandidatePairsCached(s, dir)
           .select(col("da"), col("db")).withColumn("in_lex", lit(1L))
-        val sem = embeddingNeardupPairs(Tables.load(s, dir, "embeddings"), 0.45)
+        val sem = embeddingNeardupPairsCached(s, dir, 0.45)
           .select(col("va").as("da"), col("vb").as("db"))
           .withColumn("in_sem", lit(1L))
         // coalesce: an EMPTY pair set on either side (sf0.001 has no
