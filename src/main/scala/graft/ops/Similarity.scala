@@ -1099,6 +1099,27 @@ object Similarity {
       pqTopk(s, dir)
     }
 
+  /** [[lshTopk]] / [[ivfTopk]] served from the fingerprint cache — the
+    * [[pqTopkCached]] pattern extended to the other two ANN method
+    * results: each is a ≤30-row deterministic frame (exact folds +
+    * total tie-breaks) rebuilt identically by BOTH its consumers (q36 +
+    * q102's lsh row; q43 + q102's ivf row). Consumers re-sort. */
+  private[graft] def lshTopkCached(s: SparkSession, dir: String): DataFrame =
+    FrameCache.serve(s,
+        FrameCache.path("lshtop3", AnnTopkCacheV, corpusFingerprint(s, dir))) {
+      lshTopk(s, dir)
+    }
+
+  private[graft] def ivfTopkCached(s: SparkSession, dir: String): DataFrame =
+    FrameCache.serve(s,
+        FrameCache.path("ivftop3", AnnTopkCacheV, corpusFingerprint(s, dir))) {
+      ivfTopk(s, dir)
+    }
+
+  /** v-bump with any change to the sign-bucket/IVF probe math
+    * (bucket pairs, [[IvfCells]], probe count, tie-breaks). */
+  private val AnnTopkCacheV = 1
+
   /** Exact brute-force cosine top-3 for queries vec_id < 10 — the q35
     * operator, factored out so q102's recall report can reuse it as the
     * ground-truth side. The query side is the broadcast (small) side;
@@ -1404,7 +1425,8 @@ object Similarity {
     // ---- LSH-bucketed approximate NN: candidates share the 4-bit sign
     //      bucket; top-3 by exact cosine within candidates ----
     "q36_ann_lsh_topk" -> QueryDef(
-      (s, dir) => lshTopk(s, dir),
+      (s, dir) => lshTopkCached(s, dir)
+        .orderBy(col("query_id"), col("rank")),
       Some(s"""WITH n AS (SELECT vec_id, embedding,
                         ${duckNorm("embedding")} AS nrm,
                         ${bucketExprDuck("embedding")} AS bucket
@@ -1434,7 +1456,8 @@ object Similarity {
     //      drop from |Q|·N to |Q|·(2/16)·N on average. Deterministic
     //      end-to-end, so DuckDB replicates it exactly. ----
     "q43_ivf_ann_topk" -> QueryDef(
-      (s, dir) => ivfTopk(s, dir),
+      (s, dir) => ivfTopkCached(s, dir)
+        .orderBy(col("query_id"), col("rank")),
       // one IVF definition per engine: q43 and q97 share [[ivfDuckSql]]
       Some(ivfDuckSql())),
 
@@ -1620,8 +1643,8 @@ object Similarity {
             .select(lit(method).as("method"), col("n_queries"),
               col("hits_at_3"),
               expr("hits_at_3 * 10000L div (3 * n_queries)").as("recall_bp"))
-        methodRow("ivf", ivfTopk(s, dir))
-          .unionByName(methodRow("lsh", lshTopk(s, dir)))
+        methodRow("ivf", ivfTopkCached(s, dir))
+          .unionByName(methodRow("lsh", lshTopkCached(s, dir)))
           // pq approximates L1, so its ground truth is the exact L1
           // top-3 — recall measured under the method's own metric
           .unionByName(methodRow("pq", pqTopkCached(s, dir), bruteL1TopkCached(s, dir)))
